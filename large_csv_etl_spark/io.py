@@ -1,0 +1,133 @@
+"""Sources and sinks (SURVEY.md §2a rows S1-S12).
+
+The reference's 225-LoC chunk-management layer (read_csv_chunks/save_chunk/
+combine_chunks, /root/reference/src/file_manager.py) collapses to Spark's
+partitioned scans and writes. What remains engine code:
+
+- permissive CSV scan with corrupt-record capture (E3 skip-bad-data intent,
+  /root/reference/src/file_manager.py:70-103 — chunk-drop becomes row-level
+  capture, strictly finer-grained fault tolerance);
+- upsert-by-primary-key sink (S6 `INSERT OR REPLACE`,
+  /root/reference/src/core/db_manager.py:116-166 — last-write-wins);
+- table stats / integrity validation (A1-A6,
+  /root/reference/src/core/db_manager.py:250-353).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .schemas import TRANSACTIONS_RAW, TEST_TABLES
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Chunked CSV scan (S1/S2) as a single partitioned, schema'd scan.
+
+    PERMISSIVE mode + corrupt-record column reproduces the reference's
+    never-abort-on-bad-data intent (E3) at row granularity: malformed lines
+    land in ``_corrupt_record`` instead of killing a whole chunk.
+    """
+    schema = TRANSACTIONS_RAW.add(CORRUPT_COL, "string")
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan for one driver test table."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All driver test tables, keyed by name."""
+    return {t: load_table(spark, sf_dir, t) for t in TEST_TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the test tables to spark.sql() as temp views."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def upsert_by_key(df: DataFrame, key: str, order_col: str | None = None) -> DataFrame:
+    """S6 `INSERT OR REPLACE` semantics: one row per key, last-write-wins.
+
+    The reference keeps the *last* duplicate within a load
+    (/root/reference/src/core/db_manager.py:135). With an explicit
+    ``order_col`` we keep the max of it per key (deterministic); without
+    one, ``dropDuplicates`` keeps an arbitrary row (documented deviation —
+    input order is not a meaningful concept for a distributed scan).
+    """
+    if order_col is None:
+        return df.dropDuplicates([key])
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Bulk load (S8/S9/S11). Parquet, parallel per partition — replaces the
+    reference's single-threaded SQLite writer
+    (/root/reference/src/core/db_manager.py:233). Overwrite mode doubles as
+    truncate (S11)."""
+    df.write.mode(mode).parquet(path)
+
+
+def get_table_stats(df: DataFrame) -> dict:
+    """A1-A4 in one pass (the reference issues 3 separate SQLite queries,
+    /root/reference/src/core/db_manager.py:262-277)."""
+    row = df.agg(
+        F.count("*").alias("total"),
+        F.min("amount").alias("min_amount"),
+        F.max("amount").alias("max_amount"),
+        F.round(F.avg("amount"), 2).alias("avg_amount"),
+        F.round(F.sum("amount"), 2).alias("sum_amount"),
+    ).first()
+    status_counts = {
+        r["status"]: r["count"] for r in df.groupBy("status").count().collect()
+    }
+    return {
+        "total_records": row["total"],
+        "status_counts": status_counts,
+        "amount_stats": {
+            "min": row["min_amount"],
+            "max": row["max_amount"],
+            "avg": row["avg_amount"],
+            "sum": row["sum_amount"],
+        },
+    }
+
+
+def validate_data_integrity(df: DataFrame) -> dict:
+    """A6 conditional counts — the reference's 7 validation queries
+    (/root/reference/src/core/db_manager.py:326-346) in ONE scan via
+    sum(when(...)) map-side combine."""
+    checks = {
+        "null_transaction_id": F.col("transaction_id").isNull(),
+        "null_user_id": F.col("user_id").isNull(),
+        "null_amount": F.col("amount").isNull(),
+        "null_status": F.col("status").isNull(),
+        "null_processed_at": F.col("processed_at").isNull(),
+        "negative_amounts": F.col("amount") < 0,
+        "cancelled_status": F.lower(F.col("status")) == "cancelled",
+    }
+    row = df.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+            for name, cond in checks.items()
+        ]
+    ).first()
+    issues = {name: row[name] for name in checks if row[name]}
+    return {"is_valid": not issues, "issues": issues}

@@ -1,0 +1,39 @@
+"""Query surface: every operator family from SURVEY.md §2, one module each.
+
+Each module exposes ``QUERIES: dict[str, (spark, sf_dir) -> DataFrame]`` and
+``ORACLES: dict[str, str]`` (DuckDB-runnable ANSI SQL over the same parquet
+views). ``all_queries()`` / ``all_oracles()`` merge them for the driver
+contract in ``__spark_entry__.py``.
+
+Determinism contract shared by every pair (see helpers.py): money/float
+aggregates are computed via exact DECIMAL sums and surfaced as DOUBLE, so
+Spark's partition-order-dependent float accumulation can never diverge from
+the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import dedup, events, relational, scalars, setops, similarity, text, windows
+
+_MODULES = [relational, windows, setops, scalars, events, text, dedup, similarity]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        overlap = out.keys() & m.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out

@@ -1,0 +1,171 @@
+"""Event analytics (§2b): JSON props, event-time windows, sessionization,
+pivot. Batch forms here (oracle-comparable); the streaming variants live in
+``large_csv_etl_spark.streaming`` (same logical plans over readStream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .helpers import DEC, dsum, sql_dsum
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "events_hourly_tumbling",
+    f"""
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch form of
+    ``groupBy(window(ts, '1 hour'))`` — date_trunc is the oracle-friendly
+    equivalent for aligned tumbling windows)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+@_q(
+    "events_json_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the ``props`` string column
+    (get_json_object — JVM-side, no Python UDF)."""
+    df = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return df.select(
+        "event_id", k.alias("prop_k"), (k % 10).alias("k_bucket")
+    )
+
+
+@_q(
+    "events_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via lag + running
+    sum — the batch equivalent of Structured Streaming's session_window.
+    One shuffle on user_id; both window passes share the partitioning."""
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_ok = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 1800
+    flagged = df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_ok, 0).otherwise(1).alias("new_session"),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@_q(
+    "events_type_pivot",
+    f"""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+             AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (one pass, map-side combinable —
+    scales where a true ``pivot()`` with inferred values would need an extra
+    distinct pass)."""
+    df = load_table(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    ).alias(f"n_{t}")
+    return df.groupBy("user_id").agg(
+        cnt("click"),
+        cnt("view"),
+        cnt("purchase"),
+        cnt("signup"),
+        cnt("error"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("purchase_value"),
+    )
+
+
+@_q(
+    "events_daily_active_users",
+    """
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_start,
+           COUNT(DISTINCT user_id) AS dau,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users — exact distinct per day (the approx variant
+    ``approx_count_distinct`` is benchmarked separately; exact here for
+    oracle comparability)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day_start"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -1,0 +1,182 @@
+"""Scalar function coverage (§2a P1/P3/P4 scaled + §2b string/date/math/json).
+
+Cross-engine determinism notes: only functions with identical IEEE/ANSI
+semantics in Spark and DuckDB appear in oracle-paired queries (abs/ceil/
+floor/sqrt are correctly-rounded; lower/trim/substring/concat are ANSI;
+extract() date parts are ANSI). Transcendentals (exp/ln/pow) are libm-
+dependent and deliberately excluded from hash-compared outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "scalar_string_functions",
+    """
+    SELECT c_custkey,
+           LOWER(c_name) AS name_lower,
+           UPPER(c_mktsegment) AS seg_upper,
+           LENGTH(c_name) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CONCAT(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           REPLACE(LOWER(c_mktsegment), 'e', '_') AS seg_replaced,
+           TRIM(c_name) AS name_trimmed
+    FROM customer
+    """,
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String suite: lower/upper/length/substring/concat/replace/trim
+    (P1/P3 family, /root/reference/src/data_processor.py:120,127-130)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+        F.replace(F.lower("c_mktsegment"), F.lit("e"), F.lit("_")).alias(
+            "seg_replaced"
+        ),
+        F.trim("c_name").alias("name_trimmed"),
+    )
+
+
+@_q(
+    "scalar_date_functions",
+    """
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(month FROM o_orderdate) AS order_month,
+           EXTRACT(day FROM o_orderdate) AS order_day,
+           EXTRACT(quarter FROM o_orderdate) AS order_quarter,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+             AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time suite: extract parts, truncation, day difference."""
+    df = load_table(spark, sf_dir, "orders")
+    return df.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).cast("bigint").alias("days_since_epoch_start"),
+    )
+
+
+@_q(
+    "scalar_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 1000) AS abs_diff,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS qty_ceil_bucket,
+           CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS price_floor_bucket,
+           SQRT(l_quantity) AS qty_sqrt,
+           CAST(l_quantity AS BIGINT) % 5 AS qty_mod,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    """,
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math suite — all operations correctly-rounded IEEE (no libm)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000).alias("abs_diff"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_ceil_bucket"),
+        F.floor(F.col("l_extendedprice") / 100.0).cast("bigint").alias(
+            "price_floor_bucket"
+        ),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@_q(
+    "scalar_conditional_case",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS size_bucket,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_finished,
+           COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'UNSPECIFIED')
+             AS priority_clean
+    FROM orders
+    """,
+)
+def scalar_conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN, NULLIF, COALESCE (F3's coalesce pattern,
+    /root/reference/src/data_processor.py:61)."""
+    df = load_table(spark, sf_dir, "orders")
+    return df.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_bucket"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_finished"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")),
+            F.lit("UNSPECIFIED"),
+        ).alias("priority_clean"),
+    )
+
+
+@_q(
+    "scalar_round_2dp",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))
+                      AS DOUBLE) / 7, 2) AS rounded_price
+    FROM lineitem
+    """,
+)
+def scalar_round_2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding coverage (P4 family,
+    /root/reference/src/data_processor.py:133). Both engines round the
+    *identical* IEEE double (decimal-exact numerator, one double division),
+    so half-up agreement holds. The reference's half-even ``bround`` parity
+    vs pandas is asserted in unit tests (DuckDB has no half-even round)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(30,4)")
+        .cast("double")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(disc_price / 7, 2).alias("rounded_price"),
+    )

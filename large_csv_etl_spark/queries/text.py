@@ -1,0 +1,223 @@
+"""Text analysis over ``documents`` (§2b / driver mandate): token counting,
+quality scoring, language stats, fingerprinting. All JVM-side built-ins
+(split/explode/regexp/md5) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .helpers import davg, sql_davg
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Tokenization contract shared by Spark and the oracle: split on runs of
+# whitespace after trimming; empty text -> 0 tokens.
+_SPARK_TOKENS = lambda c: F.split(F.trim(c), r"\s+")
+
+
+@_q(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_measured,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + char length per document."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.when(F.trim(F.col("text")) == "", 0)
+        .otherwise(F.size(_SPARK_TOKENS(F.col("text"))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+@_q(
+    "text_vocab_per_doc",
+    r"""
+    SELECT doc_id, COUNT(DISTINCT token) AS n_unique_tokens, COUNT(*) AS n_tokens
+    FROM (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    )
+    GROUP BY doc_id
+    """,
+)
+def text_vocab_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize -> explode -> per-doc vocabulary size (type/token counts)."""
+    df = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tokens = df.select(
+        "doc_id", F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    return tokens.groupBy("doc_id").agg(
+        F.countDistinct("token").alias("n_unique_tokens"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+@_q(
+    "text_top_terms",
+    r"""
+    SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    )
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term + document frequency, top 20 (the word-count of an
+    LLM-data pipeline; partial agg keeps the shuffle at |vocab| rows)."""
+    df = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tokens = df.select(
+        "doc_id", F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    return (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(20)
+    )
+
+
+@_q(
+    "text_quality_score",
+    r"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_measured,
+           LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces,
+           LENGTH(REGEXP_REPLACE(text, '[^.!?]', '', 'g')) AS n_sentence_punct,
+           CASE WHEN LENGTH(text) >= 100
+                 AND LEN(regexp_split_to_array(TRIM(text), '\s+')) >= 20
+                THEN 1 ELSE 0 END AS passes_length_gate
+    FROM documents
+    WHERE TRIM(text) <> ''
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals (length / punctuation / token gates) — the
+    standard pre-training corpus filter shape (C4/Gopher-style rules)."""
+    df = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    n_tokens = F.size(_SPARK_TOKENS(F.col("text")))
+    return df.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        .cast("bigint")
+        .alias("n_spaces"),
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?]", ""))
+        .cast("bigint")
+        .alias("n_sentence_punct"),
+        F.when((F.length("text") >= 100) & (n_tokens >= 20), 1)
+        .otherwise(0)
+        .alias("passes_length_gate"),
+    )
+
+
+@_q(
+    "text_lang_stats",
+    f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           {sql_davg('n_chars')} AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language/source corpus statistics."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            davg("n_chars").alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@_q(
+    "text_fingerprint",
+    """
+    SELECT doc_id, MD5(LOWER(TRIM(text))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (md5 of lowercased/trimmed text) —
+    the exact-dedup key. md5 is bit-identical across engines."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+
+
+@_q(
+    "text_langid_heuristic",
+    None,  # heuristic dictionary scoring — rows-only check (not ANSI-SQL shaped)
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language-ID heuristic: score each doc against tiny
+    stopword lists per language; argmax wins. Pure JVM expressions (the
+    scoring is a sum of token-membership indicators), no UDF.
+    """
+    stopwords = {
+        "en": ["the", "and", "of", "to", "a"],
+        "es": ["el", "la", "de", "que", "y"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "et", "les", "des"],
+        "zh": ["的", "是", "了", "在", "我"],
+    }
+    df = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tokens = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    scored = df.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.array_intersect(
+                    tokens, F.array(*[F.lit(w) for w in words])
+                )
+            ).alias(f"score_{lang}")
+            for lang, words in stopwords.items()
+        ],
+    )
+    scores = F.array(
+        *[
+            F.struct(F.col(f"score_{lang}").alias("s"), F.lit(lang).alias("lang"))
+            for lang in stopwords
+        ]
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.array_max(scores).getField("lang").alias("predicted_lang"),
+        F.array_max(scores).getField("s").cast("bigint").alias("best_score"),
+    )

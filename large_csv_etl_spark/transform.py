@@ -1,0 +1,114 @@
+"""Reference-parity transform pipeline (SURVEY.md §2a F1-F5, P1-P6, A5, A7).
+
+The reference's DataProcessor.transform_chunk
+(/root/reference/src/data_processor.py:145-186) is clean -> business rules ->
+transform over pandas chunks. Here it is one lazy column-expression chain —
+Catalyst fuses the filters, prunes columns, and runs it in whole-stage
+codegen; there is no chunk concept (partitions are the chunks).
+
+Documented semantic decisions (SURVEY.md §4.2):
+- P4 rounding uses ``bround`` (HALF_EVEN) to bit-match pandas ``round(2)``;
+  Spark's ``round`` is HALF_UP and would diverge on ties.
+- F3: the reference's ``fillna('unknown')`` is dead code (astype(str) turns
+  NaN into the string "nan", /root/reference/src/data_processor.py:61); we
+  implement the *intended* semantics — null status becomes "unknown".
+- P2: ``processed_at`` is one constant per query, not per chunk
+  (/root/reference/src/data_processor.py:122-124 stamps per-chunk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .schemas import OUTPUT_COLUMNS, REQUIRED_COLUMNS
+
+
+def validate_schema(df: DataFrame) -> list[str]:
+    """P6 — presence check (/root/reference/src/data_processor.py:22-36).
+    Returns the list of missing required columns (empty == valid)."""
+    return [c for c in REQUIRED_COLUMNS if c not in df.columns]
+
+
+def clean(df: DataFrame) -> DataFrame:
+    """F1-F3 (/root/reference/src/data_processor.py:38-72): drop null keys,
+    coerce amount (cast -> null on malformed, then drop), fill null status."""
+    return (
+        df.na.drop(subset=["transaction_id", "user_id"])
+        .filter(F.trim(F.col("transaction_id")) != "")
+        .filter(F.trim(F.col("user_id")) != "")
+        .withColumn("amount", F.col("amount").cast("double"))
+        .filter(F.col("amount").isNotNull())
+        .withColumn(
+            "status", F.coalesce(F.col("status").cast("string"), F.lit("unknown"))
+        )
+    )
+
+
+def apply_business_rules(df: DataFrame) -> DataFrame:
+    """F4-F5 (/root/reference/src/data_processor.py:74-106): non-negative
+    amounts; drop cancelled (case-insensitive, pre-trim — the reference
+    compares ``str.lower() != 'cancelled'`` before any strip at :96)."""
+    return df.filter(F.col("amount") >= 0).filter(
+        F.lower(F.col("status")) != "cancelled"
+    )
+
+
+def apply_transformations(df: DataFrame) -> DataFrame:
+    """P1-P5 (/root/reference/src/data_processor.py:108-143): normalize
+    status, stamp processed_at, cast ids, round amount half-even, project."""
+    return (
+        df.withColumn("status", F.lower(F.trim(F.col("status"))))
+        .withColumn(
+            "processed_at",
+            F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
+        )
+        .withColumn("transaction_id", F.col("transaction_id").cast("string"))
+        .withColumn("user_id", F.col("user_id").cast("string"))
+        .withColumn("amount", F.bround(F.col("amount"), 2))
+        .select(*OUTPUT_COLUMNS)
+    )
+
+
+def transform(df: DataFrame) -> DataFrame:
+    """Full pipeline — the Spark analog of transform_chunk
+    (/root/reference/src/data_processor.py:145-186). Pure, lazy, composable;
+    validate -> clean -> rules -> transform, exactly the reference's stage
+    order (Catalyst will reorder the physical predicates anyway)."""
+    missing = validate_schema(df)
+    if missing:
+        raise ValueError(f"missing required columns: {missing}")
+    return apply_transformations(apply_business_rules(clean(df)))
+
+
+def validate_final_data(df: DataFrame) -> dict:
+    """A5 existence predicates (/root/reference/src/data_processor.py:212-247)
+    — all invariants in ONE aggregate scan instead of three .any() passes."""
+    row = df.agg(
+        F.sum(F.when(F.col("amount") < 0, 1).otherwise(0)).alias("negatives"),
+        F.sum(F.when(F.lower(F.col("status")) == "cancelled", 1).otherwise(0)).alias(
+            "cancelled"
+        ),
+        F.sum(F.when(F.col("processed_at").isNull(), 1).otherwise(0)).alias(
+            "null_processed_at"
+        ),
+        F.count("*").alias("rows"),
+    ).first()
+    issues = {
+        k: row[k]
+        for k in ("negatives", "cancelled", "null_processed_at")
+        if row[k]
+    }
+    return {"is_valid": not issues, "rows": row["rows"], "issues": issues}
+
+
+def processing_stats(input_df: DataFrame, output_df: DataFrame) -> dict:
+    """A7 row accounting (/root/reference/src/data_processor.py:188-210)."""
+    original = input_df.count()
+    processed = output_df.count()
+    return {
+        "original_rows": original,
+        "processed_rows": processed,
+        "rows_removed": original - processed,
+        "success": True,
+    }
