@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing excludes SparkSession startup (BASELINE.md §6 note: JVM boot would
+otherwise dominate at small SF and the 2x-of-reference gate would measure
+the wrong thing). Each query is timed as wall-clock of plan + execute +
+collect on a warmed shared session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from large_csv_etl_spark.queries import all_queries
+from large_csv_etl_spark.session import get_spark
+
+# Headline set: the reference-analog aggregates, the TPC-H-shaped join/agg
+# suite, windows, events, text, dedup, similarity — one representative per
+# operator family (full registry runs in CORRECTNESS; bench tracks the
+# expensive/representative plans).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "window_running_spend",
+    "window_topk_orders_per_customer",
+    "agg_having",
+    "join_outer_null_handling",
+    "events_sessionization",
+    "events_hourly_tumbling",
+    "text_top_terms",
+    "text_quality_score",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_neardup",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # crude sf label from the dir name (sf0.1 -> 0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = base
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm the JVM + parquet footers with one cheap action so the first
+    # timed query doesn't pay one-off session costs.
+    registry["q6_forecast_revenue"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            registry[name](spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep the bench artifact parseable
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = [v for v in timings.values() if v >= 0]
+    total = round(sum(ok), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0 if len(ok) == len(names) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,8 +43,24 @@ def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan for one driver test table."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Parquet scan for one driver test table.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos
+    as int64 (legacy conf) and rebuild a micros TimestampType with integer
+    division (``div`` — a double division would lose precision above 2^53,
+    and epoch-nanos are ~1.7e18). Truncation to micros matches DuckDB's
+    ``CAST(ts_ns AS TIMESTAMP)``, which the event oracles apply, so both
+    engines see bit-identical timestamps.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

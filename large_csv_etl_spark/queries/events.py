@@ -1,6 +1,12 @@
 """Event analytics (§2b): JSON props, event-time windows, sessionization,
-pivot. Batch forms here (oracle-comparable); the streaming variants live in
-``large_csv_etl_spark.streaming`` (same logical plans over readStream).
+pivot. Batch forms here (oracle-comparable); ``large_csv_etl_spark.streaming``
+carries the Structured Streaming variants of the windowed aggregations.
+
+Oracle note: the fixture stores ``ts`` at nanosecond precision. Spark
+timestamps are microseconds, so every oracle below reads events through
+``ev`` = events with ``CAST(ts AS TIMESTAMP)`` (DuckDB ns->us truncation),
+which bit-matches the engine-side ``timestamp_micros(ts div 1000)`` read
+in io.load_table.
 """
 
 from __future__ import annotations
@@ -28,11 +34,12 @@ def _q(name, oracle=None):
 @_q(
     "events_hourly_tumbling",
     f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
     SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start,
            event_type,
            COUNT(*) AS n_events,
            {sql_dsum('value')} AS total_value
-    FROM events
+    FROM ev
     GROUP BY 1, 2
     """,
 )
@@ -72,11 +79,11 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "events_sessionization",
     """
-    WITH flagged AS (
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events), flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
                AS new_session
-      FROM events
+      FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts, event_id,
@@ -97,7 +104,12 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_ok = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 1800
+    # Compare at micros (not cast-to-long seconds) so boundary gaps agree
+    # exactly with the oracle's `ts - LAG(ts) <= INTERVAL 30 MINUTE`.
+    gap_ok = (
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        <= 1800 * 1_000_000
+    )
     flagged = df.select(
         "user_id",
         "ts",
@@ -150,10 +162,11 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "events_daily_active_users",
     """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
     SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_start,
            COUNT(DISTINCT user_id) AS dau,
            COUNT(*) AS n_events
-    FROM events
+    FROM ev
     GROUP BY 1
     """,
 )

@@ -82,9 +82,12 @@ def agg_amount_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "validation_counts",
     """
-    SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
-           SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS negative_price,
-           SUM(CASE WHEN LOWER(o_orderstatus) = 'f' THEN 1 ELSE 0 END) AS status_f
+    SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_custkey,
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS negative_price,
+           CAST(SUM(CASE WHEN LOWER(o_orderstatus) = 'f' THEN 1 ELSE 0 END) AS BIGINT)
+             AS status_f
     FROM orders
     """,
 )
@@ -305,13 +308,21 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_left_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi/anti join coverage (§2b): customers with vs without orders."""
+    """Semi/anti join coverage (§2b): customers with vs without orders.
+
+    One lazy plan, one job: left join against the distinct order custkeys,
+    then a single conditional aggregate — equivalent to a semi count + an
+    anti count but without two eager driver-side actions.
+    """
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").count()
-    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(semi, anti)], "customers_with_orders bigint, customers_without_orders bigint"
+    order_keys = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    )
+    joined = cust.join(order_keys, cust.c_custkey == order_keys.o_custkey, "left")
+    has = F.col("o_custkey").isNotNull()
+    return joined.agg(
+        F.sum(F.when(has, 1).otherwise(0)).alias("customers_with_orders"),
+        F.sum(F.when(has, 0).otherwise(1)).alias("customers_without_orders"),
     )
 
 

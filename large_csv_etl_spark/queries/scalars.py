@@ -158,17 +158,23 @@ def scalar_conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_round_2dp",
     """
     SELECT l_orderkey, l_linenumber,
-           ROUND(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))
-                      AS DOUBLE) / 7, 2) AS rounded_price
+           CAST(ROUND(CAST(CAST(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(30,4)) AS DOUBLE) / 7
+                           AS DECIMAL(30,4)), 2) AS DOUBLE) AS rounded_price
     FROM lineitem
     """,
 )
 def scalar_round_2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rounding coverage (P4 family,
-    /root/reference/src/data_processor.py:133). Both engines round the
-    *identical* IEEE double (decimal-exact numerator, one double division),
-    so half-up agreement holds. The reference's half-even ``bround`` parity
-    vs pandas is asserted in unit tests (DuckDB has no half-even round)."""
+    /root/reference/src/data_processor.py:133).
+
+    Rounding a raw double at 2dp is NOT cross-engine deterministic on exact
+    .005 ties (Spark rounds the shortest decimal repr HALF_UP; DuckDB rounds
+    the binary double), so the round happens in the DECIMAL domain on both
+    sides: identical double quotient -> DECIMAL(30,4) -> ROUND(...,2)
+    (HALF_UP on positives in both engines) -> DOUBLE. The reference's
+    half-even ``bround`` parity vs pandas is asserted in unit tests (DuckDB
+    has no half-even round)."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = (
         (F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -178,5 +184,7 @@ def scalar_round_2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(disc_price / 7, 2).alias("rounded_price"),
+        F.round((disc_price / 7).cast("decimal(30,4)"), 2)
+        .cast("double")
+        .alias("rounded_price"),
     )

@@ -74,14 +74,19 @@ def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (set difference): nations with customers but no suppliers."""
+    """EXCEPT (set difference): nations with customers but no suppliers.
+
+    ``subtract`` is EXCEPT DISTINCT — set semantics. (``exceptAll`` is bag
+    difference: leftover multiplicities survive when the left side has more
+    rows per key, which is not what SQL EXCEPT means.)
+    """
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return cust.exceptAll(supp).distinct()
+    return cust.subtract(supp)
 
 
 @_q(

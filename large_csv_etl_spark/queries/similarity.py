@@ -44,10 +44,13 @@ def _norm(a):
 @_q(
     "sim_cosine_topk",
     """
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
     scored AS (
       SELECT e.vec_id, e.label,
-             ROUND(list_cosine_similarity(e.embedding, q.qv), 6) AS cos_sim
+             ROUND(CAST(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6)
+               AS cos_sim
       FROM embeddings e, q
       WHERE e.vec_id <> 0
     )

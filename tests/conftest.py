@@ -1,10 +1,14 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from large_csv_etl_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+# Override with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 to rerun the
+# whole suite at the driver's correctness scale.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_MID = "/root/testdata/sf0.01"
 
 

@@ -1,0 +1,66 @@
+"""Recall tests for the approximate dedup paths — the checks the oracle
+can't do (LSH is allowed to miss pairs; here we pin down HOW MUCH, on
+planted near-duplicates, so a recall regression fails loudly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from large_csv_etl_spark.queries.dedup import (
+    QUERIES as DEDUP_QUERIES,
+    embedding_neardup_pairs,
+)
+
+from .conftest import SF_DIR
+
+
+def test_embedding_lsh_recall_on_planted_neardups(spark):
+    """Plant 60 pairs with cosine > 0.95; banded LSH (8 bands x 8 bits)
+    must recover >= 90% of them (theoretical recall ~0.989)."""
+    rng = np.random.default_rng(7)
+    n_pairs, dim = 60, 64
+    base = rng.standard_normal((n_pairs, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # noise norm ~ 0.015*sqrt(64) = 0.12 -> cos(base, near) ~ 0.993 >> 0.95
+    near = base + 0.015 * rng.standard_normal((n_pairs, dim))
+    rows = []
+    for i in range(n_pairs):
+        rows.append((i, [float(x) for x in base[i]]))
+        rows.append((i + 1000, [float(x) for x in near[i]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs(emb, threshold=0.95).collect()
+    }
+    planted = {(i, i + 1000) for i in range(n_pairs)}
+    found = len(planted & got)
+    assert found >= 0.9 * n_pairs, f"LSH recall too low: {found}/{n_pairs}"
+    # verification step is exact, so no non-planted random pair may appear
+    extras = got - planted
+    assert not extras, f"false positives past exact verify: {extras}"
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """MinHash-LSH must recover the clearly-similar pairs that the exact
+    n-gram Jaccard join finds (jaccard >= 0.3, comfortably above the 0.2
+    approxSimilarityJoin threshold)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in DEDUP_QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+        .filter(F.col("jaccard") >= 0.3)
+        .collect()
+    }
+    if not exact:
+        pytest.skip("no high-jaccard pairs at this SF")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in DEDUP_QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    }
+    missed = exact - got
+    assert len(missed) <= 0.2 * len(exact), (
+        f"MinHash missed {len(missed)}/{len(exact)} exact pairs: {missed}"
+    )
