@@ -89,13 +89,36 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(tokens_col, n: int = 3):
-    """Word n-gram shingle array from a token array (JVM higher-order
-    functions; no UDF). Returns distinct shingles."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0)))
-    gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(tokens_col, i + k) for k in range(n)]
+    """Word n-gram shingle array from a token array. Built as arrays_zip of
+    n shifted slices + one transform — NOT per-index element_at lambdas:
+    higher-order lambdas are interpreted (no codegen, no common-subexpr
+    elimination), so an element_at(tokens, i+k) formulation re-evaluates
+    the token split per gram and is ~20x slower. Returns distinct shingles.
+    """
+    tc = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    m = F.size(tc) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(tc, 1 + k, m) for k in range(n)])
+    gram = lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
+    return F.array_distinct(F.transform(zipped, gram))
+
+
+def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows for every document with >= n tokens.
+
+    Tokenizes once into a column, then shingles — and repartitions to the
+    default parallelism first: the fixture parquet is a single file (one
+    input partition), and the shingling is the CPU-heavy step, so without
+    the cheap up-front shuffle it runs on one core. At cluster scale the
+    scan is already split and AQE may coalesce the exchange away.
+    """
+    sc = docs.sparkSession.sparkContext
+    toks = F.split(_norm_text(F.col("text")), r"\s+")
+    return (
+        docs.repartition(sc.defaultParallelism)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select("doc_id", F.explode(_shingles("toks", n)).alias("shingle"))
     )
-    return F.array_distinct(F.transform(idx, gram))
 
 
 # A shingle occurring in more than MAX_SHINGLE_DF documents is a stopword
@@ -148,31 +171,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine). The oracle applies the identical cap.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    toks = F.split(_norm_text(F.col("text")), r"\s+")
-    sh0 = (
-        docs.select("doc_id", _shingles(toks).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
+    sh = shingle_rows(docs)
+    # One shuffle groups each shingle's posting list; the DF cap and the
+    # pair generation both happen on that list, so the shingle extraction
+    # is computed once (a naive self-join re-derives it per side) and no
+    # wide string join ever runs.
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
     )
-    keep = (
-        sh0.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
+    sizes = buckets.select(F.explode("docs").alias("doc_id")).groupBy(
+        "doc_id"
+    ).agg(F.count("*").alias("n_sh"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
-    sh = sh0.join(keep, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
     )
     sa = sizes.alias("sa")
@@ -180,39 +204,104 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_shared").cast("double") / (
         F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
     )
+    # No broadcast hint: `pairs` is usually far smaller than `sizes`
+    # (|docs| rows) at scale — AQE picks the right build side at runtime.
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
 
 
-@_q("dedup_minhash_lsh")  # spark.ml LSH — not ANSI-SQL expressible; rows-only check
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup join (shingle -> HashingTF sparse vector ->
-    MinHashLSH.approxSimilarityJoin). The scale path for Jaccard dedup:
-    banding means the shuffle carries (band-hash, doc) pairs, never all
-    shingles twice. Seeded for determinism."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+# MinHash-LSH tuning: 16 permutations, 8 bands of r=2. A j=0.8 true dup
+# misses all 8 bands with prob (1-0.8^2)^8 ~ 3e-4; a j~0.02 random pair
+# band-matches with prob ~3e-3, so candidates stay ~linear in |docs|.
+MINHASH_PERMS = 16
+MINHASH_BANDS = 8
+MAX_BUCKET = 200  # LSH-bucket skew guard, same role as MAX_SHINGLE_DF
 
+
+@_q("dedup_minhash_lsh")  # estimated-jaccard output — rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup join, native DataFrame expressions end-to-end.
+
+    Signature: per doc, 16 minhashes — min over shingles of
+    xxhash64(xxhash64(shingle), perm_index); one hash of the string, 16
+    cheap derived hashes, one groupBy(doc_id) with 16 min aggregates (a
+    single map-side-combinable shuffle). Banding: 8 band keys of r=2
+    minhashes each; candidate pairs are generated inside each
+    (band, band_hash) posting list (size-capped against degenerate
+    buckets), never via a corpus self-join. Pairs are scored by the
+    unbiased estimator matches/16 and kept at est >= 0.5 (true dups here
+    have jaccard >= 0.8; P(miss) ~ 1.5e-3 at 16 perms — recall vs the
+    exact n-gram join is asserted in tests). Shuffles carry only 16-byte
+    band keys and 136-byte signatures — the 100 TB shape for MinHash.
+    """
     docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    toks = F.split(_norm_text(F.col("text")), r"\s+")
-    with_sh = docs.select("doc_id", _shingles(toks).alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(with_sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+    sh = shingle_rows(docs)
+    h = F.xxhash64("shingle")
+    sigs = (
+        sh.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+                for i in range(MINHASH_PERMS)
+            ]
         )
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"m{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
+        )
+    )
+    r = MINHASH_PERMS // MINHASH_BANDS
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col("sig")[b * r + k] for k in range(r)], F.lit(b))
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    buckets = (
+        sigs.select("doc_id", F.posexplode(band_hashes).alias("band", "bh"))
+        .groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(MINHASH_PERMS), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
     )
 
 
