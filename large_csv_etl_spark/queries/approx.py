@@ -1,0 +1,94 @@
+"""Approximate and exact distributional aggregates (SURVEY.md §2b row
+"approx distinct / quantiles").
+
+Two tiers: exact quantiles are oracle-compared bit-for-bit (Spark
+``percentile`` and DuckDB ``quantile_cont`` both linearly interpolate the
+sorted doubles — verified identical); the sketch-based forms
+(HyperLogLog++ ``approx_count_distinct``, KLL/GK ``percentile_approx``)
+are engine-specific by construction, so they are registered rows-only and
+their error bounds vs the exact answers are pinned in unit tests.
+
+At 100 TB the sketch tier is the one you actually run: HLL++ shuffles a
+fixed-size sketch per group instead of |distinct| keys, and the quantile
+sketch replaces a full sort with a bounded-memory merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "quantiles_exact",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           MEDIAN(o_totalprice) AS med,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation on the sorted
+    values; both engines produce the identical IEEE double)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+            F.median("o_totalprice").alias("med"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q("approx_distinct_counts")  # HLL++ sketch — engine-specific; rows-only
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimates (rsd 1%) alongside the exact
+    counts, so the relative error is visible in the result itself (and
+    asserted < 5% in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@_q("approx_quantiles")  # sketch-based — engine-specific; rows-only
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx at accuracy 10000 per order priority (bounded
+    error vs the exact quantiles is asserted in tests)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_p50"),
+            F.percentile_approx("o_totalprice", 0.95, 10000).alias("approx_p95"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -4,14 +4,17 @@ SimHash, embedding-cosine near-dup — over ``documents`` / ``embeddings``.
 Scale notes (the whole point of each design):
 - exact: one hash-aggregate on a fingerprint — shuffles |corpus| keys of
   16 bytes, the cheapest possible dedup at 100 TB.
-- n-gram Jaccard: candidate generation via an equi-join on shared shingles
-  (never an O(n^2) cross join); the shingle join IS the LSH-band idea with
-  band = one shingle. Hot shingles are capped (stopword-shingle skew guard).
-- MinHash-LSH: spark.ml MinHashLSH approxSimilarityJoin — banding via
-  hash buckets, shuffle on bucket keys only.
+- n-gram Jaccard: candidates generated inside per-shingle posting lists
+  (never an O(n^2) cross join); each shared shingle is an LSH band with
+  band = one shingle. Hot shingles are DF-capped (stopword-shingle skew
+  guard, MAX_SHINGLE_DF).
+- MinHash-LSH: native expression MinHash (derived xxhash64 permutations,
+  one map-side-combinable shuffle) + banded posting-list candidates +
+  estimator scoring.
 - SimHash: 64 bitplane sums per doc, all JVM-side expressions; near-dup =
-  Hamming distance on one BIGINT — distributable as a band join on bit
-  prefixes at scale.
+  exact pigeonhole banding on 16-bit prefixes + bit_count Hamming verify.
+- embedding near-dup: banded random-hyperplane LSH candidates (pandas_udf
+  signature matmul) + exact cosine verify.
 """
 
 from __future__ import annotations
@@ -102,6 +105,25 @@ def _shingles(tokens_col, n: int = 3):
     return F.array_distinct(F.transform(zipped, gram))
 
 
+def _posting_list_pairs(buckets: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) with doc_a < doc_b from a sorted ``docs`` array
+    column — all i<j combinations generated in-place with nested array
+    transforms, so candidate pairing never needs a corpus self-join (the
+    bucket/posting-list size cap bounds the worst case)."""
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pair_structs).alias("p")).select(
+        "p.doc_a", "p.doc_b"
+    )
+
+
 def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) rows for every document with >= n tokens.
 
@@ -184,19 +206,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = buckets.select(F.explode("docs").alias("doc_id")).groupBy(
         "doc_id"
     ).agg(F.count("*").alias("n_sh"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     pairs = (
-        buckets.filter(F.size("docs") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        _posting_list_pairs(buckets.filter(F.size("docs") >= 2))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
     sa = sizes.alias("sa")
@@ -268,20 +280,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = _posting_list_pairs(buckets).dropDuplicates(["doc_a", "doc_b"])
     a = sigs.alias("a")
     b = sigs.alias("b")
     matches = F.aggregate(
@@ -305,14 +304,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("dedup_simhash")  # xxhash64-based — hash differs per engine; rows-only check
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document, all JVM expressions: xxhash64 each
-    token, sum +/-1 per bitplane, sign -> bit. Near-dups then reduce to
-    Hamming-distance joins on a single BIGINT (bit_count(a XOR b)) —
-    O(1) per candidate pair at scale."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    toks = docs.select(
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash per document, all JVM
+    expressions: xxhash64 each token, sum +/-1 per bitplane, sign -> bit."""
+    sc = docs.sparkSession.sparkContext
+    toks = docs.repartition(sc.defaultParallelism).select(
         "doc_id", F.explode(F.split(_norm_text(F.col("text")), r"\s+")).alias("token")
     )
     h = F.xxhash64("token")
@@ -334,17 +330,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bit_sums.select("doc_id", simhash.alias("simhash"))
 
 
-@_q(
-    "dedup_embedding_neardup",
+@_q("dedup_simhash")  # xxhash64-based — hash differs per engine; rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (see simhash_fingerprints);
+    ``dedup_simhash_neardup`` turns these into Hamming-distance pairs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    return simhash_fingerprints(docs)
+
+
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4  # 16-bit bands; see exactness note below
+
+
+def simhash_neardup_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming(simhash_a, simhash_b) <= 3.
+
+    Banding is EXACT here, not probabilistic: split the 64-bit fingerprint
+    into 4 disjoint 16-bit bands — a pair differing in <= 3 bits can touch
+    at most 3 bands, so by pigeonhole it agrees exactly on at least one
+    band and is guaranteed to surface as a candidate. Candidates are
+    generated inside each (band, band_value) posting list (one shuffle of
+    12-byte keys), then verified with bit_count(a XOR b) — O(1) per pair.
+    This is the cheapest near-dup join in the suite at 100 TB: the only
+    per-doc state is one BIGINT.
     """
-    WITH pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             list_cosine_similarity(a.embedding, b.embedding) AS cos
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    fp = simhash_fingerprints(docs)
+    width = 64 // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(SIMHASH_BANDS)
+        ]
     )
-    SELECT vec_a, vec_b FROM pairs WHERE cos > 0.95
-    """,
-)
+    buckets = (
+        fp.select("doc_id", "simhash", F.posexplode(bands).alias("band", "bv"))
+        .groupBy("band", "bv")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
+    )
+    cand = _posting_list_pairs(buckets).dropDuplicates(["doc_a", "doc_b"])
+    a = fp.alias("a")
+    b = fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+@_q("dedup_simhash_neardup")  # xxhash64-based — rows-only check
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-registry wrapper over simhash_neardup_pairs (see its docstring
+    for the exact-banding design)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    return simhash_neardup_pairs(docs)
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

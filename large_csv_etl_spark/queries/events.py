@@ -171,14 +171,29 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily active users — exact distinct per day (the approx variant
-    ``approx_count_distinct`` is benchmarked separately; exact here for
-    oracle comparability)."""
+    """Daily active users — exact distinct per day (oracle-comparable;
+    ``events_dau_approx`` below is the HLL++ sketch form you would run at
+    100 TB)."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day_start"))
         .agg(
             F.countDistinct("user_id").alias("dau"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@_q("events_dau_approx")  # HLL++ sketch — engine-specific; rows-only
+def events_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate DAU via HyperLogLog++ (rsd 1%): the scale path — each
+    day's partial state is a fixed-size sketch, so the shuffle no longer
+    carries |distinct users| rows. Error vs exact is asserted in tests."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day_start"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("dau_approx"),
             F.count("*").alias("n_events"),
         )
     )

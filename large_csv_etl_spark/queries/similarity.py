@@ -85,11 +85,19 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "sim_norms",
-    None,  # cross-engine float reduction; asserted in unit tests instead
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
 )
 def sim_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm + dimensionality (sanity surface for the ANN
-    stack; JVM fold, no UDF)."""
+    stack; JVM fold, no UDF). Both engines fold the same float32->double
+    promoted squares left-to-right; 6dp rounding absorbs any last-ulp
+    reassociation."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",

@@ -181,7 +181,28 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "text_langid_heuristic",
-    None,  # heuristic dictionary scoring — rows-only check (not ANSI-SQL shaped)
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), scored AS (
+      SELECT doc_id, lang, cand, len(list_intersect(t, sw)) AS s
+      FROM toks, (VALUES
+        ('en', ['the','and','of','to','a']),
+        ('es', ['el','la','de','que','y']),
+        ('de', ['der','die','und','das','ist']),
+        ('fr', ['le','la','et','les','des']),
+        ('zh', ['的','是','了','在','我'])) AS langs(cand, sw)
+    ), ranked AS (
+      SELECT doc_id, lang, cand, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, cand DESC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, lang, cand AS predicted_lang, CAST(s AS BIGINT) AS best_score
+    FROM ranked WHERE rn = 1
+    """,
 )
 def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-free language-ID heuristic: score each doc against tiny

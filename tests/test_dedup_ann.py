@@ -64,3 +64,44 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert len(missed) <= 0.2 * len(exact), (
         f"MinHash missed {len(missed)}/{len(exact)} exact pairs: {missed}"
     )
+
+
+def test_simhash_neardup_on_planted_dups(spark):
+    """Docs differing in one token out of ~40 have near-identical SimHash;
+    the exact pigeonhole banding must surface every pair with hamming<=3,
+    and unrelated docs must not pair up."""
+    import random
+
+    from large_csv_etl_spark.queries.dedup import (
+        SIMHASH_MAX_HAMMING,
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+
+    rnd = random.Random(13)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = []
+    for i in range(40):
+        words = [rnd.choice(vocab) for _ in range(40)]
+        rows.append((i, " ".join(words)))
+        mutated = list(words)
+        mutated[7] = rnd.choice(vocab)
+        rows.append((i + 1000, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    expected = {
+        (i, i + 1000)
+        for i in range(40)
+        if bin(fp[i] ^ fp[i + 1000]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+    # one-token edits at 40 tokens keep most planted pairs under the cutoff
+    assert len(expected) >= 20, f"fixture too noisy: {len(expected)} pairs"
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_neardup_pairs(docs).collect()
+    }
+    assert expected <= set(got), f"missed: {expected - set(got)}"
+    for (a, b), h in got.items():
+        assert bin(fp[a] ^ fp[b]).count("1") == h
