@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .schemas import TRANSACTIONS_RAW, TEST_TABLES
 
@@ -32,7 +33,12 @@ def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
     never-abort-on-bad-data intent (E3) at row granularity: malformed lines
     land in ``_corrupt_record`` instead of killing a whole chunk.
     """
-    schema = TRANSACTIONS_RAW.add(CORRUPT_COL, "string")
+    # Build a fresh StructType: StructType.add MUTATES the receiver in
+    # place (and returns it), so calling it on the shared module-level
+    # schema would grow it by one _corrupt_record field per invocation.
+    schema = T.StructType(
+        list(TRANSACTIONS_RAW.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
     return (
         spark.read.schema(schema)
         .option("header", True)

@@ -7,8 +7,10 @@ Catalyst fuses the filters, prunes columns, and runs it in whole-stage
 codegen; there is no chunk concept (partitions are the chunks).
 
 Documented semantic decisions (SURVEY.md §4.2):
-- P4 rounding uses ``bround`` (HALF_EVEN) to bit-match pandas ``round(2)``;
-  Spark's ``round`` is HALF_UP and would diverge on ties.
+- P4 rounding uses the scaled form ``bround(x*100, 0)/100`` to bit-match
+  pandas ``round(2)`` (numpy rounds the scaled binary double half-even;
+  both plain ``round`` (HALF_UP) and plain ``bround(x, 2)`` (half-even on
+  the shortest decimal repr) diverge from pandas on tie literals).
 - F3: the reference's ``fillna('unknown')`` is dead code (astype(str) turns
   NaN into the string "nan", /root/reference/src/data_processor.py:61); we
   implement the *intended* semantics — null status becomes "unknown".
@@ -37,7 +39,10 @@ def clean(df: DataFrame) -> DataFrame:
         df.na.drop(subset=["transaction_id", "user_id"])
         .filter(F.trim(F.col("transaction_id")) != "")
         .filter(F.trim(F.col("user_id")) != "")
-        .withColumn("amount", F.col("amount").cast("double"))
+        # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+        # cast THROWS on malformed numerics; try_cast nulls them — the
+        # exact analog of pandas to_numeric(errors='coerce').
+        .withColumn("amount", F.col("amount").try_cast("double"))
         .filter(F.col("amount").isNotNull())
         .withColumn(
             "status", F.coalesce(F.col("status").cast("string"), F.lit("unknown"))
@@ -65,7 +70,12 @@ def apply_transformations(df: DataFrame) -> DataFrame:
         )
         .withColumn("transaction_id", F.col("transaction_id").cast("string"))
         .withColumn("user_id", F.col("user_id").cast("string"))
-        .withColumn("amount", F.bround(F.col("amount"), 2))
+        # P4: pandas/numpy round(2) is rint(x*100)/100 — half-even on the
+        # SCALED BINARY double. Plain bround(x, 2) rounds the shortest
+        # decimal repr instead and diverges on .XX50 literals (139 of 314k
+        # rows in the golden run, both directions). The scaled form is
+        # bit-identical to pandas on the entire golden corpus.
+        .withColumn("amount", F.bround(F.col("amount") * 100, 0) / 100)
         .select(*OUTPUT_COLUMNS)
     )
 

@@ -1,0 +1,155 @@
+"""Reference-parity transform core tests (SURVEY.md §2a F1-F5, P1-P6, A5,
+A7, S6) — dirty-input fixtures per FIXTURES.md §1, invariants ported from
+the reference's runtime validators (/root/reference/src/data_processor.py:
+212-247, src/core/db_manager.py:314-353).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from large_csv_etl_spark.io import upsert_by_key, validate_data_integrity
+from large_csv_etl_spark.schemas import OUTPUT_COLUMNS, TRANSACTIONS_RAW
+from large_csv_etl_spark.transform import (
+    processing_stats,
+    transform,
+    validate_final_data,
+    validate_schema,
+)
+
+DIRTY_ROWS = [
+    # (transaction_id, user_id, amount, timestamp, status)
+    ("T1", "U1", "100.50", "2025-01-01T00:00:00", "Completed"),
+    (None, "U2", "10.00", "2025-01-01T00:00:00", "PENDING"),          # F1 null id
+    ("", "U3", "10.00", "2025-01-01T00:00:00", "PENDING"),            # F1 blank id
+    ("T4", None, "10.00", "2025-01-01T00:00:00", "PENDING"),          # F1 null user
+    ("T5", "U5", "not_a_number", "2025-01-01T00:00:00", "PENDING"),   # F2 malformed
+    ("T6", "U6", "", "2025-01-01T00:00:00", "PENDING"),               # F2 empty amt
+    ("T7", "U7", "-5.00", "2025-01-01T00:00:00", "PENDING"),          # F4 negative
+    ("T8", "U8", "20.00", "2025-01-01T00:00:00", "cancelled"),        # F5
+    ("T9", "U9", "20.00", "2025-01-01T00:00:00", "CANCELLED"),        # F5 case
+    ("T10", "U10", "20.00", "2025-01-01T00:00:00", None),             # F3 null status
+    ("T11", "U11", "2.675", "2025-01-01T00:00:00", "  PENDING  "),    # P1+P4 tie
+    ("T12", "U12", "2.125", None, "Failed"),                          # P4 tie
+    ("T13", "U13", "0.005", "2025-01-01T00:00:00", "refunded"),       # P4 tie to 0
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_df(spark):
+    return spark.createDataFrame(DIRTY_ROWS, TRANSACTIONS_RAW)
+
+
+@pytest.fixture(scope="module")
+def out_df(spark, dirty_df):
+    return transform(dirty_df)
+
+
+def test_schema_validation_reports_missing(spark, dirty_df):
+    assert validate_schema(dirty_df) == []
+    assert validate_schema(dirty_df.drop("amount", "status")) == [
+        "amount",
+        "status",
+    ]
+    with pytest.raises(ValueError, match="missing required columns"):
+        transform(dirty_df.drop("amount"))
+
+
+def test_drop_rules_f1_f2_f4_f5(out_df):
+    ids = {r.transaction_id for r in out_df.collect()}
+    # survivors: T1, T10 (null status -> unknown), T11, T12, T13
+    assert ids == {"T1", "T10", "T11", "T12", "T13"}
+
+
+def test_null_status_becomes_unknown_f3(out_df):
+    row = out_df.filter(F.col("transaction_id") == "T10").first()
+    # documented deviation: the reference's fillna('unknown') is dead code
+    # (astype(str) makes "nan"); we implement the intended semantics
+    assert row.status == "unknown"
+
+
+def test_status_lowercased_trimmed_p1(out_df):
+    assert out_df.filter(F.col("transaction_id") == "T11").first().status == "pending"
+    assert out_df.filter(F.col("transaction_id") == "T1").first().status == "completed"
+
+
+def test_half_even_rounding_p4(out_df):
+    got = {
+        r.transaction_id: r.amount
+        for r in out_df.filter(
+            F.col("transaction_id").isin("T11", "T12", "T13")
+        ).collect()
+    }
+    # P4 parity: the engine's scaled half-even round (bround(x*100,0)/100)
+    # must agree with pandas/numpy round(2) on ties; a plain bround(x, 2)
+    # rounds the shortest decimal repr and diverges on .XX50 literals.
+    import numpy as np
+
+    assert got["T11"] == float(np.round(2.675, 2))
+    assert got["T12"] == float(np.round(2.125, 2)) == 2.12
+    assert got["T13"] == float(np.round(0.005, 2)) == 0.0
+    # the golden 500k differential run asserts this on all 314,214 rows
+
+
+def test_output_schema_and_order_p5_p2(out_df):
+    assert out_df.columns == OUTPUT_COLUMNS
+    rows = out_df.collect()
+    assert all(r.processed_at is not None for r in rows)
+    # ids are strings post-P3
+    assert all(isinstance(r.transaction_id, str) for r in rows)
+
+
+def test_final_validation_invariants_a5(out_df):
+    report = validate_final_data(out_df)
+    assert report["is_valid"], report
+    assert report["rows"] == 5
+
+
+def test_integrity_validation_a6(out_df):
+    report = validate_data_integrity(out_df)
+    assert report["is_valid"], report
+
+
+def test_processing_stats_a7(spark, dirty_df, out_df):
+    stats = processing_stats(dirty_df, out_df)
+    assert stats["original_rows"] == len(DIRTY_ROWS)
+    assert stats["processed_rows"] == 5
+    assert stats["rows_removed"] == len(DIRTY_ROWS) - 5
+
+
+def test_upsert_last_write_wins_s6(spark):
+    df = spark.createDataFrame(
+        [
+            ("T1", "U1", 10.0, "2025-01-01", "completed", "2025-06-01T00:00:00"),
+            ("T1", "U1", 99.0, "2025-01-02", "completed", "2025-06-01T00:00:01"),
+            ("T2", "U2", 5.0, "2025-01-01", "pending", "2025-06-01T00:00:00"),
+        ],
+        "transaction_id string, user_id string, amount double, "
+        "timestamp string, status string, processed_at string",
+    )
+    # deterministic: keep the max of the ordering column per key
+    kept = upsert_by_key(df, "transaction_id", order_col="timestamp").collect()
+    by_id = {r.transaction_id: r.amount for r in kept}
+    assert by_id == {"T1": 99.0, "T2": 5.0}
+    # without an order column: exactly one arbitrary survivor per key
+    assert upsert_by_key(df, "transaction_id").groupBy(
+        "transaction_id"
+    ).count().filter(F.col("count") > 1).count() == 0
+
+
+def test_transform_is_chunk_invariant(spark, dirty_df):
+    """transform(union(a,b)) == union(transform(a), transform(b)) — the
+    reference's core correctness property (chunked processing must not
+    change results)."""
+    a = dirty_df.limit(6)
+    b = dirty_df.subtract(a)
+    whole = {
+        (r.transaction_id, r.amount, r.status)
+        for r in transform(dirty_df).collect()
+    }
+    parts = {
+        (r.transaction_id, r.amount, r.status)
+        for r in transform(a).unionAll(transform(b)).collect()
+    }
+    assert whole == parts
