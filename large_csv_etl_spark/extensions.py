@@ -40,13 +40,20 @@ def apply_chunk_transform(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # import inside the closure: referencing the module-level logger
+        # would make cloudpickle serialize this function as a reference to
+        # large_csv_etl_spark, which executor workers can't always import
+        import logging as _logging
+
         for pdf in batches:
             try:
                 out = fn(pdf)
             except Exception:
                 if not skip_bad_chunks:
                     raise
-                logger.exception("chunk transform failed; dropping batch")
+                _logging.getLogger("large_csv_etl_spark.extensions").exception(
+                    "chunk transform failed; dropping batch"
+                )
                 continue
             if out is not None and len(out):
                 yield out

@@ -80,6 +80,81 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines source (§2b scan row). With an explicit schema the scan
+    is single-pass; without one Spark samples the files to infer (fine
+    interactively, avoid at 100 TB). PERMISSIVE corrupt-record capture
+    mirrors the CSV path's never-abort contract (E3)."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", CORRUPT_COL
+    )
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        reader = reader.schema(
+            T.StructType(
+                list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+            )
+        )
+    return reader.json(path)
+
+
+def profile_file(spark: SparkSession, path: str, sample_rows: int = 1000) -> dict:
+    """S3 file profiler (/root/reference/src/file_manager.py:202-226):
+    size + column list + a bounded sample — the `limit` pushes into the
+    scan, so profiling a 100 TB table reads a handful of row groups."""
+    import glob as _glob
+
+    if path.endswith(".csv"):
+        df = spark.read.option("header", True).csv(path)
+    elif path.endswith(".json") or path.endswith(".jsonl"):
+        df = spark.read.json(path)
+    else:
+        df = spark.read.parquet(path)
+    files = _glob.glob(path) if "*" in path else [path]
+    size = sum(
+        os.path.getsize(f)
+        if os.path.isfile(f)
+        else sum(
+            os.path.getsize(os.path.join(d, n))
+            for d, _, ns in os.walk(f)
+            for n in ns
+        )
+        for f in files
+        if os.path.exists(f)
+    )
+    sample = df.limit(sample_rows)
+    return {
+        "path": path,
+        "size_bytes": size,
+        "columns": df.columns,
+        "dtypes": dict(df.dtypes),
+        "sample_row_count": sample.count(),
+    }
+
+
+def write_table_clustered(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """S10 index analog (/root/reference/src/core/db_manager.py:89-114):
+    the reference builds 4 secondary indexes after bulk load; the Spark
+    equivalent is write-side clustering — bucketBy co-locates equal keys
+    (joins/aggs on the bucket key skip the shuffle when both sides share
+    the layout) and sortWithinPartitions gives parquet min/max stats teeth
+    for range predicates. Bucketed output requires a table (metastore
+    tracks the layout), not a bare path."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.format("parquet").saveAsTable(table)
+
+
 def upsert_by_key(df: DataFrame, key: str, order_col: str | None = None) -> DataFrame:
     """S6 `INSERT OR REPLACE` semantics: one row per key, last-write-wins.
 

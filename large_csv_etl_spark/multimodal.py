@@ -1,0 +1,118 @@
+"""Multimodal column plumbing (§2b last row): opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched pandas functions.
+
+The design at 100 TB: media bytes ride as a BinaryType column next to a
+metadata struct; decode / feature-extract / resize run as ``mapInPandas``
+over Arrow batches (one Python roundtrip per batch, not per row), and the
+Spark-side contract — schema, partitioning, batch shape — is identical
+whether the inner decoder is PIL/ffmpeg or a stub. The image/audio
+libraries are NOT in this container, so the real decoders are stubbed
+behind import-tries with a deterministic fake; everything around them is
+real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# metadata struct carried next to every payload
+META_SCHEMA = "struct<mime:string,source:string,n_bytes:bigint>"
+
+DECODED_SCHEMA = (
+    "doc_id long, width int, height int, n_channels int, feature_hash long"
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload binary, meta struct). The fixture has
+    no real media, so the utf-8 document bytes stand in as the opaque
+    payload — the column types and plumbing are what is under test."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.col("source").alias("source"),
+            F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
+    """Decode every payload to (dims, channels, feature_hash) via
+    mapInPandas — the real Spark-side shape of a media pipeline: Arrow
+    batches in, vectorized work per batch, typed rows out.
+
+    The decoder functions are defined INSIDE this function on purpose:
+    cloudpickle then ships them by value to the Python workers. A
+    module-level helper would be pickled as a reference to
+    ``large_csv_etl_spark`` — which executors cannot import unless the
+    package is on the workers' PYTHONPATH (true under pytest, not under an
+    arbitrary driver harness).
+    """
+
+    def decode_real(payload: bytes) -> tuple[int, int, int]:
+        # Real image decode — unavailable in this container (no PIL/cv2).
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decoding requires Pillow; install it or use the "
+                "deterministic stub (decode_payloads(..., stub=True))"
+            ) from exc
+        raise NotImplementedError("real decoder wiring is intentionally stubbed")
+
+    def decode_stub(payload: bytes) -> tuple[int, int, int]:
+        # Deterministic fake: plausible dimensions from the byte length so
+        # the full batch path is exercised (and oracle-checkable).
+        n = len(payload)
+        width = 16 + (n % 240)
+        height = 16 + ((n // 7) % 240)
+        return width, height, 3
+
+    decode = decode_stub if stub else decode_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_channels": [d[2] for d in dims],
+                    # cheap content fingerprint, stand-in for an embedding
+                    "feature_hash": [
+                        int.from_bytes(bytes(p[:8]).ljust(8, b"\0"), "big")
+                        >> 1
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling plumbing: explode each payload into fixed-stride
+    "frames" (offset + slice) — pure JVM expressions, no Python. With real
+    video this is the keyframe index pass that runs BEFORE any decoder."""
+    n_frames = F.greatest(
+        F.ceil(F.octet_length("payload") / every_n_bytes).cast("int"), F.lit(1)
+    )
+    return df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_frames - 1),
+                lambda i: F.substring(
+                    F.col("payload"), i * every_n_bytes + 1, every_n_bytes
+                ),
+            )
+        ).alias("frame_idx", "frame_bytes"),
+    )

@@ -21,6 +21,7 @@ from . import (
     approx,
     dedup,
     events,
+    multimodal,
     relational,
     scalars,
     setops,
@@ -39,6 +40,7 @@ _MODULES = [
     text,
     dedup,
     similarity,
+    multimodal,
 ]
 
 

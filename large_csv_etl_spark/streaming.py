@@ -1,0 +1,110 @@
+"""Structured Streaming variants of the event analytics (§2b event-time
+rows; the batch forms live in ``queries.events``).
+
+Same logical plans over ``readStream``: tumbling event-time windows,
+gap-based sessionization (``session_window`` — the stateful operator the
+batch form emulates with lag+cumsum), and sketch-based DAU. Watermarks
+bound the state store: late events beyond the watermark are dropped and
+closed windows are evicted — this is what makes the operators runnable
+forever at 100 TB/day, not just on a bounded backfill.
+
+Batch/stream parity (tested): running the streaming plans over a bounded
+file source with ``trigger(availableNow=True)`` produces exactly the batch
+answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries.helpers import dsum
+
+# Explicit source schema (streams cannot infer): ts arrives as int64 nanos
+# (the fixture's parquet physical type, read via nanosAsLong) and is
+# rebuilt to a micros TimestampType exactly like io.load_table.
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files — new
+    files are discovered per micro-batch (the bounded-backfill and
+    continuous-ingest cases look identical to the query)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(source_dir)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_tumbling_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of events_hourly_tumbling: tumbling 1-hour windows
+    with a watermark bounding how long an hour stays open for late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionization_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of events_sessionization using the native
+    ``session_window`` stateful operator (30-min inactivity gap); a session
+    closes — and its state is evicted — once the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def dau_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of events_dau_approx: daily windows + HLL++ distinct
+    (fixed-size state per day — the only viable distinct at stream scale)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("dau_approx"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("day_start"), "dau_approx", "n_events")
+    )
+
+
+def run_bounded(
+    stream_df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain a bounded stream into an in-memory table and return it:
+    ``availableNow`` processes everything currently in the source and
+    stops — the standard pattern for testing a streaming plan and for
+    incremental backfills that share the production query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

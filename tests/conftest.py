@@ -13,8 +13,18 @@ SF_DIR_MID = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    s = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # static conf — must be set at session build, not after
+            "spark.sql.warehouse.dir": str(
+                tmp_path_factory.mktemp("spark-warehouse")
+            ),
+        },
+    )
     yield s
 
 

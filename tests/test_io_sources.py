@@ -1,0 +1,73 @@
+"""Sources/sinks beyond the core pipeline: JSON scan (with corrupt-record
+capture), the S3 file profiler, and the S10 bucketed/sorted write."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from large_csv_etl_spark.io import (
+    CORRUPT_COL,
+    load_table,
+    profile_file,
+    read_json,
+    write_table_clustered,
+)
+
+from .conftest import SF_DIR
+
+
+def test_read_json_with_schema_and_corrupt_capture(spark, tmp_path):
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id": 1, "event_type": "click", "value": 1.5}\n'
+        '{"event_id": 2, "event_type": "view", "value": 2.5}\n'
+        "this is not json\n"
+    )
+    df = read_json(
+        spark, str(p), "event_id long, event_type string, value double"
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r[CORRUPT_COL] is None]
+    bad = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert {r.event_id for r in good} == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0][CORRUPT_COL]
+
+
+def test_read_json_infers_without_schema(spark, tmp_path):
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    df = read_json(spark, str(p))
+    assert df.count() == 2
+    assert set(df.columns) == {"a", "b"}
+
+
+def test_profile_file_parquet(spark):
+    info = profile_file(spark, f"{SF_DIR}/orders.parquet", sample_rows=100)
+    assert info["size_bytes"] > 0
+    assert "o_orderkey" in info["columns"]
+    assert info["dtypes"]["o_totalprice"] == "double"
+    assert info["sample_row_count"] == 100
+
+
+def test_write_table_clustered_roundtrip(spark, tmp_path):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    write_table_clustered(
+        li, "lineitem_bucketed", ["l_orderkey"], ["l_orderkey", "l_shipdate"],
+        n_buckets=8,
+    )
+    try:
+        back = spark.table("lineitem_bucketed")
+        assert back.count() == li.count()
+        # bucket metadata is live: a groupBy on the bucket key plans no
+        # exchange (the point of S10 write-side clustering)
+        plan = (
+            back.groupBy("l_orderkey").agg(F.sum("l_quantity"))._jdf
+            .queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")

@@ -1,0 +1,83 @@
+"""Batch/stream parity: the streaming plans over a bounded file source
+must produce exactly the batch answers (same windows, same counts, same
+session boundaries).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from large_csv_etl_spark.queries.events import QUERIES as EVENT_QUERIES
+from large_csv_etl_spark.streaming import (
+    dau_stream,
+    hourly_tumbling_stream,
+    read_events_stream,
+    run_bounded,
+    sessionization_stream,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def stream_source(tmp_path_factory):
+    # stream sources read directories; copy the single fixture file in
+    src = tmp_path_factory.mktemp("events_src")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-000.parquet")
+    return str(src)
+
+
+def test_hourly_tumbling_stream_matches_batch(spark, stream_source, tmp_path):
+    events = read_events_stream(spark, stream_source)
+    got = run_bounded(
+        hourly_tumbling_stream(events), "hourly_mem", str(tmp_path / "ckpt")
+    )
+    batch = EVENT_QUERIES["events_hourly_tumbling"](spark, SF_DIR)
+    g = {
+        (r.hour_start, r.event_type): (r.n_events, r.total_value)
+        for r in got.collect()
+    }
+    b = {
+        (r.hour_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert g == b
+
+
+def test_sessionization_stream_matches_batch(spark, stream_source, tmp_path):
+    events = read_events_stream(spark, stream_source)
+    got = run_bounded(
+        sessionization_stream(events), "sessions_mem", str(tmp_path / "ckpt")
+    )
+    batch = EVENT_QUERIES["events_sessionization"](spark, SF_DIR)
+    # session identity: (user, first-event ts); size and last-event ts must
+    # agree between session_window and the batch lag+cumsum emulation
+    g = {
+        (r.user_id, r.session_start): (r.n_events, r.session_end)
+        for r in got.collect()
+    }
+    b = {
+        (r.user_id, r.session_start): (r.n_events, r.session_end)
+        for r in batch.collect()
+    }
+    assert g == b
+
+
+def test_dau_stream_matches_batch_approx(spark, stream_source, tmp_path):
+    events = read_events_stream(spark, stream_source)
+    got = {
+        r.day_start: r.dau_approx
+        for r in run_bounded(
+            dau_stream(events), "dau_mem", str(tmp_path / "ckpt")
+        ).collect()
+    }
+    exact = {
+        r.day_start: r.dau
+        for r in EVENT_QUERIES["events_daily_active_users"](spark, SF_DIR).collect()
+    }
+    assert got.keys() == exact.keys()
+    for day, est in got.items():
+        assert abs(est - exact[day]) <= max(0.05 * exact[day], 2), day
