@@ -43,9 +43,14 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash_neardup",
     "dedup_embedding_neardup",
     "sim_cosine_topk",
     "sim_lsh_topk",
+    "q18_large_volume_customers",
+    "quantiles_exact",
+    "events_daily_active_users",
+    "multimodal_decoded_dims",
 ]
 
 

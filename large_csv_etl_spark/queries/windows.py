@@ -171,3 +171,86 @@ def window_moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("o_totalprice").over(w)
         ).alias("moving_avg_3"),
     )
+
+
+@_q(
+    "window_distribution_functions",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS price_quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per priority group — deterministic because the ORDER BY carries the
+    unique o_orderkey tie-breaker."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@_q(
+    "window_first_last_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER w AS latest_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an explicit full-partition frame (the
+    default frame ends at CURRENT ROW, which silently makes last_value a
+    no-op — the classic window-frame trap, pinned here)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@_q(
+    "window_range_frame_sum",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4)))
+                OVER (ORDER BY o_totalprice
+                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS nearby_price_sum
+    FROM orders
+    """,
+)
+def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based bounds): sum of all order totals within
+    10k below the current price. Unlike ROWS frames, ties share a frame,
+    so the result is deterministic without a tie-breaker; the decimal
+    trick keeps the windowed sum exact cross-engine."""
+    w = Window.orderBy("o_totalprice").rangeBetween(-10000, Window.currentRow)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast("double")
+        .alias("nearby_price_sum"),
+    )
