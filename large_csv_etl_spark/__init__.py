@@ -10,4 +10,16 @@ Design stance: thin, pure ``DataFrame -> DataFrame`` functions over stock
 PySpark. No custom execution machinery; Catalyst + AQE do the optimizing.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Public surface (lazy submodules keep import light; these are the
+# stable entry points a reference user migrates to):
+#   session.get_spark            - tuned SparkSession builder
+#   pipeline.run_pipeline / CLI  - the reference's flagship ETL path (E7)
+#   transform.transform          - pure DF->DF reference-parity core
+#   io.*                         - scans (csv/json/parquet), sinks, upsert,
+#                                  profiler, bucketed write, stats
+#   extensions.apply_chunk_transform - U1 pandas chunk plugin hook
+#   queries.all_queries / all_oracles - the 70-entry named query registry
+#   streaming.*                  - event-time operators over readStream
+#   multimodal.*                 - binary payload + Arrow decode plumbing

@@ -197,3 +197,38 @@ def events_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@_q(
+    "events_sliding_window",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT win_start, event_type, COUNT(*) AS n_events
+    FROM (
+      -- every event lies in exactly two 1h/30min hopping windows, whose
+      -- starts are the two 30-min boundaries at or before ts
+      SELECT CAST(to_timestamp(FLOOR(EXTRACT(epoch FROM ts) / 1800) * 1800
+                               - s.off * 1800) AS TIMESTAMP) AS win_start,
+             event_type
+      FROM ev, (SELECT UNNEST([0, 1]) AS off) s
+    )
+    GROUP BY win_start, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 1-hour windows advancing every
+    30 minutes — each event lands in exactly 2 windows. Spark's
+    window(ts, '1 hour', '30 minutes') generates both assignments in the
+    project (no join); the oracle reproduces it by unnesting the two
+    half-hour-aligned starts each event covers."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events"
+        )
+    )

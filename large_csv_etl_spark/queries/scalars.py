@@ -188,3 +188,41 @@ def scalar_round_2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rounded_price"),
     )
+
+
+@_q(
+    "scalar_array_functions",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+             AS n_positive,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 6) AS val_sum
+    FROM embeddings
+    """,
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function suite over the FLOAT[] embedding column: element
+    access, min/max, filtered length, higher-order sum — all JVM-side
+    (element_at / array_max / filter / aggregate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    val_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.size(F.filter("embedding", lambda x: x > 0))
+        .cast("bigint")
+        .alias("n_positive"),
+        F.round(val_sum, 6).alias("val_sum"),
+    )

@@ -52,10 +52,17 @@ def clean(df: DataFrame) -> DataFrame:
 
 def apply_business_rules(df: DataFrame) -> DataFrame:
     """F4-F5 (/root/reference/src/data_processor.py:74-106): non-negative
-    amounts; drop cancelled (case-insensitive, pre-trim — the reference
-    compares ``str.lower() != 'cancelled'`` before any strip at :96)."""
+    amounts; drop cancelled case-insensitively AFTER trimming.
+
+    Documented deviation: the reference compares ``str.lower() !=
+    'cancelled'`` before any strip (:96), so a padded ``' Cancelled '``
+    leaks through the filter, gets trimmed to ``'cancelled'`` by P1, and
+    then fails the reference's own output validator
+    (data_processor.py:233). We filter on the trimmed value — the
+    validator-implied intent — which also makes the pipeline idempotent
+    (found by hypothesis fuzzing)."""
     return df.filter(F.col("amount") >= 0).filter(
-        F.lower(F.col("status")) != "cancelled"
+        F.lower(F.trim(F.col("status"))) != "cancelled"
     )
 
 
