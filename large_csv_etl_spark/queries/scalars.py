@@ -173,8 +173,10 @@ def scalar_round_2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binary double), so the round happens in the DECIMAL domain on both
     sides: identical double quotient -> DECIMAL(30,4) -> ROUND(...,2)
     (HALF_UP on positives in both engines) -> DOUBLE. The reference's
-    half-even ``bround`` parity vs pandas is asserted in unit tests (DuckDB
-    has no half-even round)."""
+    pandas half-even rounding is a different beast again — the engine
+    matches it with the scaled form bround(x*100,0)/100, asserted in
+    tests/test_transform*.py (DuckDB has no half-even round, hence the
+    decimal HALF_UP contract for this oracle pair)."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = (
         (F.col("l_extendedprice") * (1 - F.col("l_discount")))
