@@ -308,14 +308,23 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash per document, all JVM
     expressions: xxhash64 each token, sum +/-1 per bitplane, sign -> bit."""
     sc = docs.sparkSession.sparkContext
-    toks = docs.repartition(sc.defaultParallelism).select(
-        "doc_id", F.explode(F.split(_norm_text(F.col("text")), r"\s+")).alias("token")
+    # project the 8-byte token hash BEFORE the 64 bitplane aggregates so
+    # xxhash64 is evaluated once per token, not once per plane, and the
+    # aggregation input carries no strings
+    hashed = (
+        docs.repartition(sc.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(F.split(_norm_text(F.col("text")), r"\s+")).alias("token"),
+        )
+        .select("doc_id", F.xxhash64("token").alias("h"))
     )
-    h = F.xxhash64("token")
-    bit_sums = toks.groupBy("doc_id").agg(
+    bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(64)
         ]
