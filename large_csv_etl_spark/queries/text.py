@@ -242,3 +242,66 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(scores).getField("lang").alias("predicted_lang"),
         F.array_max(scores).getField("s").cast("bigint").alias("best_score"),
     )
+
+
+# GPT-2-style pre-tokenizer shape: letter runs, digit runs, punctuation
+# runs (each with optional leading space), whitespace runs. Both engines
+# run the identical pattern.
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@_q(
+    "text_bpe_token_estimate",
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+             AS n_bpe_tokens,
+           ROUND(CAST(LENGTH(text) AS DOUBLE)
+                 / len(regexp_extract_all(text, '{_BPE_PAT}')), 4)
+             AS chars_per_token
+    FROM documents WHERE TRIM(text) <> ''
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways the mandate asks for: whitespace tokens
+    and a BPE-ish pre-tokenizer regex count (the standard cheap stand-in
+    for a real BPE vocab when budgeting LLM training tokens), plus the
+    chars-per-token ratio."""
+    df = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+    return df.select(
+        "doc_id",
+        F.size(_SPARK_TOKENS(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.round(F.length("text").cast("double") / bpe, 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@_q(
+    "text_rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(list_transform(string_split(text, ''),
+                                      x -> CAST(ord(x) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % 2147483647)
+             AS rolling_hash
+    FROM documents WHERE TRIM(text) <> ''
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the document's code points
+    (h = h*31 + c mod 2^31-1) — the order-sensitive fingerprint family the
+    mandate names, as one sequential JVM fold; both engines fold the same
+    code-point sequence left-to-right from the first element."""
+    df = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("bigint"))
+    rolling = F.aggregate(
+        F.slice(codes, 2, F.size(codes)),
+        F.element_at(codes, 1),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(2147483647).cast("bigint")),
+    )
+    return df.select("doc_id", rolling.alias("rolling_hash"))

@@ -105,3 +105,19 @@ def test_simhash_neardup_on_planted_dups(spark):
     assert expected <= set(got), f"missed: {expected - set(got)}"
     for (a, b), h in got.items():
         assert bin(fp[a] ^ fp[b]).count("1") == h
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with nprobe=8 of 16 lists must recover most of the true top-10
+    (exact overlap depends on how neighbors concentrate in the probed
+    lists; planted-neighbor recovery is the hard guarantee checked via
+    rank-1 agreement)."""
+    from large_csv_etl_spark.queries.similarity import QUERIES as SIM_QUERIES
+
+    brute = [r.vec_id for r in SIM_QUERIES["sim_cosine_topk"](spark, SF_DIR).collect()]
+    ivf = [r.vec_id for r in SIM_QUERIES["sim_ivf_topk"](spark, SF_DIR).collect()]
+    overlap = len(set(brute) & set(ivf))
+    assert overlap >= 5, f"IVF recall too low: {overlap}/10 ({ivf} vs {brute})"
+    # the single nearest neighbor concentrates in the query's own list —
+    # rank-1 must always survive probing half the lists
+    assert ivf[0] == brute[0]
