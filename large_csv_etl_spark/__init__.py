@@ -20,6 +20,6 @@ __version__ = "0.2.0"
 #   io.*                         - scans (csv/json/parquet), sinks, upsert,
 #                                  profiler, bucketed write, stats
 #   extensions.apply_chunk_transform - U1 pandas chunk plugin hook
-#   queries.all_queries / all_oracles - the 70-entry named query registry
+#   queries.all_queries / all_oracles - the 73-entry named query registry
 #   streaming.*                  - event-time operators over readStream
 #   multimodal.*                 - binary payload + Arrow decode plumbing
