@@ -108,3 +108,57 @@ def run_bounded(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def read_transactions_stream(spark: SparkSession, csv_dir: str) -> DataFrame:
+    """Streaming twin of io.read_transactions_csv: new CSV files landing in
+    ``csv_dir`` are picked up per micro-batch with the same PERMISSIVE
+    corrupt-record capture."""
+    from pyspark.sql import types as T
+
+    from .io import CORRUPT_COL
+    from .schemas import TRANSACTIONS_RAW
+
+    schema = T.StructType(
+        list(TRANSACTIONS_RAW.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(csv_dir)
+    )
+
+
+def transactions_etl_stream(
+    spark: SparkSession,
+    csv_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+):
+    """The reference's flagship ETL (E7) as a CONTINUOUS pipeline: the
+    transform core is pure column expressions (stateless), so the exact
+    batch plan runs unchanged over readStream — files dropped into
+    ``csv_dir`` stream through clean/rules/normalize into the parquet
+    table incrementally, with exactly-once sink semantics from the
+    checkpoint. (Upsert-by-key is intentionally NOT applied here:
+    cross-batch dedup in a stream needs watermarked state; run
+    io.upsert_by_key as a periodic batch compaction instead.)
+
+    Returns the StreamingQuery (caller stops/awaits it).
+    """
+    from .io import CORRUPT_COL
+    from .transform import transform
+
+    raw = read_transactions_stream(spark, csv_dir)
+    good = raw.filter(raw[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+    out = transform(good)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -81,3 +81,43 @@ def test_dau_stream_matches_batch_approx(spark, stream_source, tmp_path):
     assert got.keys() == exact.keys()
     for day, est in got.items():
         assert abs(est - exact[day]) <= max(0.05 * exact[day], 2), day
+
+
+def test_transactions_etl_stream_matches_batch(spark, tmp_path):
+    """The E7 pipeline run incrementally (two files arriving in sequence)
+    must produce exactly the batch transform's rows."""
+    from large_csv_etl_spark.io import CORRUPT_COL, read_transactions_csv
+    from large_csv_etl_spark.streaming import transactions_etl_stream
+    from large_csv_etl_spark.transform import transform
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    header = "transaction_id,user_id,amount,timestamp,status\n"
+    (src / "a.csv").write_text(
+        header
+        + "T1,U1,10.005,2025-01-01T00:00:00,Completed\n"
+        + "T2,U2,bad,2025-01-01T00:00:00,PENDING\n"
+    )
+    (src / "b.csv").write_text(
+        header
+        + "T3,U3,-4,2025-01-01T00:00:00,PENDING\n"
+        + "T4,U4,7.25, 2025-01-01T00:00:00,CANCELLED\n"
+        + "T5,U5,2.675,2025-01-01T00:00:00,Failed\n"
+    )
+    out = tmp_path / "table"
+    q = transactions_etl_stream(
+        spark, str(src), str(out), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    raw = read_transactions_csv(spark, str(src))
+    batch = transform(raw.filter(raw[CORRUPT_COL].isNull()).drop(CORRUPT_COL))
+    got = {
+        (r.transaction_id, r.amount, r.status)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        (r.transaction_id, r.amount, r.status) for r in batch.collect()
+    }
+    assert got == want
+    assert {t[0] for t in got} == {"T1", "T5"}
