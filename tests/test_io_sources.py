@@ -71,3 +71,28 @@ def test_write_table_clustered_roundtrip(spark, tmp_path):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Two tables bucketed on the join key must sort-merge join with no
+    Exchange on either side — the co-located join that replaces the
+    reference's secondary indexes at scale."""
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_table_clustered(orders, "orders_b", ["o_orderkey"], n_buckets=8)
+    write_table_clustered(li, "lineitem_b", ["l_orderkey"], n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path (a broadcast would bypass bucketing
+        # entirely at this tiny SF — at scale neither side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("lineitem_b")
+        b = spark.table("orders_b")
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
