@@ -20,6 +20,8 @@ __version__ = "0.2.0"
 #   io.*                         - scans (csv/json/parquet), sinks, upsert,
 #                                  profiler, bucketed write, stats
 #   extensions.apply_chunk_transform - U1 pandas chunk plugin hook
-#   queries.all_queries / all_oracles - the 73-entry named query registry
-#   streaming.*                  - event-time operators over readStream
+#   queries.all_queries / all_oracles - the 75-entry named query registry
+#   streaming.*                  - event-time operators + the ETL itself
+#                                  over readStream
+#   skew.*                       - salted aggregation / join rewrites
 #   multimodal.*                 - binary payload + Arrow decode plumbing
