@@ -70,8 +70,12 @@ def main() -> int:
     names = [n for n in HEADLINE if n in registry]
 
     # Warm the JVM + parquet footers with one cheap action so the first
-    # timed query doesn't pay one-off session costs.
-    registry["q6_forecast_revenue"](spark, sf_dir).collect()
+    # timed query doesn't pay one-off session costs. A warm-up failure must
+    # not break the one-JSON-line contract — the timed loop will surface it.
+    try:
+        registry["q6_forecast_revenue"](spark, sf_dir).collect()
+    except Exception as exc:
+        print(f"bench: warm-up FAILED: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -155,18 +155,24 @@ def write_table_clustered(
     writer.format("parquet").saveAsTable(table)
 
 
-def upsert_by_key(df: DataFrame, key: str, order_col: str | None = None) -> DataFrame:
+def upsert_by_key(
+    df: DataFrame, key: str, order_col: str | list[str] | None = None
+) -> DataFrame:
     """S6 `INSERT OR REPLACE` semantics: one row per key, last-write-wins.
 
     The reference keeps the *last* duplicate within a load
     (/root/reference/src/core/db_manager.py:135). With an explicit
-    ``order_col`` we keep the max of it per key (deterministic); without
-    one, ``dropDuplicates`` keeps an arbitrary row (documented deviation —
-    input order is not a meaningful concept for a distributed scan).
+    ``order_col`` (one column or a list) we keep the lexicographic max per
+    key — deterministic when the order columns are unique per key, or when
+    they cover every output column (tied rows are then identical anyway).
+    Without one, ``dropDuplicates`` keeps an arbitrary row (documented
+    deviation — input order is not a meaningful concept for a distributed
+    scan).
     """
     if order_col is None:
         return df.dropDuplicates([key])
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

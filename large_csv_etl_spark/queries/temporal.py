@@ -1,0 +1,159 @@
+"""Temporal joins (§2b custom operators Spark lacks as built-ins).
+
+Two classics a training-data/feature pipeline needs that plain equi-joins
+can't express:
+
+- **As-of join** (``events`` -> most recent ``orders`` row at-or-before the
+  event, per user). The naive form is a per-key sorted lookup; the
+  distributed form used here is the union trick: tag both streams, union,
+  one window pass per user ordered by time, carry the last non-null order
+  attributes forward. ONE shuffle on user_id, no join explosion, state per
+  row is O(1) — the plan you want at 100 TB. DuckDB's native ``ASOF JOIN``
+  is the oracle.
+
+- **Range (band) join** (same-user follower events within a 6-hour band).
+  A raw inequality join degenerates to per-key cartesian; here both sides
+  are bucketed to the band width (left rows replicated into the 2 covering
+  buckets, right rows into exactly 1), the join runs on (user, bucket)
+  equi-keys — broadcast/SMJ-able, AQE-splittable — and the exact band
+  predicate filters after. Candidates per row are bounded by the user's
+  rows in a 2-bucket span, not their whole history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "asof_join_latest_order",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    o1 AS (
+      -- one order per (user, instant): ASOF picks by time only, so equal
+      -- timestamps must be pre-collapsed for a deterministic winner
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS matched_orderkey,
+           o.o_orderdate AS matched_orderdate
+    FROM ev e
+    ASOF LEFT JOIN o1 o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at or
+    before the event timestamp (left — unmatched events keep nulls)."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    o_side = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+    )
+    e_side = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    # is_event breaks timestamp ties order-first, making "at or before"
+    # inclusive; order rows carry nulls in event_id and vice versa, so
+    # last(ignorenulls) over the union is exactly the as-of lookup.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o_side.unionByName(e_side)
+        .withColumn("matched_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn(
+            "matched_orderdate", F.last("o_orderdate", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("ts"),
+            "matched_orderkey",
+            "matched_orderdate",
+        )
+    )
+
+
+BAND_SECONDS = 6 * 3600  # range-join band width: 6 hours
+
+
+@_q(
+    "range_join_follower_events",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT a.event_id, COUNT(*) AS n_follow
+    FROM ev a JOIN ev b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 6 HOUR
+    GROUP BY a.event_id
+    """,
+)
+def range_join_follower_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) self-join: per event, how many of the same user's
+    events follow within 6 hours. The oracle's raw inequality join is
+    per-user cartesian — the scale path here buckets both sides to the
+    band width, replicates the LEFT side into its two covering buckets
+    (each right event lives in exactly ONE bucket, so no pair is counted
+    twice), equi-joins on (user, bucket), and applies the exact band
+    predicate after. Candidates per event are bounded by the user's events
+    in a 12-hour span, not their whole history."""
+    ev = load_table(spark, sf_dir, "events")
+    right = ev.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.floor(F.unix_timestamp("ts") / BAND_SECONDS).alias("bucket"),
+    )
+    left = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.unix_timestamp("ts") / BAND_SECONDS).alias("b0"),
+    ).withColumn("bucket", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+    return (
+        left.join(
+            right,
+            (left.user_id == right.b_user) & (left.bucket == right.bucket),
+        )
+        .filter(
+            (F.col("b_ts") > F.col("ts"))
+            & (F.col("b_ts") <= F.col("ts") + F.expr("INTERVAL 6 HOURS"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_follow"))
+    )

@@ -67,8 +67,14 @@ def salted_join(
 
     Cost model: small side shuffles n_salts x its size; worth it exactly
     when one reducer's hot-key partition would otherwise dominate the
-    stage. Join semantics (inner/left) and results are unchanged.
+    stage. Only inner/left joins are semantics-preserving: with right or
+    full outer, every unmatched small-side key would surface n_salts
+    duplicate null-extended rows, so other join types are rejected.
     """
+    if how not in {"inner", "left", "left_outer"}:
+        raise ValueError(
+            f"salted_join preserves semantics only for inner/left joins, got {how!r}"
+        )
     small_key = small_key or key
     salt = F.pmod(
         F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),

@@ -43,7 +43,11 @@ def clean(df: DataFrame) -> DataFrame:
         # cast THROWS on malformed numerics; try_cast nulls them — the
         # exact analog of pandas to_numeric(errors='coerce').
         .withColumn("amount", F.col("amount").try_cast("double"))
-        .filter(F.col("amount").isNotNull())
+        # NaN filter: pandas dropna(subset=['amount']) drops NaN as well as
+        # None, but Spark's isNotNull() keeps NaN (it is a valid double) —
+        # and a surviving NaN would then PASS `amount >= 0` (Spark orders
+        # NaN greater than every number) where pandas drops the row.
+        .filter(F.col("amount").isNotNull() & ~F.isnan(F.col("amount")))
         .withColumn(
             "status", F.coalesce(F.col("status").cast("string"), F.lit("unknown"))
         )

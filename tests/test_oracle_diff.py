@@ -7,6 +7,8 @@ values). Runs at sf0.001 for speed; the driver uses sf0.01.
 from __future__ import annotations
 
 import math
+import sys
+from pathlib import Path
 
 import duckdb
 import pytest
@@ -15,6 +17,9 @@ import __spark_entry__ as entry_mod
 from large_csv_etl_spark.schemas import TEST_TABLES
 
 from .conftest import SF_DIR
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+from drive_driver import arrow_canon, spark_canon  # noqa: E402
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
@@ -62,6 +67,22 @@ def test_query_matches_oracle(spark, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
     )
+    # Result TYPES must match too: the external driver hashes arrow-level
+    # result types, so e.g. a bare integer SUM (DuckDB HUGEINT) vs Spark
+    # BIGINT hash-fails even with identical values (bit rounds 1 AND 2).
+    duck_types = {
+        f.name.lower(): arrow_canon(f.type)
+        for f in con.sql(ORACLES[name]).arrow().schema
+    }
+    spark_types = {
+        f.name.lower(): spark_canon(f.dataType) for f in df.schema.fields
+    }
+    mismatched = {
+        c: (spark_types[c], duck_types[c])
+        for c in spark_types
+        if spark_types[c] != duck_types[c]
+    }
+    assert not mismatched, f"{name}: result-type mismatch {mismatched}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )

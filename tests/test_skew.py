@@ -59,3 +59,15 @@ def test_salted_join_equals_plain(spark):
     p = {r.o_custkey: r.n for r in plain.collect()}
     s = {r.o_custkey: r.n for r in salted.collect()}
     assert p == s
+
+
+def test_salted_join_rejects_outer_types(spark, sf_dir):
+    from large_csv_etl_spark.io import load_table
+
+    import pytest as _pytest
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    for how in ("right", "full", "full_outer", "left_anti"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(li, orders, "l_orderkey", "o_orderkey", how=how)
