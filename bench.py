@@ -47,10 +47,18 @@ HEADLINE = [
     "dedup_embedding_neardup",
     "sim_cosine_topk",
     "sim_lsh_topk",
+    "sim_ivf_topk",
     "q18_large_volume_customers",
     "quantiles_exact",
     "events_daily_active_users",
     "multimodal_decoded_dims",
+    "multimodal_frame_index",
+    "text_bpe_token_estimate",
+    "etl_transform_parity",
+    "etl_upsert_last_write_wins",
+    "asof_join_latest_order",
+    "range_join_follower_events",
+    "grouping_sets_status_priority",
 ]
 
 
