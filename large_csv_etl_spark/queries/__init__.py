@@ -104,10 +104,11 @@ GRADED_PRIORITY = [
     "window_running_spend",
     "window_rank_variants",
     "window_range_frame_sum",
-    # scalar representatives (reference-parity rounding / dates / arrays)
+    # scalar representatives (reference-parity rounding / arrays)
     "scalar_round_2dp",
-    "scalar_date_functions",
     "scalar_array_functions",
+    # Q17 correlated-subquery shape (new round 3)
+    "q17_small_quantity_revenue",
     # set-op representatives
     "setop_except_nations",
     "setop_union_all_counts",
@@ -121,7 +122,7 @@ GRADED_PRIORITY = [
     "q14_promo_revenue_ratio",
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
-    "q2_min_cost_per_type",
+    "q13_customer_order_distribution",
     "join_left_anti_semi",
 ]
 

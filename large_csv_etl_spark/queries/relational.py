@@ -729,3 +729,174 @@ def agg_median_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+# --- TPC-H Q13/Q17/Q20/Q22 adaptations (columns limited to the synthetic
+# schema: no partsupp/commitdate/shipmode/phone, so each keeps the classic
+# plan shape against the columns that exist) ------------------------------
+
+
+@_q(
+    "q13_customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with a predicate on the NULL-side
+    (filter the fact *before* the join — equivalent to the ON-clause form
+    and lets the scan prune), COUNT(col) over the outer join (zero for
+    orderless customers), then a histogram of the counts. Two shuffles:
+    customer<->orders on custkey, then the tiny count-of-counts agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    """
+    WITH stats AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sum_qty,
+             COUNT(l_quantity) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#11'
+    JOIN stats s ON s.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(12,4)) * 5 * s.cnt < s.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated `l_quantity < 0.2 * AVG(...)` subquery,
+    decorrelated into a per-part aggregate re-joined to the fact (the plan
+    Catalyst produces for the subquery form, written explicitly). The
+    threshold is evaluated multiplicatively in exact DECIMAL —
+    ``qty * 5 * cnt < sum_qty`` is ``qty < 0.2 * avg`` without the
+    engine-specific float division, so the row set is bit-identical in both
+    engines. Fact-side shuffle on l_partkey feeds both the agg and the
+    join (AQE reuses the exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#11"
+    ).select("p_partkey")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,4)")).alias("sum_qty"),
+        F.count("l_quantity").alias("cnt"),
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(stats, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("decimal(12,4)") * 5 * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@_q(
+    "q20_dominant_supplier_share",
+    """
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,4))) AS qty
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ), t AS (
+      SELECT l_suppkey, qty,
+             SUM(qty) OVER (PARTITION BY l_partkey) AS part_total,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS n_supp
+      FROM sp
+    )
+    SELECT l_suppkey, COUNT(*) AS n_dominant_parts
+    FROM t WHERE qty * n_supp > 2 * part_total
+    GROUP BY l_suppkey
+    """,
+)
+def q20_dominant_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 spirit on available columns: suppliers shipping more than
+    2x their fair share (qty * n_suppliers > 2 * part_total) of a part's
+    volume, counted per supplier. Shape:
+    two-level aggregate, then a window total over the first-level groups —
+    the (suppkey, partkey) pre-agg shrinks the window input to one row per
+    pair, and the window partition key (l_partkey) is a prefix of the agg
+    key, so the window reuses the same hash-partitioning (one shuffle
+    total). Exact DECIMAL share comparison, no division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,4)")).alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    t = sp.withColumn("part_total", F.sum("qty").over(w)).withColumn(
+        "n_supp", F.count("*").over(w)
+    )
+    return (
+        t.filter(F.col("qty") * F.col("n_supp") > 2 * F.col("part_total"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominant_parts"))
+    )
+
+
+@_q(
+    "q22_idle_rich_customers",
+    """
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS sum_bal,
+             COUNT(c_acctbal) AS cnt
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total_bal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(12,4)) * cnt > sum_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= '2001-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold (above-average positive
+    balance, exact multiplicative DECIMAL form — no float division) + anti
+    join against recent orders (no order since 2001-01-01), aggregated per
+    nation. The one-row aggregate is broadcast (the standard
+    scalar-subquery plan); the anti join is the only customer-side shuffle
+    and AQE turns it into broadcast-anti while the filtered orders'
+    distinct custkeys fit."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(12,4)")).alias("sum_bal"),
+        F.count("c_acctbal").alias("cnt"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast("decimal(12,4)") * F.col("cnt") > F.col("sum_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
