@@ -31,6 +31,7 @@ from . import (
     events,
     multimodal,
     relational,
+    sampling,
     scalars,
     setops,
     similarity,
@@ -48,6 +49,7 @@ _MODULES = [
     scalars,
     approx,
     events,
+    sampling,
     text,
     dedup,
     similarity,
@@ -78,7 +80,7 @@ GRADED_PRIORITY = [
     "text_fingerprint",
     "text_langid_heuristic",
     "text_bpe_token_estimate",
-    "text_rolling_fingerprint",
+    "text_repetition_ratio",
     # dedup (4 oracled)
     "dedup_exact_groups",
     "dedup_exact_survivors",
@@ -100,10 +102,11 @@ GRADED_PRIORITY = [
     "events_sliding_window",
     # quantiles
     "quantiles_exact",
-    # window representatives (running frame / ranking / range frame)
+    # window representatives (running frame / ranking)
     "window_running_spend",
     "window_rank_variants",
-    "window_range_frame_sum",
+    # deterministic hash sampling (new round 3)
+    "sample_hash_uniform",
     # scalar representatives (reference-parity rounding / arrays)
     "scalar_round_2dp",
     "scalar_array_functions",

@@ -1,0 +1,98 @@
+"""Deterministic + randomized sampling (§2b training-pipeline operators).
+
+A 100 TB curation pipeline samples constantly — held-out eval splits,
+ablation subsets, per-source mixture weights. Two families:
+
+- **Hash-deterministic sampling** (the production form): membership is a
+  pure function of a stable key (``md5(key)`` prefix vs a threshold), so
+  the sample is reproducible across runs/engines, stable under
+  repartitioning, requires no state or join, and composes with incremental
+  ingestion (new rows self-select). All JVM expressions, fully
+  predicate-pushable — and exactly expressible in ANSI SQL, so these are
+  oracle-graded.
+
+- **Seeded random sampling** (``sampleBy`` stratified Bernoulli): the
+  statistical form when hash correlation with the key is a concern.
+  Engine-specific RNG streams mean no cross-engine oracle — pinned instead
+  by proportion tests (rows-only entry).
+
+The hex-prefix threshold trick: md5 yields lowercase hex; comparing the
+first two chars against e.g. ``'1a'`` selects 26/256 of the keyspace
+(``'00'..'0f'`` = 16 buckets + ``'10'..'19'`` = 10). ASCII compare is
+identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _hash_bucket(key_col):
+    """First two hex chars of md5(key) — 256 equal buckets, engine-portable."""
+    return F.substring(F.md5(key_col.cast("string")), 1, 2)
+
+
+@_q(
+    "sample_hash_uniform",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def sample_hash_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% (26/256) uniform deterministic sample of the corpus keyed on
+    doc_id. The filter is a pure row-local expression: no shuffle, no
+    state, survives any partitioning, and the same rows are selected on
+    every engine and every run."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(_hash_bucket(F.col("doc_id")) < "1a").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@_q(
+    "sample_hash_stratified",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN source = 'src0' THEN '80' ELSE '1a' END
+    """,
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic rates — the mixture-weighting primitive:
+    keep ~50% (128/256) of source ``src0`` and ~10% of everything else.
+    Same row-local hash, per-row threshold from the stratum column."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.when(F.col("source") == "src0", "80").otherwise("1a")
+    return docs.filter(_hash_bucket(F.col("doc_id")) < thr).select(
+        "doc_id", "source"
+    )
+
+
+@_q("sample_random_stratified")
+def sample_random_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli stratified sample (`sampleBy`): per-source counts of
+    a 20%/50% draw. Rows-only (RNG streams are engine-specific);
+    tests/test_sampling.py pins the per-stratum proportions."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.2}
+    sampled = docs.sampleBy("source", fractions, seed=42)
+    return sampled.groupBy("source").agg(F.count("*").alias("n_sampled"))

@@ -305,3 +305,49 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.pmod(acc * 31 + x, F.lit(2147483647).cast("bigint")),
     )
     return df.select("doc_id", rolling.alias("rolling_hash"))
+
+
+@_q(
+    "text_repetition_ratio",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), big AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+               AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           COUNT(DISTINCT bigram) AS n_unique_bigrams,
+           1.0 - CAST(COUNT(DISTINCT bigram) AS DOUBLE) / COUNT(*) AS rep_ratio
+    FROM big GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: the duplicate-bigram fraction per
+    document (1 - unique/total). High ratios flag boilerplate/spam for a
+    pretraining quality filter. Bigrams come from arrays_zip of two shifted
+    slices (codegen-friendly — NOT per-index element_at lambdas, which are
+    interpreted and re-evaluate the split per gram); the ratio is one
+    double division of two exact counts, so it is bit-identical across
+    engines."""
+    df = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = _SPARK_TOKENS(F.lower(F.col("text")))
+    t = df.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    m = F.size(F.col("t")) - 1
+    zipped = F.arrays_zip(F.slice("t", 1, m), F.slice("t", 2, m))
+    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    return (
+        t.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.countDistinct("bigram").alias("n_unique_bigrams"),
+            (
+                F.lit(1.0)
+                - F.countDistinct("bigram").cast("double") / F.count("*")
+            ).alias("rep_ratio"),
+        )
+    )

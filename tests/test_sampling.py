@@ -1,0 +1,42 @@
+"""Sampling operators: determinism of the hash forms, statistics of the
+seeded form."""
+
+from __future__ import annotations
+
+from large_csv_etl_spark.queries.sampling import (
+    sample_hash_stratified,
+    sample_hash_uniform,
+    sample_random_stratified,
+)
+
+from .conftest import SF_DIR_MID
+
+
+def test_hash_uniform_rate_and_determinism(spark):
+    a = sample_hash_uniform(spark, SF_DIR_MID).collect()
+    b = sample_hash_uniform(spark, SF_DIR_MID).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    # 26/256 ~= 10.2% of 500 docs; 3 sigma of Binomial(500, 26/256) ~= 20
+    assert 30 <= len(a) <= 75
+
+
+def test_hash_stratified_rates(spark):
+    rows = sample_hash_stratified(spark, SF_DIR_MID).collect()
+    by_src = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # src0: 128/256 of 25 docs; others: 26/256 of 25 each.
+    assert 5 <= by_src.get("src0", 0) <= 20
+    others = sum(v for k, v in by_src.items() if k != "src0")
+    # 19 strata x 25 docs x ~10% ~= 48 expected
+    assert 20 <= others <= 90
+
+
+def test_random_stratified_proportions(spark):
+    rows = sample_random_stratified(spark, SF_DIR_MID).collect()
+    by_src = {r.source: r.n_sampled for r in rows}
+    # only the four listed strata are drawn from
+    assert set(by_src) <= {"src0", "src1", "src2", "src3"}
+    assert 5 <= by_src.get("src0", 0) <= 20  # Binomial(25, .5)
+    for s in ("src1", "src2", "src3"):
+        assert by_src.get(s, 0) <= 13  # Binomial(25, .2), 3 sigma above
