@@ -162,3 +162,102 @@ def transactions_etl_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``). This is the
+    streaming twin of ``queries.dedup.dedup_exact_*`` and the standard
+    at-least-once -> effectively-once repair for replayed sources: state
+    holds one entry per key only until the watermark passes it, so state
+    size is bounded by the horizon's key cardinality — plain
+    ``dropDuplicates`` on a stream would grow state forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def click_purchase_join_stream(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    purchases within ``horizon`` after it (attribution). Both sides carry
+    watermarks and the join condition bounds the event-time range, which is
+    what lets Spark evict buffered rows — an unbounded-condition
+    stream-stream join would hold both streams' full history in state.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user
+            AND purchase_ts > click_ts
+            AND purchase_ts <= click_ts + INTERVAL {horizon}"""
+        ),
+    ).select("click_id", "c_user", "click_ts", "purchase_ts", "purchase_value")
+
+
+def user_totals_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user totals (event count + value sum) maintained in explicit group
+    state — the escape hatch for aggregation logic the built-in windowed
+    operators can't express. State per user is two scalars; each
+    micro-batch emits the group's current totals (update mode).
+
+    Arrow-batched; the state function is defined inline so it pickles by
+    value (a module-global would pickle as a reference and fail import on
+    executors that don't have the repo on sys.path).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        import pandas as pd  # worker-side import
+
+        n = 0
+        total = 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        if state.exists:
+            prev_n, prev_total = state.get
+            n += prev_n
+            total += prev_total
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

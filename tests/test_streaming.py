@@ -121,3 +121,87 @@ def test_transactions_etl_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert {t[0] for t in got} == {"T1", "T5"}
+
+
+def test_dedup_stream_drops_redelivery(spark, tmp_path):
+    from large_csv_etl_spark.streaming import dedup_stream
+
+    # simulate a replayed source: the same file delivered twice
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-000.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-001.parquet")
+    events = read_events_stream(spark, str(src))
+    got = run_bounded(
+        dedup_stream(events),
+        "dedup_mem",
+        str(tmp_path / "ckpt_dedup"),
+        output_mode="append",
+    )
+    n_distinct = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    )  # event_id unique in fixture
+    assert got.count() == n_distinct
+
+
+def test_stream_stream_join_matches_batch(spark, stream_source, tmp_path):
+    from large_csv_etl_spark.io import load_table
+    from large_csv_etl_spark.streaming import click_purchase_join_stream
+
+    events = read_events_stream(spark, stream_source)
+    got = run_bounded(
+        click_purchase_join_stream(events),
+        "ssjoin_mem",
+        str(tmp_path / "ckpt_ss"),
+        output_mode="append",
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = clicks.join(
+        purchases,
+        F.expr(
+            """c_user = p_user AND purchase_ts > click_ts
+            AND purchase_ts <= click_ts + INTERVAL 1 HOUR"""
+        ),
+    )
+    g = sorted(
+        (r.click_id, r.purchase_ts, r.purchase_value) for r in got.collect()
+    )
+    b = sorted(
+        (r.click_id, r.purchase_ts, r.purchase_value) for r in batch.collect()
+    )
+    assert g == b
+
+
+def test_user_totals_stream_matches_batch(spark, stream_source, tmp_path):
+    from large_csv_etl_spark.io import load_table
+    from large_csv_etl_spark.streaming import user_totals_stream
+
+    events = read_events_stream(spark, stream_source)
+    got = run_bounded(
+        user_totals_stream(events),
+        "totals_mem",
+        str(tmp_path / "ckpt_totals"),
+        output_mode="update",
+    )
+    # single micro-batch -> one update per user with the final totals
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        )
+    )
+    g = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in got.collect()}
+    b = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in batch.collect()}
+    assert g == b
