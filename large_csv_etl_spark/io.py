@@ -234,3 +234,64 @@ def validate_data_integrity(df: DataFrame) -> dict:
     ).first()
     issues = {name: row[name] for name in checks if row[name]}
     return {"is_valid": not issues, "issues": issues}
+
+
+def write_table_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-style partitioned parquet layout — the 100 TB table layout:
+    a query filtering on a partition column never opens the other
+    directories (partition pruning happens at planning/AQE time, visible
+    as ``PartitionFilters`` in the scan node).
+
+    The partition columns should be low-cardinality (date, source,
+    status): each distinct combination is a directory, and every writing
+    task holds one open file per combination it sees — repartition by the
+    partition columns first (done here) so each combination is written by
+    one task, giving one file per partition instead of
+    tasks x combinations small files.
+    """
+    writer = (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes`` (the classic maintenance job after streaming /
+    incremental ingest, where each micro-batch leaves a file per task and
+    the accumulated tiny files dominate scan planning time at scale).
+
+    Sizes from the filesystem (no data scan), then one coalesce-write:
+    ``coalesce`` avoids a shuffle — each output task concatenates whole
+    input partitions. Returns the number of output files. The rewrite
+    stages into a sibling temp dir then swaps, so a crash mid-compaction
+    never leaves the table half-written.
+    """
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    data_files = [f for f in p.rglob("*.parquet") if f.is_file()]
+    total = sum(f.stat().st_size for f in data_files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil div
+    tmp = str(p.parent / (p.name + "__compacting"))
+    spark.read.parquet(path).coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    bak = str(p.parent / (p.name + "__old"))
+    shutil.move(path, bak)
+    shutil.move(tmp, path)
+    shutil.rmtree(bak)
+    return int(n_out)

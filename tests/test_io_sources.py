@@ -96,3 +96,47 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from large_csv_etl_spark.io import load_table, write_table_partitioned
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_part")
+    write_table_partitioned(orders, out, ["o_orderstatus"])
+
+    statuses = [r.o_orderstatus for r in orders.select("o_orderstatus").distinct().collect()]
+    # one directory per partition value, one file per directory (repartition
+    # by the partition column collapses the writing tasks)
+    import pathlib
+
+    dirs = {d.name for d in pathlib.Path(out).iterdir() if d.is_dir()}
+    assert dirs == {f"o_orderstatus={s}" for s in statuses}
+    for d in pathlib.Path(out).iterdir():
+        if d.is_dir():
+            assert len(list(d.glob("*.parquet"))) == 1
+
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == statuses[0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan[:800]
+    expected = orders.filter(F.col("o_orderstatus") == statuses[0]).count()
+    assert df.count() == expected
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    from large_csv_etl_spark.io import compact_small_files, load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "li_small")
+    # fragment: 32 shuffle partitions -> 32 tiny files
+    li.repartition(32).write.parquet(out)
+    import pathlib
+
+    assert len(list(pathlib.Path(out).glob("*.parquet"))) == 32
+    before = li.count()
+
+    n_out = compact_small_files(spark, out, target_file_bytes=64 * 1024 * 1024)
+    files = list(pathlib.Path(out).glob("*.parquet"))
+    assert len(files) == n_out
+    assert n_out < 32
+    assert spark.read.parquet(out).count() == before
