@@ -900,3 +900,151 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+# --- Deterministic distributed statistics --------------------------------
+#
+# Built-in stddev/corr aggregate in DOUBLE and are partition-order
+# dependent (Welford merge order differs between engines), so they can
+# never hash-match an oracle. These queries instead compute the classical
+# moment sums EXACTLY (decimal casts of 2dp values -> decimal sums), then
+# apply one fixed scalar expression tree in DOUBLE.
+#
+# Two determinism rules make this bit-identical across engines:
+# 1. the moment sums are exact decimals (dsum reasoning, helpers.py);
+# 2. every decimal that crosses to DOUBLE stays under 2^53 in scaled
+#    integer form, so the conversion is exact in any engine. (Above that,
+#    engines legitimately differ: Java converts via correctly-rounded
+#    BigDecimal.doubleValue, DuckDB divides an int128-derived double by
+#    10^scale — two roundings — and the low bit can differ; observed on
+#    sum(price^2) at sf0.001.) Hence the moments here use l_quantity
+#    (<= 50, 2dp) and l_discount (<= 0.1, 2dp): sum(q^2) <= 2500n stays
+#    exactly convertible past 3e9 rows per group, and the subsequent
+#    double arithmetic is identical single-rounded IEEE ops everywhere.
+
+
+@_q(
+    "agg_variance_exact",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                      * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           s1 / n AS mean_qty,
+           (n * s2 - s1 * s1) / (n * (n - 1.0)) AS var_qty,
+           SQRT((n * s2 - s1 * s1) / (n * (n - 1.0))) AS stddev_qty
+    FROM m
+    """,
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev per group from exact decimal moment sums —
+    one pass, map-side combinable, reproducible under any partitioning."""
+    x = F.col("l_quantity").cast("decimal(8,2)")
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).cast("double").alias("s1"),
+            F.sum(x * x).cast("double").alias("s2"),
+        )
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))
+    return m.select(
+        "l_returnflag",
+        "n",
+        (s1 / n).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )
+
+
+@_q(
+    "agg_corr_exact",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                      * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(4,2))
+                      * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                      * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+             AS corr_qty_disc
+    FROM m
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from exact decimal moment sums — the
+    reproducible form of ``corr()`` (one pass, five map-side-combinable
+    sums, one fixed double expression at the end)."""
+    qx = F.col("l_quantity").cast("decimal(8,2)")
+    dy = F.col("l_discount").cast("decimal(4,2)")
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(qx).cast("double").alias("sx"),
+            F.sum(dy).cast("double").alias("sy"),
+            F.sum(qx * qx).cast("double").alias("sxx"),
+            F.sum(dy * dy).cast("double").alias("syy"),
+            F.sum(qx * dy).cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select("l_returnflag", "n", corr.alias("corr_qty_disc"))
+
+
+@_q(
+    "unpivot_lineitem_metrics",
+    f"""
+    SELECT metric, COUNT(*) AS n, {sql_dsum('metric_value')} AS total
+    FROM (
+      SELECT 'quantity' AS metric, l_quantity AS metric_value FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'tax', l_tax FROM lineitem
+    )
+    GROUP BY metric
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (``unpivot``/melt) + per-metric aggregate. The
+    unpivot is a row-local expansion (no shuffle; 4x rows into the agg's
+    map-side combine) — the long format is what metric stores and feature
+    pipelines consume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    ).withColumn(
+        "metric", F.expr("substring(metric, 3)")  # strip the 'l_' prefix
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n"), dsum("metric_value").alias("total")
+    )
