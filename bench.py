@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_neardup",
     "dedup_embedding_neardup",
+    "dedup_clusters",
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",

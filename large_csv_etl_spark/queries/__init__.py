@@ -85,6 +85,7 @@ GRADED_PRIORITY = [
     "dedup_exact_groups",
     "dedup_exact_survivors",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "dedup_embedding_neardup",
     # similarity (2 oracled)
     "sim_cosine_topk",
@@ -122,7 +123,6 @@ GRADED_PRIORITY = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_nation_pair_volume",
-    "q14_promo_revenue_ratio",
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
     "q13_customer_order_distribution",

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -507,3 +507,52 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return embedding_neardup_pairs(emb)
+
+
+@_q(
+    "dedup_clusters",
+    rf"""
+    WITH RECURSIVE pairs AS (
+      {{ngram}}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+      SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id
+      FROM reach GROUP BY a
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM labels
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the trigram-Jaccard
+    candidate pairs (A~B and B~C put A,B,C in one cluster even though A,C
+    never matched). This is the decision step of a dedup pipeline — keep
+    min(doc_id) per cluster, drop the rest. Min-label propagation via
+    ``graph.connected_components``; the oracle computes the same closure
+    with a recursive CTE over the identical pair query."""
+    from ..graph import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+    )
+
+
+ORACLES["dedup_clusters"] = ORACLES["dedup_clusters"].format(
+    ngram=ORACLES["dedup_ngram_jaccard"]
+)

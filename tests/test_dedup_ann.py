@@ -121,3 +121,26 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     # the single nearest neighbor concentrates in the query's own list —
     # rank-1 must always survive probing half the lists
     assert ivf[0] == brute[0]
+
+
+def test_connected_components_transitive_chain(spark):
+    from large_csv_etl_spark.graph import connected_components
+
+    # chain 1-2-3-4 plus isolated pair 10-11: one 4-component, one 2-component
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    from large_csv_etl_spark.graph import connected_components
+
+    # worst-case path graph: 0-1-2-...-12 (diameter > default star case)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 13
