@@ -234,3 +234,45 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("win_start"), "event_type", "n_events"
         )
     )
+
+
+@_q(
+    "events_cohort_retention",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    firsts AS (
+      SELECT user_id, MIN(CAST(DATE_TRUNC('week', ts) AS TIMESTAMP)) AS cohort_week
+      FROM ev GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS week
+      FROM ev
+    )
+    SELECT f.cohort_week,
+           CAST(DATEDIFF('day', f.cohort_week, a.week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen week, then
+    distinct-active counts at each week offset. Two aggregations over one
+    user_id shuffle (first-seen reuses the activity exchange under AQE);
+    the output is |weeks|^2/2 rows regardless of corpus size — the classic
+    growth-analytics rollup, 100 TB-safe because everything reduces on
+    user_id before the tiny cohort matrix is built."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    firsts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(firsts, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff("week", "cohort_week") / 7).cast("bigint"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -268,3 +268,32 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@_q(
+    "embedding_label_centroids",
+    """
+    SELECT label, pos,
+           ROUND(AVG(CAST(val AS DOUBLE)), 6) AS centroid_val
+    FROM (
+      SELECT label, UNNEST(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (element-wise mean), the k-means /
+    class-prototype primitive: posexplode to (label, pos, val) rows, then
+    one hash agg — the shuffle carries (label, pos) partial sums, never
+    whole vectors. 6dp rounding absorbs float-sum reassociation across
+    partitions (same convention as sim_norms). Long format out — pivot
+    back to arrays with array_agg sorted by pos when a vector is needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val")
+    )

@@ -351,3 +351,54 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rep_ratio"),
         )
     )
+
+
+@_q(
+    "text_distinctive_terms",
+    r"""
+    WITH tokens AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tokens GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df
+      FROM tokens GROUP BY token
+    )
+    SELECT doc_id, token, tf, df
+    FROM (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf DESC, d.df ASC, t.token) AS rn
+      FROM tf t JOIN df d USING (token)
+    )
+    WHERE rn <= 3
+    """,
+)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document, ranked by (term frequency
+    desc, document frequency asc) — the integer-exact form of tf-idf
+    ranking (idf is monotone decreasing in df, and the float log that
+    tf*idf would introduce is libm-dependent across engines, so the
+    ranking uses the raw integers and is bit-deterministic). Plan: one
+    explode + two partial aggs + a per-doc top-k window — the per-doc
+    state is its vocabulary, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tokens = docs.select(
+        "doc_id", F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("token"))
+    )
+    return (
+        tf.join(df, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df")
+    )
