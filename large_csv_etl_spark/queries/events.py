@@ -276,3 +276,59 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@_q(
+    "events_funnel_ordered",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS t_signup
+      FROM ev WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, s1.t_signup, MIN(e.ts) AS t_click
+      FROM ev e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+      GROUP BY e.user_id, s1.t_signup
+    ), s3 AS (
+      SELECT e.user_id, s2.t_click, MIN(e.ts) AS t_purchase
+      FROM ev e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id, s2.t_click
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_click_after,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_after
+    """,
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first signup -> first later click ->
+    first later purchase, counted per stage. Each stage is a per-user MIN
+    over the previous stage's frontier — three aggs sharing one user_id
+    partitioning (AQE reuses the exchange), never a per-user event sort.
+    COUNTs are BIGINT in both engines (no SUM typing hazard)."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_signup"))
+        .crossJoin(s2.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchase_after")))
+    )
