@@ -35,6 +35,7 @@ from . import (
     scalars,
     setops,
     similarity,
+    streamq,
     temporal,
     text,
     windows,
@@ -50,6 +51,7 @@ _MODULES = [
     approx,
     events,
     sampling,
+    streamq,
     text,
     dedup,
     similarity,
@@ -113,10 +115,11 @@ GRADED_PRIORITY = [
     "scalar_array_functions",
     # Q17 correlated-subquery shape (new round 3)
     "q17_small_quantity_revenue",
-    # set-op representatives
+    # set-op / sort representatives
     "setop_except_nations",
-    "setop_union_all_counts",
     "sort_limit_top_orders",
+    # streaming path under the oracle gate (new round 3)
+    "streaming_hourly_tumbling",
     # relational / TPC-H-shaped representatives
     "validation_counts",
     "q1_pricing_summary",

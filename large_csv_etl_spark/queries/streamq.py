@@ -1,0 +1,62 @@
+"""Streaming plans surfaced as graded registry entries.
+
+``trigger(availableNow=True)`` over a static source directory is
+deterministic — the stream processes exactly the files present and stops —
+so the streaming tumbling-window aggregate can be value-graded against the
+SAME DuckDB oracle as its batch twin. This is the strongest form of
+batch/stream parity: not a pytest equality, an external-oracle verdict on
+the streaming execution path itself (source -> watermark -> stateful agg ->
+sink).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "streaming_hourly_tumbling",
+    # identical semantics to the batch events_hourly_tumbling oracle
+    # (queries/events.py) — the stream drains the same static files
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+    FROM ev
+    GROUP BY hour_start, event_type
+    """,
+)
+def streaming_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked streaming tumbling-window aggregate, drained with
+    ``availableNow`` and graded against the batch oracle. Unique memory-sink
+    name + throwaway checkpoint per invocation so the entry is rerunnable
+    within one session."""
+    from ..streaming import hourly_tumbling_stream, read_events_stream, run_bounded
+
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_hourly_")
+    return run_bounded(
+        hourly_tumbling_stream(
+            read_events_stream(spark, sf_dir, glob="events.parquet")
+        ),
+        name,
+        ckpt,
+    )

@@ -29,12 +29,19 @@ EVENTS_STREAM_SCHEMA = (
 )
 
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, source_dir: str, glob: str | None = None
+) -> DataFrame:
     """File-source stream over a directory of events parquet files — new
     files are discovered per micro-batch (the bounded-backfill and
-    continuous-ingest cases look identical to the query)."""
+    continuous-ingest cases look identical to the query). ``glob``
+    restricts which files in the directory belong to the stream (e.g.
+    ``events.parquet`` inside a mixed-table test-data dir)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(source_dir)
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.parquet(source_dir)
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
