@@ -1048,3 +1048,148 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("metric").agg(
         F.count("*").alias("n"), dsum("metric_value").alias("total")
     )
+
+
+@_q(
+    "q8_market_share",
+    f"""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n_name = 'NATION_2'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))
+                    ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                    AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue within the
+    ASIA supplier market, per year. Both numerator and denominator are
+    exact decimal sums inside ONE aggregate (a conditional sum, not two
+    scans); the share is a single double division of exact inputs.
+    nation/region keep broadcast hints (fixed-size); part/supplier are
+    AQE's call."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("n_name") == "NATION_2", rev).otherwise(0))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    f"""
+    WITH srev AS (
+      SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN srev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM srev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-subquery max (the classic
+    argmax-without-sort). The one-row MAX broadcasts; equality on exact
+    decimal-derived doubles is safe because both engines surface the same
+    sum."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    srev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = srev.agg(F.max("total_rev").alias("mx"))
+    return (
+        supp.join(srev, supp.s_suppkey == srev.l_suppkey)
+        .join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@_q(
+    "q21_sole_late_supplier",
+    """
+    WITH per_os AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ), per_o AS (
+      SELECT l_orderkey, l_suppkey, is_late,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM per_os
+    )
+    SELECT l_suppkey, COUNT(*) AS n_sole_late_orders
+    FROM per_o
+    WHERE is_late = 1 AND n_late = 1 AND n_supp >= 2
+    GROUP BY l_suppkey
+    ORDER BY n_sole_late_orders DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS other supplier / NOT EXISTS other LATE
+    supplier) decorrelated into per-(order,supplier) flags + two window
+    counts over the order — no correlated self-joins of lineitem, one
+    orderkey shuffle reused by agg and windows. Late = shipped more than
+    90 days after the order date (this schema has no commit/receipt
+    dates). Internal SUM types never surface: outputs are COUNT (BIGINT
+    both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    per_o = per_os.withColumn("n_supp", F.count("*").over(w)).withColumn(
+        "n_late", F.sum("is_late").over(w)
+    )
+    return (
+        per_o.filter(
+            (F.col("is_late") == 1) & (F.col("n_late") == 1) & (F.col("n_supp") >= 2)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_sole_late_orders"))
+        .orderBy(F.col("n_sole_late_orders").desc(), "l_suppkey")
+        .limit(20)
+    )

@@ -144,3 +144,45 @@ def test_connected_components_long_path_converges(spark):
     comp = {r.node: r.component for r in connected_components(edges).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 13
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    import random
+
+    from large_csv_etl_spark.graph import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = list(range(30))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        # reference union-find
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for a, b in edges:
+            for n in (a, b):
+                expected[n] = find(n)
+        # canonical: min node id per component
+        comp_min = {}
+        for n, r in expected.items():
+            comp_min.setdefault(r, n)
+            comp_min[r] = min(comp_min[r], n)
+        expected = {n: comp_min[r] for n, r in expected.items()}
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert got == expected, f"trial {trial}"
