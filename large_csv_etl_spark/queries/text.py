@@ -402,3 +402,79 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tf", "df")
     )
+
+
+@_q(
+    "text_quality_filter",
+    r"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             LENGTH(text) AS n_chars,
+             LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS n_tokens,
+             t AS toks
+      FROM (SELECT doc_id, lang, text,
+                   regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+            FROM documents WHERE TRIM(text) <> '')
+    ), rep AS (
+      SELECT doc_id, COUNT(*) AS n_big, COUNT(DISTINCT bg) AS n_uniq
+      FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM feats WHERE len(toks) >= 2
+      )
+      GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CASE
+             WHEN f.n_tokens < 10 THEN 'too_short'
+             WHEN f.n_chars > 20000 THEN 'too_long'
+             WHEN r.n_big IS NOT NULL
+                  AND CAST(r.n_big - r.n_uniq AS DOUBLE) / r.n_big > 0.5
+               THEN 'repetitive'
+             WHEN f.lang <> 'en' THEN 'non_english'
+             ELSE 'keep'
+           END AS verdict
+    FROM feats f LEFT JOIN rep r USING (doc_id)
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop curation decision — every doc gets a verdict
+    with the FIRST failing rule as the reason (too_short -> too_long ->
+    repetitive -> non_english -> keep), the shape a pretraining ingest job
+    materializes before dropping rows. All rules are integer/string
+    expressions over one tokenization plus the bigram-repetition join;
+    one doc_id shuffle, map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = _SPARK_TOKENS(F.lower(F.col("text")))
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        toks.alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+    t2 = feats.filter(F.size("toks") >= 2)
+    m = F.size(F.col("toks")) - 1
+    zipped = F.arrays_zip(F.slice("toks", 1, m), F.slice("toks", 2, m))
+    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    rep = (
+        t2.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_big"),
+            F.countDistinct("bg").alias("n_uniq"),
+        )
+    )
+    j = feats.join(rep, "doc_id", "left")
+    verdict = (
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when(F.col("n_chars") > 20000, "too_long")
+        .when(
+            F.col("n_big").isNotNull()
+            & ((F.col("n_big") - F.col("n_uniq")).cast("double") / F.col("n_big") > 0.5),
+            "repetitive",
+        )
+        .when(F.col("lang") != "en", "non_english")
+        .otherwise("keep")
+    )
+    return j.select("doc_id", verdict.alias("verdict"))

@@ -40,3 +40,29 @@ def test_random_stratified_proportions(spark):
     assert 5 <= by_src.get("src0", 0) <= 20  # Binomial(25, .5)
     for s in ("src1", "src2", "src3"):
         assert by_src.get(s, 0) <= 13  # Binomial(25, .2), 3 sigma above
+
+
+def test_quality_filter_all_branches(spark, tmp_path):
+    """Planted docs exercise every verdict branch of text_quality_filter."""
+    from large_csv_etl_spark.queries.text import text_quality_filter
+
+    rows = [
+        (1, "short text", "en", "s", 10),                       # too_short
+        (2, "x " * 15000, "en", "s", 30000),                    # too_long
+        (3, "ab cd " * 40, "en", "s", 240),                     # repetitive
+        (4, " ".join(f"tok{i}" for i in range(40)), "fr", "s", 200),  # non_english
+        (5, " ".join(f"tok{i}" for i in range(40)), "en", "s", 200),  # keep
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs_sf")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r.verdict for r in text_quality_filter(spark, d).collect()}
+    assert got == {
+        1: "too_short",
+        2: "too_long",
+        3: "repetitive",
+        4: "non_english",
+        5: "keep",
+    }
