@@ -1193,3 +1193,166 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sole_late_orders").desc(), "l_suppkey")
         .limit(20)
     )
+
+
+@_q(
+    "q9_product_profit",
+    f"""
+    SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')}
+             - {sql_dsum('0.6 * p_retailprice * l_quantity')} AS profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a part-name-filtered product line per
+    supplier nation per year. This schema has no partsupp, so supply cost
+    is proxied as 60% of retail price (the TPC-H generator's own cost
+    band); profit = exact decimal revenue sum minus exact decimal cost
+    sum, subtracted once as doubles. The part filter prunes 2000 -> ~300
+    rows before the join, so AQE picks broadcast for part; nation is
+    hint-broadcast (fixed 25 rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cost = F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg((dsum(rev) - dsum(cost)).alias("profit"))
+    )
+
+
+@_q(
+    "q11_important_parts",
+    f"""
+    WITH base AS (
+      SELECT l_partkey, l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+    ), pv AS (
+      SELECT l_partkey, {sql_dsum('rev')} AS part_value
+      FROM base GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM pv
+    WHERE part_value > 0.001 * (SELECT {sql_dsum('rev')} FROM base)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp: "stock value" becomes revenue routed
+    through one nation's suppliers): per-part value vs a scalar-subquery
+    fraction of the total. The filtered base is computed once and feeds
+    both the per-part agg and the one-row total (broadcast back); the
+    threshold is multiplicative (value > 0.001 * total) so both engines
+    compare the same exact-decimal-derived doubles — no division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    base = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    pv = base.groupBy("l_partkey").agg(dsum("rev").alias("part_value"))
+    total = base.agg(dsum("rev").alias("total_value"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@_q(
+    "q12_priority_by_delay",
+    """
+    SELECT CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) / 30) AS BIGINT)
+             AS delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY delay_bucket
+    """,
+)
+def q12_priority_by_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode column: the mode dimension becomes a
+    30-day ship-delay bucket): conditional priority counts per bucket.
+    Day difference is computed on DATE casts in both engines (timestamp
+    date_diff counts boundary crossings in DuckDB, so the cast is load-
+    bearing); bucket = floor(days/30) — double division is exact at
+    integer boundaries here since true quotients near an integer only
+    occur AT multiples of 30. Integer SUMs are CAST AS BIGINT in the
+    oracle (the round-1/2 HUGEINT lesson)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.floor(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) / F.lit(30)
+    ).cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"),
+        )
+    )
+
+
+@_q(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each surviving
+    (brand, type, size) combination, excluding "complaint" suppliers
+    (proxied: negative account balance; this schema has no s_comment).
+    NOT IN is a left-anti join on the 6-row excluded set (s_suppkey is
+    never null, so anti-join and NOT IN agree); the part filter prunes
+    before the fact join, and COUNT(DISTINCT) is BIGINT in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
