@@ -332,3 +332,105 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count("*").alias("n_click_after")))
         .crossJoin(s3.agg(F.count("*").alias("n_purchase_after")))
     )
+
+
+@_q(
+    "events_daily_gap_fill",
+    f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+             {sql_dsum('value')} AS day_value
+      FROM ev GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ), cal AS (
+      SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span
+    )
+    SELECT c.user_id, c.day,
+           LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY c.user_id ORDER BY c.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value_ffill,
+           CASE WHEN d.day_value IS NULL THEN 0 ELSE 1 END AS is_observed
+    FROM cal c
+    LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    """,
+)
+def events_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: per-user daily totals on a gap-free calendar
+    (sequence + explode densifies each user's [first, last] day span), with
+    missing days forward-filled from the last observed value. The calendar
+    is generated from the per-user span agg — O(days) rows per user, never
+    a global date cross-join — and the forward fill is one
+    last(ignorenulls) window pass sharing the user_id shuffle. This is the
+    standard feature-store densification step before sequence models."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(dsum("value").alias("day_value"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cal.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).alias("day_value_ffill"),
+        F.when(F.col("day_value").isNull(), 0).otherwise(1).alias("is_observed"),
+    )
+
+
+@_q(
+    "events_type_run_intervals",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = LAG(event_type) OVER w THEN 0 ELSE 1 END
+               AS chg
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run_id
+      FROM flagged
+    )
+    SELECT user_id, run_id, MIN(event_type) AS event_type,
+           COUNT(*) AS n_events, MIN(ts) AS valid_from, MAX(ts) AS valid_to
+    FROM runs
+    GROUP BY user_id, run_id
+    """,
+)
+def events_type_run_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event-type stream into
+    [valid_from, valid_to] intervals — the SCD-2 dimension-build pattern
+    (collapse consecutive equal states, keep change boundaries). Same
+    lag + running-sum skeleton as sessionization, keyed on value change
+    instead of time gap; one user_id shuffle shared by both window passes
+    and the final agg. SUM cast to BIGINT in the oracle (HUGEINT rule)."""
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chg = F.when(
+        F.col("event_type") == F.lag("event_type").over(w), 0
+    ).otherwise(1)
+    runs = df.select(
+        "user_id", "ts", "event_id", "event_type", chg.alias("chg")
+    ).withColumn("run_id", F.sum("chg").over(cum))
+    return runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("valid_to"),
+    )

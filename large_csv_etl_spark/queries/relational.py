@@ -1356,3 +1356,52 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_PROFILE_ORACLE = (
+    "WITH s AS (\n  SELECT COUNT(*) AS n,\n"
+    + ",\n".join(
+        f"    COUNT({c}) AS nn_{i}, COUNT(DISTINCT {c}) AS nd_{i}"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    + "\n  FROM orders\n)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, n - nn_{i} AS n_nulls, nd_{i} AS n_distinct FROM s"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+)
+
+
+@_q("profile_orders_columns", _PROFILE_ORACLE)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiler (S3's file profiler scaled to table statistics —
+    /root/reference/src/file_manager.py:202-226 samples 1000 rows; this is
+    the full-table form): per-column null and exact distinct counts in ONE
+    scan — a single wide aggregate (Catalyst plans the 6 count-distincts
+    as one expand), then a row-local stack() to the long (column, stats)
+    shape. At 100 TB you'd swap count_distinct for approx_count_distinct
+    (see events_dau_approx) — exact is kept here for the oracle gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+    row = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _n - {c}__nn, {c}__nd" for c in _PROFILE_COLS
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " as (column_name, n_nulls, n_distinct)"
+        )
+    )

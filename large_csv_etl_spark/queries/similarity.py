@@ -297,3 +297,48 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", "pos").agg(
         F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val")
     )
+
+
+@_q(
+    "embedding_quantize_int8",
+    """
+    WITH t AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, xd,
+             list_max(list_transform(xd, x -> abs(x))) AS maxabs
+      FROM t
+    )
+    SELECT vec_id, 127.0 / maxabs AS q_scale,
+           list_transform(xd, x -> CAST(round(x * (127.0 / maxabs)) AS INTEGER))
+             AS qvec
+    FROM m WHERE maxabs > 0
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    scale = 127/max|x|) — the standard 4x storage/bandwidth shrink before
+    ANN indexing at 100 TB. Entirely row-local JVM array expressions (no
+    UDF, no shuffle); maxabs and q_scale are materialized as projected
+    columns BEFORE the element lambda so the interpreted higher-order
+    function never re-evaluates the array_max per element (Spark HOFs get
+    no common-subexpression elimination). Rounding is half-away-from-zero
+    in both engines, on identical doubles (float32->double promotion is
+    exact), and the final int cast is of an already-integral value so
+    Spark's truncating cast and DuckDB's rounding cast agree."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xd"),
+    ).withColumn("maxabs", F.array_max(F.transform("xd", F.abs)))
+    t2 = t.filter(F.col("maxabs") > 0).withColumn(
+        "q_scale", F.lit(127.0) / F.col("maxabs")
+    )
+    return t2.select(
+        "vec_id",
+        "q_scale",
+        F.transform(
+            "xd", lambda x: F.round(x * F.col("q_scale")).cast("int")
+        ).alias("qvec"),
+    )
