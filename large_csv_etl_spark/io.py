@@ -101,6 +101,27 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (§2b scan row): columnar like parquet — predicate
+    pushdown, column pruning, and stripe-level min/max skipping all apply,
+    so an ORC-resident warehouse plugs into every query here unchanged."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink, parallel per partition (same contract as write_table)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text-line source: one row per line, ``value: string`` — the
+    ingestion path for unstructured corpora (logs, web text) before the
+    documents-style analyses in queries/text.py. The scan splits large
+    files on line boundaries, so a single 1 TB text file still fans out
+    across the cluster."""
+    return spark.read.text(path)
+
+
 def profile_file(spark: SparkSession, path: str, sample_rows: int = 1000) -> dict:
     """S3 file profiler (/root/reference/src/file_manager.py:202-226):
     size + column list + a bounded sample — the `limit` pushes into the
@@ -111,6 +132,8 @@ def profile_file(spark: SparkSession, path: str, sample_rows: int = 1000) -> dic
         df = spark.read.option("header", True).csv(path)
     elif path.endswith(".json") or path.endswith(".jsonl"):
         df = spark.read.json(path)
+    elif path.endswith(".orc"):
+        df = spark.read.orc(path)
     else:
         df = spark.read.parquet(path)
     files = _glob.glob(path) if "*" in path else [path]
