@@ -60,6 +60,12 @@ HEADLINE = [
     "asof_join_latest_order",
     "range_join_follower_events",
     "grouping_sets_status_priority",
+    "q9_product_profit",
+    "q12_priority_by_delay",
+    "events_daily_gap_fill",
+    "events_type_run_intervals",
+    "profile_orders_columns",
+    "embedding_quantize_int8",
 ]
 
 
