@@ -1405,3 +1405,44 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (column_name, n_nulls, n_distinct)"
         )
     )
+
+
+@_q(
+    "histogram_extendedprice",
+    f"""
+    WITH mm AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      FROM lineitem
+    )
+    SELECT CAST(LEAST(FLOOR((l_extendedprice - mn) * 20 / (mx - mn)), 19)
+                AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           {sql_dsum('l_extendedprice')} AS total
+    FROM lineitem, mm
+    GROUP BY bucket
+    """,
+)
+def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram — two passes (min/max, then bucketed
+    counts), with the 1-row bounds broadcast back. The bucket expression
+    is one shared double computation in both engines (identical inputs ->
+    identical floor), and the top edge folds into bin 19 via LEAST. This
+    is the profiler's distribution companion: numeric feature audit at
+    corpus scale without collecting values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("mn"))
+            * F.lit(20.0)
+            / (F.col("mx") - F.col("mn"))
+        ),
+        F.lit(19).cast("bigint"),
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(mm))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("total"))
+    )

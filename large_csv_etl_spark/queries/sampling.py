@@ -96,3 +96,36 @@ def sample_random_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.2}
     sampled = docs.sampleBy("source", fractions, seed=42)
     return sampled.groupBy("source").agg(F.count("*").alias("n_sampled"))
+
+
+@_q(
+    "sample_exact_k_per_group",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sample: rank each group by the md5 of the key
+    (a deterministic, engine-portable stand-in for a random order; doc_id
+    tie-break) and keep the first 5. Unlike rate-based sampling this
+    guarantees the per-group size — the eval-split / few-shot-pool
+    primitive. One shuffle on the stratum; rank k<<n means the window
+    never materializes more than the group (and at 100 TB you'd pre-filter
+    with a hash-rate sample to bound the sort input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source")
+    )
