@@ -124,12 +124,15 @@ GRADED_PRIORITY = [
     "validation_counts",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_nation_pair_volume",
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
-    "q13_customer_order_distribution",
     "join_left_anti_semi",
+    # round-3 new families (quantization, time-series fill, int8 ANN) — in
+    # place of three green-in-r02 TPC-H reps (q5/q7/q13 rotate past the
+    # window; they stay oracled and mimic-verified)
+    "embedding_quantize_int8",
+    "events_daily_gap_fill",
+    "sim_quantized_topk",
 ]
 
 

@@ -556,3 +556,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_clusters"] = ORACLES["dedup_clusters"].format(
     ngram=ORACLES["dedup_ngram_jaccard"]
 )
+
+
+@_q(
+    "dedup_incremental_exact",
+    """
+    WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+    batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0)
+    SELECT b.doc_id,
+           CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END AS dup_vs_history,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) > 1
+                THEN 1 ELSE 0 END AS dup_in_batch
+    FROM batch b LEFT JOIN hist h USING (fp)
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the production shape: a new batch (here
+    doc_id % 5 = 0) is checked against the historical fingerprint index
+    (distinct md5 of everything else) AND against itself (first-by-doc_id
+    wins within the batch, via one window pass). Shuffles carry 16-byte
+    fingerprints, never text; the history side is a semi-join-shaped
+    left join that scales as the index, and at 100 TB the index would be
+    a bucketed table so this join is shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    hist = (
+        fp.filter(F.col("doc_id") % 5 != 0)
+        .select("fp")
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    batch = fp.filter(F.col("doc_id") % 5 == 0)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        batch.join(hist, "fp", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_hist").isNotNull(), 1).otherwise(0).alias(
+                "dup_vs_history"
+            ),
+            F.when(F.row_number().over(w) > 1, 1).otherwise(0).alias(
+                "dup_in_batch"
+            ),
+        )
+    )

@@ -1446,3 +1446,42 @@ def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("total"))
     )
+
+
+_FK_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{ft}.{fk}' AS fk, COUNT(*) AS n_orphans
+    FROM {ft} LEFT JOIN {pt} ON {fk} = {pk} WHERE {pk} IS NULL"""
+    for ft, fk, pt, pk in _FK_EDGES
+)
+
+
+@_q("fk_orphan_counts", _FK_ORACLE)
+def fk_orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema: orphan
+    counts for every FK edge (A6's validation counts
+    — /root/reference/src/core/db_manager.py:326-346 — extended from
+    single-table null checks to cross-table keys). Each edge is a
+    left-anti join + count; dims broadcast, and the big-fact edges all
+    reuse the same lineitem scan. The fixed |edges|-row output makes this
+    the cheap pre-flight gate before any pipeline run at 100 TB."""
+    out = None
+    for ft, fk, pt, pk in _FK_EDGES:
+        fact = load_table(spark, sf_dir, ft)
+        parent = load_table(spark, sf_dir, pt).select(pk)
+        n = (
+            fact.join(parent, fact[fk] == parent[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(f"{ft}.{fk}").alias("fk"), "n_orphans")
+        )
+        out = n if out is None else out.unionAll(n)
+    return out

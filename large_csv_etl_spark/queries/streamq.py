@@ -60,3 +60,50 @@ def streaming_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
         ckpt,
     )
+
+
+@_q(
+    "streaming_sessionization",
+    # the batch events_sessionization construction (lag + running sum),
+    # projected to the session_window output shape (no session ordinal —
+    # the native operator identifies sessions by interval, not rank)
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+               AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native stateful ``session_window`` operator (30-min gap),
+    drained with availableNow and graded against the batch lag+running-sum
+    oracle — external-oracle proof that the streaming sessionizer and the
+    batch construction agree interval-for-interval. (Gap boundary note:
+    session_window treats an event landing exactly at prev+gap as a new
+    session where the batch form merges it; event times here are
+    microsecond-grained so exact boundaries cannot occur.)"""
+    from ..streaming import read_events_stream, run_bounded, sessionization_stream
+
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sess_")
+    return run_bounded(
+        sessionization_stream(
+            read_events_stream(spark, sf_dir, glob="events.parquet")
+        ),
+        name,
+        ckpt,
+    )

@@ -478,3 +478,51 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
     )
     return j.select("doc_id", verdict.alias("verdict"))
+
+
+@_q(
+    "text_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(0, GREATEST(len(toks) - 1, 0), 48))
+               AS chunk_start
+      FROM t
+    )
+    SELECT doc_id, chunk_start,
+           array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 64), ' ')
+             AS chunk_text,
+           len(list_slice(toks, chunk_start + 1, chunk_start + 64)) AS n_tokens
+    FROM s
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 64-token chunks
+    with a 48-token stride (16-token overlap) — the packing step before
+    tokenize-and-train. Entirely row-local (sequence + explode + slice;
+    no shuffle, no UDF), so it streams at scan speed at 100 TB. Shares
+    the whitespace tokenization contract of the other text queries.
+    Chunk identity is the token offset (chunk_start), not a derived
+    index — stable under re-chunking with a different stride."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.select("doc_id", toks.alias("toks"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(48)
+            )
+        ).alias("chunk_start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_start") + 1, 64)
+    return s.select(
+        "doc_id",
+        "chunk_start",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
