@@ -1470,12 +1470,40 @@ def fk_orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the whole star schema: orphan
     counts for every FK edge (A6's validation counts
     — /root/reference/src/core/db_manager.py:326-346 — extended from
-    single-table null checks to cross-table keys). Each edge is a
-    left-anti join + count; dims broadcast, and the big-fact edges all
-    reuse the same lineitem scan. The fixed |edges|-row output makes this
-    the cheap pre-flight gate before any pipeline run at 100 TB."""
-    out = None
+    single-table null checks to cross-table keys). The three lineitem
+    edges share ONE scan: three left joins against the parent keys, then
+    one aggregate of null-parent flags (one shuffle for the orders edge;
+    part/supplier broadcast). The small edges are per-edge anti joins.
+    The fixed |edges|-row output makes this the cheap pre-flight gate
+    before any pipeline run at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    li_row = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
+        .join(p, li.l_partkey == p.p_partkey, "left")
+        .join(s, li.l_suppkey == s.s_suppkey, "left")
+        .agg(
+            *[
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)).alias(f"n_{pk}")
+                for pk in ("o_orderkey", "p_partkey", "s_suppkey")
+            ]
+        )
+    )
+    li_counts = li_row.select(
+        F.expr(
+            "stack(3, 'lineitem.l_orderkey', n_o_orderkey, "
+            "'lineitem.l_partkey', n_p_partkey, "
+            "'lineitem.l_suppkey', n_s_suppkey) as (fk, n_orphans)"
+        )
+    )
+    out = li_counts
     for ft, fk, pt, pk in _FK_EDGES:
+        if ft == "lineitem":
+            continue
         fact = load_table(spark, sf_dir, ft)
         parent = load_table(spark, sf_dir, pt).select(pk)
         n = (
@@ -1483,5 +1511,5 @@ def fk_orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_orphans"))
             .select(F.lit(f"{ft}.{fk}").alias("fk"), "n_orphans")
         )
-        out = n if out is None else out.unionAll(n)
+        out = out.unionAll(n)
     return out
