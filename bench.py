@@ -66,6 +66,11 @@ HEADLINE = [
     "events_type_run_intervals",
     "profile_orders_columns",
     "embedding_quantize_int8",
+    "fk_orphan_counts",
+    "sim_quantized_topk",
+    "text_chunk_documents",
+    "dedup_incremental_exact",
+    "text_oov_rate",
 ]
 
 

@@ -526,3 +526,54 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("n_tokens"),
     )
+
+
+@_q(
+    "text_oov_rate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS freq FROM toks
+        GROUP BY token ORDER BY freq DESC, token LIMIT 10
+      )
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-10
+    vocabulary — the tokenizer-coverage audit run before committing to a
+    vocab. Two aggs over one explode: the tiny ranked vocab broadcasts
+    back onto the token stream (at 100 TB the vocab is still KBs — the
+    join side that matters never grows), and the rate is a single double
+    division of exact BIGINT counts in both engines."""
+    df = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tokens = df.select(
+        "doc_id", F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(10)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        tokens.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            (n_oov.cast("double") / F.count("*")).alias("oov_rate"),
+        )
+    )
