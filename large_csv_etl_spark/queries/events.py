@@ -434,3 +434,27 @@ def events_type_run_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.max("ts").alias("valid_to"),
     )
+
+
+@_q(
+    "events_props_map_explode",
+    """
+    SELECT event_id, k AS prop_key,
+           json_extract_string(props, '$.' || k) AS prop_value
+    FROM (SELECT event_id, props, UNNEST(json_keys(props)) AS k FROM events)
+    """,
+)
+def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless JSON props as a MapType: parse once with
+    ``from_json(map<string,string>)`` and explode to (key, value) rows —
+    the shape for property stores whose keys vary per event (a fixed
+    struct schema would silently drop novel keys). Row-local expansion,
+    no shuffle; at 100 TB the map parse is the scan-time cost and the
+    downstream agg sees only the exploded pairs."""
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        F.explode(F.from_json(F.col("props"), "map<string,string>")).alias(
+            "prop_key", "prop_value"
+        ),
+    )

@@ -1513,3 +1513,34 @@ def fk_orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(n)
     return out
+
+
+@_q(
+    "join_null_safe_eq",
+    """
+    WITH a AS (
+      SELECT NULLIF(o_orderstatus, 'O') AS k, COUNT(*) AS na
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS k, COUNT(*) AS nb
+      FROM orders GROUP BY 1
+    )
+    SELECT a.k, na, nb FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension the
+    plain equi-joins here can't express. Each side NULLIFs a different
+    status so the null-null match is actually exercised. Note the planner
+    cost: null-safe equality is still hash-joinable (Spark treats <=> as
+    an equi-key), so this stays a broadcast/SMJ join, not a nested
+    loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k")
+    ).agg(F.count("*").alias("na"))
+    b = orders.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
+    ).agg(F.count("*").alias("nb"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"], "na", "nb")
