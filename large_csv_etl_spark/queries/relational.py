@@ -1257,7 +1257,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the total. The filtered base is computed once and feeds
     both the per-part agg and the one-row total (broadcast back); the
     threshold is multiplicative (value > 0.001 * total) so both engines
-    compare the same exact-decimal-derived doubles — no division."""
+    compare the same exact-decimal-derived doubles — no division. The
+    grand total re-aggregates the 2000-row per-part DECIMAL sums (exact
+    by associativity, identical to the oracle's direct sum) instead of
+    scanning lineitem a second time."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
@@ -1266,8 +1269,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
     )
-    pv = base.groupBy("l_partkey").agg(dsum("rev").alias("part_value"))
-    total = base.agg(dsum("rev").alias("total_value"))
+    pv_dec = base.groupBy("l_partkey").agg(
+        F.sum(F.col("rev").cast(DEC)).alias("dv")
+    )
+    total = pv_dec.agg(F.sum("dv").cast("double").alias("total_value"))
+    pv = pv_dec.select("l_partkey", F.col("dv").cast("double").alias("part_value"))
     return (
         pv.join(F.broadcast(total))
         .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
