@@ -129,3 +129,55 @@ def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "source")
     )
+
+
+@_q(
+    "sample_mixture_weighted",
+    """
+    WITH stats AS (
+      SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM stats),
+    rates AS (
+      SELECT source,
+             CAST(FLOOR(LEAST(
+               ((CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                      THEN 3.0 ELSE 1.0 END / 30.0) * (0.5 * n)) / n_s,
+               1.0) * 256) AS BIGINT) AS bucket
+      FROM stats, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE r.bucket >= 256
+       OR SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', r.bucket)
+    """,
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture composer: hit a target per-source blend (here 3x weight on
+    src0-4, total budget 50% of the corpus) by deriving each source's
+    deterministic hash keep-rate FROM the observed counts —
+    rate = min(1, target_frac * budget / n_source). Two tiny aggregates
+    produce the |sources|-row rate table, which broadcasts onto the scan;
+    membership stays a pure row-local md5 test, so the same rows are kept
+    on any engine, any run, any partitioning. The rate quantizes to a
+    256-bucket hex prefix: both engines floor the identical double, so
+    the bucket boundary is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = stats.agg(F.sum("n_s").cast("bigint").alias("n"))
+    w = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), F.lit(3.0)
+    ).otherwise(F.lit(1.0))
+    rate_raw = ((w / F.lit(30.0)) * (F.lit(0.5) * F.col("n"))) / F.col("n_s")
+    bucket = F.floor(F.least(rate_raw, F.lit(1.0)) * F.lit(256)).cast("bigint")
+    rates = stats.join(F.broadcast(tot)).select("source", bucket.alias("bucket"))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            (F.col("bucket") >= 256)
+            | (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+                < F.format_string("%02x", F.col("bucket"))
+            )
+        )
+        .select("doc_id", "source")
+    )
