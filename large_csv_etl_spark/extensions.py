@@ -59,3 +59,31 @@ def apply_chunk_transform(
                 yield out
 
     return df.mapInPandas(run, schema)
+
+
+def split_text_udtf():
+    """A Python UDTF (Spark 4 ``udtf``) — the table-function flavor of the
+    U1 extension point: one input row expands to N output rows, with the
+    expansion logic in plain Python. Demonstrated as a whitespace
+    chunker; register with ``spark.udtf.register("split_chunks", ...)``
+    or call inline.
+
+    UDTFs are the slow path (per-row Python), kept strictly as an
+    extension surface — the equivalent hot-path plan is the
+    sequence+explode+slice used by ``text_chunk_documents``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_start int, chunk_text string")
+    class SplitChunks:
+        def eval(self, text: str, size: int, stride: int):
+            if text is None:
+                return
+            toks = text.split()
+            if not toks:
+                yield 0, ""
+                return
+            for start in range(0, len(toks), stride):
+                yield start, " ".join(toks[start : start + size])
+
+    return SplitChunks

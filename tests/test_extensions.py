@@ -51,3 +51,15 @@ def test_chunk_transform_skips_bad_chunks(spark):
         apply_chunk_transform(
             docs, explode_on_some, "doc_id long", skip_bad_chunks=False
         ).count()
+
+
+def test_split_text_udtf(spark):
+    from large_csv_etl_spark.extensions import split_text_udtf
+
+    SplitChunks = split_text_udtf()
+    spark.udtf.register("split_chunks", SplitChunks)
+    rows = spark.sql(
+        "SELECT * FROM split_chunks('a b c d e f g', 3, 2)"
+    ).collect()
+    got = [(r.chunk_start, r.chunk_text) for r in rows]
+    assert got == [(0, "a b c"), (2, "c d e"), (4, "e f g"), (6, "g")]
