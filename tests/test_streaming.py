@@ -205,3 +205,40 @@ def test_user_totals_stream_matches_batch(spark, stream_source, tmp_path):
     g = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in got.collect()}
     b = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in batch.collect()}
     assert g == b
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once incremental ingestion: a second availableNow run over
+    the SAME checkpoint must process only files that arrived after the
+    first run — the contract that makes the streaming ETL restartable
+    and incremental at 100 TB (no backfill re-reads, no duplicates)."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long, v string")
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.range(5).selectExpr("id", "'a' AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    assert spark.read.parquet(out).count() == 5
+
+    spark.range(5, 8).selectExpr("id", "'b' AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 8  # 5 old (not reprocessed) + 3 new
+    assert got.filter("v = 'b'").count() == 3
