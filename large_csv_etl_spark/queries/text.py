@@ -577,3 +577,71 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_oov.cast("double") / F.count("*")).alias("oov_rate"),
         )
     )
+
+
+@_q(
+    "text_boilerplate_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(0, GREATEST(len(toks) - 1, 0), 48))
+               AS chunk_start
+      FROM t
+    ), chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(toks, chunk_start + 1, chunk_start + 64), ' '))
+               AS chunk_fp
+      FROM s
+    )
+    SELECT chunk_fp, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM chunks
+    GROUP BY chunk_fp
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, chunk_fp
+    LIMIT 50
+    """,
+)
+def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: fingerprint every training-window chunk (the
+    text_chunk_documents windows) and surface fingerprints appearing in
+    2+ distinct documents — headers, footers, license blocks, templated
+    passages. The shuffle carries 32-char fingerprints only; counts are
+    map-side combinable; deterministic tie-broken top-50. This is the
+    passage-level complement to document-level near-dup: at 100 TB the
+    HAVING prunes the singleton long tail before the top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    s = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(48)
+            )
+        ).alias("chunk_start"),
+    )
+    chunks = s.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("chunk_start") + 1, 64)
+            )
+        ).alias("chunk_fp"),
+    )
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "chunk_fp"
+        )
+        .limit(50)
+    )

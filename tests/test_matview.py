@@ -1,0 +1,60 @@
+"""Incremental rollup maintenance must be bit-identical to a full rebuild,
+in any merge order — the exactness claim that makes it safe to never
+recompute from base."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from large_csv_etl_spark.io import load_table
+from large_csv_etl_spark.matview import (
+    N_COL,
+    build_rollup,
+    finalize_rollup,
+    merge_rollup,
+)
+
+KEYS = ["o_orderstatus", "o_orderpriority"]
+SUMS = {"total_price": "o_totalprice"}
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_equals_full_rebuild(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 5 == 0)
+
+    merged = merge_rollup(
+        build_rollup(base, KEYS, SUMS), build_rollup(delta, KEYS, SUMS), KEYS
+    )
+    full = build_rollup(orders, KEYS, SUMS)
+    assert _rows(merged) == _rows(full)
+
+
+def test_merge_order_invariant(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    parts = [
+        build_rollup(orders.filter(F.col("o_orderkey") % 3 == i), KEYS, SUMS)
+        for i in range(3)
+    ]
+    a = merge_rollup(merge_rollup(parts[0], parts[1], KEYS), parts[2], KEYS)
+    b = merge_rollup(merge_rollup(parts[2], parts[0], KEYS), parts[1], KEYS)
+    assert _rows(a) == _rows(b)
+
+
+def test_finalize_surfaces_double_and_avg(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    r = finalize_rollup(
+        build_rollup(orders, KEYS, SUMS), {"avg_price": "total_price"}
+    )
+    dtypes = dict(r.dtypes)
+    assert dtypes["total_price"] == "double"
+    assert dtypes["avg_price"] == "double"
+    row = r.filter(
+        (F.col(KEYS[0]) == "O") & (F.col(KEYS[1]) == "1-URGENT")
+    ).first()
+    if row is not None:
+        assert abs(row.avg_price - row.total_price / row[N_COL]) == 0.0
