@@ -181,3 +181,54 @@ def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source")
     )
+
+
+@_q(
+    "sample_token_budget",
+    r"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= 500
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation: cap each source's contribution at 500
+    tokens by taking documents in deterministic md5 order until the
+    running token total crosses the budget — how a training mix caps an
+    over-represented source by VOLUME, not document count (the exact-k
+    sampler's complement). One window pass per source; the cumulative sum
+    is CAST BIGINT in the oracle (HUGEINT rule). Shares the whitespace
+    token-count contract of queries/text.py."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    sized = docs.select(
+        "doc_id", "source", n_tokens.cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 500)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
