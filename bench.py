@@ -71,6 +71,10 @@ HEADLINE = [
     "text_chunk_documents",
     "dedup_incremental_exact",
     "text_oov_rate",
+    "text_boilerplate_chunks",
+    "dedup_eval_decontamination",
+    "sample_mixture_weighted",
+    "sample_token_budget",
 ]
 
 

@@ -615,3 +615,72 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q(
+    "dedup_eval_decontamination",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), sh AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS sh
+      FROM (
+        SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 7)) AS i
+        FROM toked WHERE len(toks) >= 8
+      )
+    ), train AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0
+    ), eval_sh AS (
+      SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 10 = 0
+    )
+    SELECT e.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS contamination_rate
+    FROM eval_sh e LEFT JOIN train t USING (sh)
+    GROUP BY e.doc_id
+    """,
+)
+def dedup_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: for each held-out document (doc_id % 10
+    = 0), the fraction of its distinct 8-gram shingles that also occur
+    anywhere in the training split — the standard benchmark-leakage gate
+    run before training. Shingles travel as md5 fingerprints (the shuffle
+    never carries text); the train side is a distinct fingerprint index
+    (at 100 TB: pre-built, bucketed, and DF-capped like the ngram
+    near-dup posting lists); the containment join is fingerprint-
+    partitioned and the rate is exact-count division."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toked = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 8
+    )
+    sh = toked.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 7)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), 8))).alias(
+            "sh"
+        ),
+    )
+    train = sh.filter(F.col("doc_id") % 10 != 0).select("sh").distinct()
+    eval_sh = (
+        sh.filter(F.col("doc_id") % 10 == 0).select("doc_id", "sh").distinct()
+    )
+    hit = F.sum(F.when(F.col("in_train").isNotNull(), 1).otherwise(0))
+    return (
+        eval_sh.join(train.withColumn("in_train", F.lit(1)), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            hit.alias("n_contaminated"),
+            (hit.cast("double") / F.count("*")).alias("contamination_rate"),
+        )
+    )
