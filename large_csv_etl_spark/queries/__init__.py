@@ -120,19 +120,20 @@ GRADED_PRIORITY = [
     "sort_limit_top_orders",
     # streaming path under the oracle gate (new round 3)
     "streaming_hourly_tumbling",
-    # relational / TPC-H-shaped representatives
+    # relational / TPC-H-shaped representatives (q1/q3 + validation_counts;
+    # the other green-in-r02 TPC-H shapes rotate past the window — they
+    # stay oracled and mimic-verified)
     "validation_counts",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
     "join_left_anti_semi",
-    # round-3 new families (quantization, time-series fill, int8 ANN) — in
-    # place of three green-in-r02 TPC-H reps (q5/q7/q13 rotate past the
-    # window; they stay oracled and mimic-verified)
+    # round-3 new families, in place of rotated TPC-H reps: quantization,
+    # time-series fill, int8 ANN, decontamination, mixture composition
     "embedding_quantize_int8",
     "events_daily_gap_fill",
     "sim_quantized_topk",
+    "dedup_eval_decontamination",
+    "sample_mixture_weighted",
 ]
 
 
