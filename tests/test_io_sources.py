@@ -165,3 +165,22 @@ def test_read_text_lines(spark, tmp_path):
     assert df.columns == ["value"]
     vals = sorted(r.value for r in df.collect())
     assert vals == ["", "alpha beta", "delta epsilon zeta", "gamma"]
+
+
+def test_sql_front_door(spark, sf_dir):
+    from large_csv_etl_spark.sql import run_sql
+
+    df = run_sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1",
+        sf_dir,
+    )
+    rows = {r.o_orderstatus: r.n for r in df.collect()}
+    assert sum(rows.values()) == run_sql(spark, "SELECT COUNT(*) AS n FROM orders", sf_dir).first().n
+    # joins across registered views work too
+    j = run_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey",
+        sf_dir,
+    )
+    assert j.first().n == 25
