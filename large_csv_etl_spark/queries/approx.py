@@ -92,3 +92,25 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@_q("frequent_tokens_approx")  # Misra-Gries-style sketch — engine-specific; rows-only
+def frequent_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the token stream via ``DataFrame.stat.freqItems``
+    (support 5%): the sketch guarantees a SUPERSET of every token whose
+    frequency exceeds the support — false positives possible, false
+    negatives not (asserted vs exact counts in tests). At 100 TB this is
+    the vocab-head discovery pass: single scan, bounded state of
+    ~1/support counters per partition, no sort — where the exact
+    ``text_top_terms`` pays a full |vocab| shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tokens = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token")
+    )
+    return tokens.stat.freqItems(["token"], support=0.05).select(
+        F.explode("token_freqItems").alias("token")
+    )

@@ -60,3 +60,26 @@ def test_events_dau_approx_within_5pct(spark):
     assert approx.keys() == exact.keys()
     for day, est in approx.items():
         assert abs(est - exact[day]) <= max(0.05 * exact[day], 2), day
+
+
+def test_frequent_tokens_superset_guarantee(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from large_csv_etl_spark.io import load_table
+    from large_csv_etl_spark.queries.approx import frequent_tokens_approx
+
+    got = {r.token for r in frequent_tokens_approx(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    total = tokens.count()
+    exact = {
+        r.token
+        for r in tokens.groupBy("token")
+        .count()
+        .filter(F.col("count") > 0.05 * total)
+        .collect()
+    }
+    # every truly frequent token must be reported (no false negatives)
+    assert exact <= got
