@@ -184,3 +184,18 @@ def test_sql_front_door(spark, sf_dir):
         sf_dir,
     )
     assert j.first().n == 25
+
+
+def test_ignore_corrupt_parquet_files(spark, sf_dir, tmp_path):
+    """E3's never-abort intent for columnar inputs: a truncated/garbage
+    part file in the directory must not kill the scan when
+    ignoreCorruptFiles is on."""
+    d = tmp_path / "tbl"
+    load_table(spark, sf_dir, "nation").write.parquet(str(d))
+    (d / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a real file")
+    before = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        assert spark.read.parquet(str(d)).count() == 25
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", before)
