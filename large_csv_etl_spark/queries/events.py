@@ -458,3 +458,46 @@ def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prop_key", "prop_value"
         ),
     )
+
+
+@_q(
+    "events_cumulative_users",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    firsts AS (
+      SELECT user_id, MIN(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP))
+               AS first_day
+      FROM ev GROUP BY user_id
+    ), per_day AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_day
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day. Windows can't do COUNT(DISTINCT)
+    over a growing frame, so this is the standard exact rewrite: each
+    user reduces to a first-seen day, daily new-user counts aggregate,
+    and one running sum over the tiny |days| series reconstructs the
+    cumulative distinct curve — no growing per-window state at any
+    scale. Running SUM cast BIGINT in the oracle (HUGEINT rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from .helpers import DEC
+from .helpers import DEC, dsum, sql_dsum
 
 QUERIES = {}
 ORACLES = {}
@@ -253,4 +253,39 @@ def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("nearby_price_sum"),
+    )
+
+
+@_q(
+    "window_month_over_month",
+    f"""
+    WITH monthly AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           revenue - LAG(revenue) OVER (ORDER BY month) AS mom_delta,
+           (revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month) AS mom_pct
+    FROM monthly
+    """,
+)
+def window_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period: monthly revenue with absolute and relative
+    month-over-month change. The lag runs on the |months|-row aggregate
+    (a single-partition window over a tiny series — fine at any corpus
+    size because the agg reduced first); delta and pct are single IEEE
+    ops on exact-decimal-derived doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        (F.col("revenue") - prev).alias("mom_delta"),
+        ((F.col("revenue") - prev) / prev).alias("mom_pct"),
     )
