@@ -1550,3 +1550,30 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
     ).agg(F.count("*").alias("nb"))
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"], "na", "nb")
+
+
+@_q(
+    "skew_salted_flag_rollup",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_flag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation (skew.salted_aggregate) under the
+    external oracle: 3 grouping keys carrying 20k rows each is exactly
+    the hot-key shape AQE's skew handling doesn't cover (it only splits
+    joins). Counts and DECIMAL sums re-merge exactly, so the salted plan
+    is value-identical to the plain group-by — proven here against
+    DuckDB, not just the repo's own equivalence tests."""
+    from ..skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "rev",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC),
+    )
+    out = salted_aggregate(li, ["l_returnflag"], sum_cols=["rev"])
+    return out.select(
+        "l_returnflag", "n_rows", F.col("sum_rev").cast("double").alias("revenue")
+    )

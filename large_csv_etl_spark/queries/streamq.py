@@ -107,3 +107,36 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
         ckpt,
     )
+
+
+@_q(
+    "streaming_sliding_window",
+    # identical semantics to the batch events_sliding_window oracle
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT win_start, event_type, COUNT(*) AS n_events
+    FROM (
+      SELECT CAST(to_timestamp(FLOOR(EXTRACT(epoch FROM ts) / 1800) * 1800
+                               - s.off * 1800) AS TIMESTAMP) AS win_start,
+             event_type
+      FROM ev, (SELECT UNNEST([0, 1]) AS off) s
+    )
+    GROUP BY win_start, event_type
+    """,
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hopping-window streaming aggregate drained with availableNow
+    and graded against the batch oracle — with sessionization and
+    tumbling this puts all three streaming window kinds under the
+    external verdict."""
+    from ..streaming import read_events_stream, run_bounded, sliding_window_stream
+
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_slide_")
+    return run_bounded(
+        sliding_window_stream(
+            read_events_stream(spark, sf_dir, glob="events.parquet")
+        ),
+        name,
+        ckpt,
+    )

@@ -268,3 +268,20 @@ def user_totals_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sliding_window_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of events_sliding_window: 1-hour windows hopping
+    every 30 minutes (each event in exactly 2 windows); watermark bounds
+    the open-window state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
