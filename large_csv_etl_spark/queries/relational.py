@@ -1577,3 +1577,39 @@ def skew_salted_flag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag", "n_rows", F.col("sum_rev").cast("double").alias("revenue")
     )
+
+
+@_q(
+    "agg_winsorized_mean",
+    f"""
+    WITH qs AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           {sql_davg('LEAST(GREATEST(o_totalprice, lo), hi)')} AS winsorized_avg
+    FROM orders o JOIN qs USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: 5%/95% winsorized mean per priority — the
+    outlier-resistant aggregate a feature pipeline uses where plain AVG
+    is poisoned by tails. Exact per-group quantiles (Spark ``percentile``
+    and DuckDB ``quantile_cont`` interpolate identically — the
+    quantiles_exact parity) broadcast back onto the scan; clipping is
+    LEAST/GREATEST on identical doubles and the mean is the exact
+    decimal-sum form."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        orders.join(F.broadcast(qs), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), davg(clipped).alias("winsorized_avg"))
+    )
