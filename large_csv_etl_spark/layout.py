@@ -58,13 +58,31 @@ def zorder_key(
     the expression as literals so the key itself is a pure row-local
     projection.
     """
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"zorder key needs {bits * len(cols)} bits; max 62 (BIGINT sign)"
+            " — lower `bits` or cluster fewer columns"
+        )
+    dtypes = dict(df.dtypes)
+
+    def as_double(c: str) -> Column:
+        col = F.col(c)
+        t = dtypes.get(c, "")
+        # ANSI forbids casting temporal types straight to double — go
+        # through an explicit epoch integer instead
+        if t == "date":
+            return F.unix_date(col).cast("double")
+        if t.startswith("timestamp"):
+            return F.unix_micros(col.cast("timestamp")).cast("double")
+        return col.cast("double")
+
     mm = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"{c}__mn") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"{c}__mx") for c in cols],
+        *[F.min(as_double(c)).alias(f"{c}__mn") for c in cols],
+        *[F.max(as_double(c)).alias(f"{c}__mx") for c in cols],
     ).first()
     ids = [
         _bucket_id(
-            F.col(c),
+            as_double(c),
             F.lit(mm[f"{c}__mn"]),
             F.lit(mm[f"{c}__mx"]),
             bits,
