@@ -1,0 +1,100 @@
+"""Declarative job runner: compose the engine's operators from a config
+dict — the scaled analog of the reference's orchestration layer
+(/root/reference/src/etl_manager.py:50-97 hard-wires one read ->
+transform -> load sequence; here the sequence is data).
+
+A job spec is JSON-serializable, so curation pipelines (filter -> dedupe
+-> sample -> write) can be versioned, diffed, and replayed:
+
+    spec = {
+        "source": {"table": "documents"},          # or {"csv": path} etc.
+        "steps": [
+            {"op": "filter", "expr": "TRIM(text) <> ''"},
+            {"op": "sample_hash", "key": "doc_id", "rate_hex": "80"},
+            {"op": "dedupe_exact", "fingerprint": "md5(lower(trim(text)))"},
+            {"op": "select", "cols": ["doc_id", "source", "text"]},
+        ],
+        "sink": {"path": "/out/docs", "partition_by": ["source"]},
+    }
+    run_job(spark, spec, sf_dir)
+
+Every step maps to a declarative DataFrame transformation (the whole job
+stays ONE lazy Catalyst plan until the sink); no step ever collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table, read_json, read_transactions_csv, write_table_partitioned
+
+
+def _apply_step(df: DataFrame, step: dict) -> DataFrame:
+    op = step["op"]
+    if op == "filter":
+        return df.filter(F.expr(step["expr"]))
+    if op == "select":
+        return df.select(*step["cols"])
+    if op == "with_column":
+        return df.withColumn(step["name"], F.expr(step["expr"]))
+    if op == "sample_hash":
+        # deterministic md5-prefix sample (see queries/sampling.py)
+        key = F.col(step["key"]).cast("string")
+        return df.filter(
+            F.substring(F.md5(key), 1, len(step["rate_hex"])) < step["rate_hex"]
+        )
+    if op == "dedupe_exact":
+        # first-by-order_col wins per fingerprint (deterministic when
+        # order_col is unique); plain dropDuplicates when no order given
+        fp = F.expr(step["fingerprint"])
+        order_col = step.get("order_col")
+        if order_col is None:
+            return df.withColumn("__fp", fp).dropDuplicates(["__fp"]).drop("__fp")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(fp).orderBy(F.col(order_col))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if op == "repartition":
+        return df.repartition(int(step["n"]))
+    raise ValueError(f"unknown job step op: {op!r}")
+
+
+def run_job(
+    spark: SparkSession, spec: dict, sf_dir: str | None = None
+) -> DataFrame:
+    """Build the job's DataFrame; write it if the spec has a sink.
+
+    Returns the final DataFrame either way (callers/tests can inspect the
+    plan before any write happens).
+    """
+    src = spec["source"]
+    if "table" in src:
+        if sf_dir is None:
+            raise ValueError("source.table requires sf_dir")
+        df = load_table(spark, sf_dir, src["table"])
+    elif "csv" in src:
+        df = read_transactions_csv(spark, src["csv"])
+    elif "json" in src:
+        df = read_json(spark, src["json"], src.get("schema"))
+    elif "parquet" in src:
+        df = spark.read.parquet(src["parquet"])
+    else:
+        raise ValueError(f"unknown source spec: {src!r}")
+
+    for step in spec.get("steps", []):
+        df = _apply_step(df, step)
+
+    sink = spec.get("sink")
+    if sink:
+        if sink.get("partition_by"):
+            write_table_partitioned(
+                df, sink["path"], sink["partition_by"], mode=sink.get("mode", "overwrite")
+            )
+        else:
+            df.write.mode(sink.get("mode", "overwrite")).parquet(sink["path"])
+    return df

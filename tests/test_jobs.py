@@ -1,0 +1,44 @@
+"""Declarative job runner: spec -> one lazy plan -> sink."""
+
+from __future__ import annotations
+
+
+from large_csv_etl_spark.jobs import run_job
+
+
+def test_curation_job_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "curated")
+    spec = {
+        "source": {"table": "documents"},
+        "steps": [
+            {"op": "filter", "expr": "TRIM(text) <> ''"},
+            {"op": "sample_hash", "key": "doc_id", "rate_hex": "80"},  # ~50%
+            {"op": "dedupe_exact", "fingerprint": "md5(lower(trim(text)))",
+             "order_col": "doc_id"},
+            {"op": "with_column", "name": "n_chars2", "expr": "length(text)"},
+            {"op": "select", "cols": ["doc_id", "source", "n_chars2"]},
+        ],
+        "sink": {"path": out, "partition_by": ["source"]},
+    }
+    df = run_job(spark, spec, sf_dir)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count() > 0
+    assert set(back.columns) == {"doc_id", "n_chars2", "source"}
+    # deterministic: re-running selects the same rows
+    df2 = run_job(spark, {**spec, "sink": None}, sf_dir)
+    assert sorted(r.doc_id for r in df2.collect()) == sorted(
+        r.doc_id for r in back.collect()
+    )
+
+
+def test_dedupe_exact_keeps_first_by_order(spark):
+    from large_csv_etl_spark.jobs import _apply_step
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, payload string"
+    )
+    out = _apply_step(
+        df,
+        {"op": "dedupe_exact", "fingerprint": "md5(payload)", "order_col": "id"},
+    )
+    assert sorted((r.id, r.payload) for r in out.collect()) == [(1, "x"), (3, "y")]
