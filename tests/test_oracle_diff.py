@@ -105,3 +105,11 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_entry_contract(spark):
+    """The driver smoke-check: entry(spark) runs and yields rows with a
+    stable schema."""
+    df = entry_mod.entry(spark)
+    assert df.columns[:2] == ["l_returnflag", "l_linestatus"]
+    assert df.count() >= 1
