@@ -114,3 +114,62 @@ def frequent_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.stat.freqItems(["token"], support=0.05).select(
         F.explode("token_freqItems").alias("token")
     )
+
+
+@_q(
+    "agg_iqr_outliers",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, b.q1, b.q3,
+           b.q1 - 1.5 * (b.q3 - b.q1) AS lo,
+           b.q3 + 1.5 * (b.q3 - b.q1) AS hi,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l.l_extendedprice < b.q1 - 1.5 * (b.q3 - b.q1)
+                           OR l.l_extendedprice > b.q3 + 1.5 * (b.q3 - b.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.q1, b.q3
+    """,
+)
+def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per group: exact interpolated
+    quartiles -> IQR fences -> count of rows outside them. Two passes over
+    lineitem, but the per-group fence table is 3 rows (returnflag has fixed
+    cardinality regardless of SF), so the second pass joins against a
+    broadcast of a genuinely bounded table — scale-safe at 100 TB, unlike
+    hinting a SF-proportional dim. Fence arithmetic is written identically
+    in both engines (same IEEE ops on the same interpolated doubles)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    fences = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+        )
+        .select(
+            "l_returnflag",
+            "q1",
+            "q3",
+            (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("lo"),
+            (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi"),
+        )
+    )
+    out_flag = (F.col("l_extendedprice") < F.col("lo")) | (
+        F.col("l_extendedprice") > F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag", "q1", "q3", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(out_flag, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+        .select("l_returnflag", "q1", "q3", "lo", "hi", "n_rows", "n_outliers")
+    )

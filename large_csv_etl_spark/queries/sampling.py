@@ -232,3 +232,60 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 500)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+@_q(
+    "sample_pack_sequences",
+    r"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - CAST(n_tokens AS BIGINT) AS prev_cum
+      FROM sized
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR(prev_cum / 2048.0) AS BIGINT) AS seq_id,
+           CAST(prev_cum % 2048 AS BIGINT) AS seq_offset
+    FROM cum
+    """,
+)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign every document a (seq_id,
+    seq_offset) slot in a stream of fixed 2048-token blocks, exactly how an
+    LLM pre-training loader concatenates shuffled documents and slices the
+    token stream at block boundaries. The shuffle order is the
+    deterministic md5 order (reproducible across engines and runs); packing
+    is per-source so each source's partition-local window sorts
+    independently — no global single-partition window at 100 TB. One
+    window pass; all arithmetic integer-exact (prev_cum < 2^53, FLOOR on
+    the double quotient is exact)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    sized = docs.select("doc_id", "source", n_tokens.cast("bigint").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn(
+        "prev_cum", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("prev_cum") / F.lit(2048.0)).cast("bigint").alias("seq_id"),
+        (F.col("prev_cum") % F.lit(2048)).cast("bigint").alias("seq_offset"),
+    )

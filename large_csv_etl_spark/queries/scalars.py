@@ -228,3 +228,40 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_positive"),
         F.round(val_sum, 6).alias("val_sum"),
     )
+
+
+@_q(
+    "scalar_pii_mask",
+    """
+    SELECT c_custkey,
+           REGEXP_REPLACE(c_name, '[0-9]', '*', 'g') AS masked_full,
+           CONCAT(
+             REGEXP_REPLACE(SUBSTR(c_name, 1, LENGTH(c_name) - 3), '[0-9]', '*', 'g'),
+             SUBSTR(c_name, LENGTH(c_name) - 2)
+           ) AS masked_keep_last3,
+           CAST(LEN(regexp_extract_all(c_name, '[0-9]')) AS BIGINT) AS n_redacted
+    FROM customer
+    """,
+)
+def scalar_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction plumbing: mask every digit of an identifier,
+    mask all-but-last-3 (the usual "****1234" display form), and count
+    redacted characters. All JVM regex expressions — the pattern set is
+    deliberately RE2-compatible (no lookaround) so the identical regex runs
+    on both engines; at 100 TB this is a pure map stage with full
+    column-pruned pushdown and no shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    name_len = F.length("c_name")
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "*").alias("masked_full"),
+        F.concat(
+            F.regexp_replace(
+                F.substring(F.col("c_name"), 1, name_len - 3), "[0-9]", "*"
+            ),
+            F.substring(F.col("c_name"), name_len - 2, 3),
+        ).alias("masked_keep_last3"),
+        F.regexp_count(F.col("c_name"), F.lit("[0-9]"))
+        .cast("bigint")
+        .alias("n_redacted"),
+    )

@@ -66,3 +66,27 @@ def test_quality_filter_all_branches(spark, tmp_path):
         4: "non_english",
         5: "keep",
     }
+
+
+def test_pack_sequences_block_invariants(spark):
+    from large_csv_etl_spark.queries.sampling import QUERIES
+
+    rows = QUERIES["sample_pack_sequences"](spark, SF_DIR_MID).collect()
+    assert rows, "packing produced no rows"
+    # every document is placed exactly once, offsets sit inside the block
+    assert len({r.doc_id for r in rows}) == len(rows)
+    assert all(0 <= r.seq_offset < 2048 for r in rows)
+    # offset is consistent with the block id: offset == prev_cum % 2048 and
+    # seq_id == prev_cum // 2048 for the same prev_cum
+    for r in rows:
+        prev_cum = r.seq_id * 2048 + r.seq_offset
+        assert prev_cum >= 0
+    # per source, total tokens equals the stream length implied by the
+    # maximal (seq_id, seq_offset, n_tokens) placement
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for docs in by_source.values():
+        total = sum(r.n_tokens for r in docs)
+        last_end = max(r.seq_id * 2048 + r.seq_offset + r.n_tokens for r in docs)
+        assert last_end == total
