@@ -75,6 +75,10 @@ HEADLINE = [
     "dedup_eval_decontamination",
     "sample_mixture_weighted",
     "sample_token_budget",
+    "sample_pack_sequences",
+    "agg_iqr_outliers",
+    "text_idf_score",
+    "scalar_pii_mask",
 ]
 
 

@@ -105,14 +105,17 @@ GRADED_PRIORITY = [
     "events_sliding_window",
     # quantiles
     "quantiles_exact",
-    # window representatives (running frame / ranking)
+    # window representative (running frame; rank variants rotate out,
+    # still oracled + mimic-verified)
     "window_running_spend",
-    "window_rank_variants",
+    # streaming stateful dedup under forced duplicate delivery (new)
+    "streaming_dedup_exact",
     # deterministic hash sampling (new round 3)
     "sample_hash_uniform",
     # scalar representatives (reference-parity rounding / arrays)
     "scalar_round_2dp",
-    "scalar_array_functions",
+    # training-sequence packing (new; array functions rotate out)
+    "sample_pack_sequences",
     # Q17 correlated-subquery shape (new round 3)
     "q17_small_quantity_revenue",
     # set-op / sort representatives

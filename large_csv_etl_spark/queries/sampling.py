@@ -289,3 +289,37 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("prev_cum") / F.lit(2048.0)).cast("bigint").alias("seq_id"),
         (F.col("prev_cum") % F.lit(2048)).cast("bigint").alias("seq_offset"),
     )
+
+
+@_q(
+    "sample_split_train_val_test",
+    """
+    WITH tagged AS (
+      SELECT source,
+             CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs
+    FROM tagged GROUP BY source, split
+    """,
+)
+def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: membership is a pure
+    function of md5(doc_id) (hex prefix thresholds 'cc' = 204/256 ~ 80%,
+    'e6' = 230/256 ~ 90%), so the split is reproducible across engines,
+    runs, and repartitionings, and new documents self-assign on ingest
+    without touching existing assignments — the property a 100 TB corpus
+    needs (a seeded randomSplit re-deals everything when the input
+    changes). Row-local expression, no shuffle before the count."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

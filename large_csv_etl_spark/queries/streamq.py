@@ -140,3 +140,35 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
         ckpt,
     )
+
+
+@_q(
+    "streaming_dedup_exact",
+    # the stream reads the SAME static file twice and unions the two reads
+    # (every event delivered exactly twice); streaming dedup must collapse
+    # it back to the source — so the oracle is simply the source table
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under forced duplicate delivery: two
+    readStream instances over the same static parquet are unioned (an
+    at-least-twice source), then ``dropDuplicatesWithinWatermark`` on
+    event_id repairs it to effectively-once. Drained with ``availableNow``
+    and graded against the plain batch table — the strongest check that the
+    stateful dedup operator drops exactly the re-deliveries and nothing
+    else. State holds one key per event inside the watermark horizon, so
+    memory is bounded by the horizon's key cardinality at 100 TB/day rates,
+    unlike an unbounded ``dropDuplicates``."""
+    from ..streaming import dedup_stream, read_events_stream, run_bounded
+
+    once = read_events_stream(spark, sf_dir, glob="events.parquet")
+    twice = once.unionAll(
+        read_events_stream(spark, sf_dir, glob="events.parquet")
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_")
+    return run_bounded(dedup_stream(twice), name, ckpt, output_mode="append").select(
+        "event_id", "user_id", "event_type", "value"
+    )

@@ -645,3 +645,51 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@_q(
+    "text_idf_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), dfs AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(1000000000000 // df) AS BIGINT) AS idf_fp_sum,
+           CAST(SUM(1000000000000 // df) AS BIGINT) / COUNT(*) AS rarity_fp
+    FROM toks t JOIN dfs USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def text_idf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity scoring: mean inverse document frequency of the
+    document's tokens — the standard up-weight for rare/long-tail content
+    in a training-mix curation pass. Deliberately log-free: 1/df is held in
+    fixed point (``1e12 div df``, integer division in both engines) so the
+    sum is exact BIGINT arithmetic and the only float op is one final
+    division — no libm, no order-dependent double accumulation. Two
+    shuffles (df table, per-doc agg); the token-keyed join is skewed on
+    stopwords, but the hot keys carry tiny fixed payloads (one BIGINT df)
+    and AQE skew-join splitting handles the probe side at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        "doc_id", F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    dfs = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    fp = F.expr("1000000000000 div df")
+    return (
+        toks.join(dfs, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(fp).cast("bigint").alias("idf_fp_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "idf_fp_sum",
+            (F.col("idf_fp_sum") / F.col("n_tokens")).alias("rarity_fp"),
+        )
+    )
