@@ -173,3 +173,41 @@ def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "q1", "q3", "lo", "hi", "n_rows", "n_outliers")
     )
+
+
+@_q(
+    "agg_median_abs_deviation",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, MEDIAN(o_totalprice) AS med_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, m.med_price,
+           MEDIAN(ABS(o.o_totalprice - m.med_price)) AS mad,
+           COUNT(*) AS n
+    FROM orders o JOIN med m USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, m.med_price
+    """,
+)
+def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median absolute deviation around the per-group
+    median (the robust twin of stddev — outlier-immune, the scale estimate
+    a data-quality gate actually wants). Two grouped median passes; the
+    per-group median table has fixed cardinality (order priorities), so the
+    join back is a bounded broadcast. ABS/subtraction are single IEEE ops
+    on identical doubles; both medians interpolate identically (the proven
+    quantile parity)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    med = orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med_price")
+    )
+    return (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority", "med_price")
+        .agg(
+            F.median(F.abs(F.col("o_totalprice") - F.col("med_price"))).alias("mad"),
+            F.count("*").alias("n"),
+        )
+    )

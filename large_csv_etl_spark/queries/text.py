@@ -693,3 +693,96 @@ def text_idf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("idf_fp_sum") / F.col("n_tokens")).alias("rarity_fp"),
         )
     )
+
+
+@_q(
+    "text_fuzzy_token_pairs",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), t AS (
+      SELECT token FROM toks WHERE LENGTH(token) >= 3
+    ), d1 AS (
+      SELECT DISTINCT token,
+             CASE WHEN i = 0 THEN token
+                  ELSE SUBSTR(token, 1, i - 1) || SUBSTR(token, i + 1, LENGTH(token))
+             END AS v1
+      FROM (SELECT token, UNNEST(generate_series(0, LENGTH(token))) AS i FROM t)
+    ), var AS (
+      SELECT DISTINCT token,
+             CASE WHEN j = 0 THEN v1
+                  ELSE SUBSTR(v1, 1, j - 1) || SUBSTR(v1, j + 1, LENGTH(v1))
+             END AS variant
+      FROM (SELECT token, v1, UNNEST(generate_series(0, LENGTH(v1))) AS j FROM d1)
+    ), keep AS (
+      SELECT variant FROM var GROUP BY variant HAVING COUNT(*) <= 50
+    ), cand AS (
+      SELECT DISTINCT a.token AS token_a, b.token AS token_b
+      FROM var a JOIN keep USING (variant) JOIN var b USING (variant)
+      WHERE a.token < b.token
+    )
+    SELECT token_a, token_b,
+           CAST(levenshtein(token_a, token_b) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(token_a, token_b) <= 2
+    """,
+)
+def text_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching at scale: vocabulary pairs within edit
+    distance 2 via the FastSS deletion-neighborhood join — each token
+    emits its 0/1/2-deletion variants; tokens within k edits always share
+    a k-deletion variant (FastSS superset guarantee), so candidates come
+    from a posting-list equi-join (|vocab| * O(len^2) keys), never a
+    vocab x vocab cross join. An exact ``levenshtein`` verify then drops
+    same-variant false positives. The ``HAVING COUNT(*) <= 50`` hot-key
+    cap bounds variant posting lists exactly like the n-gram dedup's
+    shingle-DF cap — applied identically on both engines so the oracle
+    grades the capped semantics."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = (
+        docs.select(
+            F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+        )
+        .filter(F.length("token") >= 3)
+        .distinct()
+    )
+
+    def _del_at(col, idx):
+        return F.when(F.col(idx) == 0, F.col(col)).otherwise(
+            F.concat(
+                F.expr(f"substring({col}, 1, {idx} - 1)"),
+                F.expr(f"substring({col}, {idx} + 1, length({col}))"),
+            )
+        )
+
+    d1 = (
+        toks.select(
+            "token", F.explode(F.sequence(F.lit(0), F.length("token"))).alias("i")
+        )
+        .select("token", _del_at("token", "i").alias("v1"))
+        .distinct()
+    )
+    var = (
+        d1.select(
+            "token", "v1", F.explode(F.sequence(F.lit(0), F.length("v1"))).alias("j")
+        )
+        .select("token", _del_at("v1", "j").alias("variant"))
+        .distinct()
+    )
+    keep = var.groupBy("variant").count().filter(F.col("count") <= 50).select("variant")
+    capped = var.join(keep, "variant")
+    a = capped.select(F.col("variant"), F.col("token").alias("token_a"))
+    b = capped.select(F.col("variant"), F.col("token").alias("token_b"))
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .select("token_a", "token_b")
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein(F.col("token_a"), F.col("token_b")) <= 2
+    ).select(
+        "token_a",
+        "token_b",
+        F.levenshtein(F.col("token_a"), F.col("token_b")).alias("dist"),
+    )
