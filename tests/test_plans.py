@@ -45,3 +45,31 @@ def test_single_agg_single_shuffle(spark, sf_dir):
     assert s["n_shuffles"] == 1
     (scan,) = s["scans"]
     assert scan["columns"] == ["l_returnflag"]
+
+
+def test_pii_mask_is_pure_map_stage(spark, sf_dir):
+    df = all_queries()["scalar_pii_mask"](spark, sf_dir)
+    df.collect()
+    s = plan_summary(df)
+    # redaction must never shuffle and must prune to the two used columns
+    assert s["n_shuffles"] == 0
+    (scan,) = s["scans"]
+    assert set(scan["columns"]) <= {"c_custkey", "c_name"}
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    df = all_queries()["sample_pack_sequences"](spark, sf_dir)
+    df.collect()
+    s = plan_summary(df)
+    # one partitionBy(source) exchange feeds the window; no extra shuffles
+    assert s["n_shuffles"] == 1
+
+
+def test_iqr_fences_broadcast_not_sortmerge(spark, sf_dir):
+    df = all_queries()["agg_iqr_outliers"](spark, sf_dir)
+    df.collect()
+    s = plan_summary(df)
+    # the 3-row fence table must broadcast; a sort-merge join here would
+    # shuffle the full fact table a second time
+    assert s["n_broadcast_joins"] >= 1
+    assert s["n_sortmerge_joins"] == 0
