@@ -79,6 +79,9 @@ HEADLINE = [
     "agg_iqr_outliers",
     "text_idf_score",
     "scalar_pii_mask",
+    "agg_median_abs_deviation",
+    "events_zscore_anomaly",
+    "quantile_binning_decile",
 ]
 
 

@@ -211,3 +211,56 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@_q(
+    "quantile_binning_decile",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(l_extendedprice, 0.1) AS c1,
+             quantile_cont(l_extendedprice, 0.2) AS c2,
+             quantile_cont(l_extendedprice, 0.3) AS c3,
+             quantile_cont(l_extendedprice, 0.4) AS c4,
+             quantile_cont(l_extendedprice, 0.5) AS c5,
+             quantile_cont(l_extendedprice, 0.6) AS c6,
+             quantile_cont(l_extendedprice, 0.7) AS c7,
+             quantile_cont(l_extendedprice, 0.8) AS c8,
+             quantile_cont(l_extendedprice, 0.9) AS c9
+      FROM lineitem
+    )
+    SELECT CAST(1 + CAST(l_extendedprice > c1 AS INT) + CAST(l_extendedprice > c2 AS INT) + CAST(l_extendedprice > c3 AS INT) + CAST(l_extendedprice > c4 AS INT) + CAST(l_extendedprice > c5 AS INT) + CAST(l_extendedprice > c6 AS INT) + CAST(l_extendedprice > c7 AS INT) + CAST(l_extendedprice > c8 AS INT) + CAST(l_extendedprice > c9 AS INT) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem CROSS JOIN cuts
+    GROUP BY 1
+    """,
+)
+def quantile_binning_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning WITHOUT a global sort: a global
+    ``NTILE(10)`` is a single-partition window — the classic 100 TB
+    bottleneck — so instead the 9 exact decile cut points (one aggregate)
+    are broadcast back and each row's bucket is ``1 + #cuts below it``, a
+    pure map stage. Boundary ties land identically in both engines because
+    the cut values are the identical interpolated doubles. Output is the
+    per-bucket count and value range (counts differ from n/10 only by
+    boundary ties — the exact equal-frequency contract)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    cuts = li.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {p / 10})").alias(f"c{p}")
+            for p in range(1, 10)
+        ]
+    )
+    bucket = F.lit(1)
+    for p in range(1, 10):
+        bucket = bucket + (F.col("l_extendedprice") > F.col(f"c{p}")).cast("int")
+    return (
+        li.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )

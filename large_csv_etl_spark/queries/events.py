@@ -534,3 +534,82 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+@_q(
+    "events_zscore_anomaly",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    hourly AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start,
+             COUNT(*) AS n
+      FROM ev GROUP BY 1
+    ), stats AS (
+      SELECT hour_start, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS s1,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS s2,
+             COUNT(*) OVER w AS c
+      FROM hourly
+      WINDOW w AS (ORDER BY hour_start ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour_start, n,
+           CASE WHEN c >= 12 THEN CAST(s1 AS DOUBLE) / c END AS mean_trailing,
+           CASE WHEN c >= 12 THEN
+             SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / c) / c,
+                           0.0))
+           END AS std_trailing,
+           CASE WHEN c >= 12
+                 AND SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / c) / c,
+                           0.0)) > 0.0
+                THEN (n - CAST(s1 AS DOUBLE) / c)
+                     / SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / c) / c,
+                           0.0))
+           END AS zscore
+    FROM stats
+    """,
+)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly score: each hour's event count against the
+    mean/std of the previous 24 hours (frame excludes the current row, so
+    an anomalous hour can't mask itself). Determinism comes from keeping
+    the windowed state in exact integers — SUM(n) and SUM(n*n) over the
+    frame are BIGINT — and deriving mean/std with one fixed chain of IEEE
+    double ops; SQRT is correctly rounded per IEEE 754 (unlike libm
+    log/exp) so it is engine-portable. The single unpartitioned window
+    runs over the already-reduced hourly series (8,760 rows/year at any
+    SF), not the raw events — the reduction shuffles, the window doesn't
+    bottleneck."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("hour_start").rowsBetween(-24, -1)
+    stats = hourly.select(
+        "hour_start",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("bigint").alias("s2"),
+        F.count("*").over(w).alias("c"),
+    )
+    s1d = F.col("s1").cast("double")
+    mean = s1d / F.col("c")
+    var = F.greatest(
+        (F.col("s2").cast("double") - s1d * s1d / F.col("c")) / F.col("c"),
+        F.lit(0.0),
+    )
+    std = F.sqrt(var)
+    return stats.select(
+        "hour_start",
+        "n",
+        F.when(F.col("c") >= 12, mean).alias("mean_trailing"),
+        F.when(F.col("c") >= 12, std).alias("std_trailing"),
+        F.when((F.col("c") >= 12) & (std > 0.0), (F.col("n") - mean) / std).alias(
+            "zscore"
+        ),
+    )
