@@ -186,3 +186,47 @@ def test_connected_components_random_graphs_match_union_find(spark):
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r.node: r.component for r in connected_components(df).collect()}
         assert got == expected, f"trial {trial}"
+
+
+def test_fastss_fuzzy_pairs_complete_vs_bruteforce(spark):
+    """The deletion-neighborhood join must find EVERY vocab pair within
+    edit distance 2 (FastSS guarantees a superset of candidates; the
+    levenshtein verify makes it exact) — checked against an O(V^2)
+    brute force over the actual corpus vocabulary."""
+    from large_csv_etl_spark.queries.text import QUERIES as TEXT_QUERIES
+
+    got = {
+        (r.token_a, r.token_b, r.dist)
+        for r in TEXT_QUERIES["text_fuzzy_token_pairs"](spark, SF_DIR).collect()
+    }
+
+    vocab = [
+        r.token
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .filter(F.length("token") >= 3)
+        .distinct()
+        .collect()
+    ]
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expected = set()
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1:]:
+            lo, hi = sorted((a, b))
+            d = lev(lo, hi)
+            if d <= 2:
+                expected.add((lo, hi, d))
+
+    assert got == expected
