@@ -69,6 +69,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-aware parquet scan: ``mergeSchema`` unions the
+    footers of every file under ``path``, so files written before a column
+    was added read as NULL in that column instead of failing or silently
+    dropping it. This is the read mode for a long-lived 100 TB table whose
+    schema widened over time; the default (first-footer-wins) read stays
+    the fast path for schema-stable tables because footer merging touches
+    every file's metadata."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All driver test tables, keyed by name."""
     return {t: load_table(spark, sf_dir, t) for t in TEST_TABLES}

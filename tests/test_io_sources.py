@@ -199,3 +199,22 @@ def test_ignore_corrupt_parquet_files(spark, sf_dir, tmp_path):
         assert spark.read.parquet(str(d)).count() == 25
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", before)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Files written before a column existed must read as NULL in the
+    widened schema, and the pre-evolution fast-path read must still work."""
+    from large_csv_etl_spark.io import read_parquet_evolved
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    ).write.parquet(base)
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id bigint, name string, score double"
+    ).write.mode("append").parquet(base)
+
+    merged = read_parquet_evolved(spark, base)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[3] == 0.5 and rows[1] is None and rows[2] is None
