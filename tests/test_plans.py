@@ -73,3 +73,27 @@ def test_iqr_fences_broadcast_not_sortmerge(spark, sf_dir):
     # shuffle the full fact table a second time
     assert s["n_broadcast_joins"] >= 1
     assert s["n_sortmerge_joins"] == 0
+
+
+def test_dynamic_partition_pruning_fires_on_star_join(spark, tmp_path):
+    """Star-schema join against a partitioned fact: the dim-side filter
+    must turn into a runtime DynamicPruning subquery on the fact scan, so
+    only the surviving partitions are read — at 100 TB this is the
+    difference between scanning one partition and scanning the table."""
+    from large_csv_etl_spark.io import load_table
+
+    fact_path = str(tmp_path / "fact")
+    load_table(spark, str(spark.conf.get("spark.graft.sfdir", "/root/testdata/sf0.001")), "lineitem") \
+        .write.partitionBy("l_returnflag").parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("A", "keep"), ("N", "drop"), ("R", "drop")], "flag string, tag string"
+    )
+    fact = spark.read.parquet(fact_path)
+    j = (
+        fact.join(dim.filter(F.col("tag") == "keep"), fact.l_returnflag == dim.flag)
+        .groupBy("flag")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.collect()[0]["count"] > 0
