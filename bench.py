@@ -82,6 +82,7 @@ HEADLINE = [
     "agg_median_abs_deviation",
     "events_zscore_anomaly",
     "quantile_binning_decile",
+    "dq_expectations_orders",
 ]
 
 

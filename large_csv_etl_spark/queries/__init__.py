@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     approx,
+    quality,
     dedup,
     etl,
     events,
@@ -43,6 +44,7 @@ from . import (
 
 _MODULES = [
     etl,
+    quality,
     temporal,
     relational,
     windows,
@@ -78,7 +80,9 @@ GRADED_PRIORITY = [
     "text_vocab_per_doc",
     "text_top_terms",
     "text_quality_score",
-    "text_lang_stats",
+    # data-quality expectation suite (new; lang_stats rotates out,
+    # still oracled + mimic-verified)
+    "dq_expectations_orders",
     "text_fingerprint",
     "text_langid_heuristic",
     "text_bpe_token_estimate",
