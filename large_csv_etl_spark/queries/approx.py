@@ -264,3 +264,64 @@ def quantile_binning_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("hi"),
         )
     )
+
+
+@_q(
+    "agg_weighted_median",
+    """
+    WITH wrows AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, price, w,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag
+                               ORDER BY price, w
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+      FROM wrows
+    )
+    SELECT l_returnflag,
+           MIN(price) AS weighted_median,
+           MIN(total) AS total_weight
+    FROM cum
+    WHERE 2 * cw >= total
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose cumulative
+    weight reaches half the group's total — computed with a running-sum
+    window over the value order, all in BIGINT (quantities are integral),
+    so the threshold test ``2*cw >= total`` is exact integer arithmetic
+    with no float ties. One partitioned sort-window per group; at 100 TB
+    this is the exact form — the sketch form swaps the window for a
+    weighted KLL sketch."""
+    from pyspark.sql import Window
+
+    wrows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = wrows.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wcum).cast("bigint").alias("cw"),
+        F.sum("w").over(wtot).cast("bigint").alias("total"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.min("total").alias("total_weight"),
+        )
+    )
