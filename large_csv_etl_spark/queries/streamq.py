@@ -172,3 +172,26 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(dedup_stream(twice), name, ckpt, output_mode="append").select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@_q("streaming_user_totals")  # rows-only: float accumulation order is
+# engine/batch specific, so there is no cross-engine value oracle; the
+# batch-parity equality (counts exact, sums to 1e-6) is pinned in
+# tests/test_streaming.py
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``applyInPandasWithState`` custom stateful operator surfaced as
+    a registry entry: running per-user totals held in explicit group state
+    (two scalars per user — bounded), drained with ``availableNow``. This
+    is the extension point for stateful logic the built-in windowed
+    operators can't express; here it doubles as the smoke check that the
+    Arrow state path works under the external driver's vanilla session."""
+    from ..streaming import read_events_stream, run_bounded, user_totals_stream
+
+    name = f"stream_totals_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_totals_")
+    return run_bounded(
+        user_totals_stream(read_events_stream(spark, sf_dir, glob="events.parquet")),
+        name,
+        ckpt,
+        output_mode="update",
+    )
