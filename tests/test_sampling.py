@@ -90,3 +90,20 @@ def test_pack_sequences_block_invariants(spark):
         total = sum(r.n_tokens for r in docs)
         last_end = max(r.seq_id * 2048 + r.seq_offset + r.n_tokens for r in docs)
         assert last_end == total
+
+
+def test_split_train_val_test_rates_and_exhaustiveness(spark):
+    from large_csv_etl_spark.queries.sampling import QUERIES
+
+    rows = QUERIES["sample_split_train_val_test"](spark, SF_DIR_MID).collect()
+    totals = {}
+    for r in rows:
+        totals[r.split] = totals.get(r.split, 0) + r.n_docs
+    n = sum(totals.values())
+    # every document is assigned to exactly one split
+    docs = spark.read.parquet(f"{SF_DIR_MID}/documents.parquet").count()
+    assert n == docs
+    # md5 buckets approximate the 204/26/26-of-256 design rates
+    assert abs(totals["train"] / n - 204 / 256) < 0.05
+    assert abs(totals["val"] / n - 26 / 256) < 0.03
+    assert abs(totals["test"] / n - 26 / 256) < 0.03
