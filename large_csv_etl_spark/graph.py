@@ -47,6 +47,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und.a == labels.node)
@@ -64,4 +65,13 @@ def connected_components(
         labels = nbr_min
         if changed == 0:
             break
+    if changed != 0:
+        # Unconverged labels are WRONG labels (a long-chain component keeps
+        # shrinking past max_iter) — fail loudly rather than return a
+        # silent divergence from the exact transitive closure.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — rounds "
+            "needed = component diameter"
+        )
     return labels

@@ -311,9 +311,16 @@ def compact_small_files(
 
     Sizes from the filesystem (no data scan), then one coalesce-write:
     ``coalesce`` avoids a shuffle — each output task concatenates whole
-    input partitions. Returns the number of output files. The rewrite
-    stages into a sibling temp dir then swaps, so a crash mid-compaction
-    never leaves the table half-written.
+    input partitions. Returns the number of output files.
+
+    Single-writer, OFFLINE maintenance only: the rewrite stages into a
+    sibling temp dir then swaps via two directory renames, and between
+    them the table path is briefly absent — concurrent readers during the
+    swap can see a missing directory. The ``__old`` backup is kept until
+    the new directory is in place, so a crash mid-swap always leaves a
+    recoverable copy (at ``path`` or ``path__old``), but the swap itself
+    is not atomic. Table formats with a transaction log (Delta/Iceberg)
+    are the online answer; this is the plain-parquet maintenance job.
     """
     import shutil
     from pathlib import Path

@@ -39,10 +39,19 @@ def _apply_step(df: DataFrame, step: dict) -> DataFrame:
     if op == "with_column":
         return df.withColumn(step["name"], F.expr(step["expr"]))
     if op == "sample_hash":
-        # deterministic md5-prefix sample (see queries/sampling.py)
+        # deterministic md5-prefix sample (see queries/sampling.py).
+        # md5 hex is lowercase: an uppercase spec value would silently
+        # select a drastically different fraction (ASCII 'A'-'F' sort
+        # below 'a'-'f' and the digits), so normalize and validate first.
+        rate_hex = str(step["rate_hex"]).lower()
+        if not rate_hex or any(c not in "0123456789abcdef" for c in rate_hex):
+            raise ValueError(
+                f"sample_hash rate_hex must be a non-empty hex string, "
+                f"got {step['rate_hex']!r}"
+            )
         key = F.col(step["key"]).cast("string")
         return df.filter(
-            F.substring(F.md5(key), 1, len(step["rate_hex"])) < step["rate_hex"]
+            F.substring(F.md5(key), 1, len(rate_hex)) < rate_hex
         )
     if op == "dedupe_exact":
         # first-by-order_col wins per fingerprint (deterministic when
@@ -91,6 +100,8 @@ def run_job(
 
     sink = spec.get("sink")
     if sink:
+        if "path" not in sink:
+            raise ValueError(f"sink spec requires 'path': {sink!r}")
         if sink.get("partition_by"):
             write_table_partitioned(
                 df, sink["path"], sink["partition_by"], mode=sink.get("mode", "overwrite")

@@ -60,87 +60,79 @@ _MODULES = [
     multimodal,
 ]
 
-# First 50 = the driver's grading window. Families the earlier rounds never
-# got verdicts on (ETL transform core, temporal joins, the whole
-# text/dedup/similarity/multimodal LLM suite) come first; families with 8
-# green rows in CORRECTNESS_r02 (windows, scalars) keep 3 representatives
-# each and rotate the rest past the window.
+# First 50 = the driver's grading window. Round-4 rotation: rounds 1-3
+# banked 65+ distinct green verdicts (see CORRECTNESS_r0{1,2,3}.json), so
+# everything green last round rotates OUT (still oracled + mimic-verified)
+# and the window fills with (a) the round-3 ERR fix
+# (embedding_quantize_int8 — scalar digests replace the array column the
+# harness could not hash) and (b) 49 oracled entries that have NEVER had a
+# driver verdict: the remaining TPC-H shapes, profiling/FK/skew/robust
+# stats, window/setop/scalar variants, cohort/funnel event analytics, and
+# the rest of the text/dedup/sampling/streaming LLM suite.
 GRADED_PRIORITY = [
-    # reference ETL core + upsert (first-ever driver verdict for F1-F5/P1-P5)
-    "etl_transform_parity",
-    "etl_upsert_last_write_wins",
-    # temporal joins (new round 3)
-    "asof_join_latest_order",
-    "range_join_follower_events",
-    # new aggregation shapes (round 3)
-    "grouping_sets_status_priority",
-    "agg_median_by_status",
-    # text analysis (9)
-    "text_token_counts",
-    "text_vocab_per_doc",
-    "text_top_terms",
-    "text_quality_score",
-    # data-quality expectation suite (new; lang_stats rotates out,
-    # still oracled + mimic-verified)
-    "dq_expectations_orders",
-    "text_fingerprint",
-    "text_langid_heuristic",
-    "text_bpe_token_estimate",
-    "text_repetition_ratio",
-    # dedup (4 oracled)
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_embedding_neardup",
-    # similarity (2 oracled)
-    "sim_cosine_topk",
-    "sim_norms",
-    # multimodal (3)
-    "multimodal_payload_stats",
-    "multimodal_decoded_dims",
-    "multimodal_frame_index",
-    # event analytics (6 — includes the two round-2 hash-fail fixes)
-    "events_hourly_tumbling",
-    "events_json_props",
-    "events_sessionization",
-    "events_type_pivot",
-    "events_daily_active_users",
-    "events_sliding_window",
-    # quantiles
-    "quantiles_exact",
-    # window representative (running frame; rank variants rotate out,
-    # still oracled + mimic-verified)
-    "window_running_spend",
-    # streaming stateful dedup under forced duplicate delivery (new)
-    "streaming_dedup_exact",
-    # deterministic hash sampling (new round 3)
-    "sample_hash_uniform",
-    # scalar representatives (reference-parity rounding / arrays)
-    "scalar_round_2dp",
-    # training-sequence packing (new; array functions rotate out)
-    "sample_pack_sequences",
-    # Q17 correlated-subquery shape (new round 3)
-    "q17_small_quantity_revenue",
-    # set-op / sort representatives
-    "setop_except_nations",
-    "sort_limit_top_orders",
-    # streaming path under the oracle gate (new round 3)
-    "streaming_hourly_tumbling",
-    # relational / TPC-H-shaped representatives (q1/q3 + validation_counts;
-    # the other green-in-r02 TPC-H shapes rotate past the window — they
-    # stay oracled and mimic-verified)
-    "validation_counts",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "join_left_anti_semi",
-    # round-3 new families, in place of rotated TPC-H reps: quantization,
-    # time-series fill, int8 ANN, decontamination, mixture composition
+    # round-3 ERR -> fixed this round; must re-grade first
     "embedding_quantize_int8",
-    "events_daily_gap_fill",
-    "sim_quantized_topk",
-    "dedup_eval_decontamination",
-    "sample_mixture_weighted",
+    # perf-fixed this round (14.3 s -> one array-form percentile agg)
+    "quantile_binning_decile",
+    # one green-in-r3 representative per remaining family stays in-window
+    # (fresh per-round verdict guards regressions in the flagship paths)
+    "etl_transform_parity",
+    "dq_expectations_orders",
+    "asof_join_latest_order",
+    "multimodal_payload_stats",
+    # setops family rep that ALSO has no verdict yet
+    "setop_intersect_nations",
+    # TPC-H shapes never yet graded
+    "q2_min_cost_per_type",
+    "q4_order_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_by_delay",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q21_sole_late_supplier",
+    "q22_idle_rich_customers",
+    "subquery_scalar_above_avg",
+    # aggregation / grouping shapes
+    "agg_having",
+    "rollup_order_priority",
+    "count_distinct_exact",
+    "agg_variance_exact",
+    # joins
+    "join_outer_null_handling",
+    "join_null_safe_eq",
+    # profiling / integrity / skew / robust stats
+    "profile_orders_columns",
+    "fk_orphan_counts",
+    "skew_salted_flag_rollup",
+    "agg_winsorized_mean",
+    "agg_iqr_outliers",
+    "agg_median_abs_deviation",
+    "agg_weighted_median",
+    # window variants
+    "window_topk_orders_per_customer",
+    "window_rank_variants",
+    # scalar function surfaces
+    "scalar_pii_mask",
+    # event analytics (cohort/funnel/anomaly)
+    "events_cohort_retention",
+    "events_funnel_ordered",
+    "events_zscore_anomaly",
+    # LLM-suite entries still without verdicts
+    "text_chunk_documents",
+    "text_idf_score",
+    "dedup_incremental_exact",
+    "sample_split_train_val_test",
+    "streaming_sessionization",
 ]
 
 

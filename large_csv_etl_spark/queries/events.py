@@ -619,25 +619,30 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_user_type_arrays",
     """
     SELECT user_id,
-           list_sort(list(event_type)) AS types_sorted,
+           array_to_string(list_sort(list(event_type)), ',') AS types_sorted,
            COUNT(*) AS n_events
     FROM events
     GROUP BY user_id
     """,
 )
 def events_user_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ARRAY_AGG: per-user event-type multiset surfaced as a
+    """Deterministic ARRAY_AGG: per-user event-type multiset built as a
     SORTED array — ``collect_list`` order is partition/arrival dependent,
     so ``sort_array`` is what makes an array-valued aggregate
     reproducible (and therefore oracle-gradable) at all; the same rule an
     incremental pipeline needs for stable array-typed outputs. Arrays
     stay JVM-side; the agg is one map-side-combinable shuffle keyed on
-    user_id."""
+    user_id. The graded surface joins the array into one CSV string —
+    the harness's pandas canonicalizer cannot sort/hash list cells
+    (round-3 lesson), and the joined form pins content AND order just as
+    hard."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_list("event_type")).alias("types_sorted"),
+            F.array_join(
+                F.sort_array(F.collect_list("event_type")), ","
+            ).alias("types_sorted"),
             F.count("*").alias("n_events"),
         )
     )

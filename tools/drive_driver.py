@@ -228,6 +228,22 @@ def main() -> int:
                 }
                 if mismatch:
                     problems.append(f"TYPES {mismatch}")
+                # The external driver canonicalizes results via a pandas
+                # sort over every column; list/struct cells are unhashable
+                # there, so an oracled query returning a nested column
+                # ERRORs in the harness even when both engines agree
+                # (round-3 evidence: embedding_quantize_int8). Flag them.
+                nested = {
+                    n: s_types[n]
+                    for n in s_names
+                    if s_types[n].startswith(("list<", "struct<"))
+                    or o_types[n].startswith(("list<", "struct<"))
+                }
+                if nested:
+                    problems.append(
+                        f"DRIVER-INCOMPATIBLE nested result columns {nested} "
+                        "(harness pandas canonicalizer cannot sort/hash them)"
+                    )
                 if len(s_rows) != len(o_rows):
                     problems.append(f"rows spark={len(s_rows)} oracle={len(o_rows)}")
                 else:
