@@ -83,6 +83,9 @@ HEADLINE = [
     "events_zscore_anomaly",
     "quantile_binning_decile",
     "dq_expectations_orders",
+    "embedding_centroid_assign",
+    "dedup_ngram_containment",
+    "sample_negative_pairs",
 ]
 
 

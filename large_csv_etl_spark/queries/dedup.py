@@ -684,3 +684,72 @@ def dedup_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hit.cast("double") / F.count("*")).alias("contamination_rate"),
         )
     )
+
+
+@_q(
+    "dedup_ngram_containment",
+    rf"""
+    WITH sh0 AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+            FROM documents WHERE TRIM(text) <> '') t
+      WHERE len(toks) >= 3
+    ), df AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), sh AS (
+      SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN df USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.6
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: trigram CONTAINMENT >= 0.6 — the quote /
+    subset-document detector. Jaccard misses a short document wholly
+    embedded in a long one (the union term dilutes the score); containment
+    |A intersect B| / min(|A|, |B|) is the standard curation metric for
+    "one of these is inside the other" (quotes, boilerplate wrappers,
+    excerpt pages). Same posting-list candidate generation and DF cap as
+    dedup_ngram_jaccard — cost stays sum(freq^2) over capped shingles,
+    never |docs|^2 — with one final exact integer ratio. The two metrics
+    share everything up to the last expression, so at 100 TB both run off
+    one shingle shuffle when composed."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    sh = shingle_rows(docs)
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+    )
+    sizes = buckets.select(F.explode("docs").alias("doc_id")).groupBy(
+        "doc_id"
+    ).agg(F.count("*").alias("n_sh"))
+    pairs = (
+        _posting_list_pairs(buckets.filter(F.size("docs") >= 2))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont = F.col("n_shared").cast("double") / F.least(
+        F.col("sa.n_sh"), F.col("sb.n_sh")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.6)
+    )

@@ -323,3 +323,66 @@ def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@_q(
+    "sample_negative_pairs",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS hh,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bkt
+      FROM documents
+    ), l AS (
+      SELECT doc_id,
+             LEAD(doc_id, 1) OVER (PARTITION BY bkt ORDER BY hh, doc_id) AS n1,
+             LEAD(doc_id, 2) OVER (PARTITION BY bkt ORDER BY hh, doc_id) AS n2
+      FROM h
+    )
+    SELECT doc_id, 1 AS neg_rank, n1 AS neg_doc_id FROM l WHERE n1 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 2 AS neg_rank, n2 AS neg_doc_id FROM l WHERE n2 IS NOT NULL
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document gets k=2 pseudo-random partners — its successors on an
+    md5-hash ring — reproducible across runs/engines with no RNG state.
+    Hash order is statistically independent of any data attribute, so
+    ring successors are as-good-as-random negatives, and the pairing is
+    stable under re-ingestion (a new doc inserts into the ring without
+    re-dealing existing pairs).
+
+    Scale shape: the ring is SEGMENTED by the first hash byte (256
+    buckets), so the ordering window is ``PARTITION BY bucket`` — 256
+    parallel sorts instead of the single-partition global-ORDER-BY window
+    that melts at 100 TB. Segment boundaries lose at most k pairs per
+    bucket (the last k docs of each segment have fewer successors) —
+    256*k pairs total, noise at any real corpus size, in exchange for
+    full parallelism. One window pass, no join, no shuffle beyond the
+    bucket partitioning."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hh = F.md5(F.col("doc_id").cast("string"))
+    h = docs.select(
+        "doc_id", hh.alias("hh"), F.substring(hh, 1, 2).alias("bkt")
+    )
+    w = Window.partitionBy("bkt").orderBy("hh", "doc_id")
+    led = h.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    )
+    long = led.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("neg_rank"), F.col("n1").alias("neg_doc_id")),
+                F.struct(F.lit(2).alias("neg_rank"), F.col("n2").alias("neg_doc_id")),
+            )
+        ).alias("p"),
+    )
+    return long.select("doc_id", "p.neg_rank", "p.neg_doc_id").filter(
+        F.col("neg_doc_id").isNotNull()
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -446,4 +446,99 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", qdot.alias("qdot"))
         .orderBy(F.col("qdot").desc(), "vec_id")
         .limit(10)
+    )
+
+
+@_q(
+    "embedding_centroid_assign",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v6
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, label, unnest(v6) AS val6,
+             generate_subscripts(v6, 1) AS pos
+      FROM v
+    ), cent AS (
+      SELECT label AS clabel, pos,
+             CAST(round(CAST(SUM(val6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cmu
+      FROM ex GROUP BY label, pos
+    ), d AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             CAST(SUM((e.val6 - c.cmu) * (e.val6 - c.cmu)) AS BIGINT) AS d2
+      FROM ex e JOIN cent c ON e.pos = c.pos
+      GROUP BY e.vec_id, e.label, c.clabel
+    ), r AS (
+      SELECT vec_id, label, clabel,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+      FROM d
+    )
+    SELECT label, clabel AS assigned_label, COUNT(*) AS n_vecs
+    FROM r WHERE rn = 1
+    GROUP BY label, clabel
+    """,
+)
+def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment + confusion matrix — the k-means
+    assignment step / prototype-classifier eval in one pass: per-label
+    centroids of the embedding column, every vector assigned to its
+    nearest centroid by squared L2, and the (true label, assigned label)
+    confusion counts out.
+
+    Exactness: float distance sums are partition-order dependent, so
+    everything runs in integer micro-units — each element becomes
+    round(x * 1e6) as BIGINT (the *1e6 product and the round land
+    identically in both engines on exact float32->double promotions), the
+    centroid is the rounded integer mean, and the distance is an exact
+    BIGINT sum of squared differences (|d| <= 2e7 -> d^2 <= 4e14 -> * 64
+    dims well under int64). Argmin ties break on the smaller label —
+    fully deterministic cross-engine.
+
+    Scale shape: centroids are a (labels x dims) table — tiny — built
+    with one posexplode + hash agg whose shuffle carries (label, pos)
+    partial sums, never vectors. Assignment then crossJoins the
+    BROADCAST centroid arrays and evaluates zip_with squared-L2 per
+    (vector, centroid) row-locally: no |corpus|-sized shuffle, no
+    explode of the corpus — the classic 100 TB classify/cluster-assign
+    plan. (The oracle's long-format join is semantically identical; the
+    Spark plan keeps vectors packed.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec6 = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+        ).alias("v6"),
+    )
+    ex = vec6.select(
+        "label", F.posexplode("v6").alias("pos", "val6")
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.round(
+            F.sum("val6").cast("double") / F.count("*")
+        ).cast("bigint").alias("cmu")
+    )
+    cent_arr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cmu"))),
+            lambda s: s["cmu"],
+        ).alias("c6")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v6"), F.col("c6"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dist = vec6.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("clabel").alias("assigned_label"))
+        .agg(F.count("*").alias("n_vecs"))
     )
