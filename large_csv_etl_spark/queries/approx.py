@@ -49,16 +49,28 @@ def _q(name, oracle=None):
 )
 def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (linear interpolation on the sorted
-    values; both engines produce the identical IEEE double)."""
+    values; both engines produce the identical IEEE double). One
+    array-form ``percentile`` shares a single per-group value map across
+    all three cut points (separate scalar calls would each keep their
+    own); ``median`` keeps its own aggregate on purpose — it pins the
+    med == p50 equivalence in the graded output."""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
-            F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
-            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+            F.expr(
+                "percentile(o_totalprice, array(0.25, 0.50, 0.75))"
+            ).alias("qs"),
             F.median("o_totalprice").alias("med"),
             F.count("*").alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("qs")[0].alias("p25"),
+            F.col("qs")[1].alias("p50"),
+            F.col("qs")[2].alias("p75"),
+            "med",
+            "n",
         )
     )
 
@@ -147,11 +159,20 @@ def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
+    # One array-form percentile: two scalar calls would each keep their
+    # own per-group value->count map (2x agg state — the same cost class
+    # fixed in quantile_binning_decile).
     fences = (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
-            F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.75))"
+            ).alias("qs")
+        )
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("q1"),
+            F.col("qs")[1].alias("q3"),
         )
         .select(
             "l_returnflag",

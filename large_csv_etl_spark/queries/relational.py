@@ -1603,9 +1603,13 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEAST/GREATEST on identical doubles and the mean is the exact
     decimal-sum form."""
     orders = load_table(spark, sf_dir, "orders")
+    # array-form percentile: one shared per-group value map for both cuts
     qs = orders.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+        F.expr("percentile(o_totalprice, array(0.05, 0.95))").alias("qs")
+    ).select(
+        "o_orderpriority",
+        F.col("qs")[0].alias("lo"),
+        F.col("qs")[1].alias("hi"),
     )
     clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
     return (
