@@ -63,7 +63,9 @@ _MODULES = [
 # First 50 = the driver's grading window. Round-4 rotation: rounds 1-3
 # banked 65+ distinct green verdicts (see CORRECTNESS_r0{1,2,3}.json), so
 # everything green last round rotates OUT (still oracled + mimic-verified)
-# and the window fills with (a) the round-3 ERR fix
+# and the window fills with (a) this round's NEW operators (centroid
+# assignment, containment dedup, negative sampling, the stream-stream
+# join) and the round-3 ERR fix
 # (embedding_quantize_int8 — scalar digests replace the array column the
 # harness could not hash) and (b) 49 oracled entries that have NEVER had a
 # driver verdict: the remaining TPC-H shapes, profiling/FK/skew/robust
@@ -93,10 +95,10 @@ GRADED_PRIORITY = [
     "q10_returned_items",
     "q11_important_parts",
     "q12_priority_by_delay",
-    "q13_customer_order_distribution",
+    "sample_negative_pairs",
     "q14_promo_revenue_ratio",
     "q15_top_supplier",
-    "q16_supplier_variety",
+    "streaming_click_attribution",
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
     "q21_sole_late_supplier",
@@ -105,8 +107,8 @@ GRADED_PRIORITY = [
     # aggregation / grouping shapes
     "agg_having",
     "rollup_order_priority",
-    "count_distinct_exact",
-    "agg_variance_exact",
+    "dedup_ngram_containment",
+    "embedding_centroid_assign",
     # joins
     "join_outer_null_handling",
     "join_null_safe_eq",

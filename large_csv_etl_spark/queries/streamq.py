@@ -195,3 +195,49 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt,
         output_mode="update",
     )
+
+
+@_q(
+    "streaming_click_attribution",
+    # batch semantics of the stream-stream interval join: every click
+    # matched to the same user's purchases within the following hour
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    c AS (
+      SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+      FROM ev WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id AS p_user, ts AS purchase_ts, value AS purchase_value
+      FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT click_id, c_user, click_ts, purchase_ts, purchase_value
+    FROM c JOIN p ON c_user = p_user
+                 AND purchase_ts > click_ts
+                 AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-STREAM interval join under the external oracle: clicks
+    joined to the same user's purchases within the following hour
+    (attribution), both sides watermarked, drained with ``availableNow``
+    and value-graded against the equivalent batch join. With tumbling /
+    sliding / session windows, stateful dedup, and the custom
+    applyInPandasWithState operator, this completes the streaming operator
+    matrix — joins were the one stateful family without a driver verdict.
+    The bounded event-time range in the join condition is what lets Spark
+    evict buffered rows at 100 TB/day; an unbounded-condition
+    stream-stream join holds both streams' entire history in state.
+    Purchase values pass through unaggregated, so no float-accumulation
+    caveat applies."""
+    from ..streaming import click_purchase_join_stream, read_events_stream, run_bounded
+
+    name = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_attr_")
+    return run_bounded(
+        click_purchase_join_stream(
+            read_events_stream(spark, sf_dir, glob="events.parquet")
+        ),
+        name,
+        ckpt,
+        output_mode="append",
+    )
