@@ -113,3 +113,47 @@ def etl_upsert_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         order_col=["l_linenumber", "l_quantity", "l_extendedprice"],
     )
+
+
+@_q(
+    "matview_incremental_rollup",
+    # full-rebuild oracle: the merged incremental state must equal a plain
+    # GROUP BY over the whole base table, bit for bit
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*)
+             AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def matview_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance under the external
+    oracle: the base table arrives as three "daily batches"
+    (o_orderkey % 3 — any disjoint split works), each batch contributes a
+    partial aggregate (count + exact DECIMAL sum per key), and the stored
+    state is merged batch-by-batch with ``matview.merge_rollup``. The
+    graded claim: the merged state equals a full rebuild BIT FOR BIT —
+    which holds only because the maintained measures are commutative
+    re-aggregables (count/decimal-sum; averages derived at read time).
+    At 100 TB each refresh costs O(|delta| + |rollup|), never O(|base|) —
+    the reference's reload-everything loop
+    (/root/reference/src/core/db_manager.py:192-248) replaced by a merge
+    that touches only what changed."""
+    from ..matview import build_rollup, finalize_rollup, merge_rollup
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderpriority", "o_orderstatus"]
+    sums = {"sum_price": "o_totalprice"}
+    batches = [
+        orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    state = build_rollup(batches[0], keys, sums)
+    for delta in batches[1:]:
+        state = merge_rollup(state, build_rollup(delta, keys, sums), keys)
+    return finalize_rollup(state, {"avg_price": "sum_price"}).select(
+        "o_orderpriority", "o_orderstatus", "n_rows", "sum_price", "avg_price"
+    )

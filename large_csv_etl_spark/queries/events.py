@@ -646,3 +646,32 @@ def events_user_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@_q("events_wau_sketch_rollup")  # datasketches HLL binary — engine-specific,
+# rows-only; weekly-estimate-vs-exact error bound pinned in tests
+def events_wau_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the incremental distinct pattern at
+    100 TB: per-day HLL sketches (``hll_sketch_agg``, Apache DataSketches
+    binary state) are stored once, then ANY coarser range — here weekly
+    active users — is answered by unioning the daily sketches
+    (``hll_union_agg``) without re-touching the base events. This is what
+    ``approx_count_distinct`` alone cannot do: its estimate is terminal,
+    while a persisted sketch column composes (day -> week -> month) and
+    merges across incremental loads, exactly like the decimal partials in
+    matview_incremental_rollup but for DISTINCT. Output: weekly estimate
+    + the number of daily sketches merged."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day_start"))
+        .agg(F.hll_sketch_agg("user_id").alias("day_sketch"))
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", F.col("day_start")).alias("week_start"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("day_sketch")
+            ).alias("wau_estimate"),
+            F.count("*").alias("n_days"),
+        )
+    )

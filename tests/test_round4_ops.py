@@ -85,3 +85,61 @@ def test_negative_pairs_shape_and_determinism(spark):
     # deterministic across runs
     again = fn(spark, SF_DIR_MID).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_wau_sketch_rollup_matches_exact(spark):
+    """Merged daily HLL sketches must estimate weekly actives within 5%
+    of the exact distinct count (DataSketches HLL default lgk=12 gives
+    ~1.6% rsd; 5% is a loose regression fence)."""
+    from large_csv_etl_spark.queries.events import QUERIES as EVENT_QUERIES
+
+    est = {
+        r.week_start: r.wau_estimate
+        for r in EVENT_QUERIES["events_wau_sketch_rollup"](
+            spark, SF_DIR_MID
+        ).collect()
+    }
+    exact_df = (
+        spark.read.parquet(f"{SF_DIR_MID}/events.parquet")
+        .select(
+            F.date_trunc(
+                "week", F.expr("timestamp_micros(ts div 1000)")
+            ).alias("week_start"),
+            "user_id",
+        )
+        .groupBy("week_start")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    exact = {r.week_start: r.wau for r in exact_df.collect()}
+    assert set(est) == set(exact)
+    for wk, e in est.items():
+        assert abs(e - exact[wk]) / exact[wk] < 0.05, (wk, e, exact[wk])
+
+
+def test_matview_merge_equals_full_rebuild(spark):
+    """The graded incremental rollup must be bit-identical to one
+    straight groupBy over the base table (merge order must not matter)."""
+    from large_csv_etl_spark.queries.etl import QUERIES as ETL_QUERIES
+    from large_csv_etl_spark.queries.helpers import DEC
+
+    inc = sorted(
+        map(tuple, ETL_QUERIES["matview_incremental_rollup"](
+            spark, SF_DIR_MID
+        ).collect())
+    )
+    orders = spark.read.parquet(f"{SF_DIR_MID}/orders.parquet")
+    full = sorted(
+        map(
+            tuple,
+            orders.groupBy("o_orderpriority", "o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast(DEC))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .withColumn("avg_price", F.col("sum_price") / F.col("n_rows"))
+            .collect(),
+        )
+    )
+    assert inc == full
