@@ -51,13 +51,16 @@ def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one driver test table.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos
-    as int64 (legacy conf) and rebuild a micros TimestampType with integer
-    division (``div`` — a double division would lose precision above 2^53,
-    and epoch-nanos are ~1.7e18). Truncation to micros matches DuckDB's
-    ``CAST(ts_ns AS TIMESTAMP)``, which the event oracles apply, so both
-    engines see bit-identical timestamps.
+    ``events.parquet`` has shipped ``ts`` two ways across driver
+    revisions: parquet TIMESTAMP(NANOS) — which Spark's reader rejects
+    outright (PARQUET_TYPE_ILLEGAL), so it is read as int64 via the legacy
+    conf and rebuilt to a micros TimestampType with integer division
+    (``div`` — a double division would lose precision above 2^53, and
+    epoch-nanos are ~1.7e18) — and plain TIMESTAMP(MICROS) without
+    isAdjustedToUTC, which reads directly as TIMESTAMP_NTZ and needs no
+    rebuild. The dtype gate below handles both. Either way both engines
+    see bit-identical micros timestamps (nanos truncation matches DuckDB's
+    ``CAST(ts_ns AS TIMESTAMP)``).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":

@@ -2,11 +2,12 @@
 pivot. Batch forms here (oracle-comparable); ``large_csv_etl_spark.streaming``
 carries the Structured Streaming variants of the windowed aggregations.
 
-Oracle note: the fixture stores ``ts`` at nanosecond precision. Spark
-timestamps are microseconds, so every oracle below reads events through
-``ev`` = events with ``CAST(ts AS TIMESTAMP)`` (DuckDB ns->us truncation),
-which bit-matches the engine-side ``timestamp_micros(ts div 1000)`` read
-in io.load_table.
+Oracle note: every oracle below reads events through ``ev`` = events with
+``CAST(ts AS TIMESTAMP)``. With the nanos-precision fixture revision this
+is DuckDB's ns->us truncation, bit-matching the engine-side
+``timestamp_micros(ts div 1000)`` rebuild in io.load_table; with the
+micros fixture revision both casts are no-ops. Either way the two engines
+agree at micros precision.
 """
 
 from __future__ import annotations
@@ -108,10 +109,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # Compare at micros (not cast-to-long seconds) so boundary gaps agree
     # exactly with the oracle's `ts - LAG(ts) <= INTERVAL 30 MINUTE`.
-    gap_ok = (
-        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-        <= 1800 * 1_000_000
-    )
+    # unix_micros requires TIMESTAMP; parquet without isAdjustedToUTC reads
+    # as TIMESTAMP_NTZ, and with a UTC session TZ the cast is a pure
+    # reinterpretation (no wall-clock shift).
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_ok = ts_us - F.lag(ts_us).over(w) <= 1800 * 1_000_000
     flagged = df.select(
         "user_id",
         "ts",

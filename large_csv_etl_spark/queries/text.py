@@ -786,3 +786,114 @@ def text_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token_b",
         F.levenshtein(F.col("token_a"), F.col("token_b")).alias("dist"),
     )
+
+
+@_q(
+    "text_bigram_surprisal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS arr
+      FROM documents WHERE TRIM(text) <> ''
+    ), bg AS (
+      SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bigram
+      FROM (
+        SELECT doc_id, arr, UNNEST(generate_series(1, LEN(arr) - 1)) AS i
+        FROM toks WHERE LEN(arr) >= 2
+      )
+    ), cnt AS (
+      SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(1000000000000 // c) AS BIGINT) AS surprisal_fp_sum,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_bigrams
+    FROM bg b JOIN cnt USING (bigram)
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM surprisal proxy per document — the shape of a perplexity
+    filter (train an n-gram LM on the corpus, score each doc, drop the
+    tails) with the LM's log-probability replaced by a fixed-point inverse
+    bigram frequency (``1e12 div count``): a monotone surrogate for
+    unigram-backoff surprisal that needs no libm call, so the sum is exact
+    BIGINT arithmetic in both engines (same log-free determinism contract
+    as text_idf_score). High ``surprisal_fp_sum``/``n_bigrams`` = rare
+    transitions (OOD or noise); ``novel_bigrams`` counts corpus-unique
+    transitions. Bigrams are built per-row from the token array (zip_with
+    of the two slices — no window, no per-doc shuffle); the corpus count
+    table and the per-doc agg are the only two shuffles, both map-side
+    combinable. The bigram-keyed join is stopword-pair skewed, but the
+    payload is one BIGINT and AQE splits hot keys at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    arr = _SPARK_TOKENS(F.lower(F.col("text")))
+    # slice(arr,1,n-1) zip slice(arr,2,n-1): adjacent pairs, empty when n<2
+    bigrams = F.expr(
+        "zip_with(slice(tokens, 1, size(tokens) - 1),"
+        "         slice(tokens, 2, size(tokens) - 1),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    bg = (
+        docs.select("doc_id", arr.alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    cnt = bg.groupBy("bigram").agg(F.count("*").alias("c"))
+    return (
+        bg.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.expr("1000000000000 div c")).cast("bigint").alias(
+                "surprisal_fp_sum"
+            ),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("novel_bigrams"),
+        )
+    )
+
+
+@_q(
+    "text_bpe_pair_counts",
+    r"""
+    WITH words AS (
+      SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS w
+      FROM documents WHERE TRIM(text) <> ''
+    ), pairs AS (
+      SELECT SUBSTR(w, i, 2) AS pair
+      FROM (
+        SELECT w, UNNEST(generate_series(1, LENGTH(w) - 1)) AS i
+        FROM words WHERE LENGTH(w) >= 2
+      )
+    )
+    SELECT pair, COUNT(*) AS freq
+    FROM pairs
+    GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT 40
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, step one: corpus-frequency of every adjacent
+    symbol pair inside words — exactly the statistic the first BPE merge
+    maximizes (counted per occurrence, the standard corpus-weighted form).
+    Explode words -> explode in-word positions -> substr pair -> count.
+    Partial aggregation collapses the pair stream map-side (|alphabet|^2
+    distinct keys — a few hundred rows shuffle regardless of corpus size),
+    then TakeOrderedAndProject keeps the top 40 without a global sort. At
+    100 TB this plan's shuffle is bounded by key cardinality, not data
+    size — the iterative merge loop would re-run this query on re-paired
+    text per merge."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    words = docs.select(
+        F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.expr("substring(w, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(40)
+    )

@@ -20,11 +20,13 @@ from pyspark.sql import functions as F
 
 from .queries.helpers import dsum
 
-# Explicit source schema (streams cannot infer): ts arrives as int64 nanos
-# (the fixture's parquet physical type, read via nanosAsLong) and is
-# rebuilt to a micros TimestampType exactly like io.load_table.
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+# Explicit source schema (streams cannot infer). The events fixture has
+# shipped ``ts`` two ways across driver revisions — int64 TIMESTAMP(NANOS)
+# (readable only via nanosAsLong, then rebuilt to micros) and plain
+# TIMESTAMP(MICROS) without isAdjustedToUTC (read as TIMESTAMP_NTZ) — so
+# the reader probes the static footer and adapts instead of pinning one.
+_EVENTS_STREAM_FIELDS = (
+    "event_id long, ts {ts_type}, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -36,13 +38,35 @@ def read_events_stream(
     files are discovered per micro-batch (the bounded-backfill and
     continuous-ingest cases look identical to the query). ``glob``
     restricts which files in the directory belong to the stream (e.g.
-    ``events.parquet`` inside a mixed-table test-data dir)."""
+    ``events.parquet`` inside a mixed-table test-data dir).
+
+    The ``ts`` event-time column always comes out as a (micros-precision)
+    timestamp regardless of which physical layout the source files use;
+    watermarks and windows downstream never see the difference. The footer
+    probe reads one file's metadata (no data scan) before the stream plan
+    is built — file-source schemas are fixed per query, so this is the
+    one place the layout decision can live."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    probe = spark.read
+    if glob:
+        probe = probe.option("pathGlobFilter", glob)
+    ts_type = dict(probe.parquet(source_dir).dtypes)["ts"]
+    reader = spark.readStream.schema(
+        _EVENTS_STREAM_FIELDS.format(ts_type="long" if ts_type == "bigint" else ts_type)
+    )
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     df = reader.parquet(source_dir)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks accept only TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+        # TYPE otherwise). Pin the session to UTC so the NTZ->LTZ cast is a
+        # pure reinterpretation (no DST, no wall-clock shift) even on a
+        # vanilla session that never set a timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def hourly_tumbling_stream(

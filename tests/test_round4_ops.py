@@ -99,12 +99,12 @@ def test_wau_sketch_rollup_matches_exact(spark):
             spark, SF_DIR_MID
         ).collect()
     }
+    from large_csv_etl_spark.io import load_table
+
     exact_df = (
-        spark.read.parquet(f"{SF_DIR_MID}/events.parquet")
+        load_table(spark, SF_DIR_MID, "events")
         .select(
-            F.date_trunc(
-                "week", F.expr("timestamp_micros(ts div 1000)")
-            ).alias("week_start"),
+            F.date_trunc("week", "ts").alias("week_start"),
             "user_id",
         )
         .groupBy("week_start")
