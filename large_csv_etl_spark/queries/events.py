@@ -709,3 +709,44 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prop_k"),
         v.isNotNull().alias("is_valid_json"),
     )
+
+
+@_q(
+    "events_type_diversity",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           COUNT(*) AS n_types,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+           1 - CAST(SUM(cnt * cnt) AS BIGINT)
+                 / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+               AS simpson_diversity
+    FROM c GROUP BY user_id
+    """,
+)
+def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity via the Gini-Simpson index
+    (1 - sum(p_i^2)) over event-type frequencies — the log-free diversity
+    measure (Shannon entropy needs libm and is order-fragile; Simpson is
+    a rational function of exact counts, so the only float ops are one
+    multiply and one divide on identical values in both engines). Two
+    cascaded hash aggs, both map-side combinable; state per user is five
+    numbers. The same statistic over token counts is the
+    data-diversity gate in a curation pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    n_events = F.sum("cnt").cast("bigint")
+    sum_sq = F.sum(F.col("cnt") * F.col("cnt")).cast("bigint")
+    return c.groupBy("user_id").agg(
+        n_events.alias("n_events"),
+        F.count("*").alias("n_types"),
+        sum_sq.alias("sum_sq"),
+        (
+            F.lit(1)
+            - sum_sq / (n_events.cast("double") * n_events.cast("double"))
+        ).alias("simpson_diversity"),
+    )

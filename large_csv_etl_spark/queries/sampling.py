@@ -386,3 +386,48 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.select("doc_id", "p.neg_rank", "p.neg_doc_id").filter(
         F.col("neg_doc_id").isNotNull()
     )
+
+
+@_q(
+    "sample_export_shards",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM d GROUP BY shard
+    """,
+)
+def sample_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export sharding manifest: each document is
+    assigned to one of 16 shards by the first hex char of md5(doc_id) —
+    engine-portable, reshuffle-stable, and independent of input file
+    layout, so re-running the export after a compaction or backfill
+    yields byte-identical shard membership. Returns the per-shard
+    manifest (doc count, token mass, id range) a downstream trainer uses
+    to size readers; the actual write is ``repartition(shard).write
+    .partitionBy(shard)`` over the same expression — one shuffle, 16
+    balanced output groups (md5 uniformity), no hot shard at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return (
+        docs.select(
+            "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

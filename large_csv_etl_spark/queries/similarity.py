@@ -542,3 +542,65 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("clabel").alias("assigned_label"))
         .agg(F.count("*").alias("n_vecs"))
     )
+
+
+@_q(
+    "embedding_dim_stats",
+    """
+    WITH ex AS (
+      SELECT UNNEST(generate_series(1, LEN(embedding))) AS dim,
+             UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      FROM embeddings
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(30,9))) AS DOUBLE) AS sum_val,
+           CAST(SUM(CAST(v AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS mean_val,
+           ((CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE)
+             - (CAST(SUM(CAST(v AS DECIMAL(30,9))) AS DOUBLE)
+                * CAST(SUM(CAST(v AS DECIMAL(30,9))) AS DOUBLE)) / COUNT(*))
+            / COUNT(*)) AS var_val,
+           MIN(v) AS min_val, MAX(v) AS max_val
+    FROM ex
+    GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding column (count,
+    mean, population variance, min, max) — the drift/collapse monitor a
+    production embedding pipeline runs per batch (a dimension whose
+    variance falls to ~0 signals representation collapse; a mean shift
+    signals encoder drift). posexplode -> one hash agg: the shuffle
+    carries (dim, partial sums), never vectors, so the reduce side is
+    |dim| rows at any corpus size. Sums are exact DECIMAL (scale 9 for
+    values, 12 for squares — a decimal tie needs a fractional part of
+    exactly 5e-10/5e-13, which no binary double has, so both engines
+    round identically), surfaced as DOUBLE; mean and variance are then
+    the same scalar IEEE expressions on identical doubles in both
+    engines. Variance uses the sum-of-squares identity — one pass, no
+    mean-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos0", "v0")).select(
+        (F.col("pos0") + 1).cast("bigint").alias("dim"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(30,9)")).cast("double").alias("sum_val"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("sumsq"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        "sum_val",
+        (F.col("sum_val") / F.col("n")).alias("mean_val"),
+        (
+            (F.col("sumsq") - (F.col("sum_val") * F.col("sum_val")) / F.col("n"))
+            / F.col("n")
+        ).alias("var_val"),
+        "min_val",
+        "max_val",
+    )

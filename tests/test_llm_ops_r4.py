@@ -1,0 +1,84 @@
+"""Round-4 LLM-pipeline operators: bigram surprisal, BPE pair counts,
+embedding dimension stats, export sharding, behavioral diversity. The
+oracle diff covers value parity; these pin the semantic invariants the
+oracle can't express."""
+
+from __future__ import annotations
+
+from large_csv_etl_spark.queries.events import QUERIES as EVENT_QUERIES
+from large_csv_etl_spark.queries.sampling import QUERIES as SAMPLING_QUERIES
+from large_csv_etl_spark.queries.similarity import QUERIES as SIM_QUERIES
+from large_csv_etl_spark.queries.text import QUERIES as TEXT_QUERIES
+
+from .conftest import SF_DIR_MID
+
+
+def test_bigram_surprisal_counts_align_with_tokens(spark):
+    """A doc with n tokens has exactly n-1 bigrams; novelty is bounded by
+    the bigram count; the fixed-point sum is at least novel * 1e12 (every
+    corpus-unique bigram contributes the full 1e12)."""
+    sur = {
+        r.doc_id: r
+        for r in TEXT_QUERIES["text_bigram_surprisal"](spark, SF_DIR_MID).collect()
+    }
+    toks = {
+        r.doc_id: r.n_tokens
+        for r in TEXT_QUERIES["text_token_counts"](spark, SF_DIR_MID).collect()
+    }
+    assert sur, "no documents scored"
+    for doc_id, r in sur.items():
+        assert r.n_bigrams == toks[doc_id] - 1
+        assert 0 <= r.novel_bigrams <= r.n_bigrams
+        assert r.surprisal_fp_sum >= r.novel_bigrams * 1_000_000_000_000
+
+
+def test_bpe_pair_counts_shape(spark):
+    """Top pairs are 2-char strings in non-increasing frequency order."""
+    rows = TEXT_QUERIES["text_bpe_pair_counts"](spark, SF_DIR_MID).collect()
+    assert len(rows) == 40
+    assert all(len(r.pair) == 2 for r in rows)
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    assert freqs[-1] > 0
+
+
+def test_embedding_dim_stats_invariants(spark):
+    """Every dimension sees the whole corpus; moments are consistent."""
+    rows = SIM_QUERIES["embedding_dim_stats"](spark, SF_DIR_MID).collect()
+    n_vecs = spark.read.parquet(f"{SF_DIR_MID}/embeddings.parquet").count()
+    dims = sorted(r.dim for r in rows)
+    assert dims == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.n == n_vecs
+        assert r.min_val <= r.mean_val <= r.max_val
+        # sum-of-squares identity can go epsilon-negative, never materially
+        assert r.var_val >= -1e-9
+        assert r.var_val <= (r.max_val - r.min_val) ** 2
+
+
+def test_export_shards_partition_the_corpus(spark):
+    """16 hex shards, disjoint and exhaustive over documents; token mass
+    matches the corpus total."""
+    rows = SAMPLING_QUERIES["sample_export_shards"](spark, SF_DIR_MID).collect()
+    assert sorted(r.shard for r in rows) == sorted("0123456789abcdef")
+    n_docs = spark.read.parquet(f"{SF_DIR_MID}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    total_tokens = sum(r.total_tokens for r in rows)
+    toks = TEXT_QUERIES["text_token_counts"](spark, SF_DIR_MID).collect()
+    assert total_tokens == sum(r.n_tokens for r in toks)
+
+
+def test_type_diversity_bounds(spark):
+    """Simpson diversity lies in [0, 1); 0 iff single-type users; counts
+    cover every user exactly once."""
+    rows = EVENT_QUERIES["events_type_diversity"](spark, SF_DIR_MID).collect()
+    from large_csv_etl_spark.io import load_table
+
+    n_users = (
+        load_table(spark, SF_DIR_MID, "events").select("user_id").distinct().count()
+    )
+    assert len(rows) == n_users
+    for r in rows:
+        assert 0 <= r.simpson_diversity < 1
+        assert (r.n_types == 1) == (r.simpson_diversity == 0)
+        assert r.sum_sq >= r.n_events  # sum cnt^2 >= sum cnt
