@@ -86,6 +86,12 @@ HEADLINE = [
     "embedding_centroid_assign",
     "dedup_ngram_containment",
     "sample_negative_pairs",
+    "text_bigram_surprisal",
+    "text_bpe_pair_counts",
+    "embedding_dim_stats",
+    "sample_export_shards",
+    "events_type_diversity",
+    "agg_ols_by_group",
 ]
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .helpers import dsum, sql_dsum
 
 QUERIES = {}
 ORACLES = {}
@@ -349,4 +350,49 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("price").alias("weighted_median"),
             F.min("total").alias("total_weight"),
         )
+    )
+
+
+@_q(
+    "agg_ols_by_group",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (CAST(COUNT(*) AS DOUBLE) * {sql_dsum('l_quantity * l_extendedprice')}
+             - {sql_dsum('l_quantity')} * {sql_dsum('l_extendedprice')})
+           / (CAST(COUNT(*) AS DOUBLE) * {sql_dsum('l_quantity * l_quantity')}
+             - {sql_dsum('l_quantity')} * {sql_dsum('l_quantity')}) AS slope,
+           ({sql_dsum('l_extendedprice')}
+             - ((CAST(COUNT(*) AS DOUBLE) * {sql_dsum('l_quantity * l_extendedprice')}
+                  - {sql_dsum('l_quantity')} * {sql_dsum('l_extendedprice')})
+                / (CAST(COUNT(*) AS DOUBLE) * {sql_dsum('l_quantity * l_quantity')}
+                  - {sql_dsum('l_quantity')} * {sql_dsum('l_quantity')}))
+               * {sql_dsum('l_quantity')})
+           / CAST(COUNT(*) AS DOUBLE) AS intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple linear regression per group (price ~ quantity):
+    slope and intercept from the five classical sums — the one-pass,
+    map-side-combinable way to fit millions of per-segment trend lines at
+    100 TB (no solver, no iteration; regr_slope/regr_intercept have
+    engine-specific float accumulation, so the sums here go through the
+    exact-DECIMAL contract and the closing arithmetic is the same IEEE
+    expression tree in both engines). Products are computed in double
+    (one rounding each, identical per row) before the exact decimal sum."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    xy = dsum(F.col("l_quantity") * F.col("l_extendedprice"))
+    xx = dsum(F.col("l_quantity") * F.col("l_quantity"))
+    sx = dsum("l_quantity")
+    sy = dsum("l_extendedprice")
+    nd = F.count("*").cast("double")
+    slope = (nd * xy - sx * sy) / (nd * xx - sx * sx)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / nd).alias("intercept"),
     )

@@ -97,3 +97,43 @@ def test_dynamic_partition_pruning_fires_on_star_join(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert j.collect()[0]["count"] > 0
+
+
+def test_runtime_bloom_filter_injected_on_selective_dim_join(spark, sf_dir):
+    """When the dim side carries a selective filter and the join must
+    shuffle (no broadcast), Catalyst injects a runtime bloom filter that
+    pre-filters the fact scan BEFORE the exchange — the 100 TB pattern
+    that turns a full-fact shuffle into a shuffle of matching rows only.
+    Pinned here so a conf regression can't silently drop it."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true"
+        # force the shuffle-join path and let the small fixture qualify
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
