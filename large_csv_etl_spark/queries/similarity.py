@@ -604,3 +604,52 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+@_q(
+    "sim_filtered_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    gate AS (
+      SELECT doc_id FROM documents
+      WHERE TRIM(text) <> '' AND n_chars >= 200
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(CAST(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6)
+               AS cos_sim
+      FROM embeddings e JOIN gate g ON e.vec_id = g.doc_id, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the RAG retrieval shape): top-10
+    cosine neighbors restricted to documents passing a quality gate
+    (non-empty, >= 200 chars), joined 1:1 on doc_id = vec_id. The gate is
+    a SEMI join applied BEFORE scoring — at 100 TB the filter prunes the
+    scored set the same way an ANN index's metadata filter does, and the
+    semi join ships only ids, never text or vectors. Scoring and top-k
+    mirror sim_cosine_topk (fold-in-double, 6dp round,
+    TakeOrderedAndProject)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    gate = docs.filter(
+        (F.trim(F.col("text")) != "") & (F.col("n_chars") >= 200)
+    ).select("doc_id")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(gate, emb.vec_id == gate.doc_id, "semi")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

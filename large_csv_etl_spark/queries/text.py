@@ -897,3 +897,37 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(40)
     )
+
+
+@_q("graph_token_pagerank")  # iterative float fixpoint — rows-only check
+def graph_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-importance ranking: PageRank over the directed bigram graph
+    (edge token_a -> token_b when the pair is adjacent in some document).
+    The graph-analytics face of the text suite — hub/authority tokens
+    surface shared boilerplate and template skeletons that raw frequency
+    misses (a token can be rare overall yet central to the transition
+    structure). Edge building is linear in corpus size (per-row zip_with
+    bigrams, then distinct); the iteration cost depends only on |vocab|
+    and |distinct bigrams|. Top 50 by rank, 6dp — float fixpoint, so
+    rows-only (the invariants are pinned in pytest)."""
+    from ..graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    arr = _SPARK_TOKENS(F.lower(F.col("text")))
+    pairs = F.expr(
+        "zip_with(slice(tokens, 1, size(tokens) - 1),"
+        "         slice(tokens, 2, size(tokens) - 1),"
+        "         (a, b) -> struct(a as src, b as dst))"
+    )
+    edges = (
+        docs.select(arr.alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.src", "p.dst")
+    )
+    ranks = pagerank(edges, n_iter=10)
+    return (
+        ranks.select(F.col("node").alias("token"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "token")
+        .limit(50)
+    )

@@ -82,3 +82,57 @@ def test_type_diversity_bounds(spark):
         assert 0 <= r.simpson_diversity < 1
         assert (r.n_types == 1) == (r.simpson_diversity == 0)
         assert r.sum_sq >= r.n_events  # sum cnt^2 >= sum cnt
+
+
+def test_filtered_topk_respects_gate(spark):
+    """Every returned neighbor passes the quality gate, and scores are a
+    subset-consistent restriction of the unfiltered ranking (no filtered
+    score can beat the unfiltered top score)."""
+    rows = SIM_QUERIES["sim_filtered_topk"](spark, SF_DIR_MID).collect()
+    assert len(rows) == 10
+    from large_csv_etl_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    ok_ids = {
+        r.doc_id
+        for r in load_table(spark, SF_DIR_MID, "documents")
+        .filter((F.trim(F.col("text")) != "") & (F.col("n_chars") >= 200))
+        .select("doc_id")
+        .collect()
+    }
+    assert all(r.vec_id in ok_ids for r in rows)
+    top_unfiltered = SIM_QUERIES["sim_cosine_topk"](spark, SF_DIR_MID).collect()
+    assert rows[0].cos_sim <= top_unfiltered[0].cos_sim + 1e-9
+
+
+def test_token_pagerank_is_a_distribution(spark):
+    """Full rank vector sums to ~1; top-50 output is rank-sorted and
+    deterministic across runs (fixed iteration count, rounded scores)."""
+    from large_csv_etl_spark.graph import pagerank
+    from large_csv_etl_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR_MID, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = F.expr(
+        "zip_with(slice(tokens, 1, size(tokens) - 1),"
+        "         slice(tokens, 2, size(tokens) - 1),"
+        "         (a, b) -> struct(a as src, b as dst))"
+    )
+    edges = (
+        docs.select(arr.alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.src", "p.dst")
+    )
+    ranks = pagerank(edges, n_iter=10)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
+    top = TEXT_QUERIES["graph_token_pagerank"](spark, SF_DIR_MID).collect()
+    assert len(top) == min(50, ranks.count())
+    vals = [r.rank for r in top]
+    assert vals == sorted(vals, reverse=True)
+    again = TEXT_QUERIES["graph_token_pagerank"](spark, SF_DIR_MID).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in again]
