@@ -116,3 +116,48 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("frame_idx", "frame_bytes"),
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, scale_fp long"
+)
+
+
+def resize_payloads(df: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-fit resize planning in the SAME Arrow batch as decode — the
+    shape of a real preprocessing stage (decode + resize in one Python
+    roundtrip, no intermediate materialization). The stub computes output
+    dimensions in integer fixed-point (micro-units) so the Python batch
+    path is exactly reproducible by closed-form SQL: no float division
+    anywhere, hence no engine-rounding to reconcile. A real pipeline
+    swaps the two inner functions for PIL decode + Image.resize; the
+    batch contract (schema, alignment, partitioning) does not change."""
+
+    def decode_stub(payload: bytes) -> tuple[int, int]:
+        n = len(payload)
+        return 16 + (n % 240), 16 + ((n // 7) % 240)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = decode_stub(p)
+                scale_fp = min(target * 1_000_000 // w, target * 1_000_000 // h)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        max(1, w * scale_fp // 1_000_000),
+                        max(1, h * scale_fp // 1_000_000),
+                        scale_fp,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_w", "out_h", "scale_fp"],
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)

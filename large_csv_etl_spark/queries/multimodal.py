@@ -93,3 +93,76 @@ def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.sum(F.octet_length("frame_bytes")).alias("total_frame_bytes"),
     )
+
+
+@_q(
+    "multimodal_resize_dims",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             16 + (octet_length(encode(text)) % 240) AS w,
+             16 + ((octet_length(encode(text)) // 7) % 240) AS h
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w, h,
+             LEAST(224000000 // w, 224000000 // h) AS scale_fp
+      FROM d
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(GREATEST(1, w * scale_fp // 1000000) AS INT) AS out_w,
+           CAST(GREATEST(1, h * scale_fp // 1000000) AS INT) AS out_h,
+           CAST(scale_fp AS BIGINT) AS scale_fp
+    FROM s
+    """,
+)
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + aspect-fit-resize planning in one Arrow batch
+    (mapInPandas), oracle-verified: integer fixed-point scaling means the
+    Python stage's output is reproducible by closed-form SQL, so the
+    grade proves batch alignment through a TWO-step in-Python pipeline
+    (decode feeding resize), not just a single map."""
+    from ..multimodal import resize_payloads
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_payloads(attach_payload(docs))
+
+
+@_q(
+    "multimodal_audio_windows",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             octet_length(encode(text)) // 2 AS n_samples
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(n_samples * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN n_samples = 0 THEN 0
+                     WHEN n_samples < 400 THEN 1
+                     ELSE 1 + (n_samples - 400) // 160 END AS BIGINT)
+             AS n_windows
+    FROM a
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-sampling manifest: treat the payload as 16-bit mono PCM
+    at 16 kHz and compute the 25 ms / 10 ms hop window count per clip —
+    the STFT/fbank indexing pass that precedes any real DSP, as pure JVM
+    integer arithmetic (the decoder stays stubbed; the window algebra is
+    the part a 100 TB pipeline runs on every clip)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_payload(docs)
+    n_samples = (F.col("meta.n_bytes") / 2).cast("bigint")
+    win, hop = 400, 160
+    n_windows = (
+        F.when(n_samples == 0, 0)
+        .when(n_samples < win, 1)
+        .otherwise(1 + F.floor((n_samples - win) / hop))
+        .cast("bigint")
+    )
+    return payloads.select(
+        "doc_id",
+        n_samples.alias("n_samples"),
+        F.floor(n_samples * 1000 / 16000).cast("bigint").alias("duration_ms"),
+        n_windows.alias("n_windows"),
+    )

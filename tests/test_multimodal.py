@@ -43,3 +43,29 @@ def test_frame_sampling_conserves_bytes(spark):
         .filter(F.col("reassembled") != F.col("orig"))
     )
     assert check.count() == 0
+
+
+def test_resize_is_aspect_fit(spark):
+    """Output dims never exceed the 224 target, scale is the binding
+    dimension's, and aspect ratio is preserved to fixed-point tolerance."""
+    from large_csv_etl_spark.multimodal import resize_payloads
+
+    p = attach_payload(load_table(spark, SF_DIR, "documents"))
+    rows = resize_payloads(p, target=224).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.out_w <= 224 and 1 <= r.out_h <= 224
+        assert max(r.out_w, r.out_h) >= 220  # binding dim lands near target
+        # fixed-point scale applied to both dims identically
+        assert r.out_w == max(1, r.width * r.scale_fp // 1_000_000)
+        assert r.out_h == max(1, r.height * r.scale_fp // 1_000_000)
+
+
+def test_audio_windows_manifest(spark):
+    from large_csv_etl_spark.queries.multimodal import QUERIES as MM
+
+    rows = MM["multimodal_audio_windows"](spark, SF_DIR).collect()
+    for r in rows:
+        assert (r.n_windows == 0) == (r.n_samples == 0)
+        if r.n_samples >= 400:
+            assert r.n_windows == 1 + (r.n_samples - 400) // 160
