@@ -80,7 +80,7 @@ GRADED_PRIORITY = [
     "dq_expectations_orders",
     "asof_join_latest_order",
     "setop_intersect_nations",
-    "multimodal_payload_stats",
+    "multimodal_resize_dims",
     # TPC-H / relational shapes never yet graded (q11/q12/q21/q22 deferred
     # to round 5 — the relational family is already verdict-rich)
     "quantile_binning_decile",
