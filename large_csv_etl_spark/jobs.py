@@ -9,12 +9,14 @@ A job spec is JSON-serializable, so curation pipelines (filter -> dedupe
     spec = {
         "source": {"table": "documents"},          # or {"csv": path} etc.
         "steps": [
-            {"op": "filter", "expr": "TRIM(text) <> ''"},
+            {"op": "quality_gate", "min_tokens": 5},
             {"op": "sample_hash", "key": "doc_id", "rate_hex": "80"},
             {"op": "dedupe_exact", "fingerprint": "md5(lower(trim(text)))"},
-            {"op": "select", "cols": ["doc_id", "source", "text"]},
+            {"op": "dedupe_neardup"},              # SimHash clusters, keep min id
+            {"op": "split", "key": "doc_id"},      # train/val/test 80/10/10
+            {"op": "shard", "key": "doc_id"},      # 16-way export shard
         ],
-        "sink": {"path": "/out/docs", "partition_by": ["source"]},
+        "sink": {"path": "/out/docs", "partition_by": ["split"]},
     }
     run_job(spark, spec, sf_dir)
 
@@ -70,6 +72,50 @@ def _apply_step(df: DataFrame, step: dict) -> DataFrame:
         )
     if op == "repartition":
         return df.repartition(int(step["n"]))
+    if op == "quality_gate":
+        # length gate on whitespace tokens; stamps n_tokens for downstream
+        # steps (budgeting, packing) so the count is computed once
+        text_col = step.get("text_col", "text")
+        min_tokens = int(step.get("min_tokens", 1))
+        n_tokens = F.when(F.trim(F.col(text_col)) == "", 0).otherwise(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        )
+        return df.withColumn("n_tokens", n_tokens).filter(
+            F.col("n_tokens") >= min_tokens
+        )
+    if op == "dedupe_neardup":
+        # SimHash near-dup clusters -> keep the minimum id per cluster.
+        # Pairs come from the exact-banded posting-list join
+        # (queries.dedup.simhash_neardup_pairs); transitive closure via
+        # min-label propagation; survivors selected by ANTI join, so the
+        # payload columns never ride through the dedup shuffles.
+        from .graph import connected_components
+        from .queries.dedup import simhash_neardup_pairs
+
+        id_col = step.get("id_col", "doc_id")
+        pairs = simhash_neardup_pairs(
+            df.select(F.col(id_col).alias("doc_id"), F.col(step.get("text_col", "text")).alias("text"))
+        )
+        clusters = connected_components(pairs, "doc_a", "doc_b")
+        losers = clusters.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(losers, id_col, "anti")
+    if op == "split":
+        # deterministic 80/10/10 train/val/test assignment (md5-prefix
+        # thresholds — self-assigning on ingest, no re-deal on growth)
+        key = F.col(step["key"]).cast("string")
+        bkt = F.substring(F.md5(key), 1, 2)
+        return df.withColumn(
+            step.get("col", "split"),
+            F.when(bkt < "cd", "train").when(bkt < "e7", "val").otherwise("test"),
+        )
+    if op == "shard":
+        # 16-way deterministic export shard (first md5 hex char)
+        key = F.col(step["key"]).cast("string")
+        return df.withColumn(
+            step.get("col", "shard"), F.substring(F.md5(key), 1, 1)
+        )
     raise ValueError(f"unknown job step op: {op!r}")
 
 

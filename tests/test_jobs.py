@@ -42,3 +42,45 @@ def test_dedupe_exact_keeps_first_by_order(spark):
         {"op": "dedupe_exact", "fingerprint": "md5(payload)", "order_col": "id"},
     )
     assert sorted((r.id, r.payload) for r in out.collect()) == [(1, "x"), (3, "y")]
+
+
+def test_full_curation_pipeline_spec(spark, sf_dir, tmp_path):
+    """The LLM-curation composition as ONE declarative spec: quality gate
+    -> near-dup removal -> split assignment -> export sharding -> write.
+    Asserts gate/semantics survive the composition, not just each step."""
+    from pyspark.sql import functions as F
+
+    from large_csv_etl_spark.queries.dedup import simhash_neardup_pairs
+
+    out = str(tmp_path / "curated")
+    spec = {
+        "source": {"table": "documents"},
+        "steps": [
+            {"op": "quality_gate", "min_tokens": 5},
+            {"op": "dedupe_neardup"},
+            {"op": "split", "key": "doc_id"},
+            {"op": "shard", "key": "doc_id"},
+        ],
+        "sink": {"path": out, "partition_by": ["split"]},
+    }
+    df = run_job(spark, spec, sf_dir)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count() > 0
+    assert {"split", "shard", "n_tokens"} <= set(back.columns)
+    # gate respected
+    assert back.filter(F.col("n_tokens") < 5).count() == 0
+    # split values exhaustive, shard is one hex char
+    assert set(r.split for r in back.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    assert all(
+        len(r.shard) == 1 for r in back.select("shard").distinct().collect()
+    )
+    # no surviving near-dup pair among the kept documents
+    kept = back.select("doc_id", "text")
+    assert simhash_neardup_pairs(kept).count() == 0
+    # deterministic: re-run selects identical survivors
+    again = run_job(spark, {**spec, "sink": None}, sf_dir)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in back.collect()
+    )
