@@ -58,3 +58,38 @@ def test_finalize_surfaces_double_and_avg(spark, sf_dir):
     ).first()
     if row is not None:
         assert abs(row.avg_price - row.total_price / row[N_COL]) == 0.0
+
+
+def test_streaming_foreachbatch_maintenance_equals_rebuild(spark, sf_dir, tmp_path):
+    """Stream the base table in single-file micro-batches through
+    foreachBatch merge; the maintained parquet store must be bit-identical
+    to one full rebuild (associative decimal partials)."""
+    from large_csv_etl_spark.matview import build_rollup, finalize_rollup
+    from large_csv_etl_spark.streaming import matview_maintenance_stream
+
+    src = str(tmp_path / "orders_stream")
+    store = str(tmp_path / "rollup_store")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+
+    keys = ["o_orderpriority", "o_orderstatus"]
+    sums = {"sum_price": "o_totalprice"}
+    matview_maintenance_stream(spark, src, store, ckpt, keys, sums)
+
+    maintained = sorted(
+        map(
+            tuple,
+            finalize_rollup(spark.read.parquet(store), {"avg_price": "sum_price"})
+            .collect(),
+        )
+    )
+    rebuilt = sorted(
+        map(
+            tuple,
+            finalize_rollup(
+                build_rollup(base, keys, sums), {"avg_price": "sum_price"}
+            ).collect(),
+        )
+    )
+    assert maintained == rebuilt
