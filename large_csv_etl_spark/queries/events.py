@@ -750,3 +750,33 @@ def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - sum_sq / (n_events.cast("double") * n_events.cast("double"))
         ).alias("simpson_diversity"),
     )
+
+
+@_q(
+    "events_heatmap_hour_dow",
+    f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_dsum('value')} AS total_value
+    FROM ev
+    GROUP BY 1, 2
+    """,
+)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity heatmap (load-pattern /
+    anomaly-baseline view). Output cardinality is fixed at <= 168 cells
+    regardless of input size, so the shuffle after partial aggregation is
+    constant — the ideal 100 TB aggregate. Spark's dayofweek() is 1-7
+    Sunday-first; DuckDB's dow is 0-6 Sunday-first, reconciled with +1."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+    )

@@ -931,3 +931,45 @@ def graph_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "token")
         .limit(50)
     )
+
+
+@_q(
+    "text_length_histogram",
+    r"""
+    WITH t AS (
+      SELECT CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(CASE WHEN n_tokens = 0 THEN 0
+                     ELSE LENGTH(BIN(n_tokens)) END AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM t
+    GROUP BY 1
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram: bucket = bit length of the
+    token count (floor(log2)+1 for n >= 1), computed with the BIN()
+    string builtin in BOTH engines — an integer operation, so no libm
+    log and no float boundary ambiguity. Log-spaced buckets are the
+    right corpus-length view when documents span tweets to books: fixed
+    bucket count at any scale, one map-side-combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(
+        F.size(_SPARK_TOKENS(F.col("text")))
+    )
+    bucket = F.when(n_tokens == 0, 0).otherwise(F.length(F.bin(n_tokens)))
+    return (
+        docs.select(n_tokens.alias("n_tokens"), bucket.cast("bigint").alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
