@@ -321,11 +321,16 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     sign of the classic +/-1 sum, ties -> 0.
     """
     sc = docs.sparkSession.sparkContext
+    # same split-count gate as shingle_rows: up-shuffle only an
+    # under-split scan (single-file local fixture); leave a well-split
+    # cluster scan alone
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        docs = docs.repartition(sc.defaultParallelism)
     # project the 8-byte token hash BEFORE the bitplane aggregates so
     # xxhash64 is evaluated once per token, not once per plane, and the
     # aggregation input carries no strings
     hashed = (
-        docs.repartition(sc.defaultParallelism)
+        docs
         .select(
             "doc_id",
             F.explode(F.split(_norm_text(F.col("text")), r"\s+")).alias("token"),

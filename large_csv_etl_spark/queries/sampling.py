@@ -431,3 +431,58 @@ def sample_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@_q(
+    "export_training_manifest",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang, source, text,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+             SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bkt
+      FROM documents
+    )
+    SELECT d.doc_id,
+           d.lang,
+           d.source,
+           CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           md5(d.text) AS content_md5,
+           CASE WHEN d.bkt < 'cd' THEN 'train'
+                WHEN d.bkt < 'e7' THEN 'val'
+                ELSE 'test' END AS split,
+           SUBSTR(d.bkt, 1, 1) AS shard,
+           CAST(len(e.embedding) AS BIGINT) AS emb_dim
+    FROM d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.n_tokens >= 3
+    """,
+)
+def export_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone export join: one record per training example, ready to
+    write partitioned by (split, shard) — token count, content digest,
+    deterministic split/shard assignment, and the embedding's
+    dimensionality from the 1:1 documents-embeddings join. Everything is
+    a row-local expression except the single equi-join, which at 100 TB
+    co-partitions on the shared key (both tables bucketed or written by
+    the same pipeline); no wide shuffle of text AND vectors together —
+    the embedding side contributes only its dimensionality here."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.size("embedding").cast("bigint").alias("emb_dim")
+    )
+    n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    bkt = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.when(bkt < "cd", "train").when(bkt < "e7", "val").otherwise("test").alias(
+            "split"
+        ),
+        F.substring(bkt, 1, 1).alias("shard"),
+    ).filter(F.col("n_tokens") >= 3)
+    return d.join(emb, d.doc_id == emb.vec_id).drop("vec_id")
