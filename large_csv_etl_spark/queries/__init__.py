@@ -60,18 +60,17 @@ _MODULES = [
     multimodal,
 ]
 
-# First 50 = the driver's grading window. Round-4 rotation (the window is
-# rebuilt each round to maximize CUMULATIVE driver coverage): rounds 1-3
-# banked ~86 distinct verdicts, so everything ever graded rotates OUT
-# (still oracled + mimic-verified every round) except one flagship
-# representative (etl_transform_parity — the reference-parity transform
-# core). The other 49 slots are oracled entries that have NEVER had a
-# driver verdict, including this round's new operators (bigram surprisal,
-# BPE pair counts, embedding dim stats, export shards, Simpson
-# diversity). 11 never-graded entries from families already rich in green
-# verdicts (extra TPC-H shapes, variance/corr, window/sample/text
-# variants) are deferred to round 5 — they sit immediately after the
-# window, still mimic-checked.
+# First 50 = the driver's grading window. The window is rebuilt each
+# round to maximize CUMULATIVE driver coverage: everything ever graded
+# rotates OUT (still oracled + mimic-verified every round) except one
+# flagship representative (etl_transform_parity — the reference-parity
+# transform core) and one rep per family whose never-graded pool is
+# empty. Every other slot is an oracled entry that has NEVER had a
+# driver verdict. Never-graded entries that don't fit sit immediately
+# after the window (the oracled-first sort below), first in line for the
+# next rotation — compute the current deferral list with
+# tools/drive_driver.py + CORRECTNESS_r*.json rather than trusting any
+# hardcoded count here.
 GRADED_PRIORITY = [
     # flagship re-grade: the reference's F1-F5/P1-P5 transform pipeline
     "etl_transform_parity",

@@ -268,27 +268,27 @@ def quantile_binning_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket count and value range (counts differ from n/10 only by
     boundary ties — the exact equal-frequency contract).
 
-    The nine cuts come from ONE array-form ``percentile`` aggregate — nine
-    scalar ``percentile`` calls each maintain their own value->count map
-    over the whole column (9x the aggregation state, serialized between
-    partial and merge; measured 14.3 s -> ~2 s at sf0.1), while the array
-    form shares a single map across all nine quantiles."""
+    The nine cuts come from ``quantiles.exact_quantiles`` — histogram
+    rank localization (two codegen aggs + a tiny targeted fetch) instead
+    of the built-in ``percentile`` aggregate's value->count map, whose
+    single final merge is O(|distinct|) on one core (measured 14.3 s with
+    nine scalar calls, ~4.5 s with the array form, ~1 s localized — and
+    the gap widens with data size since the histogram shuffle is bounded
+    at 64k rows). Bit-identity with the built-in aggregate is pinned in
+    tests, so the oracle is unchanged. The cuts return as driver-side
+    literals, making the binning pass a single literal-predicate scan —
+    no broadcast join at all."""
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    ps = ", ".join(str(p / 10) for p in range(1, 10))
-    cuts = li.agg(
-        F.expr(f"percentile(l_extendedprice, array({ps}))").alias("cs")
-    ).select(*[F.col("cs")[p - 1].alias(f"c{p}") for p in range(1, 10)])
+    from ..quantiles import exact_quantiles
+
+    cuts = exact_quantiles(li, "l_extendedprice", [p / 10 for p in range(1, 10)])
     bucket = F.lit(1)
-    for p in range(1, 10):
-        bucket = bucket + (F.col("l_extendedprice") > F.col(f"c{p}")).cast("int")
-    return (
-        li.crossJoin(F.broadcast(cuts))
-        .groupBy(bucket.cast("bigint").alias("bucket"))
-        .agg(
-            F.count("*").alias("n"),
-            F.min("l_extendedprice").alias("lo"),
-            F.max("l_extendedprice").alias("hi"),
-        )
+    for c in cuts:
+        bucket = bucket + (F.col("l_extendedprice") > F.lit(c)).cast("int")
+    return li.groupBy(bucket.cast("bigint").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
     )
 
 
