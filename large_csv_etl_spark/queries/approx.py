@@ -396,3 +396,44 @@ def agg_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / nd).alias("intercept"),
     )
+
+
+@_q(
+    "agg_mode_by_group",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), r AS (
+      SELECT o_orderpriority, o_orderstatus, cnt,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cnt DESC, o_orderstatus) AS rn
+      FROM c
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value), ties broken lexically so the
+    answer is deterministic in both engines — written as count + top-1
+    window rather than any engine-specific mode() aggregate. The window
+    runs over the REDUCED count table (|groups x domain| rows), never the
+    base data, so the only data-sized cost is one map-side-combinable
+    count."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    c = od.groupBy("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cnt"), F.col("o_orderstatus")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
