@@ -127,6 +127,24 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source (``binaryFile`` format): one row per file with
+    ``(path, modificationTime, length, content: binary)`` — the ingestion
+    path for raw media (images/audio/video) into the multimodal column
+    layout. ``glob`` filters by pattern (e.g. ``*.jpg``). Each file is one
+    row, so this is for many-small-media corpora; the scan parallelizes
+    across files, and downstream ``multimodal.decode_payloads`` /
+    ``resize_payloads`` consume the ``content`` column as the payload.
+    Pair with ``spark.sql.files.maxPartitionBytes`` to balance tasks when
+    file sizes are skewed."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """Raw text-line source: one row per line, ``value: string`` — the
     ingestion path for unstructured corpora (logs, web text) before the

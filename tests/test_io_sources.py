@@ -218,3 +218,34 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[3] == 0.5 and rows[1] is None and rows[2] is None
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
+    """binaryFile ingestion -> multimodal decode: files land as
+    (path, content) rows; the stub decoder consumes the binary content
+    column exactly as it consumes fixture payloads."""
+    from large_csv_etl_spark.io import read_binary_dir
+    from large_csv_etl_spark.multimodal import decode_payloads
+
+    payloads = {f"clip_{i}.bin": bytes(range(i + 1)) * (i + 10) for i in range(5)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "ignore.txt").write_text("not media")
+
+    df = read_binary_dir(spark, str(tmp_path), glob="*.bin")
+    assert df.count() == 5
+    got = {
+        r.path.rsplit("/", 1)[-1]: r.length
+        for r in df.select("path", "length").collect()
+    }
+    assert got == {k: len(v) for k, v in payloads.items()}
+
+    decoded = decode_payloads(
+        df.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    rows = decoded.collect()
+    assert len(rows) == 5
+    assert all(r.width >= 16 and r.height >= 16 for r in rows)
