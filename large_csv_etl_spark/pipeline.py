@@ -128,3 +128,27 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def export_training_dataset(
+    spark, sf_dir: str, out_path: str, min_tokens: int = 3
+) -> None:
+    """Materialize the training-export manifest as a (split, shard)
+    partitioned parquet dataset — the write side of
+    ``export_training_manifest``. One repartition on the partition
+    columns puts each (split, shard) cell in one task (48 cells: 3
+    splits x 16 shards), so the layout lands as one file per cell
+    instead of tasks x cells small files; md5 uniformity keeps cells
+    balanced, and a trainer reads its split/shard by partition pruning
+    alone."""
+    from pyspark.sql import functions as F
+
+    from .queries.sampling import QUERIES as SAMPLING_QUERIES
+
+    manifest = SAMPLING_QUERIES["export_training_manifest"](spark, sf_dir)
+    (
+        manifest.repartition(F.col("split"), F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(out_path)
+    )

@@ -123,3 +123,31 @@ def test_golden_500k_matches_reference_run(spark, tmp_path):
     # differs across engines, so compare with a cent of slack
     assert abs(agg.total - 313_919_271.51) < 0.01
     assert agg.neg is None
+
+
+def test_export_training_dataset_layout(spark, sf_dir, tmp_path):
+    """(split, shard) partitioned export: partition pruning serves a
+    trainer's split/shard read; every cell is a single file; row count
+    matches the manifest."""
+    from pathlib import Path
+
+    from large_csv_etl_spark.pipeline import export_training_dataset
+    from large_csv_etl_spark.queries.sampling import QUERIES as SQ
+
+    out = str(tmp_path / "export")
+    export_training_dataset(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    expect = SQ["export_training_manifest"](spark, sf_dir).count()
+    assert back.count() == expect > 0
+    # partition dirs exist and each cell holds exactly one data file
+    cells = [
+        d for d in Path(out).glob("split=*/shard=*") if d.is_dir()
+    ]
+    assert cells
+    for c in cells:
+        files = [f for f in c.glob("*.parquet")]
+        assert len(files) == 1, (c, files)
+    # partition pruning: reading one split touches only that directory
+    train = spark.read.parquet(out).filter("split = 'train'")
+    got_splits = {r.split for r in train.select("split").distinct().collect()}
+    assert got_splits == {"train"}
