@@ -973,3 +973,45 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@_q(
+    "text_vocab_diversity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), c AS (
+      SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           1 - CAST(SUM(cnt * cnt) AS BIGINT)
+                 / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+               AS simpson_diversity
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_vocab_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity via the Gini-Simpson index over
+    token frequencies — the log-free quality gate for repetitive /
+    keyword-stuffed text (low diversity at high length = TOC-like or
+    generated spam; complements text_repetition_ratio, which looks at
+    adjacent repeats rather than the whole distribution). Exact integer
+    counts; one multiply + one divide in double, identical in both
+    engines. Two cascaded hash aggs, both map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        "doc_id", F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    c = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    n_tok = F.sum("cnt").cast("bigint")
+    sum_sq = F.sum(F.col("cnt") * F.col("cnt")).cast("bigint")
+    return c.groupBy("doc_id").agg(
+        n_tok.alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        (
+            F.lit(1) - sum_sq / (n_tok.cast("double") * n_tok.cast("double"))
+        ).alias("simpson_diversity"),
+    )
