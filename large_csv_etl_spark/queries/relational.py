@@ -1617,3 +1617,99 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"), davg(clipped).alias("winsorized_avg"))
     )
+
+
+@_q(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             {monetary} AS monetary
+      FROM orders GROUP BY o_custkey
+    ), cuts AS (
+      SELECT quantile_cont(frequency, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5) AS m_med
+      FROM rfm
+    )
+    SELECT CAST(CASE WHEN frequency > f_med THEN 1 ELSE 0 END AS BIGINT) AS hi_frequency,
+           CAST(CASE WHEN monetary > m_med THEN 1 ELSE 0 END AS BIGINT) AS hi_monetary,
+           COUNT(*) AS n_customers,
+           MIN(last_order) AS earliest_last_order,
+           MAX(last_order) AS latest_last_order
+    FROM rfm CROSS JOIN cuts
+    GROUP BY 1, 2
+    """.format(monetary=sql_dsum("o_totalprice")),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer frequency/monetary reduced table,
+    median cut points from ``quantiles.exact_quantiles`` (bit-identical
+    to the percentile aggregate, so the DuckDB quantile_cont oracle
+    holds), customers bucketed into the 2x2 hi/lo grid. The quantile
+    pass runs over the REDUCED per-customer table (|customers| rows, not
+    |orders|), and the cut points come back as literals — the final
+    bucketing is a pure map stage, no broadcast join."""
+    from ..quantiles import exact_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    f_med = exact_quantiles(rfm, "frequency", [0.5])[0]
+    m_med = exact_quantiles(rfm, "monetary", [0.5])[0]
+    return rfm.groupBy(
+        F.when(F.col("frequency") > f_med, 1).otherwise(0).cast("bigint").alias(
+            "hi_frequency"
+        ),
+        F.when(F.col("monetary") > m_med, 1).otherwise(0).cast("bigint").alias(
+            "hi_monetary"
+        ),
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.min("last_order").alias("earliest_last_order"),
+        F.max("last_order").alias("latest_last_order"),
+    )
+
+
+@_q(
+    "basket_part_pairs",
+    """
+    WITH baskets AS (
+      SELECT l_orderkey, l_partkey FROM lineitem GROUP BY l_orderkey, l_partkey
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (association-rule support counts): top
+    part pairs appearing in the same order. The pair join is keyed on
+    l_orderkey — co-partitioned, and the blow-up per order is bounded by
+    basket size squared (TPC-H baskets are <= 7 lines), the same
+    bounded-posting-list shape as the dedup candidates. Dedup to distinct
+    (order, part) first so quantity splits don't double-count; top-20 via
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
