@@ -92,6 +92,18 @@ HEADLINE = [
     "sample_export_shards",
     "events_type_diversity",
     "agg_ols_by_group",
+    "sim_filtered_topk",
+    "graph_token_pagerank",
+    "multimodal_resize_dims",
+    "multimodal_audio_windows",
+    "events_heatmap_hour_dow",
+    "text_length_histogram",
+    "agg_mode_by_group",
+    "export_training_manifest",
+    "events_bot_cadence",
+    "text_vocab_diversity",
+    "customer_rfm_segments",
+    "basket_part_pairs",
 ]
 
 

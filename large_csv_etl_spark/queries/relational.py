@@ -1658,6 +1658,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         dsum("o_totalprice").alias("monetary"),
     )
+    # the reduced table is |customers|-bounded and feeds 7 downstream jobs
+    # (two quantile localizations + the final bucketing) — checkpoint it
+    # so orders is scanned once, not once per job
+    rfm = rfm.localCheckpoint()
     f_med = exact_quantiles(rfm, "frequency", [0.5])[0]
     m_med = exact_quantiles(rfm, "monetary", [0.5])[0]
     return rfm.groupBy(
