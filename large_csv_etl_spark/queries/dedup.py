@@ -758,3 +758,78 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", cont.alias("containment"))
         .filter(F.col("containment") >= 0.6)
     )
+
+
+@_q(
+    "dedup_survivor_weights",
+    r"""
+    WITH RECURSIVE pairs AS (
+      {ngram}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+      SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id
+      FROM reach GROUP BY a
+    ), survivors AS (
+      SELECT cluster_id AS doc_id, COUNT(*) AS weight
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.weight, 1) AS BIGINT) AS weight,
+           CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS was_clustered
+    FROM documents d
+    LEFT JOIN labels l ON d.doc_id = l.doc_id
+    LEFT JOIN survivors s ON d.doc_id = s.doc_id
+    WHERE TRIM(d.text) <> ''
+      AND (l.doc_id IS NULL OR l.doc_id = l.cluster_id)
+    """,
+)
+def dedup_survivor_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware sampling weights: the KEPT corpus after near-dup
+    clustering, each survivor carrying its cluster size as a weight —
+    the standard correction when a training mix should remember that a
+    kept document stood for N near-copies (weight-aware samplers upweight
+    it; naive dedup silently down-weights popular content). Survivors =
+    min(doc_id) per trigram-Jaccard cluster; unclustered docs keep
+    weight 1. One anti-join-shaped left join against the |clustered|
+    label table — the corpus never reshuffles."""
+    from ..graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    weights = comp.groupBy("cluster_id").agg(F.count("*").alias("weight"))
+    keep = comp.filter(F.col("doc_id") == F.col("cluster_id")).join(
+        weights, "cluster_id"
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(1).cast("bigint").alias("weight"),
+            F.lit(0).alias("was_clustered"),
+        )
+        .unionByName(
+            keep.select(
+                "doc_id",
+                F.col("weight").cast("bigint"),
+                F.lit(1).alias("was_clustered"),
+            )
+        )
+    )
+
+
+ORACLES["dedup_survivor_weights"] = ORACLES["dedup_survivor_weights"].format(
+    ngram=ORACLES["dedup_ngram_jaccard"]
+)

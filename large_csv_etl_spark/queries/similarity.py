@@ -653,3 +653,67 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@_q(
+    "embedding_norm_outliers",
+    """
+    WITH norms AS (
+      SELECT vec_id,
+             ROUND(SQRT(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+      FROM embeddings
+    ), med AS (
+      SELECT MEDIAN(l2) AS med_l2 FROM norms
+    ), mad AS (
+      SELECT MEDIAN(ABS(n.l2 - m.med_l2)) AS mad_l2
+      FROM norms n CROSS JOIN med m
+    )
+    SELECT COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN ABS(n.l2 - m.med_l2) > 3 * d.mad_l2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           m.med_l2 AS median_norm,
+           d.mad_l2 AS mad_norm
+    FROM norms n CROSS JOIN med m CROSS JOIN mad d
+    GROUP BY m.med_l2, d.mad_l2
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus quality gate: vectors whose L2 norm deviates more
+    than 3 MAD from the median norm — the robust screen for broken
+    encoders, zero vectors, and un-normalized batches before any ANN
+    index build. Norms are the per-row fold (6dp-rounded, the proven
+    sim_norms contract); the median and MAD run over the REDUCED norm
+    column; the final pass compares against two broadcast scalars. All
+    three aggregations are |corpus|-bounded single columns."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", F.round(_norm(F.col("embedding")), 6).alias("l2")
+    )
+    med = norms.agg(F.median("l2").alias("med_l2"))
+    with_med = norms.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.median(F.abs(F.col("l2") - F.col("med_l2"))).alias("mad_l2")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .groupBy("med_l2", "mad_l2")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("l2") - F.col("med_l2"))
+                    > 3 * F.col("mad_l2"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "n_vectors",
+            "n_outliers",
+            F.col("med_l2").alias("median_norm"),
+            F.col("mad_l2").alias("mad_norm"),
+        )
+    )

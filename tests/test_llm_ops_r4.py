@@ -136,3 +136,22 @@ def test_token_pagerank_is_a_distribution(spark):
     assert vals == sorted(vals, reverse=True)
     again = TEXT_QUERIES["graph_token_pagerank"](spark, SF_DIR_MID).collect()
     assert [tuple(r) for r in top] == [tuple(r) for r in again]
+
+
+def test_survivor_weights_conserve_corpus_mass(spark):
+    """Sum of survivor weights equals the non-empty corpus size: dedup
+    reassigns multiplicity, never loses it. Clustered survivors carry
+    weight = cluster size; unclustered docs weight 1."""
+    from large_csv_etl_spark.io import load_table
+    from large_csv_etl_spark.queries.dedup import QUERIES as DQ
+    from pyspark.sql import functions as F
+
+    rows = DQ["dedup_survivor_weights"](spark, SF_DIR_MID).collect()
+    n_docs = (
+        load_table(spark, SF_DIR_MID, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .count()
+    )
+    assert sum(r.weight for r in rows) == n_docs
+    assert all(r.weight >= 1 for r in rows)
+    assert all((r.weight > 1) <= bool(r.was_clustered) for r in rows)
