@@ -265,3 +265,28 @@ def scalar_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_redacted"),
     )
+
+
+@_q(
+    "scalar_hash_functions",
+    """
+    SELECT doc_id,
+           MD5(text) AS h_md5,
+           SHA256(text) AS h_sha256,
+           LENGTH(MD5(text)) AS md5_len
+    FROM documents
+    """,
+)
+def scalar_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash scalar surface (md5 / sha-256) — the
+    fingerprinting primitives every dedup/sharding/split operator here
+    builds on, graded directly so an engine-level hash disagreement
+    (encoding, hex case) can never hide inside a larger plan. Both
+    engines hash the same utf-8 bytes and emit lowercase hex."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+        F.length(F.md5("text")).cast("bigint").alias("md5_len"),
+    )

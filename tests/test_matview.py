@@ -93,3 +93,26 @@ def test_streaming_foreachbatch_maintenance_equals_rebuild(spark, sf_dir, tmp_pa
         )
     )
     assert maintained == rebuilt
+
+
+def test_foreachbatch_maintenance_is_exactly_once_on_rerun(spark, sf_dir, tmp_path):
+    """Re-running the drained stream with the same checkpoint processes
+    nothing (the file source remembers consumed files), so the store is
+    unchanged — the exactly-once contract a maintenance job relies on
+    when a scheduler retries it."""
+    from large_csv_etl_spark.streaming import matview_maintenance_stream
+
+    src = str(tmp_path / "orders_stream")
+    store = str(tmp_path / "rollup_store")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base.repartition(2).write.parquet(src)
+
+    keys = ["o_orderstatus"]
+    sums = {"sum_price": "o_totalprice"}
+    matview_maintenance_stream(spark, src, store, ckpt, keys, sums)
+    first = sorted(map(tuple, spark.read.parquet(store).collect()))
+
+    matview_maintenance_stream(spark, src, store, ckpt, keys, sums)
+    second = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert first == second
