@@ -114,7 +114,7 @@ def pagerank(
     )
     n_nodes = nodes.count()  # bounded loop constant (|vocab|-sized), not data
     ranks = state.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             ranks.filter(F.col("outdeg").isNotNull())
             .join(e, ranks.node == e.s)
@@ -138,6 +138,10 @@ def pagerank(
                     * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("dm") / n_nodes)
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        # lineage cut every 3rd round (and the last): enough to keep the
+        # plan bounded, 3x fewer eager materialization barriers than a
+        # per-round checkpoint
+        if it % 3 == 2 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")
