@@ -369,3 +369,91 @@ def matview_maintenance_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def user_totals_tws_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running totals on the state-v2 API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``) — the
+    Spark-4-native replacement for applyInPandasWithState used by
+    ``user_totals_stream``. State is one (count, total) ValueState per
+    user: O(|users|) store size, no growth with stream length; each
+    micro-batch updates from Arrow batches. Kept alongside the legacy
+    operator so both custom-state surfaces stay exercised.
+
+    Everything the workers need is defined inside this function (pickled
+    by value — the driver harness's workers cannot import this package).
+
+    ENVIRONMENT GATE: the state-v2 protocol speaks protobuf between the
+    JVM and its Python driver worker; without a working ``google.protobuf``
+    the worker crashes opaquely mid-query
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE), so the dependency is
+    checked here and surfaced as NotImplementedError up front. The legacy
+    ``user_totals_stream`` (applyInPandasWithState) covers the same
+    semantics with no extra dependency.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires a working google.protobuf "
+            "(absent in this container); use user_totals_stream instead"
+        ) from exc
+    # state-v2 runs only on the RocksDB state store (the scale-correct
+    # choice anyway: state spills to disk instead of living on-heap)
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Totals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )

@@ -242,3 +242,46 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 8  # 5 old (not reprocessed) + 3 new
     assert got.filter("v = 'b'").count() == 3
+
+
+def test_tws_user_totals_matches_batch(spark, sf_dir, tmp_path):
+    """state-v2 (transformWithStateInPandas) running totals drained over
+    the bounded source must equal the batch groupBy (float addition in
+    the processor is sequential per user, so totals match a per-user
+    ordered sum to ~1e-6 relative). Skips where google.protobuf (the
+    state-v2 wire protocol) is unusable — this container — in which case
+    the operator itself must fail fast with NotImplementedError."""
+    import pytest
+
+    from large_csv_etl_spark.streaming import (
+        read_events_stream,
+        run_bounded,
+        user_totals_tws_stream,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        stream = read_events_stream(spark, sf_dir, glob="events.parquet")
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            user_totals_tws_stream(stream)
+        pytest.skip("google.protobuf unusable here; gate verified")
+
+    stream = read_events_stream(spark, sf_dir, glob="events.parquet")
+    out = user_totals_tws_stream(stream)
+    got = run_bounded(
+        out, "tws_totals", str(tmp_path / "ckpt"), output_mode="update"
+    )
+    latest = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in got.collect()
+    }
+    batch = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("tv")
+    )
+    expect = {r.user_id: (r.n, r.tv) for r in batch.collect()}
+    assert set(latest) == set(expect)
+    for u, (n, tv) in expect.items():
+        gn, gtv = latest[u]
+        assert gn == n
+        assert abs(gtv - tv) <= 1e-6 * max(1.0, abs(tv))
