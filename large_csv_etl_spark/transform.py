@@ -133,3 +133,33 @@ def processing_stats(input_df: DataFrame, output_df: DataFrame) -> dict:
         "rows_removed": original - processed,
         "success": True,
     }
+
+
+def observed_pipeline(df: DataFrame):
+    """A7 row accounting with ZERO extra scans: attach ``Observation``
+    metrics to the input and the transformed output, so the counts ride
+    the ONE action that materializes the plan (the sink write) instead of
+    two dedicated ``count()`` passes over input and output. At 100 TB the
+    difference is two full re-reads of the fact table per pipeline run.
+
+    Returns ``(out_df, fetch)`` — run your action on ``out_df`` first,
+    then ``fetch()`` yields the same dict shape as ``processing_stats``.
+    """
+    from pyspark.sql import Observation
+
+    obs_in = Observation("a7_rows_in")
+    obs_out = Observation("a7_rows_out")
+    observed = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    out = transform(observed).observe(obs_out, F.count(F.lit(1)).alias("n"))
+
+    def fetch() -> dict:
+        original = obs_in.get["n"]
+        processed = obs_out.get["n"]
+        return {
+            "original_rows": original,
+            "processed_rows": processed,
+            "rows_removed": original - processed,
+            "success": True,
+        }
+
+    return out, fetch

@@ -153,3 +153,33 @@ def test_transform_is_chunk_invariant(spark, dirty_df):
         for r in transform(a).unionAll(transform(b)).collect()
     }
     assert whole == parts
+
+
+def test_observed_pipeline_matches_counted_stats(spark, tmp_path):
+    """Observation-based A7 accounting (metrics piggybacked on the write
+    action, zero extra scans) must agree with the two-count form."""
+    from large_csv_etl_spark.io import CORRUPT_COL, read_transactions_csv
+    from large_csv_etl_spark.transform import observed_pipeline, transform
+
+    src = "tests/fixtures/dirty_transactions.csv"
+    raw = read_transactions_csv(spark, src)
+    good = raw.filter(raw[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+
+    out, fetch = observed_pipeline(good)
+    out.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    got = fetch()
+
+    # cache before counting: column pruning on the corrupt-filtered scan
+    # leaves only the corrupt column referenced, which Spark disallows
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the cached relation breaks the
+    # raw-file lineage exactly as the error message prescribes
+    good = good.cache()
+    original = good.count()
+    processed = transform(good).count()
+    assert got == {
+        "original_rows": original,
+        "processed_rows": processed,
+        "rows_removed": original - processed,
+        "success": True,
+    }
+    assert processed == spark.read.parquet(str(tmp_path / "t")).count()
