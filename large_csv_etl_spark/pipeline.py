@@ -36,7 +36,12 @@ from .io import (
     write_table,
 )
 from .logging_util import get_logger, setup_logging
-from .transform import processing_stats, transform, validate_final_data
+from .transform import (
+    observed_pipeline,
+    processing_stats,
+    transform,
+    validate_final_data,
+)
 
 logger = get_logger(__name__)
 
@@ -58,19 +63,29 @@ def run_pipeline(
     raw = read_transactions_csv(spark, input_file)
     good = raw.filter(raw[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
 
-    out = transform(good)
+    # A7 accounting rides the write action via Observation metrics (zero
+    # dedicated count() scans — at 100 TB that is two saved re-reads of
+    # the fact table); note original_rows counts the parsed-valid rows,
+    # matching the reference's "rows entering transform" meaning.
+    out, fetch_stats = observed_pipeline(good)
     if dedupe_key:
         out = upsert_by_key(out, dedupe_key)
     if partitions:
         out = out.repartition(partitions)
 
     write_table(out, output_path)
+    stats = fetch_stats()
 
     # Post-write checks read the written table (what a user would query),
     # not the in-memory plan — the same observability point as the
     # reference's SQLite-side validators.
     loaded = spark.read.parquet(output_path)
-    stats = processing_stats(raw, loaded)
+    if dedupe_key:
+        # upsert may drop duplicate keys after the observed transform;
+        # report the written row count (the reference's processed_rows)
+        processed = loaded.count()
+        stats["processed_rows"] = processed
+        stats["rows_removed"] = stats["original_rows"] - processed
     final = validate_final_data(loaded)
     integrity = validate_data_integrity(loaded)
     report = {
