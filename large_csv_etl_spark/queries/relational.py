@@ -1717,3 +1717,67 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@_q(
+    "supplier_nation_hhi",
+    f"""
+    WITH s AS (
+      SELECT n.n_name AS nation, ps.s_suppkey AS suppkey,
+             {sql_dsum('ps.total')} AS supp_cost
+      FROM (
+        SELECT s_suppkey, s_nationkey, s_suppkey AS k FROM supplier
+      ) sup
+      JOIN nation n ON sup.s_nationkey = n.n_nationkey
+      JOIN (
+        SELECT l_suppkey AS s_suppkey, l_suppkey,
+               l_extendedprice AS total
+        FROM lineitem
+      ) ps ON ps.s_suppkey = sup.s_suppkey
+      GROUP BY n.n_name, ps.s_suppkey
+    ), tot AS (
+      SELECT nation, CAST(SUM(CAST(supp_cost AS DECIMAL(30,4))) AS DOUBLE) AS nation_total FROM s GROUP BY nation
+    )
+    SELECT s.nation,
+           COUNT(*) AS n_suppliers,
+           ROUND(CAST(SUM((s.supp_cost / t.nation_total)
+                    * (s.supp_cost / t.nation_total)) AS DOUBLE), 9) AS hhi
+    FROM s JOIN tot t ON s.nation = t.nation
+    GROUP BY s.nation
+    """,
+)
+def supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: Herfindahl-Hirschman index of supplier
+    revenue share within each nation (1/n = perfectly even, 1 = monopoly)
+    — the concentration analytics shape (same rational share-of-squares
+    family as Simpson diversity, here over a join). Per-supplier revenue
+    reduces lineitem first (exact decimal sums); the share division and
+    squaring run over the |suppliers| reduced table; nation is a
+    broadcast dim. Note the oracle's nation totals sum the SAME
+    decimal-exact supp_cost doubles through a second exact-decimal pass
+    (a plain double sum is partition-order dependent), and the squared
+    shares round to 9dp so last-ulp accumulation differences in the
+    final double sum can't flip the hash."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_supp = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(dsum("l_extendedprice").alias("supp_cost"))
+    )
+    tot = per_supp.groupBy("nation").agg(
+        dsum("supp_cost").alias("nation_total")
+    )
+    share = F.col("supp_cost") / F.col("nation_total")
+    return (
+        per_supp.join(F.broadcast(tot), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(share * share).cast("double"), 9).alias("hhi"),
+        )
+    )
