@@ -50,3 +50,28 @@ def test_skew_fallback_matches(spark):
     )
     got = exact_quantiles(df, "v", [0.5], max_fetch=100)
     assert got == _builtin(df, "v", [0.5])
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+FINITE = st.floats(
+    min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(FINITE, min_size=1, max_size=400),
+    pcts=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_localized_quantiles_fuzz_bit_identity(spark, vals, pcts):
+    """Random value sets and percentile lists: histogram rank localization
+    must stay bit-identical to the built-in percentile aggregate —
+    including duplicates, extreme spreads, and boundary percentiles."""
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = exact_quantiles(df, "v", pcts, n_buckets=64)
+    assert got == _builtin(df, "v", pcts)
