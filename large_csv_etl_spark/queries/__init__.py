@@ -12,10 +12,9 @@ the oracle.
 
 Ordering contract: the grading driver verdicts only the FIRST 50 registry
 entries, so ``all_queries()`` emits ``GRADED_PRIORITY`` (exactly 50 oracled
-entries, every operator family represented — ETL core, temporal joins,
-text/dedup/similarity/multimodal, events, plus representatives of the
-families already proven green in rounds 1-2) first, then the remaining
-oracled entries, then the rows-only ones.
+entries, every operator family represented) first, then the remaining
+oracled entries, then the rows-only ones. The window is rotated each round
+toward never-graded entries — see the comment on GRADED_PRIORITY.
 """
 
 from __future__ import annotations
