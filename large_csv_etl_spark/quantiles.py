@@ -49,11 +49,23 @@ def exact_quantiles(
     """Exact interpolated quantiles of ``df[col]`` (nulls ignored),
     bit-identical to ``percentile(col, array(pcts))``."""
     vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
-    n, lo, hi = vals.agg(
-        F.count("v"), F.min("v").cast("double"), F.max("v").cast("double")
+    n, lo, hi, any_nan = vals.agg(
+        F.count("v"),
+        F.min("v").cast("double"),
+        F.max("v").cast("double"),
+        F.max(F.isnan(F.col("v").cast("double"))),
     ).collect()[0]
     if n == 0:
         return [None for _ in pcts]
+    if any_nan or math.isinf(lo) or math.isinf(hi):
+        # NaN sorts greatest in the built-in percentile but has no
+        # histogram bucket ((v-lo)/width is NaN), and an infinite bound
+        # poisons the bucket width the same way — delegate these
+        # pathological columns to the built-in aggregate outright
+        ps = ", ".join(repr(p) for p in pcts)
+        return list(
+            vals.agg(F.expr(f"percentile(v, array({ps}))")).collect()[0][0]
+        )
     if n == 1 or lo == hi:
         return [lo for _ in pcts]
 

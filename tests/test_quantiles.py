@@ -75,3 +75,18 @@ def test_localized_quantiles_fuzz_bit_identity(spark, vals, pcts):
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     got = exact_quantiles(df, "v", pcts, n_buckets=64)
     assert got == _builtin(df, "v", pcts)
+
+
+def test_nan_and_inf_fallback_matches_builtin(spark):
+    """NaN sorts greatest in the built-in aggregate; infinities poison the
+    histogram width — both delegate to the built-in and must agree."""
+    nan_df = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("nan"),), (3.0,)], "v double"
+    )
+    assert exact_quantiles(nan_df, "v", [0.5]) == _builtin(nan_df, "v", [0.5])
+    inf_df = spark.createDataFrame(
+        [(1.0,), (float("inf"),), (2.0,), (float("-inf"),)], "v double"
+    )
+    assert exact_quantiles(inf_df, "v", [0.25, 0.75]) == _builtin(
+        inf_df, "v", [0.25, 0.75]
+    )
