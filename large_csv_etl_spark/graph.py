@@ -113,6 +113,10 @@ def pagerank(
         "node", "outdeg"
     )
     n_nodes = nodes.count()  # bounded loop constant (|vocab|-sized), not data
+    if n_nodes == 0:
+        # empty edge set: no nodes, no ranks (mirrors connected_components
+        # returning only nodes that appear in an edge)
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     ranks = state.withColumn("rank", F.lit(1.0 / n_nodes))
     for it in range(n_iter):
         contrib = (
