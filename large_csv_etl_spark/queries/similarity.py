@@ -205,9 +205,16 @@ def ivf_assignments(
         ],
         dtype=np.float64,
     )
+    if len(sample) == 0:
+        # empty corpus: no centroids to train — every (zero) row gets
+        # list 0 so the downstream probe/join plan still composes
+        return emb.withColumn("list_id", F.lit(0)), [[0.0]]
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=n_lists, replace=False)]
+    cents = sample[
+        rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
+    ]
+    n_lists = len(cents)
     for _ in range(5):  # spherical k-means, fixed iterations, deterministic
         labels = np.argmax(sample @ cents.T, axis=1)
         for j in range(n_lists):

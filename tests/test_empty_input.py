@@ -1,7 +1,9 @@
-"""Empty-input robustness: every graded query must run (returning zero or
-aggregate-identity rows, never raising) against schema-only tables — the
-shape of an empty partition, a fresh ingest directory, or a filter that
-matched nothing at 100 TB."""
+"""Empty-input robustness: EVERY registry query must run (returning zero
+or aggregate-identity rows, never raising) against schema-only tables —
+the shape of an empty partition, a fresh ingest directory, or a filter
+that matched nothing at 100 TB. (Found real bugs: IVF k-means crashed on
+an empty training sample; PageRank divided by zero on an empty edge
+set.)"""
 
 from __future__ import annotations
 
@@ -46,6 +48,6 @@ def empty_sf_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", list(all_queries())[:50])
-def test_graded_query_survives_empty_tables(spark, empty_sf_dir, name):
+@pytest.mark.parametrize("name", list(all_queries()))
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     all_queries()[name](spark, empty_sf_dir).collect()
