@@ -71,6 +71,9 @@ _MODULES = [
 # tools/drive_driver.py + CORRECTNESS_r*.json rather than trusting any
 # hardcoded count here.
 GRADED_PRIORITY = [
+    # round-3 ERR (list-typed result cell) -> fixed to scalar digests;
+    # its re-grade is the round's first priority
+    "embedding_quantize_int8",
     # flagship re-grade: the reference's F1-F5/P1-P5 transform pipeline
     "etl_transform_parity",
     # one rep per family whose never-graded pool is empty (the registry
@@ -119,7 +122,6 @@ GRADED_PRIORITY = [
     "sample_negative_pairs",
     "sample_split_train_val_test",
     "sample_exact_k_per_group",
-    "sample_token_budget",
     "sample_export_shards",
     # text suite
     "text_chunk_documents",
