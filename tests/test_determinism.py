@@ -33,6 +33,18 @@ FLOAT_SURFACING = [
     "embedding_quantize_int8",
     "sim_quantized_topk",
     "events_daily_gap_fill",
+    # round-4 additions with derived doubles
+    "embedding_dim_stats",
+    "agg_ols_by_group",
+    "supplier_nation_hhi",
+    "events_bot_cadence",
+    "events_type_diversity",
+    "text_vocab_diversity",
+    "customer_rfm_segments",
+    "quantile_binning_decile",
+    "agg_median_abs_deviation",
+    "agg_weighted_median",
+    "sim_filtered_topk",
 ]
 
 
