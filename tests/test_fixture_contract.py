@@ -77,3 +77,33 @@ def test_load_table_normalizes_ts_to_a_timestamp(spark):
 def test_embedding_element_type_is_float(spark):
     dtype = dict(load_table(spark, SF_DIR, "embeddings").dtypes)["embedding"]
     assert dtype in ("array<float>", "array<double>"), dtype
+
+
+ORDERING_CRITICAL = {
+    # window/sort oracles rely on these never being NULL: Spark sorts
+    # nulls FIRST by default where DuckDB sorts them LAST, so a null in
+    # an ORDER BY column would silently diverge 40+ graded queries
+    "orders": ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    "lineitem": ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    "events": ["event_id", "ts", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+@pytest.mark.parametrize("table", sorted(ORDERING_CRITICAL))
+def test_ordering_columns_have_no_nulls(table):
+    import duckdb
+
+    cols = ORDERING_CRITICAL[table]
+    checks = ", ".join(
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)" for c in cols
+    )
+    row = duckdb.sql(
+        f"SELECT {checks} FROM '{SF_DIR}/{table}.parquet'"
+    ).fetchone()
+    assert all((v or 0) == 0 for v in row), (
+        f"NULLs appeared in ordering-critical columns of {table}: "
+        f"{dict(zip(cols, row))} — add explicit NULLS FIRST/LAST to every "
+        "oracle ORDER BY touching them (engine defaults differ)"
+    )
