@@ -26,12 +26,22 @@ from .schemas import TRANSACTIONS_RAW, TEST_TABLES
 CORRUPT_COL = "_corrupt_record"
 
 
-def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
+def read_transactions_csv(
+    spark: SparkSession, path: str, multiline: bool = False
+) -> DataFrame:
     """Chunked CSV scan (S1/S2) as a single partitioned, schema'd scan.
 
     PERMISSIVE mode + corrupt-record column reproduces the reference's
     never-abort-on-bad-data intent (E3) at row granularity: malformed lines
     land in ``_corrupt_record`` instead of killing a whole chunk.
+
+    ``multiline=True`` opts into full RFC-4180 parity with the reference's
+    pandas parser: quoted fields may contain embedded newlines. The default
+    stays False because multiLine disables newline-based file splitting —
+    each file is read by ONE task, the wrong trade at 100 TB unless the
+    input genuinely contains quoted newlines (without the flag such rows
+    come back as one silently-truncated clean row plus one corrupt row —
+    pinned in tests/test_io_sources.py).
     """
     # Build a fresh StructType: StructType.add MUTATES the receiver in
     # place (and returns it), so calling it on the shared module-level
@@ -39,13 +49,15 @@ def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
     schema = T.StructType(
         list(TRANSACTIONS_RAW.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
-    return (
+    reader = (
         spark.read.schema(schema)
         .option("header", True)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .csv(path)
     )
+    if multiline:
+        reader = reader.option("multiLine", True)
+    return reader.csv(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

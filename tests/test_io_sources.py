@@ -249,3 +249,28 @@ def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
     rows = decoded.collect()
     assert len(rows) == 5
     assert all(r.width >= 16 and r.height >= 16 for r in rows)
+
+
+def test_quoted_newline_csv_needs_multiline(spark, tmp_path):
+    """RFC-4180 quoted embedded newlines: the reference's pandas parser
+    handles them; Spark's splittable default does NOT (one truncated clean
+    row + one corrupt row). multiline=True restores parity at the cost of
+    one-task-per-file reads — both behaviors pinned here so the trade-off
+    stays visible."""
+    from large_csv_etl_spark.io import CORRUPT_COL, read_transactions_csv
+
+    p = tmp_path / "q.csv"
+    p.write_text(
+        "transaction_id,user_id,amount,timestamp,status\n"
+        't1,u1,10.5,2024-01-01,"has\nnewline"\n'
+        "t2,u2,20.0,2024-01-02,ok\n"
+    )
+    default = read_transactions_csv(spark, str(p)).collect()
+    assert len(default) == 3  # split mid-record: truncated + corrupt + t2
+    assert any(r[CORRUPT_COL] is not None for r in default)
+
+    parity = read_transactions_csv(spark, str(p), multiline=True).collect()
+    assert len(parity) == 2
+    by_id = {r.transaction_id: r for r in parity}
+    assert by_id["t1"].status == "has\nnewline"
+    assert all(r[CORRUPT_COL] is None for r in parity)
