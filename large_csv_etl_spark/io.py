@@ -54,6 +54,12 @@ def read_transactions_csv(
         .option("header", True)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        # RFC-4180 / pandas-default quoting: a quote inside a quoted field
+        # is escaped by DOUBLING it, and backslash is a literal character.
+        # Spark's default escape is backslash, which both corrupts ""-
+        # escaped fields (kept verbatim with their quotes) and silently
+        # eats literal backslashes — pinned in tests.
+        .option("escape", '"')
     )
     if multiline:
         reader = reader.option("multiLine", True)

@@ -274,3 +274,25 @@ def test_quoted_newline_csv_needs_multiline(spark, tmp_path):
     by_id = {r.transaction_id: r for r in parity}
     assert by_id["t1"].status == "has\nnewline"
     assert all(r[CORRUPT_COL] is None for r in parity)
+
+
+def test_rfc4180_doubled_quote_and_literal_backslash(spark, tmp_path):
+    """Doubled-quote escapes decode and backslashes stay literal — exact
+    agreement with the reference's pandas parser."""
+    import pandas as pd
+
+    from large_csv_etl_spark.io import read_transactions_csv
+
+    p = tmp_path / "quotes.csv"
+    p.write_text(
+        "transaction_id,user_id,amount,timestamp,status\n"
+        't1,u1,10.5,2024-01-01,"say ""hi"" now"\n'
+        't2,u2,20.0,2024-01-02,"back\\\\slash"\n'
+    )
+    pdf = pd.read_csv(str(p))
+    got = {
+        r.transaction_id: r.status
+        for r in read_transactions_csv(spark, str(p)).collect()
+    }
+    assert got == dict(zip(pdf.transaction_id, pdf.status))
+    assert got["t1"] == 'say "hi" now'
