@@ -107,6 +107,37 @@ HEADLINE = [
 ]
 
 
+# The driver records only the last ~2000 chars of combined output and
+# parses the JSON line out of that window, so the printed line must (a)
+# start on a clean newline with no console-progress \r junk glued on and
+# (b) fit inside the window. All queries are still MEASURED; if the full
+# dict would overflow the window, the cheapest timings are omitted from
+# the printed line (counted in "queries_omitted") and the complete dict
+# goes to stderr behind a non-JSON prefix.
+MAX_LINE = 1900
+
+
+def _fit_payload(total: float, timings: dict[str, float], sf: object) -> str:
+    # cheapest first; failed (-1.0) entries are never omitted — they are
+    # the signal the driver needs most
+    by_cost = sorted((n for n in timings if timings[n] >= 0), key=lambda n: timings[n])
+    omitted = 0
+    while True:
+        payload = {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: t for n, t in timings.items() if t < 0 or n not in by_cost[:omitted]},
+            "sf": sf,
+        }
+        if omitted:
+            payload["queries_omitted"] = omitted
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= MAX_LINE or omitted >= len(by_cost):
+            return line
+        omitted += 1
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # crude sf label from the dir name (sf0.1 -> 0.1)
@@ -116,7 +147,12 @@ def main() -> int:
     except ValueError:
         sf = base
 
-    spark = get_spark(app_name="bench")
+    spark = get_spark(
+        app_name="bench",
+        # Progress bars write \r-terminated fragments that glue onto the
+        # next stdout line; the driver then fails to parse the JSON line.
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = all_queries()
@@ -142,17 +178,14 @@ def main() -> int:
 
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # Full dict to stderr (prefixed so no driver-side parser grabs it).
+    print(f"bench full: {json.dumps(timings, separators=(',', ':'))}", file=sys.stderr)
+    sys.stderr.flush()
+    line = _fit_payload(total, timings, sf)
+    # Leading newline: guarantees the JSON starts a fresh line even if
+    # some earlier write left the stream mid-line.
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
     return 0 if len(ok) == len(names) else 1
 
 
