@@ -149,3 +149,81 @@ def pagerank(
         if it % 3 == 2 or it == n_iter - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """PageRank in integer fixed-point: ranks are BIGINT multiples of
+    1/``scale``, every per-round operation is integer (`div`, `*`, exact
+    BIGINT sums), so the result is bit-deterministic regardless of
+    partition order AND reproducible by any engine with 64-bit integer
+    division — which makes the query oracle-gradable where the float
+    version is rows-only. Same plan shape as :func:`pagerank` (one
+    ranks x edges shuffle + one destination-keyed sum per round, broadcast
+    1-row dangling mass, lineage cuts every 3rd round).
+
+    Floor losses from integer division mean total mass drifts a few
+    ulps-of-scale below ``scale`` per round; that drift is identical in
+    every engine, which is the point. Overflow headroom: in_mass and
+    dangling mass are each <= scale (1e12 default), so the widest
+    intermediate ``damping_num * (in_mass + dm div n)`` is < 2e14, far
+    inside BIGINT. Returns ``(node, rank_fp BIGINT)``.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("s").agg(F.count("*").alias("outdeg"))
+    state = nodes.join(outdeg, nodes.node == outdeg.s, "left").select(
+        "node", "outdeg"
+    )
+    n_nodes = nodes.count()  # bounded loop constant (|vocab|-sized), not data
+    if n_nodes == 0:
+        return nodes.withColumn("rank_fp", F.lit(0).cast("bigint")).select(
+            "node", "rank_fp"
+        )
+    base = (damping_den - damping_num) * scale // (damping_den * n_nodes)
+    ranks = state.withColumn(
+        "rank_fp", F.lit(scale // n_nodes).cast("bigint")
+    )
+    for it in range(n_iter):
+        contrib = (
+            ranks.filter(F.col("outdeg").isNotNull())
+            .join(e, ranks.node == e.s)
+            .select(
+                F.col("d").alias("node"),
+                F.expr("rank_fp div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("in_mass"))
+        )
+        dangling = ranks.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("bigint").alias("dm")
+        )
+        ranks = (
+            ranks.select("node", "outdeg")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                F.expr(
+                    f"cast({base} + ({damping_num} * (coalesce(in_mass, 0)"
+                    f" + (dm div {n_nodes}))) div {damping_den} as bigint)"
+                ).alias("rank_fp"),
+            )
+        )
+        if it % 3 == 2 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", "rank_fp")

@@ -899,7 +899,67 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("graph_token_pagerank")  # iterative float fixpoint — rows-only check
+def _pagerank_oracle(n_iter: int = 10, scale: int = 10**12) -> str:
+    """Unrolled DuckDB power iteration mirroring graph.pagerank_fixed:
+    every operation is integer (``//`` on all-positive operands == Spark's
+    ``div``), so the two engines agree bit-for-bit. DuckDB widens BIGINT
+    SUMs to HUGEINT; intermediate arithmetic stays exact and the final
+    projection casts back to BIGINT (the driver hashes result types)."""
+    steps = []
+    for it in range(n_iter):
+        steps.append(
+            f"""r{it + 1} AS MATERIALIZED (
+      SELECT s.node, s.outdeg,
+             c.base + (85 * (COALESCE(m.in_mass, 0) + d.dm // c.n)) // 100 AS rank
+      FROM state s
+      CROSS JOIN consts c
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank // r.outdeg) AS in_mass
+        FROM r{it} r JOIN edges e ON e.src = r.node
+        WHERE r.outdeg IS NOT NULL
+        GROUP BY e.dst
+      ) m ON m.node = s.node
+      CROSS JOIN (
+        SELECT COALESCE(SUM(rank), 0) AS dm FROM r{it} WHERE outdeg IS NULL
+      ) d
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return rf"""
+    WITH tok AS (
+      SELECT regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT toks[i] AS src, toks[i + 1] AS dst
+      FROM (
+        SELECT toks, UNNEST(range(1, len(toks))) AS i
+        FROM tok WHERE len(toks) >= 2
+      )
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    consts AS MATERIALIZED (
+      SELECT COUNT(*) AS n,
+             {scale} // COUNT(*) AS init,
+             (15 * {scale}) // (100 * COUNT(*)) AS base
+      FROM nodes
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    state AS MATERIALIZED (
+      SELECT n.node, d.outdeg FROM nodes n LEFT JOIN deg d USING (node)
+    ),
+    r0 AS MATERIALIZED (
+      SELECT s.node, s.outdeg, c.init AS rank FROM state s CROSS JOIN consts c
+    ),
+    {chain}
+    SELECT node AS token, CAST(rank AS BIGINT) AS rank_fp
+    FROM r{n_iter}
+    ORDER BY rank_fp DESC, token
+    LIMIT 50
+    """
+
+
+@_q("graph_token_pagerank", _pagerank_oracle())
 def graph_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-importance ranking: PageRank over the directed bigram graph
     (edge token_a -> token_b when the pair is adjacent in some document).
@@ -908,9 +968,12 @@ def graph_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses (a token can be rare overall yet central to the transition
     structure). Edge building is linear in corpus size (per-row zip_with
     bigrams, then distinct); the iteration cost depends only on |vocab|
-    and |distinct bigrams|. Top 50 by rank, 6dp — float fixpoint, so
-    rows-only (the invariants are pinned in pytest)."""
-    from ..graph import pagerank
+    and |distinct bigrams|. Integer fixed-point ranks (BIGINT units of
+    1e-12 — graph.pagerank_fixed) make the 10-round fixpoint
+    bit-reproducible in any engine, so the query is oracle-graded against
+    an unrolled DuckDB power iteration instead of the float version's
+    rows-only check. Top 50 by rank, token tie-break."""
+    from ..graph import pagerank_fixed
 
     docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     arr = _SPARK_TOKENS(F.lower(F.col("text")))
@@ -925,10 +988,10 @@ def graph_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(pairs).alias("p"))
         .select("p.src", "p.dst")
     )
-    ranks = pagerank(edges, n_iter=10)
+    ranks = pagerank_fixed(edges, n_iter=10)
     return (
-        ranks.select(F.col("node").alias("token"), F.round("rank", 6).alias("rank"))
-        .orderBy(F.col("rank").desc(), "token")
+        ranks.select(F.col("node").alias("token"), "rank_fp")
+        .orderBy(F.col("rank_fp").desc(), "token")
         .limit(50)
     )
 
