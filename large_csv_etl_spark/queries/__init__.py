@@ -71,73 +71,71 @@ _MODULES = [
 # tools/drive_driver.py + CORRECTNESS_r*.json rather than trusting any
 # hardcoded count here.
 GRADED_PRIORITY = [
-    # round-3 ERR (list-typed result cell) -> fixed to scalar digests;
-    # its re-grade is the round's first priority
-    "embedding_quantize_int8",
-    # flagship re-grade: the reference's F1-F5/P1-P5 transform pipeline
-    "etl_transform_parity",
-    # one rep per family whose never-graded pool is empty (the registry
+    # ---- the 32 oracled entries that have NEVER had a driver verdict
+    # (rounds 1-4 cumulative; includes graph_token_pagerank, newly
+    # promoted from rows-only to oracled via integer fixed-point ranks).
+    # Grading all of them closes driver coverage to 161/161 oracled.
+    # TPC-H stragglers
+    "q11_important_parts",
+    "q12_priority_by_delay",
+    "q13_customer_order_distribution",
+    "q16_supplier_variety",
+    "q20_dominant_supplier_share",
+    "q21_sole_late_supplier",
+    "q22_idle_rich_customers",
+    # exact-moment / robust aggregates
+    "agg_variance_exact",
+    "agg_corr_exact",
+    "agg_mode_by_group",
+    "agg_ols_by_group",
+    # relational analytics
+    "basket_part_pairs",
+    "customer_rfm_segments",
+    "supplier_nation_hhi",
+    "histogram_extendedprice",
+    "unpivot_lineitem_metrics",
+    # events
+    "events_bot_cadence",
+    "events_cumulative_users",
+    "events_heatmap_hour_dow",
+    "events_props_map_explode",
+    # text
+    "text_length_histogram",
+    "text_rolling_fingerprint",
+    "text_vocab_diversity",
+    "graph_token_pagerank",
+    # dedup / similarity
+    "dedup_survivor_weights",
+    "embedding_norm_outliers",
+    "sim_filtered_topk",
+    # multimodal
+    "multimodal_audio_windows",
+    # sampling / export / scalars
+    "sample_hash_stratified",
+    "sample_token_budget",
+    "export_training_manifest",
+    "scalar_hash_functions",
+    # ---- one rep per family whose never-graded pool is empty (registry
     # invariant: every oracled module keeps a current-round verdict)
+    "etl_transform_parity",  # flagship: the reference's F1-F5/P1-P5 core
     "dq_expectations_orders",
-    "asof_join_latest_order",
     "setop_intersect_nations",
-    "multimodal_resize_dims",
-    # TPC-H / relational shapes never yet graded (q11/q12/q21/q22 deferred
-    # to round 5 — the relational family is already verdict-rich)
-    "quantile_binning_decile",
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    # windows-family rep that is ALSO never-graded
-    "window_month_over_month",
-    # joins
-    "join_null_safe_eq",
-    # ETL / incremental
-    "matview_incremental_rollup",
-    "dedup_incremental_exact",
-    # profiling / integrity / skew / robust stats
-    "profile_orders_columns",
-    "fk_orphan_counts",
-    "skew_salted_flag_rollup",
-    "agg_winsorized_mean",
-    "agg_iqr_outliers",
-    "agg_median_abs_deviation",
-    "agg_weighted_median",
-    # scalar function surfaces
-    "scalar_pii_mask",
-    # event analytics
-    "events_cohort_retention",
-    "events_funnel_ordered",
-    "events_zscore_anomaly",
-    "events_type_run_intervals",
-    "events_type_transitions",
-    "events_user_type_arrays",
-    "events_variant_props",
-    "events_type_diversity",
-    # streaming twins
-    "streaming_click_attribution",
-    "streaming_sessionization",
-    "streaming_sliding_window",
-    # sampling / export
-    "sample_negative_pairs",
-    "sample_split_train_val_test",
-    "sample_exact_k_per_group",
-    "sample_export_shards",
-    # text suite
-    "text_chunk_documents",
-    "text_idf_score",
-    "text_distinctive_terms",
-    "text_quality_filter",
-    "text_oov_rate",
-    "text_boilerplate_chunks",
-    "text_fuzzy_token_pairs",
-    "text_bigram_surprisal",
-    "text_bpe_pair_counts",
-    # dedup / similarity / embeddings
-    "dedup_ngram_containment",
-    "embedding_centroid_assign",
-    "embedding_label_centroids",
-    "embedding_dim_stats",
+    "asof_join_latest_order",
+    "window_running_spend",
+    "streaming_dedup_exact",
+    # ---- re-grades, oldest driver verdict first (r2 then r3)
+    "agg_global_count",
+    "agg_status_counts",
+    "agg_amount_stats",
+    "q1_pricing_summary",
+    "etl_upsert_last_write_wins",
+    "validation_counts",
+    "dedup_exact_groups",
+    "dedup_eval_decontamination",
+    "sim_cosine_topk",
+    "events_sessionization",
+    "text_top_terms",
+    "sample_mixture_weighted",
 ]
 
 
