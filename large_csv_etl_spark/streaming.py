@@ -311,6 +311,63 @@ def sliding_window_stream(
     )
 
 
+def merge_batch_into_store(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    keys: list[str],
+    sum_cols: dict[str, str],
+) -> None:
+    """One idempotent-under-replay merge of a micro-batch delta into the
+    parquet rollup store (the foreachBatch body of
+    :func:`matview_maintenance_stream`; module-level so the replay
+    contract is directly testable). See that docstring for the swap and
+    batch-id protocol."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .matview import build_rollup, merge_rollup
+
+    store = Path(store_path)
+
+    def _applied_batch() -> int:
+        marker = store / "_applied_batch_id"
+        if marker.exists():
+            return int(marker.read_text().strip())
+        return -1
+
+    if store.exists() and _applied_batch() >= batch_id:
+        return  # replay of a batch the store already contains
+    delta = build_rollup(batch_df, keys, sum_cols)
+    if store.exists():
+        current = spark.read.parquet(store_path)
+        merged = merge_rollup(current, delta, keys)
+    else:
+        merged = delta
+    data = f"{store_path}__data_b{batch_id}"
+    merged.coalesce(1).write.mode("overwrite").parquet(data)
+    Path(data, "_applied_batch_id").write_text(str(batch_id))
+    # Atomic publish: build the new symlink beside the store, then
+    # os.replace it into place.
+    link_tmp = f"{store_path}__link_b{batch_id}"
+    if os.path.lexists(link_tmp):
+        os.remove(link_tmp)
+    os.symlink(data, link_tmp)
+    prev: str | None = None
+    if store.is_symlink():
+        prev = os.readlink(store_path)
+    elif store.exists():
+        # legacy real-directory store (pre-symlink layout): move it
+        # aside so the symlink can take its place
+        prev = f"{store_path}__legacy_b{batch_id}"
+        shutil.move(store_path, prev)
+    os.replace(link_tmp, store_path)
+    if prev and prev != data:
+        shutil.rmtree(prev, ignore_errors=True)
+
+
 def matview_maintenance_stream(
     spark: SparkSession,
     source_dir: str,
@@ -328,16 +385,24 @@ def matview_maintenance_stream(
     associative, so any micro-batch partitioning of the input yields
     bit-identical state to one full rebuild (asserted in tests).
 
-    foreachBatch gets exactly-once semantics from the checkpoint: a
-    replayed batch re-merges over the PREVIOUS store only if the write
-    below is atomic per batch — hence write-to-temp + swap, mirroring
-    io.compact_small_files (single-writer maintenance contract).
+    The checkpoint alone does NOT make foreachBatch exactly-once: if the
+    process dies after the store swap but before the streaming checkpoint
+    commits, the batch is replayed and would re-merge a delta the store
+    already contains. Two mechanisms close the gap:
+
+    - the applied batch_id travels WITH the store (an ``_applied_batch_id``
+      sidecar written into the data directory before it is published;
+      parquet readers ignore ``_``-prefixed files), and a replayed
+      batch_id <= the recorded one is skipped — merge_batch is idempotent
+      under replay, which is the actual exactly-once contract;
+    - the store path is a symlink republished with ``os.replace`` (atomic
+      on POSIX), so readers see the old store or the new one, never a
+      missing or half-written directory.
+
+    Single-writer maintenance contract (one maintenance stream per store);
+    concurrent readers race only against the previous data directory being
+    deleted after cutover, same as any compact-and-swap layout.
     """
-    import shutil
-    from pathlib import Path
-
-    from .matview import build_rollup, merge_rollup
-
     reader = spark.readStream.schema(
         spark.read.parquet(source_dir).schema
     )
@@ -346,20 +411,9 @@ def matview_maintenance_stream(
     stream = reader.parquet(source_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = build_rollup(batch_df, keys, sum_cols)
-        store = Path(store_path)
-        if store.exists():
-            current = spark.read.parquet(store_path)
-            merged = merge_rollup(current, delta, keys)
-        else:
-            merged = delta
-        tmp = f"{store_path}__tmp_b{batch_id}"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = f"{store_path}__old_b{batch_id}"
-        if store.exists():
-            shutil.move(store_path, old)
-        shutil.move(tmp, store_path)
-        shutil.rmtree(old, ignore_errors=True)
+        merge_batch_into_store(
+            spark, batch_df, batch_id, store_path, keys, sum_cols
+        )
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

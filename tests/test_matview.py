@@ -116,3 +116,37 @@ def test_foreachbatch_maintenance_is_exactly_once_on_rerun(spark, sf_dir, tmp_pa
     matview_maintenance_stream(spark, src, store, ckpt, keys, sums)
     second = sorted(map(tuple, spark.read.parquet(store).collect()))
     assert first == second
+
+
+def test_foreachbatch_merge_is_idempotent_under_batch_replay(
+    spark, sf_dir, tmp_path
+):
+    """The crash window the checkpoint cannot cover: the process dies
+    AFTER the store swap but BEFORE the streaming checkpoint commits, so
+    the same micro-batch (same batch_id, same data) is delivered to
+    foreachBatch again. The store-side _applied_batch_id marker must make
+    the replayed merge a no-op — without it the delta double-counts."""
+    import os
+
+    from large_csv_etl_spark.streaming import merge_batch_into_store
+
+    store = str(tmp_path / "rollup_store")
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = ["o_orderstatus"]
+    sums = {"sum_price": "o_totalprice"}
+
+    merge_batch_into_store(spark, base.limit(40), 0, store, keys, sums)
+    merge_batch_into_store(spark, base.limit(80), 1, store, keys, sums)
+    after_b1 = sorted(map(tuple, spark.read.parquet(store).collect()))
+
+    # replay batch 1 (post-swap crash): must not re-merge
+    merge_batch_into_store(spark, base.limit(80), 1, store, keys, sums)
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == after_b1
+    # a stale batch id (0) replayed out of order is equally a no-op
+    merge_batch_into_store(spark, base.limit(40), 0, store, keys, sums)
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == after_b1
+    # the store is published as a symlink and never absent mid-swap
+    assert os.path.islink(store)
+    # a NEW batch id still merges
+    merge_batch_into_store(spark, base.limit(10), 2, store, keys, sums)
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) != after_b1
