@@ -25,9 +25,23 @@ from .schemas import TRANSACTIONS_RAW, TEST_TABLES
 
 CORRUPT_COL = "_corrupt_record"
 
+# pandas 2.2's default NA sentinel set (pandas._libs.parsers.STR_NA_VALUES,
+# minus '' which Spark's CSV reader already nulls via its default
+# nullValue). The reference ingests with bare pd.read_csv
+# (/root/reference/src/file_manager.py:42), so every one of these tokens
+# reads as null in EVERY column there.
+PANDAS_NA_TOKENS = [
+    "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null",
+]
+
 
 def read_transactions_csv(
-    spark: SparkSession, path: str, multiline: bool = False
+    spark: SparkSession,
+    path: str,
+    multiline: bool = False,
+    na_tokens: bool = False,
 ) -> DataFrame:
     """Chunked CSV scan (S1/S2) as a single partitioned, schema'd scan.
 
@@ -42,6 +56,16 @@ def read_transactions_csv(
     input genuinely contains quoted newlines (without the flag such rows
     come back as one silently-truncated clean row plus one corrupt row —
     pinned in tests/test_io_sources.py).
+
+    ``na_tokens=True`` opts into pandas NA-sentinel parity: the
+    ``PANDAS_NA_TOKENS`` list ("NA", "NULL", "None", "n/a", ...) nulls in
+    every column post-read, exactly as the reference's bare ``pd.read_csv``
+    does — so a literal "NA" transaction_id drops (F1) and a "None" status
+    fills (F3) instead of surviving as text. The match is exact-field
+    (pandas does not trim before matching). Default False: the tokens are
+    legal string payloads and silently nulling them is the riskier default
+    for a generic engine; the row-local rewrite is a zero-shuffle map
+    either way (pinned in tests/test_transform.py).
     """
     # Build a fresh StructType: StructType.add MUTATES the receiver in
     # place (and returns it), so calling it on the shared module-level
@@ -63,7 +87,18 @@ def read_transactions_csv(
     )
     if multiline:
         reader = reader.option("multiLine", True)
-    return reader.csv(path)
+    df = reader.csv(path)
+    if na_tokens:
+        df = df.select(
+            *[
+                F.when(F.col(c).isin(PANDAS_NA_TOKENS), None)
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in TRANSACTIONS_RAW.fieldNames()
+            ],
+            F.col(CORRUPT_COL),
+        )
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -83,6 +118,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Batch consumers cast the NTZ ts to TIMESTAMP at strict call
+        # sites (unix_micros etc.); that cast is a pure reinterpretation
+        # ONLY under a UTC session. The driver harness builds a vanilla
+        # session that never set the timezone, so pin it here — exactly
+        # as streaming.read_events_stream does — or inter-event gaps
+        # straddling a DST transition diverge from the oracle's naive
+        # epoch arithmetic.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
