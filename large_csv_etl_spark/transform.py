@@ -36,17 +36,16 @@ def clean(df: DataFrame) -> DataFrame:
     """F1-F3 (/root/reference/src/data_processor.py:38-72): drop null keys,
     coerce amount (cast -> null on malformed, then drop), fill null status.
 
-    Known, deliberate divergence from pandas ingestion: pandas read_csv
-    nulls a whole token list ("NA", "NULL", "n/a", "None", ...) in EVERY
-    column, while the Spark scan nulls only the empty string. For
-    ``amount`` the outcome converges anyway (try_cast nulls the token,
-    the row drops); for the string key/status columns a literal "NA"
-    survives here but would be dropped/filled by the reference. The
-    golden 500k differential contains no such tokens (it stays green);
-    matching the full pandas token list would need the same list
-    replicated in the DuckDB oracle's CSV reader, tripling the surface
-    for a case the reference's own tests never exercise — documented
-    instead."""
+    pandas-ingestion NA sentinels: pandas read_csv nulls a whole token
+    list ("NA", "NULL", "n/a", "None", ...) in EVERY column, while the
+    default Spark scan nulls only the empty string. For ``amount`` the
+    outcome converges anyway (try_cast nulls the token, the row drops);
+    for the string key/status columns the parity is opt-in —
+    ``io.read_transactions_csv(na_tokens=True)`` applies the pandas
+    token list post-read (and then a literal "NA" key drops here exactly
+    like the reference; pinned against a captured reference run in
+    tests/test_transform.py). The default scan keeps the tokens as
+    legal string payloads."""
     return (
         df.na.drop(subset=["transaction_id", "user_id"])
         .filter(F.trim(F.col("transaction_id")) != "")

@@ -183,3 +183,67 @@ def test_observed_pipeline_matches_counted_stats(spark, tmp_path):
         "success": True,
     }
     assert processed == spark.read.parquet(str(tmp_path / "t")).count()
+
+
+# pandas NA-sentinel parity fixture: every class of pandas STR_NA_VALUES
+# placement (key column, amount, status, timestamp) plus the standard
+# drop rules as controls. t10's status carries real padding (parser must
+# not trim before token matching).
+NA_TOKEN_CSV = """transaction_id,user_id,amount,timestamp,status
+t1,u1,10.00,2024-01-01T00:00:00,Completed
+NA,u2,20.00,2024-01-01T00:00:01,completed
+t3,NULL,30.00,2024-01-01T00:00:02,completed
+t4,u4,None,2024-01-01T00:00:03,completed
+t5,u5,40.00,2024-01-01T00:00:04,None
+t6,u6,50.00,2024-01-01T00:00:05,n/a
+t7,u7,60.00,2024-01-01T00:00:06,NA
+t8,u8,-5.00,2024-01-01T00:00:07,completed
+t9,u9,70.00,2024-01-01T00:00:08,CANCELLED
+t10,u10,80.5,2024-01-01T00:00:09, Pending
+t11,<NA>,90.00,2024-01-01T00:00:10,completed
+t12,u12,100.00,NaN,completed
+"""
+
+
+def test_na_token_ingestion_parity(spark, tmp_path):
+    """Pinned against a captured reference run (transform_chunk via
+    PYTHONPATH=/root/reference:/root/reference/src on this exact CSV,
+    2026-08-14): survivors t1,t5,t6,t7,t10,t12; "NA"/"NULL"/"<NA>" key
+    rows dropped by F1 *after* pandas nulls the token at ingest; "None"
+    amount dropped by F2; "NaN" timestamp nulls. The reference's survivor
+    statuses for the t5/t6/t7 token rows are the literal string "nan"
+    (the dead-fillna quirk) — here they are "unknown" per the documented
+    F3 deviation. That deviation is load-bearing: in the reference's own
+    END-TO-END pipeline those "nan" strings round-trip through the
+    combined CSV, pd.read_csv re-nulls them, and SQLite's NOT NULL
+    rejects the batch — the whole chunk loads ZERO rows ("Failed to load
+    chunk 0", reproduced on this fixture). "unknown" is the only
+    loadable semantics."""
+    from large_csv_etl_spark.io import CORRUPT_COL, read_transactions_csv
+
+    p = tmp_path / "na.csv"
+    p.write_text(NA_TOKEN_CSV)
+
+    raw = read_transactions_csv(spark, str(p), na_tokens=True)
+    out = transform(raw.filter(raw[CORRUPT_COL].isNull()).drop(CORRUPT_COL))
+    rows = {r.transaction_id: r for r in out.collect()}
+    assert set(rows) == {"t1", "t5", "t6", "t7", "t10", "t12"}
+    assert rows["t1"].status == "completed" and rows["t1"].amount == 10.0
+    for t in ("t5", "t6", "t7"):
+        assert rows[t].status == "unknown"
+    assert rows["t10"].status == "pending" and rows["t10"].amount == 80.5
+    assert rows["t12"].timestamp is None
+
+    # default scan: the tokens are ordinary string payloads — key rows
+    # survive, token statuses survive lowercased (amount "None" still
+    # drops because try_cast nulls any non-numeric)
+    raw_def = read_transactions_csv(spark, str(p))
+    out_def = transform(
+        raw_def.filter(raw_def[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+    )
+    by_id = {r.transaction_id: r for r in out_def.collect()}
+    assert set(by_id) == {
+        "t1", "NA", "t3", "t5", "t6", "t7", "t10", "t11", "t12",
+    }
+    assert by_id["t5"].status == "none"
+    assert by_id["t12"].timestamp == "NaN"
