@@ -103,18 +103,20 @@ def _apply_step(df: DataFrame, step: dict) -> DataFrame:
         return df.join(losers, id_col, "anti")
     if op == "split":
         # deterministic 80/10/10 train/val/test assignment (md5-prefix
-        # thresholds — self-assigning on ingest, no re-deal on growth)
-        key = F.col(step["key"]).cast("string")
-        bkt = F.substring(F.md5(key), 1, 2)
+        # thresholds — self-assigning on ingest, no re-deal on growth).
+        # The thresholds live in queries/helpers.py as the ONE split
+        # contract shared with the graded export queries.
+        from .queries.helpers import split_assign
+
         return df.withColumn(
-            step.get("col", "split"),
-            F.when(bkt < "cd", "train").when(bkt < "e7", "val").otherwise("test"),
+            step.get("col", "split"), split_assign(F.col(step["key"]))
         )
     if op == "shard":
-        # 16-way deterministic export shard (first md5 hex char)
-        key = F.col(step["key"]).cast("string")
+        # 16-way deterministic export shard (same shared contract)
+        from .queries.helpers import shard_assign
+
         return df.withColumn(
-            step.get("col", "shard"), F.substring(F.md5(key), 1, 1)
+            step.get("col", "shard"), shard_assign(F.col(step["key"]))
         )
     raise ValueError(f"unknown job step op: {op!r}")
 

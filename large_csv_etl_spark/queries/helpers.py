@@ -46,3 +46,53 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     """DuckDB-side twin of davg()."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,4))) AS DOUBLE) / COUNT({expr})"
+
+
+# --- deterministic split / shard contract -------------------------------
+# ONE definition for the 80/10/10 train/val/test thresholds and the
+# 16-way export shard, consumed by the declarative job steps (jobs.py)
+# and the graded sampling/export queries alike. Retuning a literal in one
+# consumer and not another would silently assign the same doc_id to
+# different splits in the job-spec path vs the graded export.
+#
+# Membership is a pure function of md5(key): bucket = first two hex chars
+# (256 equal buckets). train = 00..cc (205/256 ~ 80.1%), val = cd..e6
+# (26/256 ~ 10.2%), test = e7..ff (25/256 ~ 9.8%). Shard = first hex char
+# (16-way).
+SPLIT_TRAIN_MAX = "cd"  # bucket < 'cd' -> train
+SPLIT_VAL_MAX = "e7"  # bucket < 'e7' -> val, else test
+SHARD_PREFIX_LEN = 1  # 16-way export shard
+
+
+def hash_bucket(key: Column) -> Column:
+    """First two hex chars of md5(key) — 256 equal buckets, engine-portable."""
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+def split_assign(key: Column) -> Column:
+    """Deterministic train/val/test label for ``key`` (Spark side)."""
+    bkt = hash_bucket(key)
+    return (
+        F.when(bkt < SPLIT_TRAIN_MAX, "train")
+        .when(bkt < SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+
+
+def shard_assign(key: Column) -> Column:
+    """Deterministic 16-way shard id for ``key`` (Spark side)."""
+    return F.substring(F.md5(key.cast("string")), 1, SHARD_PREFIX_LEN)
+
+
+def sql_split_case(key_expr: str) -> str:
+    """DuckDB-side twin of split_assign() over a VARCHAR key expression."""
+    bkt = f"SUBSTR(md5(CAST({key_expr} AS VARCHAR)), 1, 2)"
+    return (
+        f"CASE WHEN {bkt} < '{SPLIT_TRAIN_MAX}' THEN 'train' "
+        f"WHEN {bkt} < '{SPLIT_VAL_MAX}' THEN 'val' ELSE 'test' END"
+    )
+
+
+def sql_shard(key_expr: str) -> str:
+    """DuckDB-side twin of shard_assign()."""
+    return f"SUBSTR(md5(CAST({key_expr} AS VARCHAR)), 1, {SHARD_PREFIX_LEN})"

@@ -28,6 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .helpers import (
+    hash_bucket as _hash_bucket,
+    shard_assign,
+    split_assign,
+    sql_shard,
+    sql_split_case,
+)
 
 QUERIES = {}
 ORACLES = {}
@@ -41,11 +48,6 @@ def _q(name, oracle=None):
         return fn
 
     return deco
-
-
-def _hash_bucket(key_col):
-    """First two hex chars of md5(key) — 256 equal buckets, engine-portable."""
-    return F.substring(F.md5(key_col.cast("string")), 1, 2)
 
 
 @_q(
@@ -293,12 +295,9 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "sample_split_train_val_test",
-    """
+    f"""
     WITH tagged AS (
-      SELECT source,
-             CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-                  WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-                  ELSE 'test' END AS split
+      SELECT source, {sql_split_case("doc_id")} AS split
       FROM documents
     )
     SELECT source, split, COUNT(*) AS n_docs
@@ -307,19 +306,16 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split: membership is a pure
-    function of md5(doc_id) (hex prefix thresholds 'cc' = 204/256 ~ 80%,
-    'e6' = 230/256 ~ 90%), so the split is reproducible across engines,
-    runs, and repartitionings, and new documents self-assign on ingest
-    without touching existing assignments — the property a 100 TB corpus
-    needs (a seeded randomSplit re-deals everything when the input
+    function of md5(doc_id) (hex prefix thresholds — the ONE split
+    contract in queries/helpers.py, shared with jobs.py's split step and
+    export_training_manifest), so the split is reproducible across
+    engines, runs, and repartitionings, and new documents self-assign on
+    ingest without touching existing assignments — the property a 100 TB
+    corpus needs (a seeded randomSplit re-deals everything when the input
     changes). Row-local expression, no shuffle before the count."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = _hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
-    )
     return (
-        docs.select("source", split.alias("split"))
+        docs.select("source", split_assign(F.col("doc_id")).alias("split"))
         .groupBy("source", "split")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -390,10 +386,10 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "sample_export_shards",
-    r"""
+    rf"""
     WITH d AS (
       SELECT doc_id,
-             SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             {sql_shard("doc_id")} AS shard,
              CASE WHEN TRIM(text) = '' THEN 0
                   ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
       FROM documents
@@ -415,13 +411,14 @@ def sample_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     .partitionBy(shard)`` over the same expression — one shuffle, 16
     balanced output groups (md5 uniformity), no hot shard at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    shard = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(
         F.size(F.split(F.trim(F.col("text")), r"\s+"))
     )
     return (
         docs.select(
-            "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
+            "doc_id",
+            shard_assign(F.col("doc_id")).alias("shard"),
+            n_tokens.alias("n_tokens"),
         )
         .groupBy("shard")
         .agg(
@@ -435,12 +432,11 @@ def sample_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "export_training_manifest",
-    r"""
+    rf"""
     WITH d AS (
       SELECT doc_id, lang, source, text,
              CASE WHEN TRIM(text) = '' THEN 0
-                  ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
-             SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bkt
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
       FROM documents
     )
     SELECT d.doc_id,
@@ -448,10 +444,8 @@ def sample_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
            d.source,
            CAST(d.n_tokens AS BIGINT) AS n_tokens,
            md5(d.text) AS content_md5,
-           CASE WHEN d.bkt < 'cd' THEN 'train'
-                WHEN d.bkt < 'e7' THEN 'val'
-                ELSE 'test' END AS split,
-           SUBSTR(d.bkt, 1, 1) AS shard,
+           {sql_split_case("d.doc_id")} AS split,
+           {sql_shard("d.doc_id")} AS shard,
            CAST(len(e.embedding) AS BIGINT) AS emb_dim
     FROM d JOIN embeddings e ON d.doc_id = e.vec_id
     WHERE d.n_tokens >= 3
@@ -473,16 +467,13 @@ def export_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(
         F.size(F.split(F.trim(F.col("text")), r"\s+"))
     )
-    bkt = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     d = docs.select(
         "doc_id",
         "lang",
         "source",
         n_tokens.cast("bigint").alias("n_tokens"),
         F.md5(F.col("text")).alias("content_md5"),
-        F.when(bkt < "cd", "train").when(bkt < "e7", "val").otherwise("test").alias(
-            "split"
-        ),
-        F.substring(bkt, 1, 1).alias("shard"),
+        split_assign(F.col("doc_id")).alias("split"),
+        shard_assign(F.col("doc_id")).alias("shard"),
     ).filter(F.col("n_tokens") >= 3)
     return d.join(emb, d.doc_id == emb.vec_id).drop("vec_id")
