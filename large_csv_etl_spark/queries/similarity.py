@@ -206,9 +206,11 @@ def ivf_assignments(
         dtype=np.float64,
     )
     if len(sample) == 0:
-        # empty corpus: no centroids to train — every (zero) row gets
-        # list 0 so the downstream probe/join plan still composes
-        return emb.withColumn("list_id", F.lit(0)), [[0.0]]
+        # empty corpus: no centroids to train. Return an EMPTY centroid
+        # list (callers treat no-centroids as no-candidates) rather than
+        # a fabricated 1-d centroid whose shape would disagree with any
+        # externally supplied query vector's dimensionality.
+        return emb.withColumn("list_id", F.lit(0)), []
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cents = sample[
