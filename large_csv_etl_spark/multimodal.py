@@ -57,15 +57,21 @@ def decode_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
     """
 
     def decode_real(payload: bytes) -> tuple[int, int, int]:
-        # Real image decode — unavailable in this container (no PIL/cv2).
+        # Real image decode via optional Pillow. The import-try runs on
+        # the WORKER (this closure ships by value); absent Pillow the
+        # task fails with the actionable message below rather than an
+        # opaque ImportError mid-batch.
+        import io as _io
+
         try:
-            from PIL import Image  # noqa: F401
+            from PIL import Image
         except ImportError as exc:
             raise NotImplementedError(
                 "image decoding requires Pillow; install it or use the "
                 "deterministic stub (decode_payloads(..., stub=True))"
             ) from exc
-        raise NotImplementedError("real decoder wiring is intentionally stubbed")
+        with Image.open(_io.BytesIO(bytes(payload))) as im:
+            return im.width, im.height, len(im.getbands())
 
     def decode_stub(payload: bytes) -> tuple[int, int, int]:
         # Deterministic fake: plausible dimensions from the byte length so

@@ -25,12 +25,41 @@ def test_payload_schema_types(spark):
     assert dtypes["meta"].startswith("struct<mime:string")
 
 
+def _has_pil() -> bool:
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="Pillow installed — gate not active")
 def test_real_decoder_is_gated_not_fake(spark):
-    """stub=False must fail loudly (NotImplementedError via the import-try
-    gate) — never silently fall back to fake dimensions."""
+    """Without Pillow, stub=False must fail loudly (NotImplementedError
+    via the worker-side import-try) — never silently fall back to fake
+    dimensions."""
     p = attach_payload(load_table(spark, SF_DIR, "documents")).limit(1)
     with pytest.raises(Exception, match="NotImplementedError|Pillow|stub"):
         decode_payloads(p, stub=False).collect()
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not installed")
+def test_real_decoder_decodes_png(spark):
+    """With Pillow present, stub=False is a REAL decode: a generated
+    5x3 RGB PNG payload comes back with its true dimensions and band
+    count (proves the stub/real switch is wired, not asserted)."""
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (5, 3), (200, 10, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    row = decode_payloads(df, stub=False).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (5, 3, 3)
 
 
 def test_frame_sampling_conserves_bytes(spark):
