@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..io import load_table
+from .helpers import phash60, sql_phash60
 
 QUERIES = {}
 ORACLES = {}
@@ -337,8 +338,18 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", F.xxhash64("token").alias("h"))
     )
+    return _bitplane_majority_pack(hashed, bits=64)
+
+
+def _bitplane_majority_pack(hashed: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, h) rows -> (doc_id, simhash): majority vote over the low
+    ``bits`` bitplanes of ``h``, packed into one BIGINT (the lane-packed
+    aggregation described in simhash_fingerprints). ``bits`` must be a
+    multiple of 4 (the 4-lanes-per-long packing)."""
+    assert bits % 4 == 0, bits
+    groups = bits // 4
     aggs = [F.count("*").alias("n")]
-    for g in range(16):
+    for g in range(groups):
         lanes = None
         for j in range(4):
             i = g * 4 + j
@@ -349,7 +360,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         aggs.append(F.sum(lanes).alias(f"g{g}"))
     sums = hashed.groupBy("doc_id").agg(*aggs)
     simhash = None
-    for g in range(16):
+    for g in range(groups):
         for j in range(4):
             i = g * 4 + j
             cnt = F.shiftright(F.col(f"g{g}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
@@ -386,7 +397,16 @@ def simhash_neardup_pairs(docs: DataFrame) -> DataFrame:
     per-doc state is one BIGINT.
     """
     fp = simhash_fingerprints(docs)
-    width = 64 // SIMHASH_BANDS
+    return _simhash_band_verify(fp, bits=64, hamming_type="int")
+
+
+def _simhash_band_verify(fp: DataFrame, bits: int, hamming_type: str) -> DataFrame:
+    """Banded candidate generation + Hamming verify over a (doc_id,
+    simhash) fingerprint table — the pigeonhole plan from
+    simhash_neardup_pairs, parameterized on fingerprint width (the
+    portable 60-bit twin uses 4 x 15-bit bands, same exactness argument:
+    <= 3 differing bits touch at most 3 of the 4 disjoint bands)."""
+    width = bits // SIMHASH_BANDS
     mask = (1 << width) - 1
     bands = F.array(
         *[
@@ -407,7 +427,7 @@ def simhash_neardup_pairs(docs: DataFrame) -> DataFrame:
     return (
         cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
         .join(b, F.col("doc_b") == F.col("b.doc_id"))
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .select("doc_a", "doc_b", ham.cast(hamming_type).alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
 
@@ -418,6 +438,222 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the exact-banding design)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     return simhash_neardup_pairs(docs)
+
+
+# --- portable (md5-derived) sketch twins --------------------------------
+# The production MinHash/SimHash paths hash with xxhash64 — the right
+# call at scale (one cheap JVM hash per token/shingle) but engine-specific,
+# so the driver can only rows-check them. These twins swap in the portable
+# 60-bit md5 slice hash (helpers.phash60), which BOTH engines evaluate
+# identically, making the ENTIRE sketch->band->verify pipeline value-exact
+# against the DuckDB oracle: the banding logic, bucket caps, estimator and
+# thresholds are the same code paths the xxhash64 variants use, so a green
+# verdict here certifies the shared machinery, not just the hash. Cost of
+# portability: md5 is ~3-4x the CPU of xxhash64 per call (amortized to
+# 8 digests per shingle for 16 perms by splitting each digest into two
+# independent 60-bit halves) — at 100 TB you run the xxhash64 variant and
+# keep this one as the cross-engine conformance check.
+
+# DuckDB twin of queries/dedup.shingle_rows (same CTE as dedup_ngram_jaccard).
+_SQL_SHINGLES = r"""
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(1, GREATEST(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+        FROM documents WHERE TRIM(text) <> '') t
+  WHERE len(toks) >= 3
+"""
+
+
+@_q(
+    "dedup_minhash_portable",
+    rf"""
+    WITH sh AS ({_SQL_SHINGLES}
+    ), hh AS (
+      SELECT doc_id, j, md5(shingle || ':' || j) AS m
+      FROM sh CROSS JOIN range(8) r(j)
+    ), ph AS (
+      SELECT doc_id, 2*j AS p, ('0x' || substr(m, 1, 15))::BIGINT AS h FROM hh
+      UNION ALL
+      SELECT doc_id, 2*j + 1 AS p, ('0x' || substr(m, 16, 15))::BIGINT AS h FROM hh
+    ), sig AS (
+      SELECT doc_id, p, MIN(h) AS mh FROM ph GROUP BY doc_id, p
+    ), bands AS (
+      SELECT s0.doc_id, b.band,
+             {sql_phash60("s0.mh || ':' || s1.mh || ':' || b.band")} AS bh
+      FROM range(8) b(band)
+      JOIN sig s0 ON s0.p = 2 * b.band
+      JOIN sig s1 ON s1.doc_id = s0.doc_id AND s1.p = 2 * b.band + 1
+    ), bsz AS (
+      SELECT band, bh FROM bands GROUP BY band, bh
+      HAVING COUNT(*) BETWEEN 2 AND {{max_bucket}}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      JOIN bsz ON bsz.band = a.band AND bsz.bh = a.bh
+    ), est AS (
+      SELECT p.doc_a, p.doc_b,
+             SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS matches
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b AND sb.p = sa.p
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(matches / 16.0, 4) AS est_jaccard
+    FROM est WHERE matches / 16.0 >= 0.5
+    """,
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup join with the portable 60-bit hash — the
+    oracle-gradable twin of dedup_minhash_lsh (same 16 perms / 8 bands of
+    r=2 / MAX_BUCKET cap / est >= 0.5 contract; see that docstring for the
+    recall math). 16 permutation hashes cost 8 md5 digests per shingle
+    (each digest yields two independent 60-bit slices); everything after
+    the hash — one min-agg shuffle, capped posting-list pairing, 16-way
+    match estimator — is the same shape as the production variant. The
+    est_jaccard values k/16 are exact at 4 decimal places, so the final
+    ROUND is engine-deterministic."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    sh = shingle_rows(docs)
+    mins = []
+    for j in range(8):
+        m = F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(j))))
+        lo = F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint")
+        hi = F.conv(F.substring(m, 16, 15), 16, 10).cast("bigint")
+        mins.append(F.min(lo).alias(f"m{2 * j}"))
+        mins.append(F.min(hi).alias(f"m{2 * j + 1}"))
+    sigs = sh.groupBy("doc_id").agg(*mins)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                phash60(
+                    F.concat_ws(
+                        ":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"), F.lit(str(b))
+                    )
+                ).alias("bh"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    buckets = (
+        sigs.select("doc_id", F.explode(band_structs).alias("s"))
+        .select("doc_id", "s.band", "s.bh")
+        .groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
+    )
+    cand = _posting_list_pairs(buckets).dropDuplicates(["doc_a", "doc_b"])
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    matches = None
+    for i in range(MINHASH_PERMS):
+        t = F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    return (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(MINHASH_PERMS), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+ORACLES["dedup_minhash_portable"] = ORACLES["dedup_minhash_portable"].format(
+    max_bucket=MAX_BUCKET
+)
+
+_PORTABLE_SIMHASH_BITS = 60
+
+# 60 per-bitplane SUM aggregates + the majority pack, generated once and
+# spliced into both portable-simhash oracles below.
+_SQL_SIMHASH_SUMS = ",\n             ".join(
+    f"SUM((h >> {i}) & 1) AS c{i}" for i in range(_PORTABLE_SIMHASH_BITS)
+)
+_SQL_SIMHASH_PACK = " + ".join(
+    f"(CASE WHEN 2*c{i} > n THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+    for i in range(_PORTABLE_SIMHASH_BITS)
+)
+_SQL_SIMHASH_FP = rf"""
+    WITH tk AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), h AS (
+      SELECT doc_id, {sql_phash60("token")} AS h FROM tk
+    ), s AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {_SQL_SIMHASH_SUMS}
+      FROM h GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, {_SQL_SIMHASH_PACK} AS simhash FROM s
+    )
+"""
+
+
+def simhash_portable_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 60-bit portable SimHash (phash60 token hash +
+    the same lane-packed bitplane majority as simhash_fingerprints).
+    60 bits so the fingerprint is one md5 slice wide; 4 x 15-bit bands
+    preserve the Hamming<=3 pigeonhole exactness."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        docs = docs.repartition(sc.defaultParallelism)
+    hashed = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(_norm_text(F.col("text")), r"\s+")).alias("token"),
+        )
+        .select("doc_id", phash60(F.col("token")).alias("h"))
+    )
+    return _bitplane_majority_pack(hashed, bits=_PORTABLE_SIMHASH_BITS)
+
+
+@_q(
+    "dedup_simhash_portable",
+    _SQL_SIMHASH_FP + "\n    SELECT doc_id, simhash FROM fp",
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 60-bit SimHash fingerprints, graded value-exact against
+    the oracle's 60-aggregate bitplane unroll — certifies the bitplane
+    majority/lane-packing machinery shared with the xxhash64 variant."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    return simhash_portable_fingerprints(docs)
+
+
+@_q(
+    "dedup_simhash_portable_neardup",
+    _SQL_SIMHASH_FP
+    + rf""", bands AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (15 * b.band::INT)) & 32767 AS bv
+      FROM fp CROSS JOIN range(4) b(band)
+    ), bsz AS (
+      SELECT band, bv FROM bands GROUP BY band, bv
+      HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    JOIN bsz ON bsz.band = a.band AND bsz.bv = a.bv
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming<=3 near-dup pairs over the portable 60-bit SimHash — the
+    oracle-gradable twin of dedup_simhash_neardup (4 disjoint 15-bit bands;
+    a pair differing in <= 3 bits agrees exactly on >= 1 band, so banding
+    is exact, not probabilistic; MAX_BUCKET caps degenerate posting
+    lists in both engines)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    fp = simhash_portable_fingerprints(docs)
+    return _simhash_band_verify(
+        fp, bits=_PORTABLE_SIMHASH_BITS, hamming_type="bigint"
+    )
 
 
 def embedding_neardup_pairs(

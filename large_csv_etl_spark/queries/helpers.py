@@ -96,3 +96,29 @@ def sql_split_case(key_expr: str) -> str:
 def sql_shard(key_expr: str) -> str:
     """DuckDB-side twin of shard_assign()."""
     return f"SUBSTR(md5(CAST({key_expr} AS VARCHAR)), 1, {SHARD_PREFIX_LEN})"
+
+
+# --- portable 60-bit integer hash ---------------------------------------
+# Both engines hex-decode a 15-char slice of md5 to the SAME non-negative
+# BIGINT (< 2^60): Spark via conv(hex, 16, 10), DuckDB via a '0x…' string
+# cast. This is the bridge that lets hash-driven operators (MinHash,
+# SimHash, feature hashing) be graded value-exact against the DuckDB
+# oracle, where xxhash64 is engine-specific and forces a rows-only check.
+# The two 15-char slices of one md5 give two independent 60-bit hashes
+# per digest.
+
+
+def phash60(col: Column, hi: bool = False) -> Column:
+    """Portable 60-bit hash of a string column (Spark side).
+
+    ``hi`` selects the second 15-hex-char slice of the digest, yielding a
+    hash independent of the ``hi=False`` one for the same input.
+    """
+    start = 16 if hi else 1
+    return F.conv(F.substring(F.md5(col), start, 15), 16, 10).cast("bigint")
+
+
+def sql_phash60(expr: str, hi: bool = False) -> str:
+    """DuckDB-side twin of phash60() over a VARCHAR expression."""
+    start = 16 if hi else 1
+    return f"('0x' || substr(md5({expr}), {start}, 15))::BIGINT"

@@ -230,3 +230,77 @@ def test_fastss_fuzzy_pairs_complete_vs_bruteforce(spark):
                 expected.add((lo, hi, d))
 
     assert got == expected
+
+
+def test_portable_minhash_recall_vs_exact_jaccard(spark):
+    """The md5-slice portable MinHash twin obeys the same recall contract
+    as the xxhash64 production variant: it must recover the clearly-similar
+    pairs the exact n-gram Jaccard join finds."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in DEDUP_QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+        .filter(F.col("jaccard") >= 0.3)
+        .collect()
+    }
+    if not exact:
+        pytest.skip("no high-jaccard pairs at this SF")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in DEDUP_QUERIES["dedup_minhash_portable"](spark, SF_DIR).collect()
+    }
+    missed = exact - got
+    assert len(missed) <= 0.2 * len(exact), (
+        f"portable MinHash missed {len(missed)}/{len(exact)}: {missed}"
+    )
+
+
+def test_portable_simhash_neardup_on_planted_dups(spark):
+    """Portable 60-bit SimHash: the 4x15-bit pigeonhole banding must
+    surface every planted pair with hamming<=3, fingerprints stay inside
+    60 bits, and reported hamming distances are exact."""
+    import random
+
+    from large_csv_etl_spark.queries.dedup import (
+        SIMHASH_MAX_HAMMING,
+        simhash_portable_fingerprints,
+    )
+
+    rnd = random.Random(29)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = []
+    for i in range(40):
+        words = [rnd.choice(vocab) for _ in range(40)]
+        rows.append((i, " ".join(words)))
+        mutated = list(words)
+        mutated[7] = rnd.choice(vocab)
+        rows.append((i + 1000, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fp = {
+        r.doc_id: r.simhash
+        for r in simhash_portable_fingerprints(docs).collect()
+    }
+    assert all(0 <= v < (1 << 60) for v in fp.values())
+    expected = {
+        (i, i + 1000)
+        for i in range(40)
+        if bin(fp[i] ^ fp[i + 1000]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+    assert len(expected) >= 20, f"fixture too noisy: {len(expected)} pairs"
+
+    from large_csv_etl_spark.queries.dedup import (
+        _PORTABLE_SIMHASH_BITS,
+        _simhash_band_verify,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in _simhash_band_verify(
+            simhash_portable_fingerprints(docs),
+            bits=_PORTABLE_SIMHASH_BITS,
+            hamming_type="bigint",
+        ).collect()
+    }
+    assert expected <= set(got), f"missed: {expected - set(got)}"
+    for (a, b), h in got.items():
+        assert bin(fp[a] ^ fp[b]).count("1") == h

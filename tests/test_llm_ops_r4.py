@@ -136,11 +136,13 @@ def test_token_pagerank_is_a_distribution(spark):
     scale = 10**12
     fixed = pagerank_fixed(edges, n_iter=10, scale=scale)
     n_nodes = fixed.count()
+    n_edges = edges.distinct().count()
     total_fp = fixed.agg(F.sum("rank_fp")).collect()[0][0]
-    # Each of the 10 rounds floor-loses at most 1 unit per node per
-    # division site (contrib div, dangling div, damping div, base) — a
-    # loose but sufficient conservation envelope.
-    assert scale >= total_fp > scale - 40 * n_nodes
+    # Per round, floor losses are bounded per DIVISION, and the contrib
+    # site divides once per distinct edge (rank_fp div outdeg loses up to
+    # outdeg-1 units per source node, i.e. <= |E| total), while the
+    # dangling/damping/base sites lose at most 1 unit per node each.
+    assert scale >= total_fp > scale - 10 * (n_edges + 3 * n_nodes)
     # Fixed-point ranks track the float ranks to fixed-point resolution
     # (floor drift accumulates well below 1e-6 of mass on this graph).
     joined = (
