@@ -828,3 +828,47 @@ def events_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sum_d / n).alias("mean_gap_us"),
         ((sumsq_d - (sum_d * sum_d) / n) / n).alias("var_gap"),
     )
+
+
+@_q(
+    "events_sequence_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    """,
+)
+def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, order 3: counts of consecutive
+    event-type trigrams per user stream (the path-analysis building block
+    behind funnels and next-action models). Ordering is (ts, event_id) —
+    event_id breaks timestamp ties, so the sequence is total and the
+    result engine-deterministic; ts is compared, never arithmetic'd, so
+    the NTZ fixture needs no epoch handling. One user-partitioned window
+    (same shuffle the sessionizer already pays) + one bounded hash agg:
+    output cardinality is <= |event_type|^3 regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

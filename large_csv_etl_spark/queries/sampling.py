@@ -477,3 +477,70 @@ def export_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_assign(F.col("doc_id")).alias("shard"),
     ).filter(F.col("n_tokens") >= 3)
     return d.join(emb, d.doc_id == emb.vec_id).drop("vec_id")
+
+
+@_q(
+    "sample_temperature_mixture",
+    """
+    WITH stats AS (
+      SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_s,
+             CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE)) * 1000000000) AS BIGINT) AS wfp
+      FROM stats
+    ), tot AS (
+      SELECT CAST(SUM(n_s) AS BIGINT) AS n, CAST(SUM(wfp) AS BIGINT) AS totw
+      FROM w
+    ), rates AS (
+      SELECT source, CAST(FLOOR(LEAST(
+               ((CAST(wfp AS DOUBLE) / CAST(totw AS DOUBLE)) * (0.5 * n)) / n_s,
+               1.0) * 256) AS BIGINT) AS bucket
+      FROM w, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE r.bucket >= 256
+       OR SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', r.bucket)
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling at alpha = 0.5: per-source keep
+    rates proportional to sqrt(n_source) — the standard multilingual /
+    multi-source rebalancing that upsamples small sources relative to
+    their share without letting any single source dominate (alpha = 1 is
+    proportional sampling, alpha = 0 uniform-over-sources; sqrt is the
+    midpoint and, unlike a general pow(), is correctly rounded under
+    IEEE-754, so both engines compute the identical weight). Weights are
+    floored to 1e-9 fixed point and summed exactly as BIGINT, so the
+    normalization denominator is partition-order independent; membership
+    is the same row-local 256-bucket md5 test as sample_mixture_weighted
+    (deterministic on any engine, any partitioning). Budget: half the
+    corpus. Two |sources|-row aggregates broadcast onto the scan — one
+    pass, no per-doc shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    wfp = F.floor(F.sqrt(F.col("n_s").cast("double")) * F.lit(1000000000)).cast(
+        "bigint"
+    )
+    w = stats.select("source", "n_s", wfp.alias("wfp"))
+    tot = w.agg(
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.sum("wfp").cast("bigint").alias("totw"),
+    )
+    rate_raw = (
+        (F.col("wfp").cast("double") / F.col("totw").cast("double"))
+        * (F.lit(0.5) * F.col("n"))
+    ) / F.col("n_s")
+    bucket = F.floor(F.least(rate_raw, F.lit(1.0)) * F.lit(256)).cast("bigint")
+    rates = w.join(F.broadcast(tot)).select("source", bucket.alias("bucket"))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            (F.col("bucket") >= 256)
+            | (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+                < F.format_string("%02x", F.col("bucket"))
+            )
+        )
+        .select("doc_id", "source")
+    )

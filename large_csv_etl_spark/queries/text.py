@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from .helpers import davg, sql_davg
+from .helpers import davg, phash60, sql_davg, sql_phash60
 
 QUERIES = {}
 ORACLES = {}
@@ -1077,4 +1077,44 @@ def text_vocab_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(1) - sum_sq / (n_tok.cast("double") * n_tok.cast("double"))
         ).alias("simpson_diversity"),
+    )
+
+
+FEATURE_HASH_BUCKETS = 64
+
+
+@_q(
+    "text_feature_hashing",
+    rf"""
+    WITH tk AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    )
+    SELECT doc_id,
+           {sql_phash60("token")} % {FEATURE_HASH_BUCKETS} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tk GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick"): each document's bag of words
+    folded into a fixed 64-bucket sparse term-frequency vector, keyed by
+    the portable 60-bit hash so the bucket assignment — and therefore the
+    whole feature matrix — is value-exact across engines. Emitted in long
+    format (doc_id, bucket, tf) — the driver-safe sparse representation
+    (no array columns) and also the natural input layout for a distributed
+    learner: one row per non-zero, partitionable by doc or by feature.
+    One explode + one hash agg, map-side combinable; vector width is a
+    constant, so state per doc is bounded at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        "doc_id", F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            (phash60(F.col("token")) % FEATURE_HASH_BUCKETS).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("tf"))
     )

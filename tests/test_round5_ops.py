@@ -1,0 +1,120 @@
+"""Semantics tests for the round-5 operators (portable-hash sketch twins
+are covered in test_dedup_ann; here: feature hashing, sequence trigrams,
+temperature mixture sampling)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from large_csv_etl_spark.queries.events import QUERIES as EVENT_QUERIES
+from large_csv_etl_spark.queries.sampling import QUERIES as SAMPLING_QUERIES
+from large_csv_etl_spark.queries.text import (
+    FEATURE_HASH_BUCKETS,
+    QUERIES as TEXT_QUERIES,
+)
+
+from .conftest import SF_DIR
+
+
+def test_feature_hashing_conserves_token_mass(spark):
+    """Every token lands in exactly one of the 64 buckets: per-doc sum of
+    tf equals the doc's token count, buckets stay in range, and the same
+    token always maps to the same bucket (hash determinism across docs)."""
+    fh = TEXT_QUERIES["text_feature_hashing"](spark, SF_DIR)
+    rows = fh.collect()
+    assert all(0 <= r.bucket < FEATURE_HASH_BUCKETS for r in rows)
+
+    per_doc = {
+        r.doc_id: r.total
+        for r in fh.groupBy("doc_id").agg(F.sum("tf").alias("total")).collect()
+    }
+    tok = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"),
+        )
+        .collect()
+    }
+    assert per_doc == tok
+
+
+def test_sequence_trigrams_on_manual_stream(spark):
+    """Hand-checked trigram counts on a tiny two-user stream, including a
+    timestamp tie broken by event_id."""
+    t = datetime(2024, 1, 1)
+    rows = [
+        # user 1: a b a b  (ties on ts for events 2,3 -> event_id order)
+        (1, t.replace(second=1), 10, "a", 0.0, None),
+        (2, t.replace(second=2), 10, "b", 0.0, None),
+        (3, t.replace(second=2), 10, "a", 0.0, None),
+        (4, t.replace(second=4), 10, "b", 0.0, None),
+        # user 2: a b a
+        (5, t.replace(second=1), 20, "a", 0.0, None),
+        (6, t.replace(second=2), 20, "b", 0.0, None),
+        (7, t.replace(second=3), 20, "a", 0.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    got = {
+        (r.t1, r.t2, r.t3): (r.n, r.u)
+        for r in seq.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    # user 1 trigrams: (a,b,a), (b,a,b); user 2: (a,b,a)
+    assert got == {("a", "b", "a"): (2, 2), ("b", "a", "b"): (1, 1)}
+
+    # registered query at the fixture SF: output cardinality is bounded by
+    # |event_type|^3 and every trigram leg is non-null
+    out = EVENT_QUERIES["events_sequence_trigrams"](spark, SF_DIR)
+    n_types = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    rows2 = out.collect()
+    assert 0 < len(rows2) <= n_types**3
+    assert all(r.t1 and r.t2 and r.t3 for r in rows2)
+
+
+def test_temperature_mixture_upsamples_small_sources(spark):
+    """On a skewed corpus (one big source, one small), alpha=0.5 keeps a
+    HIGHER fraction of the small source than of the big one, and the
+    sampled set is deterministic across invocations."""
+    import tempfile
+
+    rows = [(i, f"text {i}", "en", "big", 10) for i in range(2000)]
+    rows += [(10_000 + i, f"text {i}", "en", "small", 10) for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        fn = SAMPLING_QUERIES["sample_temperature_mixture"]
+        kept1 = {r.doc_id for r in fn(spark, d).collect()}
+        kept2 = {r.doc_id for r in fn(spark, d).collect()}
+    assert kept1 == kept2
+    big_rate = len([x for x in kept1 if x < 10_000]) / 2000
+    small_rate = len([x for x in kept1 if x >= 10_000]) / 100
+    assert small_rate > big_rate * 2, (small_rate, big_rate)
+    # overall budget ~50% of the corpus (256-bucket quantization slack)
+    assert 0.35 <= len(kept1) / 2100 <= 0.65
