@@ -726,3 +726,100 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad_l2").alias("mad_norm"),
         )
     )
+
+
+# Portable-LSH contract: 16 hyperplanes over 64 dims with integer weights
+# derived from md5 (w(p, d) = phash60('plane:p:d') % 2000001 - 1000000,
+# i.e. uniform over ±1e6 — md5 bits are as good a random projection as an
+# RNG's, and both engines can derive the SAME planes, no literal tables
+# shipped). Embeddings are quantized to 1e-6 fixed point; the dot is then
+# pure BIGINT arithmetic: |e_fp| <= ~2e6, |w| <= 1e6, 64 terms -> < 2^48,
+# exact in both engines, so a sign never flips across engines (a float
+# hyperplane projection near zero could).
+LSH_PORTABLE_PLANES = 16
+LSH_PORTABLE_WRANGE = 2000001
+
+
+def _portable_plane_weights() -> list[list[int]]:
+    """The md5-derived hyperplanes, computed driver-side (hashlib md5 ==
+    SQL md5 on the same ascii string; the oracle derives identical values
+    in SQL)."""
+    import hashlib
+
+    planes = []
+    for p in range(LSH_PORTABLE_PLANES):
+        row = []
+        for d in range(64):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(h % LSH_PORTABLE_WRANGE - 1_000_000)
+        planes.append(row)
+    return planes
+
+
+@_q(
+    "sim_lsh_portable_buckets",
+    f"""
+    WITH t AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS efp
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, unnest(efp) AS ef, generate_subscripts(efp, 1) AS pos
+      FROM t
+    ), planes AS (
+      SELECT p.p, d.d,
+             (('0x' || substr(md5('plane:' || p.p || ':' || d.d), 1, 15))::BIGINT
+              % {LSH_PORTABLE_WRANGE}) - 1000000 AS w
+      FROM range({LSH_PORTABLE_PLANES}) p(p) CROSS JOIN range(64) d(d)
+    ), dots AS (
+      SELECT e.vec_id, pl.p, CAST(SUM(e.ef * pl.w) AS BIGINT) AS dot
+      FROM e JOIN planes pl ON pl.d = e.pos - 1
+      GROUP BY e.vec_id, pl.p
+    ), b AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p::INT)
+                           ELSE 0::BIGINT END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    )
+    SELECT vec_id, bucket, CAST(bit_count(bucket) AS BIGINT) AS n_high_bits
+    FROM b
+    """,
+)
+def sim_lsh_portable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment, value-exact across engines
+    — the oracle-gradable twin of sim_lsh_buckets. Plane weights are
+    md5-derived integers (see module constant note) and embeddings are
+    1e-6 fixed-point quantized, so each of the 16 sign bits comes from an
+    exact BIGINT dot product: the full 16-bit bucket id — the partition
+    key of the ANN scale path — is graded, not just a histogram. Spark
+    keeps everything row-local (higher-order zip_with/aggregate per plane;
+    no explode, no shuffle beyond the scan); the oracle's unnest+join
+    formulation is semantically identical. At 100 TB this is one
+    map-only pass emitting an 8-byte bucket per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    efp = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    base = emb.select("vec_id", efp.alias("efp"))
+    bucket = None
+    for p, weights in enumerate(_portable_plane_weights()):
+        warr = F.array(*[F.lit(w).cast("bigint") for w in weights])
+        dot = F.aggregate(
+            F.zip_with(F.col("efp"), warr, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, p)
+        bucket = term if bucket is None else bucket + term
+    return base.select(
+        "vec_id",
+        bucket.alias("bucket"),
+    ).select(
+        "vec_id",
+        "bucket",
+        F.bit_count("bucket").cast("bigint").alias("n_high_bits"),
+    )

@@ -118,3 +118,51 @@ def test_temperature_mixture_upsamples_small_sources(spark):
     assert small_rate > big_rate * 2, (small_rate, big_rate)
     # overall budget ~50% of the corpus (256-bucket quantization slack)
     assert 0.35 <= len(kept1) / 2100 <= 0.65
+
+
+def test_portable_lsh_buckets_spread_and_determinism(spark):
+    """Portable LSH: buckets are 16-bit, the corpus spreads over many
+    buckets (hyperplanes actually discriminate), assignment is
+    deterministic, and near-identical vectors share a bucket."""
+    from large_csv_etl_spark.queries.similarity import (
+        QUERIES as SIM_QUERIES,
+        _portable_plane_weights,
+    )
+
+    planes = _portable_plane_weights()
+    assert len(planes) == 16 and all(len(p) == 64 for p in planes)
+    assert all(abs(w) <= 1_000_000 for p in planes for w in p)
+
+    out = SIM_QUERIES["sim_lsh_portable_buckets"](spark, SF_DIR)
+    rows = {r.vec_id: (r.bucket, r.n_high_bits) for r in out.collect()}
+    assert all(0 <= b < (1 << 16) for b, _ in rows.values())
+    assert all(bin(b).count("1") == h for b, h in rows.values())
+    n_buckets = len({b for b, _ in rows.values()})
+    assert n_buckets >= len(rows) // 8, f"degenerate bucketing: {n_buckets}"
+
+    rows2 = {
+        r.vec_id: (r.bucket, r.n_high_bits)
+        for r in SIM_QUERIES["sim_lsh_portable_buckets"](spark, SF_DIR).collect()
+    }
+    assert rows == rows2
+
+    # a vector and a tiny perturbation of it land in the same bucket
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(64)
+    v /= np.linalg.norm(v)
+    w = v + 1e-4 * rng.standard_normal(64)
+    emb = spark.createDataFrame(
+        [(1, [float(x) for x in v], 0), (2, [float(x) for x in w], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        emb.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+        pair = {
+            r.vec_id: r.bucket
+            for r in SIM_QUERIES["sim_lsh_portable_buckets"](spark, d).collect()
+        }
+    assert pair[1] == pair[2]
