@@ -104,6 +104,15 @@ HEADLINE = [
     "text_vocab_diversity",
     "customer_rfm_segments",
     "basket_part_pairs",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable_neardup",
+    "sim_lsh_portable_buckets",
+    "text_feature_hashing",
+    "events_sequence_trigrams",
+    "sample_temperature_mixture",
+    "dq_orders_lineitem_reconciliation",
+    "events_hourly_mad_anomaly",
+    "embedding_centroid_separation",
 ]
 
 

@@ -872,3 +872,57 @@ def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@_q(
+    "events_hourly_mad_anomaly",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    hourly AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start,
+             COUNT(*) AS n
+      FROM ev GROUP BY 1
+    ), med AS (
+      SELECT MEDIAN(n) AS med_n FROM hourly
+    ), mad AS (
+      SELECT m.med_n, MEDIAN(ABS(h.n - m.med_n)) AS mad_n
+      FROM hourly h CROSS JOIN med m
+      GROUP BY m.med_n
+    )
+    SELECT h.hour_start, h.n, a.med_n, a.mad_n,
+           ABS(h.n - a.med_n) > 3 * a.mad_n AS is_anomaly
+    FROM hourly h CROSS JOIN mad a
+    """,
+)
+def events_hourly_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust traffic anomaly screen: hours whose event count sits more
+    than 3 MADs from the series median — the outlier-immune twin of
+    events_zscore_anomaly (a real traffic spike inflates a mean/std
+    baseline and masks itself; the median/MAD baseline doesn't move).
+    Two median passes over the already-reduced hourly series (8,760
+    rows/year at any SF — reduction shuffles, medians don't bottleneck),
+    then a broadcast of the 1-row baseline back onto it. Counts are exact
+    integers; both engines interpolate medians identically (the proven
+    quantile parity) and the 3-MAD test is one fixed chain of IEEE ops.
+    The raw-MAD fence (no 1.4826 normal-consistency factor) is
+    intentional: it's a screen, not a sigma estimate."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(F.count("*").alias("n"))
+    )
+    med = hourly.agg(F.median("n").alias("med_n"))
+    mad = (
+        hourly.crossJoin(F.broadcast(med))
+        .groupBy("med_n")
+        .agg(F.median(F.abs(F.col("n") - F.col("med_n"))).alias("mad_n"))
+    )
+    return hourly.crossJoin(F.broadcast(mad)).select(
+        "hour_start",
+        "n",
+        "med_n",
+        "mad_n",
+        (F.abs(F.col("n") - F.col("med_n")) > 3 * F.col("mad_n")).alias(
+            "is_anomaly"
+        ),
+    )

@@ -98,3 +98,88 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.select(
         "rule", "observed", "violations", (F.col("violations") == 0).alias("passed")
     )
+
+
+@_q(
+    "dq_orders_lineitem_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+               AS gross_fp
+      FROM lineitem GROUP BY l_orderkey
+    ), j AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000 AS total_fp,
+             li.gross_fp
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN gross_fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_lineitems,
+           CAST(SUM(CASE WHEN gross_fp = total_fp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN gross_fp IS NOT NULL
+                          AND ABS(gross_fp - total_fp) * 100 <= total_fp
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(SUM(CASE WHEN gross_fp IS NOT NULL
+                          AND ABS(gross_fp - total_fp) * 100 > total_fp
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_1pct,
+           CAST(SUM(CASE WHEN gross_fp IS NOT NULL
+                         THEN ABS(gross_fp - total_fp) ELSE 0 END) AS BIGINT)
+             AS sum_abs_delta_fp
+    FROM j
+    """,
+)
+def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation — does each order's header total agree
+    with the sum of its line items (extended price net of discount, plus
+    tax)? The classic warehouse consistency gate between a fact header
+    and its detail table. All arithmetic is integer fixed point: money
+    and rates are 2dp doubles, so round(x*100) recovers the exact integer
+    in both engines, the per-line gross is a BIGINT product in 1e-6
+    currency units, and every delta/threshold test is integer-exact —
+    no float tolerance smuggled into a correctness gate. One lineitem
+    aggregate pre-shrinks the detail side to |orders| rows before the
+    join (partial-agg-before-join is the scale rule for reconciliation);
+    the report is a single wide row."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+                * (100 + F.round(F.col("l_tax") * 100).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("gross_fp")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000).alias(
+            "total_fp"
+        ),
+    )
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+    has = F.col("gross_fp").isNotNull()
+    delta = F.abs(F.col("gross_fp") - F.col("total_fp"))
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(~has, 1).otherwise(0)).cast("bigint").alias("n_no_lineitems"),
+        F.sum(F.when(F.col("gross_fp") == F.col("total_fp"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.when(has & (delta * 100 <= F.col("total_fp")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_1pct"),
+        F.sum(F.when(has & (delta * 100 > F.col("total_fp")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_beyond_1pct"),
+        F.sum(F.when(has, delta).otherwise(0)).cast("bigint").alias(
+            "sum_abs_delta_fp"
+        ),
+    )

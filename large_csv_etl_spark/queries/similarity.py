@@ -823,3 +823,64 @@ def sim_lsh_portable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.bit_count("bucket").cast("bigint").alias("n_high_bits"),
     )
+
+
+@_q(
+    "embedding_centroid_separation",
+    """
+    WITH e AS (
+      SELECT label, UNNEST(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), c AS (
+      SELECT label, pos,
+             CAST(round((CAST(SUM(CAST(val AS DECIMAL(30,8))) AS DOUBLE)
+                         / COUNT(val)) * 1000000) AS BIGINT) AS cfp
+      FROM e GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(SUM((a.cfp - b.cfp) * (a.cfp - b.cfp)) AS BIGINT) AS l2sq_fp,
+           COUNT(*) AS n_dims
+    FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def embedding_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise squared-L2 distances between label centroids — the
+    cluster-separation diagnostic (collapsed or duplicated classes show
+    up as near-zero separations before any classifier is trained).
+    Centroid means are exact-decimal sums divided once in double, then
+    1e-6 fixed-point quantized, so the pairwise distance is pure BIGINT
+    arithmetic — unlike a float dot, the 64-term sum can't reassociate
+    differently across engines. The pairwise join runs on the REDUCED
+    (label, pos) table: |labels| x dims rows, bounded regardless of
+    corpus size, and |labels|^2/2 output pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    cfp = F.round(
+        (
+            F.sum(F.col("val").cast("decimal(30,8)")).cast("double")
+            / F.count("val")
+        )
+        * 1_000_000
+    ).cast("bigint")
+    c = ex.groupBy("label", "pos").agg(cfp.alias("cfp"))
+    a = c.alias("a")
+    b = c.alias("b")
+    d = F.col("a.cfp") - F.col("b.cfp")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sum(d * d).cast("bigint").alias("l2sq_fp"),
+            F.count("*").alias("n_dims"),
+        )
+    )

@@ -166,3 +166,106 @@ def test_portable_lsh_buckets_spread_and_determinism(spark):
             for r in SIM_QUERIES["sim_lsh_portable_buckets"](spark, d).collect()
         }
     assert pair[1] == pair[2]
+
+
+def test_dq_reconciliation_on_consistent_fixture(spark):
+    """On a hand-built header/detail pair where totals really are
+    sum(extendedprice * (1-disc) * (1+tax)), the reconciliation reports
+    every order exact; breaking one total moves it to beyond-1pct; an
+    order with no lineitems is counted separately."""
+    import tempfile
+
+    from large_csv_etl_spark.queries.quality import QUERIES as DQ_QUERIES
+
+    li_rows = [
+        # (l_orderkey, l_extendedprice, l_discount, l_tax)
+        (1, 100.00, 0.10, 0.05),  # gross = 100*0.9*1.05 = 94.50
+        (1, 50.00, 0.00, 0.00),   # gross = 50.00 -> order 1 total 144.50
+        (2, 200.00, 0.05, 0.00),  # -> order 2 total 190.00
+    ]
+    orders_rows = [
+        (1, 144.50),
+        (2, 999.99),   # broken on purpose
+        (3, 10.00),    # no lineitems
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            li_rows,
+            "l_orderkey long, l_extendedprice double, l_discount double,"
+            " l_tax double",
+        ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(
+            orders_rows, "o_orderkey long, o_totalprice double"
+        ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+        r = DQ_QUERIES["dq_orders_lineitem_reconciliation"](spark, d).collect()[0]
+    assert r.n_orders == 3
+    assert r.n_no_lineitems == 1
+    assert r.n_exact == 1
+    assert r.n_within_1pct == 1
+    assert r.n_beyond_1pct == 1
+    # delta is exactly (999.99 - 190.00) in 1e-6 currency units
+    assert r.sum_abs_delta_fp == round((999.99 - 190.00) * 1_000_000)
+
+
+def test_mad_anomaly_flags_planted_spike(spark):
+    """A 10x traffic spike in one hour is flagged; surrounding normal
+    hours are not — and the median baseline is not dragged by the spike
+    (the failure mode of the mean/std z-score)."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from large_csv_etl_spark.queries.events import QUERIES as EQ
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        n = 1000 if h == 20 else 100 + (h % 3)  # mild jitter, one 10x spike
+        for i in range(n):
+            rows.append(
+                (eid, base + timedelta(hours=h, seconds=i), i % 7, "view", 1.0, None)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(2).write.parquet(f"{d}/events.parquet")
+        out = {r.hour_start.hour if r.hour_start.day == 1 else 100 + r.hour_start.hour: r
+               for r in EQ["events_hourly_mad_anomaly"](spark, d).collect()}
+    flagged = {k for k, r in out.items() if r.is_anomaly}
+    assert flagged == {20}
+    spike = out[20]
+    assert 100 <= spike.med_n <= 103 and spike.n == 1000
+
+
+def test_centroid_separation_identity_and_symmetry(spark):
+    """Two labels with identical member vectors separate at exactly 0; a
+    shifted third label is strictly positive; pair count is k*(k-1)/2."""
+    import tempfile
+
+    from large_csv_etl_spark.queries.similarity import QUERIES as SQ
+
+    v = [0.5] * 64
+    w = [0.5] * 32 + [-0.5] * 32
+    rows = (
+        [(i, v, 0) for i in range(5)]
+        + [(100 + i, v, 1) for i in range(5)]
+        + [(200 + i, w, 2) for i in range(5)]
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        emb.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+        got = {
+            (r.label_a, r.label_b): (r.l2sq_fp, r.n_dims)
+            for r in SQ["embedding_centroid_separation"](spark, d).collect()
+        }
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert got[(0, 1)][0] == 0
+    # labels 0/2 differ by 1.0 in 32 dims -> 32 * (1e6)^2 in 1e-12 units
+    assert got[(0, 2)][0] == 32 * 10**12 == got[(1, 2)][0]
+    assert all(nd == 64 for _, nd in got.values())
