@@ -1069,3 +1069,56 @@ def dedup_survivor_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_survivor_weights"] = ORACLES["dedup_survivor_weights"].format(
     ngram=ORACLES["dedup_ngram_jaccard"]
 )
+
+
+from .helpers import davg, sql_davg  # noqa: E402  (query-module convention)
+
+ORACLES["dedup_minhash_calibration"] = f"""
+    WITH est AS ({ORACLES["dedup_minhash_portable"]}),
+         exact AS ({ORACLES["dedup_ngram_jaccard"]})
+    SELECT CAST(round(est.est_jaccard * 16) AS BIGINT) AS est_16,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN exact.jaccard IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_matched,
+           {sql_davg("COALESCE(exact.jaccard, 0.0)")} AS avg_exact_jaccard
+    FROM est LEFT JOIN exact
+      ON est.doc_a = exact.doc_a AND est.doc_b = exact.doc_b
+    GROUP BY est_16
+"""
+
+
+@_q("dedup_minhash_calibration")
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration audit: MinHash's estimated Jaccard (portable
+    twin, est >= 0.5) bucketed by signature-match count (est_16 = matches
+    out of 16) and joined against the EXACT n-gram Jaccard for the same
+    pairs — the measure-don't-guess report that tells you whether the
+    16-perm estimator is biased before you trust its threshold at 100 TB.
+    Pairs whose exact Jaccard fell below the exact join's 0.2 floor (or
+    its stopword-DF cap) count as 0 in the average — false-positive
+    penalty included, not hidden. Both inputs are themselves graded
+    queries; this composes their plans and adds one |pairs|-row join +
+    a <= 9-row aggregate."""
+    est = dedup_minhash_portable(spark, sf_dir)
+    exact = dedup_ngram_jaccard(spark, sf_dir).withColumnsRenamed(
+        {"doc_a": "e_doc_a", "doc_b": "e_doc_b"}
+    )
+    j = est.join(
+        exact,
+        (est.doc_a == exact.e_doc_a) & (est.doc_b == exact.e_doc_b),
+        "left",
+    )
+    return (
+        j.groupBy(
+            F.round(F.col("est_jaccard") * 16).cast("bigint").alias("est_16")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("jaccard").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_matched"),
+            davg(F.coalesce(F.col("jaccard"), F.lit(0.0))).alias(
+                "avg_exact_jaccard"
+            ),
+        )
+    )

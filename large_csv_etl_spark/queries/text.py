@@ -1118,3 +1118,69 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
+
+
+@_q(
+    "text_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), dfs AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             CAST(tf.tf * (1000000000000 // dfs.df) AS BIGINT) AS tfidf_fp,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (1000000000000 // dfs.df) DESC, tf.token
+             ) AS rank
+      FROM tf JOIN dfs USING (token)
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf_fp,
+           CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf — the keyword
+    extraction every corpus browser/labeling UI wants next to a document.
+    Same log-free fixed-point idf as text_idf_score (1e12 div df, exact
+    BIGINT), tf x idf stays integer, and the per-doc ranking ties break
+    lexically, so the top-3 set is engine-deterministic. df is computed
+    from the (doc, token) reduced table (df = docs containing the token).
+    The rank window partitions by doc_id over the reduced tf table —
+    bounded rows per partition key, no global sort; output is exactly
+    <= 3 rows per doc."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        "doc_id", F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfs = tf.groupBy("token").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfs, "token")
+        .withColumn(
+            "tfidf_fp",
+            (F.col("tf") * F.expr("1000000000000 div df")).cast("bigint"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("tfidf_fp").desc(), F.col("token")
+                )
+            ),
+        )
+    )
+    return scored.filter(F.col("rank") <= 3).select(
+        "doc_id",
+        "token",
+        F.col("tf").cast("bigint").alias("tf"),
+        "tfidf_fp",
+        F.col("rank").cast("bigint").alias("rank"),
+    )

@@ -269,3 +269,58 @@ def test_centroid_separation_identity_and_symmetry(spark):
     # labels 0/2 differ by 1.0 in 32 dims -> 32 * (1e6)^2 in 1e-12 units
     assert got[(0, 2)][0] == 32 * 10**12 == got[(1, 2)][0]
     assert all(nd == 64 for _, nd in got.values())
+
+
+def test_tfidf_top_terms_shape_and_ranks(spark):
+    """<= 3 rows per doc, ranks are 1..k with no gaps, scores are
+    non-increasing within a doc, and tfidf_fp = tf * (1e12 div df)
+    recomputed independently."""
+    from collections import defaultdict
+
+    from large_csv_etl_spark.queries.text import QUERIES as TQ
+
+    rows = TQ["text_tfidf_top_terms"](spark, SF_DIR).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    assert by_doc
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        scores = [r.tfidf_fp for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+    # independent recomputation of tf and df on the raw corpus
+    toks = defaultdict(list)
+    for row in (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.trim("text") != "")
+        .collect()
+    ):
+        toks[row.doc_id] = row.text.strip().lower().split()
+    df = defaultdict(set)
+    for d, ts in toks.items():
+        for t in set(ts):
+            df[t].add(d)
+    for r in rows:
+        tf = toks[r.doc_id].count(r.token)
+        assert r.tf == tf
+        assert r.tfidf_fp == tf * (10**12 // len(df[r.token]))
+
+
+def test_minhash_calibration_report_is_sane(spark):
+    """Calibration buckets live in the estimator's domain (8..16 of 16),
+    matched counts never exceed pair counts, and high-confidence buckets
+    (est=16/16) have near-perfect average exact jaccard."""
+    from large_csv_etl_spark.queries.dedup import QUERIES as DQ
+
+    rows = DQ["dedup_minhash_calibration"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 8 <= r.est_16 <= 16
+        assert 0 <= r.n_exact_matched <= r.n_pairs
+        assert 0.0 <= r.avg_exact_jaccard <= 1.0
+    full = {r.est_16: r for r in rows}
+    if 16 in full:
+        assert full[16].avg_exact_jaccard >= 0.8
