@@ -113,6 +113,10 @@ HEADLINE = [
     "dq_orders_lineitem_reconciliation",
     "events_hourly_mad_anomaly",
     "embedding_centroid_separation",
+    "text_tfidf_top_terms",
+    "dedup_minhash_calibration",
+    "asof_join_with_ttl",
+    "curation_funnel_report",
 ]
 
 

@@ -183,3 +183,89 @@ def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataF
             "sum_abs_delta_fp"
         ),
     )
+
+
+def _curation_funnel_oracle() -> str:
+    from .helpers import sql_split_case
+    from .text import ORACLES as TEXT_ORACLES
+
+    return f"""
+    WITH quality AS ({TEXT_ORACLES["text_quality_filter"]}),
+    keep AS (
+      SELECT d.doc_id, MD5(LOWER(TRIM(d.text))) AS fp
+      FROM documents d
+      JOIN quality q ON q.doc_id = d.doc_id AND q.verdict = 'keep'
+    ), surv AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM keep GROUP BY fp
+    ), splits AS (
+      SELECT {sql_split_case("doc_id")} AS split FROM surv
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_order, 'raw' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      UNION ALL
+      SELECT 2, 'non_empty', CAST(COUNT(*) AS BIGINT)
+      FROM documents WHERE TRIM(text) <> ''
+      UNION ALL
+      SELECT 3, 'quality_keep', CAST(COUNT(*) AS BIGINT) FROM keep
+      UNION ALL
+      SELECT 4, 'dedup_survivors', CAST(COUNT(*) AS BIGINT) FROM surv
+      UNION ALL
+      SELECT 5, 'split_train', CAST(COUNT(*) AS BIGINT)
+      FROM splits WHERE split = 'train'
+      UNION ALL
+      SELECT 6, 'split_val', CAST(COUNT(*) AS BIGINT)
+      FROM splits WHERE split = 'val'
+      UNION ALL
+      SELECT 7, 'split_test', CAST(COUNT(*) AS BIGINT)
+      FROM splits WHERE split = 'test'
+    )
+    """
+
+
+@_q("curation_funnel_report")
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation accounting: how many documents survive each
+    stage of the standard pretraining funnel — raw -> non-empty ->
+    quality gate -> exact-dedup survivors -> train/val/test splits. The
+    corpus-scale generalization of the reference's per-chunk row
+    accounting (/root/reference/src/data_processor.py:188-210): every
+    stage reuses the EXACT logic of its graded operator
+    (text_quality_filter's verdict, dedup's min-doc_id survivor rule,
+    helpers.split_assign's md5 thresholds), so this report can never
+    drift from what the pipeline actually does. Each stage is a count
+    over an already-reduced table; the union of seven 1-row aggregates
+    is driver-side negligible at any scale."""
+    from .helpers import split_assign
+    from .text import text_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text_quality_filter(spark, sf_dir)
+    keep = (
+        docs.join(
+            quality.filter(F.col("verdict") == "keep").select("doc_id"), "doc_id"
+        )
+        .select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+    )
+    surv = keep.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    splits = surv.select(split_assign(F.col("doc_id")).alias("split"))
+
+    def stage(order: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+
+    return (
+        stage(1, "raw", docs)
+        .unionByName(stage(2, "non_empty", docs.filter(F.trim(F.col("text")) != "")))
+        .unionByName(stage(3, "quality_keep", keep))
+        .unionByName(stage(4, "dedup_survivors", surv))
+        .unionByName(stage(5, "split_train", splits.filter(F.col("split") == "train")))
+        .unionByName(stage(6, "split_val", splits.filter(F.col("split") == "val")))
+        .unionByName(stage(7, "split_test", splits.filter(F.col("split") == "test")))
+    )
+
+
+ORACLES["curation_funnel_report"] = _curation_funnel_oracle()

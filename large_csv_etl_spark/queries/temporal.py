@@ -157,3 +157,56 @@ def range_join_follower_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count("*").alias("n_follow"))
     )
+
+
+ASOF_TTL_US = 30 * 86400 * 1_000_000  # 30-day feature-freshness TTL
+
+
+ORACLES["asof_join_with_ttl"] = f"""
+    WITH asof_m AS ({{asof_oracle}})
+    SELECT event_id, user_id, ts,
+           CASE WHEN matched_orderkey IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(matched_orderdate) <= {ASOF_TTL_US}
+                THEN matched_orderkey END AS fresh_orderkey,
+           CASE WHEN matched_orderkey IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(matched_orderdate) <= {ASOF_TTL_US}
+                THEN epoch_us(ts) - epoch_us(matched_orderdate)
+           END AS staleness_us,
+           CASE WHEN matched_orderkey IS NOT NULL
+                THEN epoch_us(ts) - epoch_us(matched_orderdate) > {ASOF_TTL_US}
+           END AS is_stale
+    FROM asof_m
+"""
+
+
+@_q("asof_join_with_ttl")
+def asof_join_with_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a freshness TTL — feature-store point-in-time
+    lookup semantics: the most recent order at-or-before each event
+    counts as a match only when it is at most 30 days old; staler matches
+    are surfaced as ``is_stale`` with the feature value withheld (the
+    serve-nothing-stale contract that prevents silently training on
+    expired features). Composes the graded as-of plan (one union-window
+    shuffle, no join explosion) with a pure row-local epoch filter;
+    staleness is exact integer microseconds in both engines."""
+    asof = asof_join_latest_order(spark, sf_dir)
+    # events ts is TIMESTAMP_NTZ on disk; the cast is a pure
+    # reinterpretation because load_table pins the session to UTC
+    diff = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("matched_orderdate").cast("timestamp")
+    )
+    has = F.col("matched_orderkey").isNotNull()
+    fresh = has & (diff <= ASOF_TTL_US)
+    return asof.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("matched_orderkey")).alias("fresh_orderkey"),
+        F.when(fresh, diff).alias("staleness_us"),
+        F.when(has, diff > ASOF_TTL_US).alias("is_stale"),
+    )
+
+
+ORACLES["asof_join_with_ttl"] = ORACLES["asof_join_with_ttl"].format(
+    asof_oracle=ORACLES["asof_join_latest_order"]
+)

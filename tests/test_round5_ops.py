@@ -324,3 +324,60 @@ def test_minhash_calibration_report_is_sane(spark):
     full = {r.est_16: r for r in rows}
     if 16 in full:
         assert full[16].avg_exact_jaccard >= 0.8
+
+
+def test_asof_ttl_staleness_semantics(spark):
+    """An order 10 days before the event is a fresh match; one 40 days
+    before is surfaced stale with the key withheld; no order at all
+    leaves every output column null."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from large_csv_etl_spark.queries.temporal import QUERIES as TQ
+
+    t0 = datetime(2024, 6, 1)
+    ev_rows = [
+        (1, t0, 10, "view", 1.0, None),
+        (2, t0, 20, "view", 1.0, None),
+        (3, t0, 30, "view", 1.0, None),
+    ]
+    ord_rows = [
+        (100, 10, t0 - timedelta(days=10)),   # fresh for user 10
+        (200, 20, t0 - timedelta(days=40)),   # stale for user 20
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            ev_rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.parquet(f"{d}/events.parquet")
+        spark.createDataFrame(
+            ord_rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+        ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+        out = {r.event_id: r for r in TQ["asof_join_with_ttl"](spark, d).collect()}
+    assert out[1].fresh_orderkey == 100
+    assert out[1].staleness_us == 10 * 86400 * 1_000_000
+    assert out[1].is_stale is False
+    assert out[2].fresh_orderkey is None
+    assert out[2].staleness_us is None
+    assert out[2].is_stale is True
+    assert out[3].fresh_orderkey is None and out[3].is_stale is None
+
+
+def test_curation_funnel_is_monotone_and_consistent(spark):
+    """Stage counts shrink monotonically and the splits partition the
+    dedup survivors exactly."""
+    from large_csv_etl_spark.queries.quality import QUERIES as DQ
+
+    rows = {r.stage: r.n_docs for r in
+            DQ["curation_funnel_report"](spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "raw", "non_empty", "quality_keep", "dedup_survivors",
+        "split_train", "split_val", "split_test",
+    }
+    assert rows["raw"] >= rows["non_empty"] >= rows["quality_keep"]
+    assert rows["quality_keep"] >= rows["dedup_survivors"] > 0
+    assert (
+        rows["split_train"] + rows["split_val"] + rows["split_test"]
+        == rows["dedup_survivors"]
+    )
