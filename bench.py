@@ -117,6 +117,8 @@ HEADLINE = [
     "dedup_minhash_calibration",
     "asof_join_with_ttl",
     "curation_funnel_report",
+    "text_boilerplate_removal",
+    "events_conversion_lag",
 ]
 
 

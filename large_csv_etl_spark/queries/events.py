@@ -926,3 +926,70 @@ def events_hourly_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@_q(
+    "events_conversion_lag",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS t_signup
+      FROM ev WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id,
+             epoch_us(MIN(e.ts)) - epoch_us(s1.t_signup) AS lag_us
+      FROM ev e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s1.t_signup
+      GROUP BY e.user_id, s1.t_signup
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup_users,
+           COUNT(*) AS n_converted,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM s1)
+             AS conversion_rate,
+           MEDIAN(lag_us) AS median_lag_us,
+           quantile_cont(lag_us, 0.9) AS p90_lag_us
+    FROM conv
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users whose first signup is
+    followed by a purchase, the signup->first-purchase delay — the
+    product-analytics twin of the step-count funnel (how LONG conversion
+    takes, not just whether it happens). Delays are exact integer
+    microseconds; median/p90 use the proven exact-interpolation quantile
+    parity; the conversion rate is one double division of exact counts.
+    Both aggregates run over the per-user reduced tables (|users| rows),
+    so the only corpus-size shuffle is the event_type-filtered first-ts
+    reduction — map-side combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("t_signup"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(ts >= F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(
+            (
+                F.unix_micros(F.min(ts)) - F.unix_micros(F.col("t_signup"))
+            ).alias("lag_us")
+        )
+    )
+    n_signup = s1.agg(F.count("*").alias("n_signup_users"))
+    return conv.crossJoin(F.broadcast(n_signup)).groupBy("n_signup_users").agg(
+        F.count("*").alias("n_converted"),
+        (F.count("*").cast("double") / F.col("n_signup_users").cast("double"))
+        .alias("conversion_rate"),
+        F.median("lag_us").alias("median_lag_us"),
+        F.percentile("lag_us", 0.9).alias("p90_lag_us"),
+    ).select(
+        "n_signup_users",
+        "n_converted",
+        "conversion_rate",
+        "median_lag_us",
+        "p90_lag_us",
+    )

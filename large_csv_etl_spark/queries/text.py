@@ -1184,3 +1184,93 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tfidf_fp",
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+@_q(
+    "text_boilerplate_removal",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(0, GREATEST(len(toks) - 1, 0), 64)) AS bs
+      FROM t
+    ), blocks AS (
+      SELECT doc_id, bs,
+             array_to_string(list_slice(toks, bs + 1, bs + 64), ' ')
+               AS block_text,
+             len(list_slice(toks, bs + 1, bs + 64)) AS n_toks
+      FROM s
+    ), bp AS (
+      SELECT md5(block_text) AS fp
+      FROM blocks GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN bp.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN bp.fp IS NULL THEN n_toks ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept,
+           md5(COALESCE(string_agg(block_text, ' ' ORDER BY bs)
+                          FILTER (WHERE bp.fp IS NULL), '')) AS cleaned_fp
+    FROM blocks b LEFT JOIN bp ON bp.fp = md5(b.block_text)
+    GROUP BY b.doc_id
+    """,
+)
+def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of boilerplate detection: partition each
+    document into NON-overlapping 64-token blocks (overlap would make
+    removal ambiguous — the stride-48 detector is for surfacing, this is
+    for cleaning), anti-select the blocks whose fingerprint appears in
+    2+ distinct documents, and emit per-doc removal accounting plus the
+    md5 of the cleaned text (kept blocks re-joined in offset order) —
+    verifiable without shipping the full cleaned corpus through the
+    grading harness. The boilerplate set is a corpus-level group-by on
+    32-char fingerprints (map-side combinable); removal is a fingerprint
+    join whose right side holds only repeated fingerprints. A doc whose
+    every block is boilerplate hashes the empty string, not NULL."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    s = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(64)
+            )
+        ).alias("bs"),
+    )
+    block = F.slice(F.col("toks"), F.col("bs") + 1, 64)
+    blocks = s.select(
+        "doc_id",
+        "bs",
+        F.concat_ws(" ", block).alias("block_text"),
+        F.size(block).alias("n_toks"),
+    ).withColumn("fp", F.md5("block_text"))
+    bp = (
+        blocks.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select(F.col("fp").alias("bp_fp"))
+    )
+    j = blocks.join(bp, blocks.fp == bp.bp_fp, "left")
+    removed = F.col("bp_fp").isNotNull()
+    kept_struct = F.when(
+        ~removed, F.struct(F.col("bs").alias("bs"), F.col("block_text").alias("bt"))
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.when(removed, 1).otherwise(0)).cast("bigint").alias("n_removed"),
+        F.sum(F.when(~removed, F.col("n_toks")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["bt"]
+                ),
+            )
+        ).alias("cleaned_fp"),
+    )

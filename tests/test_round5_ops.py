@@ -381,3 +381,63 @@ def test_curation_funnel_is_monotone_and_consistent(spark):
         rows["split_train"] + rows["split_val"] + rows["split_test"]
         == rows["dedup_survivors"]
     )
+
+
+def test_boilerplate_removal_cleans_planted_footer(spark):
+    """Docs sharing an identical 64-token footer block get it removed
+    (cleaned_fp = md5 of the unique head block); unique docs keep
+    everything; a doc that is ALL boilerplate hashes the empty string."""
+    import hashlib
+    import tempfile
+
+    from large_csv_etl_spark.queries.text import QUERIES as TQ
+
+    footer = " ".join(f"f{i}" for i in range(64))
+    heads = [" ".join(f"d{d}w{i}" for i in range(64)) for d in range(3)]
+    rows = [(d, f"{heads[d]} {footer}", "en", "s", 0) for d in range(3)]
+    rows.append((10, " ".join(f"u{i}" for i in range(80)), "en", "s", 0))
+    rows.append((11, footer, "en", "s", 0))  # all boilerplate
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in TQ["text_boilerplate_removal"](spark, d).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    for doc in range(3):
+        r = out[doc]
+        assert (r.n_blocks, r.n_removed, r.n_tokens_kept) == (2, 1, 64)
+        assert r.cleaned_fp == md5(heads[doc])
+    # unique doc: nothing removed, cleaned = original token join
+    u = out[10]
+    assert u.n_removed == 0 and u.n_tokens_kept == 80
+    # all-boilerplate doc hashes the empty string, not NULL
+    assert out[11].n_removed == 1 and out[11].cleaned_fp == md5("")
+
+
+def test_conversion_lag_on_manual_stream(spark):
+    """Two of three signup users convert; lags are exact micros and the
+    pre-signup purchase of the third user does not count."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from large_csv_etl_spark.queries.events import QUERIES as EQ
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "signup", 0.0, None),
+        (2, t0 + timedelta(hours=2), 1, "purchase", 0.0, None),
+        (3, t0, 2, "signup", 0.0, None),
+        (4, t0 + timedelta(hours=4), 2, "purchase", 0.0, None),
+        (5, t0 - timedelta(hours=1), 3, "purchase", 0.0, None),  # pre-signup
+        (6, t0, 3, "signup", 0.0, None),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.parquet(f"{d}/events.parquet")
+        r = EQ["events_conversion_lag"](spark, d).collect()[0]
+    assert r.n_signup_users == 3 and r.n_converted == 2
+    assert abs(r.conversion_rate - 2 / 3) < 1e-12
+    assert r.median_lag_us == 3 * 3600 * 1_000_000  # midpoint of 2h and 4h
