@@ -15,6 +15,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 QUERIES = {}
 ORACLES = {}
@@ -174,26 +175,44 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("streaming_user_totals")  # rows-only: float accumulation order is
-# engine/batch specific, so there is no cross-engine value oracle; the
-# batch-parity equality (counts exact, sums to 1e-6) is pinned in
-# tests/test_streaming.py
+@_q(
+    "streaming_user_totals",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(COALESCE(value, 0) * 100) AS BIGINT)) AS BIGINT)
+             AS total_fp
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``applyInPandasWithState`` custom stateful operator surfaced as
     a registry entry: running per-user totals held in explicit group state
     (two scalars per user — bounded), drained with ``availableNow``. This
     is the extension point for stateful logic the built-in windowed
     operators can't express; here it doubles as the smoke check that the
-    Arrow state path works under the external driver's vanilla session."""
+    Arrow state path works under the external driver's vanilla session.
+
+    Oracle-graded (previously rows-only): the state accumulates value in
+    integer cents, so the drained totals equal the batch GROUP BY
+    value-exact regardless of micro-batch split. Update mode may emit a
+    user several times across batches; counts and (all-positive) totals
+    are monotone, so MAX per user recovers the final state under any
+    batching."""
     from ..streaming import read_events_stream, run_bounded, user_totals_stream
 
     name = f"stream_totals_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_totals_")
-    return run_bounded(
+    drained = run_bounded(
         user_totals_stream(read_events_stream(spark, sf_dir, glob="events.parquet")),
         name,
         ckpt,
         output_mode="update",
+    )
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_fp").alias("total_fp"),
     )
 
 

@@ -258,6 +258,14 @@ def user_totals_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
     operators can't express. State per user is two scalars; each
     micro-batch emits the group's current totals (update mode).
 
+    The value sum is held in integer cents (``round(value * 100)`` per
+    row, exact for the 2dp money values): a float accumulator's result
+    would depend on micro-batch split and arrival order, but the integer
+    state is identical for ANY batching — which both makes replay/
+    restart reconciliation trivial at scale and lets the external
+    DuckDB oracle grade the drained totals value-exact
+    (``streaming_user_totals``, previously rows-only).
+
     Arrow-batched; the state function is defined inline so it pickles by
     value (a module-global would pickle as a reference and fail import on
     executors that don't have the repo on sys.path).
@@ -268,17 +276,19 @@ def user_totals_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
         import pandas as pd  # worker-side import
 
         n = 0
-        total = 0.0
+        total_fp = 0
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
+            total_fp += int(
+                (pdf["value"].fillna(0.0) * 100).round().astype("int64").sum()
+            )
         if state.exists:
             prev_n, prev_total = state.get
             n += prev_n
-            total += prev_total
-        state.update((n, total))
+            total_fp += prev_total
+        state.update((n, total_fp))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {"user_id": [key[0]], "n_events": [n], "total_fp": [total_fp]}
         )
 
     return (
@@ -286,8 +296,8 @@ def user_totals_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
         .groupBy("user_id")
         .applyInPandasWithState(
             update_totals,
-            outputStructType="user_id long, n_events long, total_value double",
-            stateStructType="n long, total double",
+            outputStructType="user_id long, n_events long, total_fp long",
+            stateStructType="n long, total_fp long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -193,17 +193,22 @@ def test_user_totals_stream_matches_batch(spark, stream_source, tmp_path):
         str(tmp_path / "ckpt_totals"),
         output_mode="update",
     )
-    # single micro-batch -> one update per user with the final totals
+    # single micro-batch -> one update per user with the final totals;
+    # integer-cent state makes the comparison EXACT, no float tolerance
     batch = (
         load_table(spark, SF_DIR, "events")
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast(
+                    "bigint"
+                )
+            ).alias("total_fp"),
         )
     )
-    g = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in got.collect()}
-    b = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in batch.collect()}
+    g = {r.user_id: (r.n_events, r.total_fp) for r in got.collect()}
+    b = {r.user_id: (r.n_events, r.total_fp) for r in batch.collect()}
     assert g == b
 
 
