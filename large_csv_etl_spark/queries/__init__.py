@@ -71,10 +71,17 @@ _MODULES = [
 # tools/drive_driver.py + CORRECTNESS_r*.json rather than trusting any
 # hardcoded count here.
 GRADED_PRIORITY = [
-    # ---- the 32 oracled entries that have NEVER had a driver verdict
-    # (rounds 1-4 cumulative; includes graph_token_pagerank, newly
-    # promoted from rows-only to oracled via integer fixed-point ranks).
-    # Grading all of them closes driver coverage to 161/161 oracled.
+    # ---- the 32 oracled entries that had never had a driver verdict
+    # as of the round-5 window build (rounds 1-4 cumulative; includes
+    # graph_token_pagerank, newly promoted from rows-only to oracled via
+    # integer fixed-point ranks). Grading all of them closes driver
+    # coverage for every pre-round-5 oracled entry; the 17 oracled
+    # entries ADDED during round 5 (portable-hash sketch twins, feature
+    # hashing, trigrams, temperature mixture, reconciliation, MAD
+    # anomaly, centroid separation, tf-idf, calibration, TTL as-of,
+    # funnel, boilerplate removal, conversion lag, graded streaming
+    # totals) sit immediately after the window — first in line for the
+    # round-6 rotation.
     # TPC-H stragglers
     "q11_important_parts",
     "q12_priority_by_delay",
