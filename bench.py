@@ -119,6 +119,8 @@ HEADLINE = [
     "curation_funnel_report",
     "text_boilerplate_removal",
     "events_conversion_lag",
+    "sim_ivf_portable_topk",
+    "streaming_user_totals",
 ]
 
 

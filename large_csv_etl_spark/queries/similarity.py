@@ -892,3 +892,140 @@ def embedding_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count("*").alias("n_dims"),
         )
     )
+
+
+IVF_PORTABLE_NPROBE = 3
+
+
+@_q(
+    "sim_ivf_portable_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v6
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, label, unnest(v6) AS val6,
+             generate_subscripts(v6, 1) AS pos
+      FROM v WHERE vec_id <> 0
+    ), c AS (
+      SELECT label AS clabel, pos,
+             CAST(round(CAST(SUM(val6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cmu
+      FROM ex GROUP BY label, pos
+    ), d AS (
+      SELECT e.vec_id, c.clabel,
+             CAST(SUM((e.val6 - c.cmu) * (e.val6 - c.cmu)) AS BIGINT) AS d2
+      FROM ex e JOIN c ON c.pos = e.pos
+      GROUP BY e.vec_id, c.clabel
+    ), assigned AS (
+      SELECT vec_id, clabel FROM (
+        SELECT vec_id, clabel,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), qex AS (
+      SELECT unnest(v6) AS val6, generate_subscripts(v6, 1) AS pos
+      FROM v WHERE vec_id = 0
+    ), qd AS (
+      SELECT c.clabel,
+             CAST(SUM((q.val6 - c.cmu) * (q.val6 - c.cmu)) AS BIGINT) AS d2
+      FROM qex q JOIN c ON c.pos = q.pos GROUP BY c.clabel
+    ), probe AS (
+      SELECT clabel FROM (
+        SELECT clabel, ROW_NUMBER() OVER (ORDER BY d2, clabel) AS rn FROM qd
+      ) WHERE rn <= {IVF_PORTABLE_NPROBE}
+    ), cand AS (
+      SELECT a.vec_id FROM assigned a JOIN probe p ON p.clabel = a.clabel
+    ), score AS (
+      SELECT e.vec_id, CAST(SUM(e.val6 * q.val6) AS BIGINT) AS qdot6
+      FROM ex e JOIN qex q ON q.pos = e.pos JOIN cand USING (vec_id)
+      GROUP BY e.vec_id
+    )
+    SELECT s.vec_id, v.label, s.qdot6
+    FROM score s JOIN v ON v.vec_id = s.vec_id
+    ORDER BY s.qdot6 DESC, s.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-shaped ANN, graded end-to-end — the oracle-gradable twin of
+    sim_ivf_topk (whose k-means training samples with engine RNG). The
+    coarse quantizer is the per-label fixed-point centroid table
+    (the same 1e-6 integer micro-unit machinery as
+    embedding_centroid_assign, so training is deterministic in both
+    engines); every corpus vector is assigned to its nearest cell by
+    exact BIGINT squared-L2, the query probes its {IVF_PORTABLE_NPROBE}
+    nearest cells, and only those cells' members are scored by exact
+    integer dot product with deterministic (vec_id) ties.
+
+    This grades the ENTIRE IVF control flow — train -> assign -> probe ->
+    rescore — not just the rescoring. Scale shape is the production one:
+    the centroid table is (cells x dims) and broadcasts; assignment and
+    scoring are row-local zip_with folds over the packed vectors (no
+    corpus explode, no corpus-sized shuffle beyond the scan); the probe
+    prunes scoring to nprobe/cells of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec6 = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+        ).alias("v6"),
+    )
+    corpus = vec6.filter(F.col("vec_id") != 0)
+    ex = corpus.select("label", F.posexplode("v6").alias("pos", "val6"))
+    cent_arr = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            F.round(F.sum("val6").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cmu")
+        )
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cmu"))),
+                lambda s: s["cmu"],
+            ).alias("c6")
+        )
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    dist = corpus.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "clabel", d2(F.col("v6"), F.col("c6")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "clabel")
+    )
+    qv = vec6.filter(F.col("vec_id") == 0).select(F.col("v6").alias("q6"))
+    probe = (
+        cent_arr.crossJoin(F.broadcast(qv))
+        .select("clabel", d2(F.col("c6"), F.col("q6")).alias("qd2"))
+        .orderBy("qd2", "clabel")
+        .limit(IVF_PORTABLE_NPROBE)
+        .select("clabel")
+    )
+    cand = assigned.join(F.broadcast(probe), "clabel").select("vec_id")
+    qdot = F.aggregate(
+        F.zip_with(F.col("v6"), F.col("q6"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        corpus.join(cand, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", qdot.alias("qdot6"))
+        .orderBy(F.col("qdot6").desc(), "vec_id")
+        .limit(10)
+    )

@@ -441,3 +441,29 @@ def test_conversion_lag_on_manual_stream(spark):
     assert r.n_signup_users == 3 and r.n_converted == 2
     assert abs(r.conversion_rate - 2 / 3) < 1e-12
     assert r.median_lag_us == 3 * 3600 * 1_000_000  # midpoint of 2h and 4h
+
+
+def test_ivf_portable_topk_scores_and_determinism(spark):
+    """Returned qdot6 scores match an independent numpy recomputation on
+    the 1e-6 quantized vectors, come ordered (score desc, vec_id), and
+    the result is deterministic across invocations."""
+    import numpy as np
+
+    from large_csv_etl_spark.queries.similarity import QUERIES as SQ
+
+    rows1 = [tuple(r) for r in SQ["sim_ivf_portable_topk"](spark, SF_DIR).collect()]
+    rows2 = [tuple(r) for r in SQ["sim_ivf_portable_topk"](spark, SF_DIR).collect()]
+    assert rows1 == rows2
+    assert len(rows1) == 10
+    scores = [(r[2], r[0]) for r in rows1]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+
+    emb = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    q = emb[0]
+    for vec_id, _label, qdot6 in rows1:
+        assert qdot6 == int(np.dot(emb[vec_id], q))
