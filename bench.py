@@ -121,6 +121,8 @@ HEADLINE = [
     "events_conversion_lag",
     "sim_ivf_portable_topk",
     "streaming_user_totals",
+    "dq_join_cardinality_audit",
+    "dq_key_skew_profile",
 ]
 
 

@@ -269,3 +269,132 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["curation_funnel_report"] = _curation_funnel_oracle()
+
+
+@_q(
+    "dq_join_cardinality_audit",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS k, COUNT(*) AS na FROM orders GROUP BY o_orderkey
+    ), b AS (
+      SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem GROUP BY l_orderkey
+    ), j AS (
+      SELECT a.na, b.nb FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT CAST(SUM(COALESCE(na, 0)) AS BIGINT) AS left_rows,
+           CAST(SUM(COALESCE(nb, 0)) AS BIGINT) AS right_rows,
+           CAST(SUM(CASE WHEN na IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS left_keys,
+           CAST(SUM(CASE WHEN nb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS right_keys,
+           CAST(MAX(COALESCE(na, 0)) AS BIGINT) AS max_left_multiplicity,
+           CAST(MAX(COALESCE(nb, 0)) AS BIGINT) AS max_right_multiplicity,
+           CAST(SUM(COALESCE(na, 0) * COALESCE(nb, 0)) AS BIGINT)
+             AS predicted_inner_rows,
+           CAST(SUM(CASE WHEN nb IS NULL THEN COALESCE(na, 0) ELSE 0 END)
+                AS BIGINT) AS left_orphan_rows,
+           CAST(SUM(CASE WHEN na IS NULL THEN COALESCE(nb, 0) ELSE 0 END)
+                AS BIGINT) AS right_orphan_rows
+    FROM j
+    """,
+)
+def dq_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out audit BEFORE running the join — the planning gate that
+    catches a many-to-many key explosion while it is still a one-line
+    report instead of a 100 TB shuffle: per-side row/key counts, maximum
+    key multiplicity on each side, the EXACT predicted inner-join row
+    count (sum over keys of na*nb — what the join would materialize),
+    and orphan row counts per side. Runs on the two reduced per-key count
+    tables (|keys| rows each), so the audit costs two map-side-combinable
+    aggregates and one key-sized join, never the join being audited.
+    All-integer arithmetic, exact in both engines."""
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count("*").alias("na"))
+    )
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("nb"))
+    )
+    j = a.join(b, "k", "full_outer")
+    na = F.coalesce(F.col("na"), F.lit(0))
+    nb = F.coalesce(F.col("nb"), F.lit(0))
+    return j.agg(
+        F.sum(na).cast("bigint").alias("left_rows"),
+        F.sum(nb).cast("bigint").alias("right_rows"),
+        F.sum(F.when(F.col("na").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("left_keys"),
+        F.sum(F.when(F.col("nb").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("right_keys"),
+        F.max(na).cast("bigint").alias("max_left_multiplicity"),
+        F.max(nb).cast("bigint").alias("max_right_multiplicity"),
+        F.sum(na * nb).cast("bigint").alias("predicted_inner_rows"),
+        F.sum(F.when(F.col("nb").isNull(), na).otherwise(0))
+        .cast("bigint")
+        .alias("left_orphan_rows"),
+        F.sum(F.when(F.col("na").isNull(), nb).otherwise(0))
+        .cast("bigint")
+        .alias("right_orphan_rows"),
+    )
+
+
+@_q(
+    "dq_key_skew_profile",
+    """
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey' AS keyed_as,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows,
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_key_share
+      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
+      UNION ALL
+      SELECT 'events.user_id', CAST(SUM(c) AS BIGINT), COUNT(*),
+             CAST(MAX(c) AS BIGINT),
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+      FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)
+      UNION ALL
+      SELECT 'documents.source', CAST(SUM(c) AS BIGINT), COUNT(*),
+             CAST(MAX(c) AS BIGINT),
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY source)
+    )
+    """,
+)
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile for the three hottest grouping/join keys —
+    the report that tells you which aggregations need salting (skew.py)
+    or AQE skew-splitting BEFORE a straggler task proves it at 100 TB:
+    per key column, total rows, distinct keys, the hottest key's row
+    count and its share of the table. Each profile is one per-key count
+    (map-side combinable) plus a 1-row reduction; the division is a
+    single IEEE op on exact integers."""
+
+    def profile(df: DataFrame, key: str, label: str) -> DataFrame:
+        c = df.groupBy(key).agg(F.count("*").alias("c"))
+        return c.agg(
+            F.lit(label).alias("keyed_as"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_key_share"
+            ),
+        )
+
+    return (
+        profile(load_table(spark, sf_dir, "lineitem"), "l_orderkey",
+                "lineitem.l_orderkey")
+        .unionByName(
+            profile(load_table(spark, sf_dir, "events"), "user_id",
+                    "events.user_id")
+        )
+        .unionByName(
+            profile(load_table(spark, sf_dir, "documents"), "source",
+                    "documents.source")
+        )
+    )

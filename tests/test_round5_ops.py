@@ -467,3 +467,40 @@ def test_ivf_portable_topk_scores_and_determinism(spark):
     q = emb[0]
     for vec_id, _label, qdot6 in rows1:
         assert qdot6 == int(np.dot(emb[vec_id], q))
+
+
+def test_join_cardinality_audit_predicts_exact_join_size(spark):
+    """The predicted inner-join row count equals the actual inner join's
+    count at the fixture SF, and orphan accounting is consistent with
+    the per-side totals."""
+    from large_csv_etl_spark.queries.quality import QUERIES as DQ
+
+    r = DQ["dq_join_cardinality_audit"](spark, SF_DIR).collect()[0]
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    actual = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).count()
+    assert r.predicted_inner_rows == actual
+    assert r.left_rows == orders.count()
+    assert r.right_rows == lineitem.count()
+    assert r.max_left_multiplicity >= 1 and r.max_right_multiplicity >= 1
+    assert 0 <= r.left_orphan_rows <= r.left_rows
+    assert 0 <= r.right_orphan_rows <= r.right_rows
+
+
+def test_key_skew_profile_shares(spark):
+    """Each profiled key's hottest-key share is consistent with an
+    independent groupBy, and documents.source (few keys) is far more
+    concentrated than lineitem.l_orderkey (many keys)."""
+    from large_csv_etl_spark.queries.quality import QUERIES as DQ
+
+    rows = {r.keyed_as: r for r in DQ["dq_key_skew_profile"](spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    top = (
+        docs.groupBy("source").count().orderBy(F.col("count").desc()).first()
+    )
+    r = rows["documents.source"]
+    assert r.max_key_rows == top["count"]
+    assert abs(r.top_key_share - top["count"] / docs.count()) < 1e-12
+    assert r.top_key_share > rows["lineitem.l_orderkey"].top_key_share
