@@ -504,3 +504,52 @@ def test_key_skew_profile_shares(spark):
     assert r.max_key_rows == top["count"]
     assert abs(r.top_key_share - top["count"] / docs.count()) < 1e-12
     assert r.top_key_share > rows["lineitem.l_orderkey"].top_key_share
+
+
+def test_portable_hash_primitive_cross_engine(spark):
+    """The portable 60-bit hash is the foundation of every round-5 graded
+    sketch: prove Spark's conv(substr(md5..)), DuckDB's hex cast, and
+    Python's int(hexdigest[:15], 16) agree on a diverse corpus (ascii,
+    unicode, quotes, whitespace, empty string, long strings), for both
+    digest halves, and stay inside [0, 2^60)."""
+    import hashlib
+
+    import duckdb
+
+    from large_csv_etl_spark.queries.helpers import phash60, sql_phash60
+
+    corpus = [
+        "",
+        " ",
+        "a",
+        "hello world",
+        "naïve café résumé",
+        "日本語のテキスト",
+        'quote"and\'quote',
+        "tab\tand\nnewline",
+        "x" * 10_000,
+        "plane:7:63",
+        "1234567890",
+        "emoji 🙂 test",
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], "s string")
+    got = {
+        r.s: (r.lo, r.hi)
+        for r in df.select(
+            "s",
+            phash60(F.col("s")).alias("lo"),
+            phash60(F.col("s"), hi=True).alias("hi"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in corpus:
+        lo_sql, hi_sql = (
+            con.execute(
+                f"SELECT {sql_phash60('?')}, {sql_phash60('?', hi=True)}",
+                [s, s],
+            ).fetchone()
+        )
+        lo_py = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        hi_py = int(hashlib.md5(s.encode()).hexdigest()[15:30], 16)
+        assert got[s] == (lo_sql, hi_sql) == (lo_py, hi_py), s
+        assert 0 <= lo_py < (1 << 60) and 0 <= hi_py < (1 << 60)
