@@ -1071,8 +1071,6 @@ ORACLES["dedup_survivor_weights"] = ORACLES["dedup_survivor_weights"].format(
 )
 
 
-from .helpers import davg, sql_davg  # noqa: E402  (query-module convention)
-
 ORACLES["dedup_minhash_calibration"] = f"""
     WITH est AS ({ORACLES["dedup_minhash_portable"]}),
          exact AS ({ORACLES["dedup_ngram_jaccard"]})
@@ -1080,7 +1078,9 @@ ORACLES["dedup_minhash_calibration"] = f"""
            COUNT(*) AS n_pairs,
            CAST(SUM(CASE WHEN exact.jaccard IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_exact_matched,
-           {sql_davg("COALESCE(exact.jaccard, 0.0)")} AS avg_exact_jaccard
+           CAST(SUM(CAST(round(COALESCE(exact.jaccard, 0.0) * 1000000.0)
+                         AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*)
+             AS avg_exact_jaccard
     FROM est LEFT JOIN exact
       ON est.doc_a = exact.doc_a AND est.doc_b = exact.doc_b
     GROUP BY est_16
@@ -1096,7 +1096,9 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-perm estimator is biased before you trust its threshold at 100 TB.
     Pairs whose exact Jaccard fell below the exact join's 0.2 floor (or
     its stopword-DF cap) count as 0 in the average — false-positive
-    penalty included, not hidden. Both inputs are themselves graded
+    penalty included, not hidden. The average is a tie-safe 1e-6
+    fixed-point sum (round() agrees across engines even on dyadic ties
+    like odd/32, where a double->DECIMAL cast would not). Both inputs are themselves graded
     queries; this composes their plans and adds one |pairs|-row join +
     a <= 9-row aggregate."""
     est = dedup_minhash_portable(spark, sf_dir)
@@ -1117,8 +1119,15 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("jaccard").isNotNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("n_exact_matched"),
-            davg(F.coalesce(F.col("jaccard"), F.lit(0.0))).alias(
-                "avg_exact_jaccard"
-            ),
+            (
+                F.sum(
+                    F.round(
+                        F.coalesce(F.col("jaccard"), F.lit(0.0))
+                        * F.lit(1000000.0)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1000000.0)
+                / F.count("*")
+            ).alias("avg_exact_jaccard"),
         )
     )

@@ -560,17 +560,21 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT UNNEST(generate_series(1, LEN(embedding))) AS dim,
              UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
       FROM embeddings
+    ), s AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(CAST(round(v * 1000000000.0) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1000000000.0 AS sum_val,
+             CAST(SUM(CAST(round((v * v) * 1000000000000.0) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1000000000000.0 AS sumsq,
+             MIN(v) AS min_val, MAX(v) AS max_val
+      FROM ex GROUP BY dim
     )
-    SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
-           CAST(SUM(CAST(v AS DECIMAL(30,9))) AS DOUBLE) AS sum_val,
-           CAST(SUM(CAST(v AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS mean_val,
-           ((CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE)
-             - (CAST(SUM(CAST(v AS DECIMAL(30,9))) AS DOUBLE)
-                * CAST(SUM(CAST(v AS DECIMAL(30,9))) AS DOUBLE)) / COUNT(*))
-            / COUNT(*)) AS var_val,
-           MIN(v) AS min_val, MAX(v) AS max_val
-    FROM ex
-    GROUP BY dim
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           sum_val,
+           sum_val / n AS mean_val,
+           (sumsq - (sum_val * sum_val) / n) / n AS var_val,
+           min_val, max_val
+    FROM s
     """,
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,13 +584,15 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance falls to ~0 signals representation collapse; a mean shift
     signals encoder drift). posexplode -> one hash agg: the shuffle
     carries (dim, partial sums), never vectors, so the reduce side is
-    |dim| rows at any corpus size. Sums are exact DECIMAL (scale 9 for
-    values, 12 for squares — a decimal tie needs a fractional part of
-    exactly 5e-10/5e-13, which no binary double has, so both engines
-    round identically), surfaced as DOUBLE; mean and variance are then
-    the same scalar IEEE expressions on identical doubles in both
-    engines. Variance uses the sum-of-squares identity — one pass, no
-    mean-join."""
+    |dim| rows at any corpus size. Sums are exact integers: each addend
+    becomes round(v * 1e9) (1e12 for squares) summed as DECIMAL(38,0).
+    round() rounds half AWAY FROM ZERO in both engines, so even a true
+    decimal tie — which dyadic doubles like 153/1024 = 0.1494140625 DO
+    produce, a tie this op's earlier DECIMAL(30,9)-cast formulation lost
+    at sf0.1 because Spark's decimal cast rounds half-up while DuckDB's
+    rounds half-even — lands identically. Mean and variance are then the
+    same scalar IEEE expressions on identical doubles in both engines.
+    Variance uses the sum-of-squares identity — one pass, no mean-join."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(F.posexplode("embedding").alias("pos0", "v0")).select(
         (F.col("pos0") + 1).cast("bigint").alias("dim"),
@@ -594,10 +600,20 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = ex.groupBy("dim").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("v").cast("decimal(30,9)")).cast("double").alias("sum_val"),
-        F.sum((F.col("v") * F.col("v")).cast("decimal(30,12)"))
-        .cast("double")
-        .alias("sumsq"),
+        (
+            F.sum(
+                F.round(F.col("v") * F.lit(1000000000.0)).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1000000000.0)
+        ).alias("sum_val"),
+        (
+            F.sum(
+                F.round(
+                    (F.col("v") * F.col("v")) * F.lit(1000000000000.0)
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1000000000000.0)
+        ).alias("sumsq"),
         F.min("v").alias("min_val"),
         F.max("v").alias("max_val"),
     )
@@ -842,8 +858,9 @@ def sim_lsh_portable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), c AS (
       SELECT label, pos,
-             CAST(round((CAST(SUM(CAST(val AS DECIMAL(30,8))) AS DOUBLE)
-                         / COUNT(val)) * 1000000) AS BIGINT) AS cfp
+             CAST(round((CAST(SUM(CAST(round(val * 100000000.0)
+                                        AS DECIMAL(38,0))) AS DOUBLE)
+                         / COUNT(val)) / 100.0) AS BIGINT) AS cfp
       FROM e GROUP BY label, pos
     )
     SELECT a.label AS label_a, b.label AS label_b,
@@ -857,7 +874,10 @@ def embedding_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame
     """Pairwise squared-L2 distances between label centroids — the
     cluster-separation diagnostic (collapsed or duplicated classes show
     up as near-zero separations before any classifier is trained).
-    Centroid means are exact-decimal sums divided once in double, then
+    Centroid means are tie-safe integer fixed-point sums (round(val*1e8)
+    per addend — round() is half-away-from-zero in BOTH engines, where a
+    direct double->DECIMAL cast is half-up in Spark but half-even in
+    DuckDB and diverges on dyadic ties) divided once in double, then
     1e-6 fixed-point quantized, so the pairwise distance is pure BIGINT
     arithmetic — unlike a float dot, the 64-term sum can't reassociate
     differently across engines. The pairwise join runs on the REDUCED
@@ -869,10 +889,12 @@ def embedding_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
     cfp = F.round(
         (
-            F.sum(F.col("val").cast("decimal(30,8)")).cast("double")
+            F.sum(
+                F.round(F.col("val") * F.lit(100000000.0)).cast("decimal(38,0)")
+            ).cast("double")
             / F.count("val")
         )
-        * 1_000_000
+        / F.lit(100.0)
     ).cast("bigint")
     c = ex.groupBy("label", "pos").agg(cfp.alias("cfp"))
     a = c.alias("a")
