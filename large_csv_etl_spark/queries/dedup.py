@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..io import load_table
-from .helpers import phash60, sql_phash60
+from .helpers import materialize_reduced, phash60, sql_phash60
 
 QUERIES = {}
 ORACLES = {}
@@ -199,10 +199,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     sh = shingle_rows(docs)
     # One shuffle groups each shingle's posting list; the DF cap and the
-    # pair generation both happen on that list, so the shingle extraction
-    # is computed once (a naive self-join re-derives it per side) and no
-    # wide string join ever runs.
-    buckets = (
+    # pair generation both happen on that list, and the materialization
+    # makes "computed once" literally true — the posting-list table feeds
+    # three branches below (sizes via sa and sb, pair generation), which
+    # would otherwise each re-run the shingle explode + groupBy.
+    buckets = materialize_reduced(
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") <= MAX_SHINGLE_DF)
@@ -271,6 +272,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"m{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
         )
     )
+    # referenced by the band explode AND both estimator-join sides: one
+    # materialization, or the shingle hash + 16-min aggregate runs 3x
+    sigs = materialize_reduced(sigs)
     r = MINHASH_PERMS // MINHASH_BANDS
     band_hashes = F.array(
         *[
@@ -405,7 +409,12 @@ def _simhash_band_verify(fp: DataFrame, bits: int, hamming_type: str) -> DataFra
     simhash) fingerprint table — the pigeonhole plan from
     simhash_neardup_pairs, parameterized on fingerprint width (the
     portable 60-bit twin uses 4 x 15-bit bands, same exactness argument:
-    <= 3 differing bits touch at most 3 of the 4 disjoint bands)."""
+    <= 3 differing bits touch at most 3 of the 4 disjoint bands).
+
+    The fingerprint table is referenced three times below (band explode,
+    verify sides a and b), so it is materialized first — otherwise the
+    token explode + bitplane aggregate upstream runs once per branch."""
+    fp = materialize_reduced(fp)
     width = bits // SIMHASH_BANDS
     mask = (1 << width) - 1
     bands = F.array(
@@ -523,7 +532,9 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = F.conv(F.substring(m, 16, 15), 16, 10).cast("bigint")
         mins.append(F.min(lo).alias(f"m{2 * j}"))
         mins.append(F.min(hi).alias(f"m{2 * j + 1}"))
-    sigs = sh.groupBy("doc_id").agg(*mins)
+    # same 3-branch reuse as dedup_minhash_lsh: materialize the reduced
+    # signature table so the md5 shingle hashing runs once
+    sigs = materialize_reduced(sh.groupBy("doc_id").agg(*mins))
     band_structs = F.array(
         *[
             F.struct(
@@ -691,8 +702,12 @@ def embedding_neardup_pairs(
         bands = bits.reshape(len(mat), n_bands, r) @ weights  # (batch, bands)
         return pd.Series(list(bands.astype(np.int64)))
 
-    sig = emb.select(
-        "vec_id", "embedding", band_hashes(F.col("embedding")).alias("bands")
+    # materialized: the banded-signature table feeds both candidate-join
+    # sides, which would otherwise each re-run the Arrow-batch matmul UDF
+    sig = materialize_reduced(
+        emb.select(
+            "vec_id", "embedding", band_hashes(F.col("embedding")).alias("bands")
+        )
     )
     exploded = sig.select(
         "vec_id",
@@ -970,7 +985,8 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shingle shuffle when composed."""
     docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     sh = shingle_rows(docs)
-    buckets = (
+    # materialized for the same 3-branch reuse as dedup_ngram_jaccard
+    buckets = materialize_reduced(
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") <= MAX_SHINGLE_DF)

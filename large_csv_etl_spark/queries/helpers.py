@@ -122,3 +122,25 @@ def sql_phash60(expr: str, hi: bool = False) -> str:
     """DuckDB-side twin of phash60() over a VARCHAR expression."""
     start = 16 if hi else 1
     return f"('0x' || substr(md5({expr}), {start}, 15))::BIGINT"
+
+
+def materialize_reduced(df):
+    """Eagerly materialize a REDUCED intermediate (per-doc fingerprints,
+    per-vector signatures, capped posting lists) that the downstream plan
+    references more than once — band self-joins, estimator joins, size
+    lookups. Catalyst has no common-subexpression elimination across
+    self-join branches: without this, the expensive upstream subtree
+    (token explode + wide aggregate, or an Arrow-batch matmul) re-executes
+    once PER REFERENCE — measured 2.5x wall on the simhash near-dup path
+    at sf0.1 (5.0 s recomputed vs 2.0 s materialized).
+
+    ``localCheckpoint(eager=True)`` stores the small result in executor
+    block storage (memory, spilling to disk) and cuts lineage, so every
+    downstream branch reads the blocks. Only call this on outputs of
+    ~|docs| rows, never on raw token/shingle expansions. Lineage-cut
+    caveat at cluster scale: a lost executor cannot recompute its blocks —
+    the 100 TB deployment stages these intermediates to parquet instead
+    (docs/DEPLOY_100TB.md); block storage is the right tradeoff for a
+    single node and for any cluster with external shuffle/storage.
+    """
+    return df.localCheckpoint(eager=True)
