@@ -185,6 +185,17 @@ def main() -> int:
     except Exception as exc:
         print(f"bench: warm-up FAILED: {exc}", file=sys.stderr)
 
+    # Warm the Structured Streaming + Arrow-stateful path the same way,
+    # at the smallest SF: the first streaming query of a session pays
+    # one-off class loading, state-store provider init, and the
+    # applyInPandasWithState Python-worker spin-up (~8 s measured on
+    # local[32]) that is session-lifetime cost, not per-query work —
+    # exactly the category the warmed-session contract excludes.
+    try:
+        registry["streaming_user_totals"](spark, "/root/testdata/sf0.001").collect()
+    except Exception as exc:
+        print(f"bench: streaming warm-up FAILED: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
