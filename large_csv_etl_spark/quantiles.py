@@ -117,13 +117,25 @@ def exact_quantiles(
 
     # Arrow-batched fetch: double conversion here is the same conversion
     # the built-in percentile's interpolation applies, and it is monotone,
-    # so in-bucket rank selection is unchanged.
-    df.sparkSession.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    pdf = (
-        vals.select(F.col("v").cast("double").alias("v"), bucket.alias("b"))
-        .filter(F.col("b").isin([int(b) for b in needed]))
-        .toPandas()
-    )
+    # so in-bucket rank selection is unchanged. The Arrow toggle is scoped
+    # to this one conversion (save/restore) — permanently flipping it
+    # would change toPandas() semantics for every later caller in the
+    # session as a hidden side effect.
+    conf = df.sparkSession.conf
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev_arrow = conf.get(arrow_key, None)
+    conf.set(arrow_key, "true")
+    try:
+        pdf = (
+            vals.select(F.col("v").cast("double").alias("v"), bucket.alias("b"))
+            .filter(F.col("b").isin([int(b) for b in needed]))
+            .toPandas()
+        )
+    finally:
+        if prev_arrow is None:
+            conf.unset(arrow_key)
+        else:
+            conf.set(arrow_key, prev_arrow)
     by_bucket: dict[int, np.ndarray] = {
         int(b): np.sort(g["v"].to_numpy()) for b, g in pdf.groupby("b")
     }

@@ -239,6 +239,52 @@ MINHASH_BANDS = 8
 MAX_BUCKET = 200  # LSH-bucket skew guard, same role as MAX_SHINGLE_DF
 
 
+def _minhash_lsh_estimate(sigs: DataFrame, band_hash_for) -> DataFrame:
+    """Shared post-signature MinHash-LSH pipeline, parameterized ONLY on
+    the band-hash expression: band explode -> (band, bh) posting lists
+    capped at MAX_BUCKET -> candidate pairs -> matches/MINHASH_PERMS
+    estimator kept at est >= 0.5. Both the xxhash64 production variant
+    and the portable-hash graded twin run THIS code, so a green verdict
+    on the twin certifies the machinery (banding, cap, estimator), not a
+    parallel reimplementation; retuning a cap or threshold here retunes
+    both.
+
+    ``sigs`` carries doc_id plus scalar minhash columns m0..m{P-1} and
+    should already be materialized (it feeds three branches);
+    ``band_hash_for(b)`` returns the band-hash Column for band ``b`` over
+    those columns."""
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_hash_for(b).alias("bh"))
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    buckets = (
+        sigs.select("doc_id", F.explode(band_structs).alias("s"))
+        .select("doc_id", "s.band", "s.bh")
+        .groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
+    )
+    cand = _posting_list_pairs(buckets).dropDuplicates(["doc_a", "doc_b"])
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    matches = None
+    for i in range(MINHASH_PERMS):
+        t = F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    return (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(MINHASH_PERMS), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
 @_q("dedup_minhash_lsh")  # estimated-jaccard output — rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup join, native DataFrame expressions end-to-end.
@@ -267,49 +313,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(MINHASH_PERMS)
             ]
         )
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"m{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
-        )
     )
     # referenced by the band explode AND both estimator-join sides: one
     # materialization, or the shingle hash + 16-min aggregate runs 3x
     sigs = materialize_reduced(sigs)
     r = MINHASH_PERMS // MINHASH_BANDS
-    band_hashes = F.array(
-        *[
-            F.xxhash64(*[F.col("sig")[b * r + k] for k in range(r)], F.lit(b))
-            for b in range(MINHASH_BANDS)
-        ]
-    )
-    buckets = (
-        sigs.select("doc_id", F.posexplode(band_hashes).alias("band", "bh"))
-        .groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
-    )
-    cand = _posting_list_pairs(buckets).dropDuplicates(["doc_a", "doc_b"])
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("a.sig"),
-            F.col("b.sig"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(b, F.col("doc_b") == F.col("b.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(matches / F.lit(MINHASH_PERMS), 4).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= 0.5)
-    )
+
+    def band_hash(b: int):
+        return F.xxhash64(*[F.col(f"m{b * r + k}") for k in range(r)], F.lit(b))
+
+    return _minhash_lsh_estimate(sigs, band_hash)
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
@@ -520,9 +533,12 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall math). 16 permutation hashes cost 8 md5 digests per shingle
     (each digest yields two independent 60-bit slices); everything after
     the hash — one min-agg shuffle, capped posting-list pairing, 16-way
-    match estimator — is the same shape as the production variant. The
-    est_jaccard values k/16 are exact at 4 decimal places, so the final
-    ROUND is engine-deterministic."""
+    match estimator — IS the production code path
+    (:func:`_minhash_lsh_estimate`, shared with dedup_minhash_lsh and
+    parameterized only on the band hash), so a green verdict certifies
+    the shared machinery, not a twin reimplementation. The est_jaccard
+    values k/16 are exact at 4 decimal places, so the final ROUND is
+    engine-deterministic."""
     docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     sh = shingle_rows(docs)
     mins = []
@@ -535,43 +551,15 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same 3-branch reuse as dedup_minhash_lsh: materialize the reduced
     # signature table so the md5 shingle hashing runs once
     sigs = materialize_reduced(sh.groupBy("doc_id").agg(*mins))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                phash60(
-                    F.concat_ws(
-                        ":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"), F.lit(str(b))
-                    )
-                ).alias("bh"),
+
+    def band_hash(b: int):
+        return phash60(
+            F.concat_ws(
+                ":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"), F.lit(str(b))
             )
-            for b in range(MINHASH_BANDS)
-        ]
-    )
-    buckets = (
-        sigs.select("doc_id", F.explode(band_structs).alias("s"))
-        .select("doc_id", "s.band", "s.bh")
-        .groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
-    )
-    cand = _posting_list_pairs(buckets).dropDuplicates(["doc_a", "doc_b"])
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    matches = None
-    for i in range(MINHASH_PERMS):
-        t = F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
-        matches = t if matches is None else matches + t
-    return (
-        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(b, F.col("doc_b") == F.col("b.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(matches / F.lit(MINHASH_PERMS), 4).alias("est_jaccard"),
         )
-        .filter(F.col("est_jaccard") >= 0.5)
-    )
+
+    return _minhash_lsh_estimate(sigs, band_hash)
 
 
 ORACLES["dedup_minhash_portable"] = ORACLES["dedup_minhash_portable"].format(

@@ -944,8 +944,9 @@ def events_hourly_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT COUNT(*) FROM s1) AS n_signup_users,
            COUNT(*) AS n_converted,
-           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM s1)
-             AS conversion_rate,
+           CASE WHEN (SELECT COUNT(*) FROM s1) > 0
+                THEN CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM s1)
+           END AS conversion_rate,
            MEDIAN(lag_us) AS median_lag_us,
            quantile_cont(lag_us, 0.9) AS p90_lag_us
     FROM conv
@@ -960,7 +961,13 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity; the conversion rate is one double division of exact counts.
     Both aggregates run over the per-user reduced tables (|users| rows),
     so the only corpus-size shuffle is the event_type-filtered first-ts
-    reduction — map-side combinable."""
+    reduction — map-side combinable.
+
+    Report shape is one row ALWAYS: the global aggregate over conv runs
+    before the signup-count join, so a no-conversion corpus yields
+    (n, 0, 0.0, NULL, NULL) rather than silence, matching the oracle's
+    aggregate-over-empty semantics; a no-signup corpus yields a NULL
+    rate on both sides instead of a cross-engine 0/0 divergence."""
     ev = load_table(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp")
     s1 = (
@@ -980,16 +987,20 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_signup = s1.agg(F.count("*").alias("n_signup_users"))
-    return conv.crossJoin(F.broadcast(n_signup)).groupBy("n_signup_users").agg(
+    # global agg first: always exactly one row, even for an empty conv
+    conv_agg = conv.agg(
         F.count("*").alias("n_converted"),
-        (F.count("*").cast("double") / F.col("n_signup_users").cast("double"))
-        .alias("conversion_rate"),
         F.median("lag_us").alias("median_lag_us"),
         F.percentile("lag_us", 0.9).alias("p90_lag_us"),
-    ).select(
+    )
+    return conv_agg.crossJoin(F.broadcast(n_signup)).select(
         "n_signup_users",
         "n_converted",
-        "conversion_rate",
+        F.when(
+            F.col("n_signup_users") > 0,
+            F.col("n_converted").cast("double")
+            / F.col("n_signup_users").cast("double"),
+        ).alias("conversion_rate"),
         "median_lag_us",
         "p90_lag_us",
     )

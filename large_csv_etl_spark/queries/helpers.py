@@ -59,6 +59,16 @@ def sql_davg(expr: str) -> str:
 # (256 equal buckets). train = 00..cc (205/256 ~ 80.1%), val = cd..e6
 # (26/256 ~ 10.2%), test = e7..ff (25/256 ~ 9.8%). Shard = first hex char
 # (16-way).
+#
+# MIGRATION NOTE (one-time re-deal): before this contract was hoisted,
+# sample_split_train_val_test used exclusive 'cc'/'e6' bounds, so docs in
+# buckets 'cc' (val->train) and 'e6' (test->val) — ~0.8% of any corpus —
+# changed split when the thresholds were unified. The stability promise
+# ("new documents self-assign without touching existing assignments")
+# holds WITHIN a contract version; retuning these literals is a breaking
+# change that re-deals boundary buckets and must be called out, never
+# silent. Exports cut before the unification should be regenerated, not
+# incrementally appended to.
 SPLIT_TRAIN_MAX = "cd"  # bucket < 'cd' -> train
 SPLIT_VAL_MAX = "e7"  # bucket < 'e7' -> val, else test
 SHARD_PREFIX_LEN = 1  # 16-way export shard

@@ -197,9 +197,11 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-graded (previously rows-only): the state accumulates value in
     integer cents, so the drained totals equal the batch GROUP BY
     value-exact regardless of micro-batch split. Update mode may emit a
-    user several times across batches; counts and (all-positive) totals
-    are monotone, so MAX per user recovers the final state under any
-    batching."""
+    user several times across batches; the event COUNT is strictly
+    monotone per user (it only grows), so the final state is the row at
+    MAX(n_events) — recovered with ``max_by``, which stays correct even
+    for negative values (refunds), where a per-column MAX over the value
+    sum would not be batching-safe."""
     from ..streaming import read_events_stream, run_bounded, user_totals_stream
 
     name = f"stream_totals_{uuid.uuid4().hex[:8]}"
@@ -212,7 +214,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("total_fp").alias("total_fp"),
+        F.max_by("total_fp", "n_events").alias("total_fp"),
     )
 
 

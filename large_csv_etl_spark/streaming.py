@@ -364,17 +364,24 @@ def merge_batch_into_store(
     link_tmp = f"{store_path}__link_b{batch_id}"
     if os.path.lexists(link_tmp):
         os.remove(link_tmp)
-    os.symlink(data, link_tmp)
+    # A relative symlink target resolves against the LINK's directory, so
+    # the target must be the sibling data dir's basename — embedding the
+    # full store_path (e.g. "out/rollup__data_b0") would resolve to
+    # "out/out/rollup__data_b0" and dangle for any store path that has a
+    # directory component.
+    os.symlink(os.path.basename(data), link_tmp)
     prev: str | None = None
     if store.is_symlink():
-        prev = os.readlink(store_path)
+        # readlink yields the stored (relative, basename) target; resolve
+        # it against the link's directory before comparing or deleting
+        prev = os.path.join(os.path.dirname(store_path), os.readlink(store_path))
     elif store.exists():
         # legacy real-directory store (pre-symlink layout): move it
         # aside so the symlink can take its place
         prev = f"{store_path}__legacy_b{batch_id}"
         shutil.move(store_path, prev)
     os.replace(link_tmp, store_path)
-    if prev and prev != data:
+    if prev and os.path.abspath(prev) != os.path.abspath(data):
         shutil.rmtree(prev, ignore_errors=True)
 
 

@@ -150,3 +150,33 @@ def test_foreachbatch_merge_is_idempotent_under_batch_replay(
     # a NEW batch id still merges
     merge_batch_into_store(spark, base.limit(10), 2, store, keys, sums)
     assert sorted(map(tuple, spark.read.parquet(store).collect())) != after_b1
+
+
+def test_merge_store_relative_path_with_subdir(spark, sf_dir, tmp_path):
+    """The symlink target must be the sibling data dir's BASENAME: a
+    relative store path with a directory component ('…/out/rollup') would
+    otherwise produce a link whose embedded '…/out/…' target re-resolves
+    against the link's own directory ('…/out/…/out/…') and dangles,
+    breaking the very next store read. The relative path is built from
+    the process cwd so Python file ops and the driver JVM resolve it to
+    the same location."""
+    import os
+
+    from large_csv_etl_spark.streaming import merge_batch_into_store
+
+    (tmp_path / "out").mkdir()
+    store = os.path.relpath(tmp_path / "out" / "rollup")
+    assert os.path.dirname(store)  # the premise: a directory component
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = ["o_orderstatus"]
+    sums = {"sum_price": "o_totalprice"}
+
+    merge_batch_into_store(spark, base.limit(40), 0, store, keys, sums)
+    assert os.path.islink(store) and os.path.exists(store)  # not dangling
+    first = sorted(map(tuple, spark.read.parquet(store).collect()))
+    merge_batch_into_store(spark, base.limit(80), 1, store, keys, sums)
+    assert os.path.exists(store)
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) != first
+    # the superseded batch-0 data dir was cleaned up, the live one kept
+    assert not os.path.exists(f"{store}__data_b0")
+    assert os.path.exists(f"{store}__data_b1")
