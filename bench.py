@@ -123,6 +123,7 @@ HEADLINE = [
     "streaming_user_totals",
     "dq_join_cardinality_audit",
     "dq_key_skew_profile",
+    "text_source_token_drift",
 ]
 
 

@@ -1274,3 +1274,99 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_fp"),
     )
+
+
+@_q(
+    "text_source_token_drift",
+    r"""
+    WITH tk AS (
+      SELECT source, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), st AS (
+      SELECT source, token, COUNT(*) AS c_st FROM tk GROUP BY source, token
+    ), s AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct_tokens
+      FROM st GROUP BY source
+    ), c AS (
+      SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM c
+    )
+    SELECT st.source, s.n_tokens, s.n_distinct_tokens,
+           (CAST(SUM(CAST(round(ABS(CAST(st.c_st AS DOUBLE) / s.n_tokens
+                                 - CAST(c.c_t AS DOUBLE) / tot.n)
+                           * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+            + 1000000000000.0
+            - CAST(SUM(CAST(round((CAST(c.c_t AS DOUBLE) / tot.n)
+                           * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+           ) / 2.0 / 1000000000000.0 AS tvd_vs_corpus
+    FROM st
+    JOIN s USING (source)
+    JOIN c USING (token)
+    CROSS JOIN tot
+    GROUP BY st.source, s.n_tokens, s.n_distinct_tokens
+    """,
+)
+def text_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: total-variation distance
+    between each source's unigram distribution and the corpus-wide mix —
+    the curation diagnostic that flags a feed whose content shifted (or
+    was contaminated) before it skews a training mixture. TVD over the
+    full vocabulary decomposes as
+    0.5 * (sum_{t in S} |p_s(t) - p_c(t)| + 1 - sum_{t in S} p_c(t)),
+    so only tokens PRESENT in the source are ever joined — no outer join
+    against the corpus vocabulary.
+
+    Determinism: each |p_s - p_c| term is pure IEEE double arithmetic
+    (identical across engines) snapped to 1e-12 fixed point with
+    round() — half-away-from-zero in BOTH engines, ties included, unlike
+    a double->DECIMAL cast (see the decimal-cast-tie note in SKILL.md) —
+    and summed as BIGINT, so the aggregate is independent of partition
+    and visit order.
+
+    Scale shape: one explode feeds a (source, token) partial-aggregated
+    count; everything downstream is |vocab|-bounded — the per-source
+    totals broadcast (|sources| rows), the corpus token counts join on
+    token, and the final agg carries one BIGINT pair per source. No
+    corpus-size shuffle after the first count."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tok = docs.select(
+        "source", F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("c_st"))
+    from .helpers import materialize_reduced
+
+    # feeds the per-source totals, corpus counts, AND the final join
+    st = materialize_reduced(st)
+    s = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_tokens"),
+        F.count("*").alias("n_distinct_tokens"),
+    )
+    c = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    tot = c.agg(F.sum("c_t").alias("n"))
+    scale = F.lit(1000000000000.0)
+    p_s = F.col("c_st").cast("double") / F.col("n_tokens")
+    p_c = F.col("c_t").cast("double") / F.col("n")
+    joined = (
+        st.join(F.broadcast(s), "source")
+        .join(c, "token")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        joined.groupBy("source", "n_tokens", "n_distinct_tokens")
+        .agg(
+            F.sum(F.round(F.abs(p_s - p_c) * scale, 0).cast("bigint")).alias("a_fp"),
+            F.sum(F.round(p_c * scale, 0).cast("bigint")).alias("b_fp"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct_tokens",
+            (
+                (F.col("a_fp").cast("double") + scale - F.col("b_fp").cast("double"))
+                / F.lit(2.0)
+                / scale
+            ).alias("tvd_vs_corpus"),
+        )
+    )

