@@ -124,6 +124,7 @@ HEADLINE = [
     "dq_join_cardinality_audit",
     "dq_key_skew_profile",
     "text_source_token_drift",
+    "events_type_drift_daily",
 ]
 
 

@@ -1004,3 +1004,81 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_lag_us",
         "p90_lag_us",
     )
+
+
+@_q(
+    "events_type_drift_daily",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    dt AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_start,
+             event_type, COUNT(*) AS c_dt
+      FROM ev GROUP BY 1, 2
+    ), d AS (
+      SELECT day_start, CAST(SUM(c_dt) AS BIGINT) AS n_day
+      FROM dt GROUP BY day_start
+    ), t AS (
+      SELECT event_type, CAST(SUM(c_dt) AS BIGINT) AS c_t FROM dt GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM t
+    )
+    SELECT dt.day_start, d.n_day,
+           (CAST(SUM(CAST(round(ABS(CAST(dt.c_dt AS DOUBLE) / d.n_day
+                                 - CAST(t.c_t AS DOUBLE) / tot.n)
+                           * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+            + 1000000000000.0
+            - CAST(SUM(CAST(round((CAST(t.c_t AS DOUBLE) / tot.n)
+                           * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+           ) / 2.0 / 1000000000000.0 AS tvd_vs_mix
+    FROM dt
+    JOIN d USING (day_start)
+    JOIN t USING (event_type)
+    CROSS JOIN tot
+    GROUP BY dt.day_start, d.n_day
+    """,
+)
+def events_type_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event-type mix drift: total-variation distance between each
+    day's event_type distribution and the whole stream's mix — the
+    monitoring twin of text_source_token_drift for event pipelines (a
+    collector outage or a bot burst shows up as a TVD spike days before
+    per-type z-scores condemn it). Same decomposition (only types present
+    that day join; absent-type mass folds into 1 - sum p_mix) and the
+    same 1e-12 fixed-point round()-then-BIGINT-sum determinism contract.
+    Everything after the (day, type) count is |days| x |types| rows."""
+    dt = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c_dt"))
+    )
+    from .helpers import materialize_reduced
+
+    dt = materialize_reduced(dt)  # feeds day totals, type totals, final join
+    d = dt.groupBy("day_start").agg(F.sum("c_dt").alias("n_day"))
+    t = dt.groupBy("event_type").agg(F.sum("c_dt").alias("c_t"))
+    tot = t.agg(F.sum("c_t").alias("n"))
+    scale = F.lit(1000000000000.0)
+    p_d = F.col("c_dt").cast("double") / F.col("n_day")
+    p_m = F.col("c_t").cast("double") / F.col("n")
+    return (
+        dt.join(F.broadcast(d), "day_start")
+        .join(F.broadcast(t), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("day_start", "n_day")
+        .agg(
+            F.sum(F.round(F.abs(p_d - p_m) * scale, 0).cast("bigint")).alias("a_fp"),
+            F.sum(F.round(p_m * scale, 0).cast("bigint")).alias("b_fp"),
+        )
+        .select(
+            "day_start",
+            "n_day",
+            (
+                (F.col("a_fp").cast("double") + scale - F.col("b_fp").cast("double"))
+                / F.lit(2.0)
+                / scale
+            ).alias("tvd_vs_mix"),
+        )
+    )

@@ -594,3 +594,34 @@ def test_source_token_drift_invariants(spark):
         .filter(F.col("source") == out[0].source)
     )
     assert one.count() > 0  # the grouping key is a real source value
+
+
+def test_events_type_drift_hand_computed(spark, tmp_path):
+    """Per-day TVD vs the overall type mix on a tiny two-day stream."""
+    t1 = datetime(2024, 1, 1, 10)
+    t2 = datetime(2024, 1, 2, 10)
+    rows = [
+        (1, t1, 1, "a", 0.0, None),
+        (2, t1, 1, "a", 0.0, None),
+        (3, t1, 1, "b", 0.0, None),
+        (4, t2, 1, "a", 0.0, None),
+        (5, t2, 1, "b", 0.0, None),
+        (6, t2, 1, "b", 0.0, None),
+        (7, t2, 1, "b", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.day_start.day: r
+        for r in EVENT_QUERIES["events_type_drift_daily"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # mix: a=3/7, b=4/7; day1 (2/3, 1/3) -> 5/21; day2 (1/4, 3/4) -> 5/28
+    assert out[1].n_day == 3 and out[2].n_day == 4
+    assert abs(out[1].tvd_vs_mix - 5 / 21) < 1e-9
+    assert abs(out[2].tvd_vs_mix - 5 / 28) < 1e-9
