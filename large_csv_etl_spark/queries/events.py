@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from .helpers import DEC, dsum, sql_dsum
+from .helpers import (
+    DEC,
+    dsum,
+    sql_dsum,
+    sql_tvd_expr,
+    tvd_fixed_point_aggs,
+    tvd_from_fixed_point,
+)
 
 QUERIES = {}
 ORACLES = {}
@@ -1023,19 +1030,18 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM t
     )
     SELECT dt.day_start, d.n_day,
-           (CAST(SUM(CAST(round(ABS(CAST(dt.c_dt AS DOUBLE) / d.n_day
-                                 - CAST(t.c_t AS DOUBLE) / tot.n)
-                           * 1000000000000.0) AS BIGINT)) AS DOUBLE)
-            + 1000000000000.0
-            - CAST(SUM(CAST(round((CAST(t.c_t AS DOUBLE) / tot.n)
-                           * 1000000000000.0) AS BIGINT)) AS DOUBLE)
-           ) / 2.0 / 1000000000000.0 AS tvd_vs_mix
+           {tvd} AS tvd_vs_mix
     FROM dt
     JOIN d USING (day_start)
     JOIN t USING (event_type)
     CROSS JOIN tot
     GROUP BY dt.day_start, d.n_day
-    """,
+    """.format(
+        tvd=sql_tvd_expr(
+            "CAST(dt.c_dt AS DOUBLE) / d.n_day",
+            "CAST(t.c_t AS DOUBLE) / tot.n",
+        )
+    ),
 )
 def events_type_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day event-type mix drift: total-variation distance between each
@@ -1060,7 +1066,6 @@ def events_type_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dt.groupBy("day_start").agg(F.sum("c_dt").alias("n_day"))
     t = dt.groupBy("event_type").agg(F.sum("c_dt").alias("c_t"))
     tot = t.agg(F.sum("c_t").alias("n"))
-    scale = F.lit(1000000000000.0)
     p_d = F.col("c_dt").cast("double") / F.col("n_day")
     p_m = F.col("c_t").cast("double") / F.col("n")
     return (
@@ -1068,17 +1073,10 @@ def events_type_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t), "event_type")
         .crossJoin(F.broadcast(tot))
         .groupBy("day_start", "n_day")
-        .agg(
-            F.sum(F.round(F.abs(p_d - p_m) * scale, 0).cast("bigint")).alias("a_fp"),
-            F.sum(F.round(p_m * scale, 0).cast("bigint")).alias("b_fp"),
-        )
+        .agg(*tvd_fixed_point_aggs(p_d, p_m))
         .select(
             "day_start",
             "n_day",
-            (
-                (F.col("a_fp").cast("double") + scale - F.col("b_fp").cast("double"))
-                / F.lit(2.0)
-                / scale
-            ).alias("tvd_vs_mix"),
+            tvd_from_fixed_point().alias("tvd_vs_mix"),
         )
     )

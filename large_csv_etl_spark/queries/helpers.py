@@ -154,3 +154,51 @@ def materialize_reduced(df):
     single node and for any cluster with external shuffle/storage.
     """
     return df.localCheckpoint(eager=True)
+
+
+# --- fixed-point total-variation-distance contract ----------------------
+# ONE definition of the determinism-critical TVD snap shared by the drift
+# operators (text_source_token_drift, events_type_drift_daily) on BOTH
+# engine sides. Each |p_obs - p_mix| term is pure IEEE double arithmetic
+# (identical across engines) snapped to 1e-12 fixed point with round() —
+# half-away-from-zero in BOTH engines, ties included, unlike a
+# double->DECIMAL cast (the round-5 decimal-cast-tie lesson) — and summed
+# as BIGINT so the aggregate is partition/visit-order independent. The
+# full-vocabulary TVD decomposes as
+#   0.5 * (sum_{present} |p_obs - p_mix| + 1 - sum_{present} p_mix)
+# so only categories PRESENT in the observed group are ever joined; the
+# absent-category mass is the `scale - b_fp` term.
+TVD_SCALE = 1000000000000.0  # 1e-12 fixed point
+
+
+def tvd_fixed_point_aggs(p_obs: Column, p_mix: Column) -> list[Column]:
+    """The two BIGINT aggregates (a_fp, b_fp) of the TVD decomposition
+    (Spark side). Use inside a groupBy().agg(*...)."""
+    scale = F.lit(TVD_SCALE)
+    return [
+        F.sum(F.round(F.abs(p_obs - p_mix) * scale, 0).cast("bigint")).alias("a_fp"),
+        F.sum(F.round(p_mix * scale, 0).cast("bigint")).alias("b_fp"),
+    ]
+
+
+def tvd_from_fixed_point() -> Column:
+    """(a_fp + scale - b_fp) / 2 / scale — the final DOUBLE TVD (Spark
+    side), operation order matching sql_tvd_expr exactly."""
+    scale = F.lit(TVD_SCALE)
+    return (
+        (F.col("a_fp").cast("double") + scale - F.col("b_fp").cast("double"))
+        / F.lit(2.0)
+        / scale
+    )
+
+
+def sql_tvd_expr(p_obs_sql: str, p_mix_sql: str) -> str:
+    """DuckDB twin of the whole TVD aggregate over the two probability
+    expressions — identical snap, sum types, and operation order."""
+    s = "1000000000000.0"
+    return (
+        f"(CAST(SUM(CAST(round(ABS(({p_obs_sql}) - ({p_mix_sql})) * {s}) AS BIGINT)) AS DOUBLE)"
+        f" + {s}"
+        f" - CAST(SUM(CAST(round(({p_mix_sql}) * {s}) AS BIGINT)) AS DOUBLE)"
+        f") / 2.0 / {s}"
+    )

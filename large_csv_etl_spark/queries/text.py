@@ -9,7 +9,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from .helpers import davg, phash60, sql_davg, sql_phash60
+from .helpers import (
+    davg,
+    phash60,
+    sql_davg,
+    sql_phash60,
+    sql_tvd_expr,
+    tvd_fixed_point_aggs,
+    tvd_from_fixed_point,
+)
 
 QUERIES = {}
 ORACLES = {}
@@ -1294,19 +1302,18 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM c
     )
     SELECT st.source, s.n_tokens, s.n_distinct_tokens,
-           (CAST(SUM(CAST(round(ABS(CAST(st.c_st AS DOUBLE) / s.n_tokens
-                                 - CAST(c.c_t AS DOUBLE) / tot.n)
-                           * 1000000000000.0) AS BIGINT)) AS DOUBLE)
-            + 1000000000000.0
-            - CAST(SUM(CAST(round((CAST(c.c_t AS DOUBLE) / tot.n)
-                           * 1000000000000.0) AS BIGINT)) AS DOUBLE)
-           ) / 2.0 / 1000000000000.0 AS tvd_vs_corpus
+           {tvd} AS tvd_vs_corpus
     FROM st
     JOIN s USING (source)
     JOIN c USING (token)
     CROSS JOIN tot
     GROUP BY st.source, s.n_tokens, s.n_distinct_tokens
-    """,
+    """.format(
+        tvd=sql_tvd_expr(
+            "CAST(st.c_st AS DOUBLE) / s.n_tokens",
+            "CAST(c.c_t AS DOUBLE) / tot.n",
+        )
+    ),
 )
 def text_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution drift: total-variation distance
@@ -1345,7 +1352,6 @@ def text_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
     tot = c.agg(F.sum("c_t").alias("n"))
-    scale = F.lit(1000000000000.0)
     p_s = F.col("c_st").cast("double") / F.col("n_tokens")
     p_c = F.col("c_t").cast("double") / F.col("n")
     joined = (
@@ -1355,18 +1361,11 @@ def text_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("source", "n_tokens", "n_distinct_tokens")
-        .agg(
-            F.sum(F.round(F.abs(p_s - p_c) * scale, 0).cast("bigint")).alias("a_fp"),
-            F.sum(F.round(p_c * scale, 0).cast("bigint")).alias("b_fp"),
-        )
+        .agg(*tvd_fixed_point_aggs(p_s, p_c))
         .select(
             "source",
             "n_tokens",
             "n_distinct_tokens",
-            (
-                (F.col("a_fp").cast("double") + scale - F.col("b_fp").cast("double"))
-                / F.lit(2.0)
-                / scale
-            ).alias("tvd_vs_corpus"),
+            tvd_from_fixed_point().alias("tvd_vs_corpus"),
         )
     )

@@ -597,13 +597,17 @@ def test_source_token_drift_invariants(spark):
 
 
 def test_events_type_drift_hand_computed(spark, tmp_path):
-    """Per-day TVD vs the overall type mix on a tiny two-day stream."""
+    """Per-day TVD vs the overall type mix on a tiny two-day stream.
+    Day 1 is missing type 'b' entirely, so this exercises the
+    absent-category mass fold (the `scale - b_fp` term) — the one branch
+    the oracle differential cannot catch, because both engines share the
+    decomposition."""
     t1 = datetime(2024, 1, 1, 10)
     t2 = datetime(2024, 1, 2, 10)
     rows = [
         (1, t1, 1, "a", 0.0, None),
         (2, t1, 1, "a", 0.0, None),
-        (3, t1, 1, "b", 0.0, None),
+        (3, t1, 1, "a", 0.0, None),
         (4, t2, 1, "a", 0.0, None),
         (5, t2, 1, "b", 0.0, None),
         (6, t2, 1, "b", 0.0, None),
@@ -621,7 +625,9 @@ def test_events_type_drift_hand_computed(spark, tmp_path):
             spark, str(tmp_path)
         ).collect()
     }
-    # mix: a=3/7, b=4/7; day1 (2/3, 1/3) -> 5/21; day2 (1/4, 3/4) -> 5/28
+    # mix: a=4/7, b=3/7
+    # day1 (a only): 0.5*(|1 - 4/7| + (1 - 4/7)) = 3/7  <- absent-type fold
+    # day2 (1/4, 3/4): 0.5*(|1/4-4/7| + |3/4-3/7|) = 9/28
     assert out[1].n_day == 3 and out[2].n_day == 4
-    assert abs(out[1].tvd_vs_mix - 5 / 21) < 1e-9
-    assert abs(out[2].tvd_vs_mix - 5 / 28) < 1e-9
+    assert abs(out[1].tvd_vs_mix - 3 / 7) < 1e-9
+    assert abs(out[2].tvd_vs_mix - 9 / 28) < 1e-9
