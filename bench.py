@@ -125,6 +125,7 @@ HEADLINE = [
     "dq_key_skew_profile",
     "text_source_token_drift",
     "events_type_drift_daily",
+    "dedup_incremental_minhash",
 ]
 
 

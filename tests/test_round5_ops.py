@@ -631,3 +631,36 @@ def test_events_type_drift_hand_computed(spark, tmp_path):
     assert out[1].n_day == 3 and out[2].n_day == 4
     assert abs(out[1].tvd_vs_mix - 3 / 7) < 1e-9
     assert abs(out[2].tvd_vs_mix - 9 / 28) < 1e-9
+
+
+def test_incremental_minhash_equals_filtered_full_pairing(spark):
+    """The probe-join optimization's correctness claim: delta bands
+    probing the posting lists must yield EXACTLY the full pairing's
+    delta-involving pairs, oriented new-side-delta. Any probe bug (a
+    dropped bucket, a double-counted delta-delta pair, a wrong
+    orientation) breaks this set equality."""
+    from large_csv_etl_spark.queries.dedup import (
+        QUERIES as DEDUP_QUERIES,
+        _DELTA_SHARD,
+    )
+    from large_csv_etl_spark.queries.helpers import SHARD_PREFIX_LEN
+    import hashlib
+
+    def shard(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[:SHARD_PREFIX_LEN]
+
+    full = DEDUP_QUERIES["dedup_minhash_portable"](spark, SF_DIR).collect()
+    expected = set()
+    for r in full:
+        da, db = shard(r.doc_a) == _DELTA_SHARD, shard(r.doc_b) == _DELTA_SHARD
+        if not (da or db):
+            continue
+        new, existing = (r.doc_b, r.doc_a) if db else (r.doc_a, r.doc_b)
+        hist = 0 if shard(existing) == _DELTA_SHARD else 1
+        expected.add((new, existing, r.est_jaccard, hist))
+
+    got = {
+        (r.new_doc_id, r.existing_doc_id, r.est_jaccard, r.existing_is_history)
+        for r in DEDUP_QUERIES["dedup_incremental_minhash"](spark, SF_DIR).collect()
+    }
+    assert got == expected
