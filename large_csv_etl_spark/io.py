@@ -414,6 +414,13 @@ def compact_small_files(
     tmp = str(p.parent / (p.name + "__compacting"))
     spark.read.parquet(path).coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
     bak = str(p.parent / (p.name + "__old"))
+    # A stale backup from a crashed prior run must be cleared first:
+    # shutil.move into an EXISTING directory nests the live table inside
+    # it ("path__old/<name>"), leaving the crash-recovery copy somewhere
+    # the documented procedure doesn't look. The live table at ``path``
+    # still holds the data, so dropping the stale backup is safe.
+    if Path(bak).exists():
+        shutil.rmtree(bak)
     shutil.move(path, bak)
     shutil.move(tmp, path)
     shutil.rmtree(bak)

@@ -141,6 +141,16 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     assert n_out < 32
     assert spark.read.parquet(out).count() == before
 
+    # a stale __old backup from a crashed prior run must not swallow the
+    # live table (shutil.move nests into an existing dir): re-compaction
+    # clears it and leaves the table intact
+    stale = pathlib.Path(f"{out}__old")
+    stale.mkdir()
+    (stale / "junk.txt").write_text("crashed run leftover")
+    compact_small_files(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(out).count() == before
+    assert not stale.exists()
+
 
 def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     from large_csv_etl_spark.io import read_orc, write_orc
