@@ -664,3 +664,16 @@ def test_incremental_minhash_equals_filtered_full_pairing(spark):
         for r in DEDUP_QUERIES["dedup_incremental_minhash"](spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_source_token_drift_single_source_is_zero(spark, tmp_path):
+    """A corpus with ONE source: its distribution IS the mix, so TVD must
+    be ~0 (within the 1e-12 snap's vocab/4e12 rounding envelope)."""
+    rows = [(i, f"tok{i % 5} common words here", "en", "only", 20) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = TEXT_QUERIES["text_source_token_drift"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert abs(out[0].tvd_vs_corpus) < 1e-6
