@@ -126,6 +126,7 @@ HEADLINE = [
     "text_source_token_drift",
     "events_type_drift_daily",
     "dedup_incremental_minhash",
+    "sample_survivor_weighted",
 ]
 
 

@@ -74,16 +74,16 @@ GRADED_PRIORITY = [
     # ---- round-5 window, rebuilt mid-round to maximize CUMULATIVE
     # driver coverage: 47 slots go to oracled entries that have NEVER
     # had a driver verdict (the 32 pre-round-5 stragglers below, plus 15
-    # of the 23 operators added during round 5), 3 slots to invariant
+    # of the 24 operators added during round 5), 3 slots to invariant
     # regrades (flagship etl_transform_parity, plus setops/windows whose
-    # never-graded pool is empty). Eight round-5 additions defer to the
+    # never-graded pool is empty). Nine round-5 additions defer to the
     # round-6 rotation (text_source_token_drift, events_type_drift_daily,
-    # dedup_incremental_minhash,
+    # dedup_incremental_minhash, sample_survivor_weighted,
     # dq_join_cardinality_audit, dq_key_skew_profile,
     # dedup_simhash_portable_neardup, dedup_minhash_calibration,
     # sim_ivf_portable_topk) — each overlaps a same-family entry that IS
     # in this window, so family coverage is unaffected. If all 47 grade
-    # green, cumulative driver coverage reaches 176/184 oracled entries.
+    # green, cumulative driver coverage reaches 176/185 oracled entries.
     # TPC-H stragglers
     "q11_important_parts",
     "q12_priority_by_delay",

@@ -677,3 +677,26 @@ def test_source_token_drift_single_source_is_zero(spark, tmp_path):
     out = TEXT_QUERIES["text_source_token_drift"](spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert abs(out[0].tvd_vs_corpus) < 1e-6
+
+
+def test_survivor_weighted_sampling_semantics(spark):
+    """Weight-aware acceptance: threshold = min(256, 64*weight), every
+    weight>=4 survivor is always kept, weight-1 survivors accept at ~1/4,
+    and the decision is a pure function of doc_id (re-run identical)."""
+    from large_csv_etl_spark.queries.sampling import QUERIES as SQ
+
+    rows = SQ["sample_survivor_weighted"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.accept_threshold == min(256, 64 * r.weight)
+        if r.weight >= 4:
+            assert r.accepted == 1
+    w1 = [r for r in rows if r.weight == 1]
+    if len(w1) >= 40:
+        rate = sum(r.accepted for r in w1) / len(w1)
+        assert 0.1 < rate < 0.45, rate
+    again = {
+        (r.doc_id, r.accepted)
+        for r in SQ["sample_survivor_weighted"](spark, SF_DIR).collect()
+    }
+    assert again == {(r.doc_id, r.accepted) for r in rows}
