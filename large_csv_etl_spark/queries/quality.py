@@ -235,19 +235,29 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     helpers.split_assign's md5 thresholds), so this report can never
     drift from what the pipeline actually does. Each stage is a count
     over an already-reduced table; the union of seven 1-row aggregates
-    is driver-side negligible at any scale."""
-    from .helpers import split_assign
+    is driver-side negligible at any scale. The kept corpus and the
+    survivor table each feed several union branches, and Catalyst has no
+    cross-branch common-subexpression elimination — without the eager
+    materialization the quality-filter subtree re-executes once per
+    branch (5x); ~10% wall at sf0.1 where that subtree is cheap, but the
+    single-computation guarantee is what matters at corpus scale. (At
+    100 TB the kept corpus is the pipeline's actual output — it gets
+    written to storage anyway, and the stage counts ride that
+    materialization for free.)"""
+    from .helpers import materialize_reduced, split_assign
     from .text import text_quality_filter
 
     docs = load_table(spark, sf_dir, "documents")
     quality = text_quality_filter(spark, sf_dir)
-    keep = (
+    keep = materialize_reduced(
         docs.join(
             quality.filter(F.col("verdict") == "keep").select("doc_id"), "doc_id"
         )
         .select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
     )
-    surv = keep.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    surv = materialize_reduced(
+        keep.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    )
     splits = surv.select(split_assign(F.col("doc_id")).alias("split"))
 
     def stage(order: int, name: str, df: DataFrame) -> DataFrame:
