@@ -27,6 +27,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..io import load_table
 from .helpers import (
+    fp_sum,
     materialize_reduced,
     phash60,
     shard_assign,
@@ -1191,8 +1192,7 @@ ORACLES["dedup_minhash_calibration"] = f"""
            COUNT(*) AS n_pairs,
            CAST(SUM(CASE WHEN exact.jaccard IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_exact_matched,
-           CAST(SUM(CAST(round(COALESCE(exact.jaccard, 0.0) * 1000000.0)
-                         AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*)
+           CAST(SUM(CAST(round((COALESCE(exact.jaccard, 0.0)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*)
              AS avg_exact_jaccard
     FROM est LEFT JOIN exact
       ON est.doc_a = exact.doc_a AND est.doc_b = exact.doc_b
@@ -1233,12 +1233,8 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_exact_matched"),
             (
-                F.sum(
-                    F.round(
-                        F.coalesce(F.col("jaccard"), F.lit(0.0))
-                        * F.lit(1000000.0)
-                    ).cast("bigint")
-                ).cast("double")
+                fp_sum(F.coalesce(F.col("jaccard"), F.lit(0.0)), 1e6)
+                .cast("double")
                 / F.lit(1000000.0)
                 / F.count("*")
             ).alias("avg_exact_jaccard"),

@@ -171,13 +171,30 @@ def materialize_reduced(df):
 TVD_SCALE = 1000000000000.0  # 1e-12 fixed point
 
 
+def fp_sum(col: Column, scale: float, sum_type: str = "bigint") -> Column:
+    """Exact fixed-point sum: SUM(round(col * scale) :: sum_type).
+
+    The order-independent snap for summing arbitrary doubles in an
+    oracle-paired aggregate: each addend is one IEEE multiply (identical
+    across engines) then round() — half-away-from-zero in BOTH engines,
+    ties included, unlike a double->DECIMAL cast — summed in exact
+    integer arithmetic. Pass sum_type="decimal(38,0)" when the summed
+    magnitude can exceed BIGINT. Divide the result by ``scale`` (and
+    cast) at the call site."""
+    return F.sum(F.round(col * F.lit(float(scale)), 0).cast(sum_type))
+
+
+def sql_fp_sum(expr: str, scale: float, sum_type: str = "BIGINT") -> str:
+    """DuckDB twin of fp_sum() over a SQL expression."""
+    return f"SUM(CAST(round(({expr}) * {float(scale):.1f}) AS {sum_type}))"
+
+
 def tvd_fixed_point_aggs(p_obs: Column, p_mix: Column) -> list[Column]:
     """The two BIGINT aggregates (a_fp, b_fp) of the TVD decomposition
     (Spark side). Use inside a groupBy().agg(*...)."""
-    scale = F.lit(TVD_SCALE)
     return [
-        F.sum(F.round(F.abs(p_obs - p_mix) * scale, 0).cast("bigint")).alias("a_fp"),
-        F.sum(F.round(p_mix * scale, 0).cast("bigint")).alias("b_fp"),
+        fp_sum(F.abs(p_obs - p_mix), TVD_SCALE).alias("a_fp"),
+        fp_sum(p_mix, TVD_SCALE).alias("b_fp"),
     ]
 
 

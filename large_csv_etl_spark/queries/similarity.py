@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .helpers import fp_sum, sql_fp_sum
 
 QUERIES = {}
 ORACLES = {}
@@ -562,10 +563,8 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), s AS (
       SELECT dim, COUNT(*) AS n,
-             CAST(SUM(CAST(round(v * 1000000000.0) AS DECIMAL(38,0)))
-                  AS DOUBLE) / 1000000000.0 AS sum_val,
-             CAST(SUM(CAST(round((v * v) * 1000000000000.0) AS DECIMAL(38,0)))
-                  AS DOUBLE) / 1000000000000.0 AS sumsq,
+             CAST({fp_v} AS DOUBLE) / 1000000000.0 AS sum_val,
+             CAST({fp_vv} AS DOUBLE) / 1000000000000.0 AS sumsq,
              MIN(v) AS min_val, MAX(v) AS max_val
       FROM ex GROUP BY dim
     )
@@ -575,7 +574,10 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
            (sumsq - (sum_val * sum_val) / n) / n AS var_val,
            min_val, max_val
     FROM s
-    """,
+    """.format(
+        fp_v=sql_fp_sum("v", 1e9, "DECIMAL(38,0)"),
+        fp_vv=sql_fp_sum("v * v", 1e12, "DECIMAL(38,0)"),
+    ),
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension distribution profile of the embedding column (count,
@@ -601,17 +603,11 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ex.groupBy("dim").agg(
         F.count("*").alias("n"),
         (
-            F.sum(
-                F.round(F.col("v") * F.lit(1000000000.0)).cast("decimal(38,0)")
-            ).cast("double")
+            fp_sum(F.col("v"), 1e9, "decimal(38,0)").cast("double")
             / F.lit(1000000000.0)
         ).alias("sum_val"),
         (
-            F.sum(
-                F.round(
-                    (F.col("v") * F.col("v")) * F.lit(1000000000000.0)
-                ).cast("decimal(38,0)")
-            ).cast("double")
+            fp_sum(F.col("v") * F.col("v"), 1e12, "decimal(38,0)").cast("double")
             / F.lit(1000000000000.0)
         ).alias("sumsq"),
         F.min("v").alias("min_val"),
