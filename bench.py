@@ -161,6 +161,40 @@ def _fit_payload(total: float, timings: dict[str, float], sf: object) -> str:
         omitted += 1
 
 
+def _write_full_dict(total: float, timings: dict[str, float], sf: object) -> None:
+    """Persist the COMPLETE per-query dict beside the repo's BENCH_r*.json.
+
+    The driver's stdout record keeps only a <=1900-char JSON line, so the
+    cheapest per-query timings are omitted there (``queries_omitted``) and a
+    regression in an omitted query would be invisible across rounds. This
+    writes ``BENCH_full_r{N}.json`` (N = 1 + the highest driver-committed
+    BENCH_r*.json round, i.e. the round in progress; override with
+    $SPARK_GRAFT_BENCH_FULL) so round-over-round comparisons always have
+    every timing. Best-effort: a read-only checkout must not break the
+    one-JSON-line driver contract."""
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        out = os.environ.get("SPARK_GRAFT_BENCH_FULL")
+        if not out:
+            rounds = [0]
+            for f in os.listdir(repo):
+                if f.startswith("BENCH_r") and f.endswith(".json"):
+                    try:
+                        rounds.append(int(f[len("BENCH_r"):-len(".json")]))
+                    except ValueError:
+                        pass
+            out = os.path.join(repo, f"BENCH_full_r{max(rounds) + 1:02d}.json")
+        with open(out, "w") as fh:
+            json.dump(
+                {"metric": "headline_total_sec", "value": total, "unit": "sec",
+                 "sf": sf, "queries": timings},
+                fh, indent=1, sort_keys=True,
+            )
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: full-dict write skipped: {exc}", file=sys.stderr)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # crude sf label from the dir name (sf0.1 -> 0.1)
@@ -197,24 +231,32 @@ def main() -> int:
     # (~8 s measured on local[32]) that is session-lifetime cost, not
     # per-query work — exactly the category the warmed-session contract
     # excludes.
-    warm_dir = sf_dir
+    # Only a sibling STRICTLY smaller than the bench SF qualifies: warming
+    # on the bench dataset itself would pre-read the exact data the timed
+    # run scans, which goes beyond the session-init scope above. With no
+    # smaller sibling the streaming path warms implicitly during the timed
+    # run and simply pays its one-off cost there.
+    warm_dir = None
     root = os.path.dirname(sf_dir.rstrip("/"))
     siblings = []
     try:
         for d in os.listdir(root):
             if d.startswith("sf") and os.path.isdir(os.path.join(root, d)):
                 try:
-                    siblings.append((float(d[2:]), os.path.join(root, d)))
+                    sib_sf = float(d[2:])
                 except ValueError:
-                    pass
+                    continue
+                if isinstance(sf, float) and sib_sf < sf:
+                    siblings.append((sib_sf, os.path.join(root, d)))
     except OSError:
         pass
     if siblings:
         warm_dir = min(siblings)[1]
-    try:
-        registry["streaming_user_totals"](spark, warm_dir).collect()
-    except Exception as exc:
-        print(f"bench: streaming warm-up FAILED: {exc}", file=sys.stderr)
+    if warm_dir is not None:
+        try:
+            registry["streaming_user_totals"](spark, warm_dir).collect()
+        except Exception as exc:
+            print(f"bench: streaming warm-up FAILED: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -231,6 +273,7 @@ def main() -> int:
     # Full dict to stderr (prefixed so no driver-side parser grabs it).
     print(f"bench full: {json.dumps(timings, separators=(',', ':'))}", file=sys.stderr)
     sys.stderr.flush()
+    _write_full_dict(total, timings, sf)
     line = _fit_payload(total, timings, sf)
     # Leading newline: guarantees the JSON starts a fresh line even if
     # some earlier write left the stream mid-line.

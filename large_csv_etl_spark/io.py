@@ -419,8 +419,14 @@ def compact_small_files(
     # it ("path__old/<name>"), leaving the crash-recovery copy somewhere
     # the documented procedure doesn't look. The live table at ``path``
     # still holds the data, so dropping the stale backup is safe.
-    if Path(bak).exists():
+    # lexists + is_dir branching: a stale ``__old`` that is a regular file
+    # or (dangling) symlink would make rmtree raise NotADirectoryError and
+    # abort the compaction after the temp dir was already written.
+    bak_p = Path(bak)
+    if bak_p.is_dir() and not bak_p.is_symlink():
         shutil.rmtree(bak)
+    elif os.path.lexists(bak):
+        os.remove(bak)
     shutil.move(path, bak)
     shutil.move(tmp, path)
     shutil.rmtree(bak)

@@ -1054,8 +1054,11 @@ def events_type_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything after the (day, type) count is |days| x |types| rows."""
     dt = (
         load_table(spark, sf_dir, "events")
+        # Explicit cast to match the oracle's CAST(ts AS TIMESTAMP): a
+        # malformed ts then fails the same way in both engines instead of
+        # silently yielding a NULL day_start on the Spark side only.
         .groupBy(
-            F.date_trunc("day", F.col("ts")).alias("day_start"),
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day_start"),
             "event_type",
         )
         .agg(F.count("*").alias("c_dt"))
