@@ -1240,3 +1240,63 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_exact_jaccard"),
         )
     )
+
+
+PREFIX_FP_TOKENS = 16  # lead-window length for the truncation-dup fingerprint
+
+
+@_q(
+    "dedup_prefix_truncation",
+    rf"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), p AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, 1, {PREFIX_FP_TOKENS}), ' '))
+               AS prefix_fp,
+             len(toks) AS n_tokens
+      FROM toked WHERE len(toks) >= {PREFIX_FP_TOKENS}
+    )
+    SELECT prefix_fp,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS survivor_doc_id,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM p
+    GROUP BY prefix_fp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation/extension duplicate groups: documents sharing their
+    first PREFIX_FP_TOKENS-token window — the scrape-pipeline failure mode exact
+    whole-text dedup misses (the same article captured at different cut
+    points hashes differently end-to-end but identically on its lead
+    window). One md5 per doc, one hash aggregate on the 16-byte
+    fingerprint key; min_tokens vs max_tokens spread shows whether a
+    group is true truncation (spread) or re-crawl (equal). Survivor =
+    min doc_id, matching the exact-dedup survivor contract. Docs shorter
+    than the window are out of scope (their whole text IS the prefix —
+    exact dedup already covers them)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toked = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= PREFIX_FP_TOKENS)
+    p = toked.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), 1, PREFIX_FP_TOKENS))
+        ).alias("prefix_fp"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        p.groupBy("prefix_fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

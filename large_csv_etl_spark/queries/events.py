@@ -1083,3 +1083,129 @@ def events_type_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             tvd_from_fixed_point().alias("tvd_vs_mix"),
         )
     )
+
+
+@_q(
+    "events_concurrency_profile",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+      )
+      GROUP BY user_id, session_id
+    ), pts AS (
+      SELECT CAST(DATE_TRUNC('day', session_start) AS TIMESTAMP) AS day_start,
+             session_start AS t,
+             COUNT(*) AS n_starts, 0 AS n_ends
+      FROM sess GROUP BY 1, 2
+      UNION ALL
+      SELECT CAST(DATE_TRUNC('day', session_start) AS TIMESTAMP) AS day_start,
+             session_end AS t,
+             0 AS n_starts, COUNT(*) AS n_ends
+      FROM sess GROUP BY 1, 2
+    ), merged AS (
+      SELECT day_start, t,
+             CAST(SUM(n_starts) AS BIGINT) AS starts_t,
+             CAST(SUM(n_ends) AS BIGINT) AS ends_t
+      FROM pts GROUP BY day_start, t
+    ), run AS (
+      SELECT day_start, t, starts_t, ends_t,
+             SUM(starts_t) OVER w - SUM(ends_t) OVER w + ends_t AS conc_at_t
+      FROM merged
+      WINDOW w AS (PARTITION BY day_start ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT day_start,
+           CAST(SUM(starts_t) AS BIGINT) AS n_sessions,
+           CAST(MAX(conc_at_t) AS BIGINT) AS peak_concurrent
+    FROM run
+    GROUP BY day_start
+    """,
+)
+def events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning twin of
+    DAU: how many gap-based sessions (the events_sessionization 30-min
+    contract) were simultaneously open at the worst instant of each day.
+    Sweep-line, no self-join: sessions reduce to per-instant start/end
+    counts, one ordered window per day computes the running balance, and
+    concurrency AT an instant counts closed-interval overlap
+    (cum_starts(<=t) - cum_ends(<t), i.e. a session ending exactly at t
+    still overlaps one starting at t). Sessions attribute to their START
+    day; the handful straddling midnight carry their mass there (at 100 TB
+    the day partition bounds every window — no global ordering anywhere;
+    the interval self-join alternative is quadratic on hot days).
+    Duplicate instants collapse by aggregation BEFORE the window, so the
+    running sum never depends on tie order."""
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_ok = ts_us - F.lag(ts_us).over(w) <= 1800 * 1_000_000
+    sess = (
+        df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(gap_ok, 0).otherwise(1).alias("new_session"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .withColumn(
+            "day_start",
+            F.date_trunc("day", F.col("session_start").cast("timestamp")),
+        )
+    )
+    from .helpers import materialize_reduced
+
+    # the union below references sess twice (starts + ends branch);
+    # without this the whole sessionization subtree executes once per
+    # branch (no CSE across union arms)
+    sess = materialize_reduced(sess)
+    starts = sess.groupBy(
+        "day_start", F.col("session_start").alias("t")
+    ).agg(F.count("*").alias("n_starts"), F.lit(0).cast("bigint").alias("n_ends"))
+    ends = sess.groupBy("day_start", F.col("session_end").alias("t")).agg(
+        F.lit(0).cast("bigint").alias("n_starts"), F.count("*").alias("n_ends")
+    )
+    merged = (
+        starts.unionByName(ends)
+        .groupBy("day_start", "t")
+        .agg(
+            F.sum("n_starts").alias("starts_t"),
+            F.sum("n_ends").alias("ends_t"),
+        )
+    )
+    dw = (
+        Window.partitionBy("day_start")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    conc = (
+        F.sum("starts_t").over(dw) - F.sum("ends_t").over(dw) + F.col("ends_t")
+    )
+    return (
+        merged.withColumn("conc_at_t", conc)
+        .groupBy("day_start")
+        .agg(
+            F.sum("starts_t").alias("n_sessions"),
+            F.max("conc_at_t").alias("peak_concurrent"),
+        )
+    )

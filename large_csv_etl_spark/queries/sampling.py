@@ -598,3 +598,134 @@ def _survivor_weighted_oracle() -> str:
 
 
 ORACLES["sample_survivor_weighted"] = _survivor_weighted_oracle()
+
+
+@_q(
+    "sample_mixture_solver",
+    r"""
+    WITH sized AS (
+      SELECT source,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+    ), stats AS (
+      SELECT source,
+             CAST(SUM(n_tokens) AS BIGINT) AS avail,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                  THEN 3 ELSE 1 END AS weight
+      FROM sized GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(avail) AS BIGINT) // 2 AS budget,
+             CAST(SUM(weight) AS BIGINT) AS w_all
+      FROM stats
+    ), r1 AS (
+      SELECT s.source, s.avail, s.weight, t.budget, t.w_all,
+             (t.budget * s.weight) // t.w_all AS desired,
+             LEAST(s.avail, (t.budget * s.weight) // t.w_all) AS taken1,
+             CASE WHEN s.avail <= (t.budget * s.weight) // t.w_all
+                  THEN 1 ELSE 0 END AS saturated
+      FROM stats s CROSS JOIN tot t
+    ), spill AS (
+      SELECT CAST(MAX(budget) - SUM(taken1) AS BIGINT) AS leftover,
+             CAST(SUM(CASE WHEN saturated = 0 THEN weight ELSE 0 END)
+                  AS BIGINT) AS w_unsat
+      FROM r1
+    )
+    SELECT r.source,
+           CAST(r.weight AS BIGINT) AS weight,
+           r.avail AS n_tokens_avail,
+           CAST(r.saturated AS BIGINT) AS saturated,
+           LEAST(r.avail,
+                 r.desired + CASE WHEN r.saturated = 0 AND sp.w_unsat > 0
+                                  THEN (sp.leftover * r.weight) // sp.w_unsat
+                                  ELSE 0 END) AS granted_tokens,
+           CAST(LEAST(r.avail,
+                 r.desired + CASE WHEN r.saturated = 0 AND sp.w_unsat > 0
+                                  THEN (sp.leftover * r.weight) // sp.w_unsat
+                                  ELSE 0 END) AS DOUBLE)
+             / CAST(r.avail AS DOUBLE) AS rate_final
+    FROM r1 r CROSS JOIN spill sp
+    """,
+)
+def sample_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mixture solver with saturation spill: hit a target per-source
+    TOKEN blend (3x weight on src0-4, total budget 50% of corpus tokens)
+    when some sources can't supply their share. Round 1 hands each source
+    budget*w/W tokens capped at availability; the undistributed leftover
+    from saturated sources is re-dealt once, proportionally by weight,
+    among the unsaturated ones — the closed-form first step of
+    water-filling, which is what production mixture configs actually run
+    (iterating to a fixpoint changes allocations by < one re-deal and is
+    not worth a driver loop at 100 TB). Everything is exact BIGINT token
+    arithmetic (integer floor-division in both engines — no float
+    accumulation anywhere); the only double op is the final per-source
+    rate division. Two tiny aggregates over the |sources|-row stats table
+    (itself one map-side-combinable pass over documents); rates then
+    broadcast onto the scan exactly like sample_mixture_weighted's."""
+    from .helpers import materialize_reduced
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    stats = materialize_reduced(
+        docs.select("source", n_tokens.cast("bigint").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("avail"))
+        .select(
+            "source",
+            "avail",
+            F.when(
+                F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+                F.lit(3),
+            )
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("weight"),
+        )
+    )
+    tot = stats.agg(
+        F.expr("sum(avail) DIV 2").alias("budget"),
+        F.sum("weight").alias("w_all"),
+    )
+    r1 = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        "weight",
+        "budget",
+        F.expr("(budget * weight) DIV w_all").alias("desired"),
+    )
+    r1 = r1.select(
+        "*",
+        F.least(F.col("avail"), F.col("desired")).alias("taken1"),
+        F.when(F.col("avail") <= F.col("desired"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("saturated"),
+    )
+    r1 = materialize_reduced(r1)
+    spill = r1.agg(
+        (F.max("budget") - F.sum("taken1")).alias("leftover"),
+        F.sum(
+            F.when(F.col("saturated") == 0, F.col("weight")).otherwise(0)
+        ).alias("w_unsat"),
+    )
+    granted = F.least(
+        F.col("avail"),
+        F.col("desired")
+        + F.when(
+            (F.col("saturated") == 0) & (F.col("w_unsat") > 0),
+            F.expr("(leftover * weight) DIV w_unsat"),
+        ).otherwise(F.lit(0)),
+    )
+    return r1.crossJoin(F.broadcast(spill)).select(
+        "source",
+        "weight",
+        F.col("avail").alias("n_tokens_avail"),
+        "saturated",
+        granted.alias("granted_tokens"),
+        (granted.cast("double") / F.col("avail").cast("double")).alias(
+            "rate_final"
+        ),
+    )

@@ -1369,3 +1369,255 @@ def text_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             tvd_from_fixed_point().alias("tvd_vs_corpus"),
         )
     )
+
+
+@_q(
+    "text_memorization_ngrams",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), g AS (
+      SELECT doc_id, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+      FROM (
+        SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 7)) AS i
+        FROM toked WHERE len(toks) >= 8
+      )
+    )
+    SELECT fp, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+    FROM g
+    GROUP BY fp
+    HAVING COUNT(DISTINCT doc_id) >= 3
+    ORDER BY n_docs DESC, n_occurrences DESC, fp
+    LIMIT 20
+    """,
+)
+def text_memorization_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit: the 8-gram spans repeated across the most
+    documents (doc frequency >= 3) — exactly the passages an LLM is most
+    likely to memorize verbatim and the first thing a training-data audit
+    reports (licenses, disclaimers, chain letters). Spans travel as md5
+    fingerprints, so the shuffle never carries text; the aggregate is
+    map-side combinable on the fingerprint key and the top-20 compiles to
+    TakeOrderedAndProject — no global sort of the n-gram stream. The
+    df >= 3 floor keeps the result table bounded at any corpus size
+    (same rationale as the MAX_SHINGLE_DF posting-list cap)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toked = docs.select(
+        "doc_id", _SPARK_TOKENS(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 8)
+    g = toked.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 7)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), 8))).alias("fp"),
+    )
+    return (
+        g.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "fp")
+        .limit(20)
+    )
+
+
+@_q(
+    "text_ngram_novelty",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+      FROM (
+        SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 7)) AS i
+        FROM toked WHERE len(toks) >= 8
+      )
+    ), firsts AS (
+      SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS first_doc
+      FROM g
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty_ratio
+    FROM firsts
+    GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content novelty: the fraction of a doc's distinct
+    8-grams whose FIRST occurrence (by doc_id order) is this doc — the
+    marginal-contribution signal an incremental curation pass ranks new
+    batches by (a doc whose n-grams all appeared in earlier docs adds no
+    new content even if it isn't an exact near-dup). One shuffle keys the
+    distinct fingerprint stream, a window MIN per fingerprint replaces a
+    self-join (no recompute of the explode), then one groupBy back on
+    doc_id; the rate is exact-count division."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toked = docs.select(
+        "doc_id", _SPARK_TOKENS(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 8)
+    g = (
+        toked.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 7)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), 8))).alias(
+                "fp"
+            ),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    first_doc = F.min("doc_id").over(Window.partitionBy("fp"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        g.withColumn("first_doc", first_doc)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count("*")).alias("novelty_ratio"),
+        )
+    )
+
+
+@_q(
+    "text_readability_ari",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             LENGTH(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+             LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_words,
+             GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences
+      FROM documents WHERE TRIM(text) <> ''
+    )
+    SELECT doc_id, CAST(n_alnum AS BIGINT) AS n_alnum,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(round((4.71 * (CAST(n_alnum AS DOUBLE) / n_words)
+                 + 0.5 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 21.43) * 1000000.0) AS BIGINT) / 1000000.0 AS ari
+    FROM m
+    """,
+)
+def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per document — the standard cheap
+    quality gate between raw length heuristics and model-based scoring
+    (Common Crawl curation drops both extremes). Pure row-local integer
+    counts (alphanumeric chars, whitespace words, [.!?]+ sentence runs,
+    floored at 1) feeding one fixed IEEE expression, identical operation
+    order on both engines, snapped to 1e-6 fixed point with round() —
+    half-away-from-zero in BOTH engines (a ROUND(x, 6) at this scale hit
+    a real tie in the fixture); no shuffle at all — the whole operator
+    is a map over the scan."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    n_alnum = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", ""))
+    n_words = F.size(_SPARK_TOKENS(F.col("text")))
+    n_sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    m = docs.select(
+        "doc_id",
+        n_alnum.cast("bigint").alias("n_alnum"),
+        n_words.cast("bigint").alias("n_words"),
+        n_sentences.cast("bigint").alias("n_sentences"),
+    )
+    ari = (
+        F.lit(4.71) * (F.col("n_alnum").cast("double") / F.col("n_words"))
+        + F.lit(0.5) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(21.43)
+    )
+    ari_fp = F.round(ari * F.lit(1000000.0), 0).cast("bigint") / F.lit(1000000.0)
+    return m.select(
+        "doc_id", "n_alnum", "n_words", "n_sentences", ari_fp.alias("ari")
+    )
+
+
+@_q(
+    "text_token_concentration",
+    r"""
+    WITH sized AS (
+      SELECT doc_id,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+    ), cuts AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             quantile_cont(n_tokens, 0.9) AS p90_cutoff,
+             quantile_cont(n_tokens, 0.99) AS p99_cutoff
+      FROM sized
+    )
+    SELECT c.n_docs, c.total_tokens, c.p90_cutoff, c.p99_cutoff,
+           CAST(SUM(CASE WHEN s.n_tokens >= c.p90_cutoff THEN s.n_tokens
+                         ELSE 0 END) AS DOUBLE) / c.total_tokens
+             AS share_top10pct,
+           CAST(SUM(CASE WHEN s.n_tokens >= c.p99_cutoff THEN s.n_tokens
+                         ELSE 0 END) AS DOUBLE) / c.total_tokens
+             AS share_top1pct
+    FROM sized s CROSS JOIN cuts c
+    GROUP BY c.n_docs, c.total_tokens, c.p90_cutoff, c.p99_cutoff
+    """,
+)
+def text_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration audit: what share of all tokens sits in the
+    documents at/above the p90 and p99 document-length cutoffs — the
+    Lorenz-curve summary that tells a curation pass whether a handful of
+    giant documents dominate the training mixture (and will dominate any
+    per-doc sampling scheme) before it commits to rates. Both passes run
+    over the REDUCED per-doc length table: cutoffs via the proven
+    exact-interpolation quantile parity, then one conditional integer sum
+    against the broadcast 1-row cutoff table; shares are single
+    double divisions of exact BIGINT masses."""
+    from .helpers import materialize_reduced
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(_SPARK_TOKENS(F.col("text")))
+    )
+    sized = materialize_reduced(
+        docs.select("doc_id", n_tokens.cast("bigint").alias("n_tokens"))
+    )
+    cuts = (
+        sized.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr("percentile(n_tokens, array(0.9, 0.99))").alias("qs"),
+        )
+        .select(
+            "n_docs",
+            "total_tokens",
+            F.col("qs")[0].alias("p90_cutoff"),
+            F.col("qs")[1].alias("p99_cutoff"),
+        )
+    )
+    top_mass = lambda cut: F.sum(
+        F.when(F.col("n_tokens") >= F.col(cut), F.col("n_tokens")).otherwise(0)
+    ).cast("double")
+    return (
+        sized.crossJoin(F.broadcast(cuts))
+        .groupBy("n_docs", "total_tokens", "p90_cutoff", "p99_cutoff")
+        .agg(
+            (top_mass("p90_cutoff") / F.col("total_tokens").cast("double")).alias(
+                "share_top10pct"
+            ),
+            (top_mass("p99_cutoff") / F.col("total_tokens").cast("double")).alias(
+                "share_top1pct"
+            ),
+        )
+    )

@@ -1,0 +1,167 @@
+"""Semantic checks for the round-6 operators (beyond the oracle diff the
+mimic already runs): planted fixtures exercising each operator's defining
+property."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from large_csv_etl_spark.queries.dedup import QUERIES as DEDUP_QUERIES
+from large_csv_etl_spark.queries.events import QUERIES as EVENT_QUERIES
+from large_csv_etl_spark.queries.sampling import QUERIES as SAMPLE_QUERIES
+from large_csv_etl_spark.queries.text import QUERIES as TEXT_QUERIES
+
+from .conftest import SF_DIR_MID
+
+
+def _docs_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(2).write.parquet(f"{d}/documents.parquet")
+
+
+def test_memorization_ngrams_finds_planted_boilerplate(spark):
+    """A disclaimer sentence pasted into 5 docs must top the report; an
+    8-gram appearing in only 2 docs must stay below the df>=3 floor."""
+    legal = "this document is provided as is without warranty of any kind"
+    rows = []
+    for i in range(5):
+        rows.append((i, f"u{i}a u{i}b {legal} u{i}c", "en", "s", 0))
+    rows.append((100, "pair gram a b c d e f g h tail100", "en", "s", 0))
+    rows.append((101, "pair gram a b c d e f g h tail101", "en", "s", 0))
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = TEXT_QUERIES["text_memorization_ngrams"](spark, d).collect()
+    assert out, "planted 5-doc repeat not reported"
+    assert all(r.n_docs >= 3 for r in out)
+    # the legal boilerplate contributes the top rows (n_docs == 5)
+    assert out[0].n_docs == 5
+    # the 2-doc 8-grams are below the floor: no reported fp has n_docs 2
+    assert min(r.n_docs for r in out) >= 3
+
+
+def test_ngram_novelty_first_doc_owns_everything(spark):
+    """Doc 1 (lowest id) is fully novel; doc 2 = exact copy is fully
+    stale; doc 3 = half-new content lands strictly between."""
+    base = " ".join(f"w{i}" for i in range(16))
+    half = " ".join(f"w{i}" for i in range(8, 16)) + " " + " ".join(
+        f"x{i}" for i in range(8)
+    )
+    rows = [
+        (1, base, "en", "s", 0),
+        (2, base, "en", "s", 0),
+        (3, half, "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = {r.doc_id: r for r in TEXT_QUERIES["text_ngram_novelty"](spark, d).collect()}
+    assert out[1].novelty_ratio == 1.0
+    assert out[2].novelty_ratio == 0.0
+    assert 0.0 < out[3].novelty_ratio < 1.0
+
+
+def test_readability_ari_known_value(spark):
+    """Hand-computed ARI for a fixed sentence pair."""
+    text = "The cat sat. The dog ran!"
+    # alnum chars: TheCatSat TheDogRan -> 9+9 = 18; words = 6; sentences = 2
+    rows = [(1, text, "en", "s", 0)]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        r = TEXT_QUERIES["text_readability_ari"](spark, d).first()
+    assert (r.n_alnum, r.n_words, r.n_sentences) == (18, 6, 2)
+    expected = 4.71 * (18 / 6) + 0.5 * (6 / 2) - 21.43
+    assert abs(r.ari - expected) < 1e-6
+
+
+def test_token_concentration_uniform_vs_skewed(spark):
+    """On a linearly-graded corpus (doc i has i+1 tokens) the top-10%-by-
+    length docs hold ~19% of tokens (sum 91..100 / sum 1..100); planting
+    one giant doc must pull share_top1pct far above 1%."""
+    graded = [
+        (i, " ".join(f"t{i}_{j}" for j in range(i + 1)), "en", "s", 0)
+        for i in range(100)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, graded, d)
+        u = TEXT_QUERIES["text_token_concentration"](spark, d).first()
+    # docs >= p90 cutoff (~91 tokens): sum(91..100)=955 of 5050 = 0.189
+    assert abs(u.share_top10pct - 955 / 5050) < 0.03
+    skewed = graded + [(999, " ".join(f"big{j}" for j in range(20000)), "en", "s", 0)]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, skewed, d)
+        s = TEXT_QUERIES["text_token_concentration"](spark, d).first()
+    assert s.share_top1pct > 0.5  # 20000 of 25050 tokens in one doc
+
+
+def test_prefix_truncation_groups_share_lead_window(spark):
+    """A doc and its truncated/extended variants group together; a doc
+    differing in token 3 does not."""
+    lead = " ".join(f"p{i}" for i in range(16))
+    rows = [
+        (1, lead + " extended tail here", "en", "s", 0),
+        (2, lead, "en", "s", 0),
+        (3, lead + " different continuation", "en", "s", 0),
+        (4, "p0 p1 CHANGED " + " ".join(f"p{i}" for i in range(3, 16)), "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = DEDUP_QUERIES["dedup_prefix_truncation"](spark, d).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.n_docs == 3 and g.survivor_doc_id == 1
+    assert g.min_tokens == 16 and g.max_tokens == 19
+
+
+def test_concurrency_profile_planted_overlap(spark):
+    """Three users with overlapping sessions on one day: two overlap, the
+    third is disjoint -> peak 2; sessions ending exactly when another
+    starts count as concurrent (closed intervals)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    mk = lambda uid, eid, mins: (eid, base + dt.timedelta(minutes=mins), uid, "click", 1.0, "{}")
+    rows = [
+        # user 1: session 10:00-10:20
+        mk(1, 1, 0), mk(1, 2, 20),
+        # user 2: session 10:10-10:30 (overlaps user 1)
+        mk(2, 3, 10), mk(2, 4, 30),
+        # user 3: session 12:00-12:05 (disjoint)
+        mk(3, 5, 120), mk(3, 6, 125),
+        # user 4: session starts exactly at user 2's end 10:30 (closed: concurrent)
+        mk(4, 7, 30), mk(4, 8, 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        out = EVENT_QUERIES["events_concurrency_profile"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_sessions == 4
+    # 10:10-10:20 has users 1+2; at 10:30 users 2+4 (closed-interval) -> peak 2
+    assert r.peak_concurrent == 2
+
+
+def test_mixture_solver_conservation_and_saturation(spark):
+    """Solver invariants on the real corpus: granted <= available per
+    source, total granted <= budget, saturated sources granted exactly
+    their availability, and the spill goes to unsaturated sources (their
+    granted exceeds the round-1 desired when leftover exists)."""
+    out = SAMPLE_QUERIES["sample_mixture_solver"](spark, SF_DIR_MID).collect()
+    assert len(out) == 20
+    total_avail = sum(r.n_tokens_avail for r in out)
+    budget = total_avail // 2
+    granted = sum(r.granted_tokens for r in out)
+    assert granted <= budget
+    # budget is achievable (corpus can supply >= budget overall), so the
+    # one-round re-deal should land within 1% of it
+    assert granted >= 0.99 * budget
+    for r in out:
+        assert 0 < r.granted_tokens <= r.n_tokens_avail
+        assert 0.0 < r.rate_final <= 1.0
+        if r.saturated:
+            assert r.granted_tokens == r.n_tokens_avail
