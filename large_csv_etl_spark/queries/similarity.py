@@ -1047,3 +1047,231 @@ def sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("qdot6").desc(), "vec_id")
         .limit(10)
     )
+
+
+PCA_POWER_ITERATIONS = 8
+_PCA_S = "1000000.0"  # 1e-6 embedding fixed point (the centroid-op contract)
+
+
+def _pca_oracle_sql() -> str:
+    """Unrolled power-iteration oracle (PageRank precedent): the SAME
+    integer fixed-point matvec/normalize steps as the Spark side, one CTE
+    triple per iteration."""
+    head = f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * {_PCA_S}) AS BIGINT) AS q
+      FROM (
+        SELECT vec_id, embedding,
+               UNNEST(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE embedding IS NOT NULL
+      )
+    ), g AS MATERIALIZED (
+      SELECT a.i, b.i AS j, SUM(a.q * b.q) AS g
+      FROM q a JOIN q b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ), v0 AS MATERIALIZED (
+      SELECT DISTINCT i AS pos, CAST(1000000 AS BIGINT) AS v_fp FROM g
+    )"""
+    its = []
+    for k in range(1, PCA_POWER_ITERATIONS + 1):
+        its.append(f""", t{k} AS MATERIALIZED (
+      SELECT g.i AS pos,
+             SUM(CAST(round((CAST(g.g AS DOUBLE)
+                 * (CAST(v.v_fp AS DOUBLE) / {_PCA_S})) * 0.000001) AS BIGINT))
+               AS t_fp
+      FROM g JOIN v{k - 1} v ON g.j = v.pos GROUP BY g.i
+    ), m{k} AS MATERIALIZED (
+      SELECT MAX(ABS(t_fp)) AS m FROM t{k}
+    ), v{k} AS MATERIALIZED (
+      SELECT pos,
+             CAST(round(CAST(t_fp AS DOUBLE) * {_PCA_S} / CAST(m AS DOUBLE))
+                  AS BIGINT) AS v_fp
+      FROM t{k}, m{k}
+    )""")
+    n = PCA_POWER_ITERATIONS
+    tail = f""", lead AS MATERIALIZED (
+      SELECT CAST(CASE WHEN v_fp >= 0 THEN 1 ELSE -1 END AS BIGINT) AS s
+      FROM v{n} ORDER BY ABS(v_fp) DESC, pos LIMIT 1
+    ), ray AS (
+      SELECT SUM(CAST(round((CAST(g.g AS DOUBLE)
+                 * (CAST(a.v_fp AS DOUBLE) / {_PCA_S})
+                 * (CAST(b.v_fp AS DOUBLE) / {_PCA_S})) * 0.000001) AS BIGINT))
+               AS num_fp
+      FROM g JOIN v{n} a ON g.i = a.pos JOIN v{n} b ON g.j = b.pos
+    ), den AS (
+      SELECT SUM(CAST(round((CAST(v_fp AS DOUBLE) / {_PCA_S})
+                 * (CAST(v_fp AS DOUBLE) / {_PCA_S}) * {_PCA_S}) AS BIGINT))
+               AS den_fp
+      FROM v{n}
+    ), tr AS (
+      SELECT CAST(SUM(g) AS DOUBLE) AS trace FROM g WHERE i = j
+    )
+    SELECT CAST(v.pos AS BIGINT) AS pos,
+           CAST(v.v_fp * lead.s AS DOUBLE) / {_PCA_S} AS loading,
+           (CAST(ray.num_fp AS DOUBLE) / 0.000001)
+             / (CAST(den.den_fp AS DOUBLE) / {_PCA_S}) AS lambda_top,
+           ((CAST(ray.num_fp AS DOUBLE) / 0.000001)
+             / (CAST(den.den_fp AS DOUBLE) / {_PCA_S})) / tr.trace
+             AS explained_ratio
+    FROM v{n} v, lead, ray, den, tr"""
+    return head + "".join(its) + tail
+
+
+@_q("embedding_pca_top_component", _pca_oracle_sql())
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding second-moment
+    matrix, by power iteration — the whitening/index-health diagnostic
+    (one dominant direction = a broken encoder or an un-normalized batch;
+    its loadings say WHICH dims). Designed the way PCA actually runs at
+    100 TB: the dim x dim Gram matrix is the ONLY distributed computation
+    — each Arrow batch contributes one Q^T Q partial (a vectorized numpy
+    int64 matmul over 1e-6 fixed-point quantized values; per-entry
+    magnitude <= batch_rows * (3e6)^2 ~ 9e16 << 2^63 at the 10k default
+    batch size), summed exactly as DECIMAL(38,0). The eigen-solve then
+    runs on the bounded dim^2-row table (IVF's bounded-collect class) as
+    8 fixed unrolled iterations of integer fixed-point matvec +
+    L-infinity normalization — round()-snapped at every step so Spark and
+    the unrolled-SQL oracle execute bit-identical arithmetic (the
+    fp_sum/TVD contract; a float matvec would reassociate). Sign is fixed
+    by the largest-|loading| position; lambda is the Rayleigh quotient
+    and explained_ratio divides it by trace(G). Eight iterations is a
+    deterministic diagnostic direction, not a convergence guarantee —
+    the parity contract is exact regardless."""
+    from .helpers import materialize_reduced
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        def round_half_away(v):
+            # np.round is half-even; engines' round() is half-away.
+            # Exact emulation: correct only the true .5 ties (no
+            # floor(x+0.5) drift on values just below a tie).
+            r = np.round(v)
+            frac = np.abs(v) % 1.0
+            ties = frac == 0.5
+            if ties.any():
+                r[ties] = np.sign(v[ties]) * np.ceil(np.abs(v[ties]))
+            return r
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            q = round_half_away(m * 1000000.0).astype(np.int64)
+            g = q.T @ q
+            d = g.shape[0]
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).ravel().astype(np.int64),
+                    "j": (jj + 1).ravel().astype(np.int64),
+                    "partial": g.ravel(),
+                }
+            )
+
+    partials = emb.select("embedding").mapInPandas(
+        gram_partials, "i bigint, j bigint, partial bigint"
+    )
+    gram = materialize_reduced(
+        partials.groupBy("i", "j").agg(
+            F.sum(F.col("partial").cast("decimal(38,0)")).alias("g")
+        )
+    )
+    s6 = F.lit(1000000.0)
+    v = gram.select(F.col("i").alias("pos")).distinct().select(
+        "pos", F.lit(1000000).cast("bigint").alias("v_fp")
+    )
+    for _ in range(PCA_POWER_ITERATIONS):
+        t = (
+            gram.join(v, gram["j"] == v["pos"])
+            .groupBy(gram["i"].alias("pos"))
+            .agg(
+                F.sum(
+                    F.round(
+                        (
+                            F.col("g").cast("double")
+                            * (F.col("v_fp").cast("double") / s6)
+                        )
+                        * F.lit(0.000001),
+                        0,
+                    ).cast("bigint")
+                ).alias("t_fp")
+            )
+        )
+        t = materialize_reduced(t)
+        m = t.agg(F.max(F.abs(F.col("t_fp"))).alias("m"))
+        v = t.crossJoin(F.broadcast(m)).select(
+            "pos",
+            F.round(
+                F.col("t_fp").cast("double") * s6 / F.col("m").cast("double"), 0
+            )
+            .cast("bigint")
+            .alias("v_fp"),
+        )
+        v = materialize_reduced(v)
+    lead = (
+        v.orderBy(F.abs(F.col("v_fp")).desc(), "pos")
+        .limit(1)
+        .select(
+            F.when(F.col("v_fp") >= 0, 1)
+            .otherwise(-1)
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    a = v.select(F.col("pos").alias("pa"), F.col("v_fp").alias("va"))
+    b = v.select(F.col("pos").alias("pb"), F.col("v_fp").alias("vb"))
+    ray = (
+        gram.join(a, gram["i"] == a["pa"])
+        .join(b, gram["j"] == b["pb"])
+        .agg(
+            F.sum(
+                F.round(
+                    (
+                        F.col("g").cast("double")
+                        * (F.col("va").cast("double") / s6)
+                        * (F.col("vb").cast("double") / s6)
+                    )
+                    * F.lit(0.000001),
+                    0,
+                ).cast("bigint")
+            ).alias("num_fp")
+        )
+    )
+    den = v.agg(
+        F.sum(
+            F.round(
+                (F.col("v_fp").cast("double") / s6)
+                * (F.col("v_fp").cast("double") / s6)
+                * s6,
+                0,
+            ).cast("bigint")
+        ).alias("den_fp")
+    )
+    tr = (
+        gram.filter(F.col("i") == F.col("j"))
+        .agg(F.sum("g").cast("double").alias("trace"))
+    )
+    lam = (F.col("num_fp").cast("double") / F.lit(0.000001)) / (
+        F.col("den_fp").cast("double") / s6
+    )
+    return (
+        v.crossJoin(F.broadcast(lead))
+        .crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            ((F.col("v_fp") * F.col("s")).cast("double") / s6).alias("loading"),
+            lam.alias("lambda_top"),
+            (lam / F.col("trace")).alias("explained_ratio"),
+        )
+    )

@@ -165,3 +165,38 @@ def test_mixture_solver_conservation_and_saturation(spark):
         assert 0.0 < r.rate_final <= 1.0
         if r.saturated:
             assert r.granted_tokens == r.n_tokens_avail
+
+
+def test_pca_top_component_recovers_planted_direction(spark):
+    """Embeddings = strong fixed direction u + small noise: the reported
+    top component must align with u (|cosine| > 0.95) and explain most of
+    the variance; loadings are sign-fixed so the result is deterministic."""
+    import numpy as np
+
+    from large_csv_etl_spark.queries.similarity import QUERIES as SIM_QUERIES
+
+    rng = np.random.default_rng(17)
+    dim = 32
+    u = rng.standard_normal(dim)
+    u /= np.linalg.norm(u)
+    rows = []
+    for i in range(300):
+        v = rng.standard_normal() * 2.0 * u + 0.1 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        emb.coalesce(3).write.parquet(f"{d}/embeddings.parquet")
+        out = SIM_QUERIES["embedding_pca_top_component"](spark, d).collect()
+    assert len(out) == dim
+    load = np.zeros(dim)
+    for r in out:
+        load[r.pos - 1] = r.loading
+    cos = abs(float(load @ u)) / (np.linalg.norm(load) * 1.0)
+    assert cos > 0.95, f"top component misaligned: cos={cos}"
+    ratios = {round(r.explained_ratio, 12) for r in out}
+    assert len(ratios) == 1  # constant across rows
+    assert out[0].explained_ratio > 0.7  # planted direction dominates
+    # sign contract: the largest-|loading| entry is positive
+    assert max(out, key=lambda r: abs(r.loading)).loading > 0
