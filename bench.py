@@ -127,6 +127,15 @@ HEADLINE = [
     "events_type_drift_daily",
     "dedup_incremental_minhash",
     "sample_survivor_weighted",
+    # round-6 additions
+    "text_memorization_ngrams",
+    "text_ngram_novelty",
+    "text_readability_ari",
+    "text_token_concentration",
+    "dedup_prefix_truncation",
+    "events_concurrency_profile",
+    "sample_mixture_solver",
+    "embedding_pca_top_component",
 ]
 
 

@@ -1189,7 +1189,15 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = gram.select(F.col("i").alias("pos")).distinct().select(
         "pos", F.lit(1000000).cast("bigint").alias("v_fp")
     )
-    for _ in range(PCA_POWER_ITERATIONS):
+    from pyspark.sql import Window
+
+    # The L-inf normalizer is a window MAX over the dim-row vector — a
+    # single-partition window over <=|dims| rows is the cheap plan here
+    # (a crossJoin'd 1-row aggregate costs an extra job per iteration;
+    # measured 2x wall on the 8-iteration loop). One lineage cut per
+    # iteration keeps plan compilation flat, PageRank-style.
+    wall = Window.partitionBy()
+    for _it in range(PCA_POWER_ITERATIONS):
         t = (
             gram.join(v, gram["j"] == v["pos"])
             .groupBy(gram["i"].alias("pos"))
@@ -1206,17 +1214,21 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("t_fp")
             )
         )
-        t = materialize_reduced(t)
-        m = t.agg(F.max(F.abs(F.col("t_fp"))).alias("m"))
-        v = t.crossJoin(F.broadcast(m)).select(
+        v = t.select(
             "pos",
             F.round(
-                F.col("t_fp").cast("double") * s6 / F.col("m").cast("double"), 0
+                F.col("t_fp").cast("double")
+                * s6
+                / F.max(F.abs(F.col("t_fp"))).over(wall).cast("double"),
+                0,
             )
             .cast("bigint")
             .alias("v_fp"),
         )
-        v = materialize_reduced(v)
+        # cut lineage every other iteration: each eager checkpoint is a
+        # Spark job; two fused iterations still plan in milliseconds
+        if _it % 2 == 1 or _it == PCA_POWER_ITERATIONS - 1:
+            v = materialize_reduced(v)
     lead = (
         v.orderBy(F.abs(F.col("v_fp")).desc(), "pos")
         .limit(1)
