@@ -1300,3 +1300,99 @@ def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@_q(
+    "dedup_source_contamination_matrix",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, source, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), sh AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+      FROM (
+        SELECT doc_id, source, toks,
+               UNNEST(generate_series(1, len(toks) - 7)) AS i
+        FROM toked WHERE len(toks) >= 8
+      )
+    ), totals AS (
+      SELECT source, COUNT(*) AS n_fps FROM sh GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           ta.n_fps AS n_fps_a, tb.n_fps AS n_fps_b,
+           CAST(p.n_shared AS DOUBLE) / LEAST(ta.n_fps, tb.n_fps)
+             AS containment
+    FROM pairs p
+    JOIN totals ta ON ta.source = p.source_a
+    JOIN totals tb ON tb.source = p.source_b
+    """,
+)
+def dedup_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct 8-gram fingerprints they share, normalized by the smaller
+    side's vocabulary (asymmetric containment) — the provenance audit
+    that catches one feed re-publishing another's content BEFORE both
+    copies enter the training mix (per-doc dedup sees the symptoms; this
+    sees the relationship). The fingerprint self-join runs inside
+    per-fingerprint posting lists whose size is bounded by |sources|
+    (<= hundreds at any corpus scale, nothing like the per-doc case), so
+    candidates are |shared fps| x O(|sources|^2) worst case and the
+    output is <= C(|sources|, 2) rows; totals broadcast back for the
+    ratio."""
+    from .helpers import materialize_reduced
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toked = docs.select(
+        "source",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= 8)
+    sh = materialize_reduced(
+        toked.select(
+            "source",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 7)).alias("i"),
+            "toks",
+        )
+        .select(
+            "source",
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), 8))).alias(
+                "fp"
+            ),
+        )
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(F.count("*").alias("n_fps"))
+    a = sh.select(F.col("source").alias("source_a"), "fp")
+    b = sh.select(F.col("source").alias("source_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_fps").alias("n_fps_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_fps").alias("n_fps_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_fps_a",
+            "n_fps_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least(F.col("n_fps_a"), F.col("n_fps_b"))
+            ).alias("containment"),
+        )
+    )

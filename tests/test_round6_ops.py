@@ -200,3 +200,24 @@ def test_pca_top_component_recovers_planted_direction(spark):
     assert out[0].explained_ratio > 0.7  # planted direction dominates
     # sign contract: the largest-|loading| entry is positive
     assert max(out, key=lambda r: abs(r.loading)).loading > 0
+
+
+def test_source_contamination_matrix_planted_copy(spark):
+    """Source B republishes half of source A's content; source C is
+    clean. The A-B cell must show high containment, and no cell may pair
+    C with anything."""
+    a_text = " ".join(f"a{i}" for i in range(32))
+    rows = [
+        (1, a_text, "en", "srcA", 0),
+        (2, " ".join(f"a{i}" for i in range(16)) + " " + " ".join(f"b{i}" for i in range(16)), "en", "srcB", 0),
+        (3, " ".join(f"c{i}" for i in range(32)), "en", "srcC", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = DEDUP_QUERIES["dedup_source_contamination_matrix"](spark, d).collect()
+    cells = {(r.source_a, r.source_b): r for r in out}
+    assert set(cells) == {("srcA", "srcB")}
+    ab = cells[("srcA", "srcB")]
+    # B's first 16 tokens replicate A's: 9 shared 8-grams of A's 25
+    assert ab.n_shared == 9
+    assert abs(ab.containment - 9 / 25) < 1e-9
