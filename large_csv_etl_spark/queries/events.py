@@ -1209,3 +1209,105 @@ def events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("conc_at_t").alias("peak_concurrent"),
         )
     )
+
+
+LATE_AUDIT_BATCH = 1000  # arrival micro-batch width (event_id units)
+
+
+@_q(
+    "events_watermark_late_audit",
+    f"""
+    WITH ev AS (
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id // {LATE_AUDIT_BATCH} AS arrival_batch
+      FROM events
+    ), per_batch AS (
+      SELECT arrival_batch, CAST(MAX(ts_us) AS BIGINT) AS batch_max
+      FROM ev GROUP BY arrival_batch
+    ), wm AS (
+      SELECT arrival_batch,
+             MAX(batch_max) OVER (ORDER BY arrival_batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_prev
+      FROM per_batch
+    ), lat AS (
+      SELECT GREATEST(CAST(0 AS BIGINT),
+                      COALESCE(w.wm_prev, CAST(0 AS BIGINT)) - e.ts_us)
+               AS late_us
+      FROM ev e JOIN wm w USING (arrival_batch)
+    ), bucketed AS (
+      SELECT CASE WHEN late_us = 0 THEN 'a_on_time'
+                  WHEN late_us <= 60000000 THEN 'b_within_1m'
+                  WHEN late_us <= 600000000 THEN 'c_within_10m'
+                  WHEN late_us <= 3600000000 THEN 'd_within_1h'
+                  ELSE 'e_beyond_1h' END AS lateness_bucket,
+             late_us
+      FROM lat
+    )
+    SELECT lateness_bucket,
+           COUNT(*) AS n_events,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM bucketed) AS share,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM bucketed
+    GROUP BY lateness_bucket
+    """,
+)
+def events_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing audit: how late do events actually arrive? Using
+    event_id as the arrival order (the ingest sequence), events are cut
+    into arrival micro-batches; an event is late by how far it trails
+    the maximum event time of all PRIOR batches — exactly the quantity a
+    Structured Streaming watermark trades off against state size, so the
+    bucket shares read directly as 'withWatermark(X) would drop this
+    fraction'. Two-level design keeps it scale-safe: the only ordered
+    window runs over the REDUCED per-batch table (|events|/batch rows,
+    the cumulative-daily-series class), per-event lateness is then a
+    co-partitioned join on the batch id, and the report is a bounded
+    5-bucket aggregate. First-batch events have no prior watermark ->
+    on-time by definition."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr(f"event_id DIV {LATE_AUDIT_BATCH}").alias("arrival_batch"),
+    )
+    per_batch = ev.groupBy("arrival_batch").agg(
+        F.max("ts_us").alias("batch_max")
+    )
+    wprev = (
+        Window.orderBy("arrival_batch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = per_batch.select(
+        "arrival_batch", F.max("batch_max").over(wprev).alias("wm_prev")
+    )
+    late = ev.join(wm, "arrival_batch").select(
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.coalesce(F.col("wm_prev"), F.lit(0).cast("bigint"))
+            - F.col("ts_us"),
+        ).alias("late_us")
+    )
+    bucket = (
+        F.when(F.col("late_us") == 0, "a_on_time")
+        .when(F.col("late_us") <= 60_000_000, "b_within_1m")
+        .when(F.col("late_us") <= 600_000_000, "c_within_10m")
+        .when(F.col("late_us") <= 3_600_000_000, "d_within_1h")
+        .otherwise("e_beyond_1h")
+    )
+    from .helpers import materialize_reduced
+
+    bucketed = materialize_reduced(
+        late.groupBy(bucket.alias("lateness_bucket")).agg(
+            F.count("*").alias("n_events"),
+            F.max("late_us").alias("max_late_us"),
+        )
+    )
+    tot = bucketed.agg(F.sum("n_events").alias("n_total"))
+    return bucketed.crossJoin(F.broadcast(tot)).select(
+        "lateness_bucket",
+        "n_events",
+        (F.col("n_events").cast("double") / F.col("n_total").cast("double")).alias(
+            "share"
+        ),
+        "max_late_us",
+    )

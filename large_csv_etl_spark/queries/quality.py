@@ -408,3 +408,120 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "documents.source")
         )
     )
+
+
+def _dataset_card_oracle() -> str:
+    from .helpers import sql_split_case
+
+    return rf"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, text, lang, source,
+             TRIM(text) <> '' AS nonempty,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END
+               AS n_tokens,
+             {sql_split_case("doc_id")} AS split
+      FROM documents
+    ), wide AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(CASE WHEN nonempty THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n_nonempty,
+             CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) AS total_tokens,
+             CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+             CAST(COUNT(DISTINCT CASE WHEN nonempty THEN md5(text) END)
+                  AS DOUBLE) AS n_distinct_texts,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n_train
+      FROM base
+    ), toplang AS MATERIALIZED (
+      SELECT CAST(MAX(c) AS DOUBLE) AS top_lang_count
+      FROM (SELECT COUNT(*) AS c FROM base WHERE nonempty GROUP BY lang)
+    )
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM wide
+      UNION ALL SELECT 'n_nonempty_docs', n_nonempty FROM wide
+      UNION ALL SELECT 'total_tokens', total_tokens FROM wide
+      UNION ALL SELECT 'n_sources', n_sources FROM wide
+      UNION ALL SELECT 'n_langs', n_langs FROM wide
+      UNION ALL SELECT 'exact_dup_rate',
+        1.0 - n_distinct_texts / n_nonempty FROM wide
+      UNION ALL SELECT 'mean_tokens_per_doc',
+        total_tokens / n_nonempty FROM wide
+      UNION ALL SELECT 'train_share', n_train / n_docs FROM wide
+      UNION ALL SELECT 'top_lang_share',
+        t.top_lang_count / w.n_nonempty FROM wide w, toplang t
+    )
+    """
+
+
+@_q("dataset_card_report", _dataset_card_oracle())
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet in one pass: the headline numbers a dataset card
+    / datasheet-for-datasets leads with — volume, emptiness, vocabulary
+    of sources and languages, exact-duplicate rate, token budget, split
+    share, language concentration — as one long-format (metric, value)
+    report. Every number reuses a graded operator's exact contract
+    (tokenization, md5 text identity, the split_assign thresholds); the
+    whole report is one wide aggregate over one scan (count-distincts
+    expand in a single pass) plus a second column-pruned scan for the
+    |langs|-row language mode, then a 9-row literal unpivot — the same
+    minimal-scan philosophy as the A7 Observation metrics, at corpus
+    scale."""
+    from .helpers import materialize_reduced, split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    nonempty = F.trim(F.col("text")) != ""
+    base = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        nonempty.alias("nonempty"),
+        F.when(~nonempty, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        split_assign(F.col("doc_id")).alias("split"),
+    )
+    wide = materialize_reduced(
+        base.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.sum(F.when(F.col("nonempty"), 1).otherwise(0))
+            .cast("double")
+            .alias("n_nonempty"),
+            F.sum("n_tokens").cast("double").alias("total_tokens"),
+            F.countDistinct("source").cast("double").alias("n_sources"),
+            F.countDistinct("lang").cast("double").alias("n_langs"),
+            F.countDistinct(
+                F.when(F.col("nonempty"), F.md5(F.col("text")))
+            )
+            .cast("double")
+            .alias("n_distinct_texts"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("double")
+            .alias("n_train"),
+        )
+    )
+    toplang = (
+        base.filter("nonempty")
+        .groupBy("lang")
+        .count()
+        .agg(F.max("count").cast("double").alias("top_lang_count"))
+    )
+    w = wide.crossJoin(F.broadcast(toplang))
+    return w.select(
+        F.expr(
+            """stack(9,
+              'n_docs', n_docs,
+              'n_nonempty_docs', n_nonempty,
+              'total_tokens', total_tokens,
+              'n_sources', n_sources,
+              'n_langs', n_langs,
+              'exact_dup_rate', 1.0D - n_distinct_texts / n_nonempty,
+              'mean_tokens_per_doc', total_tokens / n_nonempty,
+              'train_share', n_train / n_docs,
+              'top_lang_share', top_lang_count / n_nonempty
+            ) as (metric, value)"""
+        )
+    )

@@ -221,3 +221,37 @@ def test_source_contamination_matrix_planted_copy(spark):
     # B's first 16 tokens replicate A's: 9 shared 8-grams of A's 25
     assert ab.n_shared == 9
     assert abs(ab.containment - 9 / 25) < 1e-9
+
+
+def test_watermark_late_audit_planted_stragglers(spark):
+    """Arrival order (event_id) mostly tracks event time, but three
+    planted stragglers arrive 30s / 5m / 2h after newer events: each must
+    land in its lateness bucket and shares must sum to 1."""
+    import datetime as dt
+
+    from large_csv_etl_spark.queries.events import LATE_AUDIT_BATCH
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    B = LATE_AUDIT_BATCH
+    # 4 arrival batches, event time advancing 1s per event
+    for eid in range(4 * B):
+        rows.append((eid, base + dt.timedelta(seconds=eid), 1, "click", 1.0, "{}"))
+    # stragglers in batch 3 (prior watermark = ts of event 3B-1)
+    wm3 = 3 * B - 1
+    rows[3 * B + 10] = (3 * B + 10, base + dt.timedelta(seconds=wm3 - 30), 1, "click", 1.0, "{}")
+    rows[3 * B + 11] = (3 * B + 11, base + dt.timedelta(seconds=wm3 - 300), 1, "click", 1.0, "{}")
+    rows[3 * B + 12] = (3 * B + 12, base + dt.timedelta(seconds=wm3 - 7200), 1, "click", 1.0, "{}")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        from large_csv_etl_spark.queries.events import QUERIES as EQ
+
+        out = {r.lateness_bucket: r for r in EQ["events_watermark_late_audit"](spark, d).collect()}
+    assert out["b_within_1m"].n_events == 1
+    assert out["c_within_10m"].n_events == 1
+    assert out["e_beyond_1h"].n_events == 1
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-12
+    assert out["e_beyond_1h"].max_late_us == 7200 * 1_000_000
