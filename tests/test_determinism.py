@@ -45,6 +45,15 @@ FLOAT_SURFACING = [
     "agg_median_abs_deviation",
     "agg_weighted_median",
     "sim_filtered_topk",
+    # round-6 additions with derived doubles
+    "text_ngram_novelty",
+    "text_readability_ari",
+    "text_token_concentration",
+    "sample_mixture_solver",
+    "dedup_source_contamination_matrix",
+    "embedding_pca_top_component",
+    "dataset_card_report",
+    "events_watermark_late_audit",
 ]
 
 
@@ -77,3 +86,50 @@ def test_partition_count_invariance(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b
+
+
+def test_round_half_away_parity_with_duckdb_on_adversarial_ties(spark):
+    """The fp_sum/snap contract rests on one claim: round() is
+    half-away-from-zero in BOTH engines, ties included (helpers.py;
+    SKILL.md gotcha). Pin it directly on adversarial values — exact .5
+    ties (positive/negative, odd/even), the dyadic tie that bit
+    embedding_dim_stats in round 5 (153/1024 * 1e9), and the classic
+    just-below-a-tie double 0.49999999999999994 where a naive
+    floor(x+0.5) implementation would drift up."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    vals = [
+        0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 3.5, -3.5,
+        0.49999999999999994, -0.49999999999999994,
+        153 / 1024 * 1e9,   # 149414062.5 — a TRUE decimal tie
+        -153 / 1024 * 1e9,
+        1.0000000000000002, 0.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r.r for r in df.select(F.round(F.col("x"), 0).cast("bigint").alias("r"))
+        .collect()
+    ]
+    got_duck = [
+        r[0]
+        for v in vals
+        for r in duckdb.sql(
+            f"SELECT CAST(round(CAST({v!r} AS DOUBLE)) AS BIGINT)"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck, list(zip(vals, got_spark, got_duck))
+    # and the python-side emulation used by the PCA Gram worker
+    import numpy as np
+
+    def round_half_away(v):
+        r = np.round(v)
+        frac = np.abs(v) % 1.0
+        ties = frac == 0.5
+        if ties.any():
+            r[ties] = np.sign(v[ties]) * np.ceil(np.abs(v[ties]))
+        return r
+
+    got_np = [int(x) for x in round_half_away(np.array(vals))]
+    assert got_np == got_duck, list(zip(vals, got_np, got_duck))
