@@ -98,3 +98,73 @@ def test_audio_windows_manifest(spark):
         assert (r.n_windows == 0) == (r.n_samples == 0)
         if r.n_samples >= 400:
             assert r.n_windows == 1 + (r.n_samples - 400) // 160
+
+
+def _write_png(width, height, rgb):
+    """Minimal stdlib-only PNG writer (8-bit RGB, non-interlaced) so the
+    real-decode branch can be exercised without Pillow."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(rgb) * width
+    idat = zlib.compress(row * height)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_decoder_decodes_png_without_pillow(spark):
+    """stub=False actually EXECUTES in this container: a stdlib-written
+    5x3 RGB PNG round-trips through the vendored pure-zlib decoder on
+    the workers with its true dimensions and band count (closes the
+    'real branch asserted-by-design but never run' residual; with
+    Pillow installed the same test covers the Pillow branch instead)."""
+    png = _write_png(5, 3, (200, 10, 10))
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, payload binary"
+    )
+    row = decode_payloads(df, stub=False).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (5, 3, 3)
+
+
+def test_pure_png_decoder_rejects_truncated_stream(spark):
+    """A PNG whose pixel stream is short (corrupt IDAT) must fail the
+    length verification loudly, not return header dims."""
+    import pytest as _pytest
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 5, 3, 8, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 5))  # 1 row, not 3
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(bad))], "doc_id long, payload binary"
+    )
+    if _has_pil():
+        _pytest.skip("Pillow present: the pure decoder is not on this path")
+    with _pytest.raises(Exception, match="pixel stream|expected"):
+        decode_payloads(df, stub=False).collect()
