@@ -1781,3 +1781,38 @@ def supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(share * share).cast("double"), 9).alias("hhi"),
         )
     )
+
+
+@_q(
+    "skew_salted_join_rollup",
+    f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join (skew.salted_join) under the external oracle — the
+    companion to skew_salted_flag_rollup's salted aggregation, covering
+    the second case AQE skew-splitting doesn't: a hash join whose build
+    side is too big to broadcast while the probe side's key distribution
+    is hot. The fact side takes a uniform salt, the dim side replicates
+    n_salts ways, the join runs on (key, salt) — a pure plan rewrite, so
+    the post-join priority rollup must be value-identical to the plain
+    join (proven against DuckDB here, not just the repo's own
+    equivalence test)."""
+    from ..skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_extendedprice").alias("total_price"),
+    )

@@ -289,3 +289,38 @@ def window_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") - prev).alias("mom_delta"),
         ((F.col("revenue") - prev) / prev).alias("mom_pct"),
     )
+
+
+@_q(
+    "window_topk_with_ties",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, price_rank
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(DENSE_RANK() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC
+             ) AS BIGINT) AS price_rank
+      FROM orders
+    )
+    WHERE price_rank <= 3
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order VALUES per customer with ties kept — the WITH TIES
+    variant of window_topk_orders_per_customer's row_number form (two
+    orders at the same third-best price both survive; row_number would
+    arbitrarily drop one and need an explicit tie-break to stay
+    deterministic). dense_rank makes the result set a pure function of
+    the data. Same single user-key shuffle; Spark's WindowGroupLimit
+    pushes the rank<=3 filter into the window sort at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.dense_rank().over(w).cast("bigint").alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )
