@@ -1287,3 +1287,140 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lam / F.col("trace")).alias("explained_ratio"),
         )
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERATIONS = 2
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled Lloyd iterations (the PageRank/PCA precedent): identical
+    integer micro-unit arithmetic as the Spark side, MATERIALIZED CTEs so
+    DuckDB never re-expands the iteration chain."""
+    head = f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v6
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), ex AS MATERIALIZED (
+      SELECT vec_id, unnest(v6) AS val6, generate_subscripts(v6, 1) AS pos
+      FROM v
+    ), seeds AS MATERIALIZED (
+      SELECT vec_id FROM v ORDER BY vec_id LIMIT {KMEANS_K}
+    ), cent0 AS MATERIALIZED (
+      SELECT e.vec_id AS cid, e.pos, e.val6 AS cmu
+      FROM ex e JOIN seeds s ON e.vec_id = s.vec_id
+    )"""
+    its = []
+    for k in range(1, KMEANS_ITERATIONS + 1):
+        its.append(f""", d{k} AS MATERIALIZED (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM((e.val6 - c.cmu) * (e.val6 - c.cmu)) AS BIGINT) AS d2
+      FROM ex e JOIN cent{k - 1} c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cid
+    ), a{k} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d{k}
+      ) WHERE rn = 1
+    ), cent{k} AS MATERIALIZED (
+      SELECT a.cid, e.pos,
+             CAST(round(CAST(SUM(e.val6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cmu
+      FROM ex e JOIN a{k} a ON e.vec_id = a.vec_id
+      GROUP BY a.cid, e.pos
+    )""")
+    n = KMEANS_ITERATIONS
+    tail = f""", dfin AS MATERIALIZED (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM((e.val6 - c.cmu) * (e.val6 - c.cmu)) AS BIGINT) AS d2
+      FROM ex e JOIN cent{n} c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cid
+    ), afin AS MATERIALIZED (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dfin
+      ) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id, COUNT(*) AS n_members,
+           CAST(SUM(d2) AS DOUBLE) AS inertia
+    FROM afin GROUP BY cid"""
+    return head + "".join(its) + tail
+
+
+@_q("embedding_kmeans_lloyd", _kmeans_oracle_sql())
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 2 fixed iterations), graded — the
+    third iterative algorithm under the oracle beside PageRank and the
+    PCA power iteration, and the real clustering counterpart to the
+    IVF quantizer's driver-sample training. Each iteration is the
+    100 TB k-means plan: centroids live in a broadcast (k x dims) array
+    table, assignment is a row-local zip_with squared-L2 against the
+    broadcast (no corpus explode, no |corpus|-size shuffle), and the
+    update re-scans the corpus once per iteration (scan beats caching
+    100 TB). All arithmetic in integer micro-units: exact BIGINT
+    distances, rounded-integer-mean centroids, (d2, cid) argmin
+    tie-break — bit-identical to the unrolled SQL. Empty clusters drop
+    out deterministically in both engines. Seeds = the k smallest
+    vec_ids (deterministic, boring on purpose — k-means++ would need a
+    sequential RNG chain that can't be graded cross-engine)."""
+    from .helpers import materialize_reduced
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vec6 = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+        ).alias("v6"),
+    )
+    cent_arr = materialize_reduced(
+        vec6.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v6").alias("c6"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v6"), F.col("c6"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+
+    def assign(centroids):
+        return (
+            vec6.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "v6", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    for _ in range(KMEANS_ITERATIONS):
+        a = assign(cent_arr).select("cid", F.posexplode("v6").alias("pos", "val6"))
+        cent = a.groupBy("cid", "pos").agg(
+            F.round(F.sum("val6").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cmu")
+        )
+        cent_arr = materialize_reduced(
+            cent.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cmu"))),
+                    lambda s: s["cmu"],
+                ).alias("c6")
+            )
+        )
+    return (
+        assign(cent_arr)
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.col("d2").cast("decimal(38,0)")).cast("double").alias(
+                "inertia"
+            ),
+        )
+    )

@@ -255,3 +255,41 @@ def test_watermark_late_audit_planted_stragglers(spark):
     assert out["e_beyond_1h"].n_events == 1
     assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-12
     assert out["e_beyond_1h"].max_late_us == 7200 * 1_000_000
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    """Three well-separated planted blobs (first seed of each blob among
+    the k smallest vec_ids): after two Lloyd iterations every blob's
+    members must sit in one cluster with near-zero inertia relative to
+    the blob separation."""
+    import numpy as np
+
+    from large_csv_etl_spark.queries.similarity import QUERIES as SIM_QUERIES
+
+    rng = np.random.default_rng(23)
+    dim, per = 16, 40
+    centers = [np.zeros(dim), np.ones(dim) * 10.0, np.ones(dim) * -10.0]
+    rows = []
+    vid = 0
+    # interleave so the 8 smallest vec_ids cover all three blobs
+    for j in range(per):
+        for b, c in enumerate(centers):
+            v = c + 0.05 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v], b))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as d:
+        emb.coalesce(2).write.parquet(f"{d}/embeddings.parquet")
+        out = SIM_QUERIES["embedding_kmeans_lloyd"](spark, d).collect()
+    assert sum(r.n_members for r in out) == 3 * per
+    assert len(out) >= 3
+    # With k=8 seeds over 3 blobs, blobs SPLIT among their seeds — but no
+    # cluster may span blobs: a cross-blob cluster would carry
+    # ~(10 * 1e6)^2 * dim per member; within-blob noise is ~(0.05e6)^2 * dim.
+    # Assert every cluster is within-blob tight (1000x below cross-blob).
+    for r in out:
+        assert r.inertia / r.n_members < (1.0 * 1e6) ** 2 * dim, r
