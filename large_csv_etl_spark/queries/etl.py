@@ -157,3 +157,110 @@ def matview_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_rollup(state, {"avg_price": "sum_price"}).select(
         "o_orderpriority", "o_orderstatus", "n_rows", "sum_price", "avg_price"
     )
+
+
+@_q(
+    "etl_scd2_merge",
+    """
+    WITH s1 AS (
+      SELECT c_custkey, c_acctbal FROM customer
+    ), s2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 97 <> 0
+    )
+    SELECT custkey, acctbal, valid_from, valid_to FROM (
+      -- unchanged and still-present rows stay open from snapshot 1
+      SELECT s1.c_custkey AS custkey, s1.c_acctbal AS acctbal,
+             DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM s1 JOIN s2 ON s1.c_custkey = s2.c_custkey
+             AND s1.c_acctbal = s2.c_acctbal
+      UNION ALL
+      -- changed rows: snapshot-1 version closes at the merge date
+      SELECT s1.c_custkey, s1.c_acctbal,
+             DATE '1995-01-01', DATE '1996-01-01'
+      FROM s1 JOIN s2 ON s1.c_custkey = s2.c_custkey
+             AND s1.c_acctbal <> s2.c_acctbal
+      UNION ALL
+      -- changed rows: snapshot-2 version opens at the merge date
+      SELECT s2.c_custkey, s2.c_acctbal,
+             DATE '1996-01-01', CAST(NULL AS DATE)
+      FROM s1 JOIN s2 ON s1.c_custkey = s2.c_custkey
+             AND s1.c_acctbal <> s2.c_acctbal
+      UNION ALL
+      -- deleted rows: close, no successor
+      SELECT s1.c_custkey, s1.c_acctbal,
+             DATE '1995-01-01', DATE '1996-01-01'
+      FROM s1 WHERE s1.c_custkey NOT IN (SELECT c_custkey FROM s2)
+    )
+    """,
+)
+def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge between two snapshots: unchanged keys keep
+    their open row, changed keys close the old version at the merge date
+    and open the new one, deleted keys close with no successor — the
+    slowly-changing-dimension maintenance step every warehouse runs
+    nightly (the MERGE INTO of Delta/Iceberg, expressed as joins so it
+    works on plain parquet and is oracle-gradable). Snapshot 2 is
+    derived deterministically from the fixture (acctbal bump on
+    custkey%7, deletion of custkey%97) so the change/delete branches are
+    genuinely exercised. One equi-join on the key plus one anti join —
+    both shuffle |keys|-sized reduced tables; the comparison is exact
+    (same stored double on both sides). The companion
+    events_type_run_intervals derives SCD2 intervals FROM an event
+    stream; this is the snapshot-merge form."""
+    s1 = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s2 = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(100.0)
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+    )
+    a = s1.alias("a")
+    b = s2.alias("b")
+    joined = a.join(b, F.col("a.c_custkey") == F.col("b.c_custkey"))
+    d_from = F.lit("1995-01-01").cast("date")
+    d_merge = F.lit("1996-01-01").cast("date")
+    d_null = F.lit(None).cast("date")
+    unchanged = joined.filter(
+        F.col("a.c_acctbal") == F.col("b.c_acctbal")
+    ).select(
+        F.col("a.c_custkey").alias("custkey"),
+        F.col("a.c_acctbal").alias("acctbal"),
+        d_from.alias("valid_from"),
+        d_null.alias("valid_to"),
+    )
+    changed_old = joined.filter(
+        F.col("a.c_acctbal") != F.col("b.c_acctbal")
+    ).select(
+        F.col("a.c_custkey").alias("custkey"),
+        F.col("a.c_acctbal").alias("acctbal"),
+        d_from.alias("valid_from"),
+        d_merge.alias("valid_to"),
+    )
+    changed_new = joined.filter(
+        F.col("a.c_acctbal") != F.col("b.c_acctbal")
+    ).select(
+        F.col("b.c_custkey").alias("custkey"),
+        F.col("b.c_acctbal").alias("acctbal"),
+        d_merge.alias("valid_from"),
+        d_null.alias("valid_to"),
+    )
+    deleted = s1.join(s2.select("c_custkey"), "c_custkey", "left_anti").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        d_from.alias("valid_from"),
+        d_merge.alias("valid_to"),
+    )
+    return (
+        unchanged.unionByName(changed_old)
+        .unionByName(changed_new)
+        .unionByName(deleted)
+    )

@@ -290,3 +290,40 @@ def scalar_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("h_sha256"),
         F.length(F.md5("text")).cast("bigint").alias("md5_len"),
     )
+
+
+@_q(
+    "scalar_regexp_functions",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)[0-9]+', 1) AS first_word_stem,
+           LEN(regexp_extract_all(text, '[0-9]+')) AS n_number_runs,
+           regexp_replace(TRIM(text), '\s+', '_', 'g') AS snake_text_head
+    FROM (
+      SELECT doc_id, SUBSTR(text, 1, 40) AS text
+      FROM documents WHERE TRIM(text) <> ''
+    )
+    """,
+)
+def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar pack: capture-group extraction, match counting via
+    extract-all, and global replacement — on a fixed 40-char prefix so
+    the row stays cheap. All RE2-compatible patterns (no lookaround) so
+    the identical regex runs on both engines; pure map stage, no
+    shuffle. Note the cross-engine trap this pins: Spark's
+    regexp_extract returns '' on no-match (as does DuckDB's), but group
+    index and flag conventions differ by engine — the oracle spells the
+    DuckDB 'g' flag where Spark's regexp_replace is global by
+    default."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    head = F.substring(F.col("text"), 1, 40)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(head, r"([a-z]+)[0-9]+", 1).alias("first_word_stem"),
+        F.size(F.expr("regexp_extract_all(substring(text, 1, 40), '[0-9]+', 0)"))
+        .cast("bigint")
+        .alias("n_number_runs"),
+        F.regexp_replace(F.trim(head), r"\s+", "_").alias("snake_text_head"),
+    )

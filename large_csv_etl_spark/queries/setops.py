@@ -121,3 +121,59 @@ def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(25)
     )
+
+
+@_q(
+    "setop_symmetric_diff_active_custkeys",
+    """
+    WITH h1 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+    ), h2 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '1995-07-01' AND o_orderdate < DATE '1996-01-01'
+    )
+    SELECT custkey, side FROM (
+      SELECT o_custkey AS custkey, 'h1_only' AS side FROM h1
+      WHERE o_custkey NOT IN (SELECT o_custkey FROM h2)
+      UNION ALL
+      SELECT o_custkey AS custkey, 'h2_only' AS side FROM h2
+      WHERE o_custkey NOT IN (SELECT o_custkey FROM h1)
+    )
+    """,
+)
+def setop_symmetric_diff_active_custkeys(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Symmetric difference with provenance: customers active (placed an
+    order) in exactly ONE half of 1995, labeled with WHICH half — the
+    churn/acquisition reconciliation between two snapshots of the same
+    entity set (neither EXCEPT direction alone answers it; the naive
+    FK diff between customer and orders is empty in any
+    referentially-intact warehouse). Two anti joins over deduplicated
+    key sets; both sides reduce before the join so the shuffle carries
+    |keys|, not |rows|."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    h1 = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-07-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    h2 = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-07-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    a = h1.join(h2, "o_custkey", "left_anti").select(
+        F.col("o_custkey").alias("custkey"), F.lit("h1_only").alias("side")
+    )
+    b = h2.join(h1, "o_custkey", "left_anti").select(
+        F.col("o_custkey").alias("custkey"), F.lit("h2_only").alias("side")
+    )
+    return a.unionByName(b)
