@@ -136,6 +136,15 @@ HEADLINE = [
     "events_concurrency_profile",
     "sample_mixture_solver",
     "embedding_pca_top_component",
+    "dedup_source_contamination_matrix",
+    "embedding_kmeans_lloyd",
+    "events_watermark_late_audit",
+    "dataset_card_report",
+    "skew_salted_join_rollup",
+    "window_topk_with_ties",
+    "etl_scd2_merge",
+    "setop_symmetric_diff_active_custkeys",
+    "scalar_regexp_functions",
 ]
 
 
