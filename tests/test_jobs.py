@@ -84,3 +84,32 @@ def test_full_curation_pipeline_spec(spark, sf_dir, tmp_path):
     assert sorted(r.doc_id for r in again.collect()) == sorted(
         r.doc_id for r in back.collect()
     )
+
+
+def test_dedupe_prefix_and_novelty_gate_steps(spark):
+    """The two round-6 steps: a truncated copy and an exact re-post both
+    lose to their originals under dedupe_prefix; novelty_gate drops the
+    re-post AND the truncated copy (every 8-gram already seen in the
+    lower-id original) while originals and genuinely new docs survive.
+    Short docs pass both gates untouched."""
+    lead = " ".join(f"p{i}" for i in range(16))
+    fresh = " ".join(f"q{i}" for i in range(16))
+    rows = [
+        (1, lead + " longer tail", "s"),
+        (2, lead, "s"),                     # truncated copy of 1's lead
+        (3, fresh, "s"),                    # novel content
+        (4, fresh, "s"),                    # exact re-post of 3 -> novelty 0
+        (5, "tiny doc", "s"),               # too short for either signal
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from large_csv_etl_spark.jobs import _apply_step
+
+    # 4 is an EXACT copy of 3, so it shares 3's prefix too and loses here
+    deduped = _apply_step(df, {"op": "dedupe_prefix"})
+    assert sorted(r.doc_id for r in deduped.collect()) == [1, 3, 5]
+    # 2's 8-grams are all inside 1 (novelty 0) and 4 is a re-post of 3
+    gated = _apply_step(df, {"op": "novelty_gate", "min_novelty": 0.5})
+    assert sorted(r.doc_id for r in gated.collect()) == [1, 3, 5]
+    # composed: prefix dedup then novelty gate leaves the two originals
+    both = _apply_step(deduped, {"op": "novelty_gate", "min_novelty": 0.5})
+    assert sorted(r.doc_id for r in both.collect()) == [1, 3, 5]
