@@ -190,7 +190,15 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    names = args.names or list(queries)
+    # accept both `--names a b` and `--names a,b`
+    names = (
+        [n for arg in args.names for n in arg.split(",") if n]
+        if args.names
+        else list(queries)
+    )
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        raise SystemExit(f"unknown query names: {unknown}")
 
     n_pass = n_fail = n_err = 0
     for name in names:
