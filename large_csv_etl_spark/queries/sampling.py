@@ -729,3 +729,97 @@ def sample_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_final"
         ),
     )
+
+
+@_q(
+    "sample_kfold_assign",
+    """
+    SELECT fold, COUNT(*) AS n_docs FROM (
+      SELECT CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 10 AS BIGINT) AS fold
+      FROM documents
+    )
+    GROUP BY fold
+    """,
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10-fold cross-validation assignment: fold = the
+    first 32 md5 bits mod k — like the train/val/test split, membership
+    is a pure row function, so folds are reproducible on any cluster
+    shape and new documents self-assign without re-dealing old ones
+    (the property sklearn-style random KFold lacks). Reported as the
+    per-fold histogram; the assignment expression itself is what a
+    training job reuses as a column."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    return (
+        docs.select(fold.alias("fold"))
+        .groupBy("fold")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@_q(
+    "sample_length_bucket_waste",
+    r"""
+    WITH sized AS (
+      SELECT CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+    ), bucketed AS (
+      SELECT n_tokens,
+             CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(power(2, CEIL(log2(CAST(n_tokens AS DOUBLE))))
+                            AS BIGINT) END AS bucket
+      FROM sized WHERE n_tokens > 0
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - n_tokens) AS BIGINT) AS total_pad_waste,
+           CAST(SUM(bucket - n_tokens) AS DOUBLE)
+             / (CAST(SUM(n_tokens) AS DOUBLE) + SUM(bucket - n_tokens))
+             AS waste_ratio
+    FROM bucketed
+    GROUP BY bucket
+    """,
+)
+def sample_length_bucket_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report for power-of-2 length bucketing — the
+    batching-efficiency audit run before choosing sequence buckets for
+    training (pad-to-bucket wastes `bucket - n_tokens` slots per doc;
+    a bad bucket layout silently burns a double-digit share of
+    compute). Bucket ids are exact integer powers of two: ceil(log2)
+    on an integer cast to double is exact well past any real document
+    length, and the waste sums are pure BIGINT. One row-local map +
+    one bounded aggregate (<= log2(max_len) buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    sized = docs.select(n_tokens.cast("bigint").alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    bucket = F.when(F.col("n_tokens") <= 1, F.lit(1).cast("bigint")).otherwise(
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.col("n_tokens").cast("double"))))
+        .cast("bigint")
+    )
+    waste = F.sum(F.col("bucket") - F.col("n_tokens"))
+    return (
+        sized.select("n_tokens", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            waste.alias("total_pad_waste"),
+            (
+                waste.cast("double")
+                / (F.sum("n_tokens").cast("double") + waste)
+            ).alias("waste_ratio"),
+        )
+    )
