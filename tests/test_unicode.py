@@ -65,6 +65,11 @@ def spark_module(request):
         "text_bpe_pair_counts",
         "text_bigram_surprisal",
         "text_vocab_diversity",
+        # round-6 text ops: same tokenize+md5 contract, pin it anyway
+        "text_memorization_ngrams",
+        "text_ngram_novelty",
+        "text_readability_ari",
+        "text_token_concentration",
     ],
 )
 def test_text_oracle_parity_on_multibyte_corpus(spark, unicode_dir, name):
