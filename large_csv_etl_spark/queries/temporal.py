@@ -210,3 +210,136 @@ def asof_join_with_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["asof_join_with_ttl"] = ORACLES["asof_join_with_ttl"].format(
     asof_oracle=ORACLES["asof_join_latest_order"]
 )
+
+
+@_q(
+    "temporal_nearest_event_to_order",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    u AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS t,
+             0 AS is_event, o_orderkey, CAST(NULL AS BIGINT) AS event_id
+      FROM orders
+      UNION ALL
+      SELECT user_id, ts, 1, CAST(NULL AS BIGINT), event_id FROM ev
+    ), fwd AS (
+      SELECT *,
+             LAST_VALUE(event_id IGNORE NULLS) OVER w AS prev_event_id,
+             LAST_VALUE(CASE WHEN is_event = 1 THEN t END IGNORE NULLS)
+               OVER w AS prev_t
+      FROM u
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY t, is_event DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), bi AS (
+      SELECT *,
+             LAST_VALUE(event_id IGNORE NULLS) OVER w2 AS next_event_id,
+             LAST_VALUE(CASE WHEN is_event = 1 THEN t END IGNORE NULLS)
+               OVER w2 AS next_t
+      FROM fwd
+      WINDOW w2 AS (PARTITION BY user_id
+                    ORDER BY t DESC, is_event DESC, event_id DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_orderkey, user_id, prev_event_id, next_event_id,
+           CASE
+             WHEN prev_t IS NULL THEN next_event_id
+             WHEN next_t IS NULL THEN prev_event_id
+             WHEN epoch_us(t) - epoch_us(prev_t)
+                  <= epoch_us(next_t) - epoch_us(t) THEN prev_event_id
+             ELSE next_event_id
+           END AS nearest_event_id,
+           CASE
+             WHEN prev_t IS NULL AND next_t IS NULL THEN CAST(NULL AS BIGINT)
+             WHEN prev_t IS NULL THEN epoch_us(next_t) - epoch_us(t)
+             WHEN next_t IS NULL THEN epoch_us(t) - epoch_us(prev_t)
+             WHEN epoch_us(t) - epoch_us(prev_t)
+                  <= epoch_us(next_t) - epoch_us(t)
+               THEN epoch_us(t) - epoch_us(prev_t)
+             ELSE epoch_us(next_t) - epoch_us(t)
+           END AS nearest_gap_us
+    FROM bi WHERE is_event = 0
+    """,
+)
+def temporal_nearest_event_to_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join, EITHER direction: each order matched to the
+    customer's closest event (at-or-before OR at-or-after its date) with
+    the signed choice resolved by the smaller absolute gap, ties to the
+    earlier side — the enrichment shape when 'most recent' is wrong
+    half the time (attributing an order to the nearest session, not
+    just the last one). Same union-window technique as the as-of join —
+    one shuffle on the user key, two window passes over the same
+    partitioning (forward pass for the at-or-before event, reversed
+    pass for the at-or-after) — never a join explosion. Equal-instant
+    determinism: events sort before the order row at the same t (an
+    event AT the order instant matches both directions, gap 0), and
+    within an instant the forward pass keeps the max event_id, the
+    reversed pass the min — both engines execute the identical sort, so
+    the choice is pinned. All gaps exact integer micros."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    o_side = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_event"),
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    e_side = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "event_id",
+    )
+    u = o_side.unionByName(e_side)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("is_event").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev_t = F.when(F.col("is_event") == 1, F.col("t"))
+    fwd = u.select(
+        "*",
+        F.last("event_id", ignorenulls=True).over(w).alias("prev_event_id"),
+        F.last(ev_t, ignorenulls=True).over(w).alias("prev_t"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("t").desc(), F.col("is_event").desc(), F.col("event_id").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bi = fwd.select(
+        "*",
+        F.last("event_id", ignorenulls=True).over(w2).alias("next_event_id"),
+        F.last(ev_t, ignorenulls=True).over(w2).alias("next_t"),
+    )
+    t_us = F.unix_micros(F.col("t"))
+    prev_gap = t_us - F.unix_micros(F.col("prev_t"))
+    next_gap = F.unix_micros(F.col("next_t")) - t_us
+    nearest_id = (
+        F.when(F.col("prev_t").isNull(), F.col("next_event_id"))
+        .when(F.col("next_t").isNull(), F.col("prev_event_id"))
+        .when(prev_gap <= next_gap, F.col("prev_event_id"))
+        .otherwise(F.col("next_event_id"))
+    )
+    nearest_gap = (
+        F.when(
+            F.col("prev_t").isNull() & F.col("next_t").isNull(),
+            F.lit(None).cast("bigint"),
+        )
+        .when(F.col("prev_t").isNull(), next_gap)
+        .when(F.col("next_t").isNull(), prev_gap)
+        .when(prev_gap <= next_gap, prev_gap)
+        .otherwise(next_gap)
+    )
+    return bi.filter(F.col("is_event") == 0).select(
+        "o_orderkey",
+        "user_id",
+        "prev_event_id",
+        "next_event_id",
+        nearest_id.alias("nearest_event_id"),
+        nearest_gap.alias("nearest_gap_us"),
+    )
