@@ -133,3 +133,46 @@ def test_round_half_away_parity_with_duckdb_on_adversarial_ties(spark):
 
     got_np = [int(x) for x in round_half_away(np.array(vals))]
     assert got_np == got_duck, list(zip(vals, got_np, got_duck))
+
+
+def test_round_parity_bulk_seeded_doubles(spark):
+    """Bulk extension of the adversarial-tie test: 10k seeded doubles
+    across the magnitudes the fixed-point snaps use (1e-6..1e12 scales),
+    plus every k+0.5 tie in [-500, 500], rounded by Spark and DuckDB in
+    one pass each — any half-mode or binary-rounding divergence fails
+    loudly. (One job, not per-example hypothesis — Spark startup per
+    example would dominate.)"""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(29)
+    vals = list(
+        np.concatenate(
+            [
+                rng.uniform(-1e12, 1e12, 2000),
+                rng.uniform(-1e6, 1e6, 2000),
+                rng.uniform(-1, 1, 2000) * 1e9,
+                rng.standard_normal(2000),
+                rng.standard_normal(2000) * 1e-6,
+                np.arange(-500, 500) + 0.5,  # exact decimal ties
+            ]
+        )
+    )
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)], "i long, x double")
+    got_spark = {
+        r.i: r.r
+        for r in df.select(
+            "i", F.round(F.col("x"), 0).cast("decimal(38,0)").cast("string").alias("r")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, float(v)) for i, v in enumerate(vals)])
+    got_duck = {
+        i: r for i, r in con.execute(
+            "SELECT i, CAST(CAST(round(x) AS HUGEINT) AS VARCHAR) FROM t"
+        ).fetchall()
+    }
+    diffs = {i: (got_spark[i], got_duck[i]) for i in got_spark if got_spark[i] != got_duck[i]}
+    assert not diffs, f"{len(diffs)} divergences, e.g. {list(diffs.items())[:5]}"

@@ -151,6 +151,21 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == before
     assert not stale.exists()
 
+    # a stale __old that is a regular FILE (or symlink) must be handled
+    # too — rmtree on a file raises NotADirectoryError and used to abort
+    # the compaction mid-swap (ADVICE r5)
+    stale.write_text("crashed run left a file, not a dir")
+    compact_small_files(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(out).count() == before
+    assert not stale.exists()
+    # and a dangling symlink at the backup path
+    import os as _os
+
+    _os.symlink(str(tmp_path / "nowhere"), str(stale))
+    compact_small_files(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(out).count() == before
+    assert not _os.path.lexists(stale)
+
 
 def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     from large_csv_etl_spark.io import read_orc, write_orc
