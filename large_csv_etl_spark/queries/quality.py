@@ -525,3 +525,62 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) as (metric, value)"""
         )
     )
+
+
+@_q(
+    "dq_join_estimate_calibration",
+    """
+    WITH l AS (
+      SELECT l_orderkey AS k, COUNT(*) AS c_l FROM lineitem GROUP BY 1
+    ), o AS (
+      SELECT o_orderkey AS k, COUNT(*) AS c_o FROM orders GROUP BY 1
+    ), j AS (
+      SELECT l.k, l.c_l * o.c_o AS contrib,
+             SUBSTR(md5(CAST(l.k AS VARCHAR)), 1, 2) < '10' AS sampled
+      FROM l JOIN o USING (k)
+    )
+    SELECT CAST(SUM(contrib) AS BIGINT) AS exact_rows,
+           CAST(SUM(CASE WHEN sampled THEN contrib ELSE 0 END) * 16
+                AS BIGINT) AS est_rows,
+           (CAST(SUM(CASE WHEN sampled THEN contrib ELSE 0 END) * 16
+                 AS DOUBLE)
+            - CAST(SUM(contrib) AS DOUBLE))
+             / CAST(SUM(contrib) AS DOUBLE) AS rel_error
+    FROM j
+    """,
+)
+def dq_join_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled join-size estimation, calibrated against the exact count —
+    the measure-don't-guess companion to dq_join_cardinality_audit: a
+    1/16 deterministic KEY sample (md5 bucket, so both join sides agree
+    on membership — row sampling would square the rate) predicts the
+    inner-join cardinality at 1/16 the count cost, and this report says
+    how far off that estimate runs on the real key distribution before
+    anyone trusts it for capacity planning. Per-key count tables reduce
+    each side first; the estimator is an exact integer sum scaled by
+    the inverse rate; rel_error is one double expression."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("c_l"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count("*").alias("c_o"))
+    )
+    j = li.join(orders, "k").select(
+        (F.col("c_l") * F.col("c_o")).alias("contrib"),
+        (F.substring(F.md5(F.col("k").cast("string")), 1, 2) < "10").alias(
+            "sampled"
+        ),
+    )
+    exact = F.sum("contrib")
+    est = F.sum(F.when(F.col("sampled"), F.col("contrib")).otherwise(0)) * 16
+    return j.agg(
+        exact.cast("bigint").alias("exact_rows"),
+        est.cast("bigint").alias("est_rows"),
+        (
+            (est.cast("double") - exact.cast("double")) / exact.cast("double")
+        ).alias("rel_error"),
+    )

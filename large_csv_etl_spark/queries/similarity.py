@@ -1424,3 +1424,81 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+MRL_PREFIX_DIMS = 16
+
+
+@_q(
+    "sim_matryoshka_overlap",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    full_top AS (
+      SELECT e.vec_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6) DESC,
+               e.vec_id) AS rn
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ), pre_top AS (
+      SELECT e.vec_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(list_cosine_similarity(
+                 (CAST(e.embedding AS DOUBLE[]))[1:{MRL_PREFIX_DIMS}],
+                 q.qv[1:{MRL_PREFIX_DIMS}]) AS DOUBLE), 6) DESC,
+               e.vec_id) AS rn
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ), f10 AS (SELECT vec_id, rn FROM full_top WHERE rn <= 10),
+    p10 AS (SELECT vec_id, rn FROM pre_top WHERE rn <= 10)
+    SELECT (SELECT COUNT(*) FROM f10 JOIN p10 USING (vec_id)) AS n_overlap,
+           CAST((SELECT COUNT(*) FROM f10 f JOIN p10 p USING (vec_id)
+                 WHERE f.rn = 1 AND p.rn = 1) AS BIGINT) AS rank1_match
+    """,
+)
+def sim_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: how much of the full-dimension cosine
+    top-10 survives when the index keeps only the first
+    MRL_PREFIX_DIMS dims — the measure-before-you-truncate check for
+    MRL-style embeddings, where serving at a prefix dimension buys a
+    4x smaller index IF the overlap holds. Both rankings use the graded
+    cosine top-k contract (6dp-rounded scores, vec_id tie-break); the
+    overlap and rank-1 agreement reduce to two tiny joins of 10-row
+    sets. Two corpus passes (full-dim and prefix-dim scoring), each the
+    same broadcast-query TakeOrderedAndProject plan as sim_cosine_topk
+    — no pass ever shuffles the corpus."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+
+    def top10(vec_col, q_col):
+        # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+        # heaps); the rank window then runs over the 10 surviving rows
+        # only — never a global sort of the corpus
+        cos = _dot(vec_col, q_col) / (_norm(vec_col) * _norm(q_col))
+        top = (
+            scored.select("vec_id", F.round(cos, 6).alias("c"))
+            .orderBy(F.col("c").desc(), "vec_id")
+            .limit(10)
+        )
+        w = Window.orderBy(F.col("c").desc(), "vec_id")
+        return top.withColumn("rn", F.row_number().over(w)).select(
+            "vec_id", "rn"
+        )
+
+    f10 = top10(F.col("embedding"), F.col("qv"))
+    p10 = top10(
+        F.slice(F.col("embedding"), 1, MRL_PREFIX_DIMS),
+        F.slice(F.col("qv"), 1, MRL_PREFIX_DIMS),
+    )
+    j = f10.alias("f").join(p10.alias("p"), "vec_id")
+    return j.agg(
+        F.count("*").alias("n_overlap"),
+        F.sum(
+            F.when((F.col("f.rn") == 1) & (F.col("p.rn") == 1), 1).otherwise(0)
+        ).alias("rank1_match"),
+    )
