@@ -145,6 +145,12 @@ HEADLINE = [
     "etl_scd2_merge",
     "setop_symmetric_diff_active_custkeys",
     "scalar_regexp_functions",
+    "sample_kfold_assign",
+    "sample_length_bucket_waste",
+    "temporal_nearest_event_to_order",
+    "dedup_cdc_chunk_potential",
+    "sim_matryoshka_overlap",
+    "dq_join_estimate_calibration",
 ]
 
 
