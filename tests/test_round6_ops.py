@@ -293,3 +293,90 @@ def test_kmeans_lloyd_separates_planted_clusters(spark):
     # Assert every cluster is within-blob tight (1000x below cross-blob).
     for r in out:
         assert r.inertia / r.n_members < (1.0 * 1e6) ** 2 * dim, r
+
+
+def test_nearest_event_prefers_smaller_gap_and_handles_ties(spark):
+    """Planted geometry: an order with a closer following event picks
+    next; equidistant prev/next picks prev (the documented tie rule);
+    an event AT the order instant wins with gap 0."""
+    import datetime as dt
+
+    from large_csv_etl_spark.queries.temporal import QUERIES as TQ
+
+    d0 = dt.date(1995, 6, 10)
+    t0 = dt.datetime(1995, 6, 10)
+    ev_rows = [
+        # user 1: prev 2 days before, next 1 day after -> next wins
+        (101, t0 - dt.timedelta(days=2), 1, "click", 1.0, "{}"),
+        (102, t0 + dt.timedelta(days=1), 1, "click", 1.0, "{}"),
+        # user 2: exactly 1 day either side -> prev wins (tie rule)
+        (201, t0 - dt.timedelta(days=1), 2, "click", 1.0, "{}"),
+        (202, t0 + dt.timedelta(days=1), 2, "click", 1.0, "{}"),
+        # user 3: event exactly at the order instant -> gap 0
+        (301, t0, 3, "click", 1.0, "{}"),
+    ]
+    o_rows = [(11, 1, d0), (22, 2, d0), (33, 3, d0)]
+    ev = spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orders = spark.createDataFrame(
+        o_rows, "o_orderkey long, o_custkey long, o_orderdate date"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(f"{d}/events.parquet")
+        orders.coalesce(1).write.parquet(f"{d}/orders.parquet")
+        out = {
+            r.o_orderkey: r
+            for r in TQ["temporal_nearest_event_to_order"](spark, d).collect()
+        }
+    assert out[11].nearest_event_id == 102  # 1 day beats 2 days
+    assert out[22].nearest_event_id == 201  # tie -> prev
+    assert out[33].nearest_event_id == 301 and out[33].nearest_gap_us == 0
+
+
+def test_cdc_chunking_is_insertion_shift_proof(spark):
+    """The CDC property whole-doc and fixed-block dedup lack: prepending
+    text to a document shifts every byte offset, yet the chunks after
+    the first boundary are identical — dup_chunk_ratio over the
+    {original, prefixed-copy} pair must show substantial shared mass."""
+    import random
+
+    from large_csv_etl_spark.queries.dedup import QUERIES as DQ
+
+    rnd = random.Random(31)
+    body = "".join(rnd.choice("abcdefgh ") for _ in range(2000))
+    rows = [
+        (1, body, "en", "s", 0),
+        (2, "PREPENDED-HEADER-SHIFTS-EVERYTHING " + body, "en", "s", 0),
+        (3, "".join(rnd.choice("zyxwvuts ") for _ in range(2000)), "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        r = DQ["dedup_cdc_chunk_potential"](spark, d).first()
+    # doc 2 re-synchronizes to doc 1's chunk stream after its first
+    # boundary, so a large fraction of total chunk mass is duplicated
+    assert r.total_chunks > 40
+    assert r.dup_chunk_ratio > 0.25, r
+
+
+def test_scd2_merge_branch_semantics(spark):
+    """On the fixture: every custkey%97 row closes with no successor,
+    every surviving custkey%7 row closes and reopens with +100.00, all
+    others keep exactly one open row."""
+    from large_csv_etl_spark.queries.etl import QUERIES as EQ
+
+    rows = EQ["etl_scd2_merge"](spark, SF_DIR_MID).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.custkey, []).append(r)
+    for k, vs in by_key.items():
+        open_rows = [v for v in vs if v.valid_to is None]
+        closed = [v for v in vs if v.valid_to is not None]
+        if k % 97 == 0:
+            assert not open_rows and len(closed) == 1, (k, vs)
+        elif k % 7 == 0:
+            assert len(open_rows) == 1 and len(closed) == 1, (k, vs)
+            assert abs(open_rows[0].acctbal - closed[0].acctbal - 100.0) < 1e-9
+        else:
+            assert len(open_rows) == 1 and not closed, (k, vs)
