@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Propose the next round's GRADED_PRIORITY window.
+
+The external driver verdicts only the first 50 registry entries, so each
+round the window is rebuilt to maximize cumulative driver coverage:
+
+1. every oracled entry that has NEVER received a driver verdict, newest
+   families first (they are the round's additions);
+2. the flagship `etl_transform_parity` (reference-parity core — re-graded
+   every round);
+3. remaining slots as regression re-grades, ordered by staleness (the
+   round in which the entry last received a verdict, oldest first) —
+   because the driver regenerates the test fixtures each round, a
+   re-grade is the only proof an old operator survived the regen;
+4. at least one representative per query-family module (forced in by
+   evicting the least-stale re-grade if needed).
+
+Prints the proposed window as a Python list literal to paste into
+`queries/__init__.py`, plus a coverage summary. Purely advisory — the
+committed list stays the source of truth.
+
+Usage:  python tools/gen_window.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sys.path.insert(0, REPO)
+    from large_csv_etl_spark.queries import _MODULES, all_oracles, all_queries
+
+    queries = all_queries()
+    oracles = all_oracles()
+    oracled = [n for n in queries if n in oracles]
+
+    last_graded: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(f.split("_r")[-1].split(".")[0])
+        for name in json.load(open(f)):
+            last_graded[name] = max(last_graded.get(name, 0), rnd)
+
+    never = [n for n in oracled if n not in last_graded]
+    flagship = ["etl_transform_parity"]
+    stale = sorted(
+        (n for n in oracled if n in last_graded and n not in flagship),
+        key=lambda n: (last_graded[n], n),
+    )
+
+    window: list[str] = []
+    for n in never + flagship + stale:
+        if n not in window:
+            window.append(n)
+        if len(window) == 50:
+            break
+
+    # force family representation
+    fam_of = {}
+    for m in _MODULES:
+        fam = m.__name__.split(".")[-1]
+        for n in m.QUERIES:
+            fam_of[n] = fam
+    covered = {fam_of[n] for n in window}
+    missing = [
+        m.__name__.split(".")[-1]
+        for m in _MODULES
+        if set(m.QUERIES) & set(oracles)
+        and m.__name__.split(".")[-1] not in covered
+    ]
+    for fam in missing:
+        candidate = next(
+            (n for n in stale if fam_of[n] == fam and n not in window), None
+        )
+        if candidate is None:
+            continue
+        # evict the LEAST stale re-grade that leaves its family covered
+        for victim in reversed(window):
+            if victim in never or victim in flagship:
+                continue
+            if sum(1 for w in window if fam_of[w] == fam_of[victim]) > 1:
+                window.remove(victim)
+                window.append(candidate)
+                break
+
+    print(f"# proposed window: {len(never)} never-graded, "
+          f"{50 - len(never)} re-grades (stalest first)")
+    print("GRADED_PRIORITY = [")
+    for n in window:
+        tag = "never graded" if n in never else f"last r{last_graded[n]}"
+        print(f'    "{n}",  # {tag}')
+    print("]")
+    deferred = [n for n in never if n not in window]
+    if deferred:
+        print(f"# deferred never-graded ({len(deferred)}): {', '.join(deferred)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
