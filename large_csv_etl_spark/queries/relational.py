@@ -1816,3 +1816,94 @@ def skew_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         dsum("l_extendedprice").alias("total_price"),
     )
+
+
+@_q(
+    "agg_skew_kurtosis_exact",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s2,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(s2 AS DOUBLE) / n)
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+           ((CAST(s3 AS DOUBLE) / n)
+             - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+             + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n))
+           / (((CAST(s2 AS DOUBLE) / n)
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              * SQRT((CAST(s2 AS DOUBLE) / n)
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+             AS skewness,
+           ((CAST(s4 AS DOUBLE) / n)
+             - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+             + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s2 AS DOUBLE) / n)
+             - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+           / (((CAST(s2 AS DOUBLE) / n)
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              * ((CAST(s2 AS DOUBLE) / n)
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+             - 3.0 AS excess_kurtosis
+    FROM m
+    """,
+)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic skewness and excess kurtosis per return flag —
+    completing the exact-moments family (variance/corr r5, OLS r5): the
+    built-in skewness()/kurtosis() aggregates accumulate doubles in
+    partition order and can't be oracle-graded, so the raw power sums
+    S1..S4 are exact BIGINT aggregates over the integer-valued quantity
+    column (S4 <= 50^4 * |rows| — DECIMAL territory only past ~1e12
+    rows; swap the sum type there) and the central-moment identities run
+    as ONE double expression written token-for-token identically in both
+    engines. Map-side combinable single pass, 3 output rows."""
+    q = F.col("l_quantity").cast("bigint")
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(q).alias("s1"),
+            F.sum(q * q).alias("s2"),
+            F.sum(q * q * q).alias("s3"),
+            F.sum(q * q * q * q).alias("s4"),
+        )
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    e2 = F.col("s2").cast("double") / n
+    e3 = F.col("s3").cast("double") / n
+    e4 = F.col("s4").cast("double") / n
+    m2 = e2 - mu * mu
+    # m2*sqrt(m2), not pow(m2, 1.5): sqrt is IEEE-correctly-rounded in
+    # both engines, pow with a fractional exponent is libm-dependent and
+    # diverged by one ulp on the real fixture
+    skew = (e3 - F.lit(3.0) * mu * e2 + F.lit(2.0) * mu * mu * mu) / (
+        m2 * F.sqrt(m2)
+    )
+    kurt = (
+        e4
+        - F.lit(4.0) * mu * e3
+        + F.lit(6.0) * mu * mu * e2
+        - F.lit(3.0) * mu * mu * mu * mu
+    ) / (m2 * m2) - F.lit(3.0)
+    return m.select(
+        "l_returnflag",
+        "n",
+        m2.alias("m2"),
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    )
