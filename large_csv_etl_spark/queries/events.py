@@ -1311,3 +1311,102 @@ def events_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "max_late_us",
     )
+
+
+@_q(
+    "events_ab_experiment_analysis",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    arms AS (
+      SELECT user_id,
+             CASE WHEN SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) >= 15
+                       THEN 1 ELSE 0 END AS BIGINT) AS converted
+      FROM ev GROUP BY user_id
+    ), per_arm AS (
+      SELECT arm, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM arms GROUP BY arm
+    ), wide AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n_users END) AS n_a,
+             MAX(CASE WHEN arm = 'A' THEN n_converted END) AS c_a,
+             MAX(CASE WHEN arm = 'B' THEN n_users END) AS n_b,
+             MAX(CASE WHEN arm = 'B' THEN n_converted END) AS c_b
+      FROM per_arm
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CAST(c_a AS DOUBLE) / n_a AS rate_a,
+           CAST(c_b AS DOUBLE) / n_b AS rate_b,
+           CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+             (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) END AS z_stat
+    FROM wide
+    """,
+)
+def events_ab_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout: users hash-split 50/50 into
+    arms (the same md5 membership contract as splits/samples — assignment
+    is reproducible and joins with any other table), per-arm success =
+    heavy purchaser (>= 15 purchase events — nearly every fixture user
+    purchases at least once, so has-any-purchase is degenerate), and the
+    pooled two-proportion z statistic — the analysis
+    every growth team runs, expressed so the whole thing is
+    oracle-gradable: counts are exact BIGINTs, and the z formula is one
+    token-identical double expression whose only non-arithmetic op is
+    SQRT (IEEE-correctly-rounded in both engines — the same rule the
+    z-score and MAD screens rely on; no libm-dependent pow/log
+    anywhere). Two cascaded hash aggregates (user reduce, then arm
+    reduce); the readout is one row."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    arms = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    per_arm = arms.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))
+    wide = per_arm.agg(
+        pick("A", "n_users").alias("n_a"),
+        pick("A", "n_converted").alias("c_a"),
+        pick("B", "n_users").alias("n_b"),
+        pick("B", "n_converted").alias("c_b"),
+    )
+    n_a, c_a = F.col("n_a"), F.col("c_a")
+    n_b, c_b = F.col("n_b"), F.col("c_b")
+    rate_a = c_a.cast("double") / n_a
+    rate_b = c_b.cast("double") / n_b
+    pooled = (c_a + c_b).cast("double") / (n_a + n_b)
+    # degenerate experiments (0% or 100% pooled success) have no defined
+    # z; guard identically in both engines instead of dividing by zero
+    z = F.when(
+        ((c_a + c_b) > 0) & ((c_a + c_b) < (n_a + n_b)),
+        (rate_a - rate_b)
+        / F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
+        ),
+    )
+    return wide.select(
+        "n_a", "c_a", "n_b", "c_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        z.alias("z_stat"),
+    )
