@@ -151,6 +151,8 @@ HEADLINE = [
     "dedup_cdc_chunk_potential",
     "sim_matryoshka_overlap",
     "dq_join_estimate_calibration",
+    "agg_skew_kurtosis_exact",
+    "events_ab_experiment_analysis",
 ]
 
 
