@@ -380,3 +380,51 @@ def test_scd2_merge_branch_semantics(spark):
             assert abs(open_rows[0].acctbal - closed[0].acctbal - 100.0) < 1e-9
         else:
             assert len(open_rows) == 1 and not closed, (k, vs)
+
+
+def test_kfold_assignment_stable_and_exhaustive(spark):
+    """Folds cover 0..9, sum to the corpus, and growing the corpus never
+    re-deals an existing doc (the self-assignment property)."""
+    from large_csv_etl_spark.queries.sampling import QUERIES as SQ
+
+    small = [(i, f"doc {i}", "en", "s", 0) for i in range(200)]
+    grown = small + [(i, f"doc {i}", "en", "s", 0) for i in range(200, 400)]
+
+    def folds(rows):
+        with tempfile.TemporaryDirectory() as d:
+            _docs_dir(spark, rows, d)
+            return {r.fold: r.n_docs for r in SQ["sample_kfold_assign"](spark, d).collect()}
+
+    f1, f2 = folds(small), folds(grown)
+    assert set(f1) <= set(range(10)) and sum(f1.values()) == 200
+    assert sum(f2.values()) == 400
+    # fold histogram of the original 200 docs is unchanged inside the
+    # grown corpus: recompute memberships directly
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    fold = (
+        F2.conv(F2.substring(F2.md5(F2.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    base = {r.fold: r.c for r in df.select(fold.alias("fold")).groupBy("fold").agg(F2.count("*").alias("c")).collect()}
+    assert base == f1
+
+
+def test_length_bucket_waste_known_values(spark):
+    """Hand-computed buckets: docs of 3, 4, and 5 tokens -> buckets 4, 4,
+    8 with wastes 1, 0, 3."""
+    from large_csv_etl_spark.queries.sampling import QUERIES as SQ
+
+    rows = [
+        (1, "a b c", "en", "s", 0),
+        (2, "a b c d", "en", "s", 0),
+        (3, "a b c d e", "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = {r.bucket: r for r in SQ["sample_length_bucket_waste"](spark, d).collect()}
+    assert set(out) == {4, 8}
+    assert out[4].n_docs == 2 and out[4].total_pad_waste == 1
+    assert out[8].n_docs == 1 and out[8].total_pad_waste == 3
+    assert abs(out[8].waste_ratio - 3 / 8) < 1e-12
