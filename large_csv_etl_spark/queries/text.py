@@ -1621,3 +1621,109 @@ def text_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle(n_rounds: int = LPA_ROUNDS) -> str:
+    """Unrolled synchronous label propagation, MATERIALIZED per round
+    (the PageRank/PCA/k-means oracle pattern)."""
+    steps = []
+    for k in range(1, n_rounds + 1):
+        steps.append(f"""lab{k} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT e.src AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.src
+                                  ORDER BY SUM(e.w) DESC, l.label) AS rn
+        FROM edges e JOIN lab{k - 1} l ON l.node = e.dst
+        GROUP BY e.src, l.label
+      ) WHERE rn = 1
+    )""")
+    chain = ",\n    ".join(steps)
+    return rf"""
+    WITH tok AS (
+      SELECT regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), bi AS (
+      SELECT toks[i] AS a, toks[i + 1] AS b
+      FROM (
+        SELECT toks, UNNEST(range(1, len(toks))) AS i
+        FROM tok WHERE len(toks) >= 2
+      )
+    ), edges AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT a AS src, b AS dst FROM bi
+        UNION ALL
+        SELECT b AS src, a AS dst FROM bi
+      ) GROUP BY src, dst
+    ), lab0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+    ),
+    {chain}
+    SELECT label AS community, COUNT(*) AS n_tokens
+    FROM lab{n_rounds}
+    GROUP BY label
+    HAVING COUNT(*) >= 2
+    """
+
+
+@_q("graph_token_communities", _lpa_oracle())
+def graph_token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token communities by synchronous label propagation (Raghavan-style
+    LPA, 3 fixed rounds) over the weighted undirected co-occurrence
+    graph — the fourth iterative algorithm under the oracle, and the
+    unsupervised counterpart to PageRank's importance ranking: LPA finds
+    the template/topic clusters whose tokens keep co-occurring (a
+    boilerplate skeleton surfaces as one community). Deterministic by
+    construction: integer co-occurrence weights, weighted-majority
+    updates with ROW_NUMBER argmax and (weight DESC, label ASC)
+    tie-break, every node seeded with its own token as label. Each round
+    is one edges-join-labels shuffle + a per-node argmax window — the
+    standard distributed LPA round, cost O(|edges|) per round at any
+    scale. Fixed round count: parity is exact regardless of whether the
+    labeling has converged (the ITERATIVE_PARITY.md contract)."""
+    from .helpers import materialize_reduced
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    arr = _SPARK_TOKENS(F.lower(F.col("text")))
+    pairs = F.expr(
+        "zip_with(slice(tokens, 1, size(tokens) - 1),"
+        "         slice(tokens, 2, size(tokens) - 1),"
+        "         (a, b) -> struct(a as a, b as b))"
+    )
+    bi = (
+        docs.select(arr.alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+    )
+    edges = materialize_reduced(
+        bi.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(bi.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    w_argmax = Window.partitionBy("node").orderBy(
+        F.col("w_sum").desc(), F.col("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(edges["src"].alias("node"), "label")
+            .agg(F.sum("w").alias("w_sum"))
+            .withColumn("rn", F.row_number().over(w_argmax))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        labels = materialize_reduced(labels)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 2)
+    )

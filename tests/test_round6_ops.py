@@ -456,3 +456,31 @@ def test_cdc_gearhash_matches_portable_twin_on_planted_dups(spark):
     assert gear.total_chunks > 20
     assert gear.dup_chunk_ratio > 0.25, gear
     assert portable.dup_chunk_ratio > 0.25, portable
+
+
+def test_lpa_communities_separate_disjoint_vocabularies(spark):
+    """Two doc groups with disjoint vocabularies must form two separate
+    communities (no cross-community label bleed); the driver fixture's
+    densely-random vocabulary legitimately collapses to one giant
+    community, so the structure-finding behavior is pinned here."""
+    import random
+
+    from large_csv_etl_spark.queries.text import QUERIES as TQ
+
+    rnd = random.Random(41)
+    va = [f"alpha{i}" for i in range(12)]
+    vb = [f"beta{i}" for i in range(12)]
+    rows = []
+    for d in range(10):
+        rows.append((d, " ".join(rnd.choice(va) for _ in range(40)), "en", "s", 0))
+        rows.append((100 + d, " ".join(rnd.choice(vb) for _ in range(40)), "en", "s", 0))
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = TQ["graph_token_communities"](spark, d).collect()
+    assert len(out) == 2, out
+    sizes = sorted(r.n_tokens for r in out)
+    assert sizes == [12, 12], out
+    # community representatives come from the right vocabularies
+    reps = {r.community for r in out}
+    assert any(r.startswith("alpha") for r in reps)
+    assert any(r.startswith("beta") for r in reps)
