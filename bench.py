@@ -153,6 +153,8 @@ HEADLINE = [
     "dq_join_estimate_calibration",
     "agg_skew_kurtosis_exact",
     "events_ab_experiment_analysis",
+    "dedup_cdc_gearhash",
+    "graph_token_communities",
 ]
 
 
