@@ -528,3 +528,24 @@ def user_totals_tws_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
             timeMode="ProcessingTime",
         )
     )
+
+
+def hourly_users_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact hourly active users: event-time dedup on
+    (user_id, hour) chained into a windowed count — two stateful
+    operators in one query (supported since the multi-stateful work in
+    Spark 3.5+ when event time flows through both). The dedup state is
+    bounded by the watermark horizon; the count state by open windows.
+    This is the exact-distinct form; at 100 TB switch the dedup stage
+    for approx_count_distinct partials unless exactness is contractual."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        events.withColumn("hour_start", hour)
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "hour_start"])
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("hau"))
+        .select(F.col("w.start").alias("hour_start"), "hau")
+    )
