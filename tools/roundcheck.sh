@@ -1,0 +1,24 @@
+#!/bin/bash
+# Full round-verification battery, in the order the verify skill
+# prescribes. Run from anywhere; takes ~40 min on local[32]:
+#   bash /root/repo/tools/roundcheck.sh [logdir]
+# Prints one summary line per stage; non-green stages leave their full
+# log in $logdir for diagnosis.
+set -u
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+LOG="${1:-/tmp/roundcheck_$(date +%H%M%S)}"
+mkdir -p "$LOG"
+
+cd "$REPO" && python -m pytest tests/ -q >"$LOG/pytest.log" 2>&1
+echo "pytest : $(grep -E 'passed|failed|error' "$LOG/pytest.log" | tail -1)"
+
+cd /tmp && python "$REPO/tools/drive_driver.py" >"$LOG/mimic.log" 2>&1
+echo "mimic  : $(tail -1 "$LOG/mimic.log")"
+
+python "$REPO/tools/drive_driver.py" --sf-dir /root/testdata/sf0.1 \
+  --skip-rows-only >"$LOG/sweep.log" 2>&1
+echo "sweep  : $(tail -1 "$LOG/sweep.log")"
+
+cd "$REPO" && python bench.py >"$LOG/bench.out" 2>"$LOG/bench.err"
+echo "bench  : rc=$? $(tail -1 "$LOG/bench.out" | head -c 120)"
+echo "logs   : $LOG"
