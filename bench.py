@@ -155,6 +155,7 @@ HEADLINE = [
     "events_ab_experiment_analysis",
     "dedup_cdc_gearhash",
     "graph_token_communities",
+    "streaming_hourly_users",
 ]
 
 
