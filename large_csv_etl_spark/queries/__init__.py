@@ -71,75 +71,75 @@ _MODULES = [
 # tools/drive_driver.py + CORRECTNESS_r*.json rather than trusting any
 # hardcoded count here.
 GRADED_PRIORITY = [
-    # ---- round-6 window: the 9 oracled entries that have NEVER had a
-    # driver verdict (round-5 mid-round additions, all mimic-green —
-    # grading them closes cumulative driver coverage at 185/185), then
-    # 41 deliberate RE-grades chosen as regression insurance against the
-    # per-round testdata regeneration (VERDICT r5 ask #2): every
-    # reference-parity §2a core entry, every events/streaming/temporal
-    # consumer of the drift-prone ts fixture type, every float-heavy
-    # entry in the decimal-cast-tie class that bit embedding_dim_stats
-    # at sf0.1 in round 5, the TPC-H flagships, and one rep for each
-    # remaining family (windows/setops/multimodal) so all 15 families
-    # stay represented.
-    # -- never driver-graded (9) --
-    "dq_join_cardinality_audit",
-    "dq_key_skew_profile",
-    "sim_ivf_portable_topk",
-    "dedup_minhash_calibration",
-    "dedup_simhash_portable_neardup",
-    "dedup_incremental_minhash",
-    "sample_survivor_weighted",
-    "events_type_drift_daily",
-    "text_source_token_drift",
-    # -- §2a reference-parity core re-grades (9) --
+    # ---- round-7 window: the 27 oracled entries that have NEVER had a
+    # driver verdict (the round-6 additions — grading them closes
+    # cumulative driver coverage at 212/212), then 23 deliberate
+    # RE-grades chosen per VERDICT r6 ask #2: the flagship
+    # etl_transform_parity (every round), the other §2a core entries
+    # (upsert, validation), one rep per ts-consumer family
+    # (batch sessionization, tumbling, as-of, streaming sessionization),
+    # the decimal-tie float class reps (embedding_dim_stats,
+    # quantiles_exact), one rep per family never re-graded since r3
+    # (rollup, cube, unpivot, fuzzy join, transitions), and the stalest
+    # r1/r2 entries (text_lang_stats is the oldest verdict in the
+    # registry; the remaining r2 TPC-H/relational entries fill the
+    # window, oldest first per tools/gen_window.py).
+    # -- never driver-graded (27) --
+    "etl_scd2_merge",
+    "dataset_card_report",
+    "dq_join_estimate_calibration",
+    "temporal_nearest_event_to_order",
+    "skew_salted_join_rollup",
+    "agg_skew_kurtosis_exact",
+    "window_topk_with_ties",
+    "setop_symmetric_diff_active_custkeys",
+    "scalar_regexp_functions",
+    "events_concurrency_profile",
+    "events_watermark_late_audit",
+    "events_ab_experiment_analysis",
+    "sample_mixture_solver",
+    "sample_kfold_assign",
+    "sample_length_bucket_waste",
+    "streaming_hourly_users",
+    "text_memorization_ngrams",
+    "text_ngram_novelty",
+    "text_readability_ari",
+    "text_token_concentration",
+    "graph_token_communities",
+    "dedup_prefix_truncation",
+    "dedup_source_contamination_matrix",
+    "dedup_cdc_chunk_potential",
+    "embedding_pca_top_component",
+    "embedding_kmeans_lloyd",
+    "sim_matryoshka_overlap",
+    # -- flagship + §2a core re-grades (3) --
     "etl_transform_parity",
     "etl_upsert_last_write_wins",
     "validation_counts",
-    "agg_global_count",
-    "agg_status_counts",
-    "agg_amount_stats",
-    "scalar_round_2dp",
-    "profile_orders_columns",
-    "matview_incremental_rollup",
-    # -- events ts-fixture consumers (10) --
+    # -- one rep per ts-consumer family (4) --
     "events_sessionization",
     "events_hourly_tumbling",
-    "events_sliding_window",
-    "events_daily_gap_fill",
-    "events_zscore_anomaly",
-    "events_type_run_intervals",
-    "events_cohort_retention",
-    "events_daily_active_users",
-    "events_json_props",
-    "events_type_pivot",
-    # -- streaming ts-fixture consumers (4) --
-    "streaming_sessionization",
-    "streaming_sliding_window",
-    "streaming_dedup_exact",
-    "streaming_hourly_tumbling",
-    # -- temporal ts-fixture consumers (2) --
     "asof_join_latest_order",
-    "range_join_follower_events",
-    # -- float-heavy / decimal-tie class re-grades (10) --
+    "streaming_sessionization",
+    # -- decimal-tie float class reps (2) --
     "embedding_dim_stats",
-    "embedding_centroid_assign",
-    "embedding_quantize_int8",
-    "sim_cosine_topk",
-    "agg_winsorized_mean",
-    "agg_weighted_median",
-    "agg_median_abs_deviation",
-    "quantile_binning_decile",
     "quantiles_exact",
-    "agg_median_by_status",
-    # -- TPC-H flagships (3) --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    # -- family reps so every family has a round-6 verdict (3) --
-    "window_running_spend",
-    "setop_intersect_nations",
-    "multimodal_resize_dims",
+    # -- families never re-graded since r3/r4 (5) --
+    "rollup_order_priority",
+    "cube_returnflag_linestatus",
+    "unpivot_lineitem_metrics",
+    "text_fuzzy_token_pairs",
+    "events_type_transitions",
+    # -- stalest verdicts in the registry (9: r1 + oldest r2) --
+    "text_lang_stats",
+    "agg_having",
+    "count_distinct_exact",
+    "distinct_order_dims",
+    "join_outer_null_handling",
+    "q10_returned_items",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
+    "q2_min_cost_per_type",
 ]
 
 

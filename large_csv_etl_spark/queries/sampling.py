@@ -774,8 +774,9 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), bucketed AS (
       SELECT n_tokens,
              CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
-                  ELSE CAST(power(2, CEIL(log2(CAST(n_tokens AS DOUBLE))))
-                            AS BIGINT) END AS bucket
+                  ELSE (CAST(1 AS BIGINT)
+                        << LENGTH(bin(CAST(n_tokens - 1 AS BIGINT))))
+                  END AS bucket
       FROM sized WHERE n_tokens > 0
     )
     SELECT bucket,
@@ -794,10 +795,13 @@ def sample_length_bucket_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     batching-efficiency audit run before choosing sequence buckets for
     training (pad-to-bucket wastes `bucket - n_tokens` slots per doc;
     a bad bucket layout silently burns a double-digit share of
-    compute). Bucket ids are exact integer powers of two: ceil(log2)
-    on an integer cast to double is exact well past any real document
-    length, and the waste sums are pure BIGINT. One row-local map +
-    one bounded aggregate (<= log2(max_len) buckets)."""
+    compute). Bucket ids are exact integer powers of two derived with
+    pure integer arithmetic — smallest power of two >= n is
+    1 << bit_length(n-1), expressed as length(bin(n-1)) in both
+    engines (float log2 diverges between Spark's log(x)/log(2) and
+    DuckDB's exact log2 at n = 2^29 and beyond — ADVICE r6); the waste
+    sums are pure BIGINT. One row-local map + one bounded aggregate
+    (<= bit_length(max_len) buckets)."""
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
         F.size(F.split(F.trim(F.col("text")), r"\s+"))
@@ -806,8 +810,10 @@ def sample_length_bucket_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens") > 0
     )
     bucket = F.when(F.col("n_tokens") <= 1, F.lit(1).cast("bigint")).otherwise(
-        F.pow(F.lit(2.0), F.ceil(F.log2(F.col("n_tokens").cast("double"))))
-        .cast("bigint")
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT),"
+            " length(bin(CAST(n_tokens - 1 AS BIGINT))))"
+        )
     )
     waste = F.sum(F.col("bucket") - F.col("n_tokens"))
     return (

@@ -1496,9 +1496,19 @@ def sim_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("qv"), 1, MRL_PREFIX_DIMS),
     )
     j = f10.alias("f").join(p10.alias("p"), "vec_id")
+    # coalesce: SUM over an empty join is NULL in Spark but the oracle's
+    # scalar COUNT subquery returns 0 — pin the empty-overlap edge to 0
+    # (ADVICE r6)
     return j.agg(
         F.count("*").alias("n_overlap"),
-        F.sum(
-            F.when((F.col("f.rn") == 1) & (F.col("p.rn") == 1), 1).otherwise(0)
-        ).alias("rank1_match"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("f.rn") == 1) & (F.col("p.rn") == 1), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("rank1_match"),
     )

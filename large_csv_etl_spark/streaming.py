@@ -536,15 +536,21 @@ def hourly_users_stream(
     """Streaming exact hourly active users: event-time dedup on
     (user_id, hour) chained into a windowed count — two stateful
     operators in one query (supported since the multi-stateful work in
-    Spark 3.5+ when event time flows through both). The dedup state is
-    bounded by the watermark horizon; the count state by open windows.
-    This is the exact-distinct form; at 100 TB switch the dedup stage
-    for approx_count_distinct partials unless exactness is contractual."""
+    Spark 3.5+ when event time flows through both). The dedup uses
+    dropDuplicatesWithinWatermark (Spark 3.5+), which evicts state by
+    the watermark even though the dedup keys carry no event-time
+    column — plain dropDuplicates on a derived hour column would grow
+    state without bound in a continuous run (ADVICE r6). Exactness
+    holds because duplicate (user_id, hour) pairs are at most 1 hour
+    apart in event time, well inside the 2-hour watermark horizon; the
+    count state is bounded by open windows. This is the exact-distinct
+    form; at 100 TB switch the dedup stage for approx_count_distinct
+    partials unless exactness is contractual."""
     hour = F.date_trunc("hour", F.col("ts"))
     return (
         events.withColumn("hour_start", hour)
         .withWatermark("ts", watermark)
-        .dropDuplicates(["user_id", "hour_start"])
+        .dropDuplicatesWithinWatermark(["user_id", "hour_start"])
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("hau"))
         .select(F.col("w.start").alias("hour_start"), "hau")

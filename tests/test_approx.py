@@ -5,6 +5,7 @@ engine-specific), pinned against the exact answers instead.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from large_csv_etl_spark.queries.approx import QUERIES as APPROX_QUERIES
@@ -48,14 +49,22 @@ def test_approx_quantiles_bracket_exact(spark):
         assert exact[prio]["p25"] <= a["approx_p50"] <= exact[prio]["p75"], prio
 
 
-def test_events_dau_approx_within_5pct(spark):
+@pytest.mark.parametrize(
+    "sfd", [SF_DIR, "/root/testdata/sf0.1"], ids=["sf_tiny", "sf0.1"]
+)
+def test_events_dau_approx_within_5pct(spark, sfd):
+    """events_dau_approx's published HLL++ bound (rsd 1% -> 5% test
+    band) asserted against its exact graded twin
+    events_daily_active_users — at the bench-scale sf0.1 fixture as
+    well as sf-tiny (VERDICT r6 ask #9), since sketch error only
+    becomes meaningful at real cardinalities."""
     approx = {
         r["day_start"]: r["dau_approx"]
-        for r in EVENT_QUERIES["events_dau_approx"](spark, SF_DIR).collect()
+        for r in EVENT_QUERIES["events_dau_approx"](spark, sfd).collect()
     }
     exact = {
         r["day_start"]: r["dau"]
-        for r in EVENT_QUERIES["events_daily_active_users"](spark, SF_DIR).collect()
+        for r in EVENT_QUERIES["events_daily_active_users"](spark, sfd).collect()
     }
     assert approx.keys() == exact.keys()
     for day, est in approx.items():

@@ -1,6 +1,6 @@
 """E7 end-to-end pipeline tests: dirty CSV -> engine -> parquet table,
 including the BASELINE.md golden run (FIXTURES.md §3 generator, seed 42:
-500,000 rows in -> exactly 315,015 loaded).
+500,000 rows in -> exactly 314,214 loaded, bit-matching the reference).
 """
 
 from __future__ import annotations

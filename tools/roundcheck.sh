@@ -21,4 +21,10 @@ echo "sweep  : $(tail -1 "$LOG/sweep.log")"
 
 cd "$REPO" && python bench.py >"$LOG/bench.out" 2>"$LOG/bench.err"
 echo "bench  : rc=$? $(tail -1 "$LOG/bench.out" | head -c 120)"
+
+# PLANS.md must always audit the CURRENT grading window (VERDICT r6 #3:
+# it went stale when the window rotated mid-round).
+cd "$REPO" && python tools/gen_plans_md.py >"$LOG/PLANS.md.new" 2>"$LOG/plans.err" \
+  && cp "$LOG/PLANS.md.new" "$REPO/PLANS.md"
+echo "plans  : rc=$? $(head -3 "$REPO/PLANS.md" | tail -1 | head -c 120)"
 echo "logs   : $LOG"
