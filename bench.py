@@ -156,6 +156,15 @@ HEADLINE = [
     "dedup_cdc_gearhash",
     "graph_token_communities",
     "streaming_hourly_users",
+    # round 7
+    "etl_cdc_apply",
+    "events_debounce_bursts",
+    "events_interarrival_histogram",
+    "events_seasonal_naive_error",
+    "text_vocab_growth",
+    "graph_triangle_count",
+    "dq_benford_first_digit",
+    "streaming_segment_counts",
 ]
 
 

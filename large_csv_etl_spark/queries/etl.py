@@ -264,3 +264,78 @@ def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(changed_new)
         .unionByName(deleted)
     )
+
+
+@_q(
+    "etl_cdc_apply",
+    """
+    WITH log AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_totalprice AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 100.0
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), latest AS (
+      SELECT k, seq, op, price
+      FROM log
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+    )
+    SELECT k AS o_orderkey, price AS final_price,
+           CAST(seq AS BIGINT) AS last_seq
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: collapse an insert/update/delete change log into final
+    table state — the missing third of the repo's merge trio
+    (etl_upsert_last_write_wins has no deletes; etl_scd2_merge keeps
+    history; this materializes CURRENT state from an op log, the shape
+    every Debezium/binlog-fed lake table needs). Per key the
+    highest-sequence op wins; a terminal 'D' removes the key entirely.
+    The log here is derived deterministically from orders (seq 1 insert
+    all, seq 2 update keys %5, seq 3 delete keys %7) so the oracle can
+    replay it; in production the log is the source stream. One shuffle
+    on the key for the ROW_NUMBER collapse — O(|log|), never a scan of
+    the base table, and AQE handles the skewed-key case since the
+    window shuffle is a plain hash partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    upd = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 100.0).alias("price"),
+        )
+    )
+    dele = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(3).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("price"),
+        )
+    )
+    log = base.unionByName(upd).unionByName(dele)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return latest.select(
+        F.col("k").alias("o_orderkey"),
+        F.col("price").alias("final_price"),
+        F.col("seq").cast("bigint").alias("last_seq"),
+    )

@@ -1410,3 +1410,174 @@ def events_ab_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame
         rate_b.alias("rate_b"),
         z.alias("z_stat"),
     )
+
+
+@_q(
+    "events_debounce_bursts",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap_us
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 300000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS drop_ratio
+    FROM g
+    GROUP BY event_type
+    """,
+)
+def events_debounce_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce audit: within each (user, event_type) stream an
+    event arriving <= 5 minutes after its predecessor is a repeat firing
+    of the same user action (double-clicks, retry storms, jittery
+    sensors) and would be suppressed by a debounce stage; the report
+    counts kept burst-leaders vs dropped repeats per event type — the
+    sizing evidence you collect BEFORE turning debouncing on. The gap
+    test uses the predecessor event (chained, not burst-leader-anchored)
+    so it is a pure lag window: exact integer micros, one shuffle on
+    (user_id, event_type) shared by the window and nothing else — the
+    per-type aggregate is a bounded-key (|event types|) second pass.
+    Deterministic tie-break (ts, event_id) as everywhere else."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.select(
+        "event_type", (ts_us - F.lag(ts_us).over(w)).alias("gap_us")
+    )
+    dropped = F.col("gap_us").isNotNull() & (
+        F.col("gap_us") <= 300_000_000
+    )
+    n_drop = F.sum(F.when(dropped, 1).otherwise(0)).cast("bigint")
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(dropped, 0).otherwise(1)).cast("bigint").alias("n_kept"),
+        n_drop.alias("n_dropped"),
+        (n_drop.cast("double") / F.count("*")).alias("drop_ratio"),
+    )
+
+
+@_q(
+    "events_interarrival_histogram",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    g AS (
+      SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM ev
+    ), b AS (
+      SELECT CASE WHEN gap_s <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE (CAST(1 AS BIGINT)
+                        << LENGTH(bin(CAST(gap_s - 1 AS BIGINT)))) END
+               AS bucket_s
+      FROM (SELECT gap_us // 1000000 AS gap_s FROM g WHERE gap_us IS NOT NULL)
+    )
+    SELECT bucket_s, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM b) AS share
+    FROM b GROUP BY bucket_s
+    """,
+)
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time histogram over per-user event streams, in
+    power-of-2 second buckets — the distribution you size session
+    timeouts, watermarks, and debounce thresholds FROM (the complements:
+    events_bot_cadence flags per-user cadence anomalies,
+    events_sessionization consumes the chosen timeout). Gaps are exact
+    integer micros floored to seconds; buckets use the same pure-integer
+    1 << bit_length(n-1) form as sample_length_bucket_waste (no float
+    log2). One shuffle on user_id for the lag window; the histogram is
+    a bounded-key aggregate (<= bit_length(30 days) ~ 22 buckets)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        ev.select((ts_us - F.lag(ts_us).over(w)).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .select((F.col("gap_us") / F.lit(1_000_000)).cast("bigint").alias("gap_s"))
+    )
+    # floor division: gap_us is non-negative so cast-after-divide floors
+    # identically to DuckDB's // (both truncate toward zero here)
+    bucket = F.when(F.col("gap_s") <= 1, F.lit(1).cast("bigint")).otherwise(
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT),"
+            " length(bin(CAST(gap_s - 1 AS BIGINT))))"
+        )
+    )
+    b = gaps.select(bucket.alias("bucket_s"))
+    total = b.count()
+    return b.groupBy("bucket_s").agg(
+        F.count("*").alias("n_gaps"),
+        (F.count("*").cast("double") / F.lit(total)).alias("share"),
+    )
+
+
+@_q(
+    "events_seasonal_naive_error",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1
+    ), j AS (
+      SELECT a.day_start, a.n AS actual, f.n AS forecast
+      FROM daily a
+      JOIN daily f ON f.day_start = a.day_start - INTERVAL 7 DAY
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+           CAST(SUM(ABS(actual - forecast)) AS DOUBLE) / COUNT(*) AS mae,
+           CAST(SUM(actual - forecast) AS DOUBLE) / COUNT(*) AS mean_bias,
+           CAST(SUM(CAST(round(CAST(ABS(actual - forecast) AS DOUBLE)
+                               / actual * 1000000000) AS BIGINT))
+                AS DOUBLE) / COUNT(*) / 1000000000 AS mape
+    FROM j
+    """,
+)
+def events_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline audit: predict each day's event
+    volume with the count from 7 calendar days earlier and report
+    MAE / bias / MAPE over the evaluable days — the sanity floor every
+    real traffic-forecasting model must beat, and the drift alarm when
+    weekly seasonality itself shifts. The lag is a calendar self-join on
+    day-7 (never a row-offset lag, which silently misaligns across
+    missing days); daily counts are exact BIGINT, the error aggregates
+    close in double with token-identical expressions in both engines
+    (actual > 0 always — a day with zero events has no row and is simply
+    not evaluable). Scale shape: one shuffle to the bounded daily table
+    (|days| keys), then a self-join of that tiny table — the corpus is
+    scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day_start")
+    ).agg(F.count("*").alias("n"))
+    a, f = daily.alias("a"), daily.alias("f")
+    j = a.join(
+        f,
+        F.col("f.day_start")
+        == F.col("a.day_start") - F.expr("INTERVAL 7 DAY"),
+    ).select(F.col("a.n").alias("actual"), F.col("f.n").alias("forecast"))
+    err = F.col("actual") - F.col("forecast")
+    # the per-day ratio sum is order-sensitive in double; fix the sum as
+    # 1e-9-scaled exact BIGINTs (round() is half-away in both engines)
+    # so partial-aggregation order can't move the last ulp
+    mape_fp = F.round(
+        F.abs(err).cast("double") / F.col("actual") * 1_000_000_000
+    ).cast("bigint")
+    return j.agg(
+        F.count("*").alias("n_eval_days"),
+        (F.sum(F.abs(err)).cast("double") / F.count("*")).alias("mae"),
+        (F.sum(err).cast("double") / F.count("*")).alias("mean_bias"),
+        (
+            F.sum(mape_fp).cast("double") / F.count("*") / F.lit(1_000_000_000)
+        ).alias("mape"),
+    )

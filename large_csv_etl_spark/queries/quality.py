@@ -584,3 +584,87 @@ def dq_join_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est.cast("double") - exact.cast("double")) / exact.cast("double")
         ).alias("rel_error"),
     )
+
+
+# log10(1 + 1/d) for d = 1..9, written as literals so neither engine
+# evaluates a libm log at query time (the verify-skill pow/log rule)
+_BENFORD_EXPECTED = {
+    1: 0.301029995663981195,
+    2: 0.176091259055681242,
+    3: 0.124938736608299953,
+    4: 0.096910013008056414,
+    5: 0.079181246047624776,
+    6: 0.066946789630613199,
+    7: 0.057991946977686754,
+    8: 0.051152522447381284,
+    9: 0.045757490560675125,
+}
+
+# scientific notation => DuckDB types the literal DOUBLE directly (a
+# plain decimal literal goes through DECIMAL(19,18) and loses a ulp)
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {v:.17e}" for d, v in _BENFORD_EXPECTED.items()
+) + " END"
+
+
+@_q(
+    "dq_benford_first_digit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ), counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+             (SELECT COUNT(*) FROM digits) AS total
+      FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / total AS obs_freq,
+           {_BENFORD_SQL_CASE} AS exp_freq,
+           ABS(CAST(n AS DOUBLE) / total - {_BENFORD_SQL_CASE}) AS abs_dev
+    FROM counts
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order amounts — the classic
+    fabricated-data / broken-generator screen for financial columns
+    (organically-priced populations spanning magnitudes follow
+    P(d) = log10(1+1/d); synthetic, capped, or copy-pasted values
+    don't, and a large deviation is an ingest red flag, not proof of
+    fraud). The leading digit comes from the INTEGER part rendered as a
+    string (floor -> BIGINT -> VARCHAR) — integer-to-string is exact
+    and identical in both engines, unlike float formatting or a
+    log10-based mantissa extraction, which the verify-skill libm rule
+    forbids. Expected frequencies are shared 18-digit literals. One
+    scan, 9-key aggregate; the uniform-ish TPC-H price fixture
+    deliberately FAILS Benford (prices live in one decade), which is
+    exactly what the audit should report."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1.0
+    )
+    digits = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    total = digits.count()
+    exp = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_EXPECTED.items() for x in kv]
+    )[F.col("digit")]
+    obs = F.col("n").cast("double") / F.lit(total)
+    return (
+        digits.groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "digit",
+            "n",
+            obs.alias("obs_freq"),
+            exp.alias("exp_freq"),
+            F.abs(obs - exp).alias("abs_dev"),
+        )
+    )

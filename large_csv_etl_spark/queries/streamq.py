@@ -292,3 +292,44 @@ def streaming_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
         ckpt,
     )
+
+
+@_q(
+    "streaming_segment_counts",
+    # batch twin: same left join to the static customer dim + daily agg
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_start,
+           COALESCE(c.c_mktsegment, 'unknown') AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+    FROM ev LEFT JOIN customer c ON c.c_custkey = ev.user_id
+    GROUP BY 1, 2
+    """,
+)
+def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under the external oracle: the event
+    stream left-joins a broadcast static customer dimension
+    (stateless per micro-batch — the lookup-join shape of every
+    real-time personalization / attribution pipeline), then aggregates
+    per (day, market segment). Drained with ``availableNow`` and graded
+    against the identical batch join+agg — covering the one streaming
+    join kind (stream-static) the stream-stream attribution entry
+    doesn't."""
+    from ..io import load_table
+    from ..streaming import (
+        read_events_stream,
+        run_bounded,
+        segment_counts_stream,
+    )
+
+    name = f"stream_seg_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_seg_")
+    return run_bounded(
+        segment_counts_stream(
+            read_events_stream(spark, sf_dir, glob="events.parquet"),
+            load_table(spark, sf_dir, "customer"),
+        ),
+        name,
+        ckpt,
+    )

@@ -5,7 +5,7 @@ quality scoring, language stats, fingerprinting. All JVM-side built-ins
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -1726,4 +1726,269 @@ def graph_token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count("*").alias("n_tokens"))
         .filter(F.col("n_tokens") >= 2)
+    )
+
+
+@_q(
+    "text_vocab_growth",
+    r"""
+    WITH d AS (
+      SELECT doc_id, LOWER(TRIM(text)) AS t FROM documents
+      WHERE TRIM(text) <> ''
+    ), tok AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(t, '\s+')) AS token FROM d
+    ), mx AS (SELECT MAX(doc_id) AS m FROM d),
+    per_doc AS (
+      SELECT GREATEST(CAST(1 AS BIGINT),
+                      (10 * doc_id + (SELECT m FROM mx) - 1)
+                        // (SELECT m FROM mx)) AS decile,
+             COUNT(*) AS n_tok
+      FROM tok GROUP BY doc_id
+    ), doc_decile AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM per_doc GROUP BY decile
+    ), first_seen AS (
+      SELECT GREATEST(CAST(1 AS BIGINT),
+                      (10 * MIN(doc_id) + (SELECT m FROM mx) - 1)
+                        // (SELECT m FROM mx)) AS decile
+      FROM tok GROUP BY token
+    ), vocab_decile AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM first_seen GROUP BY decile
+    ), spine AS (SELECT UNNEST(generate_series(1, 10)) AS decile)
+    SELECT CAST(s.decile AS BIGINT) AS decile,
+           CAST(SUM(COALESCE(dd.n_docs, 0)) OVER w AS BIGINT) AS cum_docs,
+           CAST(SUM(COALESCE(dd.n_tokens, 0)) OVER w AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(COALESCE(vd.new_types, 0)) OVER w AS BIGINT)
+             AS cum_vocab,
+           CASE WHEN SUM(COALESCE(dd.n_tokens, 0)) OVER w > 0
+                THEN CAST(SUM(COALESCE(vd.new_types, 0)) OVER w AS DOUBLE)
+                     / SUM(COALESCE(dd.n_tokens, 0)) OVER w
+                END AS type_token_ratio
+    FROM spine s
+    LEFT JOIN doc_decile dd ON dd.decile = s.decile
+    LEFT JOIN vocab_decile vd ON vd.decile = s.decile
+    WINDOW w AS (ORDER BY s.decile)
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) audit: cumulative distinct types vs
+    cumulative tokens at ten doc-id checkpoints — the curve that tells
+    you whether a corpus is still contributing new vocabulary or has
+    gone redundant (flattening growth = diminishing data value, THE
+    macro signal behind dedup/mixing decisions). A type counts toward
+    the decile of its FIRST occurrence (MIN(doc_id) per token — the same
+    first-seen trick as text_ngram_novelty), so cumulative vocab needs
+    no per-checkpoint distinct pass: one tokenize, one |vocab| agg, one
+    |docs| agg, then running sums over a 10-row spine. Decile assignment
+    is pure integer arithmetic ((10*id + m - 1) div m). At 100 TB the
+    heavy aggs shuffle |vocab| and |docs| keys — never tokens x
+    checkpoints."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token"),
+    )
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    dec = lambda c: F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(f"(10 * {c} + m - 1) div m"),
+    )
+    per_doc = (
+        tok.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"))
+        .crossJoin(F.broadcast(mx))
+        .select(dec("doc_id").alias("decile"), "n_tok")
+    )
+    doc_decile = per_doc.groupBy("decile").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    first_seen = (
+        tok.groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .crossJoin(F.broadcast(mx))
+        .select(dec("first_doc").alias("decile"))
+    )
+    vocab_decile = first_seen.groupBy("decile").agg(
+        F.count("*").alias("new_types")
+    )
+    spine = spark.range(1, 11).select(F.col("id").alias("decile"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    j = (
+        spine.join(doc_decile, "decile", "left")
+        .join(vocab_decile, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+    )
+    return j.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("new_types").over(w).cast("bigint").alias("cum_vocab"),
+        F.when(
+            F.sum("n_tokens").over(w) > 0,
+            F.sum("new_types").over(w).cast("double")
+            / F.sum("n_tokens").over(w),
+        ).alias("type_token_ratio"),
+    )
+
+
+@_q(
+    "graph_triangle_count",
+    r"""
+    WITH d AS (
+      SELECT doc_id, LOWER(TRIM(text)) AS t FROM documents
+      WHERE TRIM(text) <> ''
+    ), tok AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(regexp_split_to_array(t, '\s+')) AS token
+      FROM d
+    ), edges AS (
+      SELECT a.token AS u, b.token AS v
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ), oriented AS (
+      -- orient by the (degree, id) total order and CARRY the head's
+      -- order key: the wedge pair and the closing edge must both be
+      -- compared in that order, not lexically
+      SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END
+               AS x,
+             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END
+               AS y,
+             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg
+                  ELSE du.deg END AS dy
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM oriented o1
+      JOIN oriented o2
+        ON o1.x = o2.x AND (o1.dy, o1.y) < (o2.dy, o2.y)
+      JOIN oriented o3 ON o3.x = o1.y AND o3.y = o2.y
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           (SELECT CAST(3 * n_triangles AS DOUBLE) FROM tri)
+             / (SELECT CAST(SUM(deg * (deg - 1) / 2) AS DOUBLE) FROM deg)
+             AS global_clustering
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting with degree-ordered orientation on the
+    token co-occurrence graph (fifth graded graph algorithm, after
+    PageRank / connected components / LPA / the k-means assignment
+    graph): orient every edge from its (degree, id)-smaller endpoint to
+    the larger, then count wedges (x->y1, x->y2) closed by an oriented
+    (y1->y2) edge — each triangle is counted exactly once at its
+    smallest-order vertex, and the quadratic wedge work lands on
+    LOW-degree vertices, which is what makes this the plan that
+    survives power-law graphs at scale (the standard Latapy/GraphX
+    technique). Also reports wedge count and the global clustering
+    coefficient 3T/wedges (exact BIGINTs; one double division).
+    Per-doc token pairs are the edge source; at 100 TB you cap per-doc
+    distinct tokens (top-N) to bound the pair explode — the fixture's
+    docs are far under any such cap. deg*(deg-1)/2 keeps SUM in BIGINT
+    (one even factor, exact in both engines)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token"),
+    ).distinct()
+    a, b = tok.alias("a"), tok.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .select(F.col("a.token").alias("u"), F.col("b.token").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    e = (
+        edges.join(
+            deg.select(
+                F.col("node").alias("u"), F.col("deg").alias("du")
+            ),
+            "u",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("v"), F.col("deg").alias("dv")
+            ),
+            "v",
+        )
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    tri = (
+        o1.join(
+            o2,
+            (F.col("o1.x") == F.col("o2.x"))
+            & (
+                F.struct(F.col("o1.dy"), F.col("o1.y"))
+                < F.struct(F.col("o2.dy"), F.col("o2.y"))
+            ),
+        )
+        .join(
+            o3,
+            (F.col("o3.x") == F.col("o1.y"))
+            & (F.col("o3.y") == F.col("o2.y")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    counts = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    return (
+        nodes.crossJoin(counts)
+        .crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                (F.col("n_triangles") * 3).cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("global_clustering"),
+        )
     )

@@ -87,6 +87,43 @@ def hourly_tumbling_stream(
     )
 
 
+def segment_counts_stream(
+    events: DataFrame,
+    customers: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a STATIC
+    dimension (customer market segment, keyed c_custkey = user_id) and
+    aggregate per (day, segment). The static side is broadcast — a
+    stream-static equi-join is stateless in Structured Streaming (each
+    micro-batch joins against the dimension as-of that batch), so the
+    only state is the windowed count. Unmatched users fall into
+    'unknown' via the left join, exactly as the batch twin does. At
+    100 TB the dimension stays broadcast-sized or becomes a
+    slowly-changing table re-read per batch — either way no stream
+    shuffle is added beyond the window aggregate's own."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    enriched = events.join(dim, "user_id", "left").withColumn(
+        "segment", F.coalesce(F.col("segment"), F.lit("unknown"))
+    )
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "segment")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("day_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionization_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -1,0 +1,226 @@
+"""Semantic checks for the round-7 operators (beyond the oracle diff the
+mimic already runs): planted fixtures exercising each operator's defining
+property."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+from pyspark.sql import functions as F
+
+from large_csv_etl_spark.queries.etl import QUERIES as ETL_QUERIES
+from large_csv_etl_spark.queries.events import QUERIES as EVENT_QUERIES
+from large_csv_etl_spark.queries.quality import QUERIES as QUALITY_QUERIES
+from large_csv_etl_spark.queries.streamq import QUERIES as STREAM_QUERIES
+from large_csv_etl_spark.queries.text import QUERIES as TEXT_QUERIES
+
+from .conftest import SF_DIR, SF_DIR_MID
+
+
+def _events_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(2).write.parquet(f"{d}/events.parquet")
+
+
+def _docs_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(2).write.parquet(f"{d}/documents.parquet")
+
+
+def test_cdc_apply_deletes_win_and_updates_apply(spark):
+    """Keys %7==0 must be absent (terminal delete), keys %5==0 (and not
+    %7) must carry price+100 at seq 2, everything else the seq-1
+    insert."""
+    out = {
+        r.o_orderkey: r for r in ETL_QUERIES["etl_cdc_apply"](spark, SF_DIR).collect()
+    }
+    base = {
+        r.o_orderkey: r.o_totalprice
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    assert base, "fixture empty"
+    for k, price in base.items():
+        if k % 7 == 0:
+            assert k not in out, f"deleted key {k} survived"
+        elif k % 5 == 0:
+            assert out[k].last_seq == 2
+            assert out[k].final_price == price + 100.0
+        else:
+            assert out[k].last_seq == 1
+            assert out[k].final_price == price
+
+
+def test_debounce_bursts_splits_on_gap(spark):
+    """Three rapid repeats then one event past the 5-min window: 2
+    dropped, 2 kept; a different event type never absorbs the burst."""
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, s(0), 1, "click", 1.0, "{}"),
+        (2, s(10), 1, "click", 1.0, "{}"),   # repeat (10s)
+        (3, s(20), 1, "click", 1.0, "{}"),   # repeat (10s)
+        (4, s(20 + 301), 1, "click", 1.0, "{}"),  # new burst (>300s)
+        (5, s(15), 1, "view", 1.0, "{}"),    # other type: own stream
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r.event_type: r
+            for r in EVENT_QUERIES["events_debounce_bursts"](spark, d).collect()
+        }
+    assert out["click"].n_events == 4
+    assert out["click"].n_kept == 2
+    assert out["click"].n_dropped == 2
+    assert out["view"].n_kept == 1 and out["view"].n_dropped == 0
+
+
+def test_interarrival_histogram_buckets_exact_gaps(spark):
+    """Gaps of 1s, 3s, and 3600s land in buckets 1, 4, and 4096; shares
+    sum to 1."""
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, s(0), 1, "click", 1.0, "{}"),
+        (2, s(1), 1, "click", 1.0, "{}"),        # gap 1 -> bucket 1
+        (3, s(4), 1, "click", 1.0, "{}"),        # gap 3 -> bucket 4
+        (4, s(4 + 3600), 1, "click", 1.0, "{}"), # gap 3600 -> bucket 4096
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r.bucket_s: r
+            for r in EVENT_QUERIES["events_interarrival_histogram"](
+                spark, d
+            ).collect()
+        }
+    assert set(out) == {1, 4, 4096}
+    assert all(r.n_gaps == 1 for r in out.values())
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-12
+
+
+def test_seasonal_naive_error_on_planted_weekly_pattern(spark):
+    """A perfectly 7-periodic series has zero MAE/MAPE; doubling one day
+    breaks exactly the two comparisons that involve it."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(14):
+        n = 3 + (day % 7)  # weekly pattern
+        if day == 8:
+            n *= 2  # anomaly
+        for k in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day, minutes=k), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        r = EVENT_QUERIES["events_seasonal_naive_error"](spark, d).first()
+    assert r.n_eval_days == 7
+    # only day 8 (actual 2x) errs vs day 1; days 9..13 match exactly;
+    # day 8 as the forecast base for day 15 is out of range
+    assert r.mae == (3 + 1) / 7.0  # |8 - 4| on one of seven days
+    assert r.mape > 0
+
+
+def test_vocab_growth_is_monotone_and_flattens_on_redundant_tail(spark):
+    """Cumulative vocab/tokens are monotone; a corpus whose second half
+    repeats the first half's vocabulary adds ~no new types after decile
+    5 while tokens keep growing."""
+    rows = []
+    for i in range(1, 101):
+        if i <= 50:
+            text = " ".join(f"w{i}_{j}" for j in range(10))  # all-new types
+        else:
+            text = " ".join(f"w{i - 50}_{j}" for j in range(10))  # rerun
+        rows.append((i, text, "en", "s", 0))
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = sorted(
+            TEXT_QUERIES["text_vocab_growth"](spark, d).collect(),
+            key=lambda r: r.decile,
+        )
+    assert [r.decile for r in out] == list(range(1, 11))
+    for a, b in zip(out, out[1:]):
+        assert b.cum_tokens >= a.cum_tokens and b.cum_vocab >= a.cum_vocab
+    assert out[4].cum_vocab == 500  # first half: all distinct
+    assert out[9].cum_vocab == 500  # second half adds nothing
+    assert out[9].cum_tokens == 1000
+    assert out[9].type_token_ratio == 0.5
+
+
+def test_triangle_count_on_known_graph(spark):
+    """Doc {a,b,c} plus doc {b,d}: one triangle (a,b,c), 4 nodes, 4
+    edges, clustering = 3*1/wedges with wedges = sum C(deg,2) = 1+3+1+0
+    = 5."""
+    rows = [
+        (1, "a b c", "en", "s", 0),
+        (2, "b d", "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        r = TEXT_QUERIES["graph_triangle_count"](spark, d).first()
+    assert r.n_nodes == 4
+    assert r.n_edges == 4
+    assert r.n_triangles == 1
+    assert r.n_wedges == 5
+    assert abs(r.global_clustering - 3.0 / 5.0) < 1e-12
+
+
+def test_benford_audit_exposes_single_decade_prices(spark):
+    """The TPC-H-ish price fixture lives in one decade, so observed
+    first-digit mass must deviate from Benford; the report itself must
+    be internally consistent (freqs sum to 1, expected freqs are the
+    Benford constants)."""
+    out = QUALITY_QUERIES["dq_benford_first_digit"](spark, SF_DIR_MID).collect()
+    assert {r.digit for r in out} <= set(range(1, 10))
+    assert abs(sum(r.obs_freq for r in out) - 1.0) < 1e-9
+    assert abs(sum(r.exp_freq for r in out) - 1.0) < 1e-9
+    total_dev = sum(r.abs_dev for r in out)
+    assert total_dev > 0.1, f"uniform-decade fixture should fail Benford: {total_dev}"
+
+
+def test_streaming_segment_counts_matches_batch_twin(spark):
+    """The availableNow drain must equal the batch join+agg bit for bit
+    (the oracle the driver grades is the same SQL; this pins the parity
+    inside pytest too, including the 'unknown' fallback for user_id 0)."""
+    stream = {
+        (r.day_start, r.segment): (r.n_events, r.total_value)
+        for r in STREAM_QUERIES["streaming_segment_counts"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    batch = (
+        ev.join(cust, ev.user_id == cust.c_custkey, "left")
+        .withColumn("segment", F.coalesce("c_mktsegment", F.lit("unknown")))
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day_start"), "segment"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    expected = {
+        (r.day_start, r.segment): (r.n, r.v) for r in batch.collect()
+    }
+    assert stream == expected
+    # the 'unknown' fallback appears exactly when some user has no
+    # customer row (fixture-dependent: user 0 exists at sf0.01+)
+    has_orphan = (
+        ev.join(cust, ev.user_id == cust.c_custkey, "left_anti").count() > 0
+    )
+    assert any(k[1] == "unknown" for k in stream) == has_orphan
