@@ -165,6 +165,10 @@ HEADLINE = [
     "graph_triangle_count",
     "dq_benford_first_digit",
     "streaming_segment_counts",
+    "agg_gini_concentration",
+    "sim_ann_recall_audit",
+    "sample_neyman_allocation",
+    "multimodal_ahash_neardup",
 ]
 
 

@@ -216,3 +216,180 @@ def resize_payloads(df: DataFrame, target: int = 224) -> DataFrame:
             )
 
     return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, ahash long, width int, height int"
+
+
+def ahash_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
+    """Perceptual average-hash (aHash) per payload — the image near-dup
+    primitive: downscale to an 8x8 grid of block means, threshold each
+    block against the grid mean, pack the 64 bits into one BIGINT.
+    Identical images hash equal regardless of their PNG filter-type
+    encoding choices; small pixel perturbations flip few bits, so
+    Hamming distance on the hash is a perceptual similarity. All
+    arithmetic is integer (block sums via an exact integral image,
+    floor-divided means), so the hash is bit-deterministic across runs,
+    partitionings, and workers.
+
+    ``stub=True`` (fixture path — no real media in the container)
+    interprets the raw payload bytes as an 8-bit grayscale image with
+    the same synthetic dims as ``decode_payloads``'s stub; the plumbing
+    — Arrow batches, numpy block reduction, 64-bit packing — is the
+    production shape. ``stub=False`` decodes real pixels: Pillow when
+    installed, else the vendored stdlib PNG path extended with full
+    scanline DEFILTERING (None/Sub/Up/Average/Paeth, the public PNG
+    spec algorithms) and integer grayscale reduction; conformance and
+    filter-invariance are pinned in tests/test_multimodal.py.
+    """
+
+    def png_gray_pixels(b: bytes):
+        # parse IHDR/IDAT, zlib-decompress, undo per-row filters, reduce
+        # to one grayscale channel — returns a 2-D uint8-valued int array
+        import struct
+        import zlib
+
+        import numpy as np
+
+        bands_by_color_type = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+        if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG stream")
+        pos, width = 8, None
+        height = bit_depth = color_type = interlace = None
+        idat = bytearray()
+        while pos + 8 <= len(b):
+            (length,) = struct.unpack(">I", b[pos : pos + 4])
+            ctype = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type, _, _, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if width is None or color_type not in bands_by_color_type:
+            raise ValueError("malformed PNG header")
+        if bit_depth != 8 or interlace != 0:
+            raise ValueError("only 8-bit non-interlaced PNG supported here")
+        bpp = bands_by_color_type[color_type]
+        raw = zlib.decompress(bytes(idat))
+        stride = 1 + width * bpp
+        if len(raw) != height * stride:
+            raise ValueError("PNG pixel stream length mismatch")
+        out = np.zeros((height, width * bpp), dtype=np.int64)
+        prev = np.zeros(width * bpp, dtype=np.int64)
+        for y in range(height):
+            row = raw[y * stride : (y + 1) * stride]
+            ftype, line = row[0], np.frombuffer(row[1:], np.uint8).astype(
+                np.int64
+            )
+            cur = line.copy()
+            if ftype == 0:
+                pass
+            elif ftype == 1:  # Sub
+                for i in range(bpp, len(cur)):
+                    cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                cur = (cur + prev) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(len(cur)):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    cur[i] = (cur[i] + (a + prev[i]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(len(cur)):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + prev[i] - c
+                    pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        prev[i] if pb <= pc else c
+                    )
+                    cur[i] = (cur[i] + pred) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter {ftype}")
+            out[y] = cur
+            prev = cur
+        px = out.reshape(height, width, bpp)
+        if bpp == 1:
+            return px[:, :, 0]
+        if bpp == 2:  # gray+alpha: gray channel
+            return px[:, :, 0]
+        # rgb(+alpha): integer mean of the 3 color channels
+        return (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+
+    def pixels_stub(b: bytes):
+        import numpy as np
+
+        n = len(b)
+        width = 16 + (n % 240)
+        height = 16 + ((n // 7) % 240)
+        need = width * height
+        buf = np.frombuffer(bytes(b), np.uint8)
+        if buf.size == 0:
+            buf = np.zeros(1, np.uint8)
+        reps = -(-need // buf.size)
+        return (
+            np.tile(buf, reps)[:need].astype(np.int64).reshape(height, width)
+        )
+
+    def pixels_real(b: bytes):
+        import io as _io
+
+        import numpy as np
+
+        data = bytes(b)
+        try:
+            from PIL import Image
+        except ImportError:
+            return png_gray_pixels(data)
+        with Image.open(_io.BytesIO(data)) as im:
+            return np.asarray(im.convert("L"), dtype=np.int64)
+
+    get_pixels = pixels_stub if stub else pixels_real
+
+    def ahash64(px) -> int:
+        import numpy as np
+
+        h, w = px.shape
+        # exact integral image -> exact block sums for the 8x8 grid
+        integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+        np.cumsum(np.cumsum(px, axis=0), axis=1, out=integ[1:, 1:])
+        ys = (np.arange(9, dtype=np.int64) * h) // 8
+        xs = (np.arange(9, dtype=np.int64) * w) // 8
+        sums = (
+            integ[ys[1:], :][:, xs[1:]]
+            - integ[ys[:-1], :][:, xs[1:]]
+            - integ[ys[1:], :][:, xs[:-1]]
+            + integ[ys[:-1], :][:, xs[:-1]]
+        )
+        areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+        means = sums // areas  # floor: deterministic integer means
+        thresh = int(means.sum()) // 64
+        bits = (means > thresh).flatten()
+        v = 0
+        for bit in bits:
+            v = (v << 1) | int(bit)
+        # wrap to signed 64-bit (BIGINT)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, widths, heights = [], [], []
+            for p in pdf["payload"]:
+                px = get_pixels(p)
+                hashes.append(ahash64(px))
+                heights.append(px.shape[0])
+                widths.append(px.shape[1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(run, AHASH_SCHEMA)

@@ -166,3 +166,34 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(n_samples * 1000 / 16000).cast("bigint").alias("duration_ms"),
         n_windows.alias("n_windows"),
     )
+
+
+@_q("multimodal_ahash_neardup")  # pixel-level perceptual hash; rows-only
+def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average-hash) duplicate audit over binary payloads:
+    aHash each payload in one Arrow-batched mapInPandas pass, then a
+    16-byte-key hash aggregate — the image-dedup shape (exact-equal
+    aHash buckets; Hamming<=k pairing would reuse the SimHash banding
+    machinery). Rows-only: pixel decoding is engine-internal, so
+    correctness is pinned in tests/test_multimodal.py instead — planted
+    identical / filter-variant / perturbed PNGs must land in the same
+    bucket through the REAL decode path, and the stub path is
+    deterministic across runs. Reports corpus totals + duplicated-mass
+    ratio, mirroring the CDC chunk report."""
+    from ..multimodal import ahash_payloads
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = ahash_payloads(attach_payload(docs), stub=True)
+    groups = hashes.groupBy("ahash").agg(F.count("*").alias("n_docs"))
+    return groups.agg(
+        F.sum("n_docs").cast("bigint").alias("n_payloads"),
+        F.count("*").cast("bigint").alias("n_distinct_hashes"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.when(
+            F.sum("n_docs") > 0,
+            (F.sum("n_docs") - F.count("*")).cast("double")
+            / F.sum("n_docs"),
+        ).alias("dup_mass_ratio"),
+    )

@@ -1907,3 +1907,138 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skewness"),
         kurt.alias("excess_kurtosis"),
     )
+
+
+@_q(
+    "agg_gini_concentration",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), hist AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM rev GROUP BY cents
+    ), cum AS (
+      SELECT cents, c,
+             SUM(c) OVER (ORDER BY cents) AS cum,
+             SUM(c) OVER (ORDER BY cents) - c AS prev
+      FROM hist
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * c) AS BIGINT) AS mass,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                      * (prev * c + c * (c + 1) // 2)) AS BIGINT)
+               AS rank_mass
+      FROM cum
+    ), cuts AS (
+      SELECT n, mass, rank_mass,
+             n - (n + 99) // 100 AS r1, n - (n + 9) // 10 AS r10
+      FROM tot
+    )
+    SELECT n AS n_customers,
+           mass AS total_cents,
+           2.0 * CAST(rank_mass AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(mass AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini,
+           (SELECT CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                            * (cum - GREATEST(prev, (SELECT r1 FROM cuts))))
+                   AS BIGINT) AS DOUBLE)
+            FROM cum WHERE cum > (SELECT r1 FROM cuts))
+             / CAST(mass AS DOUBLE) AS top1pct_share,
+           (SELECT CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                            * (cum - GREATEST(prev, (SELECT r10 FROM cuts))))
+                   AS BIGINT) AS DOUBLE)
+            FROM cum WHERE cum > (SELECT r10 FROM cuts))
+             / CAST(mass AS DOUBLE) AS top10pct_share
+    FROM cuts
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue concentration audit: exact Gini coefficient plus
+    top-1% / top-10% Lorenz shares — the inequality summary behind
+    'do a handful of customers (or sources, or users) dominate this
+    dataset', the same shape curation passes run on per-source token
+    mass before fixing mixture rates. Computed from the VALUE HISTOGRAM,
+    not per-unit ranks: revenues quantize to exact integer cents, the
+    rank-sum over a tied value collapses to prev*c + c(c+1)/2, and the
+    single ordered window runs over |distinct values| rows (bounded by
+    the quantization at scale) rather than |customers|. Exact masses
+    accumulate in DECIMAL(38,0) but PIVOT THROUGH BIGINT before any
+    double math: int64->double conversion is correctly rounded in both
+    engines, while a >2^53 decimal->double cast goes through DuckDB's
+    hugeint path and can land one ulp away (bit at sf0.1). Valid while
+    rank-weighted cents fit BIGINT (~9e18 — n*mass/2; past that,
+    quantize to dollars: Gini is scale-invariant, so coarser units only
+    merge near-equal customers). Ties need no ordering decision — any
+    permutation of equal values has the same rank sum."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    hist = rev.groupBy("cents").agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "cents",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        (F.sum("c").over(w) - F.col("c")).alias("prev"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")
+    tot = cum.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(dec("cents") * F.col("c")).cast("bigint").alias("mass"),
+        F.sum(
+            dec("cents")
+            # integer // 2 (exact: c*(c+1) is even) — a float '/' here
+            # would silently turn the whole rank-mass sum into doubles
+            * (
+                F.col("prev") * F.col("c")
+                + F.expr("c * (c + 1) div 2")
+            )
+        )
+        .cast("bigint")
+        .alias("rank_mass"),
+    )
+    cuts = tot.select(
+        "n",
+        "mass",
+        "rank_mass",
+        (F.col("n") - F.expr("(n + 99) div 100")).alias("r1"),
+        (F.col("n") - F.expr("(n + 9) div 10")).alias("r10"),
+    )
+    j = cum.crossJoin(F.broadcast(cuts))
+
+    def top_share(rcol):
+        return (
+            F.sum(
+                F.when(
+                    F.col("cum") > F.col(rcol),
+                    dec("cents")
+                    * (F.col("cum") - F.greatest(F.col("prev"), F.col(rcol))),
+                )
+            )
+            .cast("bigint")
+            .cast("double")
+        )
+
+    n_d = F.col("n").cast("double")
+    return j.groupBy("n", "mass", "rank_mass", "r1", "r10").agg(
+        top_share("r1").alias("t1"), top_share("r10").alias("t10")
+    ).select(
+        F.col("n").alias("n_customers"),
+        F.col("mass").alias("total_cents"),
+        (
+            F.lit(2.0) * F.col("rank_mass").cast("double")
+            / (n_d * F.col("mass").cast("double"))
+            - (n_d + F.lit(1.0)) / n_d
+        ).alias("gini"),
+        (F.col("t1") / F.col("mass").cast("double")).alias("top1pct_share"),
+        (F.col("t10") / F.col("mass").cast("double")).alias("top10pct_share"),
+    )

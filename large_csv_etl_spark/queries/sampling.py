@@ -829,3 +829,111 @@ def sample_length_bucket_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_ratio"),
         )
     )
+
+
+@_q(
+    "sample_neyman_allocation",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), m AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(cents) AS BIGINT) AS s1,
+             CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mu
+      FROM c GROUP BY stratum
+    ), g AS (
+      SELECT c.stratum, m.n_h, m.s1,
+             CAST(SUM(c.cents - m.mu) AS BIGINT) AS ds,
+             CAST(CAST(SUM(CAST(c.cents - m.mu AS DECIMAL(38,0))
+                           * (c.cents - m.mu)) AS DECIMAL(38,0))
+                  AS BIGINT) AS ds2
+      FROM c JOIN m ON m.stratum = c.stratum
+      GROUP BY c.stratum, m.n_h, m.s1
+    ), w AS (
+      SELECT stratum, n_h,
+             CAST(s1 AS DOUBLE) / n_h / 100.0 AS mean_price,
+             SQRT((CAST(ds2 AS DOUBLE)
+                   - CAST(ds AS DOUBLE) * CAST(ds AS DOUBLE) / n_h) / n_h)
+               / 100.0 AS stddev_price,
+             CAST(round(n_h * SQRT((CAST(ds2 AS DOUBLE)
+                   - CAST(ds AS DOUBLE) * CAST(ds AS DOUBLE) / n_h) / n_h))
+                  AS BIGINT) AS wgt
+      FROM g
+    )
+    SELECT stratum, n_h, mean_price, stddev_price,
+           CAST(wgt AS DOUBLE) / SUM(wgt) OVER () AS weight_share,
+           CAST(round(10000.0 * wgt / SUM(wgt) OVER ()) AS BIGINT)
+             AS alloc_n
+    FROM w
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling plan: allocate a 10,000-row
+    budget across order-priority strata proportionally to N_h * S_h —
+    the allocation that minimizes estimator variance for a fixed budget,
+    and the principled answer to 'how many rows should each stratum
+    contribute' that uniform or proportional sampling gets wrong when
+    strata differ in spread. The per-stratum second moment is computed
+    CENTERED on the integer floor-mean (two passes: exact BIGINT cent
+    sums give mu = s1 div n, then sum (cents-mu) and (cents-mu)^2): the
+    raw power sum Sum(cents^2) ~ 1e19 exceeds exact-double range and
+    its decimal->double cast diverges by an ulp between engines (bit
+    this query at sf0.1), while the centered sums stay inside BIGINT,
+    whose int64->double conversion both engines round identically.
+    Valid while n_h * var_cents^2 < 9.2e18; beyond that, center in
+    dollars. The per-stratum weight N_h*S_h rounds to BIGINT BEFORE the
+    cross-stratum total so the share denominator is an exact integer
+    sum; SQRT is IEEE-correct in both engines. Companions execute the
+    plan: sample_exact_k_per_group takes the alloc_n's,
+    sample_random_stratified takes rates."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    m = c.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.expr(
+            "CAST(SUM(cents) AS BIGINT) div CAST(COUNT(*) AS BIGINT)"
+        ).alias("mu"),
+    )
+    d = F.col("cents") - F.col("mu")
+    g = (
+        c.join(F.broadcast(m), "stratum")
+        .groupBy("stratum", "n_h", "s1")
+        .agg(
+            F.sum(d).cast("bigint").alias("ds"),
+            F.sum(d.cast("decimal(38,0)") * d)
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("ds2"),
+        )
+    )
+    n_h = F.col("n_h")
+    ds, ds2 = F.col("ds").cast("double"), F.col("ds2").cast("double")
+    sd_cents = F.sqrt((ds2 - ds * ds / n_h) / n_h)
+    w = g.select(
+        "stratum",
+        "n_h",
+        (F.col("s1").cast("double") / n_h / F.lit(100.0)).alias("mean_price"),
+        (sd_cents / F.lit(100.0)).alias("stddev_price"),
+        F.round(n_h * sd_cents).cast("bigint").alias("wgt"),
+    )
+    tot = Window.partitionBy()
+    return w.select(
+        "stratum",
+        "n_h",
+        "mean_price",
+        "stddev_price",
+        (F.col("wgt").cast("double") / F.sum("wgt").over(tot)).alias(
+            "weight_share"
+        ),
+        F.round(F.lit(10000.0) * F.col("wgt") / F.sum("wgt").over(tot))
+        .cast("bigint")
+        .alias("alloc_n"),
+    )

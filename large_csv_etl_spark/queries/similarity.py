@@ -1512,3 +1512,73 @@ def sim_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank1_match"),
     )
+
+
+def _ann_recall_oracle():
+    # composed from the two graded pipelines verbatim (the
+    # dedup_minhash_calibration pattern): any drift in either component
+    # shows up here too
+    exact = ORACLES["sim_cosine_topk"]
+    ann = ORACLES["sim_ivf_portable_topk"]
+    return f"""
+    WITH exr AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM ({exact})
+    ), annr AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY qdot6 DESC, vec_id) AS rn
+      FROM ({ann})
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM exr JOIN annr USING (vec_id)) AS n_overlap,
+           (SELECT CAST(COUNT(*) AS DOUBLE)
+            FROM exr JOIN annr USING (vec_id)) / 10.0 AS recall_at_10,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM exr e JOIN annr a USING (vec_id)
+            WHERE e.rn = 1 AND a.rn = 1) AS rank1_match
+    """
+
+
+@_q("sim_ann_recall_audit", None)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall calibration, graded end-to-end: run the exact cosine
+    top-10 and the IVF-probed top-10 IN the engine and report
+    recall@10 + rank-1 agreement — the go/no-go audit before an ANN
+    index replaces brute force in a retrieval path (the ANN analog of
+    dedup_minhash_calibration, which plays the same role for LSH
+    dedup). Both sides reuse the graded pipelines verbatim, so the
+    audit grades the COMPOSITION: exact ranking, IVF training,
+    cell-probing, and the overlap join, all under one oracle. Cost is
+    two corpus passes (each the broadcast-query TakeOrderedAndProject
+    plan) plus a 10x10 join."""
+    from pyspark.sql import Window
+
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir)
+    ann = QUERIES["sim_ivf_portable_topk"](spark, sf_dir)
+    exr = exact.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("cos_sim").desc(), "vec_id")),
+    ).select("vec_id", F.col("rn").alias("ex_rn"))
+    annr = ann.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("qdot6").desc(), "vec_id")),
+    ).select("vec_id", F.col("rn").alias("ann_rn"))
+    j = exr.join(annr, "vec_id")
+    return j.agg(
+        F.coalesce(F.count("*"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        (F.coalesce(F.count("*"), F.lit(0)).cast("double") / F.lit(10.0)).alias(
+            "recall_at_10"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("ex_rn") == 1) & (F.col("ann_rn") == 1), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("rank1_match"),
+    )
+
+
+ORACLES["sim_ann_recall_audit"] = _ann_recall_oracle()

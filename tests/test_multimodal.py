@@ -168,3 +168,108 @@ def test_pure_png_decoder_rejects_truncated_stream(spark):
         _pytest.skip("Pillow present: the pure decoder is not on this path")
     with _pytest.raises(Exception, match="pixel stream|expected"):
         decode_payloads(df, stub=False).collect()
+
+
+def _write_png_gray(px_rows, ftype):
+    """Stdlib PNG writer for 8-bit grayscale with a chosen per-row filter
+    type (0=None, 1=Sub, 2=Up) — the same image encoded under different
+    filters must decode to identical pixels."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    height, width = len(px_rows), len(px_rows[0])
+    raw = bytearray()
+    prev = [0] * width
+    for row in px_rows:
+        raw.append(ftype)
+        if ftype == 0:
+            enc = row
+        elif ftype == 1:  # Sub
+            enc = [
+                (row[i] - (row[i - 1] if i else 0)) & 0xFF
+                for i in range(width)
+            ]
+        elif ftype == 2:  # Up
+            enc = [(row[i] - prev[i]) & 0xFF for i in range(width)]
+        else:
+            raise ValueError(ftype)
+        raw.extend(enc)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gradient(width=32, height=24):
+    return [
+        [(x * 8 + y * 3) % 256 for x in range(width)] for y in range(height)
+    ]
+
+
+def test_ahash_real_decode_is_filter_invariant(spark):
+    """The same grayscale image encoded with PNG filter None, Sub, and Up
+    must produce the SAME perceptual hash through the real decode path —
+    proving the defiltering is correct, not just that headers parse."""
+    from large_csv_etl_spark.multimodal import ahash_payloads
+
+    img = _gradient()
+    rows = [
+        (f, bytearray(_write_png_gray(img, f))) for f in (0, 1, 2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = ahash_payloads(df, stub=False).collect()
+    hashes = {r.ahash for r in out}
+    assert len(hashes) == 1, f"filter variants hashed differently: {out}"
+    assert all((r.width, r.height) == (32, 24) for r in out)
+
+
+def test_ahash_is_perceptual_not_exact(spark):
+    """A one-unit brightness perturbation keeps the hash; an inverted
+    image flips it — equality means perceptual match, not byte match."""
+    from large_csv_etl_spark.multimodal import ahash_payloads
+
+    img = _gradient()
+    tweaked = [row[:] for row in img]
+    tweaked[0][0] = (tweaked[0][0] + 1) % 256  # sub-perceptual change
+    inverted = [[255 - v for v in row] for row in img]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_write_png_gray(img, 0))),
+            (2, bytearray(_write_png_gray(tweaked, 0))),
+            (3, bytearray(_write_png_gray(inverted, 0))),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r.ahash for r in ahash_payloads(df, stub=False).collect()}
+    assert out[1] == out[2], "tiny perturbation should not change aHash"
+    assert out[1] != out[3], "inverted image must hash differently"
+
+
+def test_ahash_stub_path_deterministic_and_groups_exact_dups(spark):
+    """The fixture-facing stub path is deterministic across runs, and
+    byte-identical payloads always share a hash (the bucket-grouping
+    premise of multimodal_ahash_neardup)."""
+    from large_csv_etl_spark.multimodal import ahash_payloads
+
+    p = attach_payload(load_table(spark, SF_DIR, "documents"))
+    a = sorted(map(tuple, ahash_payloads(p, stub=True).collect()))
+    b = sorted(map(tuple, ahash_payloads(p, stub=True).collect()))
+    assert a == b
+    dup = spark.createDataFrame(
+        [(1, bytearray(b"same-bytes" * 40)), (2, bytearray(b"same-bytes" * 40))],
+        "doc_id long, payload binary",
+    )
+    out = ahash_payloads(dup, stub=True).collect()
+    assert out[0].ahash == out[1].ahash

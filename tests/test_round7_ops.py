@@ -224,3 +224,91 @@ def test_streaming_segment_counts_matches_batch_twin(spark):
         ev.join(cust, ev.user_id == cust.c_custkey, "left_anti").count() > 0
     )
     assert any(k[1] == "unknown" for k in stream) == has_orphan
+
+
+def test_gini_known_distribution(spark):
+    """Planted revenues [1,1,1,1,6] (cents x100): G = 2*rank_mass/(n*mass)
+    - (n+1)/n with rank_mass = 1+2+3+4+30 = 40 -> 2*40/(5*10) - 6/5 =
+    0.4; top-1-unit (=top 20%... r1 picks ceil(n/100)=1 unit) share =
+    0.6."""
+    import tempfile
+
+    from large_csv_etl_spark.queries.relational import (
+        QUERIES as REL_QUERIES,
+    )
+
+    rows = [(i, i, "O", p, None, "1-URGENT") for i, p in enumerate(
+        [0.01, 0.01, 0.01, 0.01, 0.06], start=1
+    )]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/orders.parquet")
+        r = REL_QUERIES["agg_gini_concentration"](spark, d).first()
+    assert r.n_customers == 5
+    assert r.total_cents == 10
+    assert abs(r.gini - 0.4) < 1e-12
+    assert abs(r.top1pct_share - 0.6) < 1e-12  # ceil(5/100)=1 unit: the 6
+    assert abs(r.top10pct_share - 0.6) < 1e-12
+
+
+def test_neyman_allocation_favors_spread_strata(spark):
+    """Two strata, same size; one constant-valued (S=0), one spread: the
+    whole budget must go to the spread stratum, and the degenerate one
+    gets stddev 0 / weight 0."""
+    import tempfile
+
+    from large_csv_etl_spark.queries.sampling import (
+        QUERIES as SAMPLE_QUERIES,
+    )
+
+    rows = []
+    for i in range(100):
+        rows.append((i, i, "O", 50.0, None, "FLAT"))
+        rows.append((1000 + i, i, "O", float(10 + i), None, "SPREAD"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/orders.parquet")
+        out = {
+            r.stratum: r
+            for r in SAMPLE_QUERIES["sample_neyman_allocation"](
+                spark, d
+            ).collect()
+        }
+    assert out["FLAT"].stddev_price == 0.0
+    assert out["FLAT"].alloc_n == 0
+    assert out["SPREAD"].alloc_n == 10000
+    assert abs(out["SPREAD"].weight_share - 1.0) < 1e-12
+    assert abs(out["FLAT"].mean_price - 50.0) < 1e-9
+
+
+def test_ann_recall_audit_bounds_and_ivf_consistency(spark):
+    """recall@10 in [0,1] and == n_overlap/10; rank1_match in {0,1}; and
+    the audit must agree with recomputing the overlap from its two
+    component queries directly."""
+    from large_csv_etl_spark.queries.similarity import (
+        QUERIES as SIM_QUERIES,
+    )
+
+    r = SIM_QUERIES["sim_ann_recall_audit"](spark, SF_DIR).first()
+    assert 0 <= r.n_overlap <= 10
+    assert abs(r.recall_at_10 - r.n_overlap / 10.0) < 1e-12
+    assert r.rank1_match in (0, 1)
+    exact = {
+        row.vec_id
+        for row in SIM_QUERIES["sim_cosine_topk"](spark, SF_DIR).collect()
+    }
+    ann = {
+        row.vec_id
+        for row in SIM_QUERIES["sim_ivf_portable_topk"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert r.n_overlap == len(exact & ann)
