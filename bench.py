@@ -169,6 +169,9 @@ HEADLINE = [
     "sim_ann_recall_audit",
     "sample_neyman_allocation",
     "multimodal_ahash_neardup",
+    "embedding_pq_audit",
+    "events_markov_stationary",
+    "sample_poisson_bootstrap",
 ]
 
 

@@ -1581,3 +1581,147 @@ def events_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(mape_fp).cast("double") / F.count("*") / F.lit(1_000_000_000)
         ).alias("mape"),
     )
+
+
+MARKOV_ROUNDS = 12
+MARKOV_SCALE = 1_000_000_000_000
+
+
+def _markov_oracle() -> str:
+    # unrolled integer power iteration, MATERIALIZED per the
+    # docs/ITERATIVE_PARITY.md contract (DuckDB would otherwise
+    # re-expand the round-k CTE exponentially)
+    rounds = []
+    prev = "r0"
+    for k in range(1, MARKOV_ROUNDS + 1):
+        rounds.append(f"""
+    r{k} AS MATERIALIZED (
+      SELECT s.t, COALESCE(m.in_mass, 0) + d.dm // c.n AS rank
+      FROM states s
+      CROSS JOIN consts c
+      LEFT JOIN (
+        SELECT tr.t2 AS t, SUM((r.rank * tr.c) // tr.outdeg) AS in_mass
+        FROM {prev} r JOIN trans tr ON tr.t1 = r.t
+        GROUP BY tr.t2
+      ) m ON m.t = s.t
+      CROSS JOIN (
+        SELECT COALESCE(SUM(r.rank), 0) AS dm
+        FROM {prev} r LEFT JOIN outs o ON o.t1 = r.t
+        WHERE o.t1 IS NULL
+      ) d
+    )""")
+        prev = f"r{k}"
+    return f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    pairs AS MATERIALIZED (
+      SELECT event_type AS t1,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t2
+      FROM ev
+    ),
+    trans AS MATERIALIZED (
+      SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY t1) AS BIGINT) AS outdeg
+      FROM pairs WHERE t2 IS NOT NULL GROUP BY t1, t2
+    ),
+    outs AS (SELECT DISTINCT t1 FROM trans),
+    states AS MATERIALIZED (
+      SELECT t1 AS t FROM trans UNION SELECT t2 FROM trans
+    ),
+    consts AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {MARKOV_SCALE} // COUNT(*) AS init
+      FROM states
+    ),
+    r0 AS MATERIALIZED (
+      SELECT s.t, c.init AS rank FROM states s CROSS JOIN consts c
+    ),{",".join(rounds)}
+    SELECT t AS event_type, CAST(rank AS BIGINT) AS stationary_fp,
+           CAST(CAST(rank AS BIGINT) AS DOUBLE) / {MARKOV_SCALE}.0
+             AS stationary_prob
+    FROM {prev}
+    """
+
+
+@_q("events_markov_stationary", _markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    user behavior settles if the observed transition dynamics keep
+    running, the steady-state complement to events_type_transitions'
+    one-step matrix (used to rank 'attractor' states and to seed
+    simulation/session-generation models). Fifth operator under the
+    iterative-parity contract (docs/ITERATIVE_PARITY.md): 12 unrolled
+    power-iteration rounds in pure integer fixed point (1e-12 units,
+    multiply-before-floor-divide mass propagation, dangling states
+    redistributed uniformly like PageRank's dangling mass), so both
+    engines produce bit-identical state — parity never depends on
+    float convergence luck. The chain state is |event types| rows; the
+    corpus is touched ONCE to count transitions (one user-keyed window
+    + one bounded-key agg), so iteration cost is independent of data
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    wt1 = Window.partitionBy("t1")
+    trans = (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .withColumn("outdeg", F.sum("c").over(wt1).cast("bigint"))
+    )
+    states = (
+        trans.select(F.col("t1").alias("t"))
+        .union(trans.select(F.col("t2").alias("t")))
+        .distinct()
+    )
+    outs = trans.select("t1").distinct()
+    n = states.count()  # |event types| — bounded metadata, not data rows
+    if n == 0:
+        # empty input: no states, no distribution
+        return spark.createDataFrame(
+            [],
+            "event_type string, stationary_fp bigint, stationary_prob double",
+        )
+    init = MARKOV_SCALE // n
+    # the chain state is tiny; localCheckpoint each round cuts the
+    # otherwise-exponentially-growing logical plan (the same lineage
+    # discipline as graph.pagerank)
+    trans = trans.localCheckpoint()
+    states = states.localCheckpoint()
+    outs = outs.localCheckpoint()
+    rank = states.select("t", F.lit(init).cast("bigint").alias("rank"))
+    for _ in range(MARKOV_ROUNDS):
+        in_mass = (
+            rank.join(trans, rank.t == trans.t1)
+            .select(
+                F.col("t2").alias("t"),
+                F.expr("(rank * c) div outdeg").alias("m"),
+            )
+            .groupBy("t")
+            .agg(F.sum("m").alias("in_mass"))
+        )
+        dangling = (
+            rank.join(outs, rank.t == outs.t1, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
+        )
+        rank = (
+            states.join(in_mass, "t", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "t",
+                (
+                    F.coalesce(F.col("in_mass"), F.lit(0))
+                    + F.expr(f"dm div {n}")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return rank.select(
+        F.col("t").alias("event_type"),
+        F.col("rank").alias("stationary_fp"),
+        (F.col("rank").cast("double") / F.lit(float(MARKOV_SCALE))).alias(
+            "stationary_prob"
+        ),
+    )

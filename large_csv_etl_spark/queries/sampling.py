@@ -937,3 +937,101 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_n"),
     )
+
+
+# Poisson(1) CDF quantized to 65536 md5 buckets: floor(cdf_k * 65536).
+# Hardcoded so neither engine evaluates exp() at query time (libm rule);
+# weights cap at 5 (P(w>5) ~ 6e-4 folds into the last bucket).
+_POISSON_CUTS = (24109, 48222, 60277, 64291, 65296)
+_BOOT_REPLICATES = 8
+
+_POISSON_CASE = (
+    "CASE WHEN u < 24109 THEN 0 WHEN u < 48222 THEN 1 WHEN u < 60277 THEN 2"
+    " WHEN u < 64291 THEN 3 WHEN u < 65296 THEN 4 ELSE 5 END"
+)
+
+
+@_q(
+    "sample_poisson_bootstrap",
+    f"""
+    WITH reps AS (SELECT UNNEST(generate_series(0, {_BOOT_REPLICATES - 1}))
+                    AS replicate),
+    draws AS (
+      SELECT r.replicate,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             ('0x' || SUBSTR(md5(CAST(o.o_orderkey AS VARCHAR)
+                                 || ':' || CAST(r.replicate AS VARCHAR)),
+                             1, 4))::BIGINT AS u
+      FROM orders o CROSS JOIN reps r
+    ), weighted AS (
+      SELECT replicate, cents, {_POISSON_CASE} AS w FROM draws
+    )
+    SELECT replicate,
+           CAST(SUM(w) AS BIGINT) AS n_draws,
+           CAST(SUM(CAST(w AS BIGINT) * cents) AS BIGINT) AS drawn_cents,
+           CAST(SUM(CAST(w AS BIGINT) * cents) AS DOUBLE)
+             / CAST(SUM(w) AS BIGINT) / 100.0 AS est_mean_price
+    FROM weighted
+    GROUP BY replicate
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap: 8 replicate estimates of mean
+    order value, each row drawn Poisson(1) times per replicate — THE
+    scale technique for attaching confidence intervals to pipeline
+    metrics (resampling n rows from n is impossible distributed;
+    independent per-row Poisson(1) weights approximate it and stream).
+    Weights come from md5(key:replicate) quantized against the
+    hardcoded Poisson(1) CDF cut points (no exp() at query time, no
+    engine RNG — reruns and engines agree bit-for-bit, the same
+    derandomization as the hash-split A/B arms). Per-replicate sums
+    are exact BIGINT cents; the spread of est_mean_price across the 8
+    rows IS the standard-error estimate. One scan fanned x8 row-locally
+    (a column tag, not a shuffle); one bounded-key aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    reps = spark.range(_BOOT_REPLICATES).select(
+        F.col("id").cast("int").alias("replicate")
+    )
+    draws = orders.crossJoin(F.broadcast(reps)).select(
+        "replicate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("replicate").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    w = (
+        F.when(F.col("u") < _POISSON_CUTS[0], 0)
+        .when(F.col("u") < _POISSON_CUTS[1], 1)
+        .when(F.col("u") < _POISSON_CUTS[2], 2)
+        .when(F.col("u") < _POISSON_CUTS[3], 3)
+        .when(F.col("u") < _POISSON_CUTS[4], 4)
+        .otherwise(5)
+    )
+    weighted = draws.select("replicate", "cents", w.alias("w"))
+    return weighted.groupBy("replicate").agg(
+        F.sum("w").cast("bigint").alias("n_draws"),
+        F.sum(F.col("w").cast("bigint") * F.col("cents"))
+        .cast("bigint")
+        .alias("drawn_cents"),
+        (
+            F.sum(F.col("w").cast("bigint") * F.col("cents"))
+            .cast("bigint")
+            .cast("double")
+            / F.sum("w").cast("bigint")
+            / F.lit(100.0)
+        ).alias("est_mean_price"),
+    )

@@ -1582,3 +1582,162 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["sim_ann_recall_audit"] = _ann_recall_oracle()
+
+
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16  # 64 dims / 4 subspaces
+
+
+@_q(
+    "embedding_pq_audit",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v6
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, label, unnest(v6) AS val6,
+             generate_subscripts(v6, 1) AS pos,
+             (generate_subscripts(v6, 1) - 1) // {PQ_SUBDIM} AS sub
+      FROM v WHERE vec_id <> 0
+    ), c AS (
+      SELECT label AS clabel, sub, pos,
+             CAST(round(CAST(SUM(val6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cmu
+      FROM ex GROUP BY label, sub, pos
+    ), d AS (
+      SELECT e.vec_id, e.sub, c.clabel,
+             CAST(SUM((e.val6 - c.cmu) * (e.val6 - c.cmu)) AS BIGINT) AS d2
+      FROM ex e JOIN c ON c.pos = e.pos AND c.sub = e.sub
+      GROUP BY e.vec_id, e.sub, c.clabel
+    ), best AS (
+      SELECT vec_id, sub, d2 FROM (
+        SELECT vec_id, sub, d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, sub ORDER BY d2, clabel) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), per_vec AS (
+      SELECT b.vec_id,
+             CAST(SUM(b.d2) AS BIGINT) AS err2,
+             n.norm2
+      FROM best b
+      JOIN (SELECT vec_id, CAST(SUM(val6 * val6) AS BIGINT) AS norm2
+            FROM ex GROUP BY vec_id) n ON n.vec_id = b.vec_id
+      GROUP BY b.vec_id, n.norm2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(err2) AS BIGINT) AS total_err2,
+           CAST(SUM(norm2) AS BIGINT) AS total_norm2,
+           CAST(CAST(SUM(err2) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(norm2) AS BIGINT) AS DOUBLE) AS global_rel_error,
+           CAST(SUM(CASE WHEN norm2 > 0
+                         THEN CAST(round(1000000000.0 * err2 / norm2)
+                                   AS BIGINT) END) AS DOUBLE)
+             / COUNT(*) / 1000000000.0 AS mean_rel_error
+    FROM per_vec
+    """,
+)
+def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit: quantize each vector as 4 independent
+    16-dim subvector codes (codebook = the per-label fixed-point
+    sub-centroids — deterministic in both engines, the same supervised
+    stand-in for k-means codebooks the IVF twin uses) and report the
+    reconstruction error a PQ index would carry — the
+    measure-before-you-compress check that completes the quantization
+    family (embedding_quantize_int8 = scalar, sim_matryoshka_overlap =
+    truncation, this = PQ). 64 floats collapse to 4 codes (~64x
+    smaller); global_rel_error = total err^2/norm^2 from exact BIGINT
+    micro-unit sums, mean per-vector relative error via the 1e-9
+    fixed-point trick so float summation order can't drift. Spark plan
+    is the production shape: the (labels x subspaces) codebook
+    broadcasts, assignment is a row-local slice + zip_with fold per
+    subspace — no corpus explode, no corpus shuffle beyond one
+    aggregate."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec6 = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+        ).alias("v6"),
+    )
+    corpus = vec6.filter(F.col("vec_id") != 0)
+    ex = corpus.select(
+        "label", F.posexplode("v6").alias("pos", "val6")
+    ).withColumn("sub", F.expr(f"pos div {PQ_SUBDIM}"))
+    sub_cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "sub", "pos")
+        .agg(
+            F.round(F.sum("val6").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cmu")
+        )
+        .groupBy("clabel", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cmu"))),
+                lambda s: s["cmu"],
+            ).alias("c6")
+        )
+    )
+    subs = spark.range(PQ_SUBSPACES).select(F.col("id").alias("sub"))
+    corpus_sub = corpus.crossJoin(F.broadcast(subs)).select(
+        "vec_id",
+        "sub",
+        F.expr(f"slice(v6, cast(sub * {PQ_SUBDIM} + 1 AS int), {PQ_SUBDIM})")
+        .alias("s6"),
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    dist = corpus_sub.join(F.broadcast(sub_cent), "sub").select(
+        "vec_id", "sub", "clabel", d2(F.col("s6"), F.col("c6")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "clabel")
+    best = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "d2")
+    )
+    norm2 = corpus.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(F.col("v6"), lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("norm2"),
+    )
+    per_vec = (
+        best.groupBy("vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("err2"))
+        .join(norm2, "vec_id")
+    )
+    rel_fp = F.when(
+        F.col("norm2") > 0,
+        F.round(
+            F.lit(1_000_000_000.0) * F.col("err2") / F.col("norm2")
+        ).cast("bigint"),
+    )
+    return per_vec.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("err2").cast("bigint").alias("total_err2"),
+        F.sum("norm2").cast("bigint").alias("total_norm2"),
+        (
+            F.sum("err2").cast("bigint").cast("double")
+            / F.sum("norm2").cast("bigint").cast("double")
+        ).alias("global_rel_error"),
+        (
+            F.sum(rel_fp).cast("double")
+            / F.count("*")
+            / F.lit(1_000_000_000.0)
+        ).alias("mean_rel_error"),
+    )

@@ -312,3 +312,73 @@ def test_ann_recall_audit_bounds_and_ivf_consistency(spark):
         ).collect()
     }
     assert r.n_overlap == len(exact & ann)
+
+
+def test_markov_stationary_on_two_state_chain(spark):
+    """A strict A->B->A alternating chain has stationary (0.5, 0.5); the
+    fixed-point ranks must sum to ~MARKOV_SCALE (mass conservation)."""
+    from large_csv_etl_spark.queries.events import (
+        MARKOV_SCALE,
+        QUERIES as EQ,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "A" if i % 2 == 0 else "B", 1.0, "{}")
+        for i in range(20)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {r.event_type: r for r in EQ["events_markov_stationary"](spark, d).collect()}
+    assert set(out) == {"A", "B"}
+    assert abs(out["A"].stationary_prob - 0.5) < 1e-9
+    assert abs(out["B"].stationary_prob - 0.5) < 1e-9
+    total = out["A"].stationary_fp + out["B"].stationary_fp
+    assert abs(total - MARKOV_SCALE) <= 24  # floor-div leakage <= 2/round
+
+
+def test_pq_audit_zero_error_on_codebook_points(spark):
+    """Vectors that ARE their label's sub-centroids reconstruct exactly:
+    one distinct vector per label => every sub-centroid equals the
+    vector => total_err2 == 0."""
+    import tempfile as tf
+
+    from large_csv_etl_spark.queries.similarity import QUERIES as SQ
+
+    rows = [(0, [0.0] * 64, 99)]  # query-slot vector, excluded from corpus
+    for lbl in range(4):
+        v = [float(lbl + 1) * 0.1] * 64
+        for i in range(3):  # three copies: centroid == the vector
+            rows.append((1 + lbl * 3 + i, v, lbl))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tf.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+        r = SQ["embedding_pq_audit"](spark, d).first()
+    assert r.n_vectors == 12
+    assert r.total_err2 == 0
+    assert r.global_rel_error == 0.0
+    assert r.mean_rel_error == 0.0
+
+
+def test_poisson_bootstrap_replicates_behave(spark):
+    """8 replicates; each draws ~n rows (Poisson(1) mean 1); the
+    replicate means cluster around the true mean and are deterministic
+    across runs."""
+    from large_csv_etl_spark.queries.sampling import QUERIES as SQ
+
+    a = sorted(map(tuple, SQ["sample_poisson_bootstrap"](spark, SF_DIR_MID).collect()))
+    b = sorted(map(tuple, SQ["sample_poisson_bootstrap"](spark, SF_DIR_MID).collect()))
+    assert a == b, "bootstrap must be deterministic"
+    n = spark.read.parquet(f"{SF_DIR_MID}/orders.parquet").count()
+    true_mean = (
+        spark.read.parquet(f"{SF_DIR_MID}/orders.parquet")
+        .agg(F.avg("o_totalprice"))
+        .first()[0]
+    )
+    rows = SQ["sample_poisson_bootstrap"](spark, SF_DIR_MID).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert abs(r.n_draws - n) < 0.05 * n  # Poisson(1) total ~ n
+        assert abs(r.est_mean_price - true_mean) < 0.05 * true_mean
