@@ -172,6 +172,9 @@ HEADLINE = [
     "embedding_pq_audit",
     "events_markov_stationary",
     "sample_poisson_bootstrap",
+    "etl_changeset_derive",
+    "dq_k_anonymity_audit",
+    "events_user_feature_export",
 ]
 
 

@@ -339,3 +339,75 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").alias("final_price"),
         F.col("seq").cast("bigint").alias("last_seq"),
     )
+
+
+@_q(
+    "etl_changeset_derive",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ), curr AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 25.0
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(b.k, c.k) AS o_orderkey,
+           CASE WHEN b.k IS NULL THEN 'I'
+                WHEN c.k IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           c.price AS new_price,
+           b.price AS old_price
+    FROM base b FULL OUTER JOIN curr c ON b.k = c.k
+    WHERE b.k IS NULL OR c.k IS NULL
+       OR b.price <> c.price OR b.status <> c.status
+    """,
+)
+def etl_changeset_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff -> change log: given yesterday's and today's
+    snapshot of a keyed table, emit the minimal I/U/D op set that turns
+    one into the other — the inverse of etl_cdc_apply and the way
+    incremental publishing works when the upstream can only hand you
+    full snapshots (no binlog). Unchanged rows are filtered OUT by
+    value comparison, so downstream consumers touch O(|delta|), not
+    O(|table|). The two snapshots here are derived deterministically
+    from orders (drop %11 keys from base, drop %13 + reprice %5 in
+    curr) so the oracle can replay the diff. One full outer equi-join
+    on the key — a single co-partitioned shuffle, and at 100 TB both
+    sides bucket by the key so the join is zero-exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    curr = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 25.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    b, c = base.alias("b"), curr.alias("c")
+    j = b.join(c, F.col("b.k") == F.col("c.k"), "full_outer")
+    changed = (
+        F.col("b.k").isNull()
+        | F.col("c.k").isNull()
+        | (F.col("b.price") != F.col("c.price"))
+        | (F.col("b.status") != F.col("c.status"))
+    )
+    op = (
+        F.when(F.col("b.k").isNull(), "I")
+        .when(F.col("c.k").isNull(), "D")
+        .otherwise("U")
+    )
+    return j.filter(changed).select(
+        F.coalesce(F.col("b.k"), F.col("c.k")).alias("o_orderkey"),
+        op.alias("op"),
+        F.col("c.price").alias("new_price"),
+        F.col("b.price").alias("old_price"),
+    )

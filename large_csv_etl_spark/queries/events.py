@@ -1725,3 +1725,89 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stationary_prob"
         ),
     )
+
+
+@_q(
+    "events_user_feature_export",
+    f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    per_type AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev GROUP BY user_id, event_type
+    ), div AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             1.0 - CAST(SUM(c * c) AS DOUBLE)
+                   / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+               AS simpson_diversity
+      FROM per_type GROUP BY user_id
+    ), base AS (
+      SELECT user_id,
+             COUNT(DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP))
+               AS n_active_days,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us,
+             {sql_dsum('value')} AS total_value,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM ev GROUP BY user_id
+    )
+    SELECT b.user_id, d.n_events, b.n_active_days, b.span_us,
+           CASE WHEN d.n_events > 1
+                THEN CAST(b.span_us AS DOUBLE) / (d.n_events - 1) END
+             AS mean_gap_us,
+           d.simpson_diversity, b.total_value,
+           CAST(b.n_purchases AS DOUBLE) / d.n_events AS purchase_share
+    FROM base b JOIN div d ON d.user_id = b.user_id
+    """,
+)
+def events_user_feature_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature export — the feature-store table a
+    churn/propensity model trains on, assembled in one pass over the
+    event log: activity volume and span, active-day count, mean
+    inter-arrival time, Simpson type-diversity, monetary total, and
+    purchase share. Every feature closes from exact integers (micros
+    spans, BIGINT counts, decimal value sums) with single double
+    divisions, so the export is bit-reproducible — which matters
+    because training-serving skew from a drifting feature pipeline is
+    a real incident class. Two user-keyed shuffles (per-type counts,
+    per-user rollup) that AQE coalesces; no row explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    c = F.col("c")
+    div = per_type.groupBy("user_id").agg(
+        F.sum(c).cast("bigint").alias("n_events"),
+        (
+            F.lit(1.0)
+            - F.sum(c * c).cast("double")
+            / (F.sum(c).cast("double") * F.sum(c).cast("double"))
+        ).alias("simpson_diversity"),
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.groupBy("user_id").agg(
+        F.countDistinct(
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+        ).alias("n_active_days"),
+        (F.max(ts_us) - F.min(ts_us)).alias("span_us"),
+        dsum("value").alias("total_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+    j = base.join(div, "user_id")
+    return j.select(
+        "user_id",
+        "n_events",
+        "n_active_days",
+        "span_us",
+        F.when(
+            F.col("n_events") > 1,
+            F.col("span_us").cast("double") / (F.col("n_events") - 1),
+        ).alias("mean_gap_us"),
+        "simpson_diversity",
+        "total_value",
+        (F.col("n_purchases").cast("double") / F.col("n_events")).alias(
+            "purchase_share"
+        ),
+    )

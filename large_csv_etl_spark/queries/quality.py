@@ -668,3 +668,59 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(obs - exp).alias("abs_dev"),
         )
     )
+
+
+@_q(
+    "dq_k_anonymity_audit",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN k = 1 THEN k ELSE 0 END) AS BIGINT)
+             AS n_unique_rows,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS n_rows_below_k5,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+             / SUM(k) AS share_below_k5
+    FROM qi
+    """,
+)
+def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier combination
+    (nation, market segment, account-balance band): how many
+    individuals are re-identifiable because their QI combination is
+    rare — the privacy gate a training-data release runs BEFORE export
+    (rows in groups of k=1 are directly identifiable; k<5 is the
+    conventional risk floor; the fix is coarsening the bands or
+    suppressing the tail, both testable by re-running this audit).
+    Pure group-by counting: one shuffle on the QI key, a |groups|-row
+    second aggregate; every measure is an exact BIGINT and the one
+    share is a single double division. The balance band uses
+    FLOOR(x/1000) — floor of an identical double division, exact in
+    both engines (no decimal cast, no rounding ambiguity)."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").cast("bigint").alias("k"))
+    k = F.col("k")
+    return qi.agg(
+        F.sum(k).cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.sum(F.when(k == 1, k).otherwise(0)).cast("bigint").alias("n_unique_rows"),
+        F.sum(F.when(k < 5, k).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_below_k5"),
+        (
+            F.sum(F.when(k < 5, k).otherwise(0)).cast("double") / F.sum(k)
+        ).alias("share_below_k5"),
+    )

@@ -382,3 +382,83 @@ def test_poisson_bootstrap_replicates_behave(spark):
     for r in rows:
         assert abs(r.n_draws - n) < 0.05 * n  # Poisson(1) total ~ n
         assert abs(r.est_mean_price - true_mean) < 0.05 * true_mean
+
+
+def test_changeset_derive_roundtrips_through_semantics(spark):
+    """The derived op set must classify every key correctly: keys only in
+    curr are I, only in base are D, value-changed are U, and unchanged
+    keys never appear."""
+    out = {
+        r.o_orderkey: r
+        for r in ETL_QUERIES["etl_changeset_derive"](spark, SF_DIR).collect()
+    }
+    for k, r in out.items():
+        in_base = k % 11 != 0
+        in_curr = k % 13 != 0
+        if r.op == "I":
+            assert not in_base and in_curr
+            assert r.old_price is None
+        elif r.op == "D":
+            assert in_base and not in_curr
+            assert r.new_price is None
+        else:
+            assert r.op == "U" and in_base and in_curr
+            assert k % 5 == 0  # only repriced keys change
+            assert abs(r.new_price - r.old_price - 25.0) < 1e-9
+    # unchanged keys are absent
+    base_keys = {
+        r.o_orderkey
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    unchanged = [
+        k
+        for k in base_keys
+        if k % 11 != 0 and k % 13 != 0 and k % 5 != 0
+    ]
+    assert unchanged and all(k not in out for k in unchanged)
+
+
+def test_k_anonymity_flags_planted_unique_individual(spark):
+    """A customer table where one QI combination holds a single person
+    must report min_k == 1 and count them in the at-risk mass."""
+    import tempfile as tf
+
+    rows = [(i, f"c{i}", 1, 500.0, "AUTO") for i in range(20)]
+    rows.append((99, "loner", 7, 9500.0, "RARE"))  # unique QI combo
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    with tf.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/customer.parquet")
+        r = QUALITY_QUERIES["dq_k_anonymity_audit"](spark, d).first()
+    assert r.n_rows == 21
+    assert r.n_groups == 2
+    assert r.min_k == 1
+    assert r.n_unique_rows == 1
+    assert r.n_rows_below_k5 == 1
+    assert abs(r.share_below_k5 - 1 / 21) < 1e-12
+
+
+def test_user_feature_export_known_user(spark):
+    """One user, 3 events over 2 days (2 clicks + 1 purchase): every
+    feature is hand-checkable."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "click", 10.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 7, "click", 20.0, "{}"),
+        (3, t0 + dt.timedelta(days=1), 7, "purchase", 30.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        r = EVENT_QUERIES["events_user_feature_export"](spark, d).first()
+    assert r.user_id == 7
+    assert r.n_events == 3
+    assert r.n_active_days == 2
+    assert r.span_us == 24 * 3600 * 1_000_000
+    assert abs(r.mean_gap_us - r.span_us / 2) < 1e-6
+    # Simpson: 1 - (2^2 + 1^2)/3^2 = 4/9
+    assert abs(r.simpson_diversity - 4 / 9) < 1e-12
+    assert r.total_value == 60.0
+    assert abs(r.purchase_share - 1 / 3) < 1e-12
