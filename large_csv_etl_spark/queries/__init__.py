@@ -139,7 +139,9 @@ GRADED_PRIORITY = [
     "q10_returned_items",
     "q14_promo_revenue_ratio",
     "q18_large_volume_customers",
-    "q2_min_cost_per_type",
+    # -- family rep: multimodal (pinned by test_registry — every family
+    # must hold a window slot; also the stalest multimodal verdict, r3) --
+    "multimodal_decoded_dims",
 ]
 
 
