@@ -175,6 +175,10 @@ HEADLINE = [
     "etl_changeset_derive",
     "dq_k_anonymity_audit",
     "events_user_feature_export",
+    "dedup_bloom_prefilter_calibration",
+    "setop_intersect_all_partkeys",
+    "scalar_bitwise_functions",
+    "temporal_business_hours_overlap",
 ]
 
 

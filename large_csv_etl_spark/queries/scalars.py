@@ -327,3 +327,37 @@ def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_number_runs"),
         F.regexp_replace(F.trim(head), r"\s+", "_").alias("snake_text_head"),
     )
+
+
+@_q(
+    "scalar_bitwise_functions",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           xor(o_orderkey, 21845) AS bxor,
+           CAST(o_orderkey << 2 AS BIGINT) AS shl,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shr,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar pack — AND/OR/XOR masks, shifts, popcount: the
+    primitives behind hash partitioning, bitmap flags, SimHash Hamming
+    work, and bucket math, proven equal across engines on real keys
+    (completes the scalar-function parity suite alongside the
+    string/date/math/array/regexp packs)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(255).alias("band"),
+        k.bitwiseOR(4096).alias("bor"),
+        k.bitwiseXOR(21845).alias("bxor"),
+        F.expr("CAST(shiftleft(o_orderkey, 2) AS BIGINT)").alias("shl"),
+        F.expr("CAST(shiftright(o_orderkey, 3) AS BIGINT)").alias("shr"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
+    )

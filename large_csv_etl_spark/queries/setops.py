@@ -177,3 +177,32 @@ def setop_symmetric_diff_active_custkeys(
         F.col("o_custkey").alias("custkey"), F.lit("h2_only").alias("side")
     )
     return a.unionByName(b)
+
+
+@_q(
+    "setop_intersect_all_partkeys",
+    """
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 0
+      INTERSECT ALL
+      SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 1
+    ) GROUP BY l_partkey
+    """,
+)
+def setop_intersect_all_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: a part key appearing 5 times in
+    the even-order half and 3 times in the odd half survives exactly
+    min(5,3) = 3 times (the plain INTERSECT entry collapses to set
+    semantics; real reconciliation workloads need the multiplicities).
+    Spark's intersectAll implements the same min-multiplicity contract
+    as ANSI INTERSECT ALL, so the plan is one co-partitioned aggregate
+    per side + a join — never a row-by-row comparison; the output is
+    re-aggregated per key to keep the grading deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    even = li.filter(F.col("l_orderkey") % 2 == 0).select("l_partkey")
+    odd = li.filter(F.col("l_orderkey") % 2 == 1).select("l_partkey")
+    return (
+        even.intersectAll(odd)
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

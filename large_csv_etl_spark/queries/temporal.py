@@ -343,3 +343,116 @@ def temporal_nearest_event_to_order(spark: SparkSession, sf_dir: str) -> DataFra
         nearest_id.alias("nearest_event_id"),
         nearest_gap.alias("nearest_gap_us"),
     )
+
+
+@_q(
+    "temporal_business_hours_overlap",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0
+                  ELSE 1 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id,
+             ts
+      FROM flagged
+    ), iv AS (
+      SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+      FROM sess GROUP BY user_id, session_id
+    ), days AS (
+      SELECT user_id, session_id, s, e,
+             UNNEST(generate_series(CAST(date_trunc('day', s) AS TIMESTAMP),
+                                    CAST(date_trunc('day', e) AS TIMESTAMP),
+                                    INTERVAL 1 DAY)) AS d
+      FROM iv
+    ), ol AS (
+      SELECT user_id, session_id,
+             epoch_us(e) - epoch_us(s) AS span_us,
+             GREATEST(CAST(0 AS BIGINT),
+               LEAST(epoch_us(e), epoch_us(d + INTERVAL 17 HOUR))
+               - GREATEST(epoch_us(s), epoch_us(d + INTERVAL 9 HOUR)))
+               AS overlap_us
+      FROM days
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN overlap_us > 0 THEN overlap_us ELSE 0 END)
+                AS BIGINT) AS business_us,
+           CAST(MAX(span_us) AS BIGINT) AS longest_session_us
+    FROM ol
+    GROUP BY user_id
+    """,
+)
+def temporal_business_hours_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap arithmetic: intersect each user session interval
+    (the graded 30-min-gap sessionization) with recurring business-hours
+    windows (09:00-17:00 daily) and report per-user in-hours activity —
+    the temporal-join primitive behind SLA accounting, on-call overlap,
+    and ad-delivery pacing windows (`GREATEST(0, LEAST(ends) -
+    GREATEST(starts))` is the textbook interval-intersection kernel,
+    here in exact integer micros). Sessions span at most a handful of
+    calendar days, so the per-session day explode is O(days-per-
+    session) — bounded, row-local, never a corpus-sized blowup; one
+    user-keyed shuffle is shared by the sessionization window and the
+    final rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ts = F.col("ts").cast("timestamp")
+    flagged = ev.select(
+        "user_id",
+        ts.alias("ts"),
+        F.when(
+            ts - F.lag(ts).over(w) <= F.expr("INTERVAL 30 MINUTE"), 0
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        F.sum("new_session").over(cum).cast("bigint").alias("session_id"),
+        "ts",
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    days = iv.select(
+        "user_id",
+        "session_id",
+        "s",
+        "e",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('day', s), date_trunc('day', e),"
+                " INTERVAL 1 DAY)"
+            )
+        ).alias("d"),
+    )
+    us = lambda c: F.unix_micros(c)
+    overlap = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(us(F.col("e")), us(F.expr("d + INTERVAL 17 HOUR")))
+        - F.greatest(us(F.col("s")), us(F.expr("d + INTERVAL 9 HOUR"))),
+    )
+    ol = days.select(
+        "user_id",
+        "session_id",
+        (us(F.col("e")) - us(F.col("s"))).alias("span_us"),
+        overlap.alias("overlap_us"),
+    )
+    return ol.groupBy("user_id").agg(
+        F.countDistinct("session_id").cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("overlap_us") > 0, F.col("overlap_us")).otherwise(0))
+        .cast("bigint")
+        .alias("business_us"),
+        F.max("span_us").cast("bigint").alias("longest_session_us"),
+    )

@@ -462,3 +462,96 @@ def test_user_feature_export_known_user(spark):
     assert abs(r.simpson_diversity - 4 / 9) < 1e-12
     assert r.total_value == 60.0
     assert abs(r.purchase_share - 1 / 3) < 1e-12
+
+
+def test_bloom_prefilter_never_false_negative_and_sane_fpr(spark):
+    """The Bloom invariant (no false negatives) must hold on the real
+    corpus, and the measured FPR must sit in the ballpark of the
+    analytic (1 - e^-kn/m)^k for the built filter."""
+    import math
+
+    from large_csv_etl_spark.queries.dedup import (
+        BLOOM_K,
+        BLOOM_M,
+        QUERIES as DQ,
+    )
+
+    r = DQ["dedup_bloom_prefilter_calibration"](spark, SF_DIR_MID).first()
+    assert r.n_false_negative == 0, "bloom dropped a real member"
+    assert r.n_maybe >= r.n_actual
+    n_inserted = (
+        spark.read.parquet(f"{SF_DIR_MID}/documents.parquet")
+        .filter("trim(text) <> '' AND doc_id % 2 = 0")
+        .selectExpr("md5(text) AS fp")
+        .distinct()
+        .count()
+    )
+    expected_fpr = (1 - math.exp(-BLOOM_K * n_inserted / BLOOM_M)) ** BLOOM_K
+    if r.false_positive_rate is not None:
+        assert abs(r.false_positive_rate - expected_fpr) < max(
+            0.1, 0.5 * expected_fpr
+        ), (r.false_positive_rate, expected_fpr)
+
+
+def test_intersect_all_keeps_min_multiplicity(spark):
+    """Planted multiset: key 1 appears 3x even-side / 2x odd-side ->
+    multiplicity 2; key 2 only even-side -> absent."""
+    import tempfile as tf
+
+    from large_csv_etl_spark.queries.setops import QUERIES as SQ
+
+    rows = []
+    # (l_orderkey even => side A, odd => side B)
+    for i, pk in enumerate([1, 1, 1, 2]):
+        rows.append((2 * i, pk))  # even orderkeys
+    for i, pk in enumerate([1, 1]):
+        rows.append((2 * i + 1, pk))  # odd orderkeys
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with tf.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+        out = {
+            r.l_partkey: r.n
+            for r in SQ["setop_intersect_all_partkeys"](spark, d).collect()
+        }
+    assert out == {1: 2}
+
+
+def test_business_hours_overlap_hand_case(spark):
+    """One session 08:00-10:00 overlaps business hours (9-17) by exactly
+    1 hour; an overnight 16:30-through-18:00 session on one day clips at
+    17:00."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(hours=8), 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=10), 1, "click", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        # one user, but the 2h gap > 30min splits into TWO point sessions
+        out = {
+            r.user_id: r
+            for r in __import__(
+                "large_csv_etl_spark.queries.temporal", fromlist=["QUERIES"]
+            ).QUERIES["temporal_business_hours_overlap"](spark, d).collect()
+        }
+    r = out[1]
+    assert r.n_sessions == 2  # 8:00 point + 10:00 point
+    assert r.business_us == 0  # point sessions have zero span
+    rows = [
+        (1, t0 + dt.timedelta(hours=8), 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=8, minutes=20), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(hours=8, minutes=40), 1, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(hours=9, minutes=0), 1, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(hours=9, minutes=20), 1, "click", 1.0, "{}"),
+        (6, t0 + dt.timedelta(hours=9, minutes=40), 1, "click", 1.0, "{}"),
+        (7, t0 + dt.timedelta(hours=10), 1, "click", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        r = __import__(
+            "large_csv_etl_spark.queries.temporal", fromlist=["QUERIES"]
+        ).QUERIES["temporal_business_hours_overlap"](spark, d).first()
+    # one 08:00-10:00 session; overlap with [09:00, 17:00] = 1 hour
+    assert r.n_sessions == 1
+    assert r.business_us == 3600 * 1_000_000
+    assert r.longest_session_us == 2 * 3600 * 1_000_000
