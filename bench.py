@@ -179,6 +179,9 @@ HEADLINE = [
     "setop_intersect_all_partkeys",
     "scalar_bitwise_functions",
     "temporal_business_hours_overlap",
+    "events_rolling_wau",
+    "sample_curriculum_order",
+    "dedup_survivor_policy_compare",
 ]
 
 

@@ -1691,3 +1691,111 @@ def dedup_bloom_prefilter_calibration(spark: SparkSession, sf_dir: str) -> DataF
             n_not_actual > 0, n_fp.cast("double") / n_not_actual
         ).alias("false_positive_rate"),
     )
+
+
+@_q(
+    "dedup_survivor_policy_compare",
+    rf"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), p AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, 1, {PREFIX_FP_TOKENS}), ' '))
+               AS prefix_fp,
+             CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM toked WHERE len(toks) >= {PREFIX_FP_TOKENS}
+    ), dup_groups AS (
+      SELECT prefix_fp FROM p GROUP BY prefix_fp HAVING COUNT(*) >= 2
+    ), members AS (
+      SELECT p.* FROM p JOIN dup_groups USING (prefix_fp)
+    ), pick AS (
+      SELECT prefix_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS group_tokens,
+             CAST(MAX(CASE WHEN rn_earliest = 1 THEN n_tokens END) AS BIGINT)
+               AS kept_earliest,
+             CAST(MAX(CASE WHEN rn_longest = 1 THEN n_tokens END) AS BIGINT)
+               AS kept_longest
+      FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY prefix_fp ORDER BY doc_id)
+                 AS rn_earliest,
+               ROW_NUMBER() OVER (PARTITION BY prefix_fp
+                                  ORDER BY n_tokens DESC, doc_id)
+                 AS rn_longest
+        FROM members
+      ) GROUP BY prefix_fp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(group_tokens) AS BIGINT) AS tokens_in_groups,
+           CAST(SUM(kept_earliest) AS BIGINT) AS tokens_kept_earliest,
+           CAST(SUM(kept_longest) AS BIGINT) AS tokens_kept_longest,
+           CAST(SUM(kept_longest - kept_earliest) AS DOUBLE)
+             / SUM(group_tokens) AS longest_policy_gain_share
+    FROM pick
+    """,
+)
+def dedup_survivor_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-policy comparison over truncation-duplicate groups: when
+    near-dup groups contain DIFFERENT-length variants (shared 16-token
+    prefix, divergent tails — the cut-point duplicate class), 'keep
+    earliest' and 'keep longest' retain different token mass; this
+    audit quantifies the gap BEFORE a curation run commits to a policy
+    (keep-longest preserves strictly more trainable text; keep-earliest
+    is stabler under incremental ingest — the number says what the
+    trade costs on THIS corpus). Two ROW_NUMBER policies over the same
+    grouped shuffle, then a single-row rollup; exact BIGINT token
+    masses, one double share."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    p = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(toks, 1, PREFIX_FP_TOKENS)
+            )
+        ).alias("prefix_fp"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    ).filter(F.size(toks) >= PREFIX_FP_TOKENS)
+    dup_groups = (
+        p.groupBy("prefix_fp")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("prefix_fp")
+    )
+    members = p.join(dup_groups, "prefix_fp")
+    w_e = Window.partitionBy("prefix_fp").orderBy("doc_id")
+    w_l = Window.partitionBy("prefix_fp").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    ranked = members.select(
+        "prefix_fp",
+        "n_tokens",
+        F.row_number().over(w_e).alias("rn_earliest"),
+        F.row_number().over(w_l).alias("rn_longest"),
+    )
+    pick = ranked.groupBy("prefix_fp").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("group_tokens"),
+        F.max(F.when(F.col("rn_earliest") == 1, F.col("n_tokens")))
+        .cast("bigint")
+        .alias("kept_earliest"),
+        F.max(F.when(F.col("rn_longest") == 1, F.col("n_tokens")))
+        .cast("bigint")
+        .alias("kept_longest"),
+    )
+    return pick.agg(
+        F.count("*").cast("bigint").alias("n_dup_groups"),
+        F.sum("n_docs").cast("bigint").alias("n_dup_docs"),
+        F.sum("group_tokens").cast("bigint").alias("tokens_in_groups"),
+        F.sum("kept_earliest").cast("bigint").alias("tokens_kept_earliest"),
+        F.sum("kept_longest").cast("bigint").alias("tokens_kept_longest"),
+        (
+            F.sum(F.col("kept_longest") - F.col("kept_earliest")).cast("double")
+            / F.sum("group_tokens")
+        ).alias("longest_policy_gain_share"),
+    )

@@ -1811,3 +1811,49 @@ def events_user_feature_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_share"
         ),
     )
+
+
+@_q(
+    "events_rolling_wau",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             user_id
+      FROM ev
+    ), spine AS (SELECT DISTINCT day FROM du)
+    SELECT s.day AS day_start,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS wau
+    FROM spine s
+    JOIN du d ON d.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+    GROUP BY s.day
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day active users per day — the rolling-retention
+    curve dashboards actually plot, and the one distinct-count shape
+    neither a window frame (no COUNT(DISTINCT) over frames) nor the
+    first-seen trick (users RE-ENTER trailing windows, cumulative logic
+    can't subtract them) can express. The exact rewrite: dedup to
+    (day, user) pairs once, then a bounded range join of the |days|
+    spine onto the pairs (each pair lands in <= 7 windows) and a
+    distinct count per day. At 100 TB the pair table is
+    sum-of-daily-actives rows — the thing you already store as a daily
+    activity table — and the 7x fanout is the window width, never the
+    corpus; the sketch twin (events_wau_sketch_rollup) answers the same
+    question mergeably when exactness isn't contractual."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "user_id",
+    ).distinct()
+    spine = du.select("day").distinct()
+    s, d = spine.alias("s"), du.alias("d")
+    j = s.join(
+        d,
+        (F.col("d.day") >= F.col("s.day") - F.expr("INTERVAL 6 DAY"))
+        & (F.col("d.day") <= F.col("s.day")),
+    )
+    return j.groupBy(F.col("s.day").alias("day_start")).agg(
+        F.countDistinct("d.user_id").cast("bigint").alias("wau")
+    )

@@ -1035,3 +1035,78 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("est_mean_price"),
     )
+
+
+@_q(
+    "sample_curriculum_order",
+    r"""
+    WITH sized AS (
+      SELECT doc_id,
+             LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS n_tok,
+             LEN(list_distinct(regexp_split_to_array(TRIM(LOWER(text)),
+                                                     '\s+'))) AS n_types
+      FROM documents WHERE TRIM(text) <> ''
+    ), scored AS (
+      SELECT doc_id,
+             CAST(round(1000000.0 * n_types / n_tok) AS BIGINT) AS score_fp
+      FROM sized
+    ), ranked AS (
+      SELECT doc_id, score_fp,
+             ROW_NUMBER() OVER (ORDER BY score_fp, doc_id) AS rn,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM scored) AS n
+      FROM scored
+    )
+    SELECT doc_id, score_fp,
+           CAST(1 + ((rn - 1) * 10) // n AS BIGINT) AS band,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY 1 + ((rn - 1) * 10) // n DESC,
+                      md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS position
+    FROM ranked
+    """,
+)
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: score each document (lexical-diversity
+    proxy, fixed-point so band edges are exact), cut the corpus into 10
+    equal-count score bands, and emit a deterministic training order —
+    highest band first, md5-shuffled WITHIN each band (ordered data
+    hurts SGD; a seeded hash shuffle keeps reproducibility without
+    RNG). This is the export that turns curation scores into an actual
+    curriculum schedule. The equal-count banding is pure integer rank
+    arithmetic (1 + (rn-1)*10 div n — no float quantiles to disagree
+    on); at 100 TB the global ROW_NUMBERs become range-partitioned
+    sorts over (band, md5) — Spark's TakeOrderedAndProject/rangesort
+    path, the standard manifest-export shape (sample_export_shards
+    then splits this order into shard files)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sized = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+    scored = sized.select(
+        "doc_id",
+        F.round(
+            F.lit(1_000_000.0) * F.col("n_types") / F.col("n_tok")
+        )
+        .cast("bigint")
+        .alias("score_fp"),
+    )
+    n = scored.count()
+    rank_w = Window.orderBy("score_fp", "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(rank_w))
+    band = (1 + F.expr(f"((rn - 1) * 10) div {n}")).cast("bigint")
+    pos_w = Window.orderBy(
+        band.desc(), F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return ranked.select(
+        "doc_id",
+        "score_fp",
+        band.alias("band"),
+        F.row_number().over(pos_w).cast("bigint").alias("position"),
+    )

@@ -555,3 +555,72 @@ def test_business_hours_overlap_hand_case(spark):
     assert r.n_sessions == 1
     assert r.business_us == 3600 * 1_000_000
     assert r.longest_session_us == 2 * 3600 * 1_000_000
+
+
+def test_rolling_wau_counts_reentering_users(spark):
+    """User A active on days 1 and 9, user B on day 2 only: day 2's
+    window [−4..2] holds both users, day 9's window [3..9] holds only
+    user A again — the subtract-on-exit behavior cumulative first-seen
+    logic cannot give."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(days=8), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(days=1), 2, "click", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r.day_start.day: r.wau
+            for r in EVENT_QUERIES["events_rolling_wau"](spark, d).collect()
+        }
+    assert out == {1: 1, 2: 2, 9: 1}
+
+
+def test_curriculum_order_bands_and_determinism(spark):
+    """Bands are equal-count by score rank, high band trains first, and
+    the order is identical across runs (hash shuffle, no RNG)."""
+    from large_csv_etl_spark.queries.sampling import QUERIES as SQ
+
+    a = sorted(
+        map(tuple, SQ["sample_curriculum_order"](spark, SF_DIR).collect())
+    )
+    b = sorted(
+        map(tuple, SQ["sample_curriculum_order"](spark, SF_DIR).collect())
+    )
+    assert a == b
+    rows = SQ["sample_curriculum_order"](spark, SF_DIR).collect()
+    n = len(rows)
+    by_pos = sorted(rows, key=lambda r: r.position)
+    assert [r.position for r in by_pos] == list(range(1, n + 1))
+    # band is non-increasing along the training order
+    bands = [r.band for r in by_pos]
+    assert bands == sorted(bands, reverse=True)
+    # equal-count bands (within 1)
+    from collections import Counter
+
+    sizes = Counter(r.band for r in rows)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_survivor_policy_gain_on_planted_variants(spark):
+    """Two docs sharing a 16-token prefix, one with a 10-token longer
+    tail: keep-longest retains exactly 10 more tokens than
+    keep-earliest (earliest = lower doc_id = the SHORT one here)."""
+    from large_csv_etl_spark.queries.dedup import QUERIES as DQ
+
+    prefix = " ".join(f"p{i}" for i in range(16))
+    rows = [
+        (1, prefix + " short end", "en", "s", 0),
+        (2, prefix + " " + " ".join(f"x{i}" for i in range(12)), "en", "s", 0),
+        (3, " ".join(f"solo{i}" for i in range(20)), "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        r = DQ["dedup_survivor_policy_compare"](spark, d).first()
+    assert r.n_dup_groups == 1
+    assert r.n_dup_docs == 2
+    assert r.tokens_in_groups == 18 + 28
+    assert r.tokens_kept_earliest == 18
+    assert r.tokens_kept_longest == 28
+    assert abs(r.longest_policy_gain_share - 10 / 46) < 1e-12
