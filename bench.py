@@ -182,6 +182,9 @@ HEADLINE = [
     "events_rolling_wau",
     "sample_curriculum_order",
     "dedup_survivor_policy_compare",
+    "window_max_drawdown",
+    "events_hysteresis_alerts",
+    "embedding_pair_distance_histogram",
 ]
 
 

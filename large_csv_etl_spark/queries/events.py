@@ -1857,3 +1857,152 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("s.day").alias("day_start")).agg(
         F.countDistinct("d.user_id").cast("bigint").alias("wau")
     )
+
+
+@_q(
+    "events_hysteresis_alerts",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM daily
+    ), thr AS (
+      SELECT CAST(s1 AS DOUBLE) / nd
+               + 0.5 * SQRT((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd)
+                            / nd) AS hi,
+             CAST(s1 AS DOUBLE) / nd
+               - 0.5 * SQRT((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd)
+                            / nd) AS lo
+      FROM stats
+    ), crossed AS (
+      SELECT day, n,
+             CASE WHEN n > t.hi THEN 1 WHEN n < t.lo THEN 0 END AS crossing
+      FROM daily, thr t
+    ), st AS (
+      SELECT day, n,
+             COALESCE(LAST_VALUE(crossing IGNORE NULLS) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS alarm
+      FROM crossed
+    ), edges AS (
+      SELECT day, n, alarm,
+             CASE WHEN alarm = 1
+                   AND COALESCE(LAG(alarm) OVER (ORDER BY day), 0) <> 1
+                  THEN 1 ELSE 0 END AS edge
+      FROM st
+    ), runs AS (
+      SELECT day, n, alarm,
+             CAST(SUM(edge) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS episode
+      FROM edges
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM runs) AS n_days,
+           (SELECT CAST(SUM(alarm) AS BIGINT) FROM runs) AS n_alarm_days,
+           (SELECT CAST(MAX(episode) AS BIGINT) FROM runs) AS n_episodes,
+           CAST(COALESCE((
+             SELECT MAX(ep_len) FROM (
+               SELECT CAST(COUNT(*) AS BIGINT) AS ep_len
+               FROM runs WHERE alarm = 1 GROUP BY episode)
+           ), 0) AS BIGINT) AS longest_episode_days
+    """,
+)
+def events_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold (hysteresis) alarming over the daily event-volume
+    series: the alarm LATCHES on crossing mean + 0.5 sigma and releases
+    only below mean - 0.5 sigma — the standard monitoring pattern that
+    kills the flapping a single-threshold alert produces on a noisy
+    series (the pointwise complement events_zscore_anomaly flags single
+    days; this tracks sustained EPISODES). The latch is the classic
+    SQL rewrite of one-bit state: crossings map to 1/0/NULL and
+    LAST_VALUE ... IGNORE NULLS carries the most recent decision
+    forward; episodes are run-length grouped off the latch edges. All
+    on the bounded |days| series after one count shuffle; threshold
+    moments are exact BIGINT sums (daily counts are small enough that
+    the raw power sum stays inside exact-double range)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    stats = daily.agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    s1d, s2d, nd = (
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+        F.col("nd"),
+    )
+    sd = F.sqrt((s2d - s1d * s1d / nd) / nd)
+    thr = stats.select(
+        (s1d / nd + F.lit(0.5) * sd).alias("hi"),
+        (s1d / nd - F.lit(0.5) * sd).alias("lo"),
+    )
+    crossed = daily.crossJoin(F.broadcast(thr)).select(
+        "day",
+        "n",
+        F.when(F.col("n") > F.col("hi"), 1)
+        .when(F.col("n") < F.col("lo"), 0)
+        .alias("crossing"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    st = crossed.select(
+        "day",
+        "n",
+        F.coalesce(
+            F.last("crossing", ignorenulls=True).over(w), F.lit(0)
+        ).alias("alarm"),
+    )
+    lagw = Window.orderBy("day")
+    runs = st.select(
+        "day",
+        "n",
+        "alarm",
+        F.sum(
+            F.when(
+                (F.col("alarm") == 1)
+                & (
+                    F.coalesce(F.lag("alarm").over(lagw), F.lit(0)) != 1
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .cast("bigint")
+        .alias("episode"),
+    )
+    ep_len = (
+        runs.filter(F.col("alarm") == 1)
+        .groupBy("episode")
+        .agg(F.count("*").cast("bigint").alias("ep_len"))
+        .agg(F.max("ep_len").alias("max_ep_len"))
+    )
+    return (
+        runs.agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("alarm").cast("bigint").alias("n_alarm_days"),
+            F.max("episode").cast("bigint").alias("n_episodes"),
+        )
+        .crossJoin(F.broadcast(ep_len))
+        .select(
+            "n_days",
+            "n_alarm_days",
+            "n_episodes",
+            F.coalesce(F.col("max_ep_len"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_episode_days"),
+        )
+    )

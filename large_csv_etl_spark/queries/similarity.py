@@ -1741,3 +1741,73 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000_000.0)
         ).alias("mean_rel_error"),
     )
+
+
+@_q(
+    "embedding_pair_distance_histogram",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id <> 0
+    ), pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             ROUND(CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE), 6)
+               AS cos6
+      FROM v a JOIN v b
+        ON a.vec_id % 16 = b.vec_id % 16 AND a.vec_id < b.vec_id
+      WHERE SUBSTR(md5(CAST(a.vec_id AS VARCHAR) || ':'
+                       || CAST(b.vec_id AS VARCHAR)), 1, 2) < '40'
+    ), b AS (
+      SELECT CAST(round(cos6 * 10) AS BIGINT) AS bucket FROM pairs
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM b) AS share
+    FROM b GROUP BY bucket
+    """,
+)
+def embedding_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-similarity histogram over a deterministic pair sample —
+    the distributional audit behind every similarity-threshold choice
+    (near-dup cutoffs, ANN candidate filters, contrastive negative
+    mining all assume you KNOW where the corpus's cosine mass sits;
+    embedding_centroid_separation summarizes means, this shows the
+    shape). Scale discipline: pairs are generated only WITHIN id mod 16
+    cells (quadratic/16) and then md5-thinned to a quarter — both
+    membership tests are pure row-local hash/mod arithmetic, so the
+    same pairs are sampled on any engine or partitioning, and the cell
+    trick is the production lever (more cells = smaller quadratic).
+    Cosines use the proven 6dp-rounded contract, then snap to 0.1-wide
+    buckets via round() (half-away in both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    a = emb.select(
+        F.col("vec_id").alias("i"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("j"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(
+        b,
+        (F.col("i") % 16 == F.col("j") % 16) & (F.col("i") < F.col("j")),
+    ).filter(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("i").cast("string"), F.col("j").cast("string")
+                )
+            ),
+            1,
+            2,
+        )
+        < "40"
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    bucketed = pairs.select(
+        F.round(F.round(cos, 6) * 10).cast("bigint").alias("bucket")
+    )
+    total = bucketed.count()
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.count("*").cast("double") / F.lit(total)).alias("share"),
+    )

@@ -324,3 +324,69 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("price_rank") <= 3)
     )
+
+
+@_q(
+    "window_max_drawdown",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), curve AS (
+      SELECT day, cents,
+             CAST(MAX(cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS peak
+      FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(peak - cents) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(CASE WHEN peak > 0
+                         THEN CAST(round(1000000000.0 * (peak - cents)
+                                         / peak) AS BIGINT) END) AS DOUBLE)
+             / 1000000000.0 AS max_drawdown_share,
+           CAST(MAX(cents) AS BIGINT) AS peak_day_cents,
+           CAST(MIN(cents) AS BIGINT) AS trough_day_cents
+    FROM curve
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue curve — running peak minus
+    current value, the standard worst-decline summary for any monitored
+    time series (revenue, throughput, token yield); alerting on
+    drawdown-vs-peak catches slow regressions a pointwise z-score
+    misses. The curve is exact BIGINT cents; the running MAX is an
+    order-exact window (no float accumulation at all); the relative
+    drawdown snaps each day's ratio to 1e-9 fixed point BEFORE the MAX
+    so the cross-engine value is bit-stable. One bounded |days| series
+    after one group-by shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = daily.select(
+        "day", "cents", F.max("cents").over(w).cast("bigint").alias("peak")
+    )
+    dd = F.col("peak") - F.col("cents")
+    rel_fp = F.when(
+        F.col("peak") > 0,
+        F.round(F.lit(1_000_000_000.0) * dd / F.col("peak")).cast("bigint"),
+    )
+    return curve.agg(
+        F.count("*").alias("n_days"),
+        F.max(dd).cast("bigint").alias("max_drawdown_cents"),
+        (F.max(rel_fp).cast("double") / F.lit(1_000_000_000.0)).alias(
+            "max_drawdown_share"
+        ),
+        F.max("cents").cast("bigint").alias("peak_day_cents"),
+        F.min("cents").cast("bigint").alias("trough_day_cents"),
+    )

@@ -624,3 +624,77 @@ def test_survivor_policy_gain_on_planted_variants(spark):
     assert r.tokens_kept_earliest == 18
     assert r.tokens_kept_longest == 28
     assert abs(r.longest_policy_gain_share - 10 / 46) < 1e-12
+
+
+def test_max_drawdown_hand_curve(spark):
+    """Daily revenue 10, 6, 12, 3 (dollars): peak path 10,10,12,12 ->
+    max drawdown 9.00 (12 -> 3), share 0.75."""
+    import tempfile as tf
+
+    from large_csv_etl_spark.queries.windows import QUERIES as WQ
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, "O", price, t0 + dt.timedelta(days=i), "1-URGENT")
+        for i, price in enumerate([10.0, 6.0, 12.0, 3.0])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tf.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/orders.parquet")
+        r = WQ["window_max_drawdown"](spark, d).first()
+    assert r.n_days == 4
+    assert r.max_drawdown_cents == 900
+    assert abs(r.max_drawdown_share - 0.75) < 1e-9
+    assert r.peak_day_cents == 1200 and r.trough_day_cents == 300
+
+
+def test_hysteresis_latches_between_thresholds(spark):
+    """A series that spikes above hi, drifts into the dead band, then
+    drops below lo must stay in alarm through the dead band — one
+    episode spanning the drift days, not two."""
+    t0 = dt.datetime(2024, 1, 1)
+    # counts per day: 10,10,10,10,30,16,16,2,10,10 (mean ~ 12.4)
+    plan = [10, 10, 10, 10, 30, 16, 16, 2, 10, 10]
+    rows = []
+    eid = 0
+    for day, n in enumerate(plan):
+        for k in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day, minutes=k), 1, "c", 1.0, "{}")
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        r = EVENT_QUERIES["events_hysteresis_alerts"](spark, d).first()
+    # mean 12.4, sd ~ 7.06 -> hi ~ 15.9, lo ~ 8.87: day 5 (30) latches,
+    # days 6-7 (16 > hi) hold, day 8 (2 < lo) releases
+    assert r.n_days == 10
+    assert r.n_episodes == 1
+    assert r.n_alarm_days == 3
+    assert r.longest_episode_days == 3
+
+
+def test_pair_histogram_mass_conserves_and_is_deterministic(spark):
+    """Shares sum to 1, buckets lie in [-10, 10], and the sampled pair
+    set is identical across runs (pure hash sampling)."""
+    from large_csv_etl_spark.queries.similarity import QUERIES as SQ
+
+    a = sorted(
+        map(
+            tuple,
+            SQ["embedding_pair_distance_histogram"](spark, SF_DIR).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            SQ["embedding_pair_distance_histogram"](spark, SF_DIR).collect(),
+        )
+    )
+    assert a == b
+    assert abs(sum(r[2] for r in a) - 1.0) < 1e-9
+    assert all(-10 <= r[0] <= 10 for r in a)
