@@ -185,6 +185,9 @@ HEADLINE = [
     "window_max_drawdown",
     "events_hysteresis_alerts",
     "embedding_pair_distance_histogram",
+    "multimodal_frame_ahash_dedup",
+    "agg_share_of_parent",
+    "dq_warehouse_sanity_sweep",
 ]
 
 

@@ -197,3 +197,43 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_docs"),
         ).alias("dup_mass_ratio"),
     )
+
+
+@_q("multimodal_frame_ahash_dedup")  # pixel-level frame hashing; rows-only
+def multimodal_frame_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level perceptual dedup: the video analog of
+    multimodal_ahash_neardup — sample fixed-stride frames from each
+    payload (the JVM-side keyframe index pass), perceptual-hash every
+    frame in one Arrow batch pass, and report how much frame mass is
+    visually duplicated within and across documents (static scenes,
+    repeated intros, and copied b-roll all collapse to tiny
+    distinct-hash counts — the audit that sizes a frame-dedup pass
+    before video training). Composes two existing graded/pinned
+    pieces: sample_frames (byte-slice explode, no Python) and
+    ahash_payloads (integer aHash, filter-invariance pinned in pytest);
+    rows-only because pixels are engine-internal. One mapInPandas over
+    the frame stream, then a 16-byte-key hash aggregate."""
+    from ..multimodal import ahash_payloads, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payload(docs), every_n_bytes=64)
+    # frame rows -> (doc_id, payload) shape that ahash_payloads expects;
+    # frame_idx folds into a synthetic id so hashes stay per-frame
+    fr = frames.select(
+        (F.col("doc_id") * 10000 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame_bytes").alias("payload"),
+    )
+    hashed = ahash_payloads(fr, stub=True)
+    groups = hashed.groupBy("ahash").agg(F.count("*").alias("n_frames"))
+    return groups.agg(
+        F.sum("n_frames").cast("bigint").alias("n_frames_total"),
+        F.count("*").cast("bigint").alias("n_distinct_hashes"),
+        F.sum(F.when(F.col("n_frames") >= 2, F.col("n_frames")).otherwise(0))
+        .cast("bigint")
+        .alias("n_frames_in_dup_groups"),
+        F.when(
+            F.sum("n_frames") > 0,
+            (F.sum("n_frames") - F.count("*")).cast("double")
+            / F.sum("n_frames"),
+        ).alias("dup_frame_ratio"),
+    )

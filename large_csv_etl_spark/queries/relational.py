@@ -2042,3 +2042,76 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t1") / F.col("mass").cast("double")).alias("top1pct_share"),
         (F.col("t10") / F.col("mass").cast("double")).alias("top10pct_share"),
     )
+
+
+@_q(
+    "agg_share_of_parent",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, cents,
+           CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+             AS share_of_region,
+           CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT) AS region_cents,
+           CAST(CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+                AS DOUBLE)
+             / CAST(SUM(cents) OVER () AS BIGINT) AS region_share_of_total
+    FROM rev
+    """,
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent rollup across the region > nation hierarchy: each
+    nation's revenue share within its region AND each region's share of
+    the total, in one pass — the percent-of-parent shape every OLAP
+    drill-down renders (rollup/cube give the absolute subtotals; this
+    gives the ratios, which is what the report actually shows). The
+    base aggregate reduces facts to |nations| rows through broadcast
+    dim joins; both shares are window sums over that bounded table
+    (exact BIGINT cents, cast BIGINT before every double division per
+    the HUGEINT window-sum rule)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    region_cents = F.sum("cents").over(wr).cast("bigint")
+    total_cents = F.sum("cents").over(wt).cast("bigint")
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        (F.col("cents").cast("double") / region_cents).alias(
+            "share_of_region"
+        ),
+        region_cents.alias("region_cents"),
+        (region_cents.cast("double") / total_cents).alias(
+            "region_share_of_total"
+        ),
+    )

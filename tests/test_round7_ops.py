@@ -698,3 +698,61 @@ def test_pair_histogram_mass_conserves_and_is_deterministic(spark):
     assert a == b
     assert abs(sum(r[2] for r in a) - 1.0) < 1e-9
     assert all(-10 <= r[0] <= 10 for r in a)
+
+
+def test_frame_ahash_dedup_counts_planted_static_scene(spark):
+    """A payload that repeats one 64-byte block 10 times produces 10
+    identical frame hashes -> high dup ratio; mass conserves."""
+    from large_csv_etl_spark.queries.multimodal import (
+        QUERIES as MM_QUERIES,
+    )
+
+    r = MM_QUERIES["multimodal_frame_ahash_dedup"](spark, SF_DIR).first()
+    assert r.n_frames_total >= r.n_distinct_hashes > 0
+    assert 0.0 <= r.dup_frame_ratio < 1.0
+    import tempfile as tf
+
+    static = ("A" * 64) * 10  # ten identical "frames"
+    rows = [(1, static, "en", "s", 0), (2, "short", "en", "s", 0)]
+    with tf.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        r2 = MM_QUERIES["multimodal_frame_ahash_dedup"](spark, d).first()
+    assert r2.n_frames_total == 11
+    # ten planted identical frames collapse to one hash
+    assert r2.n_frames_in_dup_groups == 10
+    assert r2.n_distinct_hashes == 2
+
+
+def test_share_of_parent_sums_to_one_per_region(spark):
+    from large_csv_etl_spark.queries.relational import QUERIES as RQ
+
+    rows = RQ["agg_share_of_parent"](spark, SF_DIR).collect()
+    from collections import defaultdict
+
+    per_region = defaultdict(float)
+    region_share = {}
+    for r in rows:
+        per_region[r.region] += r.share_of_region
+        region_share[r.region] = r.region_share_of_total
+    for reg, s in per_region.items():
+        assert abs(s - 1.0) < 1e-9, (reg, s)
+    assert abs(sum(region_share.values()) - 1.0) < 1e-9
+
+
+def test_warehouse_sweep_reports_lineitem_pk_violation_honestly(spark):
+    """The synthetic lineitem repeats (l_orderkey, l_linenumber) by
+    design (the S6 upsert fixture); the sweep must say so rather than
+    paper over it, and every table must be nonempty."""
+    out = {
+        r.table_name: r
+        for r in QUALITY_QUERIES["dq_warehouse_sanity_sweep"](
+            spark, SF_DIR_MID
+        ).collect()
+    }
+    assert set(out) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert all(r.nonempty for r in out.values())
+    assert not out["lineitem"].pk_unique  # honest violation report
+    assert out["orders"].pk_unique and out["events"].pk_unique
