@@ -188,6 +188,8 @@ HEADLINE = [
     "multimodal_frame_ahash_dedup",
     "agg_share_of_parent",
     "dq_warehouse_sanity_sweep",
+    "temporal_ship_lag_sla",
+    "join_not_in_null_semantics",
 ]
 
 

@@ -2115,3 +2115,60 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share_of_total"
         ),
     )
+
+
+@_q(
+    "join_not_in_null_semantics",
+    """
+    WITH probe AS (
+      SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+                  ELSE c_custkey END AS k
+      FROM customer
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_custkey NOT IN (SELECT k FROM probe)) AS n_not_in_with_nulls,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+        AS n_not_in_nulls_filtered,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.o_custkey))
+        AS n_not_exists
+    """,
+)
+def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned as a graded three-way comparison:
+    with a single NULL in the subquery, ANSI three-valued logic makes
+    `x NOT IN (...)` UNKNOWN for every row — the count collapses to 0 —
+    while the null-filtered NOT IN and the NOT EXISTS rewrite return
+    the real anti-join count (and NOT EXISTS treats NULL probes as
+    non-matching, which is almost always what the query author meant).
+    This is the most common silent-wrong-answer bug in hand-written
+    SQL pipelines; grading all three side by side proves the engine
+    implements the standard, and the docstring is the migration note:
+    rewrite NOT IN as NOT EXISTS (Spark plans both as the same
+    null-aware anti join, so there is no performance excuse)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust.select(
+        F.when(F.col("c_custkey") % 100 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("k")
+    ).createOrReplaceTempView("probe_nin")
+    orders.createOrReplaceTempView("orders_nin")
+    return load_table(spark, sf_dir, "orders").sparkSession.sql(
+        """
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM orders_nin
+           WHERE o_custkey NOT IN (SELECT k FROM probe_nin))
+            AS n_not_in_with_nulls,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM orders_nin
+           WHERE o_custkey NOT IN (SELECT k FROM probe_nin
+                                   WHERE k IS NOT NULL))
+            AS n_not_in_nulls_filtered,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM orders_nin o
+           WHERE NOT EXISTS (SELECT 1 FROM probe_nin p
+                             WHERE p.k = o.o_custkey))
+            AS n_not_exists
+        """
+    )

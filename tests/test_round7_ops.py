@@ -756,3 +756,47 @@ def test_warehouse_sweep_reports_lineitem_pk_violation_honestly(spark):
     assert all(r.nonempty for r in out.values())
     assert not out["lineitem"].pk_unique  # honest violation report
     assert out["orders"].pk_unique and out["events"].pk_unique
+
+
+def test_ship_lag_sla_percentile_ordering_and_breaches(spark):
+    """p50 <= p90 <= p99 <= max per priority, and the 90-day breach
+    count equals a direct recount."""
+    from large_csv_etl_spark.queries.temporal import QUERIES as TQ
+
+    rows = TQ["temporal_ship_lag_sla"](spark, SF_DIR_MID).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.p50_days <= r.p90_days <= r.p99_days <= r.max_days
+    li = spark.read.parquet(f"{SF_DIR_MID}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR_MID}/orders.parquet")
+    direct = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            > 90
+        )
+        .count()
+    )
+    assert sum(r.n_breaching_90d for r in rows) == direct
+
+
+def test_not_in_null_trap_demonstrates_three_valued_logic(spark):
+    """With NULLs in the subquery, NOT IN returns zero rows; the
+    null-filtered NOT IN equals the NOT EXISTS count; and that count is
+    the true anti-join cardinality."""
+    from large_csv_etl_spark.queries.relational import QUERIES as RQ
+
+    r = RQ["join_not_in_null_semantics"](spark, SF_DIR_MID).first()
+    assert r.n_not_in_with_nulls == 0  # the trap
+    assert r.n_not_in_nulls_filtered == r.n_not_exists
+    o = spark.read.parquet(f"{SF_DIR_MID}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR_MID}/customer.parquet").filter(
+        F.col("c_custkey") % 100 != 0
+    )
+    direct = o.join(
+        c, o.o_custkey == c.c_custkey, "left_anti"
+    ).count()
+    assert r.n_not_exists == direct
