@@ -190,6 +190,9 @@ HEADLINE = [
     "dq_warehouse_sanity_sweep",
     "temporal_ship_lag_sla",
     "join_not_in_null_semantics",
+    "events_trending_decay",
+    "dedup_cluster_size_histogram",
+    "sample_ipw_estimate",
 ]
 
 

@@ -1799,3 +1799,53 @@ def dedup_survivor_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.sum("group_tokens")
         ).alias("longest_policy_gain_share"),
     )
+
+
+@_q("dedup_cluster_size_histogram", None)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph in power-of-2
+    buckets: how much of the corpus sits in pairs vs giant blobs —
+    THE sanity check on a dedup threshold, because a too-loose
+    similarity cutoff announces itself as one huge cluster long before
+    anyone inspects pairs (the classic MinHash-LSH failure mode), and
+    the fix (tighter threshold / more bands) is chosen off this
+    histogram. Composes the graded connected-components entry: cluster
+    sizes reduce to one row per cluster, then the same pure-integer
+    1 << bit_length(n-1) bucketing as the length/gap histograms. The
+    oracle wraps the component query's recursive SQL verbatim."""
+    clusters = QUERIES["dedup_clusters"](spark, sf_dir)
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    bucket = F.when(
+        F.col("n_docs") <= 1, F.lit(1).cast("bigint")
+    ).otherwise(
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT),"
+            " length(bin(CAST(n_docs - 1 AS BIGINT))))"
+        )
+    )
+    return (
+        per_cluster.select(bucket.alias("size_bucket"), "n_docs")
+        .groupBy("size_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("n_docs").cast("bigint").alias("n_docs_total"),
+        )
+    )
+
+
+ORACLES["dedup_cluster_size_histogram"] = f"""
+    WITH clusters AS ({ORACLES["dedup_clusters"]}),
+    per_cluster AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM clusters GROUP BY cluster_id
+    )
+    SELECT CASE WHEN n_docs <= 1 THEN CAST(1 AS BIGINT)
+                ELSE (CAST(1 AS BIGINT)
+                      << LENGTH(bin(CAST(n_docs - 1 AS BIGINT)))) END
+             AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs_total
+    FROM per_cluster GROUP BY size_bucket
+    """

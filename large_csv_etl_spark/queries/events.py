@@ -2006,3 +2006,57 @@ def events_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("longest_episode_days"),
         )
     )
+
+
+@_q(
+    "events_trending_decay",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    mx AS (SELECT MAX(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS m FROM ev),
+    scored AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT)
+               >> CAST(LEAST(date_diff('day',
+                               CAST(date_trunc('day', ts) AS TIMESTAMP),
+                               mx.m) // 7, 62) AS BIGINT) AS decayed_cents
+      FROM ev, mx
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(decayed_cents) AS BIGINT) AS trend_score_cents
+    FROM scored GROUP BY event_type
+    """,
+)
+def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed trending score per event type: each event's value
+    contributes halved once per week of age (weight 2^-weeks), so last
+    week's activity dominates and stale volume fades — the ranking
+    behind every 'trending now' surface. The decay is week-STEPPED on
+    purpose: a fractional half-life (0.5^(age/7)) needs libm pow,
+    which diverges between engines by design rule, while an integer
+    right-shift of exact cents is bit-identical everywhere and the
+    ranking it induces is the same. Age anchors to the corpus max day
+    (broadcast 1-row scalar); one scan, |event types| keys; the shift
+    caps at 62 so a years-old corpus can't underflow the BIGINT."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.max(F.date_trunc("day", F.col("ts").cast("timestamp"))).alias("m")
+    )
+    weeks = F.least(
+        F.expr(
+            "datediff(m, date_trunc('day', CAST(ts AS TIMESTAMP))) div 7"
+        ),
+        F.lit(62),
+    ).cast("int")
+    scored = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.expr(
+            "shiftright(CAST(round(value * 100) AS BIGINT),"
+            " CAST(LEAST(datediff(m, date_trunc('day',"
+            " CAST(ts AS TIMESTAMP))) div 7, 62) AS INT))"
+        ).alias("decayed_cents"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("decayed_cents").cast("bigint").alias("trend_score_cents"),
+    )

@@ -1110,3 +1110,73 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         band.alias("band"),
         F.row_number().over(pos_w).cast("bigint").alias("position"),
     )
+
+
+@_q(
+    "sample_ipw_estimate",
+    r"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CASE WHEN TRIM(text) = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(LEN(regexp_split_to_array(TRIM(text), '\s+'))
+                       AS BIGINT) END AS n_tok,
+             SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+               < CASE WHEN source = 'src0' THEN '80' ELSE '1a' END
+               AS sampled
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS DOUBLE) * 256.0
+             / CASE WHEN source = 'src0' THEN 128 ELSE 26 END AS est_total,
+           (CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS DOUBLE) * 256.0
+              / CASE WHEN source = 'src0' THEN 128 ELSE 26 END
+            - CAST(COUNT(*) AS BIGINT)) / CAST(COUNT(*) AS BIGINT)
+             AS rel_error_docs,
+           (CAST(SUM(CASE WHEN sampled THEN n_tok ELSE 0 END) AS DOUBLE)
+              * 256.0 / CASE WHEN source = 'src0' THEN 128 ELSE 26 END
+            - CAST(SUM(n_tok) AS BIGINT)) / CAST(SUM(n_tok) AS BIGINT)
+             AS rel_error_tokens
+    FROM sized GROUP BY source
+    """,
+)
+def sample_ipw_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted estimation audit: reconstruct each
+    source's TRUE document and token totals from only the
+    deterministically sampled rows (weight = 1/keep-rate, the rates
+    being the graded stratified sampler's own 128/256 and 26/256 hash
+    thresholds) and report the relative estimation error against
+    ground truth — the self-calibrating check that the sample +
+    weights pipeline is unbiased BEFORE downstream metrics trust
+    weighted statistics (rate drift or a wrong threshold shows up here
+    as systematic bias, not noise). One scan: membership is the
+    row-local md5 test, all masses exact BIGINT, estimates single
+    double expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    ).cast("bigint")
+    sampled = _hash_bucket(F.col("doc_id")) < F.when(
+        F.col("source") == "src0", "80"
+    ).otherwise("1a")
+    sized = docs.select(
+        "source", n_tok.alias("n_tok"), sampled.alias("sampled")
+    )
+    buckets = F.when(F.col("source") == "src0", 128).otherwise(26)
+    n_samp = F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+    t_samp = F.sum(F.when(F.col("sampled"), F.col("n_tok")).otherwise(0))
+    n_tot = F.count("*").cast("bigint")
+    t_tot = F.sum("n_tok").cast("bigint")
+    est_docs = n_samp.cast("double") * 256.0 / buckets
+    est_toks = t_samp.cast("double") * 256.0 / buckets
+    return sized.groupBy("source").agg(
+        n_tot.alias("n_total"),
+        t_tot.alias("tokens_total"),
+        n_samp.cast("bigint").alias("n_sampled"),
+        est_docs.alias("est_total"),
+        ((est_docs - n_tot) / n_tot).alias("rel_error_docs"),
+        ((est_toks - t_tot) / t_tot).alias("rel_error_tokens"),
+    )

@@ -800,3 +800,61 @@ def test_not_in_null_trap_demonstrates_three_valued_logic(spark):
         c, o.o_custkey == c.c_custkey, "left_anti"
     ).count()
     assert r.n_not_exists == direct
+
+
+def test_trending_decay_ranks_recent_over_stale(spark):
+    """Same total value, but type A's events are fresh and type B's are
+    five weeks old: A's trend score must dominate (B decayed 2^-5)."""
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(10):
+        rows.append((i, t0, 1, "fresh", 10.0, "{}"))
+        rows.append((100 + i, t0 - dt.timedelta(days=35), 1, "stale", 10.0, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r.event_type: r
+            for r in EVENT_QUERIES["events_trending_decay"](spark, d).collect()
+        }
+    assert out["fresh"].trend_score_cents == 10 * 1000
+    assert out["stale"].trend_score_cents == 10 * (1000 >> 5)
+    assert out["fresh"].trend_score_cents > 30 * out["stale"].trend_score_cents
+
+
+def test_cluster_size_histogram_conserves_cluster_mass(spark):
+    """Bucket totals must re-aggregate to exactly the per-cluster rows
+    of the graded clusters entry."""
+    from large_csv_etl_spark.queries.dedup import QUERIES as DQ
+
+    hist = DQ["dedup_cluster_size_histogram"](spark, SF_DIR).collect()
+    clusters = DQ["dedup_clusters"](spark, SF_DIR).collect()
+    n_clusters = len({r.cluster_id for r in clusters})
+    n_docs = len(clusters)
+    assert sum(r.n_clusters for r in hist) == n_clusters
+    assert sum(r.n_docs_total for r in hist) == n_docs
+    for r in hist:
+        assert r.size_bucket >= 1 and (r.size_bucket & (r.size_bucket - 1)) == 0
+
+
+def test_ipw_estimate_is_near_unbiased_on_fixture(spark):
+    """Hash sampling at known rates: every source's IPW doc estimate
+    lands within a few percent of truth at sf0.01 (and the error
+    columns are exactly (est-true)/true)."""
+    from large_csv_etl_spark.queries.sampling import QUERIES as SQ
+
+    rows = SQ["sample_ipw_estimate"](spark, "/root/testdata/sf0.1").collect()
+    assert rows
+    for r in rows:
+        # per-stratum consistency is exact arithmetic regardless of size
+        recomputed = (r.est_total - r.n_total) / r.n_total
+        assert abs(r.rel_error_docs - recomputed) < 1e-12
+    # statistical sanity lives at the CORPUS level: the fixture's strata
+    # are individually small (25 docs each at sf0.01), so unbiasedness is
+    # asserted on the combined estimate at sf0.1 (~5000 docs, ~600
+    # expected samples -> a few percent of error)
+    est_total = sum(r.est_total for r in rows)
+    true_total = sum(r.n_total for r in rows)
+    assert abs(est_total - true_total) / true_total < 0.15, (
+        est_total,
+        true_total,
+    )
