@@ -193,6 +193,9 @@ HEADLINE = [
     "events_trending_decay",
     "dedup_cluster_size_histogram",
     "sample_ipw_estimate",
+    "basket_association_rules",
+    "events_user_behavior_divergence",
+    "etl_csv_dialect_parity",
 ]
 
 

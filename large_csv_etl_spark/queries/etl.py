@@ -411,3 +411,60 @@ def etl_changeset_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.price").alias("new_price"),
         F.col("b.price").alias("old_price"),
     )
+
+
+DIALECT_CSV = str(
+    Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+    / "dialect_edge_cases.csv"
+)
+
+
+@_q(
+    "etl_csv_dialect_parity",
+    f"""
+    SELECT CAST(id AS BIGINT) AS id,
+           payload,
+           CAST(LENGTH(payload) AS BIGINT) AS n_chars,
+           CAST(LENGTH(payload)
+                - LENGTH(REPLACE(payload, ',', '')) AS BIGINT) AS n_commas,
+           CAST(LENGTH(payload)
+                - LENGTH(REPLACE(payload, '"', '')) AS BIGINT) AS n_quotes,
+           CONTAINS(payload, chr(10)) AS has_newline
+    FROM read_csv('{{path}}', header=true, all_varchar=true)
+    """.format(path=DIALECT_CSV),
+)
+def etl_csv_dialect_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV dialect parity on a committed edge-case fixture:
+    embedded commas, doubled-quote escaping, a NEWLINE inside a quoted
+    field, empty and whitespace-preserving values — the quoting corners
+    that silently corrupt naive ingest (the reference's pandas reader
+    handles them; an engine swap must prove it does too, which is
+    exactly what this graded read does, character counts and all).
+    Spark needs three explicit options to speak RFC 4180: multiLine
+    (quoted newlines span records), escape='"' (doubled quotes, not
+    backslash), and header — pinned here as the canonical dialect
+    recipe for the repo. Note multiLine makes a file non-splittable;
+    at 100 TB you pre-split such CSVs or land them as parquet, which
+    the docstring states so nobody scales this blindly."""
+    df = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(DIALECT_CSV)
+    )
+    p = F.col("payload")
+    return df.select(
+        F.col("id").cast("bigint").alias("id"),
+        p.alias("payload"),
+        F.length(p).cast("bigint").alias("n_chars"),
+        (F.length(p) - F.length(F.replace(p, F.lit(","), F.lit(""))))
+        .cast("bigint")
+        .alias("n_commas"),
+        (F.length(p) - F.length(F.replace(p, F.lit('"'), F.lit(""))))
+        .cast("bigint")
+        .alias("n_quotes"),
+        p.contains("\n").alias("has_newline"),
+    )

@@ -2060,3 +2060,87 @@ def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.sum("decayed_cents").cast("bigint").alias("trend_score_cents"),
     )
+
+
+@_q(
+    "events_user_behavior_divergence",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    pairs AS (
+      SELECT user_id, event_type AS t1,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t2
+      FROM ev
+    ), tr AS (SELECT user_id, t1, t2 FROM pairs WHERE t2 IS NOT NULL),
+    g AS (
+      SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c_g FROM tr GROUP BY t1, t2
+    ), gn AS (SELECT CAST(SUM(c_g) AS BIGINT) AS n_g FROM g),
+    u AS (
+      SELECT user_id, t1, t2, CAST(COUNT(*) AS BIGINT) AS c_u
+      FROM tr GROUP BY user_id, t1, t2
+    ), un AS (
+      SELECT user_id, CAST(SUM(c_u) AS BIGINT) AS n_u FROM u GROUP BY user_id
+    ), cells AS (
+      SELECT un.user_id, un.n_u, g.t1, g.t2, g.c_g, COALESCE(uc.c_u, 0) AS c_u
+      FROM un CROSS JOIN g
+      LEFT JOIN u uc ON uc.user_id = un.user_id
+                    AND uc.t1 = g.t1 AND uc.t2 = g.t2
+    )
+    SELECT user_id, n_u AS n_transitions,
+           CAST(SUM(CAST(round(1000000000.0 * ABS(
+                  CAST(c_u AS DOUBLE) / n_u
+                  - CAST(c_g AS DOUBLE) / (SELECT n_g FROM gn)))
+                AS BIGINT)) AS DOUBLE) / 2000000000.0 AS tv_distance
+    FROM cells
+    GROUP BY user_id, n_u
+    """,
+)
+def events_user_behavior_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral divergence: total-variation distance between
+    each user's event-type transition distribution and the corpus-wide
+    one — scripted accounts and hijacked sessions read as outliers
+    here even when their cadence (events_bot_cadence) looks organic,
+    because TV compares WHAT the user does, not how fast. Every user
+    is scored against the full |event types|^2 global cell set (left
+    join fills unvisited cells with zero, which contribute the global
+    mass they fail to match); per-cell terms snap to 1e-9 fixed point
+    before the sum per the iterative-parity rule, so partition order
+    can't move the score. Cost: one user-keyed window, two bounded
+    aggs, and a |users| x <=25-cell broadcast expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    g = tr.groupBy("t1", "t2").agg(F.count("*").cast("bigint").alias("c_g"))
+    n_g = g.agg(F.sum("c_g").cast("bigint").alias("n_g"))
+    u = tr.groupBy("user_id", "t1", "t2").agg(
+        F.count("*").cast("bigint").alias("c_u")
+    )
+    un = u.groupBy("user_id").agg(F.sum("c_u").cast("bigint").alias("n_u"))
+    cells = (
+        un.crossJoin(F.broadcast(g))
+        .join(u, ["user_id", "t1", "t2"], "left")
+        .crossJoin(F.broadcast(n_g))
+        .select(
+            "user_id",
+            "n_u",
+            "c_g",
+            "n_g",
+            F.coalesce(F.col("c_u"), F.lit(0)).alias("c_u"),
+        )
+    )
+    term_fp = F.round(
+        F.lit(1_000_000_000.0)
+        * F.abs(
+            F.col("c_u").cast("double") / F.col("n_u")
+            - F.col("c_g").cast("double") / F.col("n_g")
+        )
+    ).cast("bigint")
+    return cells.groupBy("user_id", F.col("n_u").alias("n_transitions")).agg(
+        (
+            F.sum(term_fp).cast("double") / F.lit(2_000_000_000.0)
+        ).alias("tv_distance")
+    )

@@ -2172,3 +2172,92 @@ def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_not_exists
         """
     )
+
+
+@_q(
+    "basket_association_rules",
+    """
+    WITH baskets AS (
+      SELECT l_orderkey, l_partkey FROM lineitem GROUP BY l_orderkey, l_partkey
+    ), n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets
+    ), item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM baskets GROUP BY l_partkey
+    ), pair AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.ante, p.cons, p.n_both,
+           ia.n_item AS n_ante,
+           CAST(p.n_both AS DOUBLE) / ia.n_item AS confidence,
+           CAST(p.n_both AS DOUBLE) * (SELECT n FROM n_orders)
+             / (CAST(ia.n_item AS DOUBLE) * ic.n_item) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.ante
+    JOIN item ic ON ic.l_partkey = p.cons
+    WHERE p.n_both >= 3
+    ORDER BY lift DESC, p.ante, p.cons
+    LIMIT 25
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules proper (ante -> cons with confidence and lift),
+    completing the market-basket pipeline basket_part_pairs starts:
+    support counts become directional rules, confidence = P(cons|ante),
+    lift = confidence / P(cons) — lift > 1 is the actual 'bought
+    together' signal merchandising and recommender bootstraps act on
+    (raw co-occurrence rewards popular items; lift corrects for it).
+    Same bounded basket-squared pair join co-partitioned on the order
+    key; item supports broadcast onto the pair table; a n_both >= 3
+    support floor keeps noise rules out and the top-25 by lift is a
+    TakeOrderedAndProject. Exact BIGINT counts; confidence/lift single
+    double expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n = baskets.select("l_orderkey").distinct().count()
+    item = baskets.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"),
+            F.col("b.l_partkey").alias("cons"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("ante"), F.col("n_item").alias("n_ante")
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("cons"), F.col("n_item").alias("n_cons")
+    )
+    j = pair.join(F.broadcast(ia), "ante").join(F.broadcast(ic), "cons")
+    conf = F.col("n_both").cast("double") / F.col("n_ante")
+    lift = (
+        F.col("n_both").cast("double")
+        * F.lit(n)
+        / (F.col("n_ante").cast("double") * F.col("n_cons"))
+    )
+    return (
+        j.select(
+            "ante",
+            "cons",
+            "n_both",
+            "n_ante",
+            conf.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "ante", "cons")
+        .limit(25)
+    )

@@ -858,3 +858,79 @@ def test_ipw_estimate_is_near_unbiased_on_fixture(spark):
         est_total,
         true_total,
     )
+
+
+def test_association_rules_lift_math_on_planted_baskets(spark):
+    """Planted baskets where pen->paper always co-occur but paper is in
+    every basket: confidence(pen->paper)=1, lift = N/n_paper."""
+    import tempfile as tf
+
+    from large_csv_etl_spark.queries.relational import QUERIES as RQ
+
+    rows = []
+    # 10 baskets all contain paper(2); baskets 0-4 also pen(1);
+    # baskets 5-9 also stapler(3)
+    ln = 0
+    for order in range(10):
+        items = [2] + ([1] if order < 5 else [3])
+        for it in items:
+            rows.append((order, it, 1, ln))
+            ln += 1
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long"
+    )
+    with tf.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+        out = {
+            (r.ante, r.cons): r
+            for r in RQ["basket_association_rules"](spark, d).collect()
+        }
+    r = out[(1, 2)]  # pen -> paper
+    assert r.n_both == 5 and r.n_ante == 5
+    assert abs(r.confidence - 1.0) < 1e-12
+    assert abs(r.lift - 10 / 10) < 1e-12  # paper in all baskets: lift 1
+    assert (1, 3) not in out  # pen and stapler never co-occur
+
+
+def test_behavior_divergence_flags_the_deviant_user(spark):
+    """Ten users alternate A/B; one user only ever does C->C: their TV
+    distance must be far above the conformers'."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(10):
+        for i in range(20):
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=i), u,
+                 "A" if i % 2 == 0 else "B", 1.0, "{}")
+            )
+            eid += 1
+    for i in range(20):
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 99, "C", 1.0, "{}"))
+        eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r.user_id: r.tv_distance
+            for r in EVENT_QUERIES["events_user_behavior_divergence"](
+                spark, d
+            ).collect()
+        }
+    conformers = [v for u, v in out.items() if u != 99]
+    assert max(conformers) < 0.2
+    assert out[99] > 0.8
+
+
+def test_csv_dialect_fixture_parses_every_edge(spark):
+    """The graded dialect read must see the newline row as ONE record,
+    preserve doubled quotes and trailing spaces, and keep empty
+    strings."""
+    from large_csv_etl_spark.queries.etl import QUERIES as EQ
+
+    out = {r.id: r for r in EQ["etl_csv_dialect_parity"](spark, SF_DIR).collect()}
+    assert len(out) == 7
+    assert out[2].n_commas == 1
+    assert out[3].n_quotes == 4  # two doubled pairs survive as ""..""
+    assert out[4].has_newline and out[4].payload == "line1\nline2"
+    assert out[6].payload.endswith(" ")
+    assert out[7].n_commas == 4 and out[7].n_quotes == 2
