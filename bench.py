@@ -196,6 +196,9 @@ HEADLINE = [
     "basket_association_rules",
     "events_user_behavior_divergence",
     "etl_csv_dialect_parity",
+    "text_lang_confusion",
+    "embedding_label_homophily",
+    "dedup_lsh_band_sweep",
 ]
 
 

@@ -1849,3 +1849,131 @@ ORACLES["dedup_cluster_size_histogram"] = f"""
            CAST(SUM(n_docs) AS BIGINT) AS n_docs_total
     FROM per_cluster GROUP BY size_bucket
     """
+
+
+# (bands, rows) sweep configs over the 16-value portable signature, with
+# the S-curve threshold (1/b)^(1/r) as shared literals (fractional pow is
+# libm-dependent — never computed at query time)
+_SWEEP_CONFIGS = [
+    (8, 2, 3.5355339059327373e-1),
+    (4, 4, 7.0710678118654757e-1),
+    (2, 8, 9.1700404320467122e-1),
+]
+
+
+def _band_sweep_oracle() -> str:
+    shingles = ORACLES["dedup_minhash_portable"].split("), hh AS")[0]
+    per_cfg = []
+    for b, r, thr in _SWEEP_CONFIGS:
+        per_cfg.append(f"""
+      SELECT {b} AS n_bands, {r} AS rows_per_band,
+             {thr:.17e} AS s_curve_threshold,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT band, bh FROM (
+                  SELECT doc_id, p // {r} AS band,
+                         md5(string_agg(CAST(mh AS VARCHAR), ':'
+                                        ORDER BY p)) AS bh
+                  FROM sig GROUP BY doc_id, p // {r}
+                ) GROUP BY band, bh HAVING COUNT(*) BETWEEN 2 AND 200
+              )) AS n_candidate_buckets,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b2 FROM (
+                  SELECT doc_id, p // {r} AS band,
+                         md5(string_agg(CAST(mh AS VARCHAR), ':'
+                                        ORDER BY p)) AS bh
+                  FROM sig GROUP BY doc_id, p // {r}
+                ) x JOIN (
+                  SELECT doc_id, p // {r} AS band,
+                         md5(string_agg(CAST(mh AS VARCHAR), ':'
+                                        ORDER BY p)) AS bh
+                  FROM sig GROUP BY doc_id, p // {r}
+                ) y ON x.band = y.band AND x.bh = y.bh
+                   AND x.doc_id < y.doc_id
+              )) AS n_candidate_pairs""")
+    union = "\n      UNION ALL\n".join(per_cfg)
+    return f"""
+    {shingles}
+    ), hh AS (
+      SELECT doc_id, j, md5(shingle || ':' || j) AS m
+      FROM sh CROSS JOIN range(8) r(j)
+    ), ph AS (
+      SELECT doc_id, 2*j AS p, ('0x' || substr(m, 1, 15))::BIGINT AS h FROM hh
+      UNION ALL
+      SELECT doc_id, 2*j + 1 AS p,
+             ('0x' || substr(m, 16, 15))::BIGINT AS h FROM hh
+    ), sig AS (
+      SELECT doc_id, p, MIN(h) AS mh FROM ph GROUP BY doc_id, p
+    )
+    {union}
+    """
+
+
+@_q("dedup_lsh_band_sweep", _band_sweep_oracle())
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep: for the SAME 16-value MinHash
+    signature, report what each (bands x rows) split costs — candidate
+    bucket and pair counts at 8x2, 4x4, and 2x8 — next to the S-curve
+    threshold (1/b)^(1/r) each config targets. This is the tuning
+    table you read BEFORE re-running a corpus-scale dedup with new
+    parameters: more bands = lower threshold = more candidates
+    (recall), fewer bands = precision; the pair counts make the cost
+    side concrete on YOUR corpus instead of the textbook curve.
+    Signature built once (the graded portable machinery), each config
+    re-bands it with p div r — no re-hashing of shingles; candidate
+    buckets capped at 200 members like the production entry."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    wide = _portable_minhash_sigs(docs)  # (doc_id, m0..m15)
+    stack_expr = "stack(16, " + ", ".join(
+        f"{p}, m{p}" for p in range(16)
+    ) + ") AS (p, mh)"
+    sig = wide.selectExpr("doc_id", stack_expr)
+    out = None
+    for b, r, thr in _SWEEP_CONFIGS:
+        banded = (
+            sig.groupBy("doc_id", F.expr(f"p div {r}").alias("band"))
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("p", "mh"))
+                            ),
+                            lambda s: s["mh"].cast("string"),
+                        ),
+                        ":",
+                    )
+                ).alias("bh")
+            )
+        )
+        buckets = (
+            banded.groupBy("band", "bh")
+            .agg(F.count("*").alias("c"))
+            .filter((F.col("c") >= 2) & (F.col("c") <= 200))
+        )
+        x = banded.select("band", "bh", F.col("doc_id").alias("a"))
+        y = banded.select("band", "bh", F.col("doc_id").alias("b2"))
+        pairs = (
+            x.join(y, ["band", "bh"])
+            .filter(F.col("a") < F.col("b2"))
+            .select("a", "b2")
+            .distinct()
+        )
+        row = (
+            buckets.agg(F.count("*").cast("bigint").alias("n_candidate_buckets"))
+            .crossJoin(
+                pairs.agg(
+                    F.count("*").cast("bigint").alias("n_candidate_pairs")
+                )
+            )
+            .select(
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.lit(thr).alias("s_curve_threshold"),
+                "n_candidate_buckets",
+                "n_candidate_pairs",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

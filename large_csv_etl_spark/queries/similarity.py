@@ -1811,3 +1811,95 @@ def embedding_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataF
         F.count("*").cast("bigint").alias("n_pairs"),
         (F.count("*").cast("double") / F.lit(total)).alias("share"),
     )
+
+
+@_q(
+    "embedding_label_homophily",
+    """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id <> 0
+    ), pairs AS (
+      SELECT ROUND(CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE), 6)
+               AS cos6,
+             CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same_label
+      FROM v a JOIN v b
+        ON a.vec_id % 16 = b.vec_id % 16 AND a.vec_id < b.vec_id
+      WHERE SUBSTR(md5(CAST(a.vec_id AS VARCHAR) || ':'
+                       || CAST(b.vec_id AS VARCHAR)), 1, 2) < '40'
+    ), b AS (
+      SELECT CAST(round(cos6 * 10) AS BIGINT) AS bucket, same_label
+      FROM pairs
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(same_label) AS BIGINT) AS n_same_label,
+           CAST(SUM(same_label) AS DOUBLE) / COUNT(*) AS same_label_share,
+           (CAST(SUM(same_label) AS DOUBLE) / COUNT(*))
+             / ((SELECT CAST(SUM(same_label) AS DOUBLE) FROM b)
+                / (SELECT COUNT(*) FROM b)) AS homophily_lift
+    FROM b GROUP BY bucket
+    """,
+)
+def embedding_label_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label homophily by similarity bucket: among sampled vector pairs,
+    how much more likely are SAME-label pairs at high cosine than at
+    the base rate — the embedding-quality readout that tells you
+    whether geometric similarity actually encodes the label structure
+    (lift rising with cosine = healthy representation; flat lift =
+    the embedding ignores labels and a similarity-based labeler or
+    kNN classifier built on it will fail). Reuses the deterministic
+    id-mod-cell + md5-thinned pair sample and 6dp cosine contract of
+    embedding_pair_distance_histogram; adds exact same-label counts
+    and a base-rate-normalized lift (single double divisions of exact
+    BIGINTs)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    a = emb.select(
+        F.col("vec_id").alias("i"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("i") % 16 == F.col("j") % 16) & (F.col("i") < F.col("j")),
+    ).filter(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("i").cast("string"), F.col("j").cast("string")
+                )
+            ),
+            1,
+            2,
+        )
+        < "40"
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    bkt = pairs.select(
+        F.round(F.round(cos, 6) * 10).cast("bigint").alias("bucket"),
+        F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias("same_label"),
+    )
+    tot = Window.partitionBy()
+    base_rate = (
+        F.sum("n_same_label").over(tot).cast("double")
+        / F.sum("n_pairs").over(tot)
+    )
+    g = bkt.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("same_label").cast("bigint").alias("n_same_label"),
+    )
+    share = F.col("n_same_label").cast("double") / F.col("n_pairs")
+    return g.select(
+        "bucket",
+        "n_pairs",
+        "n_same_label",
+        share.alias("same_label_share"),
+        (share / base_rate).alias("homophily_lift"),
+    )

@@ -1992,3 +1992,47 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+@_q("text_lang_confusion", None)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: cross-tabulate
+    the corpus's lang metadata against the graded langid heuristic's
+    prediction — mislabeled language is one of the highest-impact
+    corpus defects (it poisons both per-language mixture rates and
+    language-filtered training sets), and the confusion matrix is how
+    you find WHICH labels to distrust before re-tagging. Composes the
+    graded langid entry verbatim (the calibration pattern); adds one
+    bounded |langs|^2 aggregate with per-declared-row shares. A
+    predicted==declared diagonal share near 1 validates the metadata;
+    off-diagonal mass localizes the re-tagging work."""
+    pred = QUERIES["text_langid_heuristic"](spark, sf_dir)
+    counts = pred.groupBy(
+        F.col("lang").alias("declared"),
+        F.col("predicted_lang").alias("predicted"),
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = Window.partitionBy("declared")
+    return counts.select(
+        "declared",
+        "predicted",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(tot).cast("bigint")
+        ).alias("share_of_declared"),
+    )
+
+
+ORACLES["text_lang_confusion"] = f"""
+    WITH pred AS ({ORACLES["text_langid_heuristic"]}),
+    counts AS (
+      SELECT lang AS declared, predicted_lang AS predicted,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT declared, predicted, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY declared) AS BIGINT)
+             AS share_of_declared
+    FROM counts
+    """

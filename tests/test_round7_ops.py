@@ -934,3 +934,80 @@ def test_csv_dialect_fixture_parses_every_edge(spark):
     assert out[4].has_newline and out[4].payload == "line1\nline2"
     assert out[6].payload.endswith(" ")
     assert out[7].n_commas == 4 and out[7].n_quotes == 2
+
+
+def test_lang_confusion_diagonal_on_clean_fixture(spark):
+    """Docs written in each language's own stopwords must land on the
+    diagonal; a mislabeled doc shows up off-diagonal."""
+    rows = [
+        (1, "the cat and the dog of a to", "en", "s", 0),
+        (2, "el la de que y el la de", "es", "s", 0),
+        (3, "der die und das ist der die", "de", "s", 0),
+        (4, "the and of to a the and", "es", "s", 0),  # mislabeled
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = {
+            (r.declared, r.predicted): r
+            for r in TEXT_QUERIES["text_lang_confusion"](spark, d).collect()
+        }
+    assert out[("en", "en")].n_docs == 1
+    assert out[("es", "es")].n_docs == 1
+    assert out[("de", "de")].n_docs == 1
+    assert out[("es", "en")].n_docs == 1  # the mislabel, localized
+    assert abs(out[("es", "en")].share_of_declared - 0.5) < 1e-12
+
+
+def test_homophily_lift_rises_on_label_clustered_embeddings(spark):
+    """Embeddings built so same-label vectors are near-identical and
+    cross-label ones near-orthogonal: the top cosine bucket must be
+    all same-label with lift > 1; mass conserves."""
+    import tempfile as tf
+
+    import numpy as np
+
+    from large_csv_etl_spark.queries.similarity import QUERIES as SQ
+
+    rng = np.random.default_rng(3)
+    base = {lbl: rng.standard_normal(64) for lbl in range(4)}
+    rows = [(0, [0.0] * 64, 99)]
+    for i in range(1, 201):
+        # label must be independent of i % 16 (the pair-sampling cells),
+        # else every sampled pair is same-label and the lift is trivially 1
+        lbl = (i // 16) % 4
+        v = base[lbl] + 0.01 * rng.standard_normal(64)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], lbl))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tf.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+        out = sorted(
+            SQ["embedding_label_homophily"](spark, d).collect(),
+            key=lambda r: r.bucket,
+        )
+    top = out[-1]
+    assert top.bucket == 10
+    assert top.same_label_share == 1.0
+    assert top.homophily_lift > 1.5
+    total_same = sum(r.n_same_label for r in out)
+    total = sum(r.n_pairs for r in out)
+    assert 0 < total_same < total
+
+
+def test_band_sweep_monotone_candidates(spark):
+    """More bands (lower threshold) can only find MORE candidate pairs:
+    8x2 >= 4x4 >= 2x8 on any corpus; thresholds are the S-curve
+    literals."""
+    from large_csv_etl_spark.queries.dedup import QUERIES as DQ
+
+    out = {r.n_bands: r for r in DQ["dedup_lsh_band_sweep"](spark, SF_DIR_MID).collect()}
+    assert set(out) == {8, 4, 2}
+    assert (
+        out[8].n_candidate_pairs
+        >= out[4].n_candidate_pairs
+        >= out[2].n_candidate_pairs
+    )
+    assert abs(out[8].s_curve_threshold - (1 / 8) ** 0.5) < 1e-12
+    assert abs(out[2].s_curve_threshold - (1 / 2) ** (1 / 8)) < 1e-12
