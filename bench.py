@@ -199,6 +199,8 @@ HEADLINE = [
     "text_lang_confusion",
     "embedding_label_homophily",
     "dedup_lsh_band_sweep",
+    "etl_schema_evolution_read",
+    "events_out_of_order_audit",
 ]
 
 

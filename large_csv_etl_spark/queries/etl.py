@@ -468,3 +468,47 @@ def etl_csv_dialect_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_quotes"),
         p.contains("\n").alias("has_newline"),
     )
+
+
+EVOLVE_DIR = str(Path(__file__).resolve().parents[2] / "tests" / "fixtures")
+
+
+@_q(
+    "etl_schema_evolution_read",
+    f"""
+    SELECT id, amount, category,
+           category IS NULL AS from_v1,
+           COALESCE(category, 'uncategorized') AS category_filled
+    FROM read_parquet(['{EVOLVE_DIR}/evolve_v1.parquet',
+                       '{EVOLVE_DIR}/evolve_v2.parquet'],
+                      union_by_name=true)
+    """,
+)
+def etl_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read, graded: two committed parquet generations
+    — v1 (id, amount) and v2 adds a category column — unioned by NAME
+    with the missing column null-filled, plus the canonical backfill
+    expression. This is the additive-evolution contract every
+    long-lived lake table depends on (new columns appear, old files
+    stay valid, readers see one schema); Spark's mergeSchema option
+    and DuckDB's union_by_name implement the same rule, which is
+    exactly what the oracle certifies. Type WIDENING (int->long etc.)
+    is deliberately not exercised: engines disagree there, and the
+    repo's position (pinned in tests/test_io_sources.py) is
+    write-time normalization, not reader magic."""
+    df = (
+        spark.read.option("mergeSchema", True)
+        .parquet(
+            f"{EVOLVE_DIR}/evolve_v1.parquet",
+            f"{EVOLVE_DIR}/evolve_v2.parquet",
+        )
+    )
+    return df.select(
+        "id",
+        "amount",
+        "category",
+        F.col("category").isNull().alias("from_v1"),
+        F.coalesce(F.col("category"), F.lit("uncategorized")).alias(
+            "category_filled"
+        ),
+    )

@@ -2144,3 +2144,64 @@ def events_user_behavior_divergence(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(term_fp).cast("double") / F.lit(2_000_000_000.0)
         ).alias("tv_distance")
     )
+
+
+@_q(
+    "events_out_of_order_audit",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    seq AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+      FROM ev
+    ), flags AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                  THEN 1 ELSE 0 END AS inverted,
+             CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                  THEN epoch_us(prev_ts) - epoch_us(ts) ELSE 0 END AS back_us
+      FROM seq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(inverted) AS BIGINT) AS n_inversions,
+           CAST(SUM(inverted) AS DOUBLE) / COUNT(*) AS inversion_rate,
+           CAST(MAX(back_us) AS BIGINT) AS max_backstep_us,
+           CAST(SUM(back_us) AS BIGINT) AS total_backstep_us
+    FROM flags
+    """,
+)
+def events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit: within each user's stream, count the
+    adjacent pairs where ARRIVAL order (event_id, the ingestion
+    sequence) contradicts EVENT time, and measure the largest/total
+    backstep — the empirical disorder a watermark must absorb, read
+    alongside events_watermark_late_audit (which sizes lateness against
+    a candidate watermark; this measures the raw inversion structure
+    with no watermark assumed). Adjacent inversions are the O(n)
+    SQL-expressible disorder measure (full Kendall tau needs a
+    merge-count — overkill for sizing); exact integer micros, one
+    user-keyed window, single-row report."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ts = F.col("ts").cast("timestamp")
+    seq = ev.select(
+        "user_id",
+        ts.alias("ts"),
+        F.lag(ts).over(w).alias("prev_ts"),
+    )
+    inv = F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts"))
+    back = F.when(
+        inv, F.unix_micros(F.col("prev_ts")) - F.unix_micros(F.col("ts"))
+    ).otherwise(0)
+    flags = seq.select(
+        F.when(inv, 1).otherwise(0).alias("inverted"), back.alias("back_us")
+    )
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("inverted").cast("bigint").alias("n_inversions"),
+        (F.sum("inverted").cast("double") / F.count("*")).alias(
+            "inversion_rate"
+        ),
+        F.max("back_us").cast("bigint").alias("max_backstep_us"),
+        F.sum("back_us").cast("bigint").alias("total_backstep_us"),
+    )

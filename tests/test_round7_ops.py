@@ -1011,3 +1011,35 @@ def test_band_sweep_monotone_candidates(spark):
     )
     assert abs(out[8].s_curve_threshold - (1 / 8) ** 0.5) < 1e-12
     assert abs(out[2].s_curve_threshold - (1 / 2) ** (1 / 8)) < 1e-12
+
+
+def test_schema_evolution_read_null_fills_and_backfills(spark):
+    """v1 rows surface NULL category (from_v1 true) with the canonical
+    backfill; v2 rows keep their values; all five rows present."""
+    from large_csv_etl_spark.queries.etl import QUERIES as EQ
+
+    out = {r.id: r for r in EQ["etl_schema_evolution_read"](spark, SF_DIR).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert all(out[i].from_v1 for i in (1, 2, 3))
+    assert all(out[i].category_filled == "uncategorized" for i in (1, 2, 3))
+    assert out[4].category == "x" and out[5].category == "y"
+    assert not out[4].from_v1
+
+
+def test_out_of_order_audit_counts_planted_backstep(spark):
+    """Arrival order 10:00, 10:05, 10:02 (one backstep of 3 min), then
+    in-order: exactly one inversion, max backstep 180s."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, t0, 1, "c", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 1, "c", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "c", 1.0, "{}"),  # late arrival
+        (4, t0 + dt.timedelta(minutes=6), 1, "c", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        r = EVENT_QUERIES["events_out_of_order_audit"](spark, d).first()
+    assert r.n_events == 4
+    assert r.n_inversions == 1
+    assert r.max_backstep_us == 180 * 1_000_000
+    assert r.total_backstep_us == 180 * 1_000_000
