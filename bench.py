@@ -201,6 +201,8 @@ HEADLINE = [
     "dedup_lsh_band_sweep",
     "etl_schema_evolution_read",
     "events_out_of_order_audit",
+    "events_linear_attribution",
+    "sim_retrieval_eval",
 ]
 
 

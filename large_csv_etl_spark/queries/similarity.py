@@ -1903,3 +1903,87 @@ def embedding_label_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("same_label_share"),
         (share / base_rate).alias("homophily_lift"),
     )
+
+
+@_q(
+    "sim_retrieval_eval",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 10
+    ), corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id <> 0
+    ), scored AS (
+      SELECT q.qid, q.qlabel, c.vec_id, c.label,
+             ROUND(CAST(list_cosine_similarity(c.e, q.qv) AS DOUBLE), 6)
+               AS cos6
+      FROM q JOIN corpus c ON c.vec_id <> q.qid
+    ), ranked AS (
+      SELECT qid, qlabel, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos6 DESC, vec_id) AS rn
+      FROM scored
+    ), top AS (SELECT * FROM ranked WHERE rn <= 10)
+    SELECT qid, qlabel,
+           CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_relevant_at_10,
+           CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+             / 10.0 AS precision_at_10,
+           COALESCE(1.0 / CAST(MIN(CASE WHEN label = qlabel THEN rn END)
+                               AS DOUBLE), 0.0) AS reciprocal_rank
+    FROM top GROUP BY qid, qlabel
+    """,
+)
+def sim_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query retrieval evaluation: ten held-out query vectors,
+    exact cosine top-10 each (self excluded), scored with the standard
+    label-as-relevance metrics — precision@10 and reciprocal rank of
+    the first relevant hit — the eval harness you run before swapping
+    an embedding model or ANN index into retrieval (single-query
+    recall audits tune the INDEX; this scores the REPRESENTATION
+    across queries; MRR is the log-free ranking metric, NDCG's log2
+    discount being banned by the libm rule). One broadcast of the
+    10-query table against the corpus, per-query
+    TakeOrderedAndProject-style ranking, exact integer relevance
+    counts and single-division metrics."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").between(1, 10)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", F.col("embedding").alias("e")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = _dot(F.col("e"), F.col("qv")) / (
+        _norm(F.col("e")) * _norm(F.col("qv"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos6").desc(), F.col("vec_id")
+    )
+    top = (
+        scored.select(
+            "qid", "qlabel", "label", "vec_id",
+            F.round(cos, 6).alias("cos6"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
+    rel = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    return top.groupBy("qid", "qlabel").agg(
+        F.sum(rel).cast("bigint").alias("n_relevant_at_10"),
+        (F.sum(rel).cast("double") / F.lit(10.0)).alias("precision_at_10"),
+        F.coalesce(
+            F.lit(1.0)
+            / F.min(F.when(F.col("label") == F.col("qlabel"), F.col("rn")))
+            .cast("double"),
+            F.lit(0.0),
+        ).alias("reciprocal_rank"),
+    )

@@ -1043,3 +1043,59 @@ def test_out_of_order_audit_counts_planted_backstep(spark):
     assert r.n_inversions == 1
     assert r.max_backstep_us == 180 * 1_000_000
     assert r.total_backstep_us == 180 * 1_000_000
+
+
+def test_linear_attribution_splits_credit_exactly(spark):
+    """Purchase preceded by 1 click and 3 views inside the hour: click
+    gets 0.25, view 0.75; an out-of-window touch earns nothing."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t0 - dt.timedelta(hours=2), 1, "click", 1.0, "{}"),  # too old
+        (2, t0 - dt.timedelta(minutes=50), 1, "click", 1.0, "{}"),
+        (3, t0 - dt.timedelta(minutes=40), 1, "view", 1.0, "{}"),
+        (4, t0 - dt.timedelta(minutes=30), 1, "view", 1.0, "{}"),
+        (5, t0 - dt.timedelta(minutes=20), 1, "view", 1.0, "{}"),
+        (6, t0, 1, "purchase", 9.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r.channel: r
+            for r in EVENT_QUERIES["events_linear_attribution"](
+                spark, d
+            ).collect()
+        }
+    assert abs(out["click"].attributed_purchases - 0.25) < 1e-6
+    assert abs(out["view"].attributed_purchases - 0.75) < 1e-6
+    assert out["click"].n_purchases_touched == 1
+    total = sum(r.attributed_purchases for r in out.values())
+    assert abs(total - 1.0) < 1e-5  # credit conserves per purchase
+
+
+def test_retrieval_eval_scores_planted_clustered_corpus(spark):
+    """Label-clustered embeddings: every query's top-10 is its own
+    cluster -> precision 1.0 and reciprocal rank 1.0 for all queries."""
+    import tempfile as tf
+
+    import numpy as np
+
+    from large_csv_etl_spark.queries.similarity import QUERIES as SQ
+
+    rng = np.random.default_rng(7)
+    base = {lbl: rng.standard_normal(64) for lbl in range(2)}
+    rows = [(0, [0.0] * 64, 99)]
+    for i in range(1, 61):
+        lbl = i % 2
+        v = base[lbl] + 0.01 * rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], lbl))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tf.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+        out = SQ["sim_retrieval_eval"](spark, d).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.precision_at_10 == 1.0, r
+        assert r.reciprocal_rank == 1.0, r
