@@ -203,6 +203,9 @@ HEADLINE = [
     "events_out_of_order_audit",
     "events_linear_attribution",
     "sim_retrieval_eval",
+    "etl_reject_reasons",
+    "events_transition_latency",
+    "agg_robust_location_panel",
 ]
 
 

@@ -512,3 +512,64 @@ def etl_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "category_filled"
         ),
     )
+
+
+@_q(
+    "etl_reject_reasons",
+    f"""
+    WITH raw AS (
+      SELECT * FROM read_csv('{DIRTY_CSV}', header=true, all_varchar=true)
+    ), classified AS (
+      SELECT CASE
+        WHEN transaction_id IS NULL OR TRIM(transaction_id) = ''
+          OR user_id IS NULL OR TRIM(user_id) = '' THEN 'null_or_blank_key'
+        WHEN TRY_CAST(amount AS DOUBLE) IS NULL
+          OR isnan(TRY_CAST(amount AS DOUBLE)) THEN 'malformed_amount'
+        WHEN TRY_CAST(amount AS DOUBLE) < 0 THEN 'negative_amount'
+        WHEN LOWER(TRIM(COALESCE(status, 'unknown'))) = 'cancelled'
+          THEN 'cancelled_status'
+        ELSE 'kept' END AS disposition
+      FROM raw
+    )
+    SELECT disposition, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM raw) AS share
+    FROM classified GROUP BY disposition
+    """,
+)
+def etl_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reject-reason breakdown for the flagship cleaning pipeline — the
+    complement of etl_transform_parity, which grades what SURVIVES:
+    every dropped row is attributed to the FIRST rule that kills it, in
+    pipeline order (blank keys -> malformed amounts -> negative ->
+    cancelled), which is the dead-letter accounting an ingest runbook
+    needs when the survivor count moves ('volume fell 4% — which rule
+    ate it?'). The classification is one CASE over one scan; counts are
+    exact and the rule ORDER is part of the graded contract (a row
+    failing two rules reports the first, matching the reference's
+    sequential drops at src/data_processor.py:38-106)."""
+    raw = read_transactions_csv(spark, DIRTY_CSV)
+    amt = F.col("amount").try_cast("double")
+    disposition = (
+        F.when(
+            F.col("transaction_id").isNull()
+            | (F.trim(F.col("transaction_id")) == "")
+            | F.col("user_id").isNull()
+            | (F.trim(F.col("user_id")) == ""),
+            "null_or_blank_key",
+        )
+        .when(amt.isNull() | F.isnan(amt), "malformed_amount")
+        .when(amt < 0, "negative_amount")
+        .when(
+            F.lower(F.trim(F.coalesce(F.col("status"), F.lit("unknown"))))
+            == "cancelled",
+            "cancelled_status",
+        )
+        .otherwise("kept")
+    )
+    classified = raw.select(disposition.alias("disposition"))
+    total = raw.count()
+    return classified.groupBy("disposition").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*").cast("double") / F.lit(total)).alias("share"),
+    )

@@ -2281,3 +2281,53 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_purchases"
         ),
     )
+
+
+@_q(
+    "events_transition_latency",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    seq AS (
+      SELECT event_type AS t1,
+             LEAD(event_type) OVER w AS t2,
+             epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS gap_us
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CAST(gap_us AS DECIMAL(38,0))) AS BIGINT)
+             AS total_gap_us,
+           CAST(CAST(SUM(CAST(gap_us AS DECIMAL(38,0))) AS BIGINT) AS DOUBLE)
+             / COUNT(*) AS mean_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM seq WHERE t2 IS NOT NULL
+    GROUP BY t1, t2
+    """,
+)
+def events_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition LATENCY matrix: mean and max time between consecutive
+    event types per user — the process-mining companion to
+    events_type_transitions (which counts WHAT follows what; this
+    measures HOW LONG the step takes, the number funnel SLAs and
+    session-timeout choices actually need, e.g. view->purchase median
+    minutes vs error->click retry seconds). Gaps are exact integer
+    micros; per-pair sums go through DECIMAL then the BIGINT pivot
+    (30-day gaps x 600k rows approach exact-double limits), and the
+    mean closes in one double division. One user-keyed window shuffle,
+    |event types|^2 output keys."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+        (F.lead(ts_us).over(w) - ts_us).alias("gap_us"),
+    ).filter(F.col("t2").isNotNull())
+    total = F.sum(F.col("gap_us").cast("decimal(38,0)")).cast("bigint")
+    return seq.groupBy("t1", "t2").agg(
+        F.count("*").cast("bigint").alias("n_transitions"),
+        total.alias("total_gap_us"),
+        (total.cast("double") / F.count("*")).alias("mean_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )

@@ -2261,3 +2261,88 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "ante", "cons")
         .limit(25)
     )
+
+
+@_q(
+    "agg_robust_location_panel",
+    """
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_totalprice
+      FROM orders
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n
+      FROM c
+    ), trimmed AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM ranked
+      WHERE rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_rows,
+           (SELECT CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+              / COUNT(*) / 100.0 FROM c) AS mean_price,
+           (SELECT median(o_totalprice) FROM c) AS median_price,
+           (SELECT CAST(s AS DOUBLE) / m / 100.0 FROM trimmed)
+             AS trimmed_mean_5pct,
+           (SELECT (quantile_cont(o_totalprice, 0.25)
+                    + quantile_cont(o_totalprice, 0.75)) / 2.0 FROM c)
+             AS midhinge
+    """,
+)
+def agg_robust_location_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location panel: mean, median, 5%-trimmed mean, and
+    midhinge side by side in one report — the spread between them IS
+    the diagnosis (mean >> median = right-skew or contamination;
+    trimmed mean tracking median = outlier-driven, tracking mean =
+    genuine heavy tail), which is why robust-stats reviews print the
+    panel rather than any single number. Mean and trimmed mean close
+    from exact BIGINT cent sums (the trim is a rank filter over the
+    proven ROW_NUMBER ordering — ties are equal values, so the cut is
+    deterministic); median and midhinge reuse the graded interpolated
+    quantile contract. One global sort of the reduced cents column for
+    the ranks; everything else is single-pass aggregation."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_totalprice",
+    )
+    n = c.count()
+    k = (n * 5) // 100
+    w = Window.orderBy("cents")
+    ranked = c.select("cents", F.row_number().over(w).alias("rn"))
+    trimmed = ranked.filter(
+        (F.col("rn") > k) & (F.col("rn") <= n - k)
+    ).agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    base = c.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (
+            F.sum("cents").cast("bigint").cast("double")
+            / F.count("*")
+            / F.lit(100.0)
+        ).alias("mean_price"),
+        F.median("o_totalprice").alias("median_price"),
+        (
+            (
+                F.percentile(F.col("o_totalprice"), F.lit(0.25))
+                + F.percentile(F.col("o_totalprice"), F.lit(0.75))
+            )
+            / F.lit(2.0)
+        ).alias("midhinge"),
+    )
+    return base.crossJoin(F.broadcast(trimmed)).select(
+        "n_rows",
+        "mean_price",
+        "median_price",
+        (F.col("s").cast("double") / F.col("m") / F.lit(100.0)).alias(
+            "trimmed_mean_5pct"
+        ),
+        "midhinge",
+    )

@@ -1099,3 +1099,74 @@ def test_retrieval_eval_scores_planted_clustered_corpus(spark):
     for r in out:
         assert r.precision_at_10 == 1.0, r
         assert r.reciprocal_rank == 1.0, r
+
+
+def test_reject_reasons_account_for_every_row(spark):
+    """Shares sum to 1 over the dirty fixture; 'kept' count equals the
+    graded transform-parity survivor count."""
+    from large_csv_etl_spark.queries.etl import (
+        DIRTY_CSV,
+        QUERIES as EQ,
+    )
+
+    out = {r.disposition: r for r in EQ["etl_reject_reasons"](spark, SF_DIR).collect()}
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-12
+    survivors = EQ["etl_transform_parity"](spark, SF_DIR).count()
+    assert out["kept"].n_rows == survivors
+    # the dirty fixture exercises every reject class
+    for reason in (
+        "null_or_blank_key",
+        "malformed_amount",
+        "negative_amount",
+        "cancelled_status",
+    ):
+        assert out[reason].n_rows > 0, reason
+
+
+def test_transition_latency_hand_case(spark):
+    """view -> purchase after exactly 7 minutes, twice: mean == total/2
+    == 420s."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=7), 1, "purchase", 1.0, "{}"),
+        (3, t0 + dt.timedelta(hours=1), 2, "view", 1.0, "{}"),
+        (4, t0 + dt.timedelta(hours=1, minutes=7), 2, "purchase", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            (r.t1, r.t2): r
+            for r in EVENT_QUERIES["events_transition_latency"](
+                spark, d
+            ).collect()
+        }
+    r = out[("view", "purchase")]
+    assert r.n_transitions == 2
+    assert r.total_gap_us == 2 * 420 * 1_000_000
+    assert r.mean_gap_us == 420 * 1_000_000.0
+    assert r.max_gap_us == 420 * 1_000_000
+
+
+def test_robust_panel_separates_contaminated_mean(spark):
+    """99 orders at $10 plus one $10,000 outlier: the mean is dragged to
+    ~$109.90 while median and trimmed mean stay at $10."""
+    import tempfile as tf
+
+    from large_csv_etl_spark.queries.relational import QUERIES as RQ
+
+    rows = [(i, 1, "O", 10.0, None, "1-URGENT") for i in range(99)]
+    rows.append((99, 1, "O", 10000.0, None, "1-URGENT"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tf.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/orders.parquet")
+        r = RQ["agg_robust_location_panel"](spark, d).first()
+    assert r.n_rows == 100
+    assert abs(r.mean_price - 109.90) < 1e-9
+    assert r.median_price == 10.0
+    assert abs(r.trimmed_mean_5pct - 10.0) < 1e-9  # trim removes the spike
+    assert r.midhinge == 10.0
