@@ -206,6 +206,9 @@ HEADLINE = [
     "etl_reject_reasons",
     "events_transition_latency",
     "agg_robust_location_panel",
+    "dq_functional_dependency_audit",
+    "text_normalization_impact",
+    "events_type_daily_correlation",
 ]
 
 

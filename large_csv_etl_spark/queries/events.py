@@ -2331,3 +2331,76 @@ def events_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (total.cast("double") / F.count("*")).alias("mean_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+@_q(
+    "events_type_daily_correlation",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(a.n) AS BIGINT) AS sx,
+             CAST(SUM(b.n) AS BIGINT) AS sy,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+             CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+             CAST(SUM(b.n * b.n) AS BIGINT) AS syy
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_days,
+           (CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (SQRT(CAST(n_days AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx)
+                * SQRT(CAST(n_days AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)) AS pearson_corr
+    FROM pairs
+    """,
+)
+def events_type_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily co-movement matrix: Pearson correlation between every pair
+    of event types' daily-volume series — correlated streams share a
+    driver (real traffic moves clicks AND views together; a decoupled
+    series is a bot, an outage, or an instrumentation change, and a
+    correlation BREAK localizes when it happened). The agg_corr_exact
+    technique on the bounded daily table: all five moment sums are
+    exact BIGINTs accumulated in ONE pass over the day-joined pairs,
+    and the correlation closes in a single token-identical double
+    expression (SQRT only). |types|^2/2 output rows; the corpus is
+    scanned once for the daily counts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("a.n").cast("bigint").alias("sx"),
+            F.sum("b.n").cast("bigint").alias("sy"),
+            F.sum(F.col("a.n") * F.col("b.n")).cast("bigint").alias("sxy"),
+            F.sum(F.col("a.n") * F.col("a.n")).cast("bigint").alias("sxx"),
+            F.sum(F.col("b.n") * F.col("b.n")).cast("bigint").alias("syy"),
+        )
+    )
+    nd = F.col("n_days").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return pairs.select("type_a", "type_b", "n_days", corr.alias("pearson_corr"))

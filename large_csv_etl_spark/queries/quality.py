@@ -788,3 +788,97 @@ def dq_warehouse_sanity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@_q(
+    "dq_functional_dependency_audit",
+    """
+    WITH fd1 AS (
+      SELECT 'l_orderkey->l_returnflag' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_lhs_keys,
+             CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys
+      FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS n_rhs
+            FROM lineitem GROUP BY l_orderkey)
+    ), fd2 AS (
+      SELECT 'l_orderkey->l_shipdate' AS fd,
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_orderkey, COUNT(DISTINCT l_shipdate) AS n_rhs
+            FROM lineitem GROUP BY l_orderkey)
+    ), fd3 AS (
+      SELECT 'o_custkey->o_orderpriority' AS fd,
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_rhs
+            FROM orders GROUP BY o_custkey)
+    ), fd4 AS (
+      SELECT 'c_custkey->c_mktsegment' AS fd,
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT c_custkey, COUNT(DISTINCT c_mktsegment) AS n_rhs
+            FROM customer GROUP BY c_custkey)
+    ), u AS (
+      SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+      UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
+    )
+    SELECT fd, n_lhs_keys, n_violating_keys,
+           CAST(n_violating_keys AS DOUBLE) / n_lhs_keys AS violation_share,
+           n_violating_keys = 0 AS holds
+    FROM u
+    """,
+)
+def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (Metanome-style profiling): for each
+    candidate FD, count the left-hand keys whose rows disagree on the
+    right-hand value — an FD that HOLDS is a normalization/compression
+    opportunity and an implicit contract, and one that's 99% true is
+    usually a data BUG in the violating 1% (the per-key drill-down is
+    the violating-keys filter of the same aggregate). Four candidates
+    spanning the plausible spectrum: order->returnflag and
+    order->shipdate (line-level attributes — expected to fail),
+    customer->priority (behavioral — fails), customer PK->segment
+    (must hold). Each FD is one count-distinct aggregate over one
+    scan; the report is four rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def fd(df, name, lhs, rhs):
+        per_key = df.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        return per_key.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").cast("bigint").alias("n_lhs_keys"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_keys"),
+        )
+
+    u = (
+        fd(li, "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag")
+        .unionByName(
+            fd(li, "l_orderkey->l_shipdate", "l_orderkey", "l_shipdate")
+        )
+        .unionByName(
+            fd(
+                orders,
+                "o_custkey->o_orderpriority",
+                "o_custkey",
+                "o_orderpriority",
+            )
+        )
+        .unionByName(
+            fd(cust, "c_custkey->c_mktsegment", "c_custkey", "c_mktsegment")
+        )
+    )
+    return u.select(
+        "fd",
+        "n_lhs_keys",
+        "n_violating_keys",
+        (
+            F.col("n_violating_keys").cast("double") / F.col("n_lhs_keys")
+        ).alias("violation_share"),
+        (F.col("n_violating_keys") == 0).alias("holds"),
+    )

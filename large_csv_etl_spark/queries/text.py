@@ -2036,3 +2036,72 @@ ORACLES["text_lang_confusion"] = f"""
              AS share_of_declared
     FROM counts
     """
+
+
+@_q(
+    "text_normalization_impact",
+    r"""
+    WITH d AS (
+      SELECT text FROM documents WHERE text IS NOT NULL
+    ), flags AS (
+      SELECT CASE WHEN LOWER(text) <> text THEN 1 ELSE 0 END AS has_upper,
+             CASE WHEN regexp_matches(text, '\s\s') THEN 1 ELSE 0 END
+               AS has_multispace,
+             CASE WHEN TRIM(text) <> text THEN 1 ELSE 0 END AS has_edge_ws,
+             CASE WHEN regexp_matches(text, '[^\x00-\x7F]') THEN 1 ELSE 0 END
+               AS has_nonascii,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN 1 ELSE 0 END AS is_blank
+      FROM d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(has_upper) AS BIGINT) AS n_has_upper,
+           CAST(SUM(has_multispace) AS BIGINT) AS n_has_multispace,
+           CAST(SUM(has_edge_ws) AS BIGINT) AS n_has_edge_whitespace,
+           CAST(SUM(has_nonascii) AS BIGINT) AS n_has_nonascii,
+           CAST(SUM(is_blank) AS BIGINT) AS n_blank,
+           CAST(SUM(CASE WHEN has_upper = 1 OR has_multispace = 1
+                          OR has_edge_ws = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS share_would_change
+    FROM flags
+    """,
+)
+def text_normalization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization impact sizing: how many documents each standard
+    text-cleanup rule (lowercasing, whitespace collapse, edge trim,
+    plus non-ASCII presence and blank detection) would actually touch —
+    measured BEFORE the transform runs, because a rule that rewrites
+    90% of the corpus invalidates every cached fingerprint and
+    embedding downstream, and that blast radius should be a decision,
+    not a surprise. One wide conditional aggregate over one scan
+    (the dq_expectations pattern applied to text curation); exact
+    counts, one share division."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    t = F.col("text")
+    flags = docs.select(
+        F.when(F.lower(t) != t, 1).otherwise(0).alias("has_upper"),
+        F.when(t.rlike(r"\s\s"), 1).otherwise(0).alias("has_multispace"),
+        F.when(F.trim(t) != t, 1).otherwise(0).alias("has_edge_ws"),
+        F.when(t.rlike(r"[^\x00-\x7F]"), 1).otherwise(0).alias(
+            "has_nonascii"
+        ),
+        F.when(F.length(F.trim(t)) == 0, 1).otherwise(0).alias("is_blank"),
+    )
+    would_change = F.when(
+        (F.col("has_upper") == 1)
+        | (F.col("has_multispace") == 1)
+        | (F.col("has_edge_ws") == 1),
+        1,
+    ).otherwise(0)
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("has_upper").cast("bigint").alias("n_has_upper"),
+        F.sum("has_multispace").cast("bigint").alias("n_has_multispace"),
+        F.sum("has_edge_ws").cast("bigint").alias("n_has_edge_whitespace"),
+        F.sum("has_nonascii").cast("bigint").alias("n_has_nonascii"),
+        F.sum("is_blank").cast("bigint").alias("n_blank"),
+        (F.sum(would_change).cast("double") / F.count("*")).alias(
+            "share_would_change"
+        ),
+    )

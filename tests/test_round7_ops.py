@@ -1170,3 +1170,68 @@ def test_robust_panel_separates_contaminated_mean(spark):
     assert r.median_price == 10.0
     assert abs(r.trimmed_mean_5pct - 10.0) < 1e-9  # trim removes the spike
     assert r.midhinge == 10.0
+
+
+def test_fd_audit_planted_hold_and_violation(spark):
+    """c_custkey->c_mktsegment must HOLD (PK determines everything);
+    the line-level FDs must be violated on the real fixture."""
+    out = {
+        r.fd: r
+        for r in QUALITY_QUERIES["dq_functional_dependency_audit"](
+            spark, SF_DIR_MID
+        ).collect()
+    }
+    assert out["c_custkey->c_mktsegment"].holds
+    assert out["c_custkey->c_mktsegment"].n_violating_keys == 0
+    assert not out["l_orderkey->l_shipdate"].holds  # multi-line orders
+    assert 0.0 <= out["o_custkey->o_orderpriority"].violation_share <= 1.0
+
+
+def test_normalization_impact_counts_planted_rules(spark):
+    """Docs planted to trip exactly one rule each are counted once per
+    rule; the clean doc trips nothing."""
+    rows = [
+        (1, "Has Upper", "en", "s", 0),
+        (2, "double  space", "en", "s", 0),
+        (3, " leading", "en", "s", 0),
+        (4, "café", "en", "s", 0),
+        (5, "   ", "en", "s", 0),
+        (6, "clean text", "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        r = TEXT_QUERIES["text_normalization_impact"](spark, d).first()
+    assert r.n_docs == 6
+    assert r.n_has_upper == 1
+    assert r.n_has_multispace == 2  # doc 2 and the all-blank doc 5
+    assert r.n_has_edge_whitespace == 2  # doc 3 and doc 5
+    assert r.n_has_nonascii == 1
+    assert r.n_blank == 1
+    assert abs(r.share_would_change - 4 / 6) < 1e-12
+
+
+def test_daily_correlation_sees_planted_comovement(spark):
+    """Two types whose daily volumes move together (n and 2n) correlate
+    at exactly +1; an anti-phase type correlates negatively."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(10):
+        n = 3 + (day % 5)
+        for k in range(n):
+            rows.append((eid, t0 + dt.timedelta(days=day, minutes=k), 1, "a", 1.0, "{}")); eid += 1
+        for k in range(2 * n):
+            rows.append((eid, t0 + dt.timedelta(days=day, minutes=60 + k), 1, "b", 1.0, "{}")); eid += 1
+        for k in range(12 - n):
+            rows.append((eid, t0 + dt.timedelta(days=day, minutes=200 + k), 1, "c", 1.0, "{}")); eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            (r.type_a, r.type_b): r.pearson_corr
+            for r in EVENT_QUERIES["events_type_daily_correlation"](
+                spark, d
+            ).collect()
+        }
+    assert abs(out[("a", "b")] - 1.0) < 1e-12
+    assert abs(out[("a", "c")] + 1.0) < 1e-12
+    assert abs(out[("b", "c")] + 1.0) < 1e-12
