@@ -209,6 +209,8 @@ HEADLINE = [
     "dq_functional_dependency_audit",
     "text_normalization_impact",
     "events_type_daily_correlation",
+    "dedup_normalization_gain",
+    "agg_largest_remainder_percent",
 ]
 
 

@@ -1977,3 +1977,69 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@_q(
+    "dedup_normalization_gain",
+    r"""
+    WITH d AS (
+      SELECT text FROM documents WHERE TRIM(text) <> ''
+    ), fps AS (
+      SELECT md5(text) AS raw_fp,
+             md5(regexp_replace(TRIM(LOWER(text)), '\s+', ' ', 'g'))
+               AS norm_fp
+      FROM d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_unique_raw,
+           CAST(COUNT(DISTINCT norm_fp) AS BIGINT) AS n_unique_normalized,
+           CAST(COUNT(DISTINCT raw_fp) - COUNT(DISTINCT norm_fp) AS BIGINT)
+             AS n_dups_recovered,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(COUNT(*) - COUNT(DISTINCT raw_fp) AS DOUBLE)
+                     / COUNT(*) END AS dup_ratio_raw,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(COUNT(*) - COUNT(DISTINCT norm_fp) AS DOUBLE)
+                     / COUNT(*) END AS dup_ratio_normalized
+    FROM fps
+    """,
+)
+def dedup_normalization_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-vs-dedup interaction: how many MORE duplicates
+    exact dedup finds once text is canonicalized (lowercase +
+    whitespace collapse + trim) — the number that justifies running
+    normalization BEFORE fingerprinting in a curation DAG, since every
+    casing/spacing variant that slips past raw md5 is a duplicate the
+    training run still pays for (and text_normalization_impact sizes
+    the same transform's blast radius; this measures its dedup
+    payoff). Two fingerprints per doc in one row-local pass, two
+    distinct-counts — no joins, no shuffle beyond the aggregate."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    fps = docs.select(
+        F.md5("text").alias("raw_fp"),
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("norm_fp"),
+    )
+    return fps.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("raw_fp").cast("bigint").alias("n_unique_raw"),
+        F.countDistinct("norm_fp")
+        .cast("bigint")
+        .alias("n_unique_normalized"),
+        (F.countDistinct("raw_fp") - F.countDistinct("norm_fp"))
+        .cast("bigint")
+        .alias("n_dups_recovered"),
+        F.when(
+            F.count("*") > 0,
+            (F.count("*") - F.countDistinct("raw_fp")).cast("double")
+            / F.count("*"),
+        ).alias("dup_ratio_raw"),
+        F.when(
+            F.count("*") > 0,
+            (F.count("*") - F.countDistinct("norm_fp")).cast("double")
+            / F.count("*"),
+        ).alias("dup_ratio_normalized"),
+    )

@@ -2346,3 +2346,89 @@ def agg_robust_location_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "midhinge",
     )
+
+
+@_q(
+    "agg_largest_remainder_percent",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name
+    ), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+    parts AS (
+      SELECT region, cents,
+             (cents * 100) // (SELECT t FROM tot) AS floor_pct,
+             (cents * 100) % (SELECT t FROM tot) AS remainder
+      FROM rev
+    ), short AS (
+      SELECT 100 - CAST(SUM(floor_pct) AS BIGINT) AS k FROM parts
+    )
+    SELECT region, cents, CAST(floor_pct AS BIGINT) AS floor_pct,
+           CAST(floor_pct + CASE WHEN rk <= (SELECT k FROM short)
+                                 THEN 1 ELSE 0 END AS BIGINT)
+             AS allocated_pct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, region) AS rk
+      FROM parts
+    )
+    """,
+)
+def agg_largest_remainder_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: allocate exactly 100
+    integer percentage points across regions by revenue — the
+    rounding-to-a-fixed-total problem every report with a percentage
+    column hits (independent rounding sums to 99 or 101; the fix is
+    floor everyone, then hand the missing points to the largest
+    fractional remainders, deterministic region tie-break). All
+    arithmetic is exact integers — (cents*100) div/mod total — so the
+    allocation is bit-stable and the invariant SUM(allocated)=100 is
+    structural, not lucky; pinned in pytest alongside the
+    at-most-one-point deviation from the floor."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    parts = rev.crossJoin(F.broadcast(tot)).select(
+        "region",
+        "cents",
+        F.expr("(cents * 100) div t").alias("floor_pct"),
+        F.expr("(cents * 100) % t").alias("remainder"),
+    )
+    short = parts.agg(
+        (F.lit(100) - F.sum("floor_pct")).cast("bigint").alias("k")
+    )
+    w = Window.orderBy(F.col("remainder").desc(), "region")
+    ranked = parts.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(short)
+    )
+    return ranked.select(
+        "region",
+        "cents",
+        F.col("floor_pct").cast("bigint").alias("floor_pct"),
+        (
+            F.col("floor_pct")
+            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("allocated_pct"),
+    )

@@ -1235,3 +1235,36 @@ def test_daily_correlation_sees_planted_comovement(spark):
     assert abs(out[("a", "b")] - 1.0) < 1e-12
     assert abs(out[("a", "c")] + 1.0) < 1e-12
     assert abs(out[("b", "c")] + 1.0) < 1e-12
+
+
+def test_normalization_gain_counts_planted_case_variants(spark):
+    """'Hello World' / 'hello world' / 'hello  world' are raw-distinct
+    but normalize to one fingerprint: 2 dups recovered."""
+    rows = [
+        (1, "Hello World", "en", "s", 0),
+        (2, "hello world", "en", "s", 0),
+        (3, "hello  world", "en", "s", 0),
+        (4, "something else", "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        from large_csv_etl_spark.queries.dedup import QUERIES as DQ
+
+        r = DQ["dedup_normalization_gain"](spark, d).first()
+    assert r.n_docs == 4
+    assert r.n_unique_raw == 4
+    assert r.n_unique_normalized == 2
+    assert r.n_dups_recovered == 2
+    assert r.dup_ratio_raw == 0.0
+    assert abs(r.dup_ratio_normalized - 0.5) < 1e-12
+
+
+def test_largest_remainder_sums_to_exactly_100(spark):
+    """The structural invariants on the real fixture: allocations sum
+    to exactly 100 and deviate from the floor by at most one point."""
+    from large_csv_etl_spark.queries.relational import QUERIES as RQ
+
+    rows = RQ["agg_largest_remainder_percent"](spark, SF_DIR_MID).collect()
+    assert sum(r.allocated_pct for r in rows) == 100
+    for r in rows:
+        assert r.allocated_pct - r.floor_pct in (0, 1)
