@@ -71,77 +71,71 @@ _MODULES = [
 # tools/drive_driver.py + CORRECTNESS_r*.json rather than trusting any
 # hardcoded count here.
 GRADED_PRIORITY = [
-    # ---- round-7 window: the 27 oracled entries that have NEVER had a
-    # driver verdict (the round-6 additions — grading them closes
-    # cumulative driver coverage at 212/212), then 23 deliberate
-    # RE-grades chosen per VERDICT r6 ask #2: the flagship
-    # etl_transform_parity (every round), the other §2a core entries
-    # (upsert, validation), one rep per ts-consumer family
-    # (batch sessionization, tumbling, as-of, streaming sessionization),
-    # the decimal-tie float class reps (embedding_dim_stats,
-    # quantiles_exact), one rep per family never re-graded since r3
-    # (rollup, cube, unpivot, fuzzy join, transitions), and the stalest
-    # r1/r2 entries (text_lang_stats is the oldest verdict in the
-    # registry; the remaining r2 TPC-H/relational entries fill the
-    # window, oldest first per tools/gen_window.py).
-    # -- never driver-graded (27) --
-    "etl_scd2_merge",
-    "dataset_card_report",
-    "dq_join_estimate_calibration",
-    "temporal_nearest_event_to_order",
-    "skew_salted_join_rollup",
-    "agg_skew_kurtosis_exact",
-    "window_topk_with_ties",
-    "setop_symmetric_diff_active_custkeys",
-    "scalar_regexp_functions",
-    "events_concurrency_profile",
-    "events_watermark_late_audit",
-    "events_ab_experiment_analysis",
-    "sample_mixture_solver",
-    "sample_kfold_assign",
-    "sample_length_bucket_waste",
-    "streaming_hourly_users",
-    "text_memorization_ngrams",
-    "text_ngram_novelty",
-    "text_readability_ari",
-    "text_token_concentration",
-    "graph_token_communities",
-    "dedup_prefix_truncation",
-    "dedup_source_contamination_matrix",
-    "dedup_cdc_chunk_potential",
-    "embedding_pca_top_component",
-    "embedding_kmeans_lloyd",
-    "sim_matryoshka_overlap",
-    # -- flagship + §2a core re-grades (3) --
-    "etl_transform_parity",
-    "etl_upsert_last_write_wins",
-    "validation_counts",
-    # -- one rep per ts-consumer family (4) --
-    "events_sessionization",
-    "events_hourly_tumbling",
-    "asof_join_latest_order",
-    "streaming_sessionization",
-    # -- decimal-tie float class reps (2) --
-    "embedding_dim_stats",
-    "quantiles_exact",
-    # -- families never re-graded since r3/r4 (5) --
-    "rollup_order_priority",
-    "cube_returnflag_linestatus",
-    "unpivot_lineitem_metrics",
-    "text_fuzzy_token_pairs",
-    "events_type_transitions",
-    # -- stalest verdicts in the registry (9: r1 + oldest r2) --
-    "text_lang_stats",
-    "agg_having",
-    "count_distinct_exact",
-    "distinct_order_dims",
-    "join_outer_null_handling",
-    "q10_returned_items",
-    "q14_promo_revenue_ratio",
-    "q18_large_volume_customers",
-    # -- family rep: multimodal (pinned by test_registry — every family
-    # must hold a window slot; also the stalest multimodal verdict, r3) --
-    "multimodal_decoded_dims",
+    # ---- round-8 window: 48 of the 54 round-7 additions have never had
+    # a driver verdict and get one now (grading them pushes cumulative
+    # driver coverage toward 262/264 oracled entries). The never-graded
+    # pool (52, per tools/gen_window.py against CORRECTNESS_r1..r7) holds
+    # 52 entries; four are deferred to round 9 (events_transition_latency
+    # and events_type_daily_correlation from the 13-rep events block,
+    # plus gen_window's own deferrals embedding_label_homophily and
+    # sim_retrieval_eval from the 5-rep similarity block) to free slots
+    # for the two families the pool leaves unrepresented — approx and
+    # multimodal — which take their stalest-verdict reps instead
+    # (agg_iqr_outliers r4, multimodal_frame_index r3) per
+    # test_registry's one-rep-per-family contract.
+    # -- never driver-graded (48) --
+    "etl_cdc_apply",
+    "etl_changeset_derive",
+    "etl_csv_dialect_parity",
+    "etl_schema_evolution_read",
+    "etl_reject_reasons",
+    "dq_benford_first_digit",
+    "dq_k_anonymity_audit",
+    "dq_warehouse_sanity_sweep",
+    "dq_functional_dependency_audit",
+    "temporal_business_hours_overlap",
+    "temporal_ship_lag_sla",
+    "agg_gini_concentration",
+    "agg_share_of_parent",
+    "join_not_in_null_semantics",
+    "basket_association_rules",
+    "agg_robust_location_panel",
+    "agg_largest_remainder_percent",
+    "window_max_drawdown",
+    "setop_intersect_all_partkeys",
+    "scalar_bitwise_functions",
+    "events_debounce_bursts",
+    "events_interarrival_histogram",
+    "events_seasonal_naive_error",
+    "events_markov_stationary",
+    "events_user_feature_export",
+    "events_rolling_wau",
+    "events_hysteresis_alerts",
+    "events_trending_decay",
+    "events_user_behavior_divergence",
+    "events_out_of_order_audit",
+    "events_linear_attribution",
+    "sample_neyman_allocation",
+    "sample_poisson_bootstrap",
+    "sample_curriculum_order",
+    "sample_ipw_estimate",
+    "streaming_segment_counts",
+    "text_vocab_growth",
+    "graph_triangle_count",
+    "text_lang_confusion",
+    "text_normalization_impact",
+    "dedup_bloom_prefilter_calibration",
+    "dedup_survivor_policy_compare",
+    "dedup_cluster_size_histogram",
+    "dedup_lsh_band_sweep",
+    "dedup_normalization_gain",
+    "sim_ann_recall_audit",
+    "embedding_pq_audit",
+    "embedding_pair_distance_histogram",
+    # -- family reps for the two families absent from the never-graded
+    # pool (pinned by test_registry; stalest verdicts: r4 / r3) --
+    "agg_iqr_outliers",
+    "multimodal_frame_index",
 ]
 
 
