@@ -437,3 +437,213 @@ def agg_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+# HLL raw-estimator numerator: alpha_64 * m^2 * 2^55 with
+# alpha_64 = 0.7213 / (1 + 1.079/64). One shared float literal so both
+# engines perform the identical single multiply-free division.
+_HLL_M = 64
+_HLL_NUMERATOR = 1.04680248439400600e+20
+
+
+@_q(
+    "approx_hll_portable_dau",
+    f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    h AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hash60
+      FROM ev
+    ), b AS (
+      SELECT day,
+             hash60 % {_HLL_M} AS bucket,
+             MAX(CASE WHEN hash60 // {_HLL_M} = 0 THEN 55
+                      ELSE 55 - LENGTH(bin(hash60 // {_HLL_M})) END) AS max_rho
+      FROM h GROUP BY day, hash60 % {_HLL_M}
+    ), reg AS (
+      SELECT day,
+             CAST(SUM(1::BIGINT << (55 - max_rho)) AS BIGINT) AS present_mass,
+             COUNT(*) AS n_buckets_used
+      FROM b GROUP BY day
+    ), ex AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS n_exact
+      FROM ev GROUP BY 1
+    )
+    SELECT r.day,
+           e.n_exact,
+           CAST(r.n_buckets_used AS BIGINT) AS n_buckets_used,
+           {_HLL_NUMERATOR:.17e} /
+             CAST(r.present_mass
+                  + ({_HLL_M} - r.n_buckets_used) * (1::BIGINT << 55)
+                  AS BIGINT) AS hll_estimate
+    FROM reg r JOIN ex e USING (day)
+    """,
+)
+def approx_hll_portable_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog, graded value-exact against the oracle: daily
+    distinct users estimated from a 64-register HLL built with the
+    engine-portable 60-bit md5 hash (``helpers.phash60``), alongside the
+    exact count for calibration. Unlike ``approx_distinct_counts`` (Spark's
+    native HLL++, engine-specific and rows-only), every step here is
+    deterministic in BOTH engines, so the sketch itself is under the
+    correctness gate: register = hash % 64, rho = leading-zero rank of the
+    remaining 54 bits via ``55 - length(bin(w))`` (bin() drops leading
+    zeros in both engines; w = 0 pins rho = 55), harmonic mass
+    ``sum(1 << (55 - max_rho))`` held in exact BIGINT (max 64 * 2^55 =
+    2^61, in range), absent registers contribute the 2^55 zero-register
+    term, and the only float op is the final single division (BIGINT ->
+    DOUBLE is one correctly-rounded conversion in both engines — the
+    DECIMAL ulp trap from round 7 does not apply). This is the raw HLL
+    estimator, deliberately without the small-range linear-counting branch
+    (it needs ln(); libm is banned from oracle-paired expressions) — the
+    graded output carries exact-vs-estimate side by side, which is the
+    audit a pipeline actually runs before trusting sketches. At 100 TB the
+    per-day state is 64 registers regardless of cardinality; the group-by
+    combines map-side (MAX per register), exactly how a cluster HLL
+    rollup shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    from .helpers import phash60
+
+    h = ev.select(
+        F.to_date(F.col("ts")).alias("day"),
+        F.col("user_id"),
+        phash60(F.col("user_id").cast("string")).alias("hash60"),
+    )
+    w = F.expr(f"hash60 div {_HLL_M}")
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(w))
+    )
+    b = (
+        h.groupBy("day", F.expr(f"hash60 % {_HLL_M}").alias("bucket"))
+        .agg(F.max(rho).alias("max_rho"))
+    )
+    reg = b.groupBy("day").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - max_rho)"))
+        .cast("bigint")
+        .alias("present_mass"),
+        F.count("*").alias("n_buckets_used"),
+    )
+    ex = h.groupBy("day").agg(F.countDistinct("user_id").alias("n_exact"))
+    zero_mass = F.expr(
+        f"({_HLL_M} - n_buckets_used) * shiftleft(cast(1 as bigint), 55)"
+    )
+    return (
+        reg.join(ex, "day")
+        .select(
+            "day",
+            "n_exact",
+            F.col("n_buckets_used").cast("bigint").alias("n_buckets_used"),
+            (
+                F.lit(_HLL_NUMERATOR)
+                / (F.col("present_mass") + zero_mass).cast("bigint")
+            ).alias("hll_estimate"),
+        )
+    )
+
+
+_CMS_W = 512  # sketch width (buckets per hash row)
+_CMS_D = 4  # sketch depth (independent hash rows)
+
+
+@_q(
+    "approx_countmin_portable",
+    f"""
+    WITH toks AS (
+      SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), exact AS (
+      SELECT token, COUNT(*) AS exact_count FROM toks GROUP BY token
+    ), rows_ AS (
+      SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS hrow
+    ), sketch AS (
+      SELECT hrow,
+             ('0x' || substr(md5('cm' || hrow || ':' || token), 1, 15))::BIGINT
+               % {_CMS_W} AS bucket,
+             CAST(SUM(exact_count) AS BIGINT) AS bucket_count
+      FROM exact CROSS JOIN rows_
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT token, exact_count FROM exact
+      ORDER BY exact_count DESC, token LIMIT 20
+    ), probe AS (
+      SELECT t.token, t.exact_count, s.bucket_count
+      FROM top t CROSS JOIN rows_ r
+      JOIN sketch s
+        ON s.hrow = r.hrow
+       AND s.bucket = ('0x' || substr(md5('cm' || r.hrow || ':' || t.token), 1, 15))::BIGINT % {_CMS_W}
+    )
+    SELECT token,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(MIN(bucket_count) AS BIGINT) AS cms_estimate,
+           CAST(MIN(bucket_count) - exact_count AS BIGINT) AS overcount
+    FROM probe GROUP BY token, exact_count
+    """,
+)
+def approx_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Count-Min sketch, graded value-exact: a 4x512 CMS over the
+    document token stream (row r hashes token with the engine-portable
+    md5/60-bit hash salted by ``cm{{r}}:``), probed for the exact top-20
+    tokens; the output carries exact count, CMS estimate (min over the 4
+    rows), and the guaranteed-non-negative overcount. Deterministic end to
+    end in both engines, so unlike ``frequent_tokens_approx`` (Spark's
+    native Misra-Gries, rows-only) the sketch arithmetic itself is under
+    the value-hash gate. Scale shape: the sketch is built from the REDUCED
+    token-frequency table (one map-side-combinable count, then |vocab| x 4
+    tiny rows hashed into 2048 cells — never 4x the raw token stream), the
+    cells table is broadcast-sized by construction (fixed 2048 rows at any
+    corpus size), and the probe is a broadcast lookup join. This is
+    exactly how a heavy-hitter CMS deploys on a cluster: counts shuffle
+    once, the sketch itself never shuffles."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    from ..queries.text import _SPARK_TOKENS
+    from .helpers import materialize_reduced
+
+    toks = docs.select(
+        F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    exact = materialize_reduced(
+        toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    )
+    rows_ = spark.range(_CMS_D).select(F.col("id").alias("hrow"))
+
+    def _bucket(token_col, hrow_col):
+        key = F.concat(F.lit("cm"), hrow_col.cast("string"), F.lit(":"), token_col)
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast(
+            "bigint"
+        ) % _CMS_W
+
+    sketch = (
+        exact.crossJoin(F.broadcast(rows_))
+        .groupBy(
+            "hrow", _bucket(F.col("token"), F.col("hrow")).alias("bucket")
+        )
+        .agg(F.sum("exact_count").cast("bigint").alias("bucket_count"))
+    )
+    top = (
+        exact.orderBy(F.desc("exact_count"), "token")
+        .limit(20)
+        .crossJoin(F.broadcast(rows_))
+        .select(
+            "token",
+            "exact_count",
+            "hrow",
+            _bucket(F.col("token"), F.col("hrow")).alias("bucket"),
+        )
+    )
+    return (
+        top.join(F.broadcast(sketch), ["hrow", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("bucket_count").alias("cms_estimate"))
+        .select(
+            "token",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
