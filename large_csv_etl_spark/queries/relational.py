@@ -2432,3 +2432,103 @@ def agg_largest_remainder_percent(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("allocated_pct"),
     )
+
+
+@_q(
+    "agg_simpsons_paradox_audit",
+    f"""
+    WITH seg AS (
+      SELECT o_orderpriority, o_orderstatus,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS s
+      FROM orders GROUP BY 1, 2
+    ), per_group AS (
+      SELECT o_orderpriority,
+             CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS pooled_avg,
+             CAST(SUM(CAST(round((CAST(s AS DOUBLE) / n) * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS seg_mean_fp_sum,
+             COUNT(*) AS n_segments,
+             CAST(SUM(n) AS BIGINT) AS n_orders
+      FROM seg GROUP BY 1
+    ), ranked AS (
+      SELECT o_orderpriority, pooled_avg,
+             CAST(seg_mean_fp_sum AS DOUBLE) / (1000000.0 * n_segments)
+               AS unweighted_avg,
+             n_segments, n_orders,
+             RANK() OVER (ORDER BY pooled_avg DESC, o_orderpriority) AS rank_pooled,
+             RANK() OVER (
+               ORDER BY CAST(seg_mean_fp_sum AS DOUBLE) / (1000000.0 * n_segments) DESC,
+                        o_orderpriority
+             ) AS rank_unweighted
+      FROM per_group
+    )
+    SELECT o_orderpriority, pooled_avg, unweighted_avg,
+           CAST(n_segments AS BIGINT) AS n_segments, n_orders,
+           CAST(rank_pooled AS BIGINT) AS rank_pooled,
+           CAST(rank_unweighted AS BIGINT) AS rank_unweighted,
+           rank_pooled <> rank_unweighted AS rank_flipped
+    FROM ranked
+    """,
+)
+def agg_simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: for each order priority, the pooled
+    (ratio-of-sums) average order value vs the unweighted mean of
+    per-status averages, with the rank each measure assigns and a flag
+    where the two rankings disagree — the aggregation-bias audit run
+    before publishing any per-group KPI whose segment mix differs across
+    groups. Determinism: pooled = exact DECIMAL sum / exact BIGINT count
+    (one IEEE division); the unweighted mean sums per-segment means —
+    each a deterministic double — through the 1e-6 fixed-point snap
+    (round() is half-away-from-zero in both engines) so the 3-addend sum
+    is exact integer arithmetic, never order-dependent double
+    accumulation. Scale: everything beyond the first map-side-combinable
+    |groups x statuses| aggregate runs on a <=15-row table."""
+    from pyspark.sql import Window
+
+    seg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("s"),
+        )
+    )
+    per_group = seg.groupBy("o_orderpriority").agg(
+        (F.sum("s").cast("double") / F.sum("n").cast("bigint")).alias(
+            "pooled_avg"
+        ),
+        F.sum(
+            F.round((F.col("s").cast("double") / F.col("n")) * 1000000.0, 0).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("seg_mean_fp_sum"),
+        F.count("*").alias("n_segments"),
+        F.sum("n").cast("bigint").alias("n_orders"),
+    )
+    unweighted = F.col("seg_mean_fp_sum").cast("double") / (
+        1000000.0 * F.col("n_segments")
+    )
+    ranked = per_group.select(
+        "o_orderpriority",
+        "pooled_avg",
+        unweighted.alias("unweighted_avg"),
+        F.col("n_segments").cast("bigint").alias("n_segments"),
+        "n_orders",
+        F.rank()
+        .over(Window.orderBy(F.desc("pooled_avg"), "o_orderpriority"))
+        .cast("bigint")
+        .alias("rank_pooled"),
+        F.rank()
+        .over(
+            Window.orderBy(
+                F.desc(unweighted), "o_orderpriority"
+            )
+        )
+        .cast("bigint")
+        .alias("rank_unweighted"),
+    )
+    return ranked.withColumn(
+        "rank_flipped", F.col("rank_pooled") != F.col("rank_unweighted")
+    )

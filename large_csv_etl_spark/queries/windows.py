@@ -390,3 +390,69 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").cast("bigint").alias("peak_day_cents"),
         F.min("cents").cast("bigint").alias("trough_day_cents"),
     )
+
+
+@_q(
+    "window_pareto_frontier",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(o_orderdate AS DATE) AS day,
+             MAX(o_totalprice) AS day_max_price,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY 1, 2
+    ), run AS (
+      SELECT o_orderpriority, day, day_max_price, n_orders,
+             MAX(day_max_price) OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max
+      FROM daily
+    )
+    SELECT o_orderpriority, day,
+           day_max_price AS frontier_price,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM run
+    WHERE prev_max IS NULL OR day_max_price > prev_max
+    """,
+)
+def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) per order priority: the
+    record-breaking days — (day, price) points not dominated by any
+    earlier-or-equal day with an equal-or-higher price. The classic
+    skyline operator reduced to O(n log n): collapse to one point per
+    (group, day) first (a map-side-combinable MAX), then a single
+    running-max window pass keeps exactly the strictly-increasing
+    envelope — no dominance self-join, no all-pairs work, which is what
+    makes the skyline tractable at 100 TB (the window runs over the
+    |groups x days| reduced table, bounded by the calendar). Ties pinned:
+    equal-price later days are dominated (strict > keeps the earliest)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority", F.to_date("o_orderdate").alias("day")
+        )
+        .agg(
+            F.max("o_totalprice").alias("day_max_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        daily.withColumn("prev_max", F.max("day_max_price").over(w))
+        .filter(
+            F.col("prev_max").isNull()
+            | (F.col("day_max_price") > F.col("prev_max"))
+        )
+        .select(
+            "o_orderpriority",
+            "day",
+            F.col("day_max_price").alias("frontier_price"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+        )
+    )
