@@ -2404,3 +2404,189 @@ def events_type_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
         * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
     )
     return pairs.select("type_a", "type_b", "n_days", corr.alias("pearson_corr"))
+
+
+@_q(
+    "events_changepoint_scan",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             COUNT(*) AS c
+      FROM ev GROUP BY 1, 2
+    ), seq AS (
+      SELECT event_type, day, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             CAST(SUM(c) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS prefix_sum,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total_sum
+      FROM daily
+    ), scored AS (
+      SELECT event_type, day,
+             CAST(prefix_sum AS DOUBLE) / rn AS mean_before,
+             CAST(total_sum - prefix_sum AS DOUBLE) / (n_days - rn) AS mean_after,
+             ABS(CAST(prefix_sum AS DOUBLE) / rn
+                 - CAST(total_sum - prefix_sum AS DOUBLE) / (n_days - rn))
+               * SQRT(CAST(rn AS DOUBLE) * (n_days - rn) / n_days) AS score,
+             n_days,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ABS(CAST(prefix_sum AS DOUBLE) / rn
+                            - CAST(total_sum - prefix_sum AS DOUBLE) / (n_days - rn))
+                        * SQRT(CAST(rn AS DOUBLE) * (n_days - rn) / n_days) DESC,
+                        day
+             ) AS pick
+      FROM seq WHERE rn < n_days
+    )
+    SELECT event_type, day AS split_day, mean_before, mean_after, score,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM scored WHERE pick = 1
+    """,
+)
+def events_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection (binary segmentation, first split) on the
+    daily count series of each event type: every candidate split day is
+    scored by the between-segment mean gap weighted by
+    sqrt(n_pre * n_post / n) — the two-sample CUSUM statistic — and the
+    argmax split is returned with the before/after means. The O(n^2)
+    naive scan collapses to one window pass over prefix sums: counts are
+    exact BIGINTs, each candidate's score is pure per-row IEEE arithmetic
+    on those integers (single divisions + one correctly-rounded SQRT —
+    no libm pow/log), so the argmax is deterministic in both engines
+    with the day tie-break. Scale: the scan runs over the
+    |types x calendar-days| reduced table; the raw stream contributes one
+    map-side-combinable count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    wseq = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wseq).alias("rn"),
+        F.sum("c")
+        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("prefix_sum"),
+        F.count("*").over(wall).alias("n_days"),
+        F.sum("c").over(wall).cast("bigint").alias("total_sum"),
+    ).filter(F.col("rn") < F.col("n_days"))
+    mean_before = F.col("prefix_sum").cast("double") / F.col("rn")
+    mean_after = (F.col("total_sum") - F.col("prefix_sum")).cast("double") / (
+        F.col("n_days") - F.col("rn")
+    )
+    score = F.abs(mean_before - mean_after) * F.sqrt(
+        F.col("rn").cast("double")
+        * (F.col("n_days") - F.col("rn"))
+        / F.col("n_days")
+    )
+    scored = seq.select(
+        "event_type",
+        "day",
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+        score.alias("score"),
+        "n_days",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(F.desc(score), "day"))
+        .alias("pick"),
+    )
+    return scored.filter(F.col("pick") == 1).select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        "mean_before",
+        "mean_after",
+        "score",
+        F.col("n_days").cast("bigint").alias("n_days"),
+    )
+
+
+@_q(
+    "events_funnel_time_constrained",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS ts_view
+      FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_click
+      FROM ev e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.ts_view
+        AND e.ts <= s1.ts_view + INTERVAL 30 MINUTE
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_purchase
+      FROM ev e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.ts_click
+        AND e.ts <= s2.ts_click + INTERVAL 30 MINUTE
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.ts_view, s2.ts_click, s3.ts_purchase,
+           CAST(CASE WHEN s3.ts_purchase IS NOT NULL THEN 3
+                     WHEN s2.ts_click IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stage_reached
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+)
+def events_funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained conversion funnel: view -> click -> purchase where
+    each transition must land within 30 minutes of the anchor step —
+    the funnel shape product analytics actually runs (the unconstrained
+    ordered funnel is ``events_funnel_ordered``). Earliest-qualifying
+    semantics are pinned: the anchor is the user's FIRST view, the click
+    is the first click inside that view's window, the purchase the first
+    inside that click's window — so the result is deterministic, not
+    dependent on which qualifying chain a traversal happens to find.
+    Plan shape: three hash aggregations and two equi-joins, all keyed on
+    user_id (one shuffle key end to end, co-partitioned by AQE); no
+    window over the raw stream, no per-user sequence materialization."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts_view"))
+            & (F.col("ts") <= F.col("ts_view") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts_click"))
+            & (F.col("ts") <= F.col("ts_click") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "ts_view",
+            "ts_click",
+            "ts_purchase",
+            F.when(F.col("ts_purchase").isNotNull(), 3)
+            .when(F.col("ts_click").isNotNull(), 2)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("stage_reached"),
+        )
+    )
