@@ -2105,3 +2105,234 @@ def text_normalization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_would_change"
         ),
     )
+
+
+# BM25 constants, emitted in scientific notation so DuckDB types them
+# DOUBLE (a bare 1.2 literal is DECIMAL there and loses a ulp on cast).
+_BM25_K1 = "1.19999999999999996e+00"
+_BM25_K1P1 = "2.20000000000000018e+00"
+_BM25_B = "7.50000000000000000e-01"
+
+
+@_q(
+    "text_bm25_topk",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), dfs AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ), qterms AS (
+      SELECT token, df, 1000000000000 // df AS idf_fp
+      FROM dfs, stats
+      WHERE df >= 10 AND df <= n_docs // 2
+      ORDER BY df DESC, token LIMIT 5
+    ), tf AS (
+      SELECT t.doc_id, t.token, COUNT(*) AS tf
+      FROM toks t JOIN qterms USING (token)
+      GROUP BY t.doc_id, t.token
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               (CAST(q.idf_fp AS DOUBLE))
+               * ((tf * {_BM25_K1P1})
+                  / (tf + {_BM25_K1}
+                       * (1 - {_BM25_B}
+                          + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / s.avgdl))))
+               * 1.0e3) AS BIGINT) AS term_fp
+      FROM tf
+      JOIN qterms q USING (token)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(term_fp) AS BIGINT) AS score_fp,
+             COUNT(*) AS n_terms_matched
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(score_fp AS DOUBLE) / 1.0e3 AS bm25_score,
+           CAST(n_terms_matched AS BIGINT) AS n_terms_matched
+    FROM agg
+    ORDER BY score_fp DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the document corpus: the 5 highest-DF
+    mid-band vocabulary terms (10 <= df <= n_docs/2 — i.e. excluding both
+    rarities and stopword-grade terms; the bound set is deterministic in
+    both engines) form the query, and documents are ranked by the BM25
+    score with k1=1.2, b=0.75. The log-idf is replaced by the repo's
+    fixed-point inverse document frequency (``1e12 div df`` — the same
+    monotone log-free surrogate as text_idf_score, keeping libm out of
+    the oracle pair); the tf saturation and length normalization are the
+    textbook BM25 form, computed per-row in IEEE doubles with identical
+    parenthesization on both engines; each term's contribution is snapped
+    to 1e-3 fixed point so the <=5-addend per-doc sum is exact BIGINT
+    arithmetic. Plan: the query-term table is 5 rows (broadcast), so
+    scoring is a broadcast semi-join over the token stream — no
+    vocabulary-sized shuffle touches the posting lists; per-doc length
+    and the final top-20 are TakeOrderedAndProject over the reduced
+    score table."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        "doc_id", F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfs = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    qterms = (
+        dfs.crossJoin(F.broadcast(stats))
+        .filter((F.col("df") >= 10) & (F.col("df") <= F.expr("n_docs div 2")))
+        .select("token", "df", F.expr("1000000000000 div df").alias("idf_fp"))
+        .orderBy(F.desc("df"), "token")
+        .limit(5)
+    )
+    tf = (
+        toks.join(F.broadcast(qterms.select("token", "idf_fp")), "token")
+        .groupBy("doc_id", "token", "idf_fp")
+        .agg(F.count("*").alias("tf"))
+    )
+    term_fp = F.expr(
+        f"CAST(round((CAST(idf_fp AS DOUBLE))"
+        f" * ((tf * {_BM25_K1P1})"
+        f"    / (tf + {_BM25_K1}"
+        f"         * (1 - {_BM25_B}"
+        f"            + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl))))"
+        f" * 1.0e3) AS BIGINT)"
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select("doc_id", term_fp.alias("term_fp"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_fp").cast("bigint").alias("score_fp"),
+        F.count("*").alias("n_terms_matched"),
+    )
+    return (
+        agg.orderBy(F.desc("score_fp"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            (F.col("score_fp").cast("double") / 1.0e3).alias("bm25_score"),
+            F.col("n_terms_matched").cast("bigint").alias("n_terms_matched"),
+        )
+    )
+
+
+@_q(
+    "text_collocation_lift",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS arr
+      FROM documents WHERE TRIM(text) <> ''
+    ), uni AS (
+      SELECT UNNEST(arr) AS token FROM toks
+    ), ucnt AS (
+      SELECT token, COUNT(*) AS c FROM uni GROUP BY token
+    ), utot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM ucnt
+    ), bg AS (
+      SELECT arr[i] AS tok_left, arr[i + 1] AS tok_right
+      FROM (
+        SELECT arr, UNNEST(generate_series(1, LEN(arr) - 1)) AS i
+        FROM toks WHERE LEN(arr) >= 2
+      )
+    ), bcnt AS (
+      SELECT tok_left, tok_right, COUNT(*) AS c_pair FROM bg
+      GROUP BY tok_left, tok_right
+    ), btot AS (
+      SELECT CAST(SUM(c_pair) AS BIGINT) AS n_bi FROM bcnt
+    ), lifted AS (
+      SELECT b.tok_left, b.tok_right,
+             CAST(b.c_pair AS BIGINT) AS c_pair,
+             CAST(l.c AS BIGINT) AS c_left,
+             CAST(r.c AS BIGINT) AS c_right,
+             ((CAST(b.c_pair AS DOUBLE) / t.n_bi)
+              * (CAST(u.n_uni AS DOUBLE) / l.c))
+             * (CAST(u.n_uni AS DOUBLE) / r.c) AS lift
+      FROM bcnt b
+      JOIN ucnt l ON l.token = b.tok_left
+      JOIN ucnt r ON r.token = b.tok_right
+      CROSS JOIN btot t CROSS JOIN utot u
+      WHERE b.c_pair >= 5
+    )
+    SELECT tok_left, tok_right, c_pair, c_left, c_right, lift
+    FROM lifted
+    ORDER BY lift DESC, tok_left, tok_right LIMIT 50
+    """,
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by PMI lift: adjacent token pairs whose
+    co-occurrence probability exceeds the independence baseline,
+    ``lift = p(xy) / (p(x) p(y))`` — the exp-scale pointwise mutual
+    information, which ranks identically to PMI without ever calling
+    log() (libm is banned from oracle-paired expressions). The lift is
+    computed from exact BIGINT counts via three single IEEE divisions
+    and two multiplies with pinned parenthesization, so both engines
+    produce the identical double; min support c_pair >= 5 bounds noise
+    and the output is the top-50 with full count provenance. Plan:
+    bigrams are built row-locally from the token array (zip_with, no
+    window shuffle), and the two count tables join on token keys —
+    stopword-skewed but fixed-payload, AQE-splittable; the corpus totals
+    are broadcast 1-row tables."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    arr = _SPARK_TOKENS(F.lower(F.col("text")))
+    uni = docs.select(F.explode(arr).alias("token"))
+    ucnt = uni.groupBy("token").agg(F.count("*").alias("c"))
+    utot = ucnt.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    pairs = F.expr(
+        "zip_with(slice(tokens, 1, size(tokens) - 1),"
+        "         slice(tokens, 2, size(tokens) - 1),"
+        "         (a, b) -> struct(a AS tok_left, b AS tok_right))"
+    )
+    bg = (
+        docs.select(arr.alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.tok_left", "p.tok_right")
+    )
+    bcnt = bg.groupBy("tok_left", "tok_right").agg(F.count("*").alias("c_pair"))
+    btot = bcnt.agg(F.sum("c_pair").cast("bigint").alias("n_bi"))
+    lifted = (
+        bcnt.filter(F.col("c_pair") >= 5)
+        .join(
+            ucnt.select(
+                F.col("token").alias("tok_left"), F.col("c").alias("cl")
+            ),
+            "tok_left",
+        )
+        .join(
+            ucnt.select(
+                F.col("token").alias("tok_right"), F.col("c").alias("cr")
+            ),
+            "tok_right",
+        )
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "tok_left",
+            "tok_right",
+            F.col("c_pair").cast("bigint").alias("c_pair"),
+            F.col("cl").cast("bigint").alias("c_left"),
+            F.col("cr").cast("bigint").alias("c_right"),
+            (
+                (
+                    (F.col("c_pair").cast("double") / F.col("n_bi"))
+                    * (F.col("n_uni").cast("double") / F.col("cl"))
+                )
+                * (F.col("n_uni").cast("double") / F.col("cr"))
+            ).alias("lift"),
+        )
+    )
+    return lifted.orderBy(F.desc("lift"), "tok_left", "tok_right").limit(50)
