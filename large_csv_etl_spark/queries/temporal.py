@@ -515,3 +515,122 @@ def temporal_ship_lag_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_breaching_90d"),
     )
+
+
+@_q(
+    "temporal_interval_overlap_join",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id,
+             ts
+      FROM flagged
+    ), bounds AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM sessions GROUP BY user_id, session_id
+    ), expanded AS (
+      SELECT b.*, UNNEST(generate_series(
+               CAST(DATE_TRUNC('day', session_start) AS DATE),
+               CAST(DATE_TRUNC('day', session_end) AS DATE),
+               INTERVAL 1 DAY)) AS win_day
+      FROM bounds b
+    ), ovl AS (
+      SELECT user_id, session_id, session_start, session_end,
+             GREATEST(0,
+               LEAST(epoch_us(session_end),
+                     epoch_us(CAST(win_day AS TIMESTAMP) + INTERVAL 4 HOUR))
+               - GREATEST(epoch_us(session_start),
+                          epoch_us(CAST(win_day AS TIMESTAMP) + INTERVAL 2 HOUR))
+             ) AS ov_us
+      FROM expanded
+    )
+    SELECT user_id, session_id, session_start, session_end,
+           CAST(SUM(ov_us) AS BIGINT) AS downtime_overlap_us,
+           CAST(SUM(CASE WHEN ov_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_windows_hit
+    FROM ovl
+    GROUP BY user_id, session_id, session_start, session_end
+    """,
+)
+def temporal_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user activity sessions (the 30-minute-gap
+    sessionization contract) joined against a recurring maintenance
+    window (daily 02:00-04:00 UTC), reporting per session the overlapped
+    microseconds and how many windows it hit — the generic
+    interval x interval join behind downtime attribution, SLA clocks and
+    on-call overlap, expressed without an inequality join: each session
+    expands to the calendar days it touches (bounded by session length,
+    almost always 1 row), the windows derive from those days, and the
+    pairwise overlap is ``greatest(0, least(ends) - greatest(starts))``
+    in exact epoch-microsecond BIGINTs. No quadratic per-user candidate
+    set, no float arithmetic anywhere. At 100 TB the expansion key
+    (user, day) is the partition key the sessionizer already shuffled
+    on."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(ts_us - F.lag(ts_us).over(w) <= 1800 * 1_000_000, 0)
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_id"),
+        "ts",
+    )
+    bounds = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    expanded = bounds.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.to_date("session_start"),
+                F.to_date("session_end"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("win_day"),
+    )
+    s_us = F.unix_micros(F.col("session_start").cast("timestamp"))
+    e_us = F.unix_micros(F.col("session_end").cast("timestamp"))
+    w_start = F.unix_micros(
+        F.col("win_day").cast("timestamp") + F.expr("INTERVAL 2 HOURS")
+    )
+    w_end = F.unix_micros(
+        F.col("win_day").cast("timestamp") + F.expr("INTERVAL 4 HOURS")
+    )
+    ov = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(e_us, w_end) - F.greatest(s_us, w_start),
+    )
+    return (
+        expanded.select(
+            "user_id", "session_id", "session_start", "session_end",
+            ov.alias("ov_us"),
+        )
+        .groupBy("user_id", "session_id", "session_start", "session_end")
+        .agg(
+            F.sum("ov_us").cast("bigint").alias("downtime_overlap_us"),
+            F.sum(F.when(F.col("ov_us") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_windows_hit"),
+        )
+    )
