@@ -573,3 +573,62 @@ def etl_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         (F.count("*").cast("double") / F.lit(total)).alias("share"),
     )
+
+
+@_q(
+    "etl_fk_surrogate_keys",
+    """
+    WITH dim AS (
+      SELECT r.r_name, n.n_name, n.n_nationkey,
+             CAST(DENSE_RANK() OVER (ORDER BY r.r_name, n.n_name) AS BIGINT)
+               AS surrogate_id
+      FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    )
+    SELECT d.surrogate_id, d.r_name, d.n_name,
+           COUNT(c.c_custkey) AS n_customers,
+           CAST(COALESCE(SUM(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_negative_balance
+    FROM dim d LEFT JOIN customer c ON c.c_nationkey = d.n_nationkey
+    GROUP BY d.surrogate_id, d.r_name, d.n_name
+    """,
+)
+def etl_fk_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key generation for a conformed dimension — the
+    warehouse-load step that replaces natural keys with compact dense
+    integers: the (region, nation) natural key is ranked by a
+    deterministic total order (``DENSE_RANK`` over the name pair — never
+    a sequence/identity column, whose assignment is partition-order
+    dependent on a cluster), and the fact side is re-keyed through the
+    mapping with a per-surrogate audit rollup. The rank window runs over
+    the 25-row dimension (1-partition window is fine — the data-sized
+    side only does an equi-join against the broadcast mapping), which is
+    exactly how surrogate assignment scales: keys are minted on the tiny
+    dimension, facts only ever join."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    dim = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "n_name", "n_nationkey")
+        .withColumn(
+            "surrogate_id",
+            F.dense_rank()
+            .over(Window.orderBy("r_name", "n_name"))
+            .cast("bigint"),
+        )
+    )
+    return (
+        F.broadcast(dim)
+        .join(customer, dim.n_nationkey == customer.c_nationkey, "left")
+        .groupBy("surrogate_id", "r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.coalesce(
+                F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_negative_balance"),
+        )
+    )

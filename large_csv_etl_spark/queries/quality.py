@@ -882,3 +882,109 @@ def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("violation_share"),
         (F.col("n_violating_keys") == 0).alias("holds"),
     )
+
+
+@_q(
+    "dq_gini_impurity_profile",
+    """
+    WITH cols AS (
+      SELECT 'o_orderstatus' AS column_name, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'l_returnflag', l_returnflag FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', l_linestatus FROM lineitem
+    ), vc AS (
+      SELECT column_name, val, COUNT(*) AS c
+      FROM cols GROUP BY column_name, val
+    ), top AS (
+      SELECT column_name, val AS top_value, c AS top_count,
+             ROW_NUMBER() OVER (PARTITION BY column_name
+                                ORDER BY c DESC, val) AS rn
+      FROM vc
+    ), prof AS (
+      SELECT column_name,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_distinct,
+             CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      FROM vc GROUP BY column_name
+    )
+    SELECT p.column_name, p.n_rows, CAST(p.n_distinct AS BIGINT) AS n_distinct,
+           t.top_value,
+           CAST(t.top_count AS BIGINT) AS top_count,
+           CAST(t.top_count AS DOUBLE) / p.n_rows AS top_share,
+           1 - ((CAST(p.sum_c2 AS DOUBLE) / p.n_rows) / p.n_rows)
+             AS gini_impurity
+    FROM prof p JOIN top t ON t.column_name = p.column_name AND t.rn = 1
+    """,
+)
+def dq_gini_impurity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column concentration profile: per column, cardinality,
+    the modal value and its share, and the Gini impurity
+    ``1 - sum(p_v^2)`` — the log-free diversity measure (entropy's
+    oracle-safe sibling; libm ln() is banned from oracle-paired
+    expressions) that flags near-constant columns (impurity ~ 0) and
+    id-like columns (impurity ~ 1 with huge cardinality) before they
+    reach a model as features. All mass terms stay exact BIGINT
+    (``sum(c^2)``; a BIGINT -> DOUBLE conversion is single and correctly
+    rounded in both engines, unlike the DECIMAL ulp trap), and the final
+    impurity is two successive divisions with pinned parenthesization.
+    Scale: one map-side-combinable count per column; every window/join
+    after that runs on |columns x domain| rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cols = (
+        orders.select(
+            F.lit("o_orderstatus").alias("column_name"),
+            F.col("o_orderstatus").alias("val"),
+        )
+        .unionAll(
+            orders.select(
+                F.lit("o_orderpriority"), F.col("o_orderpriority")
+            )
+        )
+        .unionAll(
+            lineitem.select(F.lit("l_returnflag"), F.col("l_returnflag"))
+        )
+        .unionAll(
+            lineitem.select(F.lit("l_linestatus"), F.col("l_linestatus"))
+        )
+    )
+    vc = cols.groupBy("column_name", "val").agg(F.count("*").alias("c"))
+    top = vc.select(
+        "column_name",
+        F.col("val").alias("top_value"),
+        F.col("c").alias("top_count"),
+        F.row_number()
+        .over(
+            Window.partitionBy("column_name").orderBy(F.desc("c"), "val")
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    prof = vc.groupBy("column_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    return prof.join(
+        top.select("column_name", "top_value", "top_count"), "column_name"
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "top_value",
+        F.col("top_count").cast("bigint").alias("top_count"),
+        (F.col("top_count").cast("double") / F.col("n_rows")).alias(
+            "top_share"
+        ),
+        (
+            F.lit(1)
+            - (
+                (F.col("sum_c2").cast("double") / F.col("n_rows"))
+                / F.col("n_rows")
+            )
+        ).alias("gini_impurity"),
+    )
