@@ -2336,3 +2336,261 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lifted.orderBy(F.desc("lift"), "tok_left", "tok_right").limit(50)
+
+
+
+_CN_NBR_CAP = 16  # wedge middles emit at most this many ranked neighbors
+
+
+@_q(
+    "graph_common_neighbors",
+    f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), adj AS MATERIALIZED (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL
+      SELECT v, u FROM edges
+    ), mid AS (
+      SELECT middle, nbr FROM (
+        SELECT node AS middle, nbr,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rn
+        FROM adj
+      ) WHERE rn <= {_CN_NBR_CAP}
+    ), wedge AS (
+      SELECT l.nbr AS a, r.nbr AS b
+      FROM mid l JOIN mid r
+        ON l.middle = r.middle AND l.nbr < r.nbr
+    ), cand AS (
+      SELECT w.a, w.b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+      FROM wedge w
+      LEFT JOIN edges e ON e.u = w.a AND e.v = w.b
+      WHERE e.u IS NULL
+      GROUP BY w.a, w.b
+    )
+    SELECT CAST(a AS BIGINT) AS part_a, CAST(b AS BIGINT) AS part_b,
+           common_neighbors
+    FROM cand
+    ORDER BY common_neighbors DESC, a, b LIMIT 50
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the part co-purchase graph
+    (parts are adjacent when some order contains both): the top-50
+    NON-adjacent part pairs ranked by shared co-purchase partners — the
+    classic structural-similarity score behind "frequently bought with
+    the same things, never together yet" recommendations. The wedge
+    enumeration is the quadratic step, so it is bounded the way a 100 TB
+    run must bound it: each middle vertex emits wedges only over its
+    first 16 neighbors in the deterministic part-key order (a rank cap,
+    part of the graded semantics, applied identically in both engines —
+    like the MinHash band caps), making the work O(|V| * cap^2) instead
+    of O(sum deg^2). The token co-occurrence graph was deliberately NOT
+    used here: the fixture vocabulary is a 31-node complete graph, which
+    has no non-adjacent pairs to predict. Existing edges drop via an
+    anti-join on the normalized a<b pair key."""
+    from pyspark.sql import Window
+
+    from .helpers import materialize_reduced
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = materialize_reduced(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v"), F.col("u")))
+    mid = (
+        adj.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("node").orderBy("nbr")),
+        )
+        .filter(F.col("rn") <= _CN_NBR_CAP)
+        .select(F.col("node").alias("middle"), "nbr")
+    )
+    l, r = mid.alias("l"), mid.alias("r")
+    wedge = l.join(
+        r,
+        (F.col("l.middle") == F.col("r.middle"))
+        & (F.col("l.nbr") < F.col("r.nbr")),
+    ).select(F.col("l.nbr").alias("a"), F.col("r.nbr").alias("b"))
+    cand = (
+        wedge.join(
+            edges,
+            (wedge.a == edges.u) & (wedge.b == edges.v),
+            "left_anti",
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("common_neighbors"))
+    )
+    return (
+        cand.orderBy(F.desc("common_neighbors"), "a", "b")
+        .limit(50)
+        .select(
+            F.col("a").cast("bigint").alias("part_a"),
+            F.col("b").cast("bigint").alias("part_b"),
+            "common_neighbors",
+        )
+    )
+
+
+@_q(
+    "graph_kcore_peel",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    d1 AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+      ) GROUP BY node
+    ),
+    kk AS MATERIALIZED (
+      -- k = ceil(average degree) = ceil(2|E| / |V|), exact integer
+      -- arithmetic (never `/`, which is float division in both engines)
+      SELECT (2 * (SELECT COUNT(*) FROM e0) + COUNT(*) - 1) // COUNT(*) AS k
+      FROM d1
+    ),
+    k1 AS MATERIALIZED (SELECT node FROM d1, kk WHERE deg >= k),
+    e1 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e0 e
+      JOIN k1 a ON a.node = e.u JOIN k1 b ON b.node = e.v
+    ),
+    d2 AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1
+      ) GROUP BY node
+    ),
+    k2 AS MATERIALIZED (SELECT node FROM d2, kk WHERE deg >= k),
+    e2 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e1 e
+      JOIN k2 a ON a.node = e.u JOIN k2 b ON b.node = e.v
+    ),
+    d3 AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2
+      ) GROUP BY node
+    ),
+    k3 AS MATERIALIZED (SELECT node FROM d3, kk WHERE deg >= k),
+    e3 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e2 e
+      JOIN k3 a ON a.node = e.u JOIN k3 b ON b.node = e.v
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS round,
+             (SELECT CAST(k AS BIGINT) FROM kk) AS k,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_nodes_kept,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges_kept,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM d1)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_removed
+      UNION ALL
+      SELECT 2, (SELECT k FROM kk),
+             (SELECT COUNT(*) FROM k2),
+             (SELECT COUNT(*) FROM e2),
+             (SELECT COUNT(*) FROM d2) - (SELECT COUNT(*) FROM k2)
+      UNION ALL
+      SELECT 3, (SELECT k FROM kk),
+             (SELECT COUNT(*) FROM k3),
+             (SELECT COUNT(*) FROM e3),
+             (SELECT COUNT(*) FROM d3) - (SELECT COUNT(*) FROM k3)
+    )
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-core decomposition on the part co-purchase graph,
+    three peel rounds unrolled — the seventh fixed-point-unrolled
+    iterative algorithm under the oracle (docs/ITERATIVE_PARITY.md):
+    each round recomputes degrees on the surviving subgraph, drops
+    vertices below k, and removes their incident edges; the graded
+    output is the per-round (kept nodes, kept edges, removed nodes)
+    trajectory, pinning every intermediate fixpoint, not just the final
+    core. k is data-derived as ceil(mean degree) = (2|E| + |V| - 1) div
+    |V| — exact integer arithmetic in both engines — so the peel bites
+    at every scale factor (a fixed literal k would be a no-op at one SF
+    and total at another, since co-purchase degrees grow with corpus
+    size). Distributed shape per round: two bounded shuffles (degree
+    count over |E|, keep-set semi-joins), O(|E|) per round — cluster
+    k-core peeling's exact plan. Every round CTE is AS MATERIALIZED (a
+    round-references-previous-round-twice chain re-expands exponentially
+    under DuckDB's default CTE inlining)."""
+    from .helpers import materialize_reduced
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = materialize_reduced(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    n_edges0 = edges.count()
+    deg0 = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    rows = []
+    cur = edges
+    deg = deg0
+    k = None
+    for rnd in (1, 2, 3):
+        if k is None:
+            n_nodes0 = deg.count()
+            k = (2 * n_edges0 + n_nodes0 - 1) // n_nodes0
+        keep = materialize_reduced(
+            deg.filter(F.col("deg") >= k).select("node")
+        )
+        nxt = materialize_reduced(
+            cur.join(keep.select(F.col("node").alias("u")), "u")
+            .join(keep.select(F.col("node").alias("v")), "v")
+            .select("u", "v")
+        )
+        n_before = deg.count()
+        n_kept = keep.count()
+        n_edges = nxt.count()
+        rows.append((rnd, k, n_kept, n_edges, n_before - n_kept))
+        cur = nxt
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+    return spark.createDataFrame(
+        rows,
+        "round bigint, k bigint, n_nodes_kept bigint, "
+        "n_edges_kept bigint, n_removed bigint",
+    )
