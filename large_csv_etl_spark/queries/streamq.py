@@ -333,3 +333,68 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
         ckpt,
     )
+
+
+@_q(
+    "streaming_topk_per_window",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    agg AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type, COUNT(*) AS n_events
+      FROM ev GROUP BY hour_start, event_type
+    ), ranked AS (
+      SELECT hour_start, event_type, n_events,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY hour_start
+               ORDER BY n_events DESC, event_type
+             ) AS BIGINT) AS rank_in_hour
+      FROM agg
+    )
+    SELECT hour_start, event_type, n_events, rank_in_hour
+    FROM ranked WHERE rank_in_hour <= 3
+    """,
+)
+def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k per event-time window: the watermarked tumbling
+    hourly aggregate runs on the REAL streaming path (file source ->
+    watermark -> stateful window agg, drained with ``availableNow``), and
+    the per-hour top-3 ranking runs as a batch window over the drained
+    complete-mode state — the standard two-tier shape, because rank is
+    not an incremental aggregate (a per-batch rank over append-mode
+    emissions would re-rank partial hours; complete-mode drain + rank is
+    the deterministic, oracle-gradable form — the same reasoning that
+    keeps append-mode window emission out of the graded surface). At
+    100 TB the streaming tier shuffles only (hour, type) partial counts;
+    the rank tier sees |hours x types| rows."""
+    from pyspark.sql import Window
+
+    from ..streaming import (
+        hourly_tumbling_stream,
+        read_events_stream,
+        run_bounded,
+    )
+
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_topk_")
+    drained = run_bounded(
+        hourly_tumbling_stream(
+            read_events_stream(spark, sf_dir, glob="events.parquet")
+        ),
+        name,
+        ckpt,
+    )
+    return (
+        drained.select("hour_start", "event_type", "n_events")
+        .withColumn(
+            "rank_in_hour",
+            F.row_number()
+            .over(
+                Window.partitionBy("hour_start").orderBy(
+                    F.desc("n_events"), "event_type"
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rank_in_hour") <= 3)
+    )
