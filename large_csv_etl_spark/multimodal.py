@@ -221,27 +221,15 @@ def resize_payloads(df: DataFrame, target: int = 224) -> DataFrame:
 AHASH_SCHEMA = "doc_id long, ahash long, width int, height int"
 
 
-def ahash_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
-    """Perceptual average-hash (aHash) per payload — the image near-dup
-    primitive: downscale to an 8x8 grid of block means, threshold each
-    block against the grid mean, pack the 64 bits into one BIGINT.
-    Identical images hash equal regardless of their PNG filter-type
-    encoding choices; small pixel perturbations flip few bits, so
-    Hamming distance on the hash is a perceptual similarity. All
-    arithmetic is integer (block sums via an exact integral image,
-    floor-divided means), so the hash is bit-deterministic across runs,
-    partitionings, and workers.
-
-    ``stub=True`` (fixture path — no real media in the container)
-    interprets the raw payload bytes as an 8-bit grayscale image with
-    the same synthetic dims as ``decode_payloads``'s stub; the plumbing
-    — Arrow batches, numpy block reduction, 64-bit packing — is the
-    production shape. ``stub=False`` decodes real pixels: Pillow when
-    installed, else the vendored stdlib PNG path extended with full
-    scanline DEFILTERING (None/Sub/Up/Average/Paeth, the public PNG
-    spec algorithms) and integer grayscale reduction; conformance and
-    filter-invariance are pinned in tests/test_multimodal.py.
-    """
+def _gray_pixel_fn(stub: bool):
+    """Build the payload->grayscale-pixel-array closure shared by the
+    perceptual hashers. Everything is NESTED here so cloudpickle ships
+    the returned closure BY VALUE to Python workers (a module-level
+    helper would pickle as a large_csv_etl_spark reference, which an
+    arbitrary driver harness's workers cannot import). stub=True reads
+    the raw bytes as a synthetic 8-bit grayscale image (fixture path);
+    stub=False decodes real pixels via Pillow, else the vendored
+    stdlib PNG decoder with full scanline defiltering."""
 
     def png_gray_pixels(b: bytes):
         # parse IHDR/IDAT, zlib-decompress, undo per-row filters, reduce
@@ -350,6 +338,33 @@ def ahash_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
 
     get_pixels = pixels_stub if stub else pixels_real
 
+    return get_pixels
+
+
+def ahash_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
+    """Perceptual average-hash (aHash) per payload — the image near-dup
+    primitive: downscale to an 8x8 grid of block means, threshold each
+    block against the grid mean, pack the 64 bits into one BIGINT.
+    Identical images hash equal regardless of their PNG filter-type
+    encoding choices; small pixel perturbations flip few bits, so
+    Hamming distance on the hash is a perceptual similarity. All
+    arithmetic is integer (block sums via an exact integral image,
+    floor-divided means), so the hash is bit-deterministic across runs,
+    partitionings, and workers.
+
+    ``stub=True`` (fixture path — no real media in the container)
+    interprets the raw payload bytes as an 8-bit grayscale image with
+    the same synthetic dims as ``decode_payloads``'s stub; the plumbing
+    — Arrow batches, numpy block reduction, 64-bit packing — is the
+    production shape. ``stub=False`` decodes real pixels: Pillow when
+    installed, else the vendored stdlib PNG path extended with full
+    scanline DEFILTERING (None/Sub/Up/Average/Paeth, the public PNG
+    spec algorithms) and integer grayscale reduction; conformance and
+    filter-invariance are pinned in tests/test_multimodal.py.
+    """
+
+    get_pixels = _gray_pixel_fn(stub)
+
     def ahash64(px) -> int:
         import numpy as np
 
@@ -393,3 +408,81 @@ def ahash_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(run, AHASH_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, phash long, width int, height int"
+
+
+def phash_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
+    """Perceptual DCT hash (pHash) per payload — the frequency-domain
+    sibling of ``ahash_payloads``: downscale to an exact 32x32 grid of
+    integer block means, 2-D DCT-II (orthonormal, explicit float64
+    matrix products — no FFT library), keep the 8x8 low-frequency
+    corner, threshold each coefficient against the median of the 63
+    non-DC coefficients, pack 64 bits into one BIGINT. pHash survives
+    brightness/contrast shifts that flip aHash bits (they rescale
+    coefficients but move the median with them), which is why image
+    dedup stacks run both. The 32x32 reduction is the same exact
+    integral-image arithmetic as aHash; the only floats are the fixed
+    32x32x32 DCT products, identical on every worker (single-threaded
+    numpy dot on fixed shapes). Real-pixels path shares the Pillow /
+    vendored-PNG decoder via ``_gray_pixel_fn``."""
+
+    def phash64(px) -> int:
+        import numpy as np
+
+        h, w = px.shape
+        g = 32
+        integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+        np.cumsum(np.cumsum(px, axis=0), axis=1, out=integ[1:, 1:])
+        ys = (np.arange(g + 1, dtype=np.int64) * h) // g
+        xs = (np.arange(g + 1, dtype=np.int64) * w) // g
+        # degenerate dims (<32 px): clamp duplicate cut points upward so
+        # every block is non-empty
+        ys = np.maximum(ys, np.arange(g + 1))
+        xs = np.maximum(xs, np.arange(g + 1))
+        ys = np.minimum(ys, h) if h >= g + 1 else np.arange(g + 1) % (h + 1)
+        xs = np.minimum(xs, w) if w >= g + 1 else np.arange(g + 1) % (w + 1)
+        sums = (
+            integ[ys[1:], :][:, xs[1:]]
+            - integ[ys[:-1], :][:, xs[1:]]
+            - integ[ys[1:], :][:, xs[:-1]]
+            + integ[ys[:-1], :][:, xs[:-1]]
+        )
+        areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+        areas = np.maximum(areas, 1)
+        means = (sums // areas).astype(np.float64)
+        k = np.arange(g, dtype=np.float64)
+        # orthonormal DCT-II basis
+        c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * g))
+        c *= np.sqrt(2.0 / g)
+        c[0, :] = np.sqrt(1.0 / g)
+        coef = c @ means @ c.T
+        low = coef[:8, :8].flatten()
+        med = float(np.median(low[1:]))
+        bits = low > med
+        v = 0
+        for bit in bits:
+            v = (v << 1) | int(bit)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    get_pixels = _gray_pixel_fn(stub)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, widths, heights = [], [], []
+            for p in pdf["payload"]:
+                px = get_pixels(p)
+                hashes.append(phash64(px))
+                heights.append(px.shape[0])
+                widths.append(px.shape[1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.Series(hashes, dtype="int64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(run, PHASH_SCHEMA)

@@ -237,3 +237,35 @@ def multimodal_frame_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_frames"),
         ).alias("dup_frame_ratio"),
     )
+
+
+@_q("multimodal_phash_dedup")  # frequency-domain perceptual hash; rows-only
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash (pHash) duplicate audit — the frequency-domain
+    counterpart of multimodal_ahash_neardup, robust to global
+    brightness/contrast shifts: one Arrow-batched mapInPandas pass hashes
+    every payload (32x32 integer block means -> orthonormal DCT-II ->
+    8x8 low-frequency corner thresholded at the non-DC median), then an
+    8-byte-key hash aggregate reports the duplicated mass. Rows-only:
+    the DCT runs engine-internal floats, so correctness is pinned in
+    tests/test_multimodal.py (identical payloads collapse, brightness
+    shift preserved, stub determinism) rather than a SQL oracle. Scale
+    shape identical to aHash: corpus-sized work is one Python-worker
+    pass + one 64-bit-key groupBy."""
+    from ..multimodal import phash_payloads
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = phash_payloads(attach_payload(docs), stub=True)
+    groups = hashes.groupBy("phash").agg(F.count("*").alias("n_docs"))
+    return groups.agg(
+        F.sum("n_docs").cast("bigint").alias("n_payloads"),
+        F.count("*").cast("bigint").alias("n_distinct_hashes"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.when(
+            F.sum("n_docs") > 0,
+            (F.sum("n_docs") - F.count("*")).cast("double")
+            / F.sum("n_docs"),
+        ).alias("dup_mass_ratio"),
+    )

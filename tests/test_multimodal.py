@@ -273,3 +273,41 @@ def test_ahash_stub_path_deterministic_and_groups_exact_dups(spark):
     )
     out = ahash_payloads(dup, stub=True).collect()
     assert out[0].ahash == out[1].ahash
+
+
+def test_phash_real_decode_filter_invariant_and_brightness_robust(spark):
+    """pHash through the real decode path: PNG filter variants collapse to
+    one hash (decoder correctness), and a global +40 brightness shift —
+    which moves every aHash block mean — preserves the pHash exactly
+    (DCT AC coefficients are shift-invariant; the median threshold
+    absorbs the DC change). An inverted image must differ."""
+    from large_csv_etl_spark.multimodal import phash_payloads
+
+    img = _gradient()
+    brightened = [[min(v + 40, 255) for v in row] for row in img]
+    inverted = [[255 - v for v in row] for row in img]
+    rows = [(f, bytearray(_write_png_gray(img, f))) for f in (0, 1, 2)]
+    rows += [
+        (10, bytearray(_write_png_gray(brightened, 0))),
+        (11, bytearray(_write_png_gray(inverted, 0))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r.phash for r in phash_payloads(df, stub=False).collect()}
+    assert out[0] == out[1] == out[2], "filter variants must hash equal"
+    assert out[0] == out[10], "global brightness shift must not move pHash"
+    assert out[0] != out[11], "inverted image must hash differently"
+
+
+def test_phash_stub_path_deterministic_and_groups_exact_dups(spark):
+    from large_csv_etl_spark.multimodal import phash_payloads
+
+    p = attach_payload(load_table(spark, SF_DIR, "documents"))
+    a = sorted(map(tuple, phash_payloads(p, stub=True).collect()))
+    b = sorted(map(tuple, phash_payloads(p, stub=True).collect()))
+    assert a == b
+    dup = spark.createDataFrame(
+        [(1, bytearray(b"same-bytes" * 40)), (2, bytearray(b"same-bytes" * 40))],
+        "doc_id long, payload binary",
+    )
+    out = phash_payloads(dup, stub=True).collect()
+    assert out[0].phash == out[1].phash
