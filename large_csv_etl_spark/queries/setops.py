@@ -206,3 +206,35 @@ def setop_intersect_all_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@_q(
+    "setop_except_all_partkeys",
+    """
+    WITH diff AS (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      EXCEPT ALL
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    )
+    SELECT l_partkey, COUNT(*) AS surplus_multiplicity
+    FROM diff GROUP BY l_partkey
+    """,
+)
+def setop_except_all_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) difference — EXCEPT ALL: for each part, how many
+    MORE returned ('R') line items it has than accepted ('A') ones,
+    keeping multiplicity (the plain EXCEPT entry collapses to set
+    semantics; this is the other half of the standard). Spark's
+    ``exceptAll`` implements the bag semantics natively (a count-
+    difference generate under the hood — one shuffle per side on the
+    key); the raw multiset result is then aggregated to (key,
+    multiplicity) so the graded output is compact and order-free at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return (
+        r.exceptAll(a)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("surplus_multiplicity"))
+    )

@@ -456,3 +456,76 @@ def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").cast("bigint").alias("n_orders"),
         )
     )
+
+
+def _decayed_terms() -> tuple[str, str]:
+    """The 16 dyadic-weight terms of the bounded decayed average, emitted
+    as SQL text (shared between the oracle and an F.expr twin would risk
+    drift; the Spark side builds the same sum from F.lag instead)."""
+    num, den = [], []
+    for k in range(16):
+        w = 1 << (15 - k)
+        lag = f"LAG(v_fp, {k}) OVER w" if k else "v_fp"
+        num.append(f"COALESCE({lag} * {w}, 0)")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {w} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_DECAYED_NUM, _DECAYED_DEN = _decayed_terms()
+
+
+@_q(
+    "window_decayed_average",
+    f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    fp AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+      FROM ev
+    ), terms AS (
+      SELECT user_id, ts, event_id,
+             {_DECAYED_NUM} AS num,
+             {_DECAYED_DEN} AS den
+      FROM fp
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts, event_id,
+           CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 1000000.0)
+             AS decayed_avg
+    FROM terms
+    """,
+)
+def window_decayed_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed trailing average (alpha = 1/2, 16-term
+    horizon) of each user's event values — the EMA smoother behind
+    trend/anomaly features, in a deterministic windowed form: the true
+    EMA recurrence is not expressible as a frame aggregate, but with
+    dyadic weights the 16-term truncation is EXACT integer arithmetic —
+    each value snaps to 1e-6 fixed point (round(), half-away-from-zero
+    in both engines), lag k carries weight 2^(15-k), and the weighted
+    sum stays in BIGINT (|v_fp| <= ~1e9 * 2^16 per term, 16 terms <<
+    2^63). Missing history (first 15 rows per user) renormalizes by the
+    present-weight mass instead of zero-padding, so early rows are
+    unbiased. One shuffle (user partition); the 16 LAG reads share one
+    ordered window pass."""
+    from ..io import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v_fp = F.round(F.col("value") * 1000000.0, 0).cast("bigint")
+    fp = ev.select("user_id", "ts", "event_id", v_fp.alias("v_fp"))
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k in range(16):
+        wt = 1 << (15 - k)
+        lagged = F.col("v_fp") if k == 0 else F.lag("v_fp", k).over(w)
+        num = num + F.coalesce(lagged * wt, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), wt).otherwise(0)
+    return fp.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (num.cast("double") / (den.cast("double") * 1000000.0)).alias(
+            "decayed_avg"
+        ),
+    )
