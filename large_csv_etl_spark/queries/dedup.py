@@ -2043,3 +2043,121 @@ def dedup_normalization_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*"),
         ).alias("dup_ratio_normalized"),
     )
+
+
+_WINNOW_W = 4  # winnowing window: one fingerprint selected per w positions
+_WINNOW_DF_CAP = 50  # posting-list cap on fingerprint document frequency
+
+
+@_q(
+    "dedup_winnowing_overlap",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             {sql_phash60("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+      FROM (SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 3)
+    ), winnowed AS (
+      SELECT DISTINCT doc_id, sel_h
+      FROM (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+                 AS sel_h,
+               pos,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_pos
+        FROM grams
+      ) WHERE pos <= n_pos - {_WINNOW_W - 1}
+    ), df AS (
+      SELECT sel_h FROM winnowed GROUP BY sel_h
+      HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_DF_CAP}
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+      FROM winnowed a
+      JOIN df USING (sel_h)
+      JOIN winnowed b ON b.sel_h = a.sel_h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, shared_fingerprints
+    FROM pairs
+    ORDER BY shared_fingerprints DESC, doc_a, doc_b LIMIT 50
+    """,
+)
+def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (the MOSS local-fingerprinting
+    algorithm): every 3-token shingle gets the portable 60-bit hash, each
+    sliding window of 4 consecutive positions selects its MINIMUM hash,
+    and the distinct selected hashes form the document's fingerprint set
+    — the guarantee (any shared run of >= w+k-1 tokens yields a shared
+    fingerprint) that makes winnowing the standard for code-plagiarism /
+    passage-copy detection, with a 1/(w+1)-ish density instead of
+    all-positions. Pairing runs on capped posting lists (fingerprint DF
+    in [2, 50] — the same hot-key bound as the shingle-DF caps), so
+    candidate work is O(sum df^2) over rare fingerprints, never
+    all-pairs. Complements MinHash (global similarity) and CDC (byte
+    chunks) with ordered-passage overlap. Window note: the per-doc MIN
+    window is position-ordered within doc_id — the partition key the
+    gram explode already carries."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        phash60(F.col("gram")).alias("h"),
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        0, _WINNOW_W - 1
+    )
+    wcnt = Window.partitionBy("doc_id")
+    winnowed = (
+        grams.select(
+            "doc_id",
+            F.min("h").over(wmin).alias("sel_h"),
+            "pos",
+            F.count("*").over(wcnt).alias("n_pos"),
+        )
+        .filter(F.col("pos") <= F.col("n_pos") - (_WINNOW_W - 1))
+        .select("doc_id", "sel_h")
+        .distinct()
+    )
+    df_ok = (
+        winnowed.groupBy("sel_h")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP))
+        .select("sel_h")
+    )
+    a, b = winnowed.alias("a"), winnowed.alias("b")
+    pairs = (
+        a.join(df_ok, "sel_h")
+        .join(
+            b,
+            (F.col("b.sel_h") == F.col("a.sel_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_fingerprints"))
+    )
+    return pairs.orderBy(
+        F.desc("shared_fingerprints"), "doc_a", "doc_b"
+    ).limit(50)

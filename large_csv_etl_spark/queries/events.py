@@ -2590,3 +2590,68 @@ def events_funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("stage_reached"),
         )
     )
+
+
+@_q(
+    "events_whale_share",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    per_user AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id,
+             SUM(CAST(value AS DECIMAL(30,4))) AS user_value
+      FROM ev GROUP BY 1, 2
+    ), tiled AS (
+      SELECT day, user_id, user_value,
+             NTILE(10) OVER (PARTITION BY day
+                             ORDER BY user_value DESC, user_id) AS decile
+      FROM per_user
+    )
+    SELECT day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(user_value) AS DOUBLE) AS total_value,
+           CAST(SUM(CASE WHEN decile = 1 THEN user_value
+                         ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+             AS top_decile_value,
+           CAST(SUM(CASE WHEN decile = 1 THEN user_value
+                         ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+             / CAST(SUM(user_value) AS DOUBLE) AS whale_share
+    FROM tiled GROUP BY day
+    """,
+)
+def events_whale_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration ("whale") monitor: per day, the share of
+    total event value contributed by the top decile of users — the
+    concentration KPI that decides whether a day's revenue move is
+    broad-based or three accounts. Per-user day values are exact
+    DECIMAL sums; the decile assignment is NTILE over (value DESC,
+    user_id) so ties are pinned; the day rollup re-aggregates the
+    DECIMALs exactly and only the final shares are (single-division)
+    doubles. Two shuffles — (day,user) partial agg, then the day
+    window over the reduced per-user table — both keyed the way a
+    cluster run wants them."""
+    from .helpers import DEC as _DEC
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(F.sum(F.col("value").cast(_DEC)).alias("user_value"))
+    tiled = per_user.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.partitionBy("day").orderBy(
+                F.desc("user_value"), "user_id"
+            )
+        ),
+    )
+    zero = F.lit(0).cast(_DEC)
+    whale = F.sum(
+        F.when(F.col("decile") == 1, F.col("user_value")).otherwise(zero)
+    )
+    return tiled.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("user_value").cast("double").alias("total_value"),
+        whale.cast("double").alias("top_decile_value"),
+        (whale.cast("double") / F.sum("user_value").cast("double")).alias(
+            "whale_share"
+        ),
+    )

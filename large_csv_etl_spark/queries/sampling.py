@@ -1219,3 +1219,73 @@ def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
     )
     return ranked.filter(F.col("rn") % 20 == 1)
+
+
+@_q(
+    "sample_balanced_class_downsample",
+    """
+    WITH sizes AS (
+      SELECT label, COUNT(*) AS n_orig FROM embeddings GROUP BY label
+    ), m AS (SELECT MIN(n_orig) AS min_n FROM sizes),
+    ranked AS (
+      SELECT label, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rn
+      FROM embeddings
+    ), kept AS (
+      SELECT r.label, r.vec_id FROM ranked r, m WHERE r.rn <= m.min_n
+    )
+    SELECT s.label,
+           CAST(s.n_orig AS BIGINT) AS n_orig,
+           CAST(COUNT(k.vec_id) AS BIGINT) AS n_kept,
+           CAST(SUM(k.vec_id) AS BIGINT) AS kept_vec_id_sum
+    FROM sizes s LEFT JOIN kept k ON k.label = s.label
+    GROUP BY s.label, s.n_orig
+    """,
+)
+def sample_balanced_class_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class balancing — downsample every label to the
+    minority-class size: rank members within each label by md5(vec_id)
+    (the engine-portable pseudorandom order; vec_id tie-break) and keep
+    exactly min-class-count rows per label. The graded output pins
+    MEMBERSHIP, not just counts, via the kept-id checksum — a rate-based
+    sampler that drifted one row would hash-mismatch. This is the
+    undersampling half of class rebalancing (the oversampling half is
+    temperature/mixture reweighting, sample_temperature_mixture); the
+    rank window shuffles once on label, and the min size is a broadcast
+    1-row aggregate."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sizes = emb.groupBy("label").agg(F.count("*").alias("n_orig"))
+    m = sizes.agg(F.min("n_orig").alias("min_n"))
+    ranked = emb.select(
+        "label",
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("label").orderBy(
+                F.md5(F.col("vec_id").cast("string")), "vec_id"
+            )
+        )
+        .alias("rn"),
+    )
+    kept = ranked.crossJoin(F.broadcast(m)).filter(
+        F.col("rn") <= F.col("min_n")
+    )
+    return (
+        sizes.join(kept.select("label", "vec_id"), "label", "left")
+        .groupBy("label", "n_orig")
+        .agg(
+            F.count("vec_id").cast("bigint").alias("n_kept"),
+            F.sum("vec_id").cast("bigint").alias("kept_vec_id_sum"),
+        )
+        .select(
+            "label",
+            F.col("n_orig").cast("bigint").alias("n_orig"),
+            "n_kept",
+            "kept_vec_id_sum",
+        )
+    )

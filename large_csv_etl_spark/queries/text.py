@@ -2471,7 +2471,8 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     kk AS MATERIALIZED (
       -- k = ceil(average degree) = ceil(2|E| / |V|), exact integer
       -- arithmetic (never `/`, which is float division in both engines)
-      SELECT (2 * (SELECT COUNT(*) FROM e0) + COUNT(*) - 1) // COUNT(*) AS k
+      SELECT COALESCE((2 * (SELECT COUNT(*) FROM e0) + COUNT(*) - 1)
+                      // NULLIF(COUNT(*), 0), 1) AS k
       FROM d1
     ),
     k1 AS MATERIALIZED (SELECT node FROM d1, kk WHERE deg >= k),
@@ -2569,7 +2570,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rnd in (1, 2, 3):
         if k is None:
             n_nodes0 = deg.count()
-            k = (2 * n_edges0 + n_nodes0 - 1) // n_nodes0
+            k = (
+                (2 * n_edges0 + n_nodes0 - 1) // n_nodes0
+                if n_nodes0
+                else 1
+            )
         keep = materialize_reduced(
             deg.filter(F.col("deg") >= k).select("node")
         )
