@@ -2655,3 +2655,95 @@ def events_whale_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "whale_share"
         ),
     )
+
+
+@_q(
+    "events_cohort_ltv",
+    f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    firsts AS (
+      SELECT user_id, MIN(CAST(DATE_TRUNC('day', ts) AS DATE)) AS cohort_day
+      FROM ev GROUP BY user_id
+    ), daily AS (
+      SELECT e.user_id, f.cohort_day,
+             CAST(DATE_TRUNC('day', e.ts) AS DATE) AS day,
+             SUM(CAST(e.value AS DECIMAL(30,4))) AS day_value
+      FROM ev e JOIN firsts f USING (user_id)
+      GROUP BY 1, 2, 3
+    ), aged AS (
+      SELECT cohort_day, day - cohort_day AS age_days, user_id, day_value
+      FROM daily
+    ), cohort_sizes AS (
+      SELECT cohort_day, COUNT(DISTINCT user_id) AS cohort_users
+      FROM aged GROUP BY cohort_day
+    ), per_age AS (
+      SELECT cohort_day, age_days, SUM(day_value) AS age_value
+      FROM aged GROUP BY cohort_day, age_days
+    ), cum AS (
+      SELECT cohort_day, age_days,
+             SUM(age_value) OVER (
+               PARTITION BY cohort_day ORDER BY age_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_value
+      FROM per_age
+    )
+    SELECT c.cohort_day, CAST(c.age_days AS BIGINT) AS age_days,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(c.cum_value AS DOUBLE) AS cum_value,
+           CAST(c.cum_value AS DOUBLE) / s.cohort_users
+             AS ltv_per_user
+    FROM cum c JOIN cohort_sizes s USING (cohort_day)
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen day, and
+    for each cohort age (days since acquisition) the cumulative event
+    value and the per-acquired-user LTV — the growth-analytics curve
+    that decides payback windows, complementing events_cohort_retention
+    (presence) with value. Sums stay exact DECIMAL through the cohort/
+    age rollup AND the running cumulative window (decimal window sums
+    are deterministic; only the final per-user division is a double).
+    Plan: first-touch table (one user-keyed agg), fact re-key join, a
+    (cohort, age) reduced rollup, then the cumulative window over
+    |cohorts x ages| rows — bounded by the calendar square, not the
+    data."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    daily = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "user_id", "cohort_day", F.to_date("ts").alias("day")
+        )
+        .agg(F.sum(F.col("value").cast(DEC)).alias("day_value"))
+    )
+    aged = daily.select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("age_days"),
+        "user_id",
+        "day_value",
+    )
+    sizes = aged.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_users")
+    )
+    per_age = aged.groupBy("cohort_day", "age_days").agg(
+        F.sum("day_value").alias("age_value")
+    )
+    cum = per_age.withColumn(
+        "cum_value",
+        F.sum("age_value").over(
+            Window.partitionBy("cohort_day")
+            .orderBy("age_days")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return cum.join(sizes, "cohort_day").select(
+        "cohort_day",
+        F.col("age_days").cast("bigint").alias("age_days"),
+        F.col("cohort_users").cast("bigint").alias("cohort_users"),
+        F.col("cum_value").cast("double").alias("cum_value"),
+        (F.col("cum_value").cast("double") / F.col("cohort_users")).alias(
+            "ltv_per_user"
+        ),
+    )

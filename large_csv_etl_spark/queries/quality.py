@@ -1054,3 +1054,122 @@ def dq_freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_events_last_24h"),
         )
     )
+
+
+@_q(
+    "dq_referential_cascade_audit",
+    """
+    WITH l2o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), o2c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    ), c2n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), n2r AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    ), reachable AS (
+      -- rows that survive the FULL chain: lineitem joined all the way to
+      -- region through inner joins
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_fully_reachable
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    )
+    SELECT * FROM (
+      SELECT 'lineitem->orders' AS hop, n_rows, n_orphans FROM l2o
+      UNION ALL SELECT 'orders->customer', n_rows, n_orphans FROM o2c
+      UNION ALL SELECT 'customer->nation', n_rows, n_orphans FROM c2n
+      UNION ALL SELECT 'nation->region', n_rows, n_orphans FROM n2r
+      UNION ALL SELECT 'lineitem->region (full chain)',
+                       (SELECT n_rows FROM l2o),
+                       (SELECT n_rows FROM l2o)
+                         - (SELECT n_fully_reachable FROM reachable)
+    )
+    """,
+)
+def dq_referential_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop referential-integrity cascade: per FK hop of the
+    lineitem -> orders -> customer -> nation -> region chain, row and
+    orphan counts, PLUS the end-to-end reachability row — how many fact
+    rows survive the whole chain. The per-hop audit (fk_orphan_counts'
+    single-hop generalized) localizes WHERE integrity breaks; the
+    full-chain row sizes the blast radius a downstream star join will
+    actually see, which per-hop numbers alone cannot give (orphans
+    compound multiplicatively). All joins are the dimension-broadcast
+    shapes the warehouse already runs; counts are exact BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    def hop(left, right, lk, rk, name):
+        j = left.join(right, left[lk] == right[rk], "left")
+        return j.agg(
+            F.lit(name).alias("hop"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(right[rk].isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+
+    l2o = hop(
+        li.select("l_orderkey"),
+        orders.select("o_orderkey"),
+        "l_orderkey",
+        "o_orderkey",
+        "lineitem->orders",
+    )
+    o2c = hop(
+        orders.select("o_custkey"),
+        cust.select("c_custkey"),
+        "o_custkey",
+        "c_custkey",
+        "orders->customer",
+    )
+    c2n = hop(
+        cust.select("c_nationkey"),
+        nation.select("n_nationkey"),
+        "c_nationkey",
+        "n_nationkey",
+        "customer->nation",
+    )
+    n2r = hop(
+        nation.select("n_regionkey"),
+        region.select("r_regionkey"),
+        "n_regionkey",
+        "r_regionkey",
+        "nation->region",
+    )
+    n_li = li.count()
+    n_reach = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation.select("n_nationkey", "n_regionkey"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region.select("r_regionkey"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .count()
+    )
+    full = spark.createDataFrame(
+        [("lineitem->region (full chain)", n_li, n_li - n_reach)],
+        "hop string, n_rows bigint, n_orphans bigint",
+    )
+    return l2o.unionAll(o2c).unionAll(c2n).unionAll(n2r).unionAll(full)

@@ -634,3 +634,105 @@ def temporal_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("n_windows_hit"),
         )
     )
+
+
+@_q(
+    "temporal_point_in_time_join",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = LAG(event_type) OVER w THEN 0 ELSE 1 END
+               AS new_run
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type,
+             CAST(SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run_id,
+             ts
+      FROM seq
+    ), intervals AS (
+      SELECT user_id, event_type, run_id,
+             MIN(ts) AS valid_from,
+             LEAD(MIN(ts)) OVER (PARTITION BY user_id ORDER BY MIN(ts))
+               AS valid_to
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           i.event_type AS state_at_order,
+           i.valid_from AS state_since
+    FROM orders o
+    LEFT JOIN intervals i
+      ON i.user_id = o.o_custkey
+     AND o.o_orderdate >= i.valid_from
+     AND (i.valid_to IS NULL OR o.o_orderdate < i.valid_to)
+    """,
+)
+def temporal_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (effective-dated) lookup — the SCD2 consumer query:
+    each order is joined to the state interval that was EFFECTIVE at its
+    order date, where the state history is the user's event-type run
+    intervals (consecutive same-type events = one validity interval,
+    half-open [valid_from, valid_to)). This is the canonical "as the
+    dimension looked then" join behind every SCD2 warehouse read and
+    every leakage-safe feature backfill (training features must come
+    from the interval valid at label time, never the current row).
+    Intervals partition each user's timeline, so every order matches at
+    most one row; orders before the first event keep NULL state via the
+    left join. Plan: the interval build is one user-keyed window pass;
+    the lookup is a user-keyed equi-join whose per-key fanout is the
+    user's run count, with the interval predicate filtering in-join —
+    the 100 TB variant swaps in the union-asof trick
+    (asof_join_latest_order) when run counts explode."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w), 0
+        )
+        .otherwise(1)
+        .alias("new_run"),
+    )
+    runs = seq.select(
+        "user_id",
+        "event_type",
+        F.sum("new_run")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("run_id"),
+        "ts",
+    )
+    grouped = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from")
+    )
+    intervals = grouped.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from")
+        .over(Window.partitionBy("user_id").orderBy("valid_from"))
+        .alias("valid_to"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(
+        intervals,
+        (F.col("user_id") == F.col("o_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.col("valid_to"))
+        ),
+        "left",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("event_type").alias("state_at_order"),
+        F.col("valid_from").alias("state_since"),
+    )
