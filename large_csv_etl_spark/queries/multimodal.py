@@ -269,3 +269,136 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_docs"),
         ).alias("dup_mass_ratio"),
     )
+
+
+@_q(
+    "multimodal_vad_segments",
+    """
+    WITH chars AS (
+      SELECT doc_id, i AS pos, unicode(substr(text, i, 1)) AS code
+      FROM (SELECT doc_id, text, UNNEST(range(1, LENGTH(text) + 1)) AS i
+            FROM documents WHERE LENGTH(text) > 0)
+    ), halves AS (
+      SELECT doc_id, (pos - 1) // 32 AS h,
+             CAST(SUM(code * code) AS BIGINT) AS e
+      FROM chars GROUP BY doc_id, (pos - 1) // 32
+    ), wins AS (
+      SELECT doc_id, h AS k,
+             e + COALESCE(LEAD(e) OVER (PARTITION BY doc_id ORDER BY h), 0)
+               AS we
+      FROM halves
+    ), stats AS (
+      SELECT doc_id, COUNT(*) AS n_windows, CAST(SUM(we) AS BIGINT) AS sum_we
+      FROM wins GROUP BY doc_id
+    ), flagged AS (
+      SELECT w.doc_id, w.k, w.we, s.n_windows,
+             w.we * s.n_windows > s.sum_we AS active
+      FROM wins w JOIN stats s USING (doc_id)
+    ), islands AS (
+      SELECT doc_id, k,
+             k - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k) AS grp
+      FROM flagged WHERE active
+    ), segs AS (
+      SELECT doc_id, grp, COUNT(*) AS seg_len
+      FROM islands GROUP BY doc_id, grp
+    )
+    SELECT s.doc_id,
+           CAST(s.n_windows AS BIGINT) AS n_windows,
+           CAST(COALESCE(SUM(g.seg_len), 0) AS BIGINT) AS n_active,
+           CAST(COUNT(g.grp) AS BIGINT) AS n_segments,
+           CAST(COALESCE(MAX(g.seg_len), 0) AS BIGINT) AS longest_segment
+    FROM (SELECT DISTINCT doc_id, n_windows FROM flagged) s
+    LEFT JOIN segs g ON g.doc_id = s.doc_id
+    GROUP BY s.doc_id, s.n_windows
+    """,
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection over the stub PCM
+    payload — and unlike most media ops, fully ORACLE-GRADED: the
+    payload's byte codes stand in for 8-bit samples (the fixture is
+    ASCII, so Spark's ascii() and DuckDB's unicode() agree per
+    character), 64-sample windows with a 32-sample hop get exact integer
+    energies (sum of squared codes, assembled from half-window partial
+    sums — one explode, one agg, one LEAD), a window is speech-active
+    iff energy * n_windows > total_energy (the cross-multiplied
+    above-mean test — no division, no floats anywhere), and adjacent
+    active windows merge into segments via the gaps-and-islands
+    row-number trick. Per doc: window count, active count, segment
+    count, longest segment — the VAD manifest an audio curation
+    pipeline gates on before any expensive ASR. The char explode is
+    row-local (the CDC-chunk precedent); everything downstream runs on
+    |docs x windows| reduced rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.ascii(F.expr("substring(text, pos, 1)")).alias("code"),
+    )
+    halves = chars.groupBy(
+        "doc_id", F.expr("(pos - 1) div 32").alias("h")
+    ).agg(F.sum(F.col("code") * F.col("code")).cast("bigint").alias("e"))
+    wins = halves.select(
+        "doc_id",
+        F.col("h").alias("k"),
+        (
+            F.col("e")
+            + F.coalesce(
+                F.lead("e").over(
+                    Window.partitionBy("doc_id").orderBy("h")
+                ),
+                F.lit(0),
+            )
+        ).alias("we"),
+    )
+    stats = wins.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("we").cast("bigint").alias("sum_we"),
+    )
+    flagged = wins.join(stats, "doc_id").select(
+        "doc_id",
+        "k",
+        "n_windows",
+        (F.col("we") * F.col("n_windows") > F.col("sum_we")).alias("active"),
+    )
+    islands = flagged.filter("active").select(
+        "doc_id",
+        "k",
+        (
+            F.col("k")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("k")
+            )
+        ).alias("grp"),
+    )
+    segs = islands.groupBy("doc_id", "grp").agg(
+        F.count("*").alias("seg_len")
+    )
+    base = flagged.select("doc_id", "n_windows").distinct()
+    return (
+        base.join(segs, "doc_id", "left")
+        .groupBy("doc_id", "n_windows")
+        .agg(
+            F.coalesce(F.sum("seg_len"), F.lit(0))
+            .cast("bigint")
+            .alias("n_active"),
+            F.count("grp").cast("bigint").alias("n_segments"),
+            F.coalesce(F.max("seg_len"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_segment"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            "n_active",
+            "n_segments",
+            "longest_segment",
+        )
+    )
