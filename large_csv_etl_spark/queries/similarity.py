@@ -2094,3 +2094,175 @@ def sim_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint"),
     )
     return reranked.filter(F.col("final_rank") <= 10).orderBy("final_rank")
+
+
+_MMR_LAM = "6.99999999999999956e-01"  # lambda = 0.7 as a DOUBLE literal
+_MMR_ONE_MINUS = "2.99999999999999989e-01"
+
+
+def _mmr_oracle() -> str:
+    """Build the 5-step unrolled MMR oracle. Step CTEs are AS MATERIALIZED
+    (each references the previous selection set repeatedly — DuckDB's
+    default CTE inlining would re-expand the chain exponentially, the
+    ITERATIVE_PARITY lesson)."""
+    head = f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    rel AS MATERIALIZED (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS xd,
+             ROUND(CAST(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6)
+               AS rel
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT 20
+    ), ps AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(CAST(list_cosine_similarity(a.xd, b.xd) AS DOUBLE), 6)
+               AS sim
+      FROM rel a JOIN rel b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS MATERIALIZED (
+      SELECT vec_id, rel, CAST(0 AS DOUBLE) AS max_sim_prior,
+             {_MMR_LAM} * rel AS mmr_score
+      FROM rel ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    steps = []
+    for t in range(2, 6):
+        prev_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, t)
+        )
+        steps.append(f""",
+    s{t} AS MATERIALIZED (
+      SELECT r.vec_id, r.rel, m.ms AS max_sim_prior,
+             {_MMR_LAM} * r.rel - {_MMR_ONE_MINUS} * m.ms AS mmr_score
+      FROM rel r
+      JOIN (
+        SELECT p.ia AS vec_id, MAX(p.sim) AS ms
+        FROM ps p
+        WHERE p.ib IN ({prev_union})
+          AND p.ia NOT IN ({prev_union})
+        GROUP BY p.ia
+      ) m ON m.vec_id = r.vec_id
+      ORDER BY mmr_score DESC, r.vec_id LIMIT 1
+    )""")
+    tail = """
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, max_sim_prior, mmr_score FROM s1
+      UNION ALL SELECT 2, vec_id, rel, max_sim_prior, mmr_score FROM s2
+      UNION ALL SELECT 3, vec_id, rel, max_sim_prior, mmr_score FROM s3
+      UNION ALL SELECT 4, vec_id, rel, max_sim_prior, mmr_score FROM s4
+      UNION ALL SELECT 5, vec_id, rel, max_sim_prior, mmr_score FROM s5
+    )"""
+    return head + "".join(steps) + tail
+
+
+@_q("sim_mmr_diversified_topk", _mmr_oracle())
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (MMR) diversified retrieval — the
+    eighth fixed-point-unrolled iterative algorithm under the oracle:
+    from the exact cosine top-20 for the query vector, greedily select 5
+    results maximizing ``lambda * relevance - (1 - lambda) * max
+    similarity to the already-selected`` (lambda = 0.7) — the standard
+    redundancy-pruning rerank for search/RAG result sets. Determinism:
+    relevance and pairwise sims are 6dp-snapped doubles (the
+    sim_cosine_topk contract), the lambda combination is identical
+    single IEEE arithmetic on both engines, ties break on vec_id, and
+    each greedy step is a 1-row argmax over the 20-candidate table —
+    unrolled in both engines (MATERIALIZED CTE chain in DuckDB, 5
+    anti-join/limit-1 stages here). Scale: the corpus-sized stage is
+    stage 1's top-20 (TakeOrderedAndProject); everything iterative runs
+    on 20 rows x 4 steps — which is why MMR is served this way in
+    production, never over the full corpus."""
+    from .helpers import materialize_reduced
+
+    lam = float.fromhex("0x1.6666666666666p-1")  # 0.7 exactly as emitted
+    one_minus = float.fromhex("0x1.3333333333333p-2")  # 0.3
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    rel = materialize_reduced(
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            xd.alias("xd"),
+            F.round(
+                _dot(xd, F.col("qv")) / (_norm(xd) * _norm(F.col("qv"))),
+                6,
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(20)
+    )
+    a = rel.select(F.col("vec_id").alias("ia"), F.col("xd").alias("xa"))
+    b = rel.select(F.col("vec_id").alias("ib"), F.col("xd").alias("xb"))
+    ps = materialize_reduced(
+        a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                _dot(F.col("xa"), F.col("xb"))
+                / (_norm(F.col("xa")) * _norm(F.col("xb"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    s1 = (
+        rel.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("bigint").alias("rank"),
+            "vec_id",
+            "rel",
+            F.lit(0.0).alias("max_sim_prior"),
+            (F.lit(lam) * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    sels = [s1]
+    for t in range(2, 6):
+        selected = sels[0].select("vec_id")
+        for s in sels[1:]:
+            selected = selected.unionAll(s.select("vec_id"))
+        ms = (
+            ps.join(
+                selected.select(F.col("vec_id").alias("ib")), "ib"
+            )
+            .join(
+                selected.select(F.col("vec_id").alias("ia")),
+                "ia",
+                "left_anti",
+            )
+            .groupBy("ia")
+            .agg(F.max("sim").alias("ms"))
+        )
+        step = (
+            rel.join(ms, rel.vec_id == ms.ia)
+            .select(
+                "vec_id",
+                "rel",
+                F.col("ms").alias("max_sim_prior"),
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(one_minus) * F.col("ms")
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(t).cast("bigint").alias("rank"),
+                "vec_id",
+                "rel",
+                "max_sim_prior",
+                "mmr_score",
+            )
+        )
+        sels.append(materialize_reduced(step))
+    out = sels[0]
+    for s in sels[1:]:
+        out = out.unionAll(s)
+    return out
