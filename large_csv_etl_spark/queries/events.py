@@ -2747,3 +2747,78 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_per_user"
         ),
     )
+
+
+@_q(
+    "events_activity_streaks",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    days AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+      FROM ev
+    ), islands AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, grp, COUNT(*) AS streak_len, MAX(day) AS streak_end
+      FROM islands GROUP BY user_id, grp
+    ), gmax AS (SELECT MAX(day) AS corpus_max_day FROM days)
+    SELECT s.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(s.streak_len) AS BIGINT) AS longest_streak_days,
+           CAST(COALESCE(MAX(CASE WHEN s.streak_end = g.corpus_max_day
+                                  THEN s.streak_len END), 0) AS BIGINT)
+             AS current_streak_days
+    FROM streaks s, gmax g
+    GROUP BY s.user_id
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-activity streaks per user (the engagement mechanic every
+    consumer product tracks): distinct active days collapse to
+    consecutive-run islands via the gaps-and-islands trick (day minus
+    dense rank is constant within a run — pure date/integer arithmetic),
+    giving streak count, the longest streak, and the CURRENT streak
+    (a run ending on the corpus's latest day; zero otherwise, pinned by
+    the broadcast 1-row corpus max). Work after the distinct-day
+    reduction is |user-days|, and the window partitions on the user key
+    the reduction already shuffled on."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    islands = days.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            "day",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("day")
+            ),
+        ).alias("grp"),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_len"), F.max("day").alias("streak_end")
+    )
+    gmax = days.agg(F.max("day").alias("corpus_max_day"))
+    return (
+        streaks.crossJoin(F.broadcast(gmax))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.max("streak_len").cast("bigint").alias("longest_streak_days"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("streak_end") == F.col("corpus_max_day"),
+                        F.col("streak_len"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("current_streak_days"),
+        )
+    )

@@ -2599,3 +2599,61 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round bigint, k bigint, n_nodes_kept bigint, "
         "n_edges_kept bigint, n_removed bigint",
     )
+
+
+@_q(
+    "text_freq_spectrum",
+    r"""
+    WITH toks AS (
+      SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), cnt AS (
+      SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+    ), bucketed AS (
+      SELECT token, c, LENGTH(bin(c)) - 1 AS log2_bucket FROM cnt
+    )
+    SELECT CAST(log2_bucket AS BIGINT) AS log2_bucket,
+           CAST(1 << log2_bucket AS BIGINT) AS bucket_min_freq,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax
+    FROM bucketed
+    GROUP BY log2_bucket
+    """,
+)
+def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency spectrum: token types binned into power-of-2
+    frequency buckets (bucket = floor(log2(count)) via LENGTH(bin(c))-1 —
+    the same log-free bit-length idiom as the portable HLL's rho), with
+    type count, token mass, and hapax count per bucket. The spectrum is
+    the corpus fingerprint behind vocab sizing, BPE budget planning, and
+    Zipf-fit sanity checks — a healthy natural corpus shows the
+    monotone type-count decay across buckets; a flat or spiky spectrum
+    flags synthetic/templated data. One map-side-combinable count, then
+    arithmetic on the |vocab|-sized table."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count("*").alias("c"))
+    bucketed = cnt.select(
+        "c", (F.length(F.bin("c")) - 1).alias("log2_bucket")
+    )
+    return bucketed.groupBy("log2_bucket").agg(
+        F.expr("cast(shiftleft(cast(1 as bigint), log2_bucket) as bigint)")
+        .alias("bucket_min_freq"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+    ).select(
+        F.col("log2_bucket").cast("bigint").alias("log2_bucket"),
+        "bucket_min_freq",
+        "n_types",
+        "n_tokens",
+        "n_hapax",
+    )

@@ -529,3 +529,60 @@ def window_decayed_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decayed_avg"
         ),
     )
+
+
+@_q(
+    "window_order_gaps",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS prev_date
+      FROM orders
+    ), gaps AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(prev_date AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+      FROM seq WHERE prev_date IS NOT NULL
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+           CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS avg_gap_days
+    FROM gaps GROUP BY o_custkey
+    """,
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap statistics per customer: LAG over each
+    customer's date-ordered orders yields the day gaps between
+    consecutive purchases; min/max/total are exact BIGINT day counts and
+    the mean is one final division — the recency-cadence feature block
+    (reorder-cycle estimation, churn heuristics) next to the RFM
+    segmentation. One user-keyed window pass plus a map-side-combinable
+    rollup; the orderkey tie-break pins same-day order pairs (gap 0) in
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    ).filter(F.col("prev_date").isNotNull())
+    gaps = seq.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date("prev_date")
+        ).alias("gap_days"),
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        F.sum("gap_days").cast("bigint").alias("total_gap_days"),
+        (F.sum("gap_days").cast("double") / F.count("*")).alias(
+            "avg_gap_days"
+        ),
+    )
