@@ -211,6 +211,39 @@ HEADLINE = [
     "events_type_daily_correlation",
     "dedup_normalization_gain",
     "agg_largest_remainder_percent",
+    # round-8 additions
+    "approx_hll_portable_dau",
+    "approx_countmin_portable",
+    "window_pareto_frontier",
+    "agg_simpsons_paradox_audit",
+    "events_changepoint_scan",
+    "events_funnel_time_constrained",
+    "text_bm25_topk",
+    "text_collocation_lift",
+    "temporal_interval_overlap_join",
+    "etl_fk_surrogate_keys",
+    "dq_gini_impurity_profile",
+    "graph_common_neighbors",
+    "graph_kcore_peel",
+    "sim_rerank_two_stage",
+    "streaming_topk_per_window",
+    "multimodal_phash_dedup",
+    "setop_except_all_partkeys",
+    "window_decayed_average",
+    "etl_late_arriving_dim",
+    "dq_freshness_lag_audit",
+    "sample_systematic_interval",
+    "events_whale_share",
+    "dedup_winnowing_overlap",
+    "sample_balanced_class_downsample",
+    "dq_referential_cascade_audit",
+    "events_cohort_ltv",
+    "temporal_point_in_time_join",
+    "multimodal_vad_segments",
+    "sim_mmr_diversified_topk",
+    "window_order_gaps",
+    "text_freq_spectrum",
+    "events_activity_streaks",
 ]
 
 
