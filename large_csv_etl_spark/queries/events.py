@@ -2822,3 +2822,100 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("current_streak_days"),
         )
     )
+
+
+@_q(
+    "events_diff_in_diff",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    lo AS (SELECT MIN(CAST(DATE_TRUNC('day', ts) AS DATE)) AS min_day FROM ev),
+    cells AS (
+      SELECT CASE WHEN SUBSTR(md5(CAST(e.user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'treat' ELSE 'control' END AS arm,
+             CASE WHEN CAST(DATE_TRUNC('day', e.ts) AS DATE)
+                       < lo.min_day + 15 THEN 'pre' ELSE 'post' END AS period,
+             e.value
+      FROM ev e, lo
+    ), agg AS (
+      SELECT arm, period,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(30,4))) AS s
+      FROM cells GROUP BY arm, period
+    ), means AS (
+      SELECT
+        MAX(CASE WHEN arm='treat' AND period='pre'
+                 THEN CAST(s AS DOUBLE) / n END) AS treat_pre,
+        MAX(CASE WHEN arm='treat' AND period='post'
+                 THEN CAST(s AS DOUBLE) / n END) AS treat_post,
+        MAX(CASE WHEN arm='control' AND period='pre'
+                 THEN CAST(s AS DOUBLE) / n END) AS control_pre,
+        MAX(CASE WHEN arm='control' AND period='post'
+                 THEN CAST(s AS DOUBLE) / n END) AS control_post,
+        CAST(SUM(n) AS BIGINT) AS n_events
+      FROM agg
+    )
+    SELECT treat_pre, treat_post, control_pre, control_post, n_events,
+           (treat_post - treat_pre) - (control_post - control_pre)
+             AS diff_in_diff
+    FROM means
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: users hash-split 50/50 into
+    treat/control (the md5 membership contract the A/B entry uses), the
+    calendar split 15 days after corpus start separates pre/post, and
+    the effect estimate is the classic
+    (treat_post - treat_pre) - (control_post - control_pre) on mean
+    event value — the quasi-experimental companion to
+    events_ab_experiment_analysis that nets out both arm-level
+    baselines and secular time trends. Cell means are exact DECIMAL
+    sums over exact counts (one division per cell); the DiD combination
+    is three IEEE subtractions with pinned shape. One
+    map-side-combinable 4-cell aggregate over a single scan."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(F.min(F.to_date("ts")).alias("min_day"))
+    cells = ev.crossJoin(F.broadcast(lo)).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            "treat",
+        )
+        .otherwise("control")
+        .alias("arm"),
+        F.when(
+            F.to_date("ts") < F.date_add("min_day", 15), "pre"
+        )
+        .otherwise("post")
+        .alias("period"),
+        "value",
+    )
+    agg = cells.groupBy("arm", "period").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("s"),
+    )
+
+    def cell(arm, period):
+        return F.max(
+            F.when(
+                (F.col("arm") == arm) & (F.col("period") == period),
+                F.col("s").cast("double") / F.col("n"),
+            )
+        )
+
+    means = agg.agg(
+        cell("treat", "pre").alias("treat_pre"),
+        cell("treat", "post").alias("treat_post"),
+        cell("control", "pre").alias("control_pre"),
+        cell("control", "post").alias("control_post"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    return means.select(
+        "treat_pre",
+        "treat_post",
+        "control_pre",
+        "control_post",
+        "n_events",
+        (
+            (F.col("treat_post") - F.col("treat_pre"))
+            - (F.col("control_post") - F.col("control_pre"))
+        ).alias("diff_in_diff"),
+    )

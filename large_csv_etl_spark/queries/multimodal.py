@@ -402,3 +402,36 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "longest_segment",
         )
     )
+
+
+@_q("multimodal_frame_phash_dedup")  # frequency-domain frame hashing; rows-only
+def multimodal_frame_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level DCT perceptual dedup — composes the two pinned pieces
+    the aHash twin (multimodal_frame_ahash_dedup) composes, with the
+    brightness-robust pHash in the hashing seat: fixed-stride frame
+    sampling (JVM byte slices, no Python) then one Arrow-batch pHash
+    pass, reporting duplicated frame mass. Rows-only (engine-internal
+    DCT floats); stub determinism and perceptual invariances are pinned
+    in tests/test_multimodal.py."""
+    from ..multimodal import phash_payloads, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payload(docs), every_n_bytes=64)
+    fr = frames.select(
+        (F.col("doc_id") * 10000 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame_bytes").alias("payload"),
+    )
+    hashed = phash_payloads(fr, stub=True)
+    groups = hashed.groupBy("phash").agg(F.count("*").alias("n_frames"))
+    return groups.agg(
+        F.sum("n_frames").cast("bigint").alias("n_frames_total"),
+        F.count("*").cast("bigint").alias("n_distinct_hashes"),
+        F.sum(F.when(F.col("n_frames") >= 2, F.col("n_frames")).otherwise(0))
+        .cast("bigint")
+        .alias("n_frames_in_dup_groups"),
+        F.when(
+            F.sum("n_frames") > 0,
+            (F.sum("n_frames") - F.count("*")).cast("double")
+            / F.sum("n_frames"),
+        ).alias("dup_frame_ratio"),
+    )

@@ -2532,3 +2532,147 @@ def agg_simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn(
         "rank_flipped", F.col("rank_pooled") != F.col("rank_unweighted")
     )
+
+
+@_q(
+    "agg_empirical_bayes_rates",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_f
+      FROM orders GROUP BY o_custkey
+    ), prior AS (
+      SELECT CAST(SUM(n_f) AS BIGINT) AS tot_f,
+             CAST(SUM(n_orders) AS BIGINT) AS tot_n
+      FROM per_cust
+    )
+    SELECT p.o_custkey,
+           CAST(p.n_orders AS BIGINT) AS n_orders,
+           p.n_f,
+           CAST(p.n_f AS DOUBLE) / p.n_orders AS raw_rate,
+           (p.n_f + 10.0 * (CAST(pr.tot_f AS DOUBLE) / pr.tot_n))
+             / (p.n_orders + 10.0) AS smoothed_rate
+    FROM per_cust p, prior pr
+    ORDER BY (p.n_f + 10.0 * (CAST(pr.tot_f AS DOUBLE) / pr.tot_n))
+             / (p.n_orders + 10.0) DESC, p.o_custkey
+    LIMIT 25
+    """,
+)
+def agg_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes smoothed proportions — the fix for ranking
+    small-sample rates: each customer's F-status order rate is shrunk
+    toward the corpus prior with pseudo-count k=10,
+    ``(x + k*p0) / (n + k)``, so a 1-of-1 customer no longer outranks a
+    40-of-50 one. The top-25 by smoothed rate is the graded output, raw
+    rate alongside for the contrast. Arithmetic: exact BIGINT counts, a
+    broadcast 1-row prior, and per-row single-division IEEE doubles with
+    pinned expression shape — deterministic ordering with custkey
+    tie-break. One map-side-combinable agg + TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_f"),
+    )
+    prior = per_cust.agg(
+        F.sum("n_f").cast("bigint").alias("tot_f"),
+        F.sum("n_orders").cast("bigint").alias("tot_n"),
+    )
+    p0 = F.col("tot_f").cast("double") / F.col("tot_n")
+    smoothed = (F.col("n_f") + F.lit(10.0) * p0) / (
+        F.col("n_orders") + F.lit(10.0)
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(prior))
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "n_f",
+            (F.col("n_f").cast("double") / F.col("n_orders")).alias(
+                "raw_rate"
+            ),
+            smoothed.alias("smoothed_rate"),
+        )
+        .orderBy(F.desc("smoothed_rate"), "o_custkey")
+        .limit(25)
+    )
+
+
+@_q(
+    "agg_lorenz_curve_deciles",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS v
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT v,
+             NTILE(10) OVER (ORDER BY v, o_custkey) AS decile
+      FROM per_cust
+    ), tot AS (
+      SELECT SUM(v) AS tot_v, COUNT(*) AS tot_n FROM per_cust
+    ), per_decile AS (
+      SELECT decile, SUM(v) AS dv, COUNT(*) AS dn
+      FROM ranked GROUP BY decile
+    ), cum AS (
+      SELECT decile, dn, dv,
+             SUM(dv) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v,
+             CAST(SUM(dn) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n
+      FROM per_decile
+    )
+    SELECT CAST(c.decile AS BIGINT) AS decile,
+           CAST(c.dn AS BIGINT) AS n_customers,
+           CAST(c.cum_n AS DOUBLE) / t.tot_n AS cum_pop_share,
+           CAST(c.cum_v AS DOUBLE) / CAST(t.tot_v AS DOUBLE)
+             AS cum_value_share
+    FROM cum c, tot t
+    """,
+)
+def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile cuts: customers ordered by total spend,
+    cumulative population share vs cumulative value share per decile —
+    the curve whose area complement is the graded Gini
+    (agg_gini_concentration); the deciles are the dashboard-friendly
+    readout of the same inequality. Exact DECIMAL spend sums through
+    the decile rollup and cumulative window; NTILE over (v, custkey)
+    pins ties; the only doubles are the two final share divisions.
+    The window runs over the reduced per-customer table, then 10
+    rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("v")
+    )
+    ranked = per_cust.select(
+        "v",
+        F.ntile(10).over(Window.orderBy("v", "o_custkey")).alias("decile"),
+    )
+    tot = per_cust.agg(
+        F.sum("v").alias("tot_v"), F.count("*").alias("tot_n")
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.sum("v").alias("dv"), F.count("*").alias("dn")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_decile.select(
+        "decile",
+        "dn",
+        F.sum("dv").over(wc).alias("cum_v"),
+        F.sum("dn").over(wc).cast("bigint").alias("cum_n"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("dn").cast("bigint").alias("n_customers"),
+        (F.col("cum_n").cast("double") / F.col("tot_n")).alias(
+            "cum_pop_share"
+        ),
+        (F.col("cum_v").cast("double") / F.col("tot_v").cast("double")).alias(
+            "cum_value_share"
+        ),
+    )

@@ -2657,3 +2657,112 @@ def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_hapax",
     )
+
+
+@_q(
+    "graph_hits_bipartite",
+    """
+    WITH li AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    a1 AS MATERIALIZED (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS a FROM li GROUP BY part
+    ),
+    h1 AS MATERIALIZED (
+      SELECT li.cust, CAST(SUM(a1.a) AS BIGINT) AS h
+      FROM li JOIN a1 USING (part) GROUP BY li.cust
+    ),
+    a2 AS MATERIALIZED (
+      SELECT li.part, CAST(SUM(h1.h) AS BIGINT) AS a
+      FROM li JOIN h1 USING (cust) GROUP BY li.part
+    ),
+    h2 AS MATERIALIZED (
+      SELECT li.cust, CAST(SUM(a2.a) AS BIGINT) AS h
+      FROM li JOIN a2 USING (part) GROUP BY li.cust
+    ),
+    a3 AS MATERIALIZED (
+      SELECT li.part, CAST(SUM(h2.h) AS BIGINT) AS a
+      FROM li JOIN h2 USING (cust) GROUP BY li.part
+    ),
+    top_auth AS (
+      SELECT 'authority' AS role, part AS node_id, a AS score
+      FROM a3 ORDER BY a DESC, part LIMIT 20
+    ),
+    top_hub AS (
+      SELECT 'hub' AS role, cust AS node_id, h AS score
+      FROM h2 ORDER BY h DESC, cust LIMIT 20
+    )
+    SELECT role, CAST(node_id AS BIGINT) AS node_id, score
+    FROM (SELECT * FROM top_auth UNION ALL SELECT * FROM top_hub)
+    """,
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the customer-part purchase graph —
+    the ninth fixed-point-unrolled iterative algorithm under the oracle:
+    three unrolled mutual-reinforcement rounds (a = A^T h, h = A a) in
+    EXACT unnormalized BIGINT arithmetic — hub scores start at 1, so
+    authority round 1 is part degree, and each subsequent round is an
+    integer sum-product over the edge list; magnitudes stay far inside
+    BIGINT for three rounds at any realistic SF, which is exactly why
+    the unnormalized form is the oracle-gradable one (normalized HITS
+    divides by an order-dependent float norm every round). Graded
+    output: top-20 authorities (parts everyone buys alongside) and
+    top-20 hubs (customers whose baskets span authoritative parts).
+    Each round is one edge-keyed join + map-side-combinable sum —
+    O(|E|) per round, the cluster HITS plan."""
+    from .helpers import materialize_reduced
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = materialize_reduced(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    a1 = edges.groupBy("part").agg(F.count("*").cast("bigint").alias("a"))
+    h1 = (
+        edges.join(a1, "part")
+        .groupBy("cust")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    a2 = (
+        edges.join(h1, "cust")
+        .groupBy("part")
+        .agg(F.sum("h").cast("bigint").alias("a"))
+    )
+    h2 = materialize_reduced(
+        edges.join(a2, "part")
+        .groupBy("cust")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    a3 = (
+        edges.join(h2, "cust")
+        .groupBy("part")
+        .agg(F.sum("h").cast("bigint").alias("a"))
+    )
+    top_auth = (
+        a3.orderBy(F.desc("a"), "part")
+        .limit(20)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("part").cast("bigint").alias("node_id"),
+            F.col("a").alias("score"),
+        )
+    )
+    top_hub = (
+        h2.orderBy(F.desc("h"), "cust")
+        .limit(20)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("cust").cast("bigint").alias("node_id"),
+            F.col("h").alias("score"),
+        )
+    )
+    return top_auth.unionAll(top_hub)

@@ -586,3 +586,65 @@ def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_gap_days"
         ),
     )
+
+
+@_q(
+    "window_rolling_median_7d",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             COUNT(*) AS c
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day, CAST(d.c AS BIGINT) AS n_events,
+           MEDIAN(w.c) AS rolling_median_7d,
+           CAST(COUNT(w.c) AS BIGINT) AS n_days_in_window
+    FROM daily d
+    JOIN daily w
+      ON w.event_type = d.event_type
+     AND w.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.event_type, d.day, d.c
+    """,
+)
+def window_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day exact median of daily event counts per type — the
+    robust trend smoother (a single spike day moves a rolling mean but
+    not the median; the z-score anomaly entries flag points, this
+    produces the robust baseline they compare against). Spark refuses
+    exact ``median`` with a window FRAME (sketchless exact medians
+    aren't incrementally maintainable), so the trailing window is
+    expressed as a bounded self-join over the |types x days| REDUCED
+    table (<= 7 partner rows per row — the join is the frame) feeding
+    the exact group-aggregate median, whose interpolation parity is
+    already pinned by quantiles_exact. Work is |types x days| x 7
+    regardless of data size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    d, w = daily.alias("d"), daily.alias("w")
+    return (
+        d.join(
+            w,
+            (F.col("w.event_type") == F.col("d.event_type"))
+            & (F.col("w.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("w.day") <= F.col("d.day")),
+        )
+        .groupBy(
+            F.col("d.event_type").alias("event_type"),
+            F.col("d.day").alias("day"),
+            F.col("d.c").alias("c"),
+        )
+        .agg(
+            F.median(F.col("w.c")).alias("rolling_median_7d"),
+            F.count(F.col("w.c")).cast("bigint").alias("n_days_in_window"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("c").cast("bigint").alias("n_events"),
+            "rolling_median_7d",
+            "n_days_in_window",
+        )
+    )
