@@ -2919,3 +2919,72 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("control_post") - F.col("control_pre"))
         ).alias("diff_in_diff"),
     )
+
+
+@_q(
+    "events_markov_baseline_accuracy",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM ev
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ), best AS (
+      SELECT prev_type, next_type AS predicted_next, n AS n_correct,
+             CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_total,
+             ROW_NUMBER() OVER (PARTITION BY prev_type
+                                ORDER BY n DESC, next_type) AS rn
+      FROM trans
+    )
+    SELECT prev_type, predicted_next, n_correct, n_total,
+           CAST(n_correct AS DOUBLE) / n_total AS accuracy
+    FROM best WHERE rn = 1
+    """,
+)
+def events_markov_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-class next-event baseline: for each current event type,
+    the most frequent next type (deterministic tie-break) and the
+    accuracy that predict-the-mode rule achieves — the floor every
+    sequence model must beat before it earns its complexity, computed
+    directly from the graded first-order transition matrix. One lag
+    window + a |types|^2 aggregate; the mode-vs-total split is a window
+    over the tiny matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    best = trans.select(
+        "prev_type",
+        F.col("next_type").alias("predicted_next"),
+        F.col("n").alias("n_correct"),
+        F.sum("n")
+        .over(Window.partitionBy("prev_type"))
+        .cast("bigint")
+        .alias("n_total"),
+        F.row_number()
+        .over(
+            Window.partitionBy("prev_type").orderBy(
+                F.desc("n"), "next_type"
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "prev_type",
+        "predicted_next",
+        "n_correct",
+        "n_total",
+        (F.col("n_correct").cast("double") / F.col("n_total")).alias(
+            "accuracy"
+        ),
+    )

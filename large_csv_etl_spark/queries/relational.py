@@ -2676,3 +2676,92 @@ def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_value_share"
         ),
     )
+
+
+@_q(
+    "agg_chi_square_independence",
+    """
+    WITH obs AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ), margins AS (
+      SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY a
+    ), margins_b AS (
+      SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM obs GROUP BY b
+    ), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT m.a, mb.b,
+             COALESCE(obs.o, 0) AS o,
+             (CAST(m.ra AS DOUBLE) * mb.cb) / t.n AS e
+      FROM margins m CROSS JOIN margins_b mb CROSS JOIN tot t
+      LEFT JOIN obs ON obs.a = m.a AND obs.b = mb.b
+    ), terms AS (
+      SELECT CAST(SUM(CAST(round(((o - e) * (o - e) / e) * 1000000000.0)
+                          AS BIGINT)) AS BIGINT) AS chi2_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM cells
+    )
+    SELECT CAST(t2.chi2_fp AS DOUBLE) / 1000000000.0 AS chi_square,
+           t2.n_cells,
+           CAST(((SELECT COUNT(*) FROM margins) - 1)
+                * ((SELECT COUNT(*) FROM margins_b) - 1) AS BIGINT)
+             AS degrees_of_freedom,
+           t.n AS n_rows
+    FROM terms t2, tot t
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the order-priority x
+    order-status contingency table: expected counts from the margin
+    product, SUM((O - E)^2 / E) over ALL cells including structural
+    zeros (the LEFT join against the margin cross product supplies
+    them — dropping empty cells silently deflates the statistic), plus
+    degrees of freedom. The p-value lookup is deliberately out of scope
+    (it needs the incomplete gamma function — libm territory); the
+    statistic and dof are the distributed part, and every per-cell term
+    is deterministic IEEE arithmetic snapped to 1e-9 fixed point so the
+    cross-cell SUM is exact integer addition in both engines. Work
+    beyond one map-side-combinable count is |A| x |B| cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"),
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    ma = obs.groupBy("a").agg(F.sum("o").cast("bigint").alias("ra"))
+    mb = obs.groupBy("b").agg(F.sum("o").cast("bigint").alias("cb"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    cells = (
+        ma.crossJoin(mb)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["a", "b"], "left")
+        .select(
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            ((F.col("ra").cast("double") * F.col("cb")) / F.col("n")).alias(
+                "e"
+            ),
+        )
+    )
+    term_fp = F.round(
+        ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+        * 1000000000.0,
+        0,
+    ).cast("bigint")
+    terms = cells.agg(
+        F.sum(term_fp).cast("bigint").alias("chi2_fp"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    dof = (
+        (ma.count() - 1) * (mb.count() - 1)
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("chi2_fp").cast("double") / 1000000000.0).alias(
+                "chi_square"
+            ),
+            "n_cells",
+            F.lit(dof).cast("bigint").alias("degrees_of_freedom"),
+            F.col("n").alias("n_rows"),
+        )
+    )

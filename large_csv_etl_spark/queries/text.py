@@ -2766,3 +2766,172 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_auth.unionAll(top_hub)
+
+
+@_q("text_langid_eval_f1", None)
+def text_langid_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation metrics from the langid confusion matrix:
+    per-language precision, recall, and F1 of the graded langid
+    heuristic against the declared labels — composing the graded
+    confusion entry into the standard eval readout (the number that
+    decides whether to trust the detector per language before
+    re-tagging a corpus with it). All three metrics are single-division
+    rationals over exact BIGINT confusion counts; F1 uses the
+    2*tp / (2*tp + fp + fn) form — one division, no intermediate
+    precision*recall float product. Runs on the |langs|^2 matrix."""
+    pred = QUERIES["text_langid_heuristic"](spark, sf_dir)
+    counts = pred.groupBy(
+        F.col("lang").alias("declared"),
+        F.col("predicted_lang").alias("predicted"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tp = F.sum(
+        F.when(F.col("predicted") == F.col("declared"), F.col("n")).otherwise(0)
+    )
+    per_declared = counts.groupBy(F.col("declared").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_declared"),
+        tp.cast("bigint").alias("tp_r"),
+    )
+    per_predicted = counts.groupBy(F.col("predicted").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_predicted"),
+        tp.cast("bigint").alias("tp_p"),
+    )
+    j = per_declared.join(per_predicted, "lang", "full").select(
+        "lang",
+        F.coalesce(F.col("n_declared"), F.lit(0)).alias("n_declared"),
+        F.coalesce(F.col("n_predicted"), F.lit(0)).alias("n_predicted"),
+        F.coalesce(F.col("tp_r"), F.coalesce(F.col("tp_p"), F.lit(0))).alias(
+            "tp"
+        ),
+    )
+    fp = F.col("n_predicted") - F.col("tp")
+    fn = F.col("n_declared") - F.col("tp")
+    return j.select(
+        "lang",
+        "n_declared",
+        "n_predicted",
+        "tp",
+        F.when(
+            F.col("n_predicted") > 0,
+            F.col("tp").cast("double") / F.col("n_predicted"),
+        ).alias("precision"),
+        F.when(
+            F.col("n_declared") > 0,
+            F.col("tp").cast("double") / F.col("n_declared"),
+        ).alias("recall"),
+        F.when(
+            (2 * F.col("tp") + fp + fn) > 0,
+            (2 * F.col("tp")).cast("double") / (2 * F.col("tp") + fp + fn),
+        ).alias("f1"),
+    )
+
+
+ORACLES["text_langid_eval_f1"] = f"""
+    WITH pred AS ({ORACLES["text_langid_heuristic"]}),
+    counts AS (
+      SELECT lang AS declared, predicted_lang AS predicted,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ), per_declared AS (
+      SELECT declared AS lang,
+             CAST(SUM(n) AS BIGINT) AS n_declared,
+             CAST(SUM(CASE WHEN predicted = declared THEN n ELSE 0 END)
+                  AS BIGINT) AS tp_r
+      FROM counts GROUP BY declared
+    ), per_predicted AS (
+      SELECT predicted AS lang,
+             CAST(SUM(n) AS BIGINT) AS n_predicted,
+             CAST(SUM(CASE WHEN predicted = declared THEN n ELSE 0 END)
+                  AS BIGINT) AS tp_p
+      FROM counts GROUP BY predicted
+    ), j AS (
+      SELECT COALESCE(d.lang, p.lang) AS lang,
+             COALESCE(d.n_declared, 0) AS n_declared,
+             COALESCE(p.n_predicted, 0) AS n_predicted,
+             COALESCE(d.tp_r, COALESCE(p.tp_p, 0)) AS tp
+      FROM per_declared d FULL JOIN per_predicted p ON p.lang = d.lang
+    )
+    SELECT lang, n_declared, n_predicted, tp,
+           CASE WHEN n_predicted > 0
+                THEN CAST(tp AS DOUBLE) / n_predicted END AS precision,
+           CASE WHEN n_declared > 0
+                THEN CAST(tp AS DOUBLE) / n_declared END AS recall,
+           CASE WHEN (2 * tp + (n_predicted - tp) + (n_declared - tp)) > 0
+                THEN CAST(2 * tp AS DOUBLE)
+                     / (2 * tp + (n_predicted - tp) + (n_declared - tp))
+           END AS f1
+    FROM j
+"""
+
+
+@_q(
+    "text_term_burstiness",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+    per_doc AS (
+      SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY token, doc_id
+    ), stats AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM per_doc GROUP BY token
+    )
+    SELECT s.token, s.df, s.s1 AS total_count,
+           CAST(s.s1 AS DOUBLE) / n.n_docs AS mean_per_doc,
+           (CAST(s.s2 AS DOUBLE) / n.n_docs)
+             - (CAST(s.s1 AS DOUBLE) / n.n_docs)
+               * (CAST(s.s1 AS DOUBLE) / n.n_docs) AS var_per_doc,
+           ((CAST(s.s2 AS DOUBLE) / n.n_docs)
+             - (CAST(s.s1 AS DOUBLE) / n.n_docs)
+               * (CAST(s.s1 AS DOUBLE) / n.n_docs))
+             / (CAST(s.s1 AS DOUBLE) / n.n_docs) AS fano_factor
+    FROM stats s, nd n
+    ORDER BY s.s1 DESC, s.token LIMIT 20
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Fano factor / variance-to-mean ratio of per-doc
+    counts, zeros included): a term with Fano ~ 1 is Poisson-scattered
+    (function words), >> 1 is bursty/clumped (topical content words) —
+    the classic Church-Gale corpus statistic behind content-word
+    detection and term weighting. Mean and variance come from exact
+    BIGINT moment sums over the per-doc count table (docs without the
+    term contribute zeros via the n_docs denominator, not via
+    materialized zero rows), and every division is a pinned-shape IEEE
+    op on BIGINT-ranged values. Top-20 terms by corpus count."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id", F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+    )
+    nd = toks.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_docs")
+    var = (F.col("s2").cast("double") / F.col("n_docs")) - mean * mean
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            "df",
+            F.col("s1").alias("total_count"),
+            mean.alias("mean_per_doc"),
+            var.alias("var_per_doc"),
+            (var / mean).alias("fano_factor"),
+        )
+        .orderBy(F.desc("total_count"), "token")
+        .limit(20)
+    )
