@@ -2988,3 +2988,71 @@ def events_markov_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
             "accuracy"
         ),
     )
+
+
+@_q(
+    "events_behavior_predictability",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM ev
+    ), trans AS (
+      SELECT user_id, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY user_id, next_type
+    ), per_user AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_transitions,
+             CAST(SUM(c * c) AS BIGINT) AS s2,
+             CAST(MAX(c) AS BIGINT) AS modal_c
+      FROM trans GROUP BY user_id
+    )
+    SELECT user_id, n_transitions,
+           1 - ((CAST(s2 AS DOUBLE) / n_transitions) / n_transitions)
+             AS next_type_impurity,
+           CAST(modal_c AS DOUBLE) / n_transitions AS modal_share
+    FROM per_user
+    """,
+)
+def events_behavior_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral predictability: the Gini impurity of each
+    user's next-event-type distribution (1 - sum p^2 — the log-free
+    entropy stand-in) plus the modal-action share. Near-zero impurity =
+    a highly scripted/bot-like stream; high impurity with many
+    transitions = diverse organic behavior — the per-user companion to
+    the corpus-level transition matrix and the TVD divergence entry,
+    cheap enough to compute for every user (one lag window + two
+    map-side-combinable aggregates; all mass terms exact BIGINT)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "user_id", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    per_user = trans.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_transitions"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.max("c").cast("bigint").alias("modal_c"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_transitions",
+        (
+            F.lit(1)
+            - (
+                (F.col("s2").cast("double") / F.col("n_transitions"))
+                / F.col("n_transitions")
+            )
+        ).alias("next_type_impurity"),
+        (F.col("modal_c").cast("double") / F.col("n_transitions")).alias(
+            "modal_share"
+        ),
+    )

@@ -435,3 +435,60 @@ def multimodal_frame_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_frames"),
         ).alias("dup_frame_ratio"),
     )
+
+
+@_q("multimodal_scene_cuts")  # pixel-hash frame deltas; rows-only
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the sampled frame stream: perceptual-hash
+    every fixed-stride frame (one Arrow-batch aHash pass), then flag a
+    cut wherever the Hamming distance between CONSECUTIVE frame hashes
+    exceeds 16 of 64 bits — the shot-boundary heuristic that segments
+    video before per-scene sampling/captioning. The frame ordering, the
+    XOR + bit_count Hamming distance, and the run accounting are exact
+    JVM integer ops over the hash column; rows-only because the pixels
+    behind the hash are engine-internal (stub determinism and the
+    planted two-scene fixture are pinned in tests/test_multimodal.py).
+    Per doc: frame count, cut count, mean scene length in frames."""
+    from pyspark.sql import Window
+
+    from ..multimodal import ahash_payloads, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payload(docs), every_n_bytes=64)
+    fr = frames.select(
+        (F.col("doc_id") * 10000 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame_bytes").alias("payload"),
+    )
+    hashed = ahash_payloads(fr, stub=True).select(
+        F.expr("doc_id div 10000").alias("doc_id"),
+        F.expr("doc_id % 10000").alias("frame_idx"),
+        "ahash",
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = hashed.select(
+        "doc_id",
+        "frame_idx",
+        F.bit_count(
+            F.col("ahash").bitwiseXOR(F.lag("ahash").over(w))
+        ).alias("hamming"),
+    )
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            (F.count("*")).cast("bigint").alias("n_frames"),
+            F.sum(
+                F.when(F.col("hamming") > 16, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_cuts"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_cuts",
+            (
+                F.col("n_frames").cast("double")
+                / (F.col("n_cuts") + 1)
+            ).alias("mean_scene_len_frames"),
+        )
+    )

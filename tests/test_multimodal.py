@@ -311,3 +311,27 @@ def test_phash_stub_path_deterministic_and_groups_exact_dups(spark):
     )
     out = phash_payloads(dup, stub=True).collect()
     assert out[0].phash == out[1].phash
+
+
+def test_scene_cuts_on_planted_two_scene_stream(spark):
+    """A payload whose frames repeat byte-identical content except for an
+    abrupt mid-stream content change must yield exactly one detected
+    cut; a constant stream yields zero. Drives the registry entry's
+    exact pipeline (sample_frames stride 64 + stub aHash + Hamming>16)
+    through the public query function on a planted documents table."""
+    from large_csv_etl_spark.queries.multimodal import multimodal_scene_cuts
+
+    # two docs: constant frames; and scene A x4 then scene B x4
+    a = b"A" * 256
+    bb = (b"scene-one-bytes!" * 4)[:64] * 4 + (b"other-scene-!!!!" * 4)[:64] * 4
+    df = spark.createDataFrame(
+        [(1, a.decode(), "en", "s0", len(a)), (2, bb.decode(), "en", "s0", len(bb))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="scenecut_")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in multimodal_scene_cuts(spark, d).collect()}
+    assert out[1].n_cuts == 0, out[1]
+    assert out[2].n_cuts == 1, out[2]
+    assert out[1].n_frames == 4 and out[2].n_frames == 8
