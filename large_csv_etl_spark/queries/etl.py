@@ -692,3 +692,102 @@ def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("unknown_rate"),
     )
+
+
+@_q(
+    "etl_type_inference_profile",
+    f"""
+    WITH raw AS (
+      SELECT * FROM read_csv('{DIRTY_CSV}', header=true, all_varchar=true)
+    ), cols AS (
+      SELECT 'transaction_id' AS column_name, transaction_id AS val FROM raw
+      UNION ALL SELECT 'user_id', user_id FROM raw
+      UNION ALL SELECT 'amount', amount FROM raw
+      UNION ALL SELECT 'timestamp', "timestamp" FROM raw
+      UNION ALL SELECT 'status', status FROM raw
+    ), classed AS (
+      SELECT column_name,
+        CASE
+          WHEN val IS NULL OR TRIM(val) = '' THEN 'blank'
+          WHEN regexp_matches(TRIM(val), '^-?[0-9]+$') THEN 'int'
+          WHEN regexp_matches(TRIM(val), '^-?[0-9]*\\.[0-9]+$') THEN 'float'
+          WHEN regexp_matches(TRIM(val),
+               '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}([T ].*)?$') THEN 'date'
+          ELSE 'string' END AS cls
+      FROM cols
+    ), counts AS (
+      SELECT column_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN cls='blank' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+             CAST(SUM(CASE WHEN cls='int' THEN 1 ELSE 0 END) AS BIGINT) AS n_int_like,
+             CAST(SUM(CASE WHEN cls='float' THEN 1 ELSE 0 END) AS BIGINT) AS n_float_like,
+             CAST(SUM(CASE WHEN cls='date' THEN 1 ELSE 0 END) AS BIGINT) AS n_date_like,
+             CAST(SUM(CASE WHEN cls='string' THEN 1 ELSE 0 END) AS BIGINT) AS n_string_like
+      FROM classed GROUP BY column_name
+    )
+    SELECT *,
+      CASE GREATEST(n_int_like + n_float_like, n_date_like, n_string_like)
+        WHEN n_int_like + n_float_like THEN
+          CASE WHEN n_float_like > 0 THEN 'double' ELSE 'bigint' END
+        WHEN n_date_like THEN 'timestamp'
+        ELSE 'string' END AS inferred_type
+    FROM counts
+    """,
+)
+def etl_type_inference_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/type inference over the raw all-string CSV — the profiling
+    pass a loader runs before proposing DDL: each column's values are
+    classified by deterministic REGEX (int / float / ISO-date / blank /
+    string — never engine TRY_CAST, whose '1.5'->INT semantics differ
+    between engines), and the majority class yields the inferred SQL
+    type with numeric classes pooled (any float present promotes the
+    column to double). The dirty fixture exercises every branch:
+    malformed amounts, blank keys, ISO timestamps. One unpivoted scan +
+    a |columns|-row aggregate; CASE GREATEST ties resolve in the
+    written order identically in both engines."""
+    raw = read_transactions_csv(spark, DIRTY_CSV)
+    cols = None
+    for name in ["transaction_id", "user_id", "amount", "timestamp", "status"]:
+        part = raw.select(
+            F.lit(name).alias("column_name"),
+            F.col(name).cast("string").alias("val"),
+        )
+        cols = part if cols is None else cols.unionAll(part)
+    t = F.trim(F.col("val"))
+    cls = (
+        F.when(F.col("val").isNull() | (t == ""), "blank")
+        .when(t.rlike("^-?[0-9]+$"), "int")
+        .when(t.rlike(r"^-?[0-9]*\.[0-9]+$"), "float")
+        .when(t.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}([T ].*)?$"), "date")
+        .otherwise("string")
+    )
+    counts = (
+        cols.select("column_name", cls.alias("cls"))
+        .groupBy("column_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            *[
+                F.sum(F.when(F.col("cls") == c, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{c2}")
+                for c, c2 in [
+                    ("blank", "blank"),
+                    ("int", "int_like"),
+                    ("float", "float_like"),
+                    ("date", "date_like"),
+                    ("string", "string_like"),
+                ]
+            ],
+        )
+    )
+    num = F.col("n_int_like") + F.col("n_float_like")
+    best = F.greatest(num, F.col("n_date_like"), F.col("n_string_like"))
+    inferred = (
+        F.when(
+            best == num,
+            F.when(F.col("n_float_like") > 0, "double").otherwise("bigint"),
+        )
+        .when(best == F.col("n_date_like"), "timestamp")
+        .otherwise("string")
+    )
+    return counts.withColumn("inferred_type", inferred)

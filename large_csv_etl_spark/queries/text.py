@@ -2935,3 +2935,96 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_count"), "token")
         .limit(20)
     )
+
+
+@_q(
+    "text_phonetic_collisions",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT UNNEST(regexp_split_to_array(TRIM(LOWER(p_name)), '\s+')) AS token
+      FROM part WHERE TRIM(p_name) <> ''
+      UNION
+      SELECT DISTINCT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+      FROM documents WHERE TRIM(text) <> ''
+    ), keyed AS (
+      SELECT token,
+             SUBSTR(UPPER(token), 1, 1) ||
+             regexp_replace(
+               regexp_replace(SUBSTR(UPPER(token), 2), '[AEIOUYHW]', '', 'g'),
+               '(.)\1+', '\1', 'g') AS phonetic_key
+      FROM toks WHERE LENGTH(token) > 0
+    ), groups AS (
+      SELECT phonetic_key,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             MIN(token) AS example_a,
+             MAX(token) AS example_b
+      FROM keyed GROUP BY phonetic_key
+      HAVING COUNT(*) >= 2
+    )
+    SELECT phonetic_key, n_tokens, example_a, example_b
+    FROM groups
+    ORDER BY n_tokens DESC, phonetic_key LIMIT 30
+    """,
+)
+def text_phonetic_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic-key blocking for fuzzy matching: the combined part-name +
+    document vocabulary collapses to a Soundex-style consonant skeleton
+    (first letter + vowel-stripped, run-collapsed remainder — a custom
+    portable code written as two regex passes both engines execute
+    identically, rather than an engine-specific soundex()), and keys
+    shared by >= 2 distinct tokens surface as collision groups — the
+    blocking step that keeps a name-matching join from going all-pairs,
+    complementary to the FastSS edit-distance join (which bounds by edit
+    ops, not sound). Example: 'bolt'/'belt' share key B-LT; the
+    31-token document vocabulary alone is phonetically collision-free,
+    which is itself the audit result that motivated widening the input
+    to the part names. One distinct-vocab scan + a key-grouped
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    parts = load_table(spark, sf_dir, "part").filter(
+        F.trim(F.col("p_name")) != ""
+    )
+    toks = (
+        parts.select(
+            F.explode(
+                _SPARK_TOKENS(F.lower(F.col("p_name")))
+            ).alias("token")
+        )
+        .unionAll(
+            docs.select(
+                F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias(
+                    "token"
+                )
+            )
+        )
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    skeleton = F.regexp_replace(
+        F.regexp_replace(
+            F.substring(F.upper(F.col("token")), 2, 1000000),
+            "[AEIOUYHW]",
+            "",
+        ),
+        r"(.)\1+",
+        "$1",
+    )
+    keyed = toks.select(
+        "token",
+        F.concat(
+            F.substring(F.upper(F.col("token")), 1, 1), skeleton
+        ).alias("phonetic_key"),
+    )
+    return (
+        keyed.groupBy("phonetic_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.min("token").alias("example_a"),
+            F.max("token").alias("example_b"),
+        )
+        .filter(F.col("n_tokens") >= 2)
+        .orderBy(F.desc("n_tokens"), "phonetic_key")
+        .limit(30)
+    )
