@@ -244,6 +244,21 @@ HEADLINE = [
     "window_order_gaps",
     "text_freq_spectrum",
     "events_activity_streaks",
+    # round-8 additions (second wave)
+    "agg_empirical_bayes_rates",
+    "agg_lorenz_curve_deciles",
+    "graph_hits_bipartite",
+    "window_rolling_median_7d",
+    "multimodal_frame_phash_dedup",
+    "events_diff_in_diff",
+    "text_langid_eval_f1",
+    "text_term_burstiness",
+    "agg_chi_square_independence",
+    "events_markov_baseline_accuracy",
+    "multimodal_scene_cuts",
+    "events_behavior_predictability",
+    "etl_type_inference_profile",
+    "text_phonetic_collisions",
 ]
 
 
