@@ -3056,3 +3056,176 @@ def events_behavior_predictability(spark: SparkSession, sf_dir: str) -> DataFram
             "modal_share"
         ),
     )
+
+
+@_q(
+    "events_rate_anomaly_anscombe",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      FROM events
+    ), bounds AS (SELECT MAX(day) AS dmax FROM ev),
+    marked AS (
+      SELECT event_type, day, day > b.dmax - 7 AS recent
+      FROM ev CROSS JOIN bounds b
+    ), gdays AS (
+      SELECT COUNT(DISTINCT CASE WHEN recent THEN day END) AS d_r,
+             COUNT(DISTINCT CASE WHEN NOT recent THEN day END) AS d_b
+      FROM marked
+    ), per AS (
+      SELECT event_type,
+             CAST(COUNT(CASE WHEN recent THEN 1 END) AS BIGINT) AS n_recent,
+             CAST(COUNT(CASE WHEN NOT recent THEN 1 END) AS BIGINT)
+               AS n_baseline
+      FROM marked GROUP BY event_type
+    )
+    SELECT event_type, n_recent, n_baseline,
+           (CAST(n_baseline AS DOUBLE) * d_r) / d_b AS expected_recent,
+           2.0 * (SQRT(n_recent + 0.375)
+                  - SQRT((CAST(n_baseline AS DOUBLE) * d_r) / d_b + 0.375))
+             AS anscombe_z,
+           CAST(CASE WHEN ABS(
+                  2.0 * (SQRT(n_recent + 0.375)
+                         - SQRT((CAST(n_baseline AS DOUBLE) * d_r) / d_b
+                                + 0.375))) > 3.0
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM per CROSS JOIN gdays
+    """,
+)
+def events_rate_anomaly_anscombe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event-rate anomaly via the Anscombe variance-stabilizing
+    transform: the last 7 calendar days are the test window, everything
+    before is baseline, expected recent count = baseline count scaled by
+    the day-count ratio, and z = 2*(sqrt(observed+3/8) -
+    sqrt(expected+3/8)) — the standard Poisson rate test that stays
+    portable because SQRT is IEEE-correctly-rounded in both engines and
+    the only other float ops are one pinned-shape multiply/divide chain
+    (no fractional POW, no log; the 3/8 literal is dyadic-exact). One
+    events scan does the per-type conditional counts map-side; the
+    day-count denominators ride a broadcast 1-row aggregate. At 100 TB
+    the scan is the only full pass and it reduces to |event_types|
+    rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    bounds = ev.agg(F.max("day").alias("dmax"))
+    marked = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "day",
+        (F.col("day") > F.date_sub("dmax", 7)).alias("recent"),
+    )
+    gdays = marked.agg(
+        F.countDistinct(
+            F.when(F.col("recent"), F.col("day"))
+        ).alias("d_r"),
+        F.countDistinct(
+            F.when(~F.col("recent"), F.col("day"))
+        ).alias("d_b"),
+    )
+    per = marked.groupBy("event_type").agg(
+        F.count(F.when(F.col("recent"), 1)).cast("bigint").alias("n_recent"),
+        F.count(F.when(~F.col("recent"), 1))
+        .cast("bigint")
+        .alias("n_baseline"),
+    )
+    expected = (F.col("n_baseline").cast("double") * F.col("d_r")) / F.col(
+        "d_b"
+    )
+    z = 2.0 * (
+        F.sqrt(F.col("n_recent") + F.lit(0.375))
+        - F.sqrt(expected + F.lit(0.375))
+    )
+    return per.crossJoin(F.broadcast(gdays)).select(
+        "event_type",
+        "n_recent",
+        "n_baseline",
+        expected.alias("expected_recent"),
+        z.alias("anscombe_z"),
+        F.when(F.abs(z) > 3.0, 1).otherwise(0).cast("bigint").alias(
+            "is_anomaly"
+        ),
+    )
+
+
+@_q(
+    "events_cadence_autocorrelation",
+    """
+    WITH ev AS (
+      SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      FROM events
+    ), daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY day
+    ), stats AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) // COUNT(*) AS mu FROM daily
+    ), dev AS (
+      SELECT day, cnt - s.mu AS dev FROM daily CROSS JOIN stats s
+    ), den AS (
+      SELECT CAST(SUM(dev * dev) AS BIGINT) AS den FROM dev
+    ), lags AS (SELECT UNNEST(range(1, 8)) AS lag_k),
+    pairs AS (
+      SELECT l.lag_k,
+             CAST(SUM(a.dev * b.dev) AS BIGINT) AS num,
+             COUNT(*) AS n_pairs
+      FROM lags l CROSS JOIN dev a
+      JOIN dev b ON b.day = a.day + CAST(l.lag_k AS INTEGER)
+      GROUP BY l.lag_k
+    )
+    SELECT CAST(p.lag_k AS BIGINT) AS lag_k,
+           CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           p.num AS num, d.den AS den,
+           CAST(p.num AS DOUBLE) / d.den AS autocorr
+    FROM pairs p CROSS JOIN den d
+    """,
+)
+def events_cadence_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event count series — the
+    seasonality probe run before choosing a forecast model (a weekly
+    cycle shows as a lag-7 peak). Exact integer arithmetic end-to-end:
+    deviations center on the integer floor-mean (mu = total div n_days,
+    the round-7 contract that keeps every sum in BIGINT and
+    order-independent), numerator pairs come from a calendar self-join
+    (day + k, exact date arithmetic — missing days drop pairs rather
+    than fabricating zeros), and the single float op is the final
+    num/den division of exact BIGINTs. The series is |days|-bounded
+    (tiny), so the lag joins are broadcast-trivial at any corpus
+    scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count("*").cast("bigint").alias("cnt"))
+    # |days|-bounded and feeds four downstream jobs
+    daily = daily.localCheckpoint()
+    stats = daily.agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT) div COUNT(*)").alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day", (F.col("cnt") - F.col("mu")).alias("dev")
+    )
+    den = dev.agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("den")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_k"))
+    a = dev.alias("a")
+    b = dev.alias("b")
+    pairs = (
+        lags.crossJoin(a)
+        .withColumn("tday", F.expr("date_add(day, lag_k)"))
+        .join(b, F.col("b.day") == F.col("tday"))
+        .groupBy("lag_k")
+        .agg(
+            F.sum(F.col("a.dev") * F.col("b.dev"))
+            .cast("bigint")
+            .alias("num"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(den)).select(
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        "n_pairs",
+        "num",
+        "den",
+        (F.col("num").cast("double") / F.col("den")).alias("autocorr"),
+    )

@@ -2765,3 +2765,104 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_rows"),
         )
     )
+
+
+@_q(
+    "customer_segment_migration",
+    """
+    WITH o AS (
+      SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS day,
+             o_totalprice
+      FROM orders
+    ), mid AS (
+      SELECT MIN(day) + CAST((MAX(day) - MIN(day)) // 2 AS INTEGER)
+               AS mid_day FROM o
+    ), cust AS (
+      SELECT custkey,
+             COUNT(CASE WHEN day <= m.mid_day THEN 1 END) AS early_freq,
+             COUNT(CASE WHEN day > m.mid_day THEN 1 END) AS late_freq,
+             SUM(CASE WHEN day > m.mid_day
+                      THEN CAST(o_totalprice AS DECIMAL(30,4)) END)
+               AS late_spend_dec
+      FROM o CROSS JOIN mid m GROUP BY custkey
+    ), cuts AS (
+      SELECT quantile_cont(early_freq, 0.5) FILTER (WHERE early_freq > 0)
+               AS f_e,
+             quantile_cont(late_freq, 0.5) FILTER (WHERE late_freq > 0)
+               AS f_l
+      FROM cust
+    )
+    SELECT CASE WHEN early_freq = 0 THEN 'absent'
+                WHEN early_freq > f_e THEN 'hi' ELSE 'lo' END AS seg_early,
+           CASE WHEN late_freq = 0 THEN 'absent'
+                WHEN late_freq > f_l THEN 'hi' ELSE 'lo' END AS seg_late,
+           COUNT(*) AS n_customers,
+           COALESCE(CAST(SUM(late_spend_dec) AS DOUBLE), 0e0) AS late_spend
+    FROM cust CROSS JOIN cuts
+    GROUP BY 1, 2
+    """,
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment MIGRATION matrix — the churn/upsell report every
+    retention team runs: split the order history at its calendar midpoint
+    (integer date arithmetic, exact in both engines), segment each
+    customer per half as absent / lo / hi around that half's median order
+    frequency (median over customers PRESENT in the half, via the pinned
+    ``exact_quantiles`` = ``quantile_cont`` contract the RFM operator
+    established), and count customers per (early, late) cell with the
+    late-half revenue they carried (exact decimal two-level sum). One
+    orders scan builds the per-customer reduced table (|customers| rows);
+    the two median localizations and the final 3x3 rollup run on that
+    reduced table, so at 100 TB the only full-data pass is the first
+    groupBy, pre-aggregated map-side on the customer key."""
+    from ..quantiles import exact_quantiles
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("day"),
+        "o_totalprice",
+    )
+    bounds = o.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    ).collect()[0]
+    if bounds["dmin"] is None:
+        mid_day = None
+    else:
+        import datetime as _dt
+
+        mid_day = bounds["dmin"] + _dt.timedelta(
+            days=(bounds["dmax"] - bounds["dmin"]).days // 2
+        )
+    cust = o.groupBy("custkey").agg(
+        F.count(F.when(F.col("day") <= F.lit(mid_day), 1)).alias(
+            "early_freq"
+        ),
+        F.count(F.when(F.col("day") > F.lit(mid_day), 1)).alias("late_freq"),
+        F.sum(
+            F.when(
+                F.col("day") > F.lit(mid_day), F.col("o_totalprice")
+            ).cast(DEC)
+        ).alias("late_spend_dec"),
+    )
+    # |customers|-bounded and feeds two quantile passes + the rollup
+    cust = cust.localCheckpoint()
+    f_e = exact_quantiles(
+        cust.filter(F.col("early_freq") > 0), "early_freq", [0.5]
+    )[0]
+    f_l = exact_quantiles(
+        cust.filter(F.col("late_freq") > 0), "late_freq", [0.5]
+    )[0]
+    seg = lambda freq, cut: (
+        F.when(F.col(freq) == 0, "absent")
+        .when(F.col(freq) > cut, "hi")
+        .otherwise("lo")
+    )
+    return cust.groupBy(
+        seg("early_freq", f_e).alias("seg_early"),
+        seg("late_freq", f_l).alias("seg_late"),
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.coalesce(
+            F.sum("late_spend_dec").cast("double"), F.lit(0.0)
+        ).alias("late_spend"),
+    )
