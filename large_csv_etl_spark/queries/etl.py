@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table, read_transactions_csv, upsert_by_key
 from ..transform import transform
+from .helpers import DEC
 
 QUERIES = {}
 ORACLES = {}
@@ -791,3 +792,114 @@ def etl_type_inference_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("string")
     )
     return counts.withColumn("inferred_type", inferred)
+
+
+@_q(
+    "etl_dead_letter_replay",
+    f"""
+    WITH raw AS (
+      SELECT * FROM read_csv('{DIRTY_CSV}', header=true, all_varchar=true)
+    ), enriched AS (
+      SELECT *,
+             TRY_CAST(amount AS DOUBLE) AS strict_amt,
+             TRY_CAST(regexp_replace(amount, '[$, ]', '', 'g') AS DOUBLE)
+               AS clean_amt,
+             (transaction_id IS NULL OR TRIM(transaction_id) = ''
+              OR user_id IS NULL OR TRIM(user_id) = '') AS bad_key,
+             LOWER(TRIM(COALESCE(status, 'unknown'))) = 'cancelled'
+               AS is_cancelled
+      FROM raw
+    ), dead AS (
+      SELECT * FROM enriched
+      WHERE bad_key
+         OR strict_amt IS NULL OR isnan(strict_amt) OR strict_amt < 0
+         OR is_cancelled
+    ), replayed AS (
+      SELECT CASE
+               WHEN bad_key THEN 'dead_missing_key'
+               WHEN clean_amt IS NULL OR isnan(clean_amt)
+                 THEN 'dead_amount'
+               WHEN is_cancelled THEN 'dead_business_rule'
+               WHEN clean_amt < 0 THEN 'recovered_as_refund'
+               ELSE 'recovered_amount'
+             END AS replay_disposition,
+             clean_amt
+      FROM dead
+    )
+    SELECT replay_disposition,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           COALESCE(CAST(SUM(CASE WHEN replay_disposition
+                                    LIKE 'recovered%'
+                                  THEN CAST(ABS(clean_amt)
+                                            AS DECIMAL(30,4)) END)
+                         AS DOUBLE), 0e0) AS recovered_value
+    FROM replayed GROUP BY replay_disposition
+    """,
+)
+def etl_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter REPLAY: re-parse the rows the strict pipeline rejected
+    (etl_reject_reasons' complement classes plus the business-rule drops)
+    under relaxed rules and report what a replay job would recover — the
+    triage report that decides whether a dead-letter queue is worth
+    reprocessing. Recovery rules: currency symbols / thousands
+    separators / padding stripped before the numeric cast (the `$100`
+    class), negative amounts reinterpreted as refunds; rows with no key
+    or a still-unparseable amount stay dead, and rows killed by the
+    cancelled business rule are reported as such (replaying them is a
+    policy change, not a parse fix). First-kill ordering mirrors the
+    strict pipeline (key -> amount -> business rule), recovered value is
+    an exact decimal sum of the relaxed-parsed magnitudes. One scan, one
+    CASE, one group-by — dead-letter volumes are tiny by construction,
+    but nothing here assumes that."""
+    raw = read_transactions_csv(spark, DIRTY_CSV)
+    strict_amt = F.col("amount").try_cast("double")
+    clean_amt = F.regexp_replace(
+        F.col("amount"), r"[$, ]", ""
+    ).try_cast("double")
+    bad_key = (
+        F.col("transaction_id").isNull()
+        | (F.trim(F.col("transaction_id")) == "")
+        | F.col("user_id").isNull()
+        | (F.trim(F.col("user_id")) == "")
+    )
+    is_cancelled = (
+        F.lower(F.trim(F.coalesce(F.col("status"), F.lit("unknown"))))
+        == "cancelled"
+    )
+    dead = raw.select(
+        strict_amt.alias("strict_amt"),
+        clean_amt.alias("clean_amt"),
+        bad_key.alias("bad_key"),
+        is_cancelled.alias("is_cancelled"),
+    ).filter(
+        F.col("bad_key")
+        | F.col("strict_amt").isNull()
+        | F.isnan("strict_amt")
+        | (F.col("strict_amt") < 0)
+        | F.col("is_cancelled")
+    )
+    replay = (
+        F.when(F.col("bad_key"), "dead_missing_key")
+        .when(
+            F.col("clean_amt").isNull() | F.isnan("clean_amt"),
+            "dead_amount",
+        )
+        .when(F.col("is_cancelled"), "dead_business_rule")
+        .when(F.col("clean_amt") < 0, "recovered_as_refund")
+        .otherwise("recovered_amount")
+    )
+    replayed = dead.select(
+        replay.alias("replay_disposition"), "clean_amt"
+    )
+    return replayed.groupBy("replay_disposition").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("replay_disposition").like("recovered%"),
+                    F.abs(F.col("clean_amt")),
+                ).cast(DEC)
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("recovered_value"),
+    )

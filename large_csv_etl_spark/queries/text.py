@@ -3028,3 +3028,92 @@ def text_phonetic_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tokens"), "phonetic_key")
         .limit(30)
     )
+
+
+@_q(
+    "text_rake_keywords",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), tok AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, t[pos] AS token,
+             t[pos] IN ('the', 'a', 'and', 'of', 'to') AS stop
+      FROM (SELECT doc_id, UNNEST(range(1, len(t) + 1)) AS pos, t
+            FROM toks)
+    ), phrases AS (
+      SELECT doc_id, token,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM tok WHERE NOT stop
+    ), sized AS (
+      SELECT doc_id, grp, token,
+             COUNT(*) OVER (PARTITION BY doc_id, grp) AS phrase_len
+      FROM phrases
+    ), scores AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(phrase_len) AS BIGINT) AS degree
+      FROM sized GROUP BY token
+    )
+    SELECT token, freq, degree,
+           CAST(degree AS DOUBLE) / freq AS rake_score
+    FROM scores
+    ORDER BY CAST(degree AS DOUBLE) / freq DESC, token
+    LIMIT 15
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): split each doc into
+    candidate phrases at stopword boundaries (gaps-and-islands over
+    token positions — a non-stop run shares one island id), score each
+    token by degree/frequency where degree sums the lengths of every
+    phrase containing it (a token in long phrases co-occurs with more
+    words and ranks higher), and return the global top-15. Freq and
+    degree are exact BIGINTs; the only float op is the final ratio, and
+    the ordering ties break on the token string in both engines. The
+    explode is row-local, the scoring group-by carries two small ints
+    per token, and the top-15 is a TakeOrdered — no full sort at
+    scale."""
+    stop = ["the", "a", "and", "of", "to"]
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos0", "token"
+        ),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "token",
+        F.col("token").isin(stop).alias("stop"),
+    )
+    nonstop = tok.filter(~F.col("stop"))
+    phrases = nonstop.select(
+        "doc_id",
+        "token",
+        (
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            )
+        ).alias("grp"),
+    )
+    sized = phrases.withColumn(
+        "phrase_len",
+        F.count("*").over(Window.partitionBy("doc_id", "grp")),
+    )
+    scores = sized.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("phrase_len").cast("bigint").alias("degree"),
+    )
+    rake = (F.col("degree").cast("double") / F.col("freq")).alias(
+        "rake_score"
+    )
+    return (
+        scores.select("token", "freq", "degree", rake)
+        .orderBy(F.col("rake_score").desc(), "token")
+        .limit(15)
+    )
