@@ -492,3 +492,114 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_scene_len_frames"),
         )
     )
+
+
+@_q(
+    "multimodal_audio_fingerprint",
+    """
+    WITH chars AS (
+      SELECT doc_id, i AS pos, unicode(substr(text, i, 1)) AS code
+      FROM (SELECT doc_id, text, UNNEST(range(1, LENGTH(text) + 1)) AS i
+            FROM documents WHERE LENGTH(text) > 0)
+    ), wins AS (
+      SELECT doc_id, (pos - 1) // 32 AS h,
+             CAST(SUM(code * code) AS BIGINT) AS e
+      FROM chars GROUP BY doc_id, (pos - 1) // 32
+    ), deltas AS (
+      SELECT doc_id, h, e,
+             LEAD(e) OVER (PARTITION BY doc_id ORDER BY h) AS nxt
+      FROM wins
+    ), bits AS (
+      SELECT doc_id, h,
+             CASE WHEN nxt > e THEN 1 ELSE 0 END AS bit
+      FROM deltas WHERE nxt IS NOT NULL AND h < 16
+    ), fp AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bits,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(h AS INTEGER)))
+                  AS BIGINT) AS fingerprint
+      FROM bits GROUP BY doc_id
+    )
+    SELECT f.n_bits, f.fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(d.text)) AS BIGINT)
+             AS n_distinct_payloads,
+           MIN(f.doc_id) AS min_doc_id
+    FROM fp f JOIN documents d ON d.doc_id = f.doc_id
+    GROUP BY f.n_bits, f.fingerprint
+    ORDER BY n_docs DESC, f.n_bits, f.fingerprint
+    LIMIT 20
+    """,
+)
+def multimodal_audio_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Energy-contour audio fingerprint over the stub PCM payload — the
+    Shazam-family idea reduced to its portable core: 32-sample windows
+    get exact integer energies (the VAD operator's byte-code contract),
+    each consecutive-window energy DELTA contributes one sign bit, and
+    the first 16 bits pack into a BIGINT fingerprint. Payloads with the
+    same (n_bits, fingerprint) key have the same loudness contour —
+    the candidate set an audio dedup pass verifies expensively; the
+    distinct-payload count per bucket separates true dups from contour
+    collisions. All-integer end to end (energies, sign bits, shifts),
+    so the oracle is exact; the explode is row-local and the
+    fingerprint group-by carries one BIGINT per doc. Top-20 buckets by
+    collision size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.ascii(F.expr("substring(text, pos, 1)")).alias("code"),
+    )
+    wins = chars.groupBy(
+        "doc_id", F.expr("(pos - 1) div 32").alias("h")
+    ).agg(F.sum(F.col("code") * F.col("code")).cast("bigint").alias("e"))
+    deltas = wins.select(
+        "doc_id",
+        "h",
+        "e",
+        F.lead("e").over(Window.partitionBy("doc_id").orderBy("h")).alias(
+            "nxt"
+        ),
+    )
+    bits = deltas.filter(
+        F.col("nxt").isNotNull() & (F.col("h") < 16)
+    ).select(
+        "doc_id",
+        "h",
+        F.when(F.col("nxt") > F.col("e"), 1).otherwise(0).alias("bit"),
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bits"),
+        F.sum(
+            F.col("bit")
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h AS INT))")
+        )
+        .cast("bigint")
+        .alias("fingerprint"),
+    )
+    payload = docs.select("doc_id", F.md5("text").alias("payload_md5"))
+    return (
+        fp.join(payload, "doc_id")
+        .groupBy("n_bits", "fingerprint")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("payload_md5")
+            .cast("bigint")
+            .alias("n_distinct_payloads"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy(
+            F.col("n_docs").desc(), "n_bits", "fingerprint"
+        )
+        .limit(20)
+    )

@@ -648,3 +648,95 @@ def window_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days_in_window",
         )
     )
+
+
+@_q(
+    "window_kaufman_efficiency",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(o_totalprice AS DECIMAL(30,4)) AS price
+      FROM orders
+    ), daily AS (
+      SELECT day, CAST(SUM(price) * 100 AS BIGINT) AS revenue_cents
+      FROM o GROUP BY day
+    ), seq AS (
+      SELECT day, revenue_cents,
+             revenue_cents - LAG(revenue_cents)
+               OVER (ORDER BY day) AS dx,
+             LAG(revenue_cents, 13) OVER (ORDER BY day) AS base,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily
+    ), er AS (
+      SELECT day, revenue_cents,
+             ABS(revenue_cents - base) AS direction_cents,
+             CAST(SUM(ABS(dx)) OVER (ORDER BY day
+                    ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS volatility_cents,
+             rn
+      FROM seq
+    )
+    SELECT day, revenue_cents,
+           CAST(direction_cents AS BIGINT) AS direction_cents,
+           volatility_cents,
+           CASE WHEN volatility_cents = 0 THEN 0e0
+                ELSE CAST(direction_cents AS DOUBLE) / volatility_cents
+           END AS efficiency_ratio
+    FROM er WHERE rn >= 14
+    """,
+)
+def window_kaufman_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman efficiency ratio of the daily revenue series — the
+    trend-vs-chop diagnostic behind adaptive moving averages: over each
+    trailing 14-observation window, net movement |x_t - x_{t-13}|
+    divided by the path length sum(|x_i - x_{i-1}|); ~1 means a clean
+    trend, ~0 mean-reverting noise. The series is integer CENTS (exact
+    decimal day sums scaled by 100), so every lag, difference, and
+    rolling sum is exact BIGINT arithmetic and the single float op is
+    the final ratio — the round-7 exactness discipline applied to a
+    frame-window operator. The day series is |days|-bounded after one
+    map-side-combinable scan; the unpartitioned ORDER BY day window is
+    safe because the reduced series is tiny at any corpus scale (shard
+    by calendar year first if it ever were not)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    daily = o.groupBy("day").agg(
+        (F.sum("price") * 100).cast("bigint").alias("revenue_cents")
+    )
+    wday = Window.orderBy("day")
+    seq = daily.select(
+        "day",
+        "revenue_cents",
+        (
+            F.col("revenue_cents")
+            - F.lag("revenue_cents").over(wday)
+        ).alias("dx"),
+        F.lag("revenue_cents", 13).over(wday).alias("base"),
+        F.row_number().over(wday).alias("rn"),
+    )
+    er = seq.select(
+        "day",
+        "revenue_cents",
+        F.abs(F.col("revenue_cents") - F.col("base")).alias(
+            "direction_cents"
+        ),
+        F.sum(F.abs("dx"))
+        .over(wday.rowsBetween(-12, 0))
+        .cast("bigint")
+        .alias("volatility_cents"),
+        "rn",
+    )
+    return er.filter(F.col("rn") >= 14).select(
+        "day",
+        "revenue_cents",
+        F.col("direction_cents").cast("bigint").alias("direction_cents"),
+        "volatility_cents",
+        F.when(F.col("volatility_cents") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("direction_cents").cast("double")
+            / F.col("volatility_cents")
+        )
+        .alias("efficiency_ratio"),
+    )
