@@ -2866,3 +2866,68 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("late_spend_dec").cast("double"), F.lit(0.0)
         ).alias("late_spend"),
     )
+
+
+@_q(
+    "agg_trimmed_mean_by_group",
+    f"""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(30,4)) AS price,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ), trimmed AS (
+      SELECT o_orderpriority, price, n
+      FROM ranked
+      WHERE rn > n // 10 AND rn <= n - n // 10
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(price) AS DOUBLE) / COUNT(*) AS trimmed_mean,
+           {sql_davg('o_totalprice')
+             .replace('o_totalprice', 'price')} AS kept_davg
+    FROM trimmed GROUP BY o_orderpriority
+    """,
+)
+def agg_trimmed_mean_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """10% two-sided TRIMMED mean of order value per priority — the
+    robust-location sibling of the winsorized mean (drop the tails
+    instead of clamping them): rank within group with a deterministic
+    tie-break (price, then orderkey), drop the bottom and top n//10
+    rows (integer division — exact, no quantile interpolation), and
+    average the middle as an exact decimal sum over an exact count.
+    One window pass over the group partitioning the final aggregate
+    reuses, so the whole operator is a single shuffle on the group
+    key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast(DEC).alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    trimmed = ranked.filter(
+        (F.col("rn") > F.expr("n div 10"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    )
+    return trimmed.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        (F.sum("price").cast("double") / F.count("*")).alias(
+            "trimmed_mean"
+        ),
+        (
+            F.sum(F.col("price").cast(DEC)).cast("double")
+            / F.count(F.col("price"))
+        ).alias("kept_davg"),
+    )

@@ -2266,3 +2266,104 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in sels[1:]:
         out = out.unionAll(s)
     return out
+
+
+@_q(
+    "sim_knn_label_eval",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS q_label
+      FROM embeddings WHERE vec_id % 20 = 0
+    ), scored AS (
+      SELECT q.q_id, q.q_label, e.vec_id, e.label,
+             ROUND(CAST(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6)
+               AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    ), top5 AS (
+      SELECT q_id, q_label, label FROM (
+        SELECT q_id, q_label, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 5
+    ), votes AS (
+      SELECT q_id, q_label, label, COUNT(*) AS n_votes
+      FROM top5 GROUP BY q_id, q_label, label
+    ), pred AS (
+      SELECT q_id, q_label, label AS pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY n_votes DESC, label) AS vr
+        FROM votes) WHERE vr = 1
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS knn_accuracy
+    FROM pred GROUP BY q_label
+    """,
+)
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier evaluation over the embedding space — the
+    label-quality probe run before trusting embeddings for curation:
+    every 20th vector is a held-out query, its 5 nearest neighbors by
+    cosine (6dp-rounded, vec_id tie-break — the family's portability
+    contract) vote on a label (majority, smaller label on ties), and
+    per-class accuracy comes out as exact counts. A high-accuracy class
+    is linearly separable in embedding space; a low one warns that
+    nearest-neighbor curation will cross class boundaries. The query
+    side is sampled (|corpus|/20 rows, broadcast), so the scored set is
+    |corpus|^2/20 not |corpus|^2 — at production scale the same shape
+    runs against an ANN index instead of the brute-force cross join,
+    with this operator as its recall oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    top5 = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "q_label", "label")
+    )
+    votes = top5.groupBy("q_id", "q_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), "label"
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("q_id", "q_label", F.col("label").alias("pred_label"))
+    )
+    correct = F.when(F.col("pred_label") == F.col("q_label"), 1).otherwise(
+        0
+    )
+    return pred.groupBy(F.col("q_label").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        (F.sum(correct).cast("double") / F.count("*")).alias(
+            "knn_accuracy"
+        ),
+    )

@@ -736,3 +736,104 @@ def temporal_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state_at_order"),
         F.col("valid_from").alias("state_since"),
     )
+
+
+@_q(
+    "temporal_allen_relations",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), spans AS (
+      SELECT user_id, event_type, MIN(ts) AS s, MAX(ts) AS e
+      FROM ev GROUP BY user_id, event_type
+    ), pairs AS (
+      SELECT a.s AS as_, a.e AS ae, b.s AS bs, b.e AS be
+      FROM spans a JOIN spans b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+    ), rel AS (
+      SELECT CASE
+               WHEN ae < bs THEN 'precedes'
+               WHEN ae = bs THEN 'meets'
+               WHEN as_ > be THEN 'preceded_by'
+               WHEN as_ = be THEN 'met_by'
+               WHEN as_ < bs AND ae < be THEN 'overlaps'
+               WHEN as_ < bs AND ae = be THEN 'finished_by'
+               WHEN as_ < bs AND ae > be THEN 'contains'
+               WHEN as_ = bs AND ae < be THEN 'starts'
+               WHEN as_ = bs AND ae = be THEN 'equals'
+               WHEN as_ = bs AND ae > be THEN 'started_by'
+               WHEN as_ > bs AND ae < be THEN 'during'
+               WHEN as_ > bs AND ae = be THEN 'finishes'
+               ELSE 'overlapped_by'
+             END AS relation
+      FROM pairs
+    ), tot AS (SELECT COUNT(*) AS n FROM rel)
+    SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) AS DOUBLE) / t.n AS share
+    FROM rel CROSS JOIN tot t GROUP BY relation, t.n
+    """,
+)
+def temporal_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra census over per-user event-type activity
+    spans ([first ts, last ts] of each type a user emitted; pairs
+    ordered by type name): every pair lands in exactly one of the 13
+    Allen relations via a mutually-exclusive CASE ladder of timestamp
+    comparisons — precedes/meets and their inverses first, then the six
+    proper-overlap cases, pure ordering logic identical in both
+    engines. The census is the temporal-join planning primitive: a mix
+    dominated by during/overlaps says feature usage is interleaved (an
+    interval-overlap join fits); precedes-heavy says sequential (as-of
+    joins fit). The span reduction shuffles once on (user, type), the
+    pair join is co-partitioned on user_id with a <=C(5,2) blowup
+    bound, and the census reduces to 13 rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.s").alias("as_"),
+        F.col("a.e").alias("ae"),
+        F.col("b.s").alias("bs"),
+        F.col("b.e").alias("be"),
+    )
+    as_, ae, bs, be = (
+        F.col("as_"),
+        F.col("ae"),
+        F.col("bs"),
+        F.col("be"),
+    )
+    relation = (
+        F.when(ae < bs, "precedes")
+        .when(ae == bs, "meets")
+        .when(as_ > be, "preceded_by")
+        .when(as_ == be, "met_by")
+        .when((as_ < bs) & (ae < be), "overlaps")
+        .when((as_ < bs) & (ae == be), "finished_by")
+        .when((as_ < bs) & (ae > be), "contains")
+        .when((as_ == bs) & (ae < be), "starts")
+        .when((as_ == bs) & (ae == be), "equals")
+        .when((as_ == bs) & (ae > be), "started_by")
+        .when((as_ > bs) & (ae < be), "during")
+        .when((as_ > bs) & (ae == be), "finishes")
+        .otherwise("overlapped_by")
+    )
+    rel = pairs.select(relation.alias("relation"))
+    tot = rel.agg(F.count("*").alias("n"))
+    return (
+        rel.crossJoin(F.broadcast(tot))
+        .groupBy("relation", "n")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "relation",
+            "n_pairs",
+            (F.col("n_pairs").cast("double") / F.col("n")).alias("share"),
+        )
+    )
