@@ -259,6 +259,16 @@ HEADLINE = [
     "events_behavior_predictability",
     "etl_type_inference_profile",
     "text_phonetic_collisions",
+    "customer_segment_migration",
+    "events_rate_anomaly_anscombe",
+    "events_cadence_autocorrelation",
+    "etl_dead_letter_replay",
+    "text_rake_keywords",
+    "window_kaufman_efficiency",
+    "multimodal_audio_fingerprint",
+    "sim_knn_label_eval",
+    "temporal_allen_relations",
+    "agg_trimmed_mean_by_group",
 ]
 
 
