@@ -647,3 +647,102 @@ def approx_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overcount"),
         )
     )
+
+
+_KMV_K = 64
+
+
+@_q(
+    "approx_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS hash60
+      FROM events
+    ), ranked AS (
+      SELECT event_type, hash60,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hash60) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_hashes
+      FROM h
+    ), sk AS (
+      SELECT event_type, MAX(n_hashes) AS n_hashes,
+             MAX(CASE WHEN rn = {_KMV_K} THEN hash60 END) AS kth_min
+      FROM ranked GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(s.n_hashes AS BIGINT) AS n_hashes,
+           CAST(COALESCE(s.kth_min, -1) AS BIGINT) AS kth_min,
+           CASE WHEN s.n_hashes < {_KMV_K}
+                THEN CAST(s.n_hashes AS DOUBLE)
+                ELSE ({_KMV_K - 1}.0 * 1152921504606846976.0) / s.kth_min
+           END AS kmv_estimate
+    FROM sk s JOIN ex e USING (event_type)
+    """,
+)
+def approx_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) distinct sketch per event
+    type, graded against the exact count it estimates: distinct users
+    hash to 60-bit values (the family's portable md5-prefix hash), the
+    k-th smallest defines theta, and the estimate is (k-1)/theta =
+    (k-1)*2^60/kth_min — with the standard exact fallback when fewer
+    than k values exist. Unlike HLL, a KMV sketch supports set
+    INTERSECTION estimates, which is why training-data pipelines carry
+    it next to HLL for overlap-between-sources questions. The sketch
+    state is k BIGINTs per group (mergeable bottom-k, map-side
+    combinable); 2^60 and k-1 are dyadic-exact double literals, so the
+    one float division is portable."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hash60"),
+    ).distinct()
+    wr = Window.partitionBy("event_type").orderBy("hash60")
+    wn = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "hash60",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n_hashes"),
+    )
+    sk = ranked.groupBy("event_type").agg(
+        F.max("n_hashes").alias("n_hashes"),
+        F.max(
+            F.when(F.col("rn") == _KMV_K, F.col("hash60"))
+        ).alias("kth_min"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_hashes") < _KMV_K, F.col("n_hashes").cast("double")
+    ).otherwise(
+        (F.lit(float(_KMV_K - 1)) * F.lit(1152921504606846976.0))
+        / F.col("kth_min")
+    )
+    return sk.join(ex, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.col("n_hashes").cast("bigint").alias("n_hashes"),
+        F.coalesce(F.col("kth_min"), F.lit(-1))
+        .cast("bigint")
+        .alias("kth_min"),
+        est.alias("kmv_estimate"),
+    )

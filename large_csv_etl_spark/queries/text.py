@@ -3117,3 +3117,117 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), "token")
         .limit(15)
     )
+
+
+@_q(
+    "graph_degree_assortativity",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), adj AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL
+      SELECT v, u FROM edges
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM adj GROUP BY src
+    ), pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM adj a
+      JOIN deg du ON du.node = a.src
+      JOIN deg dv ON dv.node = a.dst
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS BIGINT))
+                * SQRT(CAST(n * syy - sy * sy AS BIGINT)))
+             AS assortativity
+    FROM sums
+    """,
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Newman 2002):
+    Pearson correlation of endpoint degrees over directed edge stubs —
+    positive means hubs link to hubs (assortative mixing), negative
+    means hub-and-spoke. Everything is exact BIGINT until the last
+    expression: the n-scaled covariance/variance form avoids rational
+    means entirely, each scaled moment stays in int64 (degrees are
+    |orders|-bounded), int64->double is a single correctly-rounded
+    conversion, and SQRT is IEEE-exact in both engines. The degree
+    table is |parts|-bounded and broadcast to the edge list; the edge
+    list itself comes from the co-partitioned per-order pair join the
+    basket family already established."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    # edges feeds the adjacency twice plus the edge count
+    edges = edges.localCheckpoint()
+    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    deg = deg.localCheckpoint()
+    du = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    pairs = adj.join(F.broadcast(du), "src").join(F.broadcast(dv), "dst")
+    sums = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n_edges = edges.count()
+    n_nodes = deg.count()
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "bigint"
+        )
+    )
+    deny = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "bigint"
+        )
+    )
+    return sums.select(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        (num / (denx * deny)).alias("assortativity"),
+    )

@@ -740,3 +740,93 @@ def window_kaufman_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("efficiency_ratio"),
     )
+
+
+@_q(
+    "window_rsi_14",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(o_totalprice AS DECIMAL(30,4)) AS price
+      FROM orders
+    ), daily AS (
+      SELECT day, CAST(SUM(price) * 100 AS BIGINT) AS revenue_cents
+      FROM o GROUP BY day
+    ), seq AS (
+      SELECT day, revenue_cents,
+             revenue_cents - LAG(revenue_cents) OVER (ORDER BY day) AS dx,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily
+    ), gl AS (
+      SELECT day, rn,
+             CAST(SUM(CASE WHEN dx > 0 THEN dx ELSE 0 END)
+                  OVER (ORDER BY day
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS gain14,
+             CAST(SUM(CASE WHEN dx < 0 THEN -dx ELSE 0 END)
+                  OVER (ORDER BY day
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS loss14
+      FROM seq
+    )
+    SELECT day, gain14, loss14,
+           CASE WHEN gain14 + loss14 = 0 THEN 50e0
+                ELSE 100e0 * gain14 / (gain14 + loss14)
+           END AS rsi_14
+    FROM gl WHERE rn >= 15
+    """,
+)
+def window_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period RSI (cumulative form) of the daily revenue series:
+    trailing-window up-move and down-move sums over the integer-cents
+    day deltas, RSI = 100*gains/(gains+losses) — algebraically equal to
+    100 - 100/(1+RS) but computed as ONE division of exact BIGINTs (the
+    two-division textbook form would compound float error and is not
+    portable; flat windows pin to the neutral 50). Companion to the
+    Kaufman efficiency ratio: same exact-cents series, same
+    |days|-bounded frame windows, a different momentum diagnostic."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    daily = o.groupBy("day").agg(
+        (F.sum("price") * 100).cast("bigint").alias("revenue_cents")
+    )
+    wday = Window.orderBy("day")
+    seq = daily.select(
+        "day",
+        (
+            F.col("revenue_cents")
+            - F.lag("revenue_cents").over(wday)
+        ).alias("dx"),
+        F.row_number().over(wday).alias("rn"),
+    )
+    frame = wday.rowsBetween(-13, 0)
+    gl = seq.select(
+        "day",
+        "rn",
+        F.sum(
+            F.when(F.col("dx") > 0, F.col("dx")).otherwise(0)
+        )
+        .over(frame)
+        .cast("bigint")
+        .alias("gain14"),
+        F.sum(
+            F.when(F.col("dx") < 0, -F.col("dx")).otherwise(0)
+        )
+        .over(frame)
+        .cast("bigint")
+        .alias("loss14"),
+    )
+    return gl.filter(F.col("rn") >= 15).select(
+        "day",
+        "gain14",
+        "loss14",
+        F.when(F.col("gain14") + F.col("loss14") == 0, F.lit(50.0))
+        .otherwise(
+            F.lit(100.0)
+            * F.col("gain14")
+            / (F.col("gain14") + F.col("loss14"))
+        )
+        .alias("rsi_14"),
+    )
