@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table, read_transactions_csv, upsert_by_key
 from ..transform import transform
-from .helpers import DEC
+from .helpers import DEC, dsum, sql_dsum
 
 QUERIES = {}
 ORACLES = {}
@@ -902,4 +902,76 @@ def etl_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
             F.lit(0.0),
         ).alias("recovered_value"),
+    )
+
+
+@_q(
+    "etl_merge_full_semantics",
+    f"""
+    WITH target AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ), source AS (
+      SELECT o_orderkey, o_orderstatus,
+             'RE-' || o_orderpriority AS new_priority, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), merged AS (
+      SELECT CASE
+               WHEN t.o_orderkey IS NULL THEN 'inserted'
+               WHEN s.o_orderkey IS NULL THEN 'unchanged'
+               WHEN s.o_orderstatus = 'F' THEN 'deleted'
+               ELSE 'updated'
+             END AS action,
+             COALESCE(t.o_totalprice, s.o_totalprice) AS price
+      FROM target t FULL OUTER JOIN source s USING (o_orderkey)
+    )
+    SELECT action, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('price')} AS total_price
+    FROM merged GROUP BY action
+    """,
+)
+def etl_merge_full_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE-statement semantics (WHEN MATCHED AND cond THEN
+    DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT),
+    audited as per-action row accounting — the warehouse primitive the
+    upsert (last-write-wins) and SCD2 operators don't cover, because
+    MERGE has a conditional-delete clause and distinguishes matched
+    from not-matched in one pass. Target/source derive deterministically
+    from orders (key mod partitions); the engine realizes the merge as
+    the canonical Spark shape — one FULL OUTER join on the key, action
+    resolved by a CASE over match-ness and the delete condition — which
+    is exactly how Delta/Iceberg execute MERGE under the hood (join +
+    per-row action), so the accounting here is the audit a lakehouse
+    MERGE emits. Counts exact, prices via the dsum contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").alias("t_price"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.concat(F.lit("RE-"), F.col("o_orderpriority")).alias(
+            "new_priority"
+        ),
+        F.col("o_totalprice").alias("s_price"),
+    )
+    merged = target.withColumn("in_t", F.lit(1)).join(
+        source.withColumn("in_s", F.lit(1)), "o_orderkey", "full_outer"
+    )
+    action = (
+        F.when(F.col("in_t").isNull(), "inserted")
+        .when(F.col("in_s").isNull(), "unchanged")
+        .when(F.col("o_orderstatus") == "F", "deleted")
+        .otherwise("updated")
+    )
+    price = F.coalesce(F.col("t_price"), F.col("s_price"))
+    return (
+        merged.select(action.alias("action"), price.alias("price"))
+        .groupBy("action")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("price").alias("total_price"),
+        )
     )

@@ -830,3 +830,81 @@ def window_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rsi_14"),
     )
+
+
+@_q(
+    "window_turning_points",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(o_totalprice AS DECIMAL(30,4)) AS price
+      FROM orders
+    ), daily AS (
+      SELECT day, CAST(SUM(price) * 100 AS BIGINT) AS revenue_cents
+      FROM o GROUP BY day
+    ), seq AS (
+      SELECT day,
+             revenue_cents - LAG(revenue_cents) OVER (ORDER BY day) AS dx,
+             LEAD(revenue_cents) OVER (ORDER BY day)
+               - revenue_cents AS dx_next
+      FROM daily
+    ), marks AS (
+      SELECT CASE WHEN dx > 0 THEN 1 ELSE 0 END AS up_move,
+             CASE WHEN dx < 0 THEN 1 ELSE 0 END AS down_move,
+             CASE WHEN dx = 0 THEN 1 ELSE 0 END AS flat_move,
+             CASE WHEN (dx > 0 AND dx_next < 0)
+                    OR (dx < 0 AND dx_next > 0) THEN 1 ELSE 0 END AS turn
+      FROM seq WHERE dx IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_moves,
+           CAST(SUM(up_move) AS BIGINT) AS n_up,
+           CAST(SUM(down_move) AS BIGINT) AS n_down,
+           CAST(SUM(flat_move) AS BIGINT) AS n_flat,
+           CAST(SUM(turn) AS BIGINT) AS n_turning_points,
+           CAST(SUM(turn) AS DOUBLE) / COUNT(*) AS turn_rate
+    FROM marks
+    """,
+)
+def window_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point census of the daily revenue series — the
+    nonparametric randomness test (a pure i.i.d. series turns at ~2/3 of
+    interior points; trending series turn far less, oscillating ones
+    more): sign changes between consecutive exact-cents day deltas,
+    counted with pure integer comparisons. Third member of the
+    exact-cents series family (Kaufman ER, RSI): same one-scan day
+    reduction, two window lags, and a 6-column single-row census whose
+    only float op is the final rate division."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    daily = o.groupBy("day").agg(
+        (F.sum("price") * 100).cast("bigint").alias("revenue_cents")
+    )
+    wday = Window.orderBy("day")
+    seq = daily.select(
+        (
+            F.col("revenue_cents")
+            - F.lag("revenue_cents").over(wday)
+        ).alias("dx"),
+        (
+            F.lead("revenue_cents").over(wday)
+            - F.col("revenue_cents")
+        ).alias("dx_next"),
+    ).filter(F.col("dx").isNotNull())
+    up = F.when(F.col("dx") > 0, 1).otherwise(0)
+    down = F.when(F.col("dx") < 0, 1).otherwise(0)
+    flat = F.when(F.col("dx") == 0, 1).otherwise(0)
+    turn = F.when(
+        ((F.col("dx") > 0) & (F.col("dx_next") < 0))
+        | ((F.col("dx") < 0) & (F.col("dx_next") > 0)),
+        1,
+    ).otherwise(0)
+    return seq.agg(
+        F.count("*").cast("bigint").alias("n_moves"),
+        F.sum(up).cast("bigint").alias("n_up"),
+        F.sum(down).cast("bigint").alias("n_down"),
+        F.sum(flat).cast("bigint").alias("n_flat"),
+        F.sum(turn).cast("bigint").alias("n_turning_points"),
+        (F.sum(turn).cast("double") / F.count("*")).alias("turn_rate"),
+    )
