@@ -269,6 +269,11 @@ HEADLINE = [
     "sim_knn_label_eval",
     "temporal_allen_relations",
     "agg_trimmed_mean_by_group",
+    "approx_kmv_distinct",
+    "graph_degree_assortativity",
+    "window_rsi_14",
+    "etl_merge_full_semantics",
+    "window_turning_points",
 ]
 
 
