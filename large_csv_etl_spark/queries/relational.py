@@ -2931,3 +2931,276 @@ def agg_trimmed_mean_by_group(
             / F.count(F.col("price"))
         ).alias("kept_davg"),
     )
+
+
+@_q(
+    "agg_mann_whitney_u",
+    """
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), per AS (
+      SELECT cents,
+             CAST(COUNT(CASE WHEN g = 'F' THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN g = 'O' THEN 1 END) AS BIGINT) AS b
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT a, b,
+             COALESCE(SUM(b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS b_less
+      FROM per
+    ), s AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n_f,
+             CAST(SUM(b) AS BIGINT) AS n_o,
+             CAST(SUM(a * (2 * b_less + b)) AS BIGINT) AS u_f_x2,
+             CAST(SUM((a + b) * (a + b) * (a + b) - (a + b)) AS BIGINT)
+               AS tie_term
+      FROM cum
+    )
+    SELECT n_f, n_o, u_f_x2,
+           CAST(2 * n_f * n_o - u_f_x2 AS BIGINT) AS u_o_x2,
+           tie_term,
+           CAST(LEAST(u_f_x2, 2 * n_f * n_o - u_f_x2) AS DOUBLE) / 2.0
+             AS u_stat
+    FROM s
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the F and O order-status
+    populations on order value — the nonparametric two-sample location
+    test that pairs with the chi-square independence operator. Instead
+    of ranking 100 TB of rows (a global sort), the classic identity
+    U_F = sum over distinct values v of a_v * (#O below v) + a_v*b_v/2
+    is computed on the distinct-VALUE table: one hash aggregation on
+    cents (bounded by the price domain, not the row count), one
+    cumulative window over that reduced table, exact BIGINT throughout
+    (doubled units so the half-tie credit stays integer). Ties are
+    first-class: tie_term = SUM(t^3 - t) is the variance correction a
+    downstream z-test needs. The only single-partition stage is the
+    window over distinct cents values; at 100 TB that table is still
+    ~1e6 rows (price-domain bounded) — range-partition it if not."""
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per = v.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "F", 1)).cast("bigint").alias("a"),
+        F.count(F.when(F.col("g") == "O", 1)).cast("bigint").alias("b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "a",
+        "b",
+        F.coalesce(F.sum("b").over(w), F.lit(0)).alias("b_less"),
+    )
+    t = F.col("a") + F.col("b")
+    s = cum.agg(
+        F.sum("a").cast("bigint").alias("n_f"),
+        F.sum("b").cast("bigint").alias("n_o"),
+        F.sum(F.col("a") * (2 * F.col("b_less") + F.col("b")))
+        .cast("bigint")
+        .alias("u_f_x2"),
+        F.sum(t * t * t - t).cast("bigint").alias("tie_term"),
+    )
+    u_o_x2 = (2 * F.col("n_f") * F.col("n_o") - F.col("u_f_x2")).cast(
+        "bigint"
+    )
+    return s.select(
+        "n_f",
+        "n_o",
+        "u_f_x2",
+        u_o_x2.alias("u_o_x2"),
+        "tie_term",
+        (
+            F.least(F.col("u_f_x2"), u_o_x2).cast("double") / 2.0
+        ).alias("u_stat"),
+    )
+
+
+@_q(
+    "agg_ks_two_sample",
+    """
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), per AS (
+      SELECT cents,
+             CAST(COUNT(CASE WHEN g = 'F' THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN g = 'O' THEN 1 END) AS BIGINT) AS b
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT SUM(a) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM per
+    ), tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n_f, CAST(SUM(b) AS BIGINT) AS n_o
+      FROM per
+    )
+    SELECT t.n_f, t.n_o,
+           CAST(MAX(ABS(c.ca * t.n_o - c.cb * t.n_f)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(c.ca * t.n_o - c.cb * t.n_f)) AS DOUBLE)
+             / (CAST(t.n_f AS DOUBLE) * t.n_o) AS d_stat
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.n_f, t.n_o
+    """,
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic between the F and O
+    order-value distributions, computed EXACTLY: D = max |ECDF_F -
+    ECDF_O| evaluated only at distinct values (where the max must
+    occur), with the fraction cleared to the integer lattice —
+    d_num = max |cum_F * n_O - cum_O * n_F| is exact BIGINT, and the
+    one double division at the end is the same IEEE operation in both
+    engines. Same scale shape as the Mann-Whitney operator: a hash agg
+    to the distinct-value table, one cumulative window over it. The
+    cross products stay under 2^63 while n_F*n_O < 9e18 (fine to ~3e9
+    rows/side); beyond that, route the lattice through DECIMAL(38,0)."""
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per = v.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "F", 1)).cast("bigint").alias("a"),
+        F.count(F.when(F.col("g") == "O", 1)).cast("bigint").alias("b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    tot = per.agg(
+        F.sum("a").cast("bigint").alias("n_f"),
+        F.sum("b").cast("bigint").alias("n_o"),
+    )
+    diff = F.abs(F.col("ca") * F.col("n_o") - F.col("cb") * F.col("n_f"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_f", "n_o")
+        .agg(
+            F.max(diff).cast("bigint").alias("d_num"),
+            (
+                F.max(diff).cast("double")
+                / (F.col("n_f").cast("double") * F.col("n_o"))
+            ).alias("d_stat"),
+        )
+    )
+
+
+@_q(
+    "agg_spearman_rho",
+    """
+    WITH r AS (
+      SELECT l_returnflag AS flag,
+             2 * RANK() OVER (PARTITION BY l_returnflag
+                              ORDER BY CAST(round(l_quantity * 100)
+                                            AS BIGINT))
+               + COUNT(*) OVER (PARTITION BY l_returnflag,
+                                CAST(round(l_quantity * 100) AS BIGINT))
+               - 1 AS rx2,
+             2 * RANK() OVER (PARTITION BY l_returnflag
+                              ORDER BY CAST(round(l_extendedprice * 100)
+                                            AS BIGINT))
+               + COUNT(*) OVER (PARTITION BY l_returnflag,
+                                CAST(round(l_extendedprice * 100)
+                                     AS BIGINT))
+               - 1 AS ry2
+      FROM lineitem
+    ), m AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(rx2) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(ry2) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(rx2 * rx2) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(ry2 * ry2) AS BIGINT) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(rx2 * ry2) AS BIGINT) AS DOUBLE) AS sxy
+      FROM r GROUP BY flag
+    )
+    SELECT flag, n,
+           (n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+             AS rho_spearman
+    FROM m
+    """,
+)
+def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price per
+    return flag: Pearson's formula applied to AVERAGE ranks (the
+    tie-correct definition), with ranks held on the doubled-integer
+    lattice (2*avg_rank = 2*min_rank + tie_count - 1 is always integer)
+    so every moment sum is exact — the same exact-moment discipline as
+    ``agg_corr_exact``, one double expression at the end. Rank
+    assignment is two window passes partitioned by the group key (no
+    global sort); at 100 TB swap the row-level window for the
+    distinct-value rank map (quantity has ~50 distinct values, prices a
+    domain-bounded table) joined back broadcast. Moment sums go through
+    DECIMAL (exact) before the single BIGINT->DOUBLE conversion; row
+    products rx2*ry2 stay under 2^63 to ~1e9 rows per group."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity") * 100, 0).cast("bigint").alias("xv"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("yv"),
+    )
+    rx2 = (
+        2 * F.rank().over(Window.partitionBy("flag").orderBy("xv"))
+        + F.count("*").over(Window.partitionBy("flag", "xv"))
+        - 1
+    ).cast("bigint")
+    ry2 = (
+        2 * F.rank().over(Window.partitionBy("flag").orderBy("yv"))
+        + F.count("*").over(Window.partitionBy("flag", "yv"))
+        - 1
+    ).cast("bigint")
+    r = li.select("flag", rx2.alias("rx2"), ry2.alias("ry2"))
+    d38 = "decimal(38,0)"
+    # exact decimal sums pivoted through BIGINT: int64->double is a single
+    # correctly-rounded conversion in both engines, while decimal128/
+    # hugeint->double beyond 2^53 can differ by one ulp (round-7 lesson).
+    m = r.groupBy("flag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("rx2").cast(d38)).cast("bigint").cast("double").alias("sx"),
+        F.sum(F.col("ry2").cast(d38)).cast("bigint").cast("double").alias("sy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(d38))
+        .cast("bigint")
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(d38))
+        .cast("bigint")
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(d38))
+        .cast("bigint")
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select("flag", "n", rho.alias("rho_spearman"))
