@@ -3231,3 +3231,384 @@ def graph_degree_assortativity(
         F.lit(n_nodes).cast("bigint").alias("n_nodes"),
         (num / (denx * deny)).alias("assortativity"),
     )
+
+
+@_q(
+    "graph_modularity_brand",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), nc AS (
+      SELECT p_partkey AS node, p_brand AS c FROM part
+    ), adj AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM adj GROUP BY src
+    ), dc AS (
+      SELECT nc.c, CAST(SUM(deg.d) AS BIGINT) AS d_c
+      FROM deg JOIN nc ON nc.node = deg.node GROUP BY nc.c
+    ), lc AS (
+      SELECT nu.c, CAST(COUNT(*) AS BIGINT) AS l_c
+      FROM edges e
+      JOIN nc nu ON nu.node = e.u
+      JOIN nc nv ON nv.node = e.v AND nv.c = nu.c
+      GROUP BY nu.c
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges
+    ), terms AS (
+      SELECT CAST(SUM(4 * m.m * COALESCE(lc.l_c, 0) - dc.d_c * dc.d_c)
+                  AS BIGINT) AS q_num,
+             CAST(COUNT(*) AS BIGINT) AS n_communities
+      FROM dc LEFT JOIN lc ON lc.c = dc.c CROSS JOIN m
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           m.m AS n_edges, t.n_communities, t.q_num,
+           CAST(t.q_num AS DOUBLE) / (4.0 * m.m * m.m) AS modularity
+    FROM terms t CROSS JOIN m
+    """,
+)
+def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the p_brand partition on the part
+    co-purchase graph — the quality score you compute BEFORE running a
+    community detector, to know whether the obvious attribute partition
+    already explains the link structure. Q = sum_c [L_c/m -
+    (D_c/2m)^2] is cleared to the integer lattice: q_num = sum_c
+    (4*m*L_c - D_c^2) is exact BIGINT (degrees are |orders|-bounded,
+    4*m*L_c <= 4m^2), and Q = q_num / 4m^2 is one double division.
+    Communities with zero intra edges still contribute their -D_c^2
+    penalty (LEFT join, COALESCE). Work: the basket-family pair join
+    builds edges once; everything after runs on |parts|- and
+    |brands|-bounded tables, broadcast-joinable at any scale."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nc = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("c")
+    )
+    adj = edges.select(F.col("u").alias("src")).unionAll(
+        edges.select(F.col("v").alias("src"))
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    dc = (
+        deg.join(F.broadcast(nc), "node")
+        .groupBy("c")
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    lc = (
+        edges.join(
+            F.broadcast(nc.select(F.col("node").alias("u"), F.col("c").alias("cu"))),
+            "u",
+        )
+        .join(
+            F.broadcast(nc.select(F.col("node").alias("v"), F.col("c").alias("cv"))),
+            "v",
+        )
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count("*").cast("bigint").alias("l_c"))
+    )
+    m = edges.agg(F.count("*").cast("bigint").alias("m"))
+    terms = (
+        dc.join(lc, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .agg(
+            F.sum(
+                4 * F.col("m") * F.coalesce(F.col("l_c"), F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+            F.count("*").cast("bigint").alias("n_communities"),
+        )
+    )
+    nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    return (
+        nodes.crossJoin(terms)
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_nodes",
+            F.col("m").alias("n_edges"),
+            "n_communities",
+            "q_num",
+            (
+                F.col("q_num").cast("double")
+                / (4.0 * F.col("m") * F.col("m"))
+            ).alias("modularity"),
+        )
+    )
+
+
+@_q(
+    "graph_local_clustering",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 4 = 0
+    ), edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ), oriented AS MATERIALIZED (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS x,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS y,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END
+               AS dy
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), tri AS MATERIALIZED (
+      SELECT o1.x AS n1, o1.y AS n2, o2.y AS n3
+      FROM oriented o1
+      JOIN oriented o2
+        ON o1.x = o2.x AND (o1.dy, o1.y) < (o2.dy, o2.y)
+      JOIN oriented o3 ON o3.x = o1.y AND o3.y = o2.y
+    ), pertri AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+      FROM (SELECT n1 AS node FROM tri UNION ALL
+            SELECT n2 FROM tri UNION ALL SELECT n3 FROM tri)
+      GROUP BY node
+    ), coef AS (
+      SELECT d.node, d.d, COALESCE(p.t, 0) AS t,
+             CAST((2000000 * COALESCE(p.t, 0)) // (d.d * (d.d - 1))
+                  AS BIGINT) AS coef_fp
+      FROM deg d LEFT JOIN pertri p ON p.node = d.node
+      WHERE d.d >= 2
+    )
+    SELECT node, d AS degree, t AS n_triangles, coef_fp
+    FROM coef
+    ORDER BY coef_fp DESC, node LIMIT 20
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient on the part co-purchase
+    graph (the global-coefficient twin of graph_triangle_count): orient
+    edges by the (degree, id) total order, enumerate each triangle once
+    at its smallest-order vertex, then credit all THREE corners and
+    divide by the wedge capacity d*(d-1)/2. The coefficient is surfaced
+    on the integer lattice — coef_fp = (2e6 * t) // (d*(d-1)) — because
+    integer floor division agrees across engines while a double ratio
+    invites last-ulp ordering flakes in the top-20 sort. Only nodes
+    with d >= 2 qualify (wedge capacity zero otherwise). The quadratic
+    wedge work lands on low-degree vertices (Latapy orientation), the
+    per-node credit is three UNION ALL projections of the bounded
+    triangle table, and the top-20 is TakeOrderedAndProject, not a
+    global sort. The graph is built over the deterministic mod-4 order
+    stratum: the full sf0.1 co-purchase graph carries 41M oriented
+    wedges, which is enumeration work a single 1 GB-heap JVM cannot
+    hold — per-node coefficients over a deterministic stratum are the
+    standard estimator (at cluster scale, raise the modulus toward 1
+    or cap per-node out-degree instead)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    e = edges.join(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+    ).localCheckpoint()
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    tri = (
+        o1.join(
+            o2,
+            (F.col("o1.x") == F.col("o2.x"))
+            & (
+                F.struct(F.col("o1.dy"), F.col("o1.y"))
+                < F.struct(F.col("o2.dy"), F.col("o2.y"))
+            ),
+        )
+        .join(
+            o3,
+            (F.col("o3.x") == F.col("o1.y"))
+            & (F.col("o3.y") == F.col("o2.y")),
+        )
+        .select(
+            F.col("o1.x").alias("n1"),
+            F.col("o1.y").alias("n2"),
+            F.col("o2.y").alias("n3"),
+        )
+    )
+    pertri = (
+        tri.select(F.col("n1").alias("node"))
+        .unionAll(tri.select(F.col("n2").alias("node")))
+        .unionAll(tri.select(F.col("n3").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    coef = (
+        deg.filter(F.col("d") >= 2)
+        .join(pertri, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "CAST((2000000 * coalesce(t, 0)) div (d * (d - 1)) AS BIGINT)"
+            ).alias("coef_fp"),
+        )
+    )
+    return coef.orderBy(F.col("coef_fp").desc(), "node").limit(20)
+
+
+@_q(
+    "graph_bfs_khop",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), adj AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM adj GROUP BY src
+    ), seed AS MATERIALIZED (
+      SELECT node FROM deg
+      ORDER BY d DESC, node LIMIT 1
+    ), r1 AS MATERIALIZED (
+      SELECT DISTINCT a.dst AS node
+      FROM adj a JOIN seed s ON a.src = s.node
+      WHERE a.dst NOT IN (SELECT node FROM seed)
+    ), r2 AS MATERIALIZED (
+      SELECT DISTINCT a.dst AS node
+      FROM adj a JOIN r1 ON a.src = r1.node
+      WHERE a.dst NOT IN (SELECT node FROM seed)
+        AND a.dst NOT IN (SELECT node FROM r1)
+    ), r3 AS MATERIALIZED (
+      SELECT DISTINCT a.dst AS node
+      FROM adj a JOIN r2 ON a.src = r2.node
+      WHERE a.dst NOT IN (SELECT node FROM seed)
+        AND a.dst NOT IN (SELECT node FROM r1)
+        AND a.dst NOT IN (SELECT node FROM r2)
+    )
+    SELECT hop, n_new FROM (
+      SELECT 0 AS hop, CAST(COUNT(*) AS BIGINT) AS n_new FROM seed
+      UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM r1
+      UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM r2
+      UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM r3
+    ) ORDER BY hop
+    """,
+)
+def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop breadth-first reach from the highest-degree part in the
+    co-purchase graph (tenth graded iterative algorithm — BFS frontier
+    expansion, the building block of shortest-path and influence-radius
+    queries). Deterministic seed: max degree, node id breaking ties.
+    Each unrolled round is one join of the frontier against the
+    adjacency list plus anti-joins against the visited set — exactly
+    the synchronous frontier step a Pregel BFS runs per superstep, so
+    the unrolled plan IS the scale plan (visited set stays partitioned
+    by node, frontier broadcast while small). Oracle CTEs are
+    MATERIALIZED per the fixed-point contract in
+    docs/ITERATIVE_PARITY.md. Emits one row per hop with the newly
+    reached count."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    seed = deg.orderBy(F.col("d").desc(), "node").limit(1).select("node")
+    seed = seed.localCheckpoint()
+    visited = seed
+    frontiers = [seed]
+    for _ in range(3):
+        nxt = (
+            adj.join(
+                F.broadcast(frontiers[-1].withColumnRenamed("node", "src")),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        frontiers.append(nxt)
+        visited = visited.unionAll(nxt).localCheckpoint()
+    out = None
+    for hop, fr in enumerate(frontiers):
+        row = fr.agg(F.count("*").cast("bigint").alias("n_new")).select(
+            F.lit(hop).cast("int").alias("hop"), "n_new"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("hop")
