@@ -398,3 +398,66 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank_in_hour") <= 3)
     )
+
+
+@_q(
+    "streaming_upsert_latest_event",
+    # the drained entity store must equal the batch arg-max: one row per
+    # user carrying their (ts, event_id)-latest event
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    r AS (
+      SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+             event_type AS last_event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev
+    )
+    SELECT user_id, last_event_id, last_ts, last_event_type
+    FROM r WHERE rn = 1
+    """,
+)
+def streaming_upsert_latest_event(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming last-write-wins entity store maintained by foreachBatch
+    (the CDC-consumer pattern): the events stream is drained with
+    ``availableNow`` and every micro-batch is upserted into a parquet
+    store keeping exactly one row per user — the (ts, event_id)-max
+    event, a total order so any micro-batch split converges to the same
+    store. Graded against the batch arg-max oracle, which makes this the
+    strongest check on the foreachBatch merge path itself: the replay/
+    batch-id idempotence protocol it shares with the rollup maintenance
+    stream is pinned separately in tests/test_matview.py-style unit
+    coverage. Store cost is O(|users|) per publish; at 100 TB the
+    per-batch union+window merge becomes a bucketed MERGE into a table
+    format (Delta/Iceberg), same semantics."""
+    import shutil
+
+    from ..streaming import upsert_maintenance_stream
+
+    store = tempfile.mkdtemp(prefix="upsert_store_") + "/store"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    upsert_maintenance_stream(
+        spark,
+        sf_dir,
+        store,
+        ckpt,
+        keys=["user_id"],
+        ord_cols=["ts", "event_id"],
+        glob="events.parquet",
+    )
+    out = (
+        spark.read.parquet(store)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+    # materialize before the temp dirs can be cleaned up by the OS; the
+    # store itself is tiny (one row per user)
+    out = out.localCheckpoint()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -371,21 +371,13 @@ def merge_batch_into_store(
     :func:`matview_maintenance_stream`; module-level so the replay
     contract is directly testable). See that docstring for the swap and
     batch-id protocol."""
-    import os
-    import shutil
     from pathlib import Path
 
     from .matview import build_rollup, merge_rollup
 
     store = Path(store_path)
 
-    def _applied_batch() -> int:
-        marker = store / "_applied_batch_id"
-        if marker.exists():
-            return int(marker.read_text().strip())
-        return -1
-
-    if store.exists() and _applied_batch() >= batch_id:
+    if store.exists() and _applied_batch_id(store_path) >= batch_id:
         return  # replay of a batch the store already contains
     delta = build_rollup(batch_df, keys, sum_cols)
     if store.exists():
@@ -393,6 +385,32 @@ def merge_batch_into_store(
         merged = merge_rollup(current, delta, keys)
     else:
         merged = delta
+    _publish_store(store_path, merged, batch_id)
+
+
+def _applied_batch_id(store_path: str) -> int:
+    """The batch id recorded inside the published store (-1 if none)."""
+    from pathlib import Path
+
+    marker = Path(store_path) / "_applied_batch_id"
+    if marker.exists():
+        return int(marker.read_text().strip())
+    return -1
+
+
+def _publish_store(store_path: str, merged: DataFrame, batch_id: int) -> None:
+    """Write ``merged`` as the new store contents and publish atomically.
+
+    Shared by the additive-rollup and last-write-wins maintenance paths:
+    the applied batch_id travels WITH the data directory (sidecar written
+    before publish; parquet readers ignore ``_``-prefixed files), and the
+    store path is a symlink republished with ``os.replace`` — readers see
+    the old store or the new one, never a half-written directory.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
     data = f"{store_path}__data_b{batch_id}"
     merged.coalesce(1).write.mode("overwrite").parquet(data)
     Path(data, "_applied_batch_id").write_text(str(batch_id))
@@ -407,6 +425,7 @@ def merge_batch_into_store(
     # "out/out/rollup__data_b0" and dangle for any store path that has a
     # directory component.
     os.symlink(os.path.basename(data), link_tmp)
+    store = Path(store_path)
     prev: str | None = None
     if store.is_symlink():
         # readlink yields the stored (relative, basename) target; resolve
@@ -420,6 +439,80 @@ def merge_batch_into_store(
     os.replace(link_tmp, store_path)
     if prev and os.path.abspath(prev) != os.path.abspath(data):
         shutil.rmtree(prev, ignore_errors=True)
+
+
+def upsert_batch_into_store(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    keys: list[str],
+    ord_cols: list[str],
+) -> None:
+    """One idempotent-under-replay LAST-WRITE-WINS upsert of a micro-batch
+    into a parquet entity store (the foreachBatch body of
+    :func:`upsert_maintenance_stream`): union the current store with the
+    delta, keep exactly one row per key — the maximum of ``ord_cols``
+    (lexicographic, so pass a total order, e.g. [ts, event_id]) — and
+    republish. This is the streaming analog of the batch S6 upsert
+    (io.upsert_write / /root/reference/src/core/db_manager.py:116-166
+    semantics scaled out): the store is O(|keys|), each batch costs
+    O(|delta| + |store|), and because "keep the (ts, event_id)-max row
+    per key" is an idempotent, commutative-over-batches reduction, ANY
+    micro-batch split of the input produces the identical final store —
+    same replay/batch-id protocol as the rollup maintenance path."""
+    from pathlib import Path
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    if Path(store_path).exists() and _applied_batch_id(store_path) >= batch_id:
+        return  # replay of a batch the store already contains
+    delta = batch_df
+    if Path(store_path).exists():
+        current = spark.read.parquet(store_path)
+        delta = current.unionByName(delta)
+    w = Window.partitionBy(*keys).orderBy(
+        *[SF.col(c).desc() for c in ord_cols]
+    )
+    merged = (
+        delta.withColumn("_rn", SF.row_number().over(w))
+        .filter(SF.col("_rn") == 1)
+        .drop("_rn")
+    )
+    _publish_store(store_path, merged, batch_id)
+
+
+def upsert_maintenance_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    ord_cols: list[str],
+    glob: str | None = None,
+) -> None:
+    """Streaming last-write-wins entity-store maintenance: every
+    micro-batch of new files is upserted into the parquet-backed store
+    via ``foreachBatch`` — the CDC-consumer pattern that keeps a current-
+    state table (latest row per key) fresh without reprocessing history.
+    Exactly-once under replay via the shared batch-id + atomic-symlink
+    protocol (see :func:`matview_maintenance_stream`); single-writer
+    contract per store."""
+    stream = read_events_stream(spark, source_dir, glob=glob)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_batch_into_store(
+            spark, batch_df, batch_id, store_path, keys, ord_cols
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def matview_maintenance_stream(

@@ -180,3 +180,54 @@ def test_merge_store_relative_path_with_subdir(spark, sf_dir, tmp_path):
     # the superseded batch-0 data dir was cleaned up, the live one kept
     assert not os.path.exists(f"{store}__data_b0")
     assert os.path.exists(f"{store}__data_b1")
+
+
+def test_upsert_store_any_batch_split_converges(spark, sf_dir, tmp_path):
+    """Last-write-wins upsert: ANY micro-batch split of the input must
+    converge to the same store as one big batch — the reduction
+    (keep the (ts, event_id)-max row per user) is associative and
+    commutative over batches."""
+    from large_csv_etl_spark.streaming import upsert_batch_into_store
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    keys, ords = ["user_id"], ["ts", "event_id"]
+
+    one = str(tmp_path / "one")
+    upsert_batch_into_store(spark, ev, 0, one, keys, ords)
+    expected = sorted(map(tuple, spark.read.parquet(one).collect()))
+
+    # split by event_id parity, applied in two batches (order B then A)
+    split = str(tmp_path / "split")
+    upsert_batch_into_store(
+        spark, ev.filter("event_id % 2 = 1"), 0, split, keys, ords
+    )
+    upsert_batch_into_store(
+        spark, ev.filter("event_id % 2 = 0"), 1, split, keys, ords
+    )
+    assert sorted(map(tuple, spark.read.parquet(split).collect())) == expected
+
+
+def test_upsert_store_replay_is_noop(spark, sf_dir, tmp_path):
+    """Same post-swap-crash replay window as the rollup store: a replayed
+    or stale batch_id must not change the published upsert store."""
+    import os
+
+    from large_csv_etl_spark.streaming import upsert_batch_into_store
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    keys, ords = ["user_id"], ["ts", "event_id"]
+    store = str(tmp_path / "store")
+
+    upsert_batch_into_store(spark, ev.filter("event_id % 2 = 1"), 0, store, keys, ords)
+    upsert_batch_into_store(spark, ev.filter("event_id % 2 = 0"), 1, store, keys, ords)
+    after_b1 = sorted(map(tuple, spark.read.parquet(store).collect()))
+
+    upsert_batch_into_store(spark, ev.filter("event_id % 2 = 0"), 1, store, keys, ords)
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == after_b1
+    upsert_batch_into_store(spark, ev.filter("event_id % 2 = 1"), 0, store, keys, ords)
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == after_b1
+    assert os.path.islink(store)
