@@ -1289,3 +1289,79 @@ def sample_balanced_class_downsample(spark: SparkSession, sf_dir: str) -> DataFr
             "kept_vec_id_sum",
         )
     )
+
+
+@_q(
+    "sample_target_encoding_loo",
+    """
+    WITH rows_t AS (
+      SELECT o_orderpriority AS grp,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(y) AS BIGINT) AS s_g
+      FROM rows_t GROUP BY grp
+    ), tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
+             CAST(SUM(s_g) AS BIGINT) AS s_tot
+      FROM g
+    )
+    SELECT g.grp, r.y, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST((1000000000 * (g.s_g - r.y)) // (g.n_g - 1) AS BIGINT)
+             AS enc_loo_fp,
+           CAST((1000000000 * (g.s_g * t.n_tot + 100 * t.s_tot))
+                // ((g.n_g + 100) * t.n_tot) AS BIGINT)
+             AS enc_smooth_fp
+    FROM rows_t r
+    JOIN g ON g.grp = r.grp
+    CROSS JOIN tot t
+    GROUP BY g.grp, r.y, g.s_g, g.n_g, t.n_tot, t.s_tot
+    ORDER BY g.grp, r.y
+    """,
+)
+def sample_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    feature-engineering transform that turns a categorical into the
+    target rate of its OTHER members, the standard leakage-free encoding
+    for tree/linear models. Two encodings per (category, target) cell:
+    enc_loo = (S_g - y) / (n_g - 1) and enc_smooth = (S_g + m*p_global)
+    / (n_g + m) with m = 100, both held on the exact integer lattice via
+    floor division (the rationals cleared by their denominators) so the
+    oracle comparison is bit-exact. The encoding depends on a row only
+    through (grp, y), so the per-row map collapses to one hash agg on
+    (grp, y) plus a broadcast of the |groups|-bounded stats table — at
+    100 TB this is a map-side-combinable count, never a row-level join.
+    Denominator guards: n_g = 1 would zero-divide LOO; TPC-H priorities
+    each hold thousands of rows, and the smoothed form is total-safe."""
+    rows_t = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = rows_t.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("y").cast("bigint").alias("s_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n_tot"),
+        F.sum("s_g").cast("bigint").alias("s_tot"),
+    )
+    return (
+        rows_t.join(F.broadcast(g), "grp")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("grp", "y", "s_g", "n_g", "n_tot", "s_tot")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .select(
+            "grp",
+            "y",
+            "n_rows",
+            F.expr(
+                "CAST((1000000000 * (s_g - y)) div (n_g - 1) AS BIGINT)"
+            ).alias("enc_loo_fp"),
+            F.expr(
+                "CAST((1000000000 * (s_g * n_tot + 100 * s_tot))"
+                " div ((n_g + 100) * n_tot) AS BIGINT)"
+            ).alias("enc_smooth_fp"),
+        )
+        .orderBy("grp", "y")
+    )

@@ -3612,3 +3612,79 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("hop")
+
+
+@_q(
+    "text_lexicon_router",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), scored AS (
+      SELECT source,
+             CAST(LEN(toks) AS BIGINT) AS n_tok,
+             CAST(LEN(list_filter(toks, t -> t IN
+               ('key','hash','table','scan','merge','sort','batch',
+                'index','query','join'))) AS BIGINT) AS n_hit
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN 1000000 * n_hit >= 250000 * n_tok
+                           THEN 1 END) AS BIGINT) AS n_routed,
+           CAST(SUM(n_hit) AS BIGINT) AS total_hits,
+           CAST(SUM((1000000 * n_hit) // n_tok) AS BIGINT) AS hit_fp_sum
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def text_lexicon_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-density routing — the curation step that forks documents
+    to a specialist pipeline (code, legal, medical, ...) by the density
+    of a fixed routing lexicon in their token stream; the canonical
+    instance routes code-like text to its own dedup/quality stack, and
+    the same shape serves any keyword-triggered domain router. Per doc:
+    tokens matching the 10-term lexicon over total tokens, thresholded
+    at 25% (the integer cross-multiplication 1e6*hits >= 25e4*tokens
+    avoids any division at the routing decision), per-doc densities
+    snapped to the 1e6 lattice by floor division for the rollup digest.
+    Entirely row-local scoring (one array filter per doc, no explode,
+    no shuffle of token rows) followed by one bounded-key hash agg —
+    the 100 TB plan is a single scan. The lexicon lives in the query
+    text itself so oracle and engine provably score the same terms."""
+    lex = [
+        "key", "hash", "table", "scan", "merge", "sort", "batch",
+        "index", "query", "join",
+    ]
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    lex_arr = F.array(*[F.lit(t) for t in lex])
+    n_tok = F.size(toks).cast("bigint")
+    n_hit = F.size(
+        F.filter(toks, lambda t: F.array_contains(lex_arr, t))
+    ).cast("bigint")
+    scored = d.select(
+        "source", n_tok.alias("n_tok"), n_hit.alias("n_hit")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count(
+                F.when(
+                    1000000 * F.col("n_hit") >= 250000 * F.col("n_tok"), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_routed"),
+            F.sum("n_hit").cast("bigint").alias("total_hits"),
+            F.sum(
+                F.expr("CAST((1000000 * n_hit) div n_tok AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("hit_fp_sum"),
+        )
+        .orderBy("source")
+    )
