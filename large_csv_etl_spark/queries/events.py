@@ -3229,3 +3229,106 @@ def events_cadence_autocorrelation(
         "den",
         (F.col("num").cast("double") / F.col("den")).alias("autocorr"),
     )
+
+
+@_q(
+    "events_survival_risk_table",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), horizon AS (
+      SELECT MAX(ts) AS h FROM ev
+    ), u AS (
+      SELECT user_id,
+             CAST(DATE_DIFF('day', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_days,
+             CASE WHEN MAX(ts) < (SELECT h FROM horizon)
+                       - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS churned
+      FROM ev GROUP BY user_id
+    ), per AS (
+      SELECT duration_days,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(churned) AS BIGINT) AS d_events
+      FROM u GROUP BY duration_days
+    ), risk AS (
+      SELECT duration_days, d_events,
+             CAST(n_total - d_events AS BIGINT) AS n_censored_at,
+             SUM(n_total) OVER (ORDER BY duration_days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_at_risk
+      FROM per
+    )
+    SELECT duration_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           d_events,
+           CAST(n_censored_at AS BIGINT) AS n_censored_at,
+           CAST((1000000000 * d_events) // n_at_risk AS BIGINT)
+             AS hazard_fp
+    FROM risk WHERE d_events > 0
+    ORDER BY duration_days
+    """,
+)
+def events_survival_risk_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier risk table for user lifetime (first event to last
+    event, churn = last activity more than 7 days before the corpus
+    horizon, else right-censored): at every duration where a churn
+    occurred, the at-risk count (users whose observed duration is >= d,
+    a suffix sum over the duration axis), the churn events d_d, the
+    censored count at that duration, and the discrete hazard d_d/n_d on
+    the 1e9 integer lattice. These are exactly the ingredients of the
+    KM product-limit estimator — the survival CURVE is a running
+    product of (1 - hazard), deliberately left to the caller because a
+    cross-engine float product over many steps is where bit-parity
+    dies; every number HERE is exact. Work: one hash agg to the
+    per-user table, one hash agg to the per-duration table (calendar-
+    bounded), one window over durations — the 100 TB plan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    horizon = ev.agg(F.max("ts").alias("h"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+            .cast("bigint")
+            .alias("duration_days"),
+            F.when(
+                F.col("last_ts") < F.col("h") - F.expr("INTERVAL 7 DAY"), 1
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    per = u.groupBy("duration_days").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum("churned").cast("bigint").alias("d_events"),
+    )
+    w = Window.orderBy(F.col("duration_days").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per.select(
+        "duration_days",
+        "d_events",
+        (F.col("n_total") - F.col("d_events")).alias("n_censored_at"),
+        F.sum("n_total").over(w).cast("bigint").alias("n_at_risk"),
+    )
+    return (
+        risk.filter(F.col("d_events") > 0)
+        .select(
+            "duration_days",
+            "n_at_risk",
+            "d_events",
+            F.col("n_censored_at").cast("bigint").alias("n_censored_at"),
+            F.expr(
+                "CAST((1000000000 * d_events) div n_at_risk AS BIGINT)"
+            ).alias("hazard_fp"),
+        )
+        .orderBy("duration_days")
+    )

@@ -2367,3 +2367,156 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "knn_accuracy"
         ),
     )
+
+
+# NDCG@10 discount weights on the 1e9 integer lattice: w_r = round(1e9 /
+# log2(r+1)). Computed ONCE here and injected into both the Spark plan
+# and the oracle SQL as literals — log2 never executes in either engine
+# (fractional log/pow is libm territory, the round-6 lesson).
+_NDCG_W = [
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+]
+_NDCG_CUM = [sum(_NDCG_W[:i + 1]) for i in range(10)]
+
+
+def _sql_ndcg_w_case(rank_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W)
+    )
+    return f"CASE {rank_expr} {arms} END"
+
+
+def _sql_ndcg_ideal_case(nrel_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {i + 1} THEN {c}" for i, c in enumerate(_NDCG_CUM)
+    )
+    return f"CASE LEAST({nrel_expr}, 10) {arms} ELSE 0 END"
+
+
+@_q(
+    "sim_ndcg_eval",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS q_label
+      FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+      SELECT q.q_id, q.q_label, e.vec_id, e.label,
+             ROUND(CAST(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6)
+               AS cos_sim
+      FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, q_label, label,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ), rel_avail AS (
+      SELECT q.q_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rel_avail
+      FROM q JOIN embeddings e
+        ON e.label = q.q_label AND e.vec_id <> q.q_id
+      GROUP BY q.q_id
+    ), dcg AS (
+      SELECT q_id,
+             CAST(COUNT(CASE WHEN label = q_label THEN 1 END) AS BIGINT)
+               AS n_hits,
+             CAST(SUM(CASE WHEN label = q_label
+                           THEN {_sql_ndcg_w_case('rn')} ELSE 0 END)
+                  AS BIGINT) AS dcg_fp
+      FROM ranked WHERE rn <= 10 GROUP BY q_id
+    )
+    SELECT d.q_id, d.n_hits, r.n_rel_avail, d.dcg_fp,
+           CAST({_sql_ndcg_ideal_case('r.n_rel_avail')} AS BIGINT)
+             AS idcg_fp,
+           CAST(d.dcg_fp AS DOUBLE)
+             / CAST({_sql_ndcg_ideal_case('r.n_rel_avail')} AS DOUBLE)
+             AS ndcg_at_10
+    FROM dcg d JOIN rel_avail r ON r.q_id = d.q_id
+    ORDER BY d.q_id
+    """,
+)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 retrieval evaluation over the first 20 vectors as queries
+    (ground truth: same label): the ranking-quality metric that
+    position-weights hits, completing the retrieval-eval family
+    (recall/precision in sim_retrieval_eval, recall-vs-exact in
+    sim_ann_recall_audit). The log2 discounts are pre-computed integer
+    lattice weights injected into BOTH engines as literals — no
+    fractional log/pow runs anywhere (the libm divergence lesson), so
+    DCG and ideal-DCG are exact BIGINTs and NDCG is one double
+    division. Ranking uses the established portable cosine contract
+    (6dp-rounded score, vec_id tie-break). Work: a 20 x |corpus|
+    broadcast score pass, per-query top-10 via window (per-partition
+    heaps at scale), and a |queries|-bounded label-count join."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id")
+        )
+    )
+    ranked = scored.select("q_id", "q_label", "label", rn.alias("rn")).filter(
+        F.col("rn") <= 10
+    )
+    w_map = F.create_map(
+        *[F.lit(x) for pair in enumerate(_NDCG_W, 1) for x in pair]
+    )
+    hit = F.col("label") == F.col("q_label")
+    dcg = ranked.groupBy("q_id").agg(
+        F.count(F.when(hit, 1)).cast("bigint").alias("n_hits"),
+        F.sum(F.when(hit, w_map[F.col("rn")]).otherwise(0))
+        .cast("bigint")
+        .alias("dcg_fp"),
+    )
+    rel_avail = (
+        q.join(
+            emb.select("vec_id", F.col("label").alias("e_label")),
+            (F.col("e_label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_rel_avail"))
+    )
+    cum_map = F.create_map(
+        *[F.lit(x) for pair in enumerate(_NDCG_CUM, 1) for x in pair]
+    )
+    idcg = F.coalesce(
+        cum_map[F.least(F.col("n_rel_avail"), F.lit(10))], F.lit(0)
+    ).cast("bigint")
+    return (
+        dcg.join(rel_avail, "q_id")
+        .select(
+            "q_id",
+            "n_hits",
+            "n_rel_avail",
+            "dcg_fp",
+            idcg.alias("idcg_fp"),
+            (
+                F.col("dcg_fp").cast("double")
+                / idcg.cast("double")
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("q_id")
+    )
