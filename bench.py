@@ -274,6 +274,19 @@ HEADLINE = [
     "window_rsi_14",
     "etl_merge_full_semantics",
     "window_turning_points",
+    "agg_mann_whitney_u",
+    "agg_ks_two_sample",
+    "agg_spearman_rho",
+    "graph_modularity_brand",
+    "graph_local_clustering",
+    "graph_bfs_khop",
+    "streaming_upsert_latest_event",
+    "etl_backfill_plan",
+    "etl_pseudonymize_audit",
+    "sample_target_encoding_loo",
+    "text_lexicon_router",
+    "sim_ndcg_eval",
+    "events_survival_risk_table",
 ]
 
 

@@ -1,0 +1,390 @@
+"""Semantic checks for the round-8 wave-4 operators (beyond the oracle
+diff the mimic already runs): planted fixtures exercising each operator's
+defining property."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+from large_csv_etl_spark.queries.etl import QUERIES as ETL_QUERIES
+from large_csv_etl_spark.queries.events import QUERIES as EVENT_QUERIES
+from large_csv_etl_spark.queries.relational import QUERIES as REL_QUERIES
+from large_csv_etl_spark.queries.sampling import QUERIES as SAMPLE_QUERIES
+from large_csv_etl_spark.queries.similarity import QUERIES as SIM_QUERIES
+from large_csv_etl_spark.queries.streamq import QUERIES as STREAM_QUERIES
+from large_csv_etl_spark.queries.text import QUERIES as TEXT_QUERIES
+
+from .conftest import SF_DIR
+
+
+def _orders_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    df.coalesce(2).write.parquet(f"{d}/orders.parquet")
+
+
+def _lineitem_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    df.coalesce(2).write.parquet(f"{d}/lineitem.parquet")
+
+
+def _part_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    df.coalesce(1).write.parquet(f"{d}/part.parquet")
+
+
+def _events_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(2).write.parquet(f"{d}/events.parquet")
+
+
+def _events_file(spark, rows, d):
+    """Single FILE named events.parquet (the shape the stream reader's
+    pathGlobFilter expects), not a Spark-written directory."""
+    import glob as _glob
+    import shutil
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    stage = f"{d}/_stage_events"
+    df.coalesce(1).write.parquet(stage)
+    part = _glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.copy(part, f"{d}/events.parquet")
+    shutil.rmtree(stage)
+
+
+def _docs_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(2).write.parquet(f"{d}/documents.parquet")
+
+
+def _emb_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+
+def _order(k, status, price):
+    return (k, k, status, price, dt.datetime(2024, 1, 1), "1-URGENT")
+
+
+def _li(ok, pk):
+    return (
+        ok, pk, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+        dt.datetime(2024, 1, 2),
+    )
+
+
+# --- Mann-Whitney / KS / Spearman ---------------------------------------
+
+
+def test_mann_whitney_complete_separation(spark):
+    """All F values below all O values: U_F = 0 (no F>O pair, no tie),
+    U_O = n_f * n_o."""
+    rows = [_order(i, "F", float(i)) for i in range(1, 4)]
+    rows += [_order(i, "O", float(i)) for i in range(10, 13)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        r = REL_QUERIES["agg_mann_whitney_u"](spark, d).collect()[0]
+    assert (r.n_f, r.n_o) == (3, 3)
+    assert r.u_f_x2 == 0 and r.u_o_x2 == 18
+    assert r.tie_term == 0 and r.u_stat == 0.0
+
+
+def test_mann_whitney_ties_get_half_credit(spark):
+    """One F and one O at the same value: the tied pair contributes 1/2
+    to each U (doubled units: 1 each), and tie_term = t^3 - t = 6."""
+    rows = [_order(1, "F", 5.0), _order(2, "O", 5.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        r = REL_QUERIES["agg_mann_whitney_u"](spark, d).collect()[0]
+    assert r.u_f_x2 == 1 and r.u_o_x2 == 1
+    assert r.tie_term == 6
+
+
+def test_ks_disjoint_distributions_d_is_one(spark):
+    rows = [_order(i, "F", float(i)) for i in range(1, 4)]
+    rows += [_order(i, "O", float(i)) for i in range(10, 13)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        r = REL_QUERIES["agg_ks_two_sample"](spark, d).collect()[0]
+    assert r.d_stat == 1.0 and r.d_num == 9
+
+
+def test_ks_identical_distributions_d_is_zero(spark):
+    rows = [_order(i, "F", float(i % 3)) for i in range(3)]
+    rows += [_order(i + 10, "O", float(i % 3)) for i in range(3)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        r = REL_QUERIES["agg_ks_two_sample"](spark, d).collect()[0]
+    assert r.d_stat == 0.0
+
+
+def test_spearman_perfect_monotone(spark):
+    """Quantity and price perfectly co-monotone per flag: rho = +1; a
+    reversed flag gives rho = -1 even though the relation is nonlinear."""
+    rows = [_li(i, 1) for i in range(4)]
+    li = []
+    for i, r in enumerate(rows):
+        li.append(
+            (i, 1, 1, 1, float(i + 1), float((i + 1) ** 3), 0.0, 0.0,
+             "A", "O", dt.datetime(2024, 1, 2))
+        )
+        li.append(
+            (i + 10, 1, 1, 1, float(i + 1), float(100 - i), 0.0, 0.0,
+             "R", "O", dt.datetime(2024, 1, 2))
+        )
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_dir(spark, li, d)
+        out = {
+            r.flag: r.rho_spearman
+            for r in REL_QUERIES["agg_spearman_rho"](spark, d).collect()
+        }
+    # rho passes through sqrt(80)*sqrt(80), which is 1 ulp shy of exact
+    # 80.0 — cross-engine equality is what the oracle grades; here we
+    # assert the statistic itself to within an ulp.
+    assert abs(out["A"] - 1.0) < 1e-12 and abs(out["R"] + 1.0) < 1e-12
+
+
+# --- graph wave ----------------------------------------------------------
+
+
+def test_modularity_two_perfect_communities(spark):
+    """Two brand-aligned triangles, no inter-community edges: Q = 1/2
+    (the textbook two-equal-communities value)."""
+    li = [_li(1, p) for p in (1, 2, 3)] + [_li(2, p) for p in (4, 5, 6)]
+    parts = [
+        (p, f"p{p}", "B1" if p <= 3 else "B2", "t", 1, 1.0)
+        for p in range(1, 7)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_dir(spark, li, d)
+        _part_dir(spark, parts, d)
+        r = TEXT_QUERIES["graph_modularity_brand"](spark, d).collect()[0]
+    assert (r.n_edges, r.n_communities) == (6, 2)
+    assert r.modularity == 0.5
+
+
+def test_modularity_antialigned_partition_is_negative(spark):
+    """Brands that CUT both triangles in half: every edge is
+    inter-community, so Q < 0."""
+    li = [_li(1, p) for p in (1, 2, 3)] + [_li(2, p) for p in (4, 5, 6)]
+    parts = [
+        (p, f"p{p}", "B1" if p % 2 == 0 else "B2", "t", 1, 1.0)
+        for p in range(1, 7)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_dir(spark, li, d)
+        _part_dir(spark, parts, d)
+        r = TEXT_QUERIES["graph_modularity_brand"](spark, d).collect()[0]
+    assert r.modularity < 0
+
+
+def test_local_clustering_triangle_with_pendant(spark):
+    """Triangle {1,2,3} plus pendant edge 3-4 (orderkeys divisible by 4
+    so the mod-4 stratum keeps them): nodes 1,2 have coefficient 1
+    (coef_fp 1e6), node 3 has 1/3 (333333 after floor division), node 4
+    (degree 1) is excluded."""
+    li = [_li(4, p) for p in (1, 2, 3)] + [_li(8, p) for p in (3, 4)]
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_dir(spark, li, d)
+        out = {
+            r.node: (r.degree, r.n_triangles, r.coef_fp)
+            for r in TEXT_QUERIES["graph_local_clustering"](
+                spark, d
+            ).collect()
+        }
+    assert out[1] == (2, 1, 1000000)
+    assert out[2] == (2, 1, 1000000)
+    assert out[3] == (3, 1, 333333)
+    assert 4 not in out
+
+
+def test_bfs_khop_path_graph(spark):
+    """Path 1-2-3-4-5: the seed is the smallest max-degree node (2), so
+    the frontiers are {2}, {1,3}, {4}, {5}."""
+    li = []
+    for k, (a, b) in enumerate([(1, 2), (2, 3), (3, 4), (4, 5)]):
+        li += [_li(k, a), _li(k, b)]
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_dir(spark, li, d)
+        out = {
+            r.hop: r.n_new
+            for r in TEXT_QUERIES["graph_bfs_khop"](spark, d).collect()
+        }
+    assert out == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+# --- streaming upsert / backfill / pseudonymization ----------------------
+
+
+def test_streaming_upsert_keeps_latest_event(spark):
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(0), 7, "click", 1.0, "{}"),
+        (2, t(30), 7, "purchase", 2.0, "{}"),
+        (3, t(10), 8, "view", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_file(spark, rows, d)
+        out = {
+            r.user_id: (r.last_event_id, r.last_event_type)
+            for r in STREAM_QUERIES["streaming_upsert_latest_event"](
+                spark, d
+            ).collect()
+        }
+    assert out == {7: (2, "purchase"), 8: (3, "view")}
+
+
+def test_backfill_plan_coalesces_missing_hours(spark):
+    """Type A present hours 0,1,2,5; type B present 0..5: A's missing
+    hours 3-4 coalesce into one backfill job."""
+    h = lambda x: dt.datetime(2024, 1, 1, x)
+    rows = []
+    eid = 0
+    for x in (0, 1, 2, 5):
+        eid += 1
+        rows.append((eid, h(x), 1, "A", 1.0, "{}"))
+    for x in range(6):
+        eid += 1
+        rows.append((eid, h(x), 2, "B", 1.0, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        plan = ETL_QUERIES["etl_backfill_plan"](spark, d).collect()
+    assert len(plan) == 1
+    r = plan[0]
+    assert r.event_type == "A" and r.n_hours == 2
+    assert r.backfill_start == h(3) and r.backfill_end == h(4)
+
+
+def test_pseudonymize_audit_invariants_on_fixture(spark):
+    """On the real fixture: zero token collisions and join cardinality
+    preserved under tokens."""
+    r = ETL_QUERIES["etl_pseudonymize_audit"](spark, SF_DIR).collect()[0]
+    assert r.n_keys == r.n_tokens
+    assert r.n_joined_raw == r.n_joined_pseudo
+
+
+# --- target encoding / lexicon router ------------------------------------
+
+
+def test_target_encoding_loo_closed_form(spark):
+    """Group A: 3 rows, 2 positives. LOO for a positive row = (2-1)/2 =
+    0.5; for a negative row = 2/2 = 1.0 (on the 1e9 lattice)."""
+    rows = [
+        _order(1, "F", 1.0), _order(2, "F", 1.0), _order(3, "O", 1.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            (r.grp, r.y): (r.n_rows, r.enc_loo_fp)
+            for r in SAMPLE_QUERIES["sample_target_encoding_loo"](
+                spark, d
+            ).collect()
+        }
+    assert out[("1-URGENT", 1)] == (2, 500000000)
+    assert out[("1-URGENT", 0)] == (1, 1000000000)
+
+
+def test_lexicon_router_thresholds(spark):
+    """A pure-lexicon doc routes; a lexicon-free doc does not; 1 of 4
+    hit tokens (25%) sits exactly ON the >= threshold and routes."""
+    docs = [
+        (1, "key hash table", "en", "s1", 14),
+        (2, "apple banana cherry pie", "en", "s1", 23),
+        (3, "key apple banana cherry", "en", "s2", 23),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, docs, d)
+        out = {
+            r.source: (r.n_docs, r.n_routed, r.total_hits)
+            for r in TEXT_QUERIES["text_lexicon_router"](
+                spark, d
+            ).collect()
+        }
+    assert out["s1"] == (2, 1, 3)
+    assert out["s2"] == (1, 1, 1)
+
+
+# --- NDCG / survival ------------------------------------------------------
+
+
+def test_ndcg_perfect_and_zero_retrieval(spark):
+    """Query 0 (label 1): its only relevant vector is ranked first ->
+    NDCG = 1. Query 1 (label 9) has one relevant vector ranked below an
+    irrelevant one -> DCG uses the rank-2 discount, NDCG = w2/w1."""
+    emb = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.0, 1.0], 9),
+        (100, [1.0, 0.0], 1),     # rank 1 for q0 (cos 1)
+        (101, [0.9, 0.45], 2),    # irrelevant, high cos for q1? no: q1=[0,1]
+        (102, [0.1, 1.0], 9),     # relevant to q1, cos ~0.995
+        (103, [0.0, 1.0], 3),     # irrelevant, cos 1.0 for q1 -> rank 1
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir(spark, emb, d)
+        out = {
+            r.q_id: r for r in SIM_QUERIES["sim_ndcg_eval"](
+                spark, d
+            ).collect()
+        }
+    assert out[0].n_hits == 1 and out[0].dcg_fp == 1000000000
+    assert out[0].idcg_fp == 1000000000 and out[0].ndcg_at_10 == 1.0
+    # q1: relevant vec 102 ranked below irrelevant 103 -> rank-2 weight
+    assert out[1].dcg_fp == 630929754
+    assert out[1].idcg_fp == 1000000000
+    assert out[1].ndcg_at_10 == 630929754 / 1000000000
+
+
+def test_survival_risk_table_counts(spark):
+    """Three users: one churned at duration 0 (last event 30 days before
+    the horizon), two censored. The single risk row is at duration 0
+    with all three at risk."""
+    day = lambda x, hh=0: dt.datetime(2024, 2, 1 + x, hh)
+    rows = [
+        # user 1: single event, 30 days before horizon -> churned, dur 0
+        (1, dt.datetime(2024, 1, 2), 1, "click", 1.0, "{}"),
+        # user 2: active until 1 day before horizon -> censored, dur 10
+        (2, day(0), 2, "click", 1.0, "{}"),
+        (3, day(10), 2, "click", 1.0, "{}"),
+        # user 3: defines the horizon -> censored, dur 5
+        (4, day(6), 3, "click", 1.0, "{}"),
+        (5, day(11), 3, "click", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        risk = EVENT_QUERIES["events_survival_risk_table"](
+            spark, d
+        ).collect()
+    assert len(risk) == 1
+    r = risk[0]
+    assert r.duration_days == 0
+    assert r.n_at_risk == 3 and r.d_events == 1
+    assert r.hazard_fp == 333333333
