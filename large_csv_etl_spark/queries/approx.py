@@ -746,3 +746,153 @@ def approx_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kth_min"),
         est.alias("kmv_estimate"),
     )
+
+
+_THETA_MAX = 1152921504606846976  # 2^60: exact-mode theta (sketch not full)
+
+
+@_q(
+    "approx_kmv_intersection",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS hash60
+      FROM events
+    ), ranked AS (
+      SELECT event_type, hash60,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hash60) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_hashes
+      FROM h
+    ), sk AS MATERIALIZED (
+      SELECT event_type, hash60 FROM ranked WHERE rn <= {_KMV_K}
+    ), theta AS MATERIALIZED (
+      SELECT event_type,
+             CASE WHEN MAX(n_hashes) >= {_KMV_K}
+                  THEN MAX(CASE WHEN rn = {_KMV_K} THEN hash60 END)
+                  ELSE {_THETA_MAX} END AS theta
+      FROM ranked GROUP BY event_type
+    ), ut AS MATERIALIZED (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             ta.theta AS theta_a, tb.theta AS theta_b,
+             CAST(COUNT(CASE WHEN a.hash60 < LEAST(ta.theta, tb.theta)
+                             THEN 1 END) AS BIGINT) AS n_common
+      FROM sk a
+      JOIN sk b ON a.hash60 = b.hash60 AND a.event_type < b.event_type
+      JOIN theta ta ON ta.event_type = a.event_type
+      JOIN theta tb ON tb.event_type = b.event_type
+      GROUP BY 1, 2, 3, 4
+    ), exact AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM ut x JOIN ut y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b, e.n_exact,
+           COALESCE(p.n_common, 0) AS n_common,
+           CAST(LEAST(p.theta_a, p.theta_b) AS BIGINT) AS theta,
+           COALESCE(p.n_common, 0) * 1152921504606846976.0
+             / LEAST(p.theta_a, p.theta_b) AS kmv_estimate
+    FROM exact e LEFT JOIN pairs p
+      ON p.type_a = e.type_a AND p.type_b = e.type_b
+    ORDER BY e.type_a, e.type_b
+    """,
+)
+def approx_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set INTERSECTION from the KMV bottom-k sketches —
+    the operation HLL cannot do and the reason pipelines carry KMV: the
+    audience-overlap estimate between every pair of event types from
+    two 64-hash sketches instead of a user-level join. theta =
+    min(theta_A, theta_B); common sketch hashes below theta scale by
+    2^60/theta (n*2^60 stays dyadic-exact in double for n <= k, so the
+    single division is portable). Graded against the exact pairwise
+    overlap so the driver verdict covers both the estimator mechanics
+    and its input sketches. At 100 TB the sketches are k BIGINTs per
+    group (mergeable, map-side combinable) and the pair stage touches
+    only |types|^2 * k rows — the exact twin here exists purely as the
+    oracle's ground truth."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hash60"),
+    ).distinct()
+    wr = Window.partitionBy("event_type").orderBy("hash60")
+    wn = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "hash60",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n_hashes"),
+    ).localCheckpoint()
+    sk = ranked.filter(F.col("rn") <= _KMV_K).select("event_type", "hash60")
+    theta = ranked.groupBy("event_type").agg(
+        F.when(
+            F.max("n_hashes") >= _KMV_K,
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("hash60"))),
+        )
+        .otherwise(F.lit(_THETA_MAX))
+        .alias("theta")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), "hash60")
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("hash60").alias("hash60_b"))
+    ta = theta.select(F.col("event_type").alias("type_a"), F.col("theta").alias("theta_a"))
+    tb = theta.select(F.col("event_type").alias("type_b"), F.col("theta").alias("theta_b"))
+    pairs = (
+        a.join(b, (F.col("hash60") == F.col("hash60_b")) & (F.col("type_a") < F.col("type_b")))
+        .join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .groupBy("type_a", "type_b", "theta_a", "theta_b")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("hash60") < F.least("theta_a", "theta_b"), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_common")
+        )
+    )
+    ut = ev.select("event_type", "user_id").distinct()
+    x = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    y = ut.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("user_id_b"))
+    exact = (
+        x.join(
+            y,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+    )
+    return (
+        exact.join(pairs, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_exact",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            F.least("theta_a", "theta_b").cast("bigint").alias("theta"),
+            (
+                F.coalesce(F.col("n_common"), F.lit(0))
+                * F.lit(1152921504606846976.0)
+                / F.least("theta_a", "theta_b")
+            ).alias("kmv_estimate"),
+        )
+        .orderBy("type_a", "type_b")
+    )

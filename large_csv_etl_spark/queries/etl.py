@@ -1127,3 +1127,85 @@ def etl_pseudonymize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_checksum",
         )
     )
+
+
+@_q(
+    "etl_data_vault_keys",
+    f"""
+    WITH hub_c AS (
+      SELECT DISTINCT
+        {sql_phash60("'hub_c|' || CAST(c_custkey AS VARCHAR)")} AS hk
+      FROM customer
+    ), hub_o AS (
+      SELECT DISTINCT
+        {sql_phash60("'hub_o|' || CAST(o_orderkey AS VARCHAR)")} AS hk
+      FROM orders
+    ), link_co AS (
+      SELECT DISTINCT
+        {sql_phash60("'link_co|' || CAST(o_custkey AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)")}
+          AS hk
+      FROM orders
+    )
+    SELECT entity, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(checksum AS BIGINT) AS key_checksum
+    FROM (
+      SELECT 'hub_customer' AS entity, COUNT(*) AS n_rows,
+             SUM(hk % 1000003) AS checksum FROM hub_c
+      UNION ALL
+      SELECT 'hub_order', COUNT(*), SUM(hk % 1000003) FROM hub_o
+      UNION ALL
+      SELECT 'link_customer_order', COUNT(*), SUM(hk % 1000003)
+      FROM link_co
+    ) ORDER BY entity
+    """,
+)
+def etl_data_vault_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault 2.0 key derivation — the warehouse-modeling transform
+    that converts source tables into hash-keyed hubs (one row per
+    business key) and links (one row per relationship instance):
+    hub_customer, hub_order, and the customer<->order link, each keyed
+    by the portable salted 60-bit hash of its tagged business key (the
+    tag prefix keeps the three key spaces disjoint, the DV "hash key"
+    discipline). Graded on row counts plus a mod-prime checksum of
+    every key, so the driver verdict covers the exact key VALUES both
+    engines derive, not just cardinalities. Each entity is one
+    projection + distinct — at 100 TB these are the same hash-agg scans
+    the raw loads already run, and downstream satellites join on
+    fixed-width BIGINT keys instead of composite naturals."""
+    from .helpers import phash60
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    hub_c = c.select(
+        phash60(
+            F.concat(F.lit("hub_c|"), F.col("c_custkey").cast("string"))
+        ).alias("hk")
+    ).distinct()
+    hub_o = o.select(
+        phash60(
+            F.concat(F.lit("hub_o|"), F.col("o_orderkey").cast("string"))
+        ).alias("hk")
+    ).distinct()
+    link_co = o.select(
+        phash60(
+            F.concat(
+                F.lit("link_co|"),
+                F.col("o_custkey").cast("string"),
+                F.lit("|"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ).alias("hk")
+    ).distinct()
+
+    def digest(df, name):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("hk") % 1000003).cast("bigint").alias("key_checksum"),
+        ).select(F.lit(name).alias("entity"), "n_rows", "key_checksum")
+
+    return (
+        digest(hub_c, "hub_customer")
+        .unionAll(digest(hub_o, "hub_order"))
+        .unionAll(digest(link_co, "link_customer_order"))
+        .orderBy("entity")
+    )

@@ -3688,3 +3688,60 @@ def text_lexicon_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_q("text_compression_ratio")  # rows-only: no zlib in the SQL oracle
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (the Gopher/C4-family
+    redundancy heuristic: highly compressible text is repetitive
+    boilerplate, incompressible text is noise/binary junk; natural prose
+    sits in a mid band): per document, compressed/original size on the
+    1e6 integer lattice, rolled up per source with a band histogram
+    (low < 0.35 <= mid < 0.85 <= high). zlib level 6 runs inside ONE
+    Arrow-batched mapInPandas over the text column — row-local, no
+    shuffle before the bounded-key rollup, byte-deterministic for a
+    fixed zlib version (the container pins one) so the run-to-run
+    parity pytest can assert exact equality. Rows-only by construction
+    (the oracle engine has no zlib); the planted pytest pins the
+    defining property — repetitive text compresses far below a
+    high-entropy hash soup."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+
+    def ratios(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            orig = pdf["text"].str.len().astype("int64")
+            comp = pdf["text"].map(
+                lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "ratio_fp": (1000000 * comp // orig).astype("int64"),
+                }
+            )
+
+    scored = docs.select("source", "text").mapInPandas(
+        ratios, "source string, ratio_fp long"
+    )
+    band = (
+        F.when(F.col("ratio_fp") < 350000, "low")
+        .when(F.col("ratio_fp") < 850000, "mid")
+        .otherwise("high")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ratio_fp").cast("bigint").alias("ratio_fp_sum"),
+            F.count(F.when(band == "low", 1)).cast("bigint").alias("n_low"),
+            F.count(F.when(band == "mid", 1)).cast("bigint").alias("n_mid"),
+            F.count(F.when(band == "high", 1)).cast("bigint").alias("n_high"),
+        )
+        .orderBy("source")
+    )

@@ -388,3 +388,99 @@ def test_survival_risk_table_counts(spark):
     assert r.duration_days == 0
     assert r.n_at_risk == 3 and r.d_events == 1
     assert r.hazard_fp == 333333333
+
+
+# --- wave 5: sketches / compression / data vault --------------------------
+
+
+def test_compression_ratio_separates_repetitive_from_noise(spark):
+    """The defining property of the zlib signal: repeated tokens land in
+    the low band, 16-symbol hex soup in the mid band, full-printable
+    pseudo-random text in the high band."""
+    import hashlib
+
+    rep = "the quick brown fox " * 50
+    noise = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(31)
+    )[: len(rep)]
+    chars = []
+    i = 0
+    while len(chars) < len(rep):
+        d = hashlib.md5(f"seed{i}".encode()).digest()
+        chars.extend(chr(33 + b % 94) for b in d)
+        i += 1
+    rand = "".join(chars[: len(rep)])
+    docs = [
+        (1, rep, "en", "rep", len(rep)),
+        (2, noise, "en", "noise", len(noise)),
+        (3, rand, "en", "rand", len(rand)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, docs, d)
+        out = {
+            r.source: r
+            for r in TEXT_QUERIES["text_compression_ratio"](
+                spark, d
+            ).collect()
+        }
+    assert out["rep"].ratio_fp_sum < out["noise"].ratio_fp_sum / 5
+    assert out["noise"].ratio_fp_sum < out["rand"].ratio_fp_sum
+    assert out["rep"].n_low == 1
+    assert out["noise"].n_mid == 1
+    assert out["rand"].n_high == 1
+
+
+def test_compression_ratio_is_run_deterministic(spark):
+    """Two invocations produce identical digests (fixed zlib version,
+    level pinned)."""
+    a = TEXT_QUERIES["text_compression_ratio"](spark, SF_DIR).collect()
+    b = TEXT_QUERIES["text_compression_ratio"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmv_intersection_exact_mode_when_sketch_not_full(spark):
+    """Fewer distinct users than k: theta = 2^60 and the estimate
+    equals the exact overlap (the sketch degenerates to the set)."""
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = []
+    eid = 0
+    for u in range(10):
+        eid += 1
+        rows.append((eid, t(u), u, "click", 1.0, "{}"))
+    for u in range(5, 15):  # overlap with click = users 5..9
+        eid += 1
+        rows.append((eid, t(u), u, "view", 1.0, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        from large_csv_etl_spark.queries.approx import (
+            QUERIES as APPROX_QUERIES,
+        )
+
+        r = APPROX_QUERIES["approx_kmv_intersection"](spark, d).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.type_a, row.type_b) == ("click", "view")
+    assert row.n_exact == 5 and row.n_common == 5
+    assert row.theta == 1152921504606846976
+    assert row.kmv_estimate == 5.0
+
+
+def test_data_vault_link_count_equals_distinct_relationships(spark):
+    """Hub cardinalities equal business-key distincts; the link holds
+    one row per distinct (custkey, orderkey) pair."""
+    from large_csv_etl_spark.io import load_table
+
+    out = {
+        r.entity: r.n_rows
+        for r in ETL_QUERIES["etl_data_vault_keys"](
+            spark, SF_DIR
+        ).collect()
+    }
+    c = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders")
+    assert out["hub_customer"] == c.select("c_custkey").distinct().count()
+    assert out["hub_order"] == o.select("o_orderkey").distinct().count()
+    assert (
+        out["link_customer_order"]
+        == o.select("o_custkey", "o_orderkey").distinct().count()
+    )
