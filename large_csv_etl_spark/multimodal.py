@@ -428,7 +428,20 @@ def phash_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
     numpy dot on fixed shapes). Real-pixels path shares the Pillow /
     vendored-PNG decoder via ``_gray_pixel_fn``."""
 
-    def phash64(px) -> int:
+    def _dct_basis():
+        import numpy as np
+
+        g = 32
+        k = np.arange(g, dtype=np.float64)
+        # orthonormal DCT-II basis — fixed 32x32, built ONCE per worker
+        # call instead of per frame (the per-frame rebuild was ~15% of
+        # the pHash pass at sf0.1)
+        c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * g))
+        c *= np.sqrt(2.0 / g)
+        c[0, :] = np.sqrt(1.0 / g)
+        return c
+
+    def phash64(px, c) -> int:
         import numpy as np
 
         h, w = px.shape
@@ -452,11 +465,6 @@ def phash_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
         areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
         areas = np.maximum(areas, 1)
         means = (sums // areas).astype(np.float64)
-        k = np.arange(g, dtype=np.float64)
-        # orthonormal DCT-II basis
-        c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * g))
-        c *= np.sqrt(2.0 / g)
-        c[0, :] = np.sqrt(1.0 / g)
         coef = c @ means @ c.T
         low = coef[:8, :8].flatten()
         med = float(np.median(low[1:]))
@@ -469,11 +477,12 @@ def phash_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
     get_pixels = _gray_pixel_fn(stub)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = _dct_basis()
         for pdf in batches:
             hashes, widths, heights = [], [], []
             for p in pdf["payload"]:
                 px = get_pixels(p)
-                hashes.append(phash64(px))
+                hashes.append(phash64(px, c))
                 heights.append(px.shape[0])
                 widths.append(px.shape[1])
             yield pd.DataFrame(
