@@ -3332,3 +3332,101 @@ def events_survival_risk_table(
         )
         .orderBy("duration_days")
     )
+
+
+@_q(
+    "events_attribution_position",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    p AS (
+      SELECT event_id AS journey_id, user_id AS p_user, ts AS p_ts
+      FROM ev WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT p.journey_id, e.event_type, e.ts, e.event_id
+      FROM p JOIN ev e
+        ON e.user_id = p.p_user
+       AND e.event_type IN ('click', 'view')
+       AND e.ts >= p.p_ts - INTERVAL 1 HOUR AND e.ts < p.p_ts
+    ), pos AS (
+      SELECT journey_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY journey_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY journey_id) AS n
+      FROM touch
+    ), credit AS (
+      SELECT journey_id, event_type,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN rn = 1 OR rn = n THEN 400000
+                  ELSE 200000 // (n - 2)
+                       + CASE WHEN rn - 1 <= 200000 % (n - 2)
+                              THEN 1 ELSE 0 END
+             END AS ppm
+      FROM pos
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT journey_id) AS BIGINT) AS n_journeys,
+           CAST(SUM(ppm) AS BIGINT) AS credit_ppm
+    FROM credit GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_attribution_position(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    industry-standard 40/20/40 credit split the linear-attribution
+    operator deliberately doesn't model: per purchase journey (click/
+    view touches in the preceding hour), first and last touch get 40%
+    each, the middles share 20% by exact integer division with the
+    largest-remainder ppm going to the EARLIEST middles (deterministic
+    by (ts, event_id)), single-touch journeys get 100%, two-touch 50/50
+    — so every journey's credit sums to exactly 1,000,000 ppm (pinned
+    in pytest). The join is the established interval-join shape of
+    streaming_click_attribution; the position window partitions by
+    journey (bounded fan-out), and all credit arithmetic is exact
+    BIGINT — no float shares to drift."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("journey_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touch = p.join(
+        ev.filter(F.col("event_type").isin("click", "view")).select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") < F.col("p_ts")),
+    )
+    w = Window.partitionBy("journey_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("journey_id")
+    pos = touch.select(
+        "journey_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mid_base = F.expr("200000 div (n - 2)")
+    mid_extra = F.when(
+        F.col("rn") - 1 <= F.expr("200000 % (n - 2)"), 1
+    ).otherwise(0)
+    ppm = (
+        F.when(F.col("n") == 1, 1000000)
+        .when(F.col("n") == 2, 500000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 400000)
+        .otherwise(mid_base + mid_extra)
+    )
+    return (
+        pos.select("journey_id", "event_type", ppm.alias("ppm"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.countDistinct("journey_id").cast("bigint").alias("n_journeys"),
+            F.sum("ppm").cast("bigint").alias("credit_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -1365,3 +1365,150 @@ def sample_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "y")
     )
+
+
+def _kcenter_oracle_sql() -> str:
+    """Unrolled greedy farthest-point (k-center) rounds — the eleventh
+    iterative algorithm under the oracle; MATERIALIZED CTEs per the
+    fixed-point contract in docs/ITERATIVE_PARITY.md."""
+    head = """
+    WITH v AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v6
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), ex AS MATERIALIZED (
+      SELECT vec_id, unnest(v6) AS val6, generate_subscripts(v6, 1) AS pos
+      FROM v
+    ), s1 AS MATERIALIZED (
+      SELECT vec_id FROM v ORDER BY vec_id LIMIT 1
+    ), ce1 AS MATERIALIZED (
+      -- center components reduced FIRST: joining ex to ex on pos alone
+      -- lets the planner build an N^2-per-dimension intermediate
+      SELECT ce.pos, ce.val6 FROM ex ce JOIN s1 ON ce.vec_id = s1.vec_id
+    ), m1 AS MATERIALIZED (
+      SELECT e.vec_id,
+             CAST(SUM((e.val6 - c.val6) * (e.val6 - c.val6)) AS BIGINT)
+               AS mind
+      FROM ex e JOIN ce1 c ON c.pos = e.pos
+      GROUP BY e.vec_id
+    )"""
+    its = []
+    for k in range(2, 5):
+        its.append(f""", s{k} AS MATERIALIZED (
+      SELECT vec_id, mind AS sel_d2 FROM m{k - 1}
+      ORDER BY mind DESC, vec_id LIMIT 1
+    ), ce{k} AS MATERIALIZED (
+      SELECT ce.pos, ce.val6 FROM ex ce JOIN s{k} ON ce.vec_id = s{k}.vec_id
+    ), d{k} AS MATERIALIZED (
+      SELECT e.vec_id,
+             CAST(SUM((e.val6 - c.val6) * (e.val6 - c.val6)) AS BIGINT)
+               AS d2
+      FROM ex e JOIN ce{k} c ON c.pos = e.pos
+      GROUP BY e.vec_id
+    ), m{k} AS MATERIALIZED (
+      SELECT m.vec_id, LEAST(m.mind, d.d2) AS mind
+      FROM m{k - 1} m JOIN d{k} d ON d.vec_id = m.vec_id
+    )""")
+    tail = """
+    SELECT r.round, r.center_vec_id, r.sel_d2, r.coverage_after
+    FROM (
+      SELECT 1 AS round,
+             (SELECT vec_id FROM s1) AS center_vec_id,
+             CAST(0 AS BIGINT) AS sel_d2,
+             (SELECT CAST(MAX(mind) AS BIGINT) FROM m1) AS coverage_after
+      UNION ALL SELECT 2, (SELECT vec_id FROM s2),
+             (SELECT CAST(sel_d2 AS BIGINT) FROM s2),
+             (SELECT CAST(MAX(mind) AS BIGINT) FROM m2)
+      UNION ALL SELECT 3, (SELECT vec_id FROM s3),
+             (SELECT CAST(sel_d2 AS BIGINT) FROM s3),
+             (SELECT CAST(MAX(mind) AS BIGINT) FROM m3)
+      UNION ALL SELECT 4, (SELECT vec_id FROM s4),
+             (SELECT CAST(sel_d2 AS BIGINT) FROM s4),
+             (SELECT CAST(MAX(mind) AS BIGINT) FROM m4)
+    ) r ORDER BY r.round
+    """
+    return head + "".join(its) + tail
+
+
+@_q("sample_kcenter_coreset", _kcenter_oracle_sql())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point (k-center) coreset selection, graded — the
+    eleventh iterative algorithm under the oracle and the diverse-subset
+    primitive curation pipelines use to seed labeling batches, pick
+    distillation exemplars, or build an evaluation core set: start from
+    the smallest vec_id, then 3 greedy rounds each adding the vector
+    FARTHEST from the selected set (2-approximation to the optimal
+    k-center cover, Gonzalez 1985). All distances are exact BIGINT
+    squared-L2 on the 1e6 integer lattice (the kmeans/PCA convention),
+    the argmax tie-breaks on vec_id, and each round reports the new
+    center, its selection distance, and the corpus coverage radius
+    after adding it (monotonically non-increasing — pinned in pytest).
+    Per round at 100 TB: one broadcast of a single center vector, one
+    row-local zip_with distance pass fused with a running LEAST, one
+    max-reduce — no corpus shuffle, no |corpus| state."""
+    from pyspark.sql import Window  # noqa: F401
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vec6 = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+        ).alias("v6"),
+    ).localCheckpoint()
+    d2_to = F.aggregate(
+        F.zip_with(F.col("v6"), F.col("c6"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    seed = vec6.orderBy("vec_id").limit(1)
+    cur = (
+        vec6.crossJoin(
+            F.broadcast(
+                seed.select(F.col("vec_id").alias("cid"), F.col("v6").alias("c6"))
+            )
+        )
+        .select("vec_id", "v6", d2_to.alias("mind"))
+        .localCheckpoint()
+    )
+    rows = seed.select(
+        F.lit(1).alias("round"),
+        F.col("vec_id").alias("center_vec_id"),
+        F.lit(0).cast("bigint").alias("sel_d2"),
+    ).crossJoin(
+        cur.agg(F.max("mind").cast("bigint").alias("coverage_after"))
+    )
+    out = rows
+    for k in range(2, 5):
+        sel = cur.orderBy(F.col("mind").desc(), "vec_id").limit(1)
+        center = sel.select(
+            F.col("vec_id").alias("cid"),
+            F.col("v6").alias("c6"),
+            F.col("mind").alias("sel_d2"),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(center))
+            .select(
+                "vec_id",
+                "v6",
+                F.least(F.col("mind"), d2_to).alias("mind"),
+            )
+            .localCheckpoint()
+        )
+        row = (
+            center.select(
+                F.lit(k).alias("round"),
+                F.col("cid").alias("center_vec_id"),
+                F.col("sel_d2").cast("bigint").alias("sel_d2"),
+            )
+            .crossJoin(
+                cur.agg(
+                    F.max("mind").cast("bigint").alias("coverage_after")
+                )
+            )
+        )
+        out = out.unionAll(row)
+    return out.orderBy("round")

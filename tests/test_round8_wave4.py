@@ -484,3 +484,73 @@ def test_data_vault_link_count_equals_distinct_relationships(spark):
         out["link_customer_order"]
         == o.select("o_custkey", "o_orderkey").distinct().count()
     )
+
+
+# --- wave 6: k-center coreset / position attribution ----------------------
+
+
+def test_kcenter_planted_farthest_selection(spark):
+    """Three tight points near the origin plus one far outlier: the
+    outlier is picked in round 2, and coverage collapses after it."""
+    emb = [
+        (0, [0.0, 0.0], 1),
+        (1, [0.1, 0.0], 1),
+        (2, [0.0, 0.1], 1),
+        (3, [100.0, 100.0], 2),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir(spark, emb, d)
+        rows = SAMPLE_QUERIES["sample_kcenter_coreset"](spark, d).collect()
+    by_round = {r.round: r for r in rows}
+    assert by_round[1].center_vec_id == 0  # smallest vec_id seeds
+    assert by_round[2].center_vec_id == 3  # the outlier is farthest
+    assert by_round[2].coverage_after < by_round[1].coverage_after
+
+
+def test_kcenter_coverage_monotone_on_fixture(spark):
+    rows = SAMPLE_QUERIES["sample_kcenter_coreset"](
+        spark, SF_DIR
+    ).collect()
+    cov = [r.coverage_after for r in sorted(rows, key=lambda r: r.round)]
+    assert len(cov) == 4
+    assert all(a >= b for a, b in zip(cov, cov[1:]))
+    # each selected center's distance equals the previous coverage radius
+    by_round = {r.round: r for r in rows}
+    for k in (2, 3, 4):
+        assert by_round[k].sel_d2 == by_round[k - 1].coverage_after
+
+
+def test_position_attribution_credit_conserved(spark):
+    """Planted journeys with 1, 2, and 5 touches: U-shaped credit sums
+    to exactly 1,000,000 ppm per journey, middles share 20% with the
+    largest remainder going to the earliest middle."""
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: one click then purchase -> single touch, 100%
+        (1, t(0), 1, "click", 1.0, "{}"),
+        (2, t(30), 1, "purchase", 9.0, "{}"),
+        # user 2: click, view, purchase -> 50/50
+        (3, t(0), 2, "click", 1.0, "{}"),
+        (4, t(10), 2, "view", 1.0, "{}"),
+        (5, t(30), 2, "purchase", 9.0, "{}"),
+        # user 3: 5 touches -> 40/x/x/x/40 with 200000 = 3*66666 + 2
+        (6, t(0), 3, "click", 1.0, "{}"),
+        (7, t(5), 3, "view", 1.0, "{}"),
+        (8, t(10), 3, "view", 1.0, "{}"),
+        (9, t(15), 3, "view", 1.0, "{}"),
+        (10, t(20), 3, "click", 1.0, "{}"),
+        (11, t(30), 3, "purchase", 9.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r.event_type: r
+            for r in EVENT_QUERIES["events_attribution_position"](
+                spark, d
+            ).collect()
+        }
+    total = sum(r.credit_ppm for r in out.values())
+    assert total == 3 * 1000000  # three journeys, credit conserved
+    # user 3: clicks get 400000+400000; views get 66667+66667+66666
+    assert out["click"].credit_ppm == 1000000 + 500000 + 800000
+    assert out["view"].credit_ppm == 500000 + 66667 + 66667 + 66666
