@@ -287,6 +287,11 @@ HEADLINE = [
     "text_lexicon_router",
     "sim_ndcg_eval",
     "events_survival_risk_table",
+    "approx_kmv_intersection",
+    "text_compression_ratio",
+    "etl_data_vault_keys",
+    "sample_kcenter_coreset",
+    "events_attribution_position",
 ]
 
 
