@@ -1512,3 +1512,145 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(row)
     return out.orderBy("round")
+
+
+def _coverage_oracle_sql() -> str:
+    """Unrolled greedy max-coverage rounds (twelfth iterative algorithm
+    under the oracle); MATERIALIZED per docs/ITERATIVE_PARITY.md. The
+    coverage universe is BIGRAMS — the fixture's unigram vocabulary is
+    ~31 tokens and a single doc covers it, which degenerates the greedy
+    argmax to an empty candidate set after round 1."""
+    head = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS arr
+      FROM documents WHERE TRIM(text) <> ''
+    ), tok AS MATERIALIZED (
+      SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i + 1] AS token
+      FROM (
+        SELECT doc_id, arr, UNNEST(generate_series(1, LEN(arr) - 1)) AS i
+        FROM toks WHERE LEN(arr) >= 2
+      )
+    ), g1 AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM tok GROUP BY doc_id
+    ), s1 AS MATERIALIZED (
+      SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1
+    ), cov1 AS MATERIALIZED (
+      SELECT DISTINCT t.token FROM tok t JOIN s1 ON s1.doc_id = t.doc_id
+    )"""
+    its = []
+    for k in range(2, 4):
+        sel_union = " UNION ALL SELECT doc_id FROM ".join(
+            f"s{j}" for j in range(1, k)
+        )
+        its.append(f""", g{k} AS MATERIALIZED (
+      -- LEFT join so zero-gain candidates stay selectable (a doc whose
+      -- bigrams are all covered must still be pickable when it is the
+      -- only doc left)
+      SELECT d.doc_id, CAST(COALESCE(c.gain, 0) AS BIGINT) AS gain
+      FROM (SELECT DISTINCT doc_id FROM tok
+            WHERE doc_id NOT IN (SELECT doc_id FROM {sel_union})) d
+      LEFT JOIN (
+        SELECT t.doc_id, COUNT(*) AS gain FROM tok t
+        WHERE t.token NOT IN (SELECT token FROM cov{k - 1})
+        GROUP BY t.doc_id
+      ) c ON c.doc_id = d.doc_id
+    ), s{k} AS MATERIALIZED (
+      SELECT doc_id, gain FROM g{k} ORDER BY gain DESC, doc_id LIMIT 1
+    ), cov{k} AS MATERIALIZED (
+      SELECT token FROM cov{k - 1}
+      UNION
+      SELECT t.token FROM tok t JOIN s{k} ON s{k}.doc_id = t.doc_id
+    )""")
+    tail = """
+    SELECT r.round, r.doc_id, r.gain, r.covered_total FROM (
+      SELECT 1 AS round, (SELECT doc_id FROM s1) AS doc_id,
+             (SELECT gain FROM s1) AS gain,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cov1) AS covered_total
+      UNION ALL SELECT 2, (SELECT doc_id FROM s2), (SELECT gain FROM s2),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cov2)
+      UNION ALL SELECT 3, (SELECT doc_id FROM s3), (SELECT gain FROM s3),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cov3)
+    ) r ORDER BY r.round
+    """
+    return head + "".join(its) + tail
+
+
+@_q("sample_greedy_coverage", _coverage_oracle_sql())
+def sample_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection, graded — the twelfth
+    iterative algorithm under the oracle and the submodular-selection
+    primitive behind "pick the K docs that cover the most vocabulary"
+    (labeling-batch seeding, prompt-library curation, test-suite
+    minimization all reduce to it; greedy is the classic (1 - 1/e)
+    approximation, Nemhauser 1978). The coverage universe is distinct
+    BIGRAMS (the fixture's ~31-token unigram vocabulary is covered by a
+    single doc, degenerating the greedy argmax). Three rounds: each
+    picks the doc adding the most UNCOVERED bigrams (tie -> smallest
+    doc_id),
+    reporting marginal gain and cumulative coverage — gains are
+    non-increasing (submodularity, pinned in pytest). Per round at
+    scale: one anti-join of the token table against the covered set
+    (broadcast/bloom), one gain agg, one top-1 — no quadratic work; the
+    covered set is vocabulary-bounded."""
+    from pyspark.sql import functions as SF
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.expr(
+        "zip_with(slice(tokens, 1, size(tokens) - 1),"
+        "         slice(tokens, 2, size(tokens) - 1),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    tok = (
+        docs.select("doc_id", arr.alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("token"))
+        .distinct()
+        .localCheckpoint()
+    )
+    covered = None
+    selected = []
+    out = None
+    all_docs = tok.select("doc_id").distinct().localCheckpoint()
+    for k in range(1, 4):
+        cand = tok
+        if covered is not None:
+            cand = tok.join(covered, "token", "left_anti")
+        gains = cand.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("gain")
+        )
+        # LEFT join against every unselected doc so zero-gain candidates
+        # stay selectable (mirrors the oracle)
+        pool = all_docs
+        if selected:
+            sel_df = pool.sparkSession.createDataFrame(
+                [(d,) for d in selected], "doc_id long"
+            )
+            pool = pool.join(F.broadcast(sel_df), "doc_id", "left_anti")
+        g = pool.join(gains, "doc_id", "left").select(
+            "doc_id", F.coalesce(F.col("gain"), F.lit(0)).alias("gain")
+        )
+        pick = g.orderBy(F.col("gain").desc(), "doc_id").limit(1).collect()[0]
+        selected.append(pick["doc_id"])
+        new_tokens = tok.filter(F.col("doc_id") == pick["doc_id"]).select(
+            "token"
+        )
+        covered = (
+            new_tokens
+            if covered is None
+            else covered.unionAll(new_tokens).distinct()
+        ).localCheckpoint()
+        row_df = docs.sparkSession.range(1).select(
+            F.lit(k).cast("int").alias("round"),
+            F.lit(pick["doc_id"]).cast("bigint").alias("doc_id"),
+            F.lit(int(pick["gain"])).cast("bigint").alias("gain"),
+        ).crossJoin(
+            covered.agg(
+                SF.count("*").cast("bigint").alias("covered_total")
+            )
+        )
+        out = row_df if out is None else out.unionAll(row_df)
+    return out.orderBy("round")

@@ -554,3 +554,89 @@ def test_position_attribution_credit_conserved(spark):
     # user 3: clicks get 400000+400000; views get 66667+66667+66666
     assert out["click"].credit_ppm == 1000000 + 500000 + 800000
     assert out["view"].credit_ppm == 500000 + 66667 + 66667 + 66666
+
+
+# --- wave 7: Welch / capture-recapture / greedy coverage -------------------
+
+
+def test_welch_ttest_zero_when_identical(spark):
+    """Identical F and O samples: mean_diff = 0 and t = 0."""
+    rows = [_order(i, "F", float(100 + i)) for i in range(5)]
+    rows += [_order(i + 10, "O", float(100 + i)) for i in range(5)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        r = REL_QUERIES["agg_welch_ttest"](spark, d).collect()[0]
+    assert r.mean_diff_dollars == 0.0 and r.t_stat == 0.0
+    assert (r.n1, r.n2) == (5, 5)
+
+
+def test_welch_ttest_known_value(spark):
+    """F = {1,2,3}, O = {7,8,9}: mean diff -6, pooled SE = sqrt(2/3),
+    t = -6 / sqrt(2/3); equal variances make Welch dof = 4."""
+    import math
+
+    rows = [_order(i, "F", float(i)) for i in (1, 2, 3)]
+    rows += [_order(i + 10, "O", float(i)) for i in (7, 8, 9)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        r = REL_QUERIES["agg_welch_ttest"](spark, d).collect()[0]
+    assert r.mean_diff_dollars == -6.0
+    assert abs(r.t_stat - (-6.0 / math.sqrt(2.0 / 3.0))) < 1e-12
+    assert abs(r.welch_dof - 4.0) < 1e-12
+
+
+def test_capture_recapture_chapman_known_value(spark):
+    """n1=4 clicks, n2=3 views, overlap m=2: Chapman = 5*4//3 - 1 = 5;
+    true population planted as 5."""
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3, 4):
+        eid += 1
+        rows.append((eid, t(u), u, "click", 1.0, "{}"))
+    for u in (3, 4, 5):
+        eid += 1
+        rows.append((eid, t(u), u, "view", 1.0, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        from large_csv_etl_spark.queries.relational import (
+            QUERIES as REL_Q,
+        )
+
+        r = REL_Q["agg_capture_recapture"](spark, d).collect()[0]
+    assert (r.n1, r.n2, r.m, r.n_true) == (4, 3, 2, 5)
+    assert r.chapman_estimate == 5
+
+
+def test_greedy_coverage_gains_non_increasing(spark):
+    rows = SAMPLE_QUERIES["sample_greedy_coverage"](
+        spark, SF_DIR
+    ).collect()
+    rows = sorted(rows, key=lambda r: r.round)
+    gains = [r.gain for r in rows]
+    assert len(gains) == 3
+    assert all(a >= b for a, b in zip(gains, gains[1:]))  # submodular
+    # cumulative coverage equals the running sum of marginal gains
+    assert rows[0].covered_total == gains[0]
+    assert rows[1].covered_total == gains[0] + gains[1]
+    assert rows[2].covered_total == sum(gains)
+
+
+def test_greedy_coverage_planted_complementary_docs(spark):
+    """Doc 1 has 4 bigrams, doc 2 has 3 DISJOINT bigrams, doc 3 repeats
+    doc 1: greedy picks 1 then 2; doc 3 contributes nothing and round 3
+    must pick it with gain 0 (only doc left)."""
+    docs = [
+        (1, "a b c d e", "en", "s", 9),
+        (2, "p q r s", "en", "s", 7),
+        (3, "a b c d e", "en", "s", 9),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, docs, d)
+        rows = sorted(
+            SAMPLE_QUERIES["sample_greedy_coverage"](spark, d).collect(),
+            key=lambda r: r.round,
+        )
+    assert [r.doc_id for r in rows] == [1, 2, 3]
+    assert [r.gain for r in rows] == [4, 3, 0]
+    assert rows[-1].covered_total == 7
