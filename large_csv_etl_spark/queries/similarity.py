@@ -2520,3 +2520,117 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@_q(
+    "sim_triplet_mining",
+    """
+    WITH q AS (
+      SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS a_label
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.anchor_id, q.a_label, e.vec_id, e.label,
+             ROUND(CAST(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6)
+               AS cos_sim
+      FROM embeddings e JOIN q ON e.vec_id <> q.anchor_id
+    ), hp AS (
+      SELECT anchor_id, vec_id AS pos_id, cos_sim AS pos_cos,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_sim ASC, vec_id) AS rn
+      FROM scored WHERE label = a_label
+    ), hn AS (
+      SELECT anchor_id, vec_id AS neg_id, cos_sim AS neg_cos,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored WHERE label <> a_label
+    )
+    SELECT p.anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+           p.pos_cos - n.neg_cos AS margin
+    FROM hp p JOIN hn n ON n.anchor_id = p.anchor_id AND n.rn = 1
+    WHERE p.rn = 1
+    ORDER BY p.anchor_id
+    """,
+)
+def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for metric-learning batches — the selection
+    step that makes contrastive/triplet training converge: per anchor
+    (the first 10 vectors), the HARDEST POSITIVE (same label, lowest
+    cosine — the most-spread same-class pair) and the HARDEST NEGATIVE
+    (different label, highest cosine — the most-confusable impostor),
+    plus the triplet margin pos_cos - neg_cos (negative margin = an
+    active violation the loss would push on). Ranking rides the pinned
+    6dp-rounded cosine contract with vec_id tie-breaks, so both engines
+    select identical triplets. One broadcast score pass over the corpus
+    per anchor batch, two per-anchor top-1 windows (per-partition heaps
+    at scale) — the mining plan you shard by anchor at 100 TB."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("a_label"),
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "vec_id",
+            "label",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .localCheckpoint()
+    )
+    hp = (
+        scored.filter(F.col("label") == F.col("a_label"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy(
+                    F.col("cos_sim").asc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cos_sim").alias("pos_cos"),
+        )
+    )
+    hn = (
+        scored.filter(F.col("label") != F.col("a_label"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("cos_sim").alias("neg_cos"),
+        )
+    )
+    return (
+        hp.join(hn, "anchor_id")
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )

@@ -908,3 +908,95 @@ def window_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(turn).cast("bigint").alias("n_turning_points"),
         (F.sum(turn).cast("double") / F.count("*")).alias("turn_rate"),
     )
+
+
+@_q(
+    "window_sma_crossover",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY day
+    ), w AS (
+      SELECT day, cents,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             SUM(cents) OVER (ORDER BY day
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fast_sum,
+             SUM(cents) OVER (ORDER BY day
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS slow_sum
+      FROM daily
+    ), state AS (
+      SELECT day, fast_sum, slow_sum,
+             CASE WHEN fast_sum * 20 > slow_sum * 5 THEN 1 ELSE 0 END
+               AS fast_above,
+             LAG(CASE WHEN fast_sum * 20 > slow_sum * 5 THEN 1 ELSE 0 END)
+               OVER (ORDER BY day) AS prev_above
+      FROM w WHERE rn >= 20
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CASE WHEN fast_above = 1 THEN 'golden' ELSE 'death' END
+             AS crossover,
+           CAST(fast_sum AS BIGINT) AS fast_sum,
+           CAST(slow_sum AS BIGINT) AS slow_sum
+    FROM state
+    WHERE prev_above IS NOT NULL AND fast_above <> prev_above
+    ORDER BY day
+    """,
+)
+def window_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover signals (golden/death cross) on the
+    daily-revenue series — the trend-change detector that completes the
+    momentum family (RSI, Kaufman efficiency, turning points): a 5-day
+    fast window against a 20-day slow window, compared WITHOUT division
+    by cross-multiplying the exact integer-cents sums (fast*20 vs
+    slow*5), so the above/below state is pure BIGINT comparison and a
+    crossover is a LAG state flip. Only days with a full slow window
+    qualify (row 20 onward). All windows run over the calendar-bounded
+    daily table after one map-side-combinable aggregation — the single-
+    partition window is |days| rows at any data scale."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wd = Window.orderBy("day")
+    w = daily.select(
+        "day",
+        F.row_number().over(wd).alias("rn"),
+        F.sum("cents").over(wd.rowsBetween(-4, 0)).alias("fast_sum"),
+        F.sum("cents").over(wd.rowsBetween(-19, 0)).alias("slow_sum"),
+    )
+    above = F.when(
+        F.col("fast_sum") * 20 > F.col("slow_sum") * 5, 1
+    ).otherwise(0)
+    state = w.filter(F.col("rn") >= 20).select(
+        "day",
+        "fast_sum",
+        "slow_sum",
+        above.alias("fast_above"),
+        F.lag(above).over(Window.orderBy("day")).alias("prev_above"),
+    )
+    return (
+        state.filter(
+            F.col("prev_above").isNotNull()
+            & (F.col("fast_above") != F.col("prev_above"))
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.when(F.col("fast_above") == 1, "golden")
+            .otherwise("death")
+            .alias("crossover"),
+            F.col("fast_sum").cast("bigint").alias("fast_sum"),
+            F.col("slow_sum").cast("bigint").alias("slow_sum"),
+        )
+        .orderBy("day")
+    )

@@ -640,3 +640,49 @@ def test_greedy_coverage_planted_complementary_docs(spark):
     assert [r.doc_id for r in rows] == [1, 2, 3]
     assert [r.gain for r in rows] == [4, 3, 0]
     assert rows[-1].covered_total == 7
+
+
+# --- wave 8: SMA crossover / triplet mining --------------------------------
+
+
+def test_sma_crossover_planted_flip(spark):
+    """Flat revenue for 25 days, then a 5x jump: the fast window rises
+    above the slow one — exactly one golden cross, no death cross."""
+    rows = []
+    for i in range(30):
+        price = 100.0 if i < 25 else 500.0
+        rows.append(
+            (i, i, "F", price,
+             dt.datetime(2024, 1, 1) + dt.timedelta(days=i), "1-URGENT")
+        )
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        from large_csv_etl_spark.queries.windows import (
+            QUERIES as WIN_QUERIES,
+        )
+
+        out = WIN_QUERIES["window_sma_crossover"](spark, d).collect()
+    assert [r.crossover for r in out] == ["golden"]
+    assert out[0].day == dt.datetime(2024, 1, 26)  # first jump day
+
+
+def test_triplet_mining_planted_hard_cases(spark):
+    """Anchor 0 (label 1): the hardest positive is its FARTHEST
+    same-label vector, the hardest negative its NEAREST other-label
+    vector, and the violated margin goes negative."""
+    emb = [
+        (0, [1.0, 0.0], 1),
+        (100, [1.0, 0.05], 1),   # easy positive (cos ~1)
+        (101, [0.0, 1.0], 1),    # hard positive (cos 0)
+        (102, [0.95, 0.3], 2),   # hard negative (cos ~0.95)
+        (103, [-1.0, 0.0], 2),   # easy negative (cos -1)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir(spark, emb, d)
+        rows = SIM_QUERIES["sim_triplet_mining"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.anchor_id == 0
+    assert r.pos_id == 101 and r.pos_cos == 0.0
+    assert r.neg_id == 102
+    assert r.margin < 0  # active violation: impostor closer than positive
