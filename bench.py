@@ -292,6 +292,11 @@ HEADLINE = [
     "etl_data_vault_keys",
     "sample_kcenter_coreset",
     "events_attribution_position",
+    "agg_welch_ttest",
+    "agg_capture_recapture",
+    "sample_greedy_coverage",
+    "window_sma_crossover",
+    "sim_triplet_mining",
 ]
 
 
