@@ -1173,3 +1173,61 @@ def dq_referential_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hop string, n_rows bigint, n_orphans bigint",
     )
     return l2o.unionAll(o2c).unionAll(c2n).unionAll(n2r).unionAll(full)
+
+
+@_q(
+    "dq_temporal_order_audit",
+    """
+    WITH j AS (
+      SELECT o.o_orderstatus AS status,
+             CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+               AS ship_after_order,
+             DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(CASE WHEN NOT ship_after_order THEN 1 END)
+                AS BIGINT) AS n_violations,
+           CAST(MIN(lag_days) AS BIGINT) AS min_lag_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag_days
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+def dq_temporal_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table temporal monotonicity audit — the causality invariant
+    a warehouse must hold before anyone trusts lag metrics: no lineitem
+    ships BEFORE its order was placed. Reports, per order status, the
+    line count, the violation count (shipdate < orderdate), and the
+    min/max ship lag in integer days (a negative min IS the violation,
+    surfaced numerically so the fix can be prioritized by severity).
+    This complements the FK orphan audit (existence) and the
+    reconciliation audit (amounts) with the time axis. One fact-dim
+    equi-join on the orderkey — broadcast or co-partitioned, the same
+    join every lag metric already pays — and one bounded-key agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_day")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.to_date("o_orderdate").alias("order_day"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "status",
+        (F.col("ship_day") >= F.col("order_day")).alias("ship_after_order"),
+        F.datediff("ship_day", "order_day").alias("lag_days"),
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.count(F.when(~F.col("ship_after_order"), 1))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.min("lag_days").cast("bigint").alias("min_lag_days"),
+            F.max("lag_days").cast("bigint").alias("max_lag_days"),
+        )
+        .orderBy("status")
+    )

@@ -686,3 +686,62 @@ def test_triplet_mining_planted_hard_cases(spark):
     assert r.pos_id == 101 and r.pos_cos == 0.0
     assert r.neg_id == 102
     assert r.margin < 0  # active violation: impostor closer than positive
+
+
+# --- wave 9: file-format sources / temporal audit --------------------------
+
+
+def test_fixed_width_parse_edge_rows(spark):
+    """Leading zeros, negative amount, zero amount, and padding all
+    parse; amounts are exact integer cents (never float)."""
+    out = {
+        r.id: (r.amount_cents, r.status)
+        for r in ETL_QUERIES["etl_fixed_width_parse"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert out[1] == (12345, "OK")
+    assert out[7890] == (-25000, "REF")
+    assert out[31] == (0, "OK")
+    assert out[456] == (9999999, "HOLD")
+    assert len(out) == 8
+
+
+def test_trailer_file_acceptance(spark):
+    """The committed batch reconciles: count and integer-cents total
+    both match the trailer record."""
+    r = ETL_QUERIES["etl_trailer_file_parse"](spark, SF_DIR).collect()[0]
+    assert r.batch_id == "BATCH001"
+    assert r.count_ok and r.total_ok
+    assert r.data_cents == r.trailer_cents == 115097
+    assert r.n_data_rows == r.trailer_count == 5
+
+
+def test_temporal_order_audit_planted_violation(spark):
+    """One lineitem shipping BEFORE its order date must be counted as a
+    violation with a negative min lag."""
+    orders = [
+        (1, 1, "F", 10.0, dt.datetime(2024, 1, 10), "1-URGENT"),
+        (2, 2, "O", 10.0, dt.datetime(2024, 1, 10), "1-URGENT"),
+    ]
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+         dt.datetime(2024, 1, 15)),   # fine: +5 days
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+         dt.datetime(2024, 1, 8)),    # violation: -2 days
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, orders, d)
+        _lineitem_dir(spark, li, d)
+        from large_csv_etl_spark.queries.quality import (
+            QUERIES as DQ_QUERIES,
+        )
+
+        out = {
+            r.status: r
+            for r in DQ_QUERIES["dq_temporal_order_audit"](
+                spark, d
+            ).collect()
+        }
+    assert out["F"].n_violations == 0 and out["F"].min_lag_days == 5
+    assert out["O"].n_violations == 1 and out["O"].min_lag_days == -2
