@@ -174,6 +174,65 @@ def _apply_step(df: DataFrame, step: dict) -> DataFrame:
         return df.withColumn(
             step.get("col", "shard"), shard_assign(F.col(step["key"]))
         )
+    if op == "route_lexicon":
+        # lexicon-density routing stamp (the text_lexicon_router
+        # contract): routed = 1e6 * hits >= threshold_ppm * tokens,
+        # decided by integer cross-multiplication — row-local array
+        # filter, no explode
+        text_col = step.get("text_col", "text")
+        lex = step.get(
+            "lexicon",
+            ["key", "hash", "table", "scan", "merge", "sort", "batch",
+             "index", "query", "join"],
+        )
+        threshold_ppm = int(step.get("threshold_ppm", 250000))
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        lex_arr = F.array(*[F.lit(t) for t in lex])
+        n_tok = F.size(toks).cast("bigint")
+        n_hit = F.size(
+            F.filter(toks, lambda t: F.array_contains(lex_arr, t))
+        ).cast("bigint")
+        return df.withColumn(
+            step.get("col", "routed"),
+            (F.lit(1000000) * n_hit >= F.lit(threshold_ppm) * n_tok)
+            & (n_tok > 0),
+        )
+    if op == "compression_gate":
+        # zlib redundancy gate (the text_compression_ratio contract):
+        # keep docs whose level-6 compression ratio (1e6 lattice) lies
+        # in [min_fp, max_fp] — drops pathological boilerplate (too
+        # compressible) and binary junk (incompressible) in one pass
+        text_col = step.get("text_col", "text")
+        min_fp = int(step.get("min_fp", 100000))
+        max_fp = int(step.get("max_fp", 900000))
+
+        def _ratios(batches):
+            import zlib
+
+            import pandas as pd  # noqa: F811
+
+            for pdf in batches:
+                orig = pdf[text_col].str.len().astype("int64").clip(lower=1)
+                comp = pdf[text_col].map(
+                    lambda t: len(zlib.compress((t or "").encode("utf-8"), 6))
+                ).astype("int64")
+                out = pdf.copy()
+                out["compression_fp"] = (1000000 * comp // orig).astype(
+                    "int64"
+                )
+                yield out
+
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            df.schema.fields
+            + [T.StructField("compression_fp", T.LongType())]
+        )
+        scored = df.mapInPandas(_ratios, schema)
+        return scored.filter(
+            (F.col("compression_fp") >= min_fp)
+            & (F.col("compression_fp") <= max_fp)
+        )
     raise ValueError(f"unknown job step op: {op!r}")
 
 

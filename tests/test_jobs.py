@@ -113,3 +113,53 @@ def test_dedupe_prefix_and_novelty_gate_steps(spark):
     # composed: prefix dedup then novelty gate leaves the two originals
     both = _apply_step(deduped, {"op": "novelty_gate", "min_novelty": 0.5})
     assert sorted(r.doc_id for r in both.collect()) == [1, 3, 5]
+
+
+def test_route_lexicon_step_matches_graded_router(spark, sf_dir):
+    """The job step stamps exactly the routing decisions the graded
+    text_lexicon_router counts (same lexicon, same threshold)."""
+    from large_csv_etl_spark.jobs import run_job
+    from large_csv_etl_spark.queries.text import QUERIES
+
+    spec = {
+        "source": {"table": "documents"},
+        "steps": [
+            {"op": "filter", "expr": "trim(text) <> ''"},
+            {"op": "route_lexicon"},
+        ],
+    }
+    from pyspark.sql import functions as F
+
+    stamped = run_job(spark, spec, sf_dir)
+    per_source = {
+        r.source: r.n
+        for r in stamped.filter("routed")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    graded = {
+        r.source: r.n_routed
+        for r in QUERIES["text_lexicon_router"](spark, sf_dir).collect()
+    }
+    assert per_source == {k: v for k, v in graded.items() if v > 0}
+
+
+def test_compression_gate_step_drops_out_of_band(spark, tmp_path):
+    """A repetitive doc (ratio far below min_fp) is dropped; a normal
+    prose doc passes."""
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam " * 100),
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "wanders across the wide river valley at dusk"),
+        ],
+        "doc_id long, text string",
+    )
+    from large_csv_etl_spark.jobs import _apply_step
+
+    kept = _apply_step(
+        df, {"op": "compression_gate", "min_fp": 100000, "max_fp": 900000}
+    ).collect()
+    assert [r.doc_id for r in kept] == [2]
+    assert 100000 <= kept[0].compression_fp <= 900000
