@@ -3369,3 +3369,137 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n1 + 1) * (n2 + 1) div (m + 1) - 1 AS BIGINT)"
         ).alias("chapman_estimate"),
     )
+
+
+@_q(
+    "agg_revenue_decomposition",
+    """
+    WITH li AS (
+      SELECT l.l_partkey AS part,
+             CAST(o.o_orderdate AS DATE) AS day,
+             CAST(round(l.l_quantity * 100) AS BIGINT) AS q100,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), mid AS (
+      SELECT MIN(day) + CAST((MAX(day) - MIN(day)) // 2 AS INTEGER)
+               AS mid_day FROM li
+    ), per AS (
+      SELECT part,
+             CAST(SUM(CASE WHEN day <= m.mid_day THEN q100 END)
+                  AS BIGINT) AS q1,
+             CAST(SUM(CASE WHEN day <= m.mid_day THEN cents END)
+                  AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN day > m.mid_day THEN q100 END)
+                  AS BIGINT) AS q2,
+             CAST(SUM(CASE WHEN day > m.mid_day THEN cents END)
+                  AS BIGINT) AS v2
+      FROM li CROSS JOIN mid m GROUP BY part
+    ), both_p AS (
+      SELECT * FROM per WHERE q1 IS NOT NULL AND q2 IS NOT NULL
+                          AND q1 > 0
+    )
+    SELECT
+      CAST((SELECT SUM(COALESCE(v2, 0)) - SUM(COALESCE(v1, 0)) FROM per)
+           AS BIGINT) AS delta_cents,
+      CAST(SUM((q2 - q1) * v1 // q1) AS BIGINT) AS volume_effect_cents,
+      CAST(SUM(v2 - v1 - ((q2 - q1) * v1 // q1)) AS BIGINT)
+        AS price_mix_effect_cents,
+      CAST((SELECT SUM(v2) FROM per WHERE q1 IS NULL) AS BIGINT)
+        AS new_parts_cents,
+      CAST((SELECT SUM(-v1) FROM per WHERE q2 IS NULL) AS BIGINT)
+        AS discontinued_cents,
+      CAST(COUNT(*) AS BIGINT) AS n_carryover_parts
+    FROM both_p
+    """,
+)
+def agg_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue decomposition (the Laspeyres
+    volume/price bridge every finance review runs): split the order
+    calendar at its midpoint, then attribute the revenue change to (a)
+    volume — quantity change valued at the part's FIRST-period unit
+    economics, (q2-q1)*v1//q1 on the exact integer lattice, (b) the
+    price/mix remainder per carried-over part, (c) newly introduced
+    parts, and (d) discontinued parts — the four terms reconcile to the
+    total delta BY CONSTRUCTION (the remainder is defined as v2-v1
+    minus the volume term; pinned in pytest). Quantities ride a x100
+    lattice and revenue exact cents; the only division is floor
+    division per part, identical in both engines. One join, one
+    per-part agg (map-side combinable), |parts|-bounded arithmetic
+    after that."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("l_quantity") * 100, 0)
+            .cast("bigint")
+            .alias("q100"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    bounds = li.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    ).select(
+        F.expr("date_add(dmin, CAST(datediff(dmax, dmin) div 2 AS INT))")
+        .alias("mid_day")
+    )
+    per = (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy("part")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("mid_day"), F.col("q100")))
+            .cast("bigint")
+            .alias("q1"),
+            F.sum(F.when(F.col("day") <= F.col("mid_day"), F.col("cents")))
+            .cast("bigint")
+            .alias("v1"),
+            F.sum(F.when(F.col("day") > F.col("mid_day"), F.col("q100")))
+            .cast("bigint")
+            .alias("q2"),
+            F.sum(F.when(F.col("day") > F.col("mid_day"), F.col("cents")))
+            .cast("bigint")
+            .alias("v2"),
+        )
+        .localCheckpoint()
+    )
+    both_p = per.filter(
+        F.col("q1").isNotNull() & F.col("q2").isNotNull() & (F.col("q1") > 0)
+    )
+    vol = F.expr("(q2 - q1) * v1 div q1")
+    carry = both_p.agg(
+        F.sum(vol).cast("bigint").alias("volume_effect_cents"),
+        F.sum(F.col("v2") - F.col("v1") - vol)
+        .cast("bigint")
+        .alias("price_mix_effect_cents"),
+        F.count("*").cast("bigint").alias("n_carryover_parts"),
+    )
+    totals = per.agg(
+        (
+            F.sum(F.coalesce(F.col("v2"), F.lit(0)))
+            - F.sum(F.coalesce(F.col("v1"), F.lit(0)))
+        )
+        .cast("bigint")
+        .alias("delta_cents"),
+        F.sum(F.when(F.col("q1").isNull(), F.col("v2")))
+        .cast("bigint")
+        .alias("new_parts_cents"),
+        F.sum(F.when(F.col("q2").isNull(), -F.col("v1")))
+        .cast("bigint")
+        .alias("discontinued_cents"),
+    )
+    return totals.crossJoin(F.broadcast(carry)).select(
+        "delta_cents",
+        "volume_effect_cents",
+        "price_mix_effect_cents",
+        "new_parts_cents",
+        "discontinued_cents",
+        "n_carryover_parts",
+    )

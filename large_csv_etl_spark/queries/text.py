@@ -3745,3 +3745,103 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_q(
+    "graph_rich_club",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ), club AS MATERIALIZED (
+      SELECT node FROM deg ORDER BY d DESC, node LIMIT 100
+    ), e_club AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m_club
+      FROM edges e
+      JOIN club cu ON cu.node = e.u
+      JOIN club cv ON cv.node = e.v
+    ), dens AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes
+      FROM edges
+    )
+    SELECT d.n_nodes, d.n_edges, ec.m_club,
+           CAST((2000000 * ec.m_club) // (100 * 99) AS BIGINT)
+             AS club_density_fp,
+           CAST((2000000 * d.n_edges)
+                // (d.n_nodes * (d.n_nodes - 1)) AS BIGINT)
+             AS graph_density_fp
+    FROM e_club ec CROSS JOIN dens d
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the part co-purchase graph: the edge
+    density among the 100 highest-degree parts versus the whole-graph
+    density — a high ratio means the hub products are systematically
+    co-purchased with EACH OTHER (bundle structure), which changes both
+    merchandising and the skew profile a join planner should expect.
+    Club membership is the deterministic (degree desc, node) top-100;
+    both densities live on the 1e6 floor-division lattice so the
+    comparison is exact integer arithmetic. The club edge count is two
+    broadcast semi-joins of the 100-row club against the edge list —
+    at 100 TB this is the same bounded-dimension pattern as every
+    audit in the family."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    club = deg.orderBy(F.col("d").desc(), "node").limit(100).select("node")
+    club = club.localCheckpoint()
+    e_club = (
+        edges.join(
+            F.broadcast(club.withColumnRenamed("node", "u")), "u"
+        )
+        .join(F.broadcast(club.withColumnRenamed("node", "v")), "v")
+        .agg(F.count("*").cast("bigint").alias("m_club"))
+    )
+    dens = edges.agg(F.count("*").cast("bigint").alias("n_edges")).crossJoin(
+        deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    return (
+        e_club.crossJoin(F.broadcast(dens))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "m_club",
+            F.expr(
+                "CAST((2000000 * m_club) div (100 * 99) AS BIGINT)"
+            ).alias("club_density_fp"),
+            F.expr(
+                "CAST((2000000 * n_edges)"
+                " div (n_nodes * (n_nodes - 1)) AS BIGINT)"
+            ).alias("graph_density_fp"),
+        )
+    )

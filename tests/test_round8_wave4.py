@@ -745,3 +745,57 @@ def test_temporal_order_audit_planted_violation(spark):
         }
     assert out["F"].n_violations == 0 and out["F"].min_lag_days == 5
     assert out["O"].n_violations == 1 and out["O"].min_lag_days == -2
+
+
+# --- wave 10: rich club / revenue decomposition -----------------------------
+
+
+def test_rich_club_density_dominates_on_fixture(spark):
+    """Hub co-purchase density should not be below the whole-graph
+    density on the fixture, and both lattices are consistent."""
+    from large_csv_etl_spark.queries.text import QUERIES as TQ
+
+    r = TQ["graph_rich_club"](spark, SF_DIR).collect()[0]
+    assert r.m_club <= 100 * 99 // 2
+    assert r.club_density_fp >= r.graph_density_fp
+    assert r.club_density_fp == (2000000 * r.m_club) // (100 * 99)
+
+
+def test_revenue_decomposition_reconciles(spark):
+    """The four effects must sum exactly to the total revenue delta —
+    the defining accounting identity of the bridge."""
+    r = REL_QUERIES["agg_revenue_decomposition"](
+        spark, SF_DIR
+    ).collect()[0]
+    total = (
+        r.volume_effect_cents
+        + r.price_mix_effect_cents
+        + (r.new_parts_cents or 0)
+        + (r.discontinued_cents or 0)
+    )
+    assert total == r.delta_cents
+    assert r.n_carryover_parts > 0
+
+
+def test_revenue_decomposition_pure_volume_case(spark):
+    """One part, price held fixed, quantity doubled across the split:
+    the whole delta lands in the volume effect."""
+    orders = [
+        (1, 1, "F", 10.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 1, "F", 10.0, dt.datetime(2024, 12, 31), "1-URGENT"),
+    ]
+    li = [
+        (1, 7, 1, 1, 2.0, 20.0, 0.0, 0.0, "N", "O",
+         dt.datetime(2024, 1, 2)),
+        (2, 7, 1, 1, 4.0, 40.0, 0.0, 0.0, "N", "O",
+         dt.datetime(2024, 12, 30)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, orders, d)
+        _lineitem_dir(spark, li, d)
+        r = REL_QUERIES["agg_revenue_decomposition"](
+            spark, d
+        ).collect()[0]
+    assert r.delta_cents == 2000
+    assert r.volume_effect_cents == 2000
+    assert r.price_mix_effect_cents == 0
