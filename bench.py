@@ -297,6 +297,12 @@ HEADLINE = [
     "sample_greedy_coverage",
     "window_sma_crossover",
     "sim_triplet_mining",
+    "etl_fixed_width_parse",
+    "etl_trailer_file_parse",
+    "dq_temporal_order_audit",
+    "etl_orc_roundtrip_parity",
+    "graph_rich_club",
+    "agg_revenue_decomposition",
 ]
 
 
