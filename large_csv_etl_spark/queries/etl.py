@@ -1402,3 +1402,58 @@ def etl_orc_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+@_q(
+    "etl_hive_partition_pruning",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def etl_hive_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive-style partitioned layout, graded through the PRUNED path:
+    orders are written partitioned by o_orderstatus (the directory-
+    per-value layout every lake uses), read back with a filter on the
+    partition column, and aggregated — the oracle computes the same
+    digest from the unpartitioned fixture, so a hash match proves the
+    partition write/read/prune roundtrip is lossless INCLUDING the
+    partition column's value round-trip through directory names.
+    That the filter prunes at planning time (PartitionFilters, only
+    the status=F directory scanned) is pinned separately in
+    tests/test_round8_wave4.py — this entry grades the values, the
+    plan test grades the pruning. At 100 TB partition pruning is the
+    single biggest scan saver there is; this is the engine's proof the
+    layout path works end-to-end."""
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="hive_part_")
+    path = f"{d}/orders_by_status"
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+        path
+    )
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    out = (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

