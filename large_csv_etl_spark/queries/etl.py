@@ -1457,3 +1457,117 @@ def etl_hive_partition_pruning(
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+DIRTY_JSONL = str(
+    Path(__file__).resolve().parents[2]
+    / "tests" / "fixtures" / "dirty_records.jsonl"
+)
+
+
+@_q(
+    "etl_jsonl_dirty_parse",
+    """
+    WITH raw AS (
+      SELECT column0 AS line
+      FROM read_csv('{path}', delim=chr(7), header=false, quote='',
+                    all_varchar=true)
+    ), parsed AS (
+      -- DuckDB's extractor THROWS on malformed JSON (Spark's returns
+      -- NULL) — gate on json_valid so both engines classify, not abort
+      SELECT line,
+             CASE WHEN json_valid(line)
+                  THEN json_extract_string(line, '$.id') END AS id_s,
+             CASE WHEN json_valid(line)
+                  THEN json_extract_string(line, '$.amount') END
+               AS amount_s,
+             CASE WHEN json_valid(line)
+                  THEN json_extract_string(line, '$.status') END
+               AS status_s
+      FROM raw
+    ), classified AS (
+      SELECT CASE
+               WHEN id_s IS NULL THEN 'corrupt'
+               WHEN TRY_CAST(amount_s AS DOUBLE) IS NULL
+                 THEN 'type_error'
+               ELSE 'valid' END AS disposition,
+             TRY_CAST(id_s AS BIGINT) AS id,
+             TRY_CAST(amount_s AS DOUBLE) AS amount,
+             status_s
+      FROM parsed
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS n_lines,
+      CAST(COUNT(CASE WHEN disposition = 'valid' THEN 1 END) AS BIGINT)
+        AS n_valid,
+      CAST(COUNT(CASE WHEN disposition = 'corrupt' THEN 1 END) AS BIGINT)
+        AS n_corrupt,
+      CAST(COUNT(CASE WHEN disposition = 'type_error' THEN 1 END)
+           AS BIGINT) AS n_type_errors,
+      CAST(COUNT(CASE WHEN disposition = 'valid' AND status_s IS NULL
+                      THEN 1 END) AS BIGINT) AS n_missing_status,
+      CAST(SUM(CASE WHEN disposition = 'valid'
+                    THEN CAST(round(amount * 100) AS BIGINT) END)
+           AS BIGINT) AS valid_cents
+    FROM classified
+    """.format(path=DIRTY_JSONL),
+)
+def etl_jsonl_dirty_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty JSON-lines ingestion with per-line disposition — the JSON
+    sibling of the flagship dirty-CSV pipeline: a committed fixture
+    mixing valid objects, syntactically broken lines, a numeric field
+    carrying a string, and a missing optional field. Rather than
+    trusting two engines' reader-level PERMISSIVE/ignore_errors knobs
+    to agree (they don't: Spark nulls the field, DuckDB drops the
+    row), BOTH sides classify raw text lines with the same JSON-path
+    extraction + try_cast ladder — corrupt (unparseable), type_error
+    (JSON fine, amount non-numeric), valid — so the disposition
+    contract itself is what the oracle grades. Valid amounts reconcile
+    on the exact cents lattice. Line-splittable text input: the 100 TB
+    plan is one scan with row-local JSON work."""
+    lines = spark.read.text(DIRTY_JSONL)
+    parsed = lines.select(
+        F.get_json_object("value", "$.id").alias("id_s"),
+        F.get_json_object("value", "$.amount").alias("amount_s"),
+        F.get_json_object("value", "$.status").alias("status_s"),
+    )
+    amount = F.expr("try_cast(amount_s AS DOUBLE)")
+    disposition = (
+        F.when(F.col("id_s").isNull(), "corrupt")
+        .when(amount.isNull(), "type_error")
+        .otherwise("valid")
+    )
+    classified = parsed.select(
+        disposition.alias("disposition"),
+        amount.alias("amount"),
+        "status_s",
+    )
+    return classified.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.count(F.when(F.col("disposition") == "valid", 1))
+        .cast("bigint")
+        .alias("n_valid"),
+        F.count(F.when(F.col("disposition") == "corrupt", 1))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.count(F.when(F.col("disposition") == "type_error", 1))
+        .cast("bigint")
+        .alias("n_type_errors"),
+        F.count(
+            F.when(
+                (F.col("disposition") == "valid")
+                & F.col("status_s").isNull(),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_missing_status"),
+        F.sum(
+            F.when(
+                F.col("disposition") == "valid",
+                F.round(F.col("amount") * 100, 0).cast("bigint"),
+            )
+        )
+        .cast("bigint")
+        .alias("valid_cents"),
+    )

@@ -2634,3 +2634,82 @@ def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+@_q(
+    "sim_hubness_audit",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 200
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND(CAST(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6)
+               AS cos_sim
+      FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ), kocc AS (
+      SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS k_occurrence
+      FROM ranked WHERE rn <= 5 GROUP BY vec_id
+    )
+    SELECT vec_id, k_occurrence,
+           CAST((1000000 * k_occurrence) // (200 * 5) AS BIGINT)
+             AS share_fp
+    FROM kocc
+    ORDER BY k_occurrence DESC, vec_id LIMIT 10
+    """,
+)
+def sim_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space — the high-dimensional
+    pathology check retrieval teams run before trusting kNN: in hubby
+    spaces a few vectors appear in EVERYONE's top-k (their k-occurrence
+    far exceeds the uniform k*|Q|/|corpus| rate), which silently
+    degrades recall and poisons kNN label propagation. Over a bounded
+    200-query panel, count how often each corpus vector lands in a
+    top-5 (the established 6dp cosine / vec_id tie-break contract, so
+    both engines build the identical kNN lists) and report the ten
+    biggest hubs with their occupancy share on the 1e6 lattice. Work:
+    one broadcast score pass (|panel| x |corpus|), one per-query top-5
+    window, one hash agg on the neighbor id — the same bounded shapes
+    as the kNN label eval."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(
+                F.col("cos_sim").desc(), F.col("vec_id")
+            )
+        ),
+    ).filter(F.col("rn") <= 5)
+    kocc = ranked.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("k_occurrence")
+    )
+    return (
+        kocc.select(
+            "vec_id",
+            "k_occurrence",
+            F.expr(
+                "CAST((1000000 * k_occurrence) div (200 * 5) AS BIGINT)"
+            ).alias("share_fp"),
+        )
+        .orderBy(F.col("k_occurrence").desc(), "vec_id")
+        .limit(10)
+    )
