@@ -361,3 +361,95 @@ def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(shiftright(o_orderkey, 3) AS BIGINT)").alias("shr"),
         F.bit_count(k).cast("bigint").alias("popcount"),
     )
+
+
+@_q(
+    "scalar_checksum_functions",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS acct
+      FROM orders WHERE o_orderkey <= 2000
+    ), digits AS (
+      SELECT o_orderkey, acct,
+             list_transform(
+               generate_series(1, 10),
+               i -> CAST(substr(acct, CAST(i AS INTEGER), 1) AS BIGINT)
+             ) AS ds
+      FROM base
+    ), luhn AS (
+      SELECT o_orderkey, acct, ds,
+             -- Luhn: double every second digit from the RIGHT; in an
+             -- even-length (10-char) string those are the ODD 1-based
+             -- positions from the left; subtract 9 above 9
+             list_sum(list_transform(
+               generate_series(1, 10),
+               i -> CASE WHEN CAST(i AS INTEGER) % 2 = 0
+                         THEN ds[CAST(i AS INTEGER)]
+                         ELSE CASE WHEN 2 * ds[CAST(i AS INTEGER)] > 9
+                                   THEN 2 * ds[CAST(i AS INTEGER)] - 9
+                                   ELSE 2 * ds[CAST(i AS INTEGER)] END
+                    END)) AS luhn_sum
+      FROM digits
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_accounts,
+           CAST(COUNT(CASE WHEN luhn_sum % 10 = 0 THEN 1 END) AS BIGINT)
+             AS n_luhn_valid,
+           CAST(SUM((10 - (luhn_sum % 10)) % 10) AS BIGINT)
+             AS check_digit_sum,
+           CAST(SUM(CAST(acct AS BIGINT) % 97) AS BIGINT) AS mod97_sum
+    FROM luhn
+    """,
+)
+def scalar_checksum_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validation scalar pack — the Luhn (ISO/IEC 7812, every
+    card number) and mod-97 (ISO 7064, IBAN family) arithmetic as
+    portable declarative expressions, exercised over zero-padded
+    10-digit account strings derived from order keys: how many pass
+    Luhn as-is, the sum of the check digits Luhn WOULD append, and the
+    mod-97 residue sum. Both checksums are pure integer digit
+    arithmetic (position-indexed list transforms — no UDF, fully
+    codegen'd in Spark, list_transform in DuckDB), which is the point:
+    PII-adjacent validity screens belong JVM-side at 100 TB, not in a
+    Python loop. Bounded to 2,000 keys because the semantics are
+    per-value, not per-corpus."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias(
+                "acct"
+            ),
+        )
+    )
+    digits = base.select(
+        "o_orderkey",
+        "acct",
+        F.expr(
+            "transform(sequence(1, 10),"
+            " i -> CAST(substring(acct, i, 1) AS BIGINT))"
+        ).alias("ds"),
+    )
+    luhn = digits.select(
+        "acct",
+        F.expr(
+            "aggregate(sequence(1, 10), 0L, (acc, i) -> acc +"
+            " CASE WHEN i % 2 = 0 THEN ds[i - 1]"
+            "      ELSE CASE WHEN 2 * ds[i - 1] > 9"
+            "                THEN 2 * ds[i - 1] - 9"
+            "                ELSE 2 * ds[i - 1] END END)"
+        ).alias("luhn_sum"),
+    )
+    return luhn.agg(
+        F.count("*").cast("bigint").alias("n_accounts"),
+        F.count(F.when(F.col("luhn_sum") % 10 == 0, 1))
+        .cast("bigint")
+        .alias("n_luhn_valid"),
+        F.sum((10 - (F.col("luhn_sum") % 10)) % 10)
+        .cast("bigint")
+        .alias("check_digit_sum"),
+        F.sum(F.col("acct").cast("bigint") % 97)
+        .cast("bigint")
+        .alias("mod97_sum"),
+    )

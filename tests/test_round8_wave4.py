@@ -847,3 +847,53 @@ def test_hive_partition_pruning_in_plan(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+
+
+# --- wave 12-13: JSONL disposition / checksum pack --------------------------
+
+
+def test_jsonl_dirty_parse_dispositions(spark):
+    """The committed fixture: 8 lines = 5 valid + 2 corrupt + 1 type
+    error; one valid row misses the optional status; valid amounts sum
+    to 114975 cents."""
+    r = ETL_QUERIES["etl_jsonl_dirty_parse"](spark, SF_DIR).collect()[0]
+    assert (r.n_lines, r.n_valid, r.n_corrupt, r.n_type_errors) == (
+        8, 5, 2, 1,
+    )
+    assert r.n_missing_status == 1
+    assert r.valid_cents == 114975
+
+
+def test_luhn_matches_canonical_reference(spark):
+    """The engine's Luhn agrees with the canonical
+    double-from-the-right algorithm on every 10-digit account in the
+    graded range."""
+    from large_csv_etl_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    def canonical_valid(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = 2 * d
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    keys = [
+        r.o_orderkey
+        for r in load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey")
+        .collect()
+    ]
+    expected_valid = sum(
+        1 for k in keys if canonical_valid(f"{k:010d}")
+    )
+    from large_csv_etl_spark.queries.scalars import QUERIES as SC
+
+    r = SC["scalar_checksum_functions"](spark, SF_DIR).collect()[0]
+    assert r.n_accounts == len(keys)
+    assert r.n_luhn_valid == expected_valid
