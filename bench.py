@@ -303,6 +303,11 @@ HEADLINE = [
     "etl_orc_roundtrip_parity",
     "graph_rich_club",
     "agg_revenue_decomposition",
+    "events_cuped_adjustment",
+    "etl_hive_partition_pruning",
+    "etl_jsonl_dirty_parse",
+    "sim_hubness_audit",
+    "scalar_checksum_functions",
 ]
 
 
