@@ -1615,6 +1615,14 @@ def sample_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected = []
     out = None
     all_docs = tok.select("doc_id").distinct().localCheckpoint()
+    if all_docs.limit(1).count() == 0:
+        # empty corpus: zero rounds, schema-stable empty result
+        return docs.sparkSession.range(0).select(
+            F.lit(0).cast("int").alias("round"),
+            F.lit(0).cast("bigint").alias("doc_id"),
+            F.lit(0).cast("bigint").alias("gain"),
+            F.lit(0).cast("bigint").alias("covered_total"),
+        )
     for k in range(1, 4):
         cand = tok
         if covered is not None:

@@ -3776,9 +3776,10 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.n_nodes, d.n_edges, ec.m_club,
            CAST((2000000 * ec.m_club) // (100 * 99) AS BIGINT)
              AS club_density_fp,
-           CAST((2000000 * d.n_edges)
-                // (d.n_nodes * (d.n_nodes - 1)) AS BIGINT)
-             AS graph_density_fp
+           CASE WHEN d.n_nodes >= 2
+                THEN CAST((2000000 * d.n_edges)
+                          // (d.n_nodes * (d.n_nodes - 1)) AS BIGINT)
+           END AS graph_density_fp
     FROM e_club ec CROSS JOIN dens d
     """,
 )
@@ -3840,8 +3841,8 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((2000000 * m_club) div (100 * 99) AS BIGINT)"
             ).alias("club_density_fp"),
             F.expr(
-                "CAST((2000000 * n_edges)"
-                " div (n_nodes * (n_nodes - 1)) AS BIGINT)"
+                "CASE WHEN n_nodes >= 2 THEN CAST((2000000 * n_edges)"
+                " div (n_nodes * (n_nodes - 1)) AS BIGINT) END"
             ).alias("graph_density_fp"),
         )
     )
