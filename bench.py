@@ -356,6 +356,12 @@ def _write_full_dict(total: float, timings: dict[str, float], sf: object) -> Non
     try:
         repo = os.path.dirname(os.path.abspath(__file__))
         out = os.environ.get("SPARK_GRAFT_BENCH_FULL")
+        if not out and str(sf) != "0.1":
+            # the round artifact is the sf0.1 cross-round comparison
+            # basis; a quick smoke at another SF must never clobber it
+            # (a round-8 sf0.01 smoke did exactly that — every timing
+            # looked like a 3-4x "regression" against the real run)
+            return
         if not out:
             rounds = [0]
             for f in os.listdir(repo):
