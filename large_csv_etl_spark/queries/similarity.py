@@ -2460,16 +2460,21 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 20).select(
+    emb_n = emb.select(
+        "vec_id", "embedding", "label", _norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint()
+    q = emb_n.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("q_label"),
+        F.col("nrm").alias("qnrm"),
     )
+    # norms precomputed once; same IEEE fold value, scores hash-match
     cos = _dot(F.col("embedding"), F.col("qv")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qv"))
+        F.col("nrm") * F.col("qnrm")
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        emb_n.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -2575,16 +2580,21 @@ def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
+    emb_n = emb.select(
+        "vec_id", "embedding", "label", _norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint()
+    q = emb_n.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("a_label"),
+        F.col("nrm").alias("qnrm"),
     )
+    # norms precomputed once; same IEEE fold value, scores hash-match
     cos = _dot(F.col("embedding"), F.col("qv")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qv"))
+        F.col("nrm") * F.col("qnrm")
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        emb_n.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("anchor_id"))
         .select(
             "anchor_id",
