@@ -308,6 +308,7 @@ HEADLINE = [
     "etl_jsonl_dirty_parse",
     "sim_hubness_audit",
     "scalar_checksum_functions",
+    "agg_proportion_ztest",
 ]
 
 

@@ -3503,3 +3503,80 @@ def agg_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "discontinued_cents",
         "n_carryover_parts",
     )
+
+
+@_q(
+    "agg_proportion_ztest",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), m AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS k
+      FROM v GROUP BY grp
+    ), w AS (
+      SELECT (SELECT n FROM m WHERE grp = '1-URGENT') AS n1,
+             (SELECT k FROM m WHERE grp = '1-URGENT') AS k1,
+             (SELECT n FROM m WHERE grp = '5-LOW') AS n2,
+             (SELECT k FROM m WHERE grp = '5-LOW') AS k2
+    )
+    SELECT n1, k1, n2, k2,
+           CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2
+             AS rate_diff,
+           (CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+             / SQRT((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)) AS z_stat
+    FROM w
+    """,
+)
+def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled) — the conversion-rate comparison
+    that closes the inference family (chi-square for full tables,
+    Mann-Whitney/KS for distributions, Welch for means, CUPED for
+    variance reduction, this for binomial rates): the F-status rate of
+    urgent vs low-priority orders. Four exact BIGINT counts feed one
+    fixed IEEE expression chain — divisions and one correctly-rounded
+    SQRT, no libm. Equivalent to the 2x2 chi-square (z^2 = chi2) but
+    SIGNED, which is what a launch/holdback readout needs. One
+    map-side-combinable aggregation at any scale."""
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+    )
+    m = v.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    a = m.filter(F.col("grp") == "1-URGENT").select(
+        F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    b = m.filter(F.col("grp") == "5-LOW").select(
+        F.col("n").alias("n2"), F.col("k").alias("k2")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    pp = (F.col("k1") + F.col("k2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    return w.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        (p1 - p2).alias("rate_diff"),
+        (
+            (p1 - p2)
+            / F.sqrt(
+                pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+            )
+        ).alias("z_stat"),
+    )
