@@ -309,6 +309,7 @@ HEADLINE = [
     "sim_hubness_audit",
     "scalar_checksum_functions",
     "agg_proportion_ztest",
+    "events_attribution_window_sensitivity",
 ]
 
 

@@ -3537,3 +3537,94 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (vary_n / (n * n.cast("double") - n) / n).alias("var_post"),
         ((cov_n * cov_n) / (varx_n * vary_n)).alias("var_reduction"),
     )
+
+
+@_q(
+    "events_attribution_window_sensitivity",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+      FROM ev WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id AS c_user, ts AS c_ts
+      FROM ev WHERE event_type = 'click'
+    ), windows AS (
+      SELECT w.minutes FROM (VALUES (15), (30), (60)) w(minutes)
+    ), attributed AS (
+      SELECT w.minutes, p.purchase_id,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM c
+               WHERE c.c_user = p.p_user
+                 AND c.c_ts < p.p_ts
+                 AND c.c_ts >= p.p_ts - TO_MINUTES(CAST(w.minutes AS BIGINT))
+             ) THEN 1 ELSE 0 END AS has_click
+      FROM p CROSS JOIN windows w
+    )
+    SELECT minutes,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(has_click) AS BIGINT) AS n_attributed,
+           CAST((1000000 * SUM(has_click)) // COUNT(*) AS BIGINT)
+             AS attributed_ppm
+    FROM attributed GROUP BY minutes ORDER BY minutes
+    """,
+)
+def events_attribution_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribution-window sensitivity sweep — the analysis that settles
+    'is the click-to-purchase window 15, 30, or 60 minutes?' debates
+    with data instead of convention: the fraction of purchases with at
+    least one prior click inside each candidate window, on the exact
+    ppm lattice. A curve that keeps climbing at 60 minutes means the
+    window is truncating real credit; a flat curve means the short
+    window suffices and the stream-stream join state (whose size is
+    proportional to the window) can shrink. Work: purchases join
+    clicks per user ONCE with the widest window, then each purchase's
+    earliest-qualifying lag classifies it into every candidate window
+    — one interval join, not one per window (the EXISTS in the oracle
+    is the semantic spec; the engine computes min-lag and compares)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES")),
+        "left",
+    )
+    # min lag per purchase in exact integer MICROSECONDS (the family's
+    # lattice discipline — no float near the window boundary); NULL
+    # when no click within the widest window
+    lag_us = F.unix_micros(F.col("p_ts").cast("timestamp")) - F.unix_micros(
+        F.col("c_ts").cast("timestamp")
+    )
+    per_purchase = joined.groupBy("purchase_id").agg(
+        F.min(lag_us).alias("min_lag_us")
+    )
+    out = None
+    for minutes in (15, 30, 60):
+        has = F.when(
+            F.col("min_lag_us").isNotNull()
+            & (F.col("min_lag_us") <= minutes * 60 * 1000000), 1
+        ).otherwise(0)
+        row = per_purchase.agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum(has).cast("bigint").alias("n_attributed"),
+        ).select(
+            F.lit(minutes).cast("int").alias("minutes"),
+            "n_purchases",
+            "n_attributed",
+            F.expr(
+                "CAST((1000000 * n_attributed) div n_purchases AS BIGINT)"
+            ).alias("attributed_ppm"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("minutes")
