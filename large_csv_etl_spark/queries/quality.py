@@ -1231,3 +1231,83 @@ def dq_temporal_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@_q(
+    "dq_rare_level_audit",
+    """
+    WITH cols AS (
+      SELECT 'o_orderstatus' AS col_name, o_orderstatus AS level
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'l_returnflag', l_returnflag FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', l_linestatus FROM lineitem
+    ), counts AS (
+      SELECT col_name, level, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cols GROUP BY col_name, level
+    ), tot AS (
+      SELECT col_name, CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_levels
+      FROM counts GROUP BY col_name
+    )
+    SELECT c.col_name, t.n_levels,
+           CAST(COUNT(CASE WHEN 100 * c.n < t.n_total THEN 1 END)
+                AS BIGINT) AS n_rare_levels,
+           CAST(SUM(CASE WHEN 100 * c.n < t.n_total THEN c.n ELSE 0 END)
+                AS BIGINT) AS n_rows_in_rare,
+           CAST(MIN(c.n) AS BIGINT) AS min_level_count
+    FROM counts c JOIN tot t ON t.col_name = c.col_name
+    GROUP BY c.col_name, t.n_levels
+    ORDER BY c.col_name
+    """,
+)
+def dq_rare_level_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-categorical-level audit — the feature-hygiene pass run
+    before one-hot/target encoding: per categorical column, how many
+    levels fall under 1% support (the merge-to-OTHER candidates whose
+    encodings would otherwise be noise) and how many rows they carry.
+    The 1% threshold is the integer cross-multiplication 100*n <
+    n_total, no division. Each column contributes one
+    map-side-combinable (column, level) count; the per-column rollup
+    is |levels|-bounded. TPC-H's enums are all common at these scale
+    factors — the audit proving ZERO rare levels is exactly the
+    evidence that unblocks plain one-hot downstream (and the planted
+    pytest exercises the rare branch)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = (
+        o.select(
+            F.lit("o_orderstatus").alias("col_name"),
+            F.col("o_orderstatus").alias("level"),
+        )
+        .unionAll(
+            o.select(
+                F.lit("o_orderpriority"), F.col("o_orderpriority")
+            )
+        )
+        .unionAll(li.select(F.lit("l_returnflag"), F.col("l_returnflag")))
+        .unionAll(li.select(F.lit("l_linestatus"), F.col("l_linestatus")))
+    )
+    counts = cols.groupBy("col_name", "level").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = counts.groupBy("col_name").agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_levels"),
+    )
+    rare = 100 * F.col("n") < F.col("n_total")
+    return (
+        counts.join(F.broadcast(tot), "col_name")
+        .groupBy("col_name", "n_levels")
+        .agg(
+            F.count(F.when(rare, 1)).cast("bigint").alias("n_rare_levels"),
+            F.sum(F.when(rare, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_in_rare"),
+            F.min("n").cast("bigint").alias("min_level_count"),
+        )
+        .orderBy("col_name")
+    )

@@ -3580,3 +3580,80 @@ def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_stat"),
     )
+
+
+@_q(
+    "agg_odds_ratio_2x2",
+    """
+    WITH v AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS exposed,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS outcome
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), cells AS (
+      SELECT CAST(SUM(exposed * outcome) AS BIGINT) AS a,
+             CAST(SUM(exposed * (1 - outcome)) AS BIGINT) AS b,
+             CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS c,
+             CAST(SUM((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+      FROM v
+    )
+    SELECT a, b, c, d,
+           (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)
+             AS odds_ratio,
+           ((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5))
+             / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5))
+             AS odds_ratio_haldane
+    FROM cells
+    """,
+)
+def agg_odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 odds ratio with the Haldane-Anscombe +0.5 correction — the
+    case-control effect measure that complements the two-proportion
+    z-test (the z answers 'is there a difference', the OR answers 'how
+    strong is the association' and stays estimable when a margin is
+    rare): urgent-priority exposure against F-status outcome. The four
+    cells are one exact-integer aggregation; both ratios are fixed IEEE
+    expression chains (two multiplies, one division — identical in
+    both engines), and the Haldane variant never zero-divides, so the
+    operator is total even on degenerate strata. The log-OR confidence
+    interval needs ln — deliberately out of scope like every libm
+    lookup in this family."""
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("exposed"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("outcome"),
+        )
+    )
+    cells = v.agg(
+        F.sum(F.col("exposed") * F.col("outcome"))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome")))
+        .cast("bigint")
+        .alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        ((a * F.col("d")) / (b * F.col("c"))).alias("odds_ratio"),
+        (
+            ((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))
+        ).alias("odds_ratio_haldane"),
+    )

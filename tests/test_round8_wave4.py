@@ -897,3 +897,52 @@ def test_luhn_matches_canonical_reference(spark):
     r = SC["scalar_checksum_functions"](spark, SF_DIR).collect()[0]
     assert r.n_accounts == len(keys)
     assert r.n_luhn_valid == expected_valid
+
+
+# --- wave 17: odds ratio / rare levels ---------------------------------------
+
+
+def test_odds_ratio_known_2x2(spark):
+    """Planted 2x2: a=2, b=1, c=1, d=2 -> OR = 4; Haldane = (2.5*2.5)/
+    (1.5*1.5)."""
+    rows = [
+        _order(1, "F", 1.0), _order(2, "F", 1.0),   # urgent, outcome
+        _order(3, "O", 1.0),                          # urgent, no outcome
+    ]
+    # make rows 4-6 low priority
+    low = [
+        (4, 4, "F", 1.0, dt.datetime(2024, 1, 1), "5-LOW"),
+        (5, 5, "O", 1.0, dt.datetime(2024, 1, 1), "5-LOW"),
+        (6, 6, "O", 1.0, dt.datetime(2024, 1, 1), "5-LOW"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows + low, d)
+        r = REL_QUERIES["agg_odds_ratio_2x2"](spark, d).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (2, 1, 1, 2)
+    assert r.odds_ratio == 4.0
+    assert r.odds_ratio_haldane == (2.5 * 2.5) / (1.5 * 1.5)
+
+
+def test_rare_level_audit_flags_sub_percent_level(spark):
+    """One level with a single row among 200 (<1%) must be flagged with
+    its row mass."""
+    rows = [_order(i, "F", 1.0) for i in range(199)]
+    rows.append((999, 999, "X", 1.0, dt.datetime(2024, 1, 1), "1-URGENT"))
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        # lineitem needed by the union'd columns
+        _lineitem_dir(spark, [_li(1, 1)], d)
+        from large_csv_etl_spark.queries.quality import (
+            QUERIES as DQ_QUERIES,
+        )
+
+        out = {
+            r.col_name: r
+            for r in DQ_QUERIES["dq_rare_level_audit"](
+                spark, d
+            ).collect()
+        }
+    st = out["o_orderstatus"]
+    assert st.n_levels == 2
+    assert st.n_rare_levels == 1 and st.n_rows_in_rare == 1
+    assert st.min_level_count == 1
