@@ -310,6 +310,8 @@ HEADLINE = [
     "scalar_checksum_functions",
     "agg_proportion_ztest",
     "events_attribution_window_sensitivity",
+    "agg_odds_ratio_2x2",
+    "dq_rare_level_audit",
 ]
 
 
