@@ -312,6 +312,7 @@ HEADLINE = [
     "events_attribution_window_sensitivity",
     "agg_odds_ratio_2x2",
     "dq_rare_level_audit",
+    "events_repeat_purchase_latency",
 ]
 
 

@@ -3628,3 +3628,99 @@ def events_attribution_window_sensitivity(
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("minutes")
+
+
+@_q(
+    "events_repeat_purchase_latency",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts)
+               AS rn
+      FROM ev
+    ), lat AS (
+      SELECT a.user_id,
+             epoch_us(b.ts) - epoch_us(a.ts) AS lat_us
+      FROM ranked a JOIN ranked b
+        ON b.user_id = a.user_id AND a.rn = 1 AND b.rn = 2
+    ), buyers AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers
+      FROM ev
+    )
+    SELECT b.n_buyers,
+           CAST(COUNT(*) AS BIGINT) AS n_repeat_buyers,
+           CAST((1000000 * COUNT(*)) // b.n_buyers AS BIGINT)
+             AS repeat_rate_ppm,
+           CAST(MIN(lat_us) AS BIGINT) AS min_latency_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_latency_us,
+           CAST(SUM(lat_us) AS BIGINT) AS total_latency_us
+    FROM lat CROSS JOIN buyers b
+    GROUP BY b.n_buyers
+    """,
+)
+def events_repeat_purchase_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-to-second-purchase latency — the repeat-purchase health
+    metric next to the click-to-purchase conversion lag: of all buyers,
+    how many came back (repeat rate on the ppm lattice by integer
+    cross-multiplication) and how quickly (exact integer-microsecond
+    latency extremes and total; the mean is total/n for the caller —
+    one division deliberately left out of the hashed surface). The
+    first/second purchases come from one per-user window over the
+    purchase subset (tiny after the event-type filter), joined rn=1 to
+    rn=2 — at 100 TB both the window and the self-join run on the
+    purchase projection, never the raw stream."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    ranked = ev.select(
+        "user_id",
+        "us",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("us"))
+        .alias("rn"),
+    )
+    first = ranked.filter(F.col("rn") == 1).select(
+        "user_id", F.col("us").alias("us1")
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        "user_id", F.col("us").alias("us2")
+    )
+    lat = first.join(second, "user_id").select(
+        (F.col("us2") - F.col("us1")).alias("lat_us")
+    )
+    buyers = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_buyers")
+    )
+    return (
+        lat.crossJoin(F.broadcast(buyers))
+        .groupBy("n_buyers")
+        .agg(
+            F.count("*").cast("bigint").alias("n_repeat_buyers"),
+            F.expr(
+                "CAST((1000000 * COUNT(*)) div n_buyers AS BIGINT)"
+            ).alias("repeat_rate_ppm"),
+            F.min("lat_us").cast("bigint").alias("min_latency_us"),
+            F.max("lat_us").cast("bigint").alias("max_latency_us"),
+            F.sum("lat_us").cast("bigint").alias("total_latency_us"),
+        )
+        .select(
+            "n_buyers",
+            "n_repeat_buyers",
+            "repeat_rate_ppm",
+            "min_latency_us",
+            "max_latency_us",
+            "total_latency_us",
+        )
+    )
