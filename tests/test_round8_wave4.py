@@ -946,3 +946,23 @@ def test_rare_level_audit_flags_sub_percent_level(spark):
     assert st.n_levels == 2
     assert st.n_rare_levels == 1 and st.n_rows_in_rare == 1
     assert st.min_level_count == 1
+
+
+def test_repeat_purchase_latency_planted(spark):
+    """Two buyers, one repeats after exactly 90 minutes: repeat rate
+    500000 ppm and the latency extremes equal the planted gap."""
+    t = lambda m: dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+    rows = [
+        (1, t(0), 1, "purchase", 5.0, "{}"),
+        (2, t(90), 1, "purchase", 5.0, "{}"),
+        (3, t(10), 2, "purchase", 5.0, "{}"),
+        (4, t(20), 2, "click", 5.0, "{}"),  # not a purchase
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        r = EVENT_QUERIES["events_repeat_purchase_latency"](
+            spark, d
+        ).collect()[0]
+    assert (r.n_buyers, r.n_repeat_buyers) == (2, 1)
+    assert r.repeat_rate_ppm == 500000
+    assert r.min_latency_us == r.max_latency_us == 90 * 60 * 1000000
