@@ -71,71 +71,84 @@ _MODULES = [
 # tools/drive_driver.py + CORRECTNESS_r*.json rather than trusting any
 # hardcoded count here.
 GRADED_PRIORITY = [
-    # ---- round-8 window: 48 of the 54 round-7 additions have never had
-    # a driver verdict and get one now (grading them pushes cumulative
-    # driver coverage toward 262/264 oracled entries). The never-graded
-    # pool (52, per tools/gen_window.py against CORRECTNESS_r1..r7) holds
-    # 52 entries; four are deferred to round 9 (events_transition_latency
-    # and events_type_daily_correlation from the 13-rep events block,
-    # plus gen_window's own deferrals embedding_label_homophily and
-    # sim_retrieval_eval from the 5-rep similarity block) to free slots
-    # for the two families the pool leaves unrepresented — approx and
-    # multimodal — which take their stalest-verdict reps instead
-    # (agg_iqr_outliers r4, multimodal_frame_index r3) per
-    # test_registry's one-rep-per-family contract.
-    # -- never driver-graded (48) --
-    "etl_cdc_apply",
-    "etl_changeset_derive",
-    "etl_csv_dialect_parity",
-    "etl_schema_evolution_read",
-    "etl_reject_reasons",
-    "dq_benford_first_digit",
-    "dq_k_anonymity_audit",
-    "dq_warehouse_sanity_sweep",
-    "dq_functional_dependency_audit",
-    "temporal_business_hours_overlap",
-    "temporal_ship_lag_sla",
-    "agg_gini_concentration",
-    "agg_share_of_parent",
-    "join_not_in_null_semantics",
-    "basket_association_rules",
-    "agg_robust_location_panel",
-    "agg_largest_remainder_percent",
-    "window_max_drawdown",
-    "setop_intersect_all_partkeys",
-    "scalar_bitwise_functions",
-    "events_debounce_bursts",
-    "events_interarrival_histogram",
-    "events_seasonal_naive_error",
-    "events_markov_stationary",
-    "events_user_feature_export",
-    "events_rolling_wau",
-    "events_hysteresis_alerts",
-    "events_trending_decay",
-    "events_user_behavior_divergence",
-    "events_out_of_order_audit",
-    "events_linear_attribution",
-    "sample_neyman_allocation",
-    "sample_poisson_bootstrap",
-    "sample_curriculum_order",
-    "sample_ipw_estimate",
-    "streaming_segment_counts",
-    "text_vocab_growth",
-    "graph_triangle_count",
-    "text_lang_confusion",
-    "text_normalization_impact",
-    "dedup_bloom_prefilter_calibration",
-    "dedup_survivor_policy_compare",
-    "dedup_cluster_size_histogram",
-    "dedup_lsh_band_sweep",
-    "dedup_normalization_gain",
-    "sim_ann_recall_audit",
-    "embedding_pq_audit",
-    "embedding_pair_distance_histogram",
-    # -- family reps for the two families absent from the never-graded
-    # pool (pinned by test_registry; stalest verdicts: r4 / r3) --
-    "agg_iqr_outliers",
-    "multimodal_frame_index",
+    # ---- round-9 window (VERDICT r8 asks #1 and #3): the never-graded
+    # backlog is 100 entries — two full windows — so this rotation is
+    # 49 never-graded + the flagship. Ordering policy, per the verdict:
+    # (a) the four TWICE-deferred round-7 entries lead; (b) the flagship
+    # `etl_transform_parity` is re-graded (its every-round re-grade was
+    # skipped in r8 for the first time, and it is the only insurance if
+    # the driver regenerates testdata before grading this window);
+    # (c) whole families with ZERO external coverage come in as blocks
+    # (graph metrics, nonparametric stats, portable sketches, file
+    # formats, VAD) so the driver verdicts entire techniques at once;
+    # (d) remaining slots clear the quality/temporal/setops/scalars/
+    # streamq/dedup backlogs outright and take the graded-iterative
+    # sampling/similarity entries. The 51 never-graded that don't fit
+    # sort immediately after the window (oracled-first), first in line
+    # for round 10. No new operators were added this round (verdict ask
+    # #2: breadth moratorium until the backlog fits in one window).
+    # -- twice-deferred round-7 additions (4) --
+    "embedding_label_homophily",
+    "events_transition_latency",
+    "events_type_daily_correlation",
+    "sim_retrieval_eval",
+    # -- flagship re-grade (reference-parity transform core) --
+    "etl_transform_parity",
+    # -- graph-metrics block: whole family, zero external coverage (8) --
+    "graph_kcore_peel",
+    "graph_bfs_khop",
+    "graph_hits_bipartite",
+    "graph_modularity_brand",
+    "graph_local_clustering",
+    "graph_degree_assortativity",
+    "graph_rich_club",
+    "graph_common_neighbors",
+    # -- nonparametric/inference stats block (6) --
+    "agg_mann_whitney_u",
+    "agg_ks_two_sample",
+    "agg_spearman_rho",
+    "agg_welch_ttest",
+    "agg_proportion_ztest",
+    "agg_odds_ratio_2x2",
+    # -- portable-sketch block (4) --
+    "approx_hll_portable_dau",
+    "approx_countmin_portable",
+    "approx_kmv_distinct",
+    "approx_kmv_intersection",
+    # -- file-format/source block (5) --
+    "etl_fixed_width_parse",
+    "etl_trailer_file_parse",
+    "etl_jsonl_dirty_parse",
+    "etl_orc_roundtrip_parity",
+    "etl_hive_partition_pruning",
+    # -- multimodal never-graded (2) --
+    "multimodal_vad_segments",
+    "multimodal_audio_fingerprint",
+    # -- clears the quality backlog (5) --
+    "dq_gini_impurity_profile",
+    "dq_freshness_lag_audit",
+    "dq_referential_cascade_audit",
+    "dq_temporal_order_audit",
+    "dq_rare_level_audit",
+    # -- clears the temporal backlog (3) --
+    "temporal_interval_overlap_join",
+    "temporal_point_in_time_join",
+    "temporal_allen_relations",
+    # -- clears setops / scalars / streamq / dedup backlogs (5) --
+    "setop_except_all_partkeys",
+    "scalar_checksum_functions",
+    "streaming_topk_per_window",
+    "streaming_upsert_latest_event",
+    "dedup_winnowing_overlap",
+    # -- graded-iterative roster entries (#11 #12) + two-stage sims (4) --
+    "sample_kcenter_coreset",
+    "sample_greedy_coverage",
+    "sim_rerank_two_stage",
+    "sim_mmr_diversified_topk",
+    # -- windows-family never-graded reps + full MERGE semantics (3) --
+    "window_pareto_frontier",
+    "window_decayed_average",
+    "etl_merge_full_semantics",
 ]
 
 

@@ -34,6 +34,41 @@ def test_every_family_represented_in_window():
     assert not unrepresented, unrepresented
 
 
+def test_flagship_is_regraded_every_round():
+    """tools/gen_window.py policy: the flagship reference-parity entry
+    is re-graded EVERY round (round 8 skipped it for the first time —
+    flagged in VERDICT r8 — and it was harmless only because the driver
+    happened not to regenerate testdata that round). Pin it so a window
+    rotation can't silently drop the one entry that proves the §2a core
+    against a fresh fixture generation."""
+    assert "etl_transform_parity" in GRADED_PRIORITY
+
+
+def test_window_is_mostly_never_graded():
+    """The window exists to burn down the never-driver-graded backlog:
+    while that backlog exceeds the window size, re-grades beyond the
+    flagship waste slots (VERDICT r8 ask #1). Assert the window spends
+    at least 40 of its 50 slots on entries with no CORRECTNESS_r*.json
+    verdict whenever the backlog is that deep; the constraint
+    self-relaxes once the backlog is smaller than 40."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        graded.update(json.load(open(f)))
+    oracles = all_oracles()
+    backlog = [n for n in all_queries() if n in oracles and n not in graded]
+    never_in_window = [n for n in GRADED_PRIORITY if n not in graded]
+    expected = min(40, len(backlog))
+    assert len(never_in_window) >= expected, (
+        f"window spends only {len(never_in_window)} slots on the "
+        f"{len(backlog)}-entry never-graded backlog"
+    )
+
+
 def test_oracled_entries_precede_rows_only():
     q = list(all_queries())
     oracles = all_oracles()
