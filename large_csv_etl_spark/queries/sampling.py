@@ -1368,7 +1368,7 @@ def sample_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcenter_oracle_sql() -> str:
-    """Unrolled greedy farthest-point (k-center) rounds — the eleventh
+    """Unrolled greedy farthest-point (k-center) rounds — the tenth
     iterative algorithm under the oracle; MATERIALIZED CTEs per the
     fixed-point contract in docs/ITERATIVE_PARITY.md."""
     head = """
@@ -1434,7 +1434,7 @@ def _kcenter_oracle_sql() -> str:
 @_q("sample_kcenter_coreset", _kcenter_oracle_sql())
 def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy farthest-point (k-center) coreset selection, graded — the
-    eleventh iterative algorithm under the oracle and the diverse-subset
+    tenth iterative algorithm under the oracle and the diverse-subset
     primitive curation pipelines use to seed labeling batches, pick
     distillation exemplars, or build an evaluation core set: start from
     the smallest vec_id, then 3 greedy rounds each adding the vector
@@ -1515,7 +1515,7 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _coverage_oracle_sql() -> str:
-    """Unrolled greedy max-coverage rounds (twelfth iterative algorithm
+    """Unrolled greedy max-coverage rounds (eleventh iterative algorithm
     under the oracle); MATERIALIZED per docs/ITERATIVE_PARITY.md. The
     coverage universe is BIGRAMS — the fixture's unigram vocabulary is
     ~31 tokens and a single doc covers it, which degenerates the greedy
@@ -1578,7 +1578,7 @@ def _coverage_oracle_sql() -> str:
 
 @_q("sample_greedy_coverage", _coverage_oracle_sql())
 def sample_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy maximum-coverage document selection, graded — the twelfth
+    """Greedy maximum-coverage document selection, graded — the eleventh
     iterative algorithm under the oracle and the submodular-selection
     primitive behind "pick the K docs that cover the most vocabulary"
     (labeling-batch seeding, prompt-library curation, test-suite

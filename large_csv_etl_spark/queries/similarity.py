@@ -2160,7 +2160,7 @@ def _mmr_oracle() -> str:
 @_q("sim_mmr_diversified_topk", _mmr_oracle())
 def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance (MMR) diversified retrieval — the
-    eighth fixed-point-unrolled iterative algorithm under the oracle:
+    seventh fixed-point-unrolled iterative algorithm under the oracle:
     from the exact cosine top-20 for the query vector, greedily select 5
     results maximizing ``lambda * relevance - (1 - lambda) * max
     similarity to the already-selected`` (lambda = 0.7) — the standard

@@ -2522,7 +2522,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-core decomposition on the part co-purchase graph,
-    three peel rounds unrolled — the seventh fixed-point-unrolled
+    three peel rounds unrolled — the sixth fixed-point-unrolled
     iterative algorithm under the oracle (docs/ITERATIVE_PARITY.md):
     each round recomputes degrees on the surviving subgraph, drops
     vertices below k, and removes their incident edges; the graded
@@ -2699,7 +2699,7 @@ def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs-and-authorities on the customer-part purchase graph —
-    the ninth fixed-point-unrolled iterative algorithm under the oracle:
+    the eighth fixed-point-unrolled iterative algorithm under the oracle:
     three unrolled mutual-reinforcement rounds (a = A^T h, h = A a) in
     EXACT unnormalized BIGINT arithmetic — hub scores start at 1, so
     authority round 1 is part degree, and each subsequent round is an
@@ -3551,7 +3551,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-hop breadth-first reach from the highest-degree part in the
-    co-purchase graph (tenth graded iterative algorithm — BFS frontier
+    co-purchase graph (ninth graded iterative algorithm — BFS frontier
     expansion, the building block of shortest-path and influence-radius
     queries). Deterministic seed: max degree, node id breaking ties.
     Each unrolled round is one join of the frontier against the
