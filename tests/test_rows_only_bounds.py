@@ -11,8 +11,12 @@ Twin map covered here:
                          determinism
   dedup_simhash       -> dedup_simhash_portable (same doc set, same
                          fingerprint width, determinism)
-  frequent_tokens_approx -> text_top_terms exact counts at SF_DIR_MID
-                         (the bench-adjacent SF, not just sf-tiny)
+  frequent_tokens_approx -> planted-corpus exact counts (bound
+                         genuinely exercised) PLUS the sf0.1 fixture
+                         (VERDICT r6 ask #9 / r8 ask #7): superset
+                         guarantee vs exact >5% tokens and the
+                         Misra-Gries state bound (<= 1/support
+                         candidates) at bench scale
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ from pyspark.sql import functions as F
 from large_csv_etl_spark.queries.dedup import QUERIES as DEDUP_QUERIES
 from large_csv_etl_spark.queries.similarity import QUERIES as SIM_QUERIES
 
-from .conftest import SF_DIR, SF_DIR_MID
+from .conftest import SF_DIR
 
 
 def test_sim_lsh_topk_recovers_planted_neighbors(spark):
@@ -136,3 +140,43 @@ def test_frequent_tokens_superset_vs_top_terms_planted(spark):
     must_report = {r.token for r in top if r.freq > 0.05 * total}
     assert {"alpha", "beta"} <= must_report  # bound genuinely exercised
     assert must_report <= got, f"freqItems missed: {must_report - got}"
+
+
+def test_frequent_tokens_bounds_at_sf01(spark):
+    """The published freqItems guarantees asserted at the bench-scale
+    sf0.1 fixture (VERDICT r6 ask #9, completed per r8 ask #7), against
+    the exact twin semantics of text_top_terms: (a) SUPERSET — every
+    token whose exact frequency exceeds the 5% support is reported (the
+    real corpus has no such token at sf0.1, so this documents that the
+    bound is vacuously tight there — the planted-corpus test above is
+    the non-vacuous exercise); (b) the Misra-Gries state bound — the
+    candidate set can never exceed ceil(1/support) entries, which is
+    exactly why this sketch scales to 100 TB where the exact twin pays
+    a full |vocab| shuffle; (c) determinism across runs on the same
+    static fixture."""
+    from large_csv_etl_spark.io import load_table
+    from large_csv_etl_spark.queries.approx import frequent_tokens_approx
+
+    sfd = "/root/testdata/sf0.1"
+    got = {r.token for r in frequent_tokens_approx(spark, sfd).collect()}
+    # (b) state bound: at most 1/support candidates, ever
+    assert len(got) <= 20, f"freqItems returned {len(got)} > 1/support"
+    # (a) superset vs exact counts (text_top_terms tokenization)
+    docs = load_table(spark, sfd, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    total = tokens.count()
+    exact_frequent = {
+        r.token
+        for r in tokens.groupBy("token")
+        .count()
+        .filter(F.col("count") > 0.05 * total)
+        .collect()
+    }
+    assert exact_frequent <= got, f"missed: {exact_frequent - got}"
+    # (c) determinism on the static fixture
+    again = {r.token for r in frequent_tokens_approx(spark, sfd).collect()}
+    assert got == again
