@@ -4,14 +4,15 @@
 The external driver verdicts only the first 50 registry entries, so each
 round the window is rebuilt to maximize cumulative driver coverage:
 
-1. every oracled entry that has NEVER received a driver verdict, newest
+1. the flagship `etl_transform_parity` (reference-parity core — re-graded
+   EVERY round, reserved ahead of everything else: when the driver
+   regenerates fixtures, the flagship verdict is the only proof the §2a
+   core survived the regen; round 8 let a deep never-graded backlog push
+   it out of the window and VERDICT r8 flagged the deviation);
+2. every oracled entry that has NEVER received a driver verdict, newest
    families first (they are the round's additions);
-2. the flagship `etl_transform_parity` (reference-parity core — re-graded
-   every round);
 3. remaining slots as regression re-grades, ordered by staleness (the
-   round in which the entry last received a verdict, oldest first) —
-   because the driver regenerates the test fixtures each round, a
-   re-grade is the only proof an old operator survived the regen;
+   round in which the entry last received a verdict, oldest first);
 4. at least one representative per query-family module (forced in by
    evicting the least-stale re-grade if needed).
 
@@ -54,7 +55,7 @@ def main() -> int:
     )
 
     window: list[str] = []
-    for n in never + flagship + stale:
+    for n in flagship + never + stale:
         if n not in window:
             window.append(n)
         if len(window) == 50:
@@ -88,8 +89,10 @@ def main() -> int:
                 window.append(candidate)
                 break
 
-    print(f"# proposed window: {len(never)} never-graded, "
-          f"{50 - len(never)} re-grades (stalest first)")
+    n_never = sum(1 for n in window if n in never)
+    print(f"# proposed window: {n_never} never-graded in window "
+          f"({len(never)} in backlog), {len(window) - n_never} re-grades "
+          f"(flagship first, then stalest)")
     print("GRADED_PRIORITY = [")
     for n in window:
         tag = "never graded" if n in never else f"last r{last_graded[n]}"
