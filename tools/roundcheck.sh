@@ -9,6 +9,13 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 LOG="${1:-/tmp/roundcheck_$(date +%H%M%S)}"
 mkdir -p "$LOG"
 
+# Stage 0: content-hash the driver fixtures. A regen invalidates every
+# prior CORRECTNESS verdict — if this flags drift, the mimic+sweep below
+# are MANDATORY before trusting anything, and the manifest needs
+# `python tools/check_fixtures.py --update` + a commit afterwards.
+python "$REPO/tools/check_fixtures.py" >"$LOG/fixtures.log" 2>&1
+echo "fixtur : $(tail -1 "$LOG/fixtures.log")"
+
 cd "$REPO" && python -m pytest tests/ -q >"$LOG/pytest.log" 2>&1
 echo "pytest : $(grep -E 'passed|failed|error' "$LOG/pytest.log" | tail -1)"
 
