@@ -69,6 +69,25 @@ def test_window_is_mostly_never_graded():
     )
 
 
+def test_plans_md_audits_the_current_window():
+    """PLANS.md is the executed-plan audit of the grading window; it
+    went stale once when the window rotated mid-round (VERDICT r6 ask
+    #3). Pin the sync: the set of queries PLANS.md reports must equal
+    GRADED_PRIORITY, so any window rotation without a
+    `python tools/gen_plans_md.py > PLANS.md` regeneration fails here
+    instead of in the judge's audit."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md")) as fh:
+        plan_queries = set(re.findall(r"^\| `([a-z0-9_]+)` \|", fh.read(), re.M))
+    assert plan_queries == set(GRADED_PRIORITY), (
+        f"PLANS.md stale: missing={sorted(set(GRADED_PRIORITY) - plan_queries)} "
+        f"extra={sorted(plan_queries - set(GRADED_PRIORITY))}"
+    )
+
+
 def test_oracled_entries_precede_rows_only():
     q = list(all_queries())
     oracles = all_oracles()
