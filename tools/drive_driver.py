@@ -39,6 +39,31 @@ REPO = "/root/repo"
 # round-2 evidence shows the harness canonicalizes (timestamp tz flavors).
 # ---------------------------------------------------------------------------
 
+def _release_blocks(spark) -> None:
+    """Free persisted blocks between queries.
+
+    Operators that reference a reduced intermediate more than once
+    materialize it via ``localCheckpoint`` (queries/helpers.py
+    ``materialize_reduced``); the blocks live in executor storage until
+    the async ContextCleaner notices the RDD is garbage. In this
+    deliberately VANILLA session (1 GiB default heap, mirroring the
+    external harness) a battery that runs block-heavy queries
+    back-to-back at sf0.1 can allocate faster than the cleaner frees —
+    the round-9 sweep OOM'd on the 13th query with ~12 queries' worth of
+    checkpoint blocks still resident (each query passes solo). Explicit
+    synchronous unpersist between queries is what any long-lived
+    multi-query service does; it touches nothing about how the queries
+    themselves execute or what they return.
+    """
+    try:
+        jvm_rdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jvm_rdds.values()):
+            jrdd.unpersist(True)
+        spark.catalog.clearCache()
+    except Exception:
+        pass  # cleanup is best-effort; never turn it into a query error
+
+
 def arrow_canon(t) -> str:
     """Canonical name for a pyarrow type (the oracle side: DuckDB result
     fetched via ``.arrow()``, which preserves real types — HUGEINT becomes
@@ -277,6 +302,8 @@ def main() -> int:
         except Exception as exc:
             n_err += 1
             print(f"  ERR  {name}: {type(exc).__name__}: {exc}")
+        finally:
+            _release_blocks(spark)
 
     print(f"\npass={n_pass} fail={n_fail} err={n_err}")
     return 0 if (n_fail == 0 and n_err == 0) else 1
