@@ -22,8 +22,11 @@ echo "pytest : $(grep -E 'passed|failed|error' "$LOG/pytest.log" | tail -1)"
 cd /tmp && python "$REPO/tools/drive_driver.py" >"$LOG/mimic.log" 2>&1
 echo "mimic  : $(tail -1 "$LOG/mimic.log")"
 
+# Full registry at sf0.1 INCLUDING rows-only entries (feasible since the
+# mimic releases checkpoint blocks between queries — round 9; before
+# that, block accumulation OOM'd the vanilla JVM mid-battery).
 python "$REPO/tools/drive_driver.py" --sf-dir /root/testdata/sf0.1 \
-  --skip-rows-only >"$LOG/sweep.log" 2>&1
+  >"$LOG/sweep.log" 2>&1
 echo "sweep  : $(tail -1 "$LOG/sweep.log")"
 
 cd "$REPO" && python bench.py >"$LOG/bench.out" 2>"$LOG/bench.err"
