@@ -182,6 +182,21 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--names", nargs="*", default=None, help="subset of query names")
     ap.add_argument("--skip-rows-only", action="store_true")
+    ap.add_argument(
+        "--master",
+        default="local[32]",
+        help="Spark master; pass e.g. local[7] to re-verify the oracle "
+        "comparison under a different parallelism/partitioning regime — "
+        "the determinism contract says every oracled result is "
+        "partition-order independent, and this flag is how that claim "
+        "is exercised for the whole registry at once",
+    )
+    ap.add_argument(
+        "--shuffle-partitions",
+        default=None,
+        help="spark.sql.shuffle.partitions (default: the core count "
+        "parsed from --master, falling back to 32)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -190,9 +205,14 @@ def main() -> int:
 
     import __spark_entry__ as entry_mod
 
+    if args.shuffle_partitions is None:
+        import re as _re
+
+        m = _re.search(r"local\[(\d+)\]", args.master)
+        args.shuffle_partitions = m.group(1) if m else "32"
     spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        SparkSession.builder.master(args.master)
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
         .appName("drive_driver")
         .getOrCreate()
     )
