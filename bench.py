@@ -20,7 +20,7 @@ import sys
 import time
 
 from large_csv_etl_spark.queries import all_queries
-from large_csv_etl_spark.session import get_spark
+from large_csv_etl_spark.session import get_spark, release_blocks
 
 # Headline set: the reference-analog aggregates, the TPC-H-shaped join/agg
 # suite, windows, events, text, dedup, similarity — one representative per
@@ -459,6 +459,13 @@ def main() -> int:
         except Exception as exc:  # keep the bench artifact parseable
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # Outside the timed span: free localCheckpoint blocks so storage
+        # pressure from earlier queries can't inflate later timings (the
+        # driver's round-9 battery read the storage-heavy cluster up to
+        # 10x over its warm isolation re-times from exactly this
+        # accumulation — VERDICT r9 ask #2; the correctness mimic got the
+        # same fix in round 9).
+        release_blocks(spark)
 
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 3)

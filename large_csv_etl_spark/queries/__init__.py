@@ -70,85 +70,89 @@ _MODULES = [
 # next rotation — compute the current deferral list with
 # tools/drive_driver.py + CORRECTNESS_r*.json rather than trusting any
 # hardcoded count here.
+# The highest CORRECTNESS_r*.json round that existed when this window
+# was generated (tools/gen_window.py prints it with the window). The
+# registry tests compute the never-graded backlog AS OF this round, so
+# the driver dropping the CURRENT round's verdicts mid-round — grading
+# exactly the entries this window targeted — does not flip the window-
+# composition tripwires red before the next rotation (ADVICE r9 #1).
+# Bump it with every rotation; a staleness test pins it to within one
+# round of the newest verdict file.
+WINDOW_GRADED_AS_OF = 9
+
 GRADED_PRIORITY = [
-    # ---- round-9 window (VERDICT r8 asks #1 and #3): the never-graded
-    # backlog is 100 entries — two full windows — so this rotation is
-    # 49 never-graded + the flagship. Ordering policy, per the verdict:
-    # (a) the four TWICE-deferred round-7 entries lead; (b) the flagship
-    # `etl_transform_parity` is re-graded (its every-round re-grade was
-    # skipped in r8 for the first time, and it is the only insurance if
-    # the driver regenerates testdata before grading this window);
-    # (c) whole families with ZERO external coverage come in as blocks
-    # (graph metrics, nonparametric stats, portable sketches, file
-    # formats, VAD) so the driver verdicts entire techniques at once;
-    # (d) remaining slots clear the quality/temporal/setops/scalars/
-    # streamq/dedup backlogs outright and take the graded-iterative
-    # sampling/similarity entries. The 51 never-graded that don't fit
-    # sort immediately after the window (oracled-first), first in line
-    # for round 10. No new operators were added this round (verdict ask
-    # #2: breadth moratorium until the backlog fits in one window).
-    # -- twice-deferred round-7 additions (4) --
-    "embedding_label_homophily",
-    "events_transition_latency",
-    "events_type_daily_correlation",
-    "sim_retrieval_eval",
+    # ---- round-10 window (VERDICT r9 ask #1): the never-graded backlog
+    # is 51 entries — ONE window's worth — so this rotation finishes the
+    # burn-down: the flagship re-grade plus 49 never-graded, deferring
+    # only `sim_triplet_mining` and `sim_hubness_audit` (the two newest
+    # similarity diagnostics; their family is already represented in the
+    # window by sim_knn_label_eval/sim_ndcg_eval). With zero re-grade
+    # slots beyond the flagship, the one-rep-per-family rule self-relaxes
+    # to families that still HAVE never-graded entries (gen_window.py
+    # policy #4: family reps are forced in by evicting re-grades, and
+    # there are none to evict) — quality/temporal/setops/scalars/approx/
+    # streamq/dedup/multimodal all hold r8-r9 verdicts and rotate back in
+    # next round. No new operators this round (verdict ask #3: the
+    # moratorium holds until the backlog is graded; rounds 11+ resume
+    # breadth at grade-as-you-go pace).
     # -- flagship re-grade (reference-parity transform core) --
     "etl_transform_parity",
-    # -- graph-metrics block: whole family, zero external coverage (8) --
-    "graph_kcore_peel",
-    "graph_bfs_khop",
-    "graph_hits_bipartite",
-    "graph_modularity_brand",
-    "graph_local_clustering",
-    "graph_degree_assortativity",
-    "graph_rich_club",
-    "graph_common_neighbors",
-    # -- nonparametric/inference stats block (6) --
-    "agg_mann_whitney_u",
-    "agg_ks_two_sample",
-    "agg_spearman_rho",
-    "agg_welch_ttest",
-    "agg_proportion_ztest",
-    "agg_odds_ratio_2x2",
-    # -- portable-sketch block (4) --
-    "approx_hll_portable_dau",
-    "approx_countmin_portable",
-    "approx_kmv_distinct",
-    "approx_kmv_intersection",
-    # -- file-format/source block (5) --
-    "etl_fixed_width_parse",
-    "etl_trailer_file_parse",
-    "etl_jsonl_dirty_parse",
-    "etl_orc_roundtrip_parity",
-    "etl_hive_partition_pruning",
-    # -- multimodal never-graded (2) --
-    "multimodal_vad_segments",
-    "multimodal_audio_fingerprint",
-    # -- clears the quality backlog (5) --
-    "dq_gini_impurity_profile",
-    "dq_freshness_lag_audit",
-    "dq_referential_cascade_audit",
-    "dq_temporal_order_audit",
-    "dq_rare_level_audit",
-    # -- clears the temporal backlog (3) --
-    "temporal_interval_overlap_join",
-    "temporal_point_in_time_join",
-    "temporal_allen_relations",
-    # -- clears setops / scalars / streamq / dedup backlogs (5) --
-    "setop_except_all_partkeys",
-    "scalar_checksum_functions",
-    "streaming_topk_per_window",
-    "streaming_upsert_latest_event",
-    "dedup_winnowing_overlap",
-    # -- graded-iterative roster entries (#11 #12) + two-stage sims (4) --
-    "sample_kcenter_coreset",
-    "sample_greedy_coverage",
-    "sim_rerank_two_stage",
-    "sim_mmr_diversified_topk",
-    # -- windows-family never-graded reps + full MERGE semantics (3) --
-    "window_pareto_frontier",
-    "window_decayed_average",
-    "etl_merge_full_semantics",
+    # -- etl never-graded (7) --
+    "etl_fk_surrogate_keys",
+    "etl_late_arriving_dim",
+    "etl_type_inference_profile",
+    "etl_dead_letter_replay",
+    "etl_backfill_plan",
+    "etl_pseudonymize_audit",
+    "etl_data_vault_keys",
+    # -- relational/stats never-graded (8) --
+    "agg_simpsons_paradox_audit",
+    "agg_empirical_bayes_rates",
+    "agg_lorenz_curve_deciles",
+    "agg_chi_square_independence",
+    "customer_segment_migration",
+    "agg_trimmed_mean_by_group",
+    "agg_capture_recapture",
+    "agg_revenue_decomposition",
+    # -- windows never-graded (6) --
+    "window_order_gaps",
+    "window_rolling_median_7d",
+    "window_kaufman_efficiency",
+    "window_rsi_14",
+    "window_turning_points",
+    "window_sma_crossover",
+    # -- events never-graded (15) --
+    "events_changepoint_scan",
+    "events_funnel_time_constrained",
+    "events_whale_share",
+    "events_cohort_ltv",
+    "events_activity_streaks",
+    "events_diff_in_diff",
+    "events_markov_baseline_accuracy",
+    "events_behavior_predictability",
+    "events_rate_anomaly_anscombe",
+    "events_cadence_autocorrelation",
+    "events_survival_risk_table",
+    "events_attribution_position",
+    "events_cuped_adjustment",
+    "events_attribution_window_sensitivity",
+    "events_repeat_purchase_latency",
+    # -- sampling never-graded (3) --
+    "sample_systematic_interval",
+    "sample_balanced_class_downsample",
+    "sample_target_encoding_loo",
+    # -- text never-graded (8) --
+    "text_bm25_topk",
+    "text_collocation_lift",
+    "text_freq_spectrum",
+    "text_langid_eval_f1",
+    "text_term_burstiness",
+    "text_phonetic_collisions",
+    "text_rake_keywords",
+    "text_lexicon_router",
+    # -- similarity never-graded (2 of 4; triplet/hubness defer) --
+    "sim_knn_label_eval",
+    "sim_ndcg_eval",
 ]
 
 
@@ -174,6 +178,29 @@ def _tz_invariant(fn: Callable[[SparkSession, str], DataFrame]):
 
     from pyspark.sql import functions as F, types as T
 
+    def _has_nested_instant(dt: T.DataType) -> bool:
+        """True if an instant TIMESTAMP hides below the top level, where
+        the column-wise cast can't reach it (ADVICE r9 #3: an
+        un-flattened F.window struct or collect_list of timestamps would
+        silently leak the host timezone through collect())."""
+        if isinstance(dt, T.StructType):
+            return any(
+                type(f.dataType) is T.TimestampType
+                or _has_nested_instant(f.dataType)
+                for f in dt.fields
+            )
+        if isinstance(dt, T.ArrayType):
+            return (
+                type(dt.elementType) is T.TimestampType
+                or _has_nested_instant(dt.elementType)
+            )
+        if isinstance(dt, T.MapType):
+            return any(
+                type(t) is T.TimestampType or _has_nested_instant(t)
+                for t in (dt.keyType, dt.valueType)
+            )
+        return False
+
     @wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -188,6 +215,16 @@ def _tz_invariant(fn: Callable[[SparkSession, str], DataFrame]):
                     else F.col(f.name)
                     for f in df.schema.fields
                 ]
+            )
+        leaky = [
+            f.name for f in df.schema.fields if _has_nested_instant(f.dataType)
+        ]
+        if leaky:
+            raise TypeError(
+                f"{fn.__name__}: columns {leaky} contain NESTED instant "
+                "TIMESTAMPs the tz-invariance rewrite cannot reach — emit "
+                "TIMESTAMP_NTZ at the source (ADVICE r9 #3 / VERDICT r9 "
+                "ask #8) or flatten the struct before returning"
             )
         return df
 

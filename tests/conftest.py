@@ -10,6 +10,10 @@ from large_csv_etl_spark.session import get_spark
 # whole suite at the driver's correctness scale.
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_MID = "/root/testdata/sf0.01"
+# The bench-scale fixture (bench.py's default $SPARK_GRAFT_SF_DIR): tests
+# that pin sketch bounds at the scale the driver actually benches read it
+# from here rather than hardcoding the path (ADVICE r9 #5).
+SF_DIR_BENCH = "/root/testdata/sf0.1"
 
 
 @pytest.fixture(scope="session")

@@ -4,12 +4,40 @@ accident — pin them."""
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from large_csv_etl_spark.queries import (
     GRADED_PRIORITY,
+    WINDOW_GRADED_AS_OF,
     _MODULES,
     all_oracles,
     all_queries,
 )
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _verdict_rounds() -> dict[int, str]:
+    out = {}
+    for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        out[int(f.split("_r")[-1].split(".")[0])] = f
+    return out
+
+
+def _graded_as_of_window() -> set[str]:
+    """Entries holding a driver verdict AS OF the round the committed
+    window was generated (ADVICE r9 #1: the window targets the backlog
+    as it stood at rotation time; when the driver drops THIS round's
+    verdicts — grading exactly the targeted entries — the window-
+    composition tripwires must not flip red for the span between the
+    grade drop and the next rotation)."""
+    graded: set[str] = set()
+    for rnd, f in _verdict_rounds().items():
+        if rnd <= WINDOW_GRADED_AS_OF:
+            graded.update(json.load(open(f)))
+    return graded
 
 
 def test_graded_window_is_exactly_50_and_first():
@@ -24,12 +52,46 @@ def test_graded_window_entries_are_oracled():
     assert not missing, missing
 
 
+def test_window_graded_as_of_is_fresh():
+    """WINDOW_GRADED_AS_OF must be bumped at every rotation. During a
+    round, the newest verdict file may be one round ahead of the
+    committed window (the driver grades at the boundary, the rotation
+    happens at the next session's start) — never more."""
+    rounds = _verdict_rounds()
+    assert rounds, "no CORRECTNESS_r*.json committed"
+    newest = max(rounds)
+    assert WINDOW_GRADED_AS_OF <= newest, (
+        f"WINDOW_GRADED_AS_OF={WINDOW_GRADED_AS_OF} claims a round newer "
+        f"than any committed verdict file (newest r{newest})"
+    )
+    assert newest - WINDOW_GRADED_AS_OF <= 1, (
+        f"window generated as of r{WINDOW_GRADED_AS_OF} but verdicts "
+        f"through r{newest} exist: rotation forgotten"
+    )
+
+
 def test_every_family_represented_in_window():
+    """One rep per family — but the family rule yields to the backlog
+    burn-down (gen_window.py policy #4 forces reps in by evicting
+    RE-GRADES, so when never-graded entries fill every non-flagship
+    slot there is nothing to evict): while the as-of backlog fills the
+    window, only families that still HAVE never-graded entries (plus
+    the flagship's) are required; once the backlog fits with room to
+    spare, every oracled family is required again."""
+    oracles = set(all_oracles())
+    graded = _graded_as_of_window()
+    backlog = {n for n in all_queries() if n in oracles and n not in graded}
     window = set(GRADED_PRIORITY)
+    if len(backlog) >= len(GRADED_PRIORITY) - 1:
+        required = [
+            m
+            for m in _MODULES
+            if set(m.QUERIES) & backlog or "etl_transform_parity" in m.QUERIES
+        ]
+    else:
+        required = [m for m in _MODULES if set(m.QUERIES) & oracles]
     unrepresented = [
-        m.__name__
-        for m in _MODULES
-        if set(m.QUERIES) & set(all_oracles()) and not (set(m.QUERIES) & window)
+        m.__name__ for m in required if not (set(m.QUERIES) & window)
     ]
     assert not unrepresented, unrepresented
 
@@ -48,24 +110,20 @@ def test_window_is_mostly_never_graded():
     """The window exists to burn down the never-driver-graded backlog:
     while that backlog exceeds the window size, re-grades beyond the
     flagship waste slots (VERDICT r8 ask #1). Assert the window spends
-    at least 40 of its 50 slots on entries with no CORRECTNESS_r*.json
-    verdict whenever the backlog is that deep; the constraint
-    self-relaxes once the backlog is smaller than 40."""
-    import glob
-    import json
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    graded: set[str] = set()
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        graded.update(json.load(open(f)))
+    at least 40 of its 50 slots on entries with no driver verdict AS OF
+    the rotation round (ADVICE r9 #1: measuring against ALL verdict
+    files made this red for the whole span between the round's grade
+    drop — which grades exactly these entries — and the next rotation);
+    the constraint self-relaxes once the backlog is smaller than 40."""
+    graded = _graded_as_of_window()
     oracles = all_oracles()
     backlog = [n for n in all_queries() if n in oracles and n not in graded]
     never_in_window = [n for n in GRADED_PRIORITY if n not in graded]
     expected = min(40, len(backlog))
     assert len(never_in_window) >= expected, (
         f"window spends only {len(never_in_window)} slots on the "
-        f"{len(backlog)}-entry never-graded backlog"
+        f"{len(backlog)}-entry never-graded backlog (as of "
+        f"r{WINDOW_GRADED_AS_OF})"
     )
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from large_csv_etl_spark.queries.dedup import QUERIES as DEDUP_QUERIES
 from large_csv_etl_spark.queries.similarity import QUERIES as SIM_QUERIES
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, SF_DIR_BENCH
 
 
 def test_sim_lsh_topk_recovers_planted_neighbors(spark):
@@ -113,7 +113,10 @@ def test_frequent_tokens_superset_vs_top_terms_planted(spark):
     token reported while the tail stays implicit."""
     import random
 
-    from large_csv_etl_spark.queries.approx import frequent_tokens_approx
+    from large_csv_etl_spark.queries.approx import (
+        FREQ_TOKEN_SUPPORT,
+        frequent_tokens_approx,
+    )
     from large_csv_etl_spark.queries.text import QUERIES as TEXT_QUERIES
 
     rnd = random.Random(5)
@@ -137,7 +140,7 @@ def test_frequent_tokens_superset_vs_top_terms_planted(spark):
         got = {r.token for r in frequent_tokens_approx(spark, d).collect()}
         top = TEXT_QUERIES["text_top_terms"](spark, d).collect()
     total = 300 * 10
-    must_report = {r.token for r in top if r.freq > 0.05 * total}
+    must_report = {r.token for r in top if r.freq > FREQ_TOKEN_SUPPORT * total}
     assert {"alpha", "beta"} <= must_report  # bound genuinely exercised
     assert must_report <= got, f"freqItems missed: {must_report - got}"
 
@@ -154,13 +157,19 @@ def test_frequent_tokens_bounds_at_sf01(spark):
     exactly why this sketch scales to 100 TB where the exact twin pays
     a full |vocab| shuffle; (c) determinism across runs on the same
     static fixture."""
-    from large_csv_etl_spark.io import load_table
-    from large_csv_etl_spark.queries.approx import frequent_tokens_approx
+    import math
 
-    sfd = "/root/testdata/sf0.1"
+    from large_csv_etl_spark.io import load_table
+    from large_csv_etl_spark.queries.approx import (
+        FREQ_TOKEN_SUPPORT,
+        frequent_tokens_approx,
+    )
+
+    sfd = SF_DIR_BENCH
     got = {r.token for r in frequent_tokens_approx(spark, sfd).collect()}
-    # (b) state bound: at most 1/support candidates, ever
-    assert len(got) <= 20, f"freqItems returned {len(got)} > 1/support"
+    # (b) state bound: at most ceil(1/support) candidates, ever
+    bound = math.ceil(1 / FREQ_TOKEN_SUPPORT)
+    assert len(got) <= bound, f"freqItems returned {len(got)} > 1/support"
     # (a) superset vs exact counts (text_top_terms tokenization)
     docs = load_table(spark, sfd, "documents").filter(
         F.trim(F.col("text")) != ""
@@ -173,7 +182,7 @@ def test_frequent_tokens_bounds_at_sf01(spark):
         r.token
         for r in tokens.groupBy("token")
         .count()
-        .filter(F.col("count") > 0.05 * total)
+        .filter(F.col("count") > FREQ_TOKEN_SUPPORT * total)
         .collect()
     }
     assert exact_frequent <= got, f"missed: {exact_frequent - got}"

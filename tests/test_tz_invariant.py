@@ -1,0 +1,90 @@
+"""The registry-boundary timezone contract (round 9, ADVICE r9 #3).
+
+``queries._tz_invariant`` pins the session zone to UTC and re-projects
+top-level instant TIMESTAMP outputs to TIMESTAMP_NTZ so collect() renders
+the UTC wall time on any host. Round 10 adds the loud-failure guard for
+the case the rewrite cannot reach: a NESTED instant timestamp (struct /
+array / map) would silently leak the host timezone again — the wrapper
+must reject it so the query author emits NTZ at the source instead
+(VERDICT r9 ask #8's contract for all new operators).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from large_csv_etl_spark.queries import _tz_invariant
+
+
+def _one_ts_df(spark):
+    return spark.sql(
+        "SELECT timestamp'2024-03-01 12:00:00' AS ts, 1 AS n"
+    )
+
+
+def test_top_level_timestamp_rewritten_to_ntz(spark):
+    wrapped = _tz_invariant(lambda s, d: _one_ts_df(s))
+    out = wrapped(spark, "unused")
+    ts_field = next(f for f in out.schema.fields if f.name == "ts")
+    assert type(ts_field.dataType) is T.TimestampNTZType
+    # Under the UTC session pin the NTZ wall time IS the UTC instant.
+    row = out.collect()[0]
+    assert row.ts.isoformat() == "2024-03-01T12:00:00"
+    assert row.n == 1
+
+
+def test_session_timezone_pinned(spark):
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        _tz_invariant(lambda s, d: _one_ts_df(s))(spark, "unused")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        # un-flattened F.window-style struct
+        "named_struct('start', timestamp'2024-03-01 00:00:00', 'n', 1)",
+        # collect_list-of-timestamps shape
+        "array(timestamp'2024-03-01 00:00:00')",
+        # map value
+        "map('k', timestamp'2024-03-01 00:00:00')",
+        # doubly nested
+        "array(named_struct('t', timestamp'2024-03-01 00:00:00'))",
+    ],
+    ids=["struct", "array", "map", "array_of_struct"],
+)
+def test_nested_instant_timestamp_fails_loudly(spark, expr):
+    def q(s, d):
+        return s.sql(f"SELECT {expr} AS c")
+
+    with pytest.raises(TypeError, match="NESTED instant"):
+        _tz_invariant(q)(spark, "unused")
+
+
+def test_nested_ntz_passes(spark):
+    """Only INSTANT timestamps leak through collect(); nested NTZ is the
+    prescribed shape and must pass."""
+
+    def q(s, d):
+        return s.sql(
+            "SELECT named_struct('t', timestamp_ntz'2024-03-01 00:00:00') AS c"
+        )
+
+    out = _tz_invariant(q)(spark, "unused")
+    assert out.count() == 1
+
+
+def test_no_registry_query_relies_on_nested_rewrite():
+    """Static sweep: the guard means any registry entry returning nested
+    instant timestamps fails at call time — the mimic and pytest batteries
+    execute every entry, so this invariant is enforced dynamically; here we
+    just pin that the wrapper is applied to EVERY entry (all_queries wraps
+    unconditionally)."""
+    from large_csv_etl_spark.queries import all_queries
+
+    for fn in all_queries().values():
+        assert fn.__wrapped__ is not None  # functools.wraps marker

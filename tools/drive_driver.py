@@ -40,28 +40,15 @@ REPO = "/root/repo"
 # ---------------------------------------------------------------------------
 
 def _release_blocks(spark) -> None:
-    """Free persisted blocks between queries.
+    """Free persisted blocks between queries (shared engine helper —
+    see ``large_csv_etl_spark.session.release_blocks`` for the full
+    round-9 OOM/battery-inflation rationale; bench.py calls the same
+    helper between its timed spans)."""
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from large_csv_etl_spark.session import release_blocks
 
-    Operators that reference a reduced intermediate more than once
-    materialize it via ``localCheckpoint`` (queries/helpers.py
-    ``materialize_reduced``); the blocks live in executor storage until
-    the async ContextCleaner notices the RDD is garbage. In this
-    deliberately VANILLA session (1 GiB default heap, mirroring the
-    external harness) a battery that runs block-heavy queries
-    back-to-back at sf0.1 can allocate faster than the cleaner frees —
-    the round-9 sweep OOM'd on the 13th query with ~12 queries' worth of
-    checkpoint blocks still resident (each query passes solo). Explicit
-    synchronous unpersist between queries is what any long-lived
-    multi-query service does; it touches nothing about how the queries
-    themselves execute or what they return.
-    """
-    try:
-        jvm_rdds = spark.sparkContext._jsc.getPersistentRDDs()
-        for jrdd in list(jvm_rdds.values()):
-            jrdd.unpersist(True)
-        spark.catalog.clearCache()
-    except Exception:
-        pass  # cleanup is best-effort; never turn it into a query error
+    release_blocks(spark)
 
 
 def arrow_canon(t) -> str:

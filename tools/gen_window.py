@@ -13,12 +13,17 @@ round the window is rebuilt to maximize cumulative driver coverage:
    families first (they are the round's additions);
 3. remaining slots as regression re-grades, ordered by staleness (the
    round in which the entry last received a verdict, oldest first);
-4. at least one representative per query-family module (forced in by
-   evicting the least-stale re-grade if needed).
+4. at least one representative per query-family module, forced in by
+   evicting the least-stale re-grade — which means the rule self-relaxes
+   when never-graded entries fill every non-flagship slot (nothing to
+   evict); the registry tests encode the same relaxation.
 
 Prints the proposed window as a Python list literal to paste into
-`queries/__init__.py`, plus a coverage summary. Purely advisory — the
-committed list stays the source of truth.
+`queries/__init__.py`, plus the matching `WINDOW_GRADED_AS_OF` constant
+(the newest verdict round the proposal was computed against — the
+registry tripwires measure the backlog as of that round so the NEXT
+grade drop doesn't flip them red mid-round), plus a coverage summary.
+Purely advisory — the committed list stays the source of truth.
 
 Usage:  python tools/gen_window.py
 """
@@ -93,6 +98,7 @@ def main() -> int:
     print(f"# proposed window: {n_never} never-graded in window "
           f"({len(never)} in backlog), {len(window) - n_never} re-grades "
           f"(flagship first, then stalest)")
+    print(f"WINDOW_GRADED_AS_OF = {max(last_graded.values(), default=0)}")
     print("GRADED_PRIORITY = [")
     for n in window:
         tag = "never graded" if n in never else f"last r{last_graded[n]}"

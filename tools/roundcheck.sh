@@ -13,8 +13,23 @@ mkdir -p "$LOG"
 # prior CORRECTNESS verdict — if this flags drift, the mimic+sweep below
 # are MANDATORY before trusting anything, and the manifest needs
 # `python tools/check_fixtures.py --update` + a commit afterwards.
-python "$REPO/tools/check_fixtures.py" >"$LOG/fixtures.log" 2>&1
-echo "fixtur : $(tail -1 "$LOG/fixtures.log")"
+if python "$REPO/tools/check_fixtures.py" >"$LOG/fixtures.log" 2>&1; then
+  echo "fixtur : $(tail -1 "$LOG/fixtures.log")"
+else
+  echo "fixtur : DRIFT DETECTED — testdata regenerated; prior verdicts invalid (see $LOG/fixtures.log)"
+fi
+
+# Stage 0.5: the window-rotation tripwires MUST be green before anything
+# else runs (VERDICT r9 ask #7): a stale window (rotation forgotten, or
+# PLANS.md not regenerated) means the battery below audits the WRONG 50
+# queries and the round's driver slots re-grade already-graded entries.
+if ! (cd "$REPO" && python -m pytest tests/test_registry.py -q >"$LOG/registry.log" 2>&1); then
+  echo "window : STALE ROTATION — registry tripwires red; rotate GRADED_PRIORITY"
+  echo "         (tools/gen_window.py) and regen PLANS.md before this battery"
+  echo "         means anything (see $LOG/registry.log)"
+else
+  echo "window : rotation tripwires green"
+fi
 
 cd "$REPO" && python -m pytest tests/ -q >"$LOG/pytest.log" 2>&1
 echo "pytest : $(grep -E 'passed|failed|error' "$LOG/pytest.log" | tail -1)"
