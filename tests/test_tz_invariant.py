@@ -88,3 +88,61 @@ def test_no_registry_query_relies_on_nested_rewrite():
 
     for fn in all_queries().values():
         assert fn.__wrapped__ is not None  # functools.wraps marker
+
+
+# The 26 entries whose SOURCE schema carries a top-level instant
+# TIMESTAMP (date_trunc / F.window outputs) — the set the wrapper
+# actively rewrites, measured by tools/tz_census.py at round 10. The
+# contract (VERDICT r9 ask #8): new queries emit TIMESTAMP_NTZ at the
+# source, so this set may SHRINK but never grow.
+TZ_WRAPPER_LOAD_BEARING = {
+    "asof_join_latest_order",
+    "etl_backfill_plan",
+    "etl_fixed_width_parse",
+    "events_cohort_retention",
+    "events_concurrency_profile",
+    "events_cumulative_users",
+    "events_daily_active_users",
+    "events_daily_gap_fill",
+    "events_dau_approx",
+    "events_hourly_mad_anomaly",
+    "events_hourly_tumbling",
+    "events_rolling_wau",
+    "events_type_drift_daily",
+    "events_wau_sketch_rollup",
+    "events_zscore_anomaly",
+    "scalar_date_functions",
+    "streaming_click_attribution",
+    "streaming_hourly_tumbling",
+    "streaming_hourly_users",
+    "streaming_segment_counts",
+    "streaming_sessionization",
+    "streaming_sliding_window",
+    "streaming_topk_per_window",
+    "streaming_upsert_latest_event",
+    "window_month_over_month",
+    "window_sma_crossover",
+}
+
+
+def test_tz_wrapper_load_bearing_set_never_grows(spark, sf_dir):
+    """Census the UNWRAPPED registry builders: any entry outside the
+    frozen set above that emits a top-level instant TIMESTAMP is a new
+    query violating the emit-NTZ-at-source contract (the wrapper would
+    silently carry it, so pin it here instead; nested leaks already
+    fail loudly in the wrapper itself)."""
+    from large_csv_etl_spark.queries import _MODULES
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    offenders = []
+    for m in _MODULES:
+        for name, fn in m.QUERIES.items():
+            df = fn(spark, sf_dir)
+            if any(
+                type(f.dataType) is T.TimestampType for f in df.schema.fields
+            ) and name not in TZ_WRAPPER_LOAD_BEARING:
+                offenders.append(name)
+    assert not offenders, (
+        f"new entries emit instant TIMESTAMP at the source: {offenders} — "
+        "emit TIMESTAMP_NTZ instead (VERDICT r9 ask #8), or flatten"
+    )
