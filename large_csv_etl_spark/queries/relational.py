@@ -3657,3 +3657,502 @@ def agg_odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))
         ).alias("odds_ratio_haldane"),
     )
+
+
+# --- round-11 wave-1 stats family (docs/ROADMAP_r11.md #1-#8) --------------
+# Shared contract (the round-10 hazard): a float SUM over k group terms is
+# partition-order dependent, so every k-group float reduction below is
+# UNROLLED over the bounded group vocabulary into one fixed-order addition
+# chain ((t0 + t1) + t2)... — identical parenthesization on both engine
+# sides. Rank machinery follows agg_mann_whitney_u's per-value-table
+# identity (no global sort); doubled midranks keep rank sums BIGINT-exact.
+
+
+@_q(
+    "agg_kruskal_wallis",
+    """
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+    ), per AS (
+      SELECT cents,
+             CAST(COUNT(CASE WHEN g = 'F' THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN g = 'O' THEN 1 END) AS BIGINT) AS b,
+             CAST(COUNT(CASE WHEN g = 'P' THEN 1 END) AS BIGINT) AS p,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT a, b, p, c,
+             2 * COALESCE(SUM(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS dr
+      FROM per
+    ), s AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n_f,
+             CAST(SUM(b) AS BIGINT) AS n_o,
+             CAST(SUM(p) AS BIGINT) AS n_p,
+             CAST(SUM(a * dr) AS BIGINT) AS dr_f,
+             CAST(SUM(b * dr) AS BIGINT) AS dr_o,
+             CAST(SUM(p * dr) AS BIGINT) AS dr_p,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM cum
+    )
+    SELECT n, n_f, n_o, n_p, tie_term,
+           ((CAST(dr_f AS DOUBLE) * CAST(dr_f AS DOUBLE) * 3.0
+               / (CAST(n_f AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) + 1.0))
+             + CAST(dr_o AS DOUBLE) * CAST(dr_o AS DOUBLE) * 3.0
+               / (CAST(n_o AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) + 1.0)))
+            + CAST(dr_p AS DOUBLE) * CAST(dr_p AS DOUBLE) * 3.0
+              / (CAST(n_p AS DOUBLE) * CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) + 1.0)))
+           - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_stat,
+           (((CAST(dr_f AS DOUBLE) * CAST(dr_f AS DOUBLE) * 3.0
+               / (CAST(n_f AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) + 1.0))
+             + CAST(dr_o AS DOUBLE) * CAST(dr_o AS DOUBLE) * 3.0
+               / (CAST(n_o AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) + 1.0)))
+            + CAST(dr_p AS DOUBLE) * CAST(dr_p AS DOUBLE) * 3.0
+              / (CAST(n_p AS DOUBLE) * CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) + 1.0)))
+            - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+           / (1.0 - CAST(tie_term AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE))) AS h_adj
+    FROM s
+    """,
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis k-sample rank test across the F/O/P order-status
+    populations on order value — the k-group extension of the graded
+    Mann-Whitney entry, on the same per-value-table rank identity (no
+    global sort: one hash agg on cents, one cumulative window over the
+    price-domain-bounded distinct-value table). Doubled midranks
+    dr = 2*cum_before + c + 1 keep the per-group rank sums BIGINT-exact
+    (sum_g a_v*dr_v = 2*R_g); dr_sum^2 (~2e21 at sf0.1) overflows
+    BIGINT, so each group's term 3*dr_g^2/(n_g*N*(N+1)) goes through
+    DOUBLE — and the k-term reduction is UNROLLED over the bounded
+    status vocabulary into one fixed-order addition chain
+    ((t_F + t_O) + t_P), because a float SUM over group rows is
+    partition-order-dependent (prototype diverged at the 10th decimal
+    at sf0.1 without this). Tie correction 1 - sum(t^3-t)/(N^3-N) as a
+    second fixed IEEE chain. Scale: BIGINT rank sums hold to ~1.5e9
+    rows/group (N*(2N+1) < 2^63); beyond that route dr products
+    through DECIMAL(38,0)."""
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O", "P"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per = v.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "F", 1)).cast("bigint").alias("a"),
+        F.count(F.when(F.col("g") == "O", 1)).cast("bigint").alias("b"),
+        F.count(F.when(F.col("g") == "P", 1)).cast("bigint").alias("p"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "a",
+        "b",
+        "p",
+        "c",
+        (
+            2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+            + F.col("c")
+            + 1
+        ).alias("dr"),
+    )
+    c = F.col("c")
+    s = cum.agg(
+        F.sum("a").cast("bigint").alias("n_f"),
+        F.sum("b").cast("bigint").alias("n_o"),
+        F.sum("p").cast("bigint").alias("n_p"),
+        F.sum(F.col("a") * F.col("dr")).cast("bigint").alias("dr_f"),
+        F.sum(F.col("b") * F.col("dr")).cast("bigint").alias("dr_o"),
+        F.sum(F.col("p") * F.col("dr")).cast("bigint").alias("dr_p"),
+        F.sum(c * c * c - c).cast("bigint").alias("tie_term"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+
+    def term(dr_col: str, n_col: str):
+        d = F.col(dr_col).cast("double")
+        return (d * d * 3.0) / (
+            F.col(n_col).cast("double") * nd * (nd + 1.0)
+        )
+
+    h_raw = (
+        (term("dr_f", "n_f") + term("dr_o", "n_o")) + term("dr_p", "n_p")
+    ) - 3.0 * (nd + 1.0)
+    tie_corr = 1.0 - F.col("tie_term").cast("double") / (nd * nd * nd - nd)
+    return s.select(
+        "n",
+        "n_f",
+        "n_o",
+        "n_p",
+        "tie_term",
+        h_raw.alias("h_stat"),
+        (h_raw / tie_corr).alias("h_adj"),
+    )
+
+
+@_q(
+    "agg_anova_oneway",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
+    ), s AS (
+      SELECT CAST(COUNT(CASE WHEN g = 'A' THEN 1 END) AS BIGINT) AS n_a,
+             CAST(COUNT(CASE WHEN g = 'N' THEN 1 END) AS BIGINT) AS n_n,
+             CAST(COUNT(CASE WHEN g = 'R' THEN 1 END) AS BIGINT) AS n_r,
+             CAST(SUM(CASE WHEN g = 'A' THEN q ELSE 0 END) AS BIGINT) AS s1_a,
+             CAST(SUM(CASE WHEN g = 'N' THEN q ELSE 0 END) AS BIGINT) AS s1_n,
+             CAST(SUM(CASE WHEN g = 'R' THEN q ELSE 0 END) AS BIGINT) AS s1_r,
+             CAST(SUM(CASE WHEN g = 'A' THEN q * q ELSE 0 END) AS BIGINT)
+               AS s2_a,
+             CAST(SUM(CASE WHEN g = 'N' THEN q * q ELSE 0 END) AS BIGINT)
+               AS s2_n,
+             CAST(SUM(CASE WHEN g = 'R' THEN q * q ELSE 0 END) AS BIGINT)
+               AS s2_r,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM v
+    )
+    SELECT n, n_a, n_n, n_r,
+           ((CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE)
+               / CAST(n_a AS DOUBLE)
+             + CAST(s1_n AS DOUBLE) * CAST(s1_n AS DOUBLE)
+               / CAST(n_n AS DOUBLE))
+            + CAST(s1_r AS DOUBLE) * CAST(s1_r AS DOUBLE)
+              / CAST(n_r AS DOUBLE))
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+             AS ss_between,
+           ((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE)
+               * CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             + (CAST(s2_n AS DOUBLE) - CAST(s1_n AS DOUBLE)
+                * CAST(s1_n AS DOUBLE) / CAST(n_n AS DOUBLE)))
+            + (CAST(s2_r AS DOUBLE) - CAST(s1_r AS DOUBLE)
+               * CAST(s1_r AS DOUBLE) / CAST(n_r AS DOUBLE)))
+             AS ss_within,
+           CAST(2 AS BIGINT) AS df_between,
+           CAST(n - 3 AS BIGINT) AS df_within,
+           ((((CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE)
+                / CAST(n_a AS DOUBLE)
+              + CAST(s1_n AS DOUBLE) * CAST(s1_n AS DOUBLE)
+                / CAST(n_n AS DOUBLE))
+             + CAST(s1_r AS DOUBLE) * CAST(s1_r AS DOUBLE)
+               / CAST(n_r AS DOUBLE))
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            / 2.0)
+           / (((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE)
+                  * CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                + (CAST(s2_n AS DOUBLE) - CAST(s1_n AS DOUBLE)
+                   * CAST(s1_n AS DOUBLE) / CAST(n_n AS DOUBLE)))
+               + (CAST(s2_r AS DOUBLE) - CAST(s1_r AS DOUBLE)
+                  * CAST(s1_r AS DOUBLE) / CAST(n_r AS DOUBLE)))
+              / (CAST(n AS DOUBLE) - 3.0)) AS f_stat
+    FROM s
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for l_quantity across the A/N/R
+    return-flag groups. l_quantity is integral (1..50), so the raw and
+    squared moment sums are exact BIGINT in one map-side-combinable
+    pass (q^2 <= 2500; the sums stay under 2^53 to ~3.6e12 rows, so
+    every BIGINT->DOUBLE cast below is exact — do NOT switch the value
+    to totalprice cents, whose second moment exceeds 2^53 at sf0.1 and
+    hits the decimal->double ulp class). SSB/SSW/F are assembled from
+    the k=3 per-group sums with the bounded-vocabulary unroll: one
+    fixed-order addition chain ((t_A + t_N) + t_R) on both engine
+    sides, because a float SUM over group rows is
+    partition-order-dependent (the round-10 Kruskal-Wallis hazard)."""
+    v = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "N", "R"))
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.round(F.col("l_quantity"), 0).cast("bigint").alias("q"),
+        )
+    )
+    q = F.col("q")
+    aggs = []
+    for g in ("a", "n", "r"):
+        gu = g.upper()
+        aggs += [
+            F.count(F.when(F.col("g") == gu, 1))
+            .cast("bigint")
+            .alias(f"n_{g}"),
+            F.sum(F.when(F.col("g") == gu, q).otherwise(0))
+            .cast("bigint")
+            .alias(f"s1_{g}"),
+            F.sum(F.when(F.col("g") == gu, q * q).otherwise(0))
+            .cast("bigint")
+            .alias(f"s2_{g}"),
+        ]
+    aggs += [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(q).cast("bigint").alias("s1"),
+        F.sum(q * q).cast("bigint").alias("s2"),
+    ]
+    s = v.agg(*aggs)
+
+    def d(name: str):
+        return F.col(name).cast("double")
+
+    def sb(g: str):
+        return d(f"s1_{g}") * d(f"s1_{g}") / d(f"n_{g}")
+
+    def sw(g: str):
+        return d(f"s2_{g}") - d(f"s1_{g}") * d(f"s1_{g}") / d(f"n_{g}")
+
+    ssb = ((sb("a") + sb("n")) + sb("r")) - d("s1") * d("s1") / d("n")
+    ssw = (sw("a") + sw("n")) + sw("r")
+    return s.select(
+        "n",
+        "n_a",
+        "n_n",
+        "n_r",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        F.lit(2).cast("bigint").alias("df_between"),
+        (F.col("n") - 3).cast("bigint").alias("df_within"),
+        ((ssb / 2.0) / (ssw / (d("n") - 3.0))).alias("f_stat"),
+    )
+
+
+# Bounded vocabularies for the Cramér's V contingency unroll (TPC-H
+# constants; the queries below also filter to exactly these values so a
+# hypothetical extra category shows up as a row-count change, never as a
+# silently mis-folded term).
+_SEGMENTS = [
+    "AUTOMOBILE",
+    "BUILDING",
+    "FURNITURE",
+    "HOUSEHOLD",
+    "MACHINERY",
+]
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+# One fixed-order addition chain over the 25 (segment, region) cells in
+# lexical order; SQL `+` and Python Column `+` are both left-associative,
+# so a plain " + " join IS the chain ((q00 + q01) + q02)...
+_CRAMER_FOLD_SQL = " + ".join(
+    f"COALESCE(SUM(CASE WHEN seg = '{s}' AND reg = '{r}' "
+    "THEN q END), 0.0)"
+    for s in _SEGMENTS
+    for r in _REGIONS
+)
+
+
+@_q(
+    "agg_cramers_v",
+    f"""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, rg.r_name AS reg,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region rg ON rg.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ), rs AS (
+      SELECT seg, CAST(SUM(o) AS BIGINT) AS rs FROM obs GROUP BY seg
+    ), cs AS (
+      SELECT reg, CAST(SUM(o) AS BIGINT) AS cs FROM obs GROUP BY reg
+    ), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT obs.seg, obs.reg,
+             (CAST(obs.o AS DOUBLE) * CAST(obs.o AS DOUBLE))
+               / (CAST(rs.rs AS DOUBLE) * CAST(cs.cs AS DOUBLE)) AS q
+      FROM obs JOIN rs ON rs.seg = obs.seg JOIN cs ON cs.reg = obs.reg
+    ), folded AS (
+      SELECT {_CRAMER_FOLD_SQL} AS qsum FROM cells
+    )
+    SELECT t.n,
+           CAST(t.n AS DOUBLE) * f.qsum - CAST(t.n AS DOUBLE) AS chi_square,
+           SQRT((CAST(t.n AS DOUBLE) * f.qsum - CAST(t.n AS DOUBLE))
+                / (CAST(t.n AS DOUBLE) * 4.0)) AS cramers_v
+    FROM folded f CROSS JOIN tot t
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for the market-segment x region
+    5x5 contingency table (customer joined through nation to region —
+    both dims broadcast). Uses the margin identity
+    chi^2 = N * sum_ij o_ij^2/(rs_i*cs_j) - N, so structural-zero cells
+    contribute exactly 0 and never need LEFT-join synthesis; each cell
+    term is a fixed IEEE chain on exact BIGINT counts, and the 25-term
+    reduction is UNROLLED in (segment, region) lexical order into one
+    fixed-order addition chain — the k-group float-sum rule
+    (round-10 prototype hazard). V = sqrt(chi^2 / (N * min(r-1, c-1)))
+    = sqrt(chi^2 / (4N)); sqrt is IEEE-correctly-rounded in both
+    engines. Only the bounded 25-row cell table leaves the hash agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    obs = (
+        cust.join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("r_name").alias("reg"),
+        )
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    rs = obs.groupBy("seg").agg(F.sum("o").cast("bigint").alias("rs"))
+    cs = obs.groupBy("reg").agg(F.sum("o").cast("bigint").alias("cs"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rs), "seg")
+        .join(F.broadcast(cs), "reg")
+        .select(
+            "seg",
+            "reg",
+            (
+                (F.col("o").cast("double") * F.col("o").cast("double"))
+                / (F.col("rs").cast("double") * F.col("cs").cast("double"))
+            ).alias("q"),
+        )
+    )
+    terms = [
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("seg") == s) & (F.col("reg") == r), F.col("q")
+                )
+            ),
+            F.lit(0.0),
+        )
+        for s in _SEGMENTS
+        for r in _REGIONS
+    ]
+    fold = terms[0]
+    for t in terms[1:]:
+        fold = fold + t
+    folded = cells.agg(fold.alias("qsum"))
+    nd = F.col("n").cast("double")
+    chi2 = nd * F.col("qsum") - nd
+    return folded.crossJoin(F.broadcast(tot)).select(
+        "n",
+        chi2.alias("chi_square"),
+        F.sqrt(chi2 / (nd * 4.0)).alias("cramers_v"),
+    )
+
+
+@_q(
+    "agg_cohens_d",
+    """
+    WITH v AS (
+      SELECT c_mktsegment AS g,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), s AS (
+      SELECT CAST(COUNT(CASE WHEN g = 'BUILDING' THEN 1 END) AS BIGINT)
+               AS n1,
+             CAST(COUNT(CASE WHEN g = 'MACHINERY' THEN 1 END) AS BIGINT)
+               AS n2,
+             CAST(SUM(CASE WHEN g = 'BUILDING' THEN cents ELSE 0 END)
+                  AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN g = 'MACHINERY' THEN cents ELSE 0 END)
+                  AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN g = 'BUILDING' THEN cents * cents
+                           ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN g = 'MACHINERY' THEN cents * cents
+                           ELSE 0 END) AS BIGINT) AS t2
+      FROM v
+    )
+    SELECT n1, n2,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS mean_building,
+           CAST(t1 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS mean_machinery,
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(t1 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / SQRT(((CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE))
+                   + (CAST(t2 AS DOUBLE)
+                      - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                        / CAST(n2 AS DOUBLE)))
+                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+             AS cohens_d
+    FROM s
+    """,
+)
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d pooled-stddev effect size between the BUILDING and
+    MACHINERY customer segments on account balance: per-group count /
+    sum / sum-of-squares over exact BIGINT cents in ONE conditional
+    aggregation pass, then a single scalar IEEE chain. The s1^2
+    products go through DOUBLE before multiplying (s1 ~ 3e9 cents at
+    sf0.1, squared 9e18 — silently WRAPS in non-ANSI BIGINT; the
+    round-10 weighted-correlation lesson), and the two per-group
+    sum-of-squares terms add in fixed order (t_building + t_machinery)
+    per the k-group float rule. d is scale-invariant so the cents
+    lattice cancels; the means are surfaced in dollars. Scale: cents^2
+    second moments stay BIGINT-exact to ~9e5 rows/group at this balance
+    domain — beyond that, route s2/t2 through DECIMAL(38,0)."""
+    v = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("g"),
+            F.round(F.col("c_acctbal") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    cc = F.col("cents")
+    s = v.agg(
+        F.count(F.when(F.col("g") == "BUILDING", 1))
+        .cast("bigint")
+        .alias("n1"),
+        F.count(F.when(F.col("g") == "MACHINERY", 1))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("g") == "BUILDING", cc).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("g") == "MACHINERY", cc).otherwise(0))
+        .cast("bigint")
+        .alias("t1"),
+        F.sum(F.when(F.col("g") == "BUILDING", cc * cc).otherwise(0))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.when(F.col("g") == "MACHINERY", cc * cc).otherwise(0))
+        .cast("bigint")
+        .alias("t2"),
+    )
+
+    def d(name: str):
+        return F.col(name).cast("double")
+
+    ss1 = d("s2") - d("s1") * d("s1") / d("n1")
+    ss2 = d("t2") - d("t1") * d("t1") / d("n2")
+    pooled = (ss1 + ss2) / (d("n1") + d("n2") - 2.0)
+    return s.select(
+        "n1",
+        "n2",
+        (d("s1") / d("n1") / 100.0).alias("mean_building"),
+        (d("t1") / d("n2") / 100.0).alias("mean_machinery"),
+        (
+            (d("s1") / d("n1") - d("t1") / d("n2")) / F.sqrt(pooled)
+        ).alias("cohens_d"),
+    )
