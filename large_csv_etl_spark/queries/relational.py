@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from .helpers import DEC, davg, dsum, sql_davg, sql_dsum
+from .helpers import DEC, davg, dsum, materialize_reduced, sql_davg, sql_dsum
 
 QUERIES = {}
 ORACLES = {}
@@ -4155,4 +4155,552 @@ def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (d("s1") / d("n1") - d("t1") / d("n2")) / F.sqrt(pooled)
         ).alias("cohens_d"),
+    )
+
+
+@_q(
+    "agg_mood_median_test",
+    """
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+    ), per AS (
+      SELECT cents,
+             CAST(COUNT(CASE WHEN g = 'F' THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN g = 'O' THEN 1 END) AS BIGINT) AS b,
+             CAST(COUNT(CASE WHEN g = 'P' THEN 1 END) AS BIGINT) AS p,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT cents, a, b, p,
+             SUM(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM per
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per),
+    med AS (
+      SELECT MIN(cents) AS median_cents
+      FROM cum CROSS JOIN tot
+      WHERE cumc >= (n + 1) // 2
+    ), counts AS (
+      SELECT CAST(SUM(CASE WHEN cents > m.median_cents THEN a
+                           ELSE 0 END) AS BIGINT) AS f_above,
+             CAST(SUM(CASE WHEN cents <= m.median_cents THEN a
+                           ELSE 0 END) AS BIGINT) AS f_below,
+             CAST(SUM(CASE WHEN cents > m.median_cents THEN b
+                           ELSE 0 END) AS BIGINT) AS o_above,
+             CAST(SUM(CASE WHEN cents <= m.median_cents THEN b
+                           ELSE 0 END) AS BIGINT) AS o_below,
+             CAST(SUM(CASE WHEN cents > m.median_cents THEN p
+                           ELSE 0 END) AS BIGINT) AS p_above,
+             CAST(SUM(CASE WHEN cents <= m.median_cents THEN p
+                           ELSE 0 END) AS BIGINT) AS p_below,
+             m.median_cents
+      FROM per CROSS JOIN med m
+      GROUP BY m.median_cents
+    )
+    SELECT c.median_cents, c.f_above, c.f_below, c.o_above, c.o_below,
+           c.p_above, c.p_below,
+           (((CAST(c.f_above AS DOUBLE)
+               - CAST(c.f_above + c.f_below AS DOUBLE)
+                 * CAST(c.f_above + c.o_above + c.p_above AS DOUBLE)
+                 / CAST(t.n AS DOUBLE))
+              * (CAST(c.f_above AS DOUBLE)
+                 - CAST(c.f_above + c.f_below AS DOUBLE)
+                   * CAST(c.f_above + c.o_above + c.p_above AS DOUBLE)
+                   / CAST(t.n AS DOUBLE))
+              / (CAST(c.f_above + c.f_below AS DOUBLE)
+                 * CAST(c.f_above + c.o_above + c.p_above AS DOUBLE)
+                 / CAST(t.n AS DOUBLE))
+             + (CAST(c.o_above AS DOUBLE)
+                - CAST(c.o_above + c.o_below AS DOUBLE)
+                  * CAST(c.f_above + c.o_above + c.p_above AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))
+               * (CAST(c.o_above AS DOUBLE)
+                  - CAST(c.o_above + c.o_below AS DOUBLE)
+                    * CAST(c.f_above + c.o_above + c.p_above AS DOUBLE)
+                    / CAST(t.n AS DOUBLE))
+               / (CAST(c.o_above + c.o_below AS DOUBLE)
+                  * CAST(c.f_above + c.o_above + c.p_above AS DOUBLE)
+                  / CAST(t.n AS DOUBLE)))
+            + (CAST(c.p_above AS DOUBLE)
+               - CAST(c.p_above + c.p_below AS DOUBLE)
+                 * CAST(c.f_above + c.o_above + c.p_above AS DOUBLE)
+                 / CAST(t.n AS DOUBLE))
+              * (CAST(c.p_above AS DOUBLE)
+                 - CAST(c.p_above + c.p_below AS DOUBLE)
+                   * CAST(c.f_above + c.o_above + c.p_above AS DOUBLE)
+                   / CAST(t.n AS DOUBLE))
+              / (CAST(c.p_above + c.p_below AS DOUBLE)
+                 * CAST(c.f_above + c.o_above + c.p_above AS DOUBLE)
+                 / CAST(t.n AS DOUBLE)))
+           + (((CAST(c.f_below AS DOUBLE)
+                - CAST(c.f_above + c.f_below AS DOUBLE)
+                  * CAST(c.f_below + c.o_below + c.p_below AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))
+               * (CAST(c.f_below AS DOUBLE)
+                  - CAST(c.f_above + c.f_below AS DOUBLE)
+                    * CAST(c.f_below + c.o_below + c.p_below AS DOUBLE)
+                    / CAST(t.n AS DOUBLE))
+               / (CAST(c.f_above + c.f_below AS DOUBLE)
+                  * CAST(c.f_below + c.o_below + c.p_below AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))
+              + (CAST(c.o_below AS DOUBLE)
+                 - CAST(c.o_above + c.o_below AS DOUBLE)
+                   * CAST(c.f_below + c.o_below + c.p_below AS DOUBLE)
+                   / CAST(t.n AS DOUBLE))
+                * (CAST(c.o_below AS DOUBLE)
+                   - CAST(c.o_above + c.o_below AS DOUBLE)
+                     * CAST(c.f_below + c.o_below + c.p_below AS DOUBLE)
+                     / CAST(t.n AS DOUBLE))
+                / (CAST(c.o_above + c.o_below AS DOUBLE)
+                   * CAST(c.f_below + c.o_below + c.p_below AS DOUBLE)
+                   / CAST(t.n AS DOUBLE)))
+             + (CAST(c.p_below AS DOUBLE)
+                - CAST(c.p_above + c.p_below AS DOUBLE)
+                  * CAST(c.f_below + c.o_below + c.p_below AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))
+               * (CAST(c.p_below AS DOUBLE)
+                  - CAST(c.p_above + c.p_below AS DOUBLE)
+                    * CAST(c.f_below + c.o_below + c.p_below AS DOUBLE)
+                    / CAST(t.n AS DOUBLE))
+               / (CAST(c.p_above + c.p_below AS DOUBLE)
+                  * CAST(c.f_below + c.o_below + c.p_below AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))) AS chi_square
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the F/O/P order-status groups: count
+    each group's values above vs at-or-below the GRAND median, then the
+    2xk chi-square. The cut is pinned to the TYPE-1 (lower) median —
+    the smallest value whose cumulative count reaches (N+1) div 2 on
+    the distinct-value table — because engines' default median()
+    INTERPOLATES on even counts and diverges; any consistent cut is
+    statistically valid, so the interpolation-free one wins (the
+    round-10 quantile-cut rule). The six cells are exact BIGINT from
+    one conditional pass over the per-value table; the chi-square's six
+    (O-E)^2/E terms are UNROLLED in fixed (above-row, then below-row;
+    F,O,P within each) order per the k-group float-sum rule. Same
+    scale shape as agg_mann_whitney_u: everything reduces through the
+    price-domain-bounded distinct-cents table."""
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O", "P"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per = v.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "F", 1)).cast("bigint").alias("a"),
+        F.count(F.when(F.col("g") == "O", 1)).cast("bigint").alias("b"),
+        F.count(F.when(F.col("g") == "P", 1)).cast("bigint").alias("p"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    per = materialize_reduced(per)
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "cents", F.sum("c").over(w).alias("cumc")
+    )
+    tot = per.agg(F.sum("c").cast("bigint").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cumc") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("cents").alias("median_cents"))
+    )
+    counts = (
+        per.crossJoin(F.broadcast(med))
+        .groupBy("median_cents")
+        .agg(
+            *[
+                F.sum(
+                    F.when(cond, F.col(col)).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(name)
+                for col, gname in (("a", "f"), ("b", "o"), ("p", "p"))
+                for cond, name in (
+                    (
+                        F.col("cents") > F.col("median_cents"),
+                        f"{gname}_above",
+                    ),
+                    (
+                        F.col("cents") <= F.col("median_cents"),
+                        f"{gname}_below",
+                    ),
+                )
+            ]
+        )
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+
+    def cell(o_col: str, row_cols: list[str], col_cols: list[str]):
+        od = F.col(o_col).cast("double")
+        rowd = (
+            F.col(col_cols[0]) + F.col(col_cols[1])
+        ).cast("double")  # group margin (above+below for the group)
+        cold = (
+            (F.col(row_cols[0]) + F.col(row_cols[1])) + F.col(row_cols[2])
+        ).cast("double")  # row margin (above or below, across groups)
+        e = rowd * cold / nd
+        return (od - e) * (od - e) / e
+
+    above = ["f_above", "o_above", "p_above"]
+    below = ["f_below", "o_below", "p_below"]
+    chi2 = (
+        (
+            cell("f_above", above, ["f_above", "f_below"])
+            + cell("o_above", above, ["o_above", "o_below"])
+        )
+        + cell("p_above", above, ["p_above", "p_below"])
+    ) + (
+        (
+            cell("f_below", below, ["f_above", "f_below"])
+            + cell("o_below", below, ["o_above", "o_below"])
+        )
+        + cell("p_below", below, ["p_above", "p_below"])
+    )
+    return j.select(
+        "median_cents",
+        "f_above",
+        "f_below",
+        "o_above",
+        "o_below",
+        "p_above",
+        "p_below",
+        chi2.alias("chi_square"),
+    )
+
+
+@_q(
+    "agg_wilcoxon_signed_rank",
+    """
+    WITH yearly AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1995
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS c95,
+             CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1996
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS c96,
+             COUNT(CASE WHEN YEAR(o_orderdate) = 1995 THEN 1 END) AS k95,
+             COUNT(CASE WHEN YEAR(o_orderdate) = 1996 THEN 1 END) AS k96
+      FROM orders
+      WHERE YEAR(o_orderdate) IN (1995, 1996)
+      GROUP BY o_custkey
+    ), diffs AS (
+      SELECT c96 - c95 AS diff, ABS(c96 - c95) AS ad
+      FROM yearly WHERE k95 > 0 AND k96 > 0 AND c96 <> c95
+    ), per AS (
+      SELECT ad,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(CASE WHEN diff > 0 THEN 1 END) AS BIGINT) AS pos
+      FROM diffs GROUP BY ad
+    ), cum AS (
+      SELECT c, pos,
+             2 * COALESCE(SUM(c) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS dr
+      FROM per
+    ), s AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(pos * dr) AS BIGINT) AS t2_plus,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term
+      FROM cum
+    )
+    SELECT n, t2_plus, tie_term,
+           CAST(t2_plus AS DOUBLE) / 2.0 AS t_plus,
+           (CAST(t2_plus AS DOUBLE) / 2.0
+            - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+           / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                   * (2.0 * CAST(n AS DOUBLE) + 1.0)
+                   - CAST(tie_term AS DOUBLE) / 2.0) / 24.0) AS z_stat
+    FROM s
+    """,
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test over paired per-customer yearly revenue
+    (1995 vs 1996 order cents; customers with orders in BOTH years, zero
+    diffs dropped per the classic procedure). Same no-global-sort shape
+    as the Mann-Whitney/Kruskal entries: midranks of |diff| come from
+    the per-value table (one hash agg + one cumulative window over
+    distinct |diff| values); doubled midranks dr = 2*cum_before + c + 1
+    keep T+ BIGINT-exact (t2_plus = 2*T+). The tie-corrected normal
+    approximation sigma^2 = [n(n+1)(2n+1) - tie/2] / 24 and the z
+    statistic are ONE scalar IEEE chain with a single sqrt — scalars
+    only, so the k-group float-sum hazard doesn't arise. Year
+    extraction is on the NTZ order date under the session UTC pin."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    yr = F.year("o_orderdate")
+    yearly = (
+        load_table(spark, sf_dir, "orders")
+        .filter(yr.isin(1995, 1996))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.when(yr == 1995, cents).otherwise(0))
+            .cast("bigint")
+            .alias("c95"),
+            F.sum(F.when(yr == 1996, cents).otherwise(0))
+            .cast("bigint")
+            .alias("c96"),
+            F.count(F.when(yr == 1995, 1)).alias("k95"),
+            F.count(F.when(yr == 1996, 1)).alias("k96"),
+        )
+    )
+    diffs = yearly.filter(
+        (F.col("k95") > 0)
+        & (F.col("k96") > 0)
+        & (F.col("c96") != F.col("c95"))
+    ).select(
+        (F.col("c96") - F.col("c95")).alias("diff"),
+        F.abs(F.col("c96") - F.col("c95")).alias("ad"),
+    )
+    per = diffs.groupBy("ad").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.count(F.when(F.col("diff") > 0, 1)).cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "c",
+        "pos",
+        (
+            2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+        ).alias("dr"),
+    )
+    c = F.col("c")
+    s = cum.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("pos") * F.col("dr")).cast("bigint").alias("t2_plus"),
+        F.sum(c * c * c - c).cast("bigint").alias("tie_term"),
+    )
+    nd = F.col("n").cast("double")
+    t_plus = F.col("t2_plus").cast("double") / 2.0
+    sigma = F.sqrt(
+        (
+            nd * (nd + 1.0) * (2.0 * nd + 1.0)
+            - F.col("tie_term").cast("double") / 2.0
+        )
+        / 24.0
+    )
+    return s.select(
+        "n",
+        "t2_plus",
+        "tie_term",
+        t_plus.alias("t_plus"),
+        ((t_plus - nd * (nd + 1.0) / 4.0) / sigma).alias("z_stat"),
+    )
+
+
+@_q(
+    "agg_weighted_correlation",
+    """
+    WITH v AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS w,
+             CAST(round(l_extendedprice) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * (1.0 - l_discount)) AS BIGINT)
+               AS y
+      FROM lineitem
+    ), tot AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS sw,
+             CAST(SUM(w * x) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS mux,
+             CAST(SUM(w * y) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS muy
+      FROM v
+    ), cen AS (
+      SELECT t.sw,
+             CAST(SUM(w * (x - t.mux)) AS BIGINT) AS sdx,
+             CAST(SUM(w * (y - t.muy)) AS BIGINT) AS sdy,
+             CAST(SUM(w * (x - t.mux) * (x - t.mux)) AS BIGINT) AS sxx,
+             CAST(SUM(w * (y - t.muy) * (y - t.muy)) AS BIGINT) AS syy,
+             CAST(SUM(w * (x - t.mux) * (y - t.muy)) AS BIGINT) AS sxy,
+             t.mux, t.muy
+      FROM v CROSS JOIN tot t
+      GROUP BY t.sw, t.mux, t.muy
+    )
+    SELECT sw,
+           CAST(mux AS DOUBLE) + CAST(sdx AS DOUBLE) / CAST(sw AS DOUBLE)
+             AS wmean_price,
+           CAST(muy AS DOUBLE) + CAST(sdy AS DOUBLE) / CAST(sw AS DOUBLE)
+             AS wmean_revenue,
+           (CAST(sw AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sdx AS DOUBLE) * CAST(sdy AS DOUBLE))
+           / (SQRT(CAST(sw AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sdx AS DOUBLE) * CAST(sdx AS DOUBLE))
+              * SQRT(CAST(sw AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sdy AS DOUBLE) * CAST(sdy AS DOUBLE)))
+             AS weighted_corr
+    FROM cen
+    """,
+)
+def agg_weighted_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted Pearson correlation between extended price and
+    discounted revenue — the weighted-covariance companion to the graded
+    agg_corr_exact. The round-10-validated range budget, in order:
+    (a) values snap to integer DOLLARS (cents^2-scale weighted moments
+    overflow BIGINT); (b) the raw integer quantity is the weight;
+    (c) integer FLOOR weighted means mu = swx div sw join back in-plan
+    via a broadcast 1-row crossJoin, making the centered second moments
+    sum_w w*dx*dy exact BIGINT (~7.5e16 at sf0.1 — comfortable);
+    (d) the shift-invariant covariance identity sw*Sxy - Sdx*Sdy
+    converts EACH BIGINT to DOUBLE BEFORE multiplying, because the
+    products overflow int64 and non-ANSI Spark WRAPS silently; (e) one
+    sqrt per stddev. Floor-mean centering is exact, not approximate —
+    shift invariance of covariance absorbs the integer remainder, and
+    the exact weighted means are recovered as mu + Sd/sw for output."""
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("w"),
+        F.round(F.col("l_extendedprice"), 0).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    tot = v.agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.expr("cast(sum(w * x) as bigint) div cast(sum(w) as bigint)")
+        .alias("mux"),
+        F.expr("cast(sum(w * y) as bigint) div cast(sum(w) as bigint)")
+        .alias("muy"),
+    )
+    dx = F.col("x") - F.col("mux")
+    dy = F.col("y") - F.col("muy")
+    cen = (
+        v.crossJoin(F.broadcast(tot))
+        .groupBy("sw", "mux", "muy")
+        .agg(
+            F.sum(F.col("w") * dx).cast("bigint").alias("sdx"),
+            F.sum(F.col("w") * dy).cast("bigint").alias("sdy"),
+            F.sum(F.col("w") * dx * dx).cast("bigint").alias("sxx"),
+            F.sum(F.col("w") * dy * dy).cast("bigint").alias("syy"),
+            F.sum(F.col("w") * dx * dy).cast("bigint").alias("sxy"),
+        )
+    )
+
+    def d(name: str):
+        return F.col(name).cast("double")
+
+    return cen.select(
+        "sw",
+        (d("mux") + d("sdx") / d("sw")).alias("wmean_price"),
+        (d("muy") + d("sdy") / d("sw")).alias("wmean_revenue"),
+        (
+            (d("sw") * d("sxy") - d("sdx") * d("sdy"))
+            / (
+                F.sqrt(d("sw") * d("sxx") - d("sdx") * d("sdx"))
+                * F.sqrt(d("sw") * d("syy") - d("sdy") * d("sdy"))
+            )
+        ).alias("weighted_corr"),
+    )
+
+
+@_q(
+    "agg_qq_deciles",
+    """
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), per AS (
+      SELECT cents,
+             CAST(COUNT(CASE WHEN g = 'F' THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN g = 'O' THEN 1 END) AS BIGINT) AS b
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT cents,
+             SUM(a) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM per
+    ), tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n_f, CAST(SUM(b) AS BIGINT) AS n_o
+      FROM per
+    ), spine AS (
+      SELECT CAST(x AS BIGINT) AS decile FROM generate_series(1, 9) t(x)
+    ), fcut AS (
+      SELECT s.decile, CAST(MIN(c.cents) AS BIGINT) AS f_cents
+      FROM spine s CROSS JOIN tot t
+      JOIN cum c ON c.ca >= (s.decile * t.n_f + 9) // 10
+      GROUP BY s.decile
+    ), ocut AS (
+      SELECT s.decile, CAST(MIN(c.cents) AS BIGINT) AS o_cents
+      FROM spine s CROSS JOIN tot t
+      JOIN cum c ON c.cb >= (s.decile * t.n_o + 9) // 10
+      GROUP BY s.decile
+    )
+    SELECT f.decile, f.f_cents, o.o_cents,
+           CAST(o.o_cents AS DOUBLE) / CAST(f.f_cents AS DOUBLE)
+             AS qq_ratio
+    FROM fcut f JOIN ocut o ON o.decile = f.decile
+    """,
+)
+def agg_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Q-Q table at the nine decile cuts between the F and O
+    order-value populations — the distribution-comparison report that
+    pairs with the KS statistic (KS gives one number; the Q-Q table
+    shows WHERE the distributions diverge). Each cut is pinned to the
+    TYPE-1 (lower) quantile — the ceil(q*n/10)-th order statistic,
+    found as the smallest distinct value whose cumulative count reaches
+    (q*n + 9) div 10 — never the engines' interpolating default
+    quantile (the round-10 cut rule). One hash agg to the
+    price-domain-bounded distinct-value table, one cumulative window,
+    then a 9-row broadcast spine joined on the cumulative threshold;
+    everything stays on the exact integer lattice except the final
+    per-decile ratio division."""
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per = v.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "F", 1)).cast("bigint").alias("a"),
+        F.count(F.when(F.col("g") == "O", 1)).cast("bigint").alias("b"),
+    )
+    per = materialize_reduced(per)
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "cents",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    tot = per.agg(
+        F.sum("a").cast("bigint").alias("n_f"),
+        F.sum("b").cast("bigint").alias("n_o"),
+    )
+    spine = spark.range(1, 10).select(F.col("id").alias("decile"))
+    thresholds = spine.crossJoin(F.broadcast(tot))
+    fcut = (
+        cum.crossJoin(F.broadcast(thresholds))
+        .filter(F.col("ca") >= F.expr("(decile * n_f + 9) div 10"))
+        .groupBy("decile")
+        .agg(F.min("cents").cast("bigint").alias("f_cents"))
+    )
+    ocut = (
+        cum.crossJoin(F.broadcast(thresholds))
+        .filter(F.col("cb") >= F.expr("(decile * n_o + 9) div 10"))
+        .groupBy("decile")
+        .agg(F.min("cents").cast("bigint").alias("o_cents"))
+    )
+    return fcut.join(ocut, "decile").select(
+        "decile",
+        "f_cents",
+        "o_cents",
+        (
+            F.col("o_cents").cast("double") / F.col("f_cents").cast("double")
+        ).alias("qq_ratio"),
     )
