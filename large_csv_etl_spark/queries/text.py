@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from .helpers import (
     davg,
+    fp_sum,
     phash60,
     sql_davg,
     sql_phash60,
@@ -3845,4 +3846,506 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div (n_nodes * (n_nodes - 1)) AS BIGINT) END"
             ).alias("graph_density_fp"),
         )
+    )
+
+
+# --- round-11 wave-1 corpus-hygiene entries (docs/ROADMAP_r11.md #21-#26) --
+# The fixture corpus is pure ASCII with no punctuation/markup/URLs, so the
+# mojibake/markup/sentence/URL entries derive a deterministic synthetic
+# surface from (source, doc_id) via the portable 60-bit hash — the same
+# committed-synthesis pattern the file-format entries use. The
+# detection/extraction logic is what is graded, not corpus realism; all
+# regexp classes are EXPLICIT ranges (never \\p{} names, whose semantics
+# differ between Java regex and RE2 — the round-10 probe rule).
+
+
+@_q(
+    "text_mojibake_audit",
+    r"""
+    WITH d AS (
+      SELECT source,
+             text || CASE ('0x' || substr(md5('moji:' || CAST(doc_id
+                       AS VARCHAR)), 1, 15))::BIGINT % 5
+               WHEN 0 THEN ' ' || repeat('�', CAST(1 + (('0x' ||
+                 substr(md5('moji:' || CAST(doc_id AS VARCHAR)), 1,
+                 15))::BIGINT // 5) % 3 AS INTEGER))
+               WHEN 1 THEN chr(7) || chr(27)
+               WHEN 2 THEN ' café naïve'
+               ELSE '' END AS t
+      FROM documents
+    ), per AS (
+      SELECT source,
+             LENGTH(t) - LENGTH(regexp_replace(t, '�', '', 'g'))
+               AS repl_chars,
+             LENGTH(t) - LENGTH(regexp_replace(t,
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
+               AS control_chars,
+             LEN(LIST_FILTER(regexp_split_to_array(TRIM(t), '\s+'),
+                 x -> regexp_matches(x, '[^\x00-\x7F]')))
+               AS nonascii_tokens
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(repl_chars) AS BIGINT) AS repl_chars,
+           CAST(SUM(control_chars) AS BIGINT) AS control_chars,
+           CAST(SUM(nonascii_tokens) AS BIGINT) AS nonascii_tokens,
+           CAST(SUM(CASE WHEN repl_chars = 0 AND control_chars = 0
+                         AND nonascii_tokens = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS clean_docs
+    FROM per GROUP BY source
+    """,
+)
+def text_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 sanity gate per source: counts of U+FFFD replacement chars,
+    C0/DEL control chars, and mixed-script (non-ASCII) tokens — the
+    first screen any web-scale corpus ingest runs. Character classes
+    are explicit byte ranges on both engines; LENGTH-after-strip counts
+    CODEPOINTS identically in Spark and DuckDB (verified round 10,
+    astral chars included). The corruption surface is hash-derived per
+    doc (replacement runs, BEL+ESC controls, accented tokens) so every
+    counter exercises non-zero paths; counts reduce map-side to
+    |sources| rows."""
+    dh = phash60(
+        F.concat(F.lit("moji:"), F.col("doc_id").cast("string"))
+    )
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            dh % 5 == 0,
+            F.concat(
+                F.lit(" "),
+                F.expr(
+                    "repeat('�', cast(1 + (cast(conv(substr(md5('moji:' ||"
+                    " cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+                    " div 5) % 3 as int))"
+                ),
+            ),
+        )
+        .when(dh % 5 == 1, F.concat(F.expr("char(7)"), F.expr("char(27)")))
+        .when(dh % 5 == 2, F.lit(" café naïve"))
+        .otherwise(F.lit("")),
+    )
+    per = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (
+            F.length(t) - F.length(F.regexp_replace(t, "�", ""))
+        ).alias("repl_chars"),
+        (
+            F.length(t)
+            - F.length(
+                F.regexp_replace(
+                    t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+                )
+            )
+        ).alias("control_chars"),
+        F.size(
+            F.filter(
+                F.split(F.trim(t), r"\s+"),
+                lambda x: x.rlike("[^\x00-\x7F]"),
+            )
+        ).alias("nonascii_tokens"),
+    )
+    clean = (
+        (F.col("repl_chars") == 0)
+        & (F.col("control_chars") == 0)
+        & (F.col("nonascii_tokens") == 0)
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("repl_chars").cast("bigint").alias("repl_chars"),
+        F.sum("control_chars").cast("bigint").alias("control_chars"),
+        F.sum("nonascii_tokens").cast("bigint").alias("nonascii_tokens"),
+        F.sum(F.when(clean, 1).otherwise(0)).cast("bigint").alias(
+            "clean_docs"
+        ),
+    )
+
+
+@_q(
+    "text_markup_density",
+    r"""
+    WITH d AS (
+      SELECT source,
+             CASE ('0x' || substr(md5('markup:' || CAST(doc_id
+                 AS VARCHAR)), 1, 15))::BIGINT % 4
+               WHEN 0 THEN '<div class="x">' || text || '</div>'
+               WHEN 1 THEN '<p>' || text || '</p><br/>'
+               ELSE text END
+             || CASE (('0x' || substr(md5('markup:' || CAST(doc_id
+                  AS VARCHAR)), 1, 15))::BIGINT // 4) % 3
+               WHEN 0 THEN ' &amp; &nbsp; x' ELSE '' END AS t
+      FROM documents
+    ), per AS (
+      SELECT source,
+             LEN(regexp_extract_all(t, '<[^>]+>')) AS n_tags,
+             LEN(regexp_extract_all(t, '&[a-z]+;')) AS n_entities,
+             CAST(LENGTH(t) - LENGTH(regexp_replace(t,
+                 '<[^>]+>|&[a-z]+;', '', 'g')) AS DOUBLE)
+               / CAST(LENGTH(t) AS DOUBLE) AS density
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tags) AS BIGINT) AS n_tags,
+           CAST(SUM(n_entities) AS BIGINT) AS n_entities,
+           CAST(SUM(CASE WHEN density > 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS flagged_docs,
+           CAST(SUM(CAST(round(density * 1000000000000.0) AS BIGINT))
+                AS DOUBLE) / 1000000000000.0 / COUNT(*) AS avg_density
+    FROM per GROUP BY source
+    """,
+)
+def text_markup_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML markup/entity density gate per source — the boilerplate
+    family's router signal for docs that skipped HTML stripping: tag
+    and entity match counts, a markup-to-length density, and the count
+    of docs above the 5% routing threshold. Tag/entity patterns are
+    explicit ranges; density is one IEEE division per doc (identical
+    engines) and the per-source MEAN goes through the 1e-12 fixed-point
+    snap (fp_sum) so the float sum is partition-order independent. The
+    markup surface is hash-derived per doc (block tags, void tags,
+    entities) per the committed-synthesis pattern."""
+    dh = phash60(
+        F.concat(F.lit("markup:"), F.col("doc_id").cast("string"))
+    )
+    t = F.concat(
+        F.when(
+            dh % 4 == 0,
+            F.concat(
+                F.lit('<div class="x">'), F.col("text"), F.lit("</div>")
+            ),
+        )
+        .when(
+            dh % 4 == 1,
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><br/>")),
+        )
+        .otherwise(F.col("text")),
+        F.when(
+            F.expr(
+                "(cast(conv(substr(md5('markup:' || cast(doc_id as"
+                " string)), 1, 15), 16, 10) as bigint) div 4) % 3 = 0"
+            ),
+            F.lit(" &amp; &nbsp; x"),
+        ).otherwise(F.lit("")),
+    )
+    pat = "<[^>]+>|&[a-z]+;"
+    per = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.regexp_extract_all(t, F.lit("<[^>]+>"), 0)).alias(
+            "n_tags"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit("&[a-z]+;"), 0)).alias(
+            "n_entities"
+        ),
+        (
+            (
+                F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+            ).cast("double")
+            / F.length(t).cast("double")
+        ).alias("density"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tags").cast("bigint").alias("n_tags"),
+        F.sum("n_entities").cast("bigint").alias("n_entities"),
+        F.sum(F.when(F.col("density") > 0.05, 1).otherwise(0))
+        .cast("bigint")
+        .alias("flagged_docs"),
+        (
+            fp_sum(F.col("density"), 1e12).cast("double")
+            / 1000000000000.0
+            / F.count("*")
+        ).alias("avg_density"),
+    )
+
+
+@_q(
+    "text_hapax_ratio",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+               AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), cnt AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_count,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_ratio
+    FROM cnt GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena share per source — the vocabulary-growth companion
+    (a corpus whose hapax share collapses is repeating itself; one whose
+    share explodes is noisy OCR). One per-(source, token) count pass —
+    the same shuffle the top-terms entry pays — then an exact integer
+    rollup; the only float is the final ratio division."""
+    tokens = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias(
+                "token"
+            ),
+        )
+    )
+    cnt = tokens.groupBy("source", "token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        hapax.cast("bigint").alias("hapax_count"),
+        (hapax.cast("double") / F.count("*")).alias("hapax_ratio"),
+    )
+
+
+@_q(
+    "text_yule_k",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+               AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), cnt AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+           10000.0 * (CAST(SUM(c * c) AS DOUBLE) - CAST(SUM(c) AS DOUBLE))
+             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+             AS yule_k
+    FROM cnt GROUP BY source
+    """,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical-concentration characteristic per source — the
+    log-free repetitiveness constant (K = 10^4 * (sum c^2 - N) / N^2
+    over token frequencies c) that complements the entropy-shaped
+    diversity entries without touching libm. The numerator is exact
+    BIGINT off the same per-(source, token) count pass as the hapax
+    entry; one double division at the end. c^2 sums stay BIGINT-exact
+    to ~3e9 occurrences of a single token per source."""
+    tokens = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias(
+                "token"
+            ),
+        )
+    )
+    cnt = tokens.groupBy("source", "token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    s1 = F.sum("c").cast("bigint")
+    s2 = F.sum(F.col("c") * F.col("c")).cast("bigint")
+    return cnt.groupBy("source").agg(
+        s1.alias("n_tokens"),
+        s2.alias("sum_c2"),
+        (
+            10000.0
+            * (s2.cast("double") - s1.cast("double"))
+            / (s1.cast("double") * s1.cast("double"))
+        ).alias("yule_k"),
+    )
+
+
+@_q(
+    "text_sentence_length_stats",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_replace(TRIM(text),
+               '(\S+\s+\S+\s+\S+\s+\S+\s+\S+)\s', '\1. ', 'g') AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), s AS (
+      SELECT doc_id, source,
+             UNNEST(regexp_split_to_array(t, '\. ')) AS sent
+      FROM d
+    ), per AS (
+      SELECT doc_id, source,
+             CAST(LEN(regexp_split_to_array(TRIM(sent), '\s+'))
+                  AS BIGINT) AS n_tok
+      FROM s WHERE TRIM(sent) <> ''
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_sentence_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_sentence_tokens
+    FROM per GROUP BY source
+    """,
+)
+def text_sentence_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sentence segmentation stats via regexp splits: count,
+    token totals, max and mean tokens per sentence. The fixture corpus
+    carries no sentence punctuation, so deterministic boundaries are
+    INJECTED first (a '. ' after every complete 5-token group — one
+    global regexp_replace whose greedy semantics are identical in Java
+    regex and RE2), then the graded logic re-segments on the '\\. '
+    delimiter and tokenizes each sentence. Everything reduces map-side
+    to |sources| rows; counts are exact integers with one final mean
+    division."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            "source",
+            F.regexp_replace(
+                F.trim(F.col("text")),
+                r"(\S+\s+\S+\s+\S+\s+\S+\s+\S+)\s",
+                "$1. ",
+            ).alias("t"),
+        )
+    )
+    s = d.select(
+        "doc_id", "source", F.explode(F.split(F.col("t"), r"\. ")).alias("sent")
+    )
+    per = s.filter(F.trim(F.col("sent")) != "").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("sent")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    return per.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_sentences"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_sentence_tokens"),
+        (F.sum("n_tok").cast("double") / F.count("*")).alias(
+            "mean_sentence_tokens"
+        ),
+    )
+
+
+@_q(
+    "text_url_extraction_census",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)),
+              1, 15))::BIGINT AS h
+      FROM documents
+    ), u AS (
+      SELECT CASE h % 3 WHEN 0 THEN 'https://' ELSE 'http://' END
+             || source || '.example'
+             || CASE (h // 3) % 2 WHEN 0 THEN ':8080' ELSE '' END
+             || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+             || CASE (h // 7) % 3
+                  WHEN 0 THEN '?utm_source=feed&ref='
+                              || CAST(h % 97 AS VARCHAR)
+                  WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR)
+                  ELSE '' END
+             || CASE (h // 11) % 4 WHEN 0 THEN '#frag' ELSE '' END
+               AS url
+      FROM d
+    ), e AS (
+      SELECT regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+             regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS authority,
+             regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                            '^([^:]+)', 1) AS host,
+             regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             CASE WHEN url LIKE '%utm_%' THEN 1 ELSE 0 END AS tracking
+      FROM u
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_https,
+           CAST(SUM(CASE WHEN authority LIKE '%:%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_port,
+           CAST(SUM(tracking) AS BIGINT) AS n_tracking,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_unique_paths
+    FROM e GROUP BY host
+    """,
+)
+def text_url_extraction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain census — the link-graph precursor:
+    scheme / authority / host / path decomposition via anchored regexp
+    groups (explicit classes, identical group semantics in Java regex
+    and RE2), tracking-parameter detection, and per-host URL/path
+    counts. documents.text contains zero URL-shaped tokens, so the URL
+    corpus is derived deterministically from (source, doc_id) with
+    hash-chosen port / query / fragment noise (the committed-synthesis
+    pattern); the decomposition logic is what is graded. Census reduces
+    map-side to |hosts| rows."""
+    h = phash60(F.concat(F.lit("url:"), F.col("doc_id").cast("string")))
+    # hash divs go through expr() so the integer `div` matches the
+    # oracle's `//` exactly (Column `/` is float division)
+    url = F.concat(
+        F.when(h % 3 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.col("source"),
+        F.lit(".example"),
+        F.when(F.expr(
+            "(cast(conv(substr(md5('url:' || cast(doc_id as string)), 1,"
+            " 15), 16, 10) as bigint) div 3) % 2 = 0"
+        ), F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.expr(
+                "(cast(conv(substr(md5('url:' || cast(doc_id as string)),"
+                " 1, 15), 16, 10) as bigint) div 7) % 3 = 0"
+            ),
+            F.concat(
+                F.lit("?utm_source=feed&ref="), (h % 97).cast("string")
+            ),
+        )
+        .when(
+            F.expr(
+                "(cast(conv(substr(md5('url:' || cast(doc_id as string)),"
+                " 1, 15), 16, 10) as bigint) div 7) % 3 = 1"
+            ),
+            F.concat(F.lit("?id="), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            F.expr(
+                "(cast(conv(substr(md5('url:' || cast(doc_id as string)),"
+                " 1, 15), 16, 10) as bigint) div 11) % 4 = 0"
+            ),
+            F.lit("#frag"),
+        ).otherwise(F.lit("")),
+    )
+    u = load_table(spark, sf_dir, "documents").select(url.alias("url"))
+    authority = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/?#]+)", 1)
+    e = u.select(
+        F.regexp_extract(F.col("url"), r"^([a-z]+)://", 1).alias("scheme"),
+        authority.alias("authority"),
+        F.regexp_extract(authority, r"^([^:]+)", 1).alias("host"),
+        F.regexp_extract(
+            F.col("url"), r"^[a-z]+://[^/?#]+([^?#]*)", 1
+        ).alias("path"),
+        F.when(F.col("url").like("%utm_%"), 1).otherwise(0).alias(
+            "tracking"
+        ),
+    )
+    return e.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.sum(F.when(F.col("scheme") == "https", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_https"),
+        F.sum(F.when(F.col("authority").like("%:%"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_port"),
+        F.sum("tracking").cast("bigint").alias("n_tracking"),
+        F.countDistinct("path").cast("bigint").alias("n_unique_paths"),
     )
