@@ -1311,3 +1311,263 @@ def dq_rare_level_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# --- round-11 wave-1 additions (docs/ROADMAP_r11.md #42-#44) ----------------
+
+_DRIFT_DIR = str(
+    __import__("pathlib").Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+)
+
+# Shared coarse type-class vocabulary for the schema-drift diff: DuckDB
+# DESCRIBE reports logical SQL types, Spark reports simpleString names —
+# both map onto this five-word vocabulary so the graded output never
+# compares engine-specific type spellings (round-10 probe note).
+_TYPE_CLASS_SPARK = {
+    "tinyint": "integer",
+    "smallint": "integer",
+    "int": "integer",
+    "bigint": "integer",
+    "float": "float",
+    "double": "float",
+    "boolean": "boolean",
+    "string": "string",
+}
+_TYPE_CLASS_SQL = """
+    CASE WHEN t IN ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT', 'HUGEINT',
+                    'UTINYINT', 'USMALLINT', 'UINTEGER', 'UBIGINT')
+           THEN 'integer'
+         WHEN t IN ('FLOAT', 'REAL', 'DOUBLE') THEN 'float'
+         WHEN t = 'BOOLEAN' THEN 'boolean'
+         WHEN t = 'VARCHAR' THEN 'string'
+         WHEN t LIKE 'TIMESTAMP%' THEN 'timestamp'
+         ELSE 'other' END
+"""
+
+
+def _spark_type_class(simple: str) -> str:
+    if simple.startswith("timestamp"):
+        return "timestamp"
+    return _TYPE_CLASS_SPARK.get(simple, "other")
+
+
+@_q(
+    "dq_schema_drift_diff",
+    f"""
+    WITH a AS (
+      SELECT column_name AS col, {_TYPE_CLASS_SQL.replace("t IN", "column_type IN").replace("t =", "column_type =").replace("t LIKE", "column_type LIKE")} AS cls
+      FROM (DESCRIBE SELECT * FROM
+            read_parquet('{_DRIFT_DIR}/drift_v1.parquet'))
+    ), b AS (
+      SELECT column_name AS col, {_TYPE_CLASS_SQL.replace("t IN", "column_type IN").replace("t =", "column_type =").replace("t LIKE", "column_type LIKE")} AS cls
+      FROM (DESCRIBE SELECT * FROM
+            read_parquet('{_DRIFT_DIR}/drift_v2.parquet'))
+    )
+    SELECT COALESCE(a.col, b.col) AS col_name,
+           CASE WHEN a.col IS NULL THEN 'added'
+                WHEN b.col IS NULL THEN 'removed'
+                WHEN a.cls <> b.cls THEN 'type_changed'
+                ELSE 'unchanged' END AS status,
+           COALESCE(a.cls, 'absent') AS class_v1,
+           COALESCE(b.cls, 'absent') AS class_v2
+    FROM a FULL OUTER JOIN b ON b.col = a.col
+    """,
+)
+def dq_schema_drift_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift report between two parquet snapshot versions: column
+    added / removed / type-changed / unchanged, with types canonicalized
+    to a shared coarse class vocabulary (integer/float/string/boolean/
+    timestamp) because DuckDB and Spark spell logical types differently
+    and parquet physical types (INT64 for both BIGINT and TIMESTAMP)
+    are lossier still. Schema reads are O(footer) metadata operations —
+    no data scan at any scale; the diff itself is a full outer join on
+    column name over two |schema|-row frames. Snapshots are the
+    committed drift_v1/drift_v2 fixtures covering all four statuses."""
+    rows_a = [
+        (f.name, _spark_type_class(f.dataType.simpleString()))
+        for f in spark.read.parquet(f"{_DRIFT_DIR}/drift_v1.parquet").schema
+    ]
+    rows_b = [
+        (f.name, _spark_type_class(f.dataType.simpleString()))
+        for f in spark.read.parquet(f"{_DRIFT_DIR}/drift_v2.parquet").schema
+    ]
+    a = spark.createDataFrame(rows_a, ["col", "cls_a"])
+    b = spark.createDataFrame(rows_b, ["col", "cls_b"])
+    j = a.join(b, "col", "full_outer")
+    return j.select(
+        F.col("col").alias("col_name"),
+        F.when(F.col("cls_a").isNull(), "added")
+        .when(F.col("cls_b").isNull(), "removed")
+        .when(F.col("cls_a") != F.col("cls_b"), "type_changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.col("cls_a"), F.lit("absent")).alias("class_v1"),
+        F.coalesce(F.col("cls_b"), F.lit("absent")).alias("class_v2"),
+    )
+
+
+@_q(
+    "dq_candidate_key_audit",
+    """
+    WITH k1 AS (
+      SELECT o_orderkey AS k FROM orders
+    ), g1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_keys,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_violating_rows
+      FROM (SELECT k, COUNT(*) AS c FROM k1 GROUP BY k)
+    ), g2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_keys,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_violating_rows
+      FROM (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1)
+    ), g3 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_keys,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_violating_rows
+      FROM (SELECT o_custkey, o_orderdate, COUNT(*) AS c
+            FROM orders GROUP BY 1, 2)
+    ), g4 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_keys,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_violating_rows
+      FROM (SELECT o_custkey, o_orderstatus, COUNT(*) AS c
+            FROM orders GROUP BY 1, 2)
+    )
+    SELECT 'o_orderkey' AS candidate_key, * ,
+           CAST(n_keys AS DOUBLE) / n_rows AS uniqueness_rate FROM g1
+    UNION ALL
+    SELECT 'o_custkey', *,
+           CAST(n_keys AS DOUBLE) / n_rows FROM g2
+    UNION ALL
+    SELECT 'o_custkey,o_orderdate', *,
+           CAST(n_keys AS DOUBLE) / n_rows FROM g3
+    UNION ALL
+    SELECT 'o_custkey,o_orderstatus', *,
+           CAST(n_keys AS DOUBLE) / n_rows FROM g4
+    """,
+)
+def dq_candidate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit over orders: for each proposed 1-
+    or 2-column key, the distinct-key count, duplicate-key count, rows
+    participating in violations, and the uniqueness rate — the report
+    that decides whether a column combination can serve as a merge/
+    upsert key before an ETL depends on it. Each candidate is one
+    map-side-combinable groupBy; the four audits union into a 4-row
+    report. At 100 TB each candidate is an independent shuffle on its
+    own key — no cross-candidate state, so AQE parallelizes them
+    freely."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def audit(label: str, cols: list[str]) -> DataFrame:
+        g = orders.groupBy(*cols).agg(F.count("*").alias("c"))
+        return g.agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_keys"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_rows"),
+        ).select(
+            F.lit(label).alias("candidate_key"),
+            "n_keys",
+            "n_rows",
+            "n_dup_keys",
+            "n_violating_rows",
+            (
+                F.col("n_keys").cast("double") / F.col("n_rows")
+            ).alias("uniqueness_rate"),
+        )
+
+    return (
+        audit("o_orderkey", ["o_orderkey"])
+        .unionAll(audit("o_custkey", ["o_custkey"]))
+        .unionAll(audit("o_custkey,o_orderdate", ["o_custkey", "o_orderdate"]))
+        .unionAll(
+            audit("o_custkey,o_orderstatus", ["o_custkey", "o_orderstatus"])
+        )
+    )
+
+
+@_q(
+    "dq_volumetric_anomaly",
+    """
+    WITH daily AS (
+      SELECT 'orders' AS tbl, CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'lineitem', CAST(l_shipdate AS DATE),
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem GROUP BY 2
+      UNION ALL
+      SELECT 'events', CAST(CAST(ts AS TIMESTAMP) AS DATE),
+             CAST(COUNT(*) AS BIGINT)
+      FROM events GROUP BY 2
+    ), base AS (
+      SELECT tbl, MEDIAN(n) AS med_n FROM daily GROUP BY tbl
+    ), mad AS (
+      SELECT d.tbl, b.med_n, MEDIAN(ABS(d.n - b.med_n)) AS mad_n
+      FROM daily d JOIN base b ON b.tbl = d.tbl
+      GROUP BY d.tbl, b.med_n
+    )
+    SELECT d.tbl, d.day, d.n, m.med_n, m.mad_n,
+           ABS(d.n - m.med_n) > 3 * m.mad_n AS is_anomaly
+    FROM daily d JOIN mad m ON m.tbl = d.tbl
+    """,
+)
+def dq_volumetric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day volumetric control chart per table: daily row counts
+    for orders / lineitem / events against a per-table median/MAD fence
+    (3 raw MADs, no consistency factor — a screen, not a sigma
+    estimate; the daily/table-grain twin of the graded hourly MAD
+    screen). Counts reduce map-side to |tables|x|days| rows; the two
+    median passes run over that already-reduced series and the 1-row-
+    per-table baseline broadcasts back onto it. Interpolating medians
+    over exact integers are proven engine-parity; the fence test is one
+    fixed IEEE chain."""
+    def daily(tbl: str, date_col):
+        return (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.to_date(date_col).alias("day"))
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .select(F.lit(tbl).alias("tbl"), "day", "n")
+        )
+
+    d = (
+        daily("orders", F.col("o_orderdate"))
+        .unionAll(daily("lineitem", F.col("l_shipdate")))
+        .unionAll(daily("events", F.col("ts")))
+    )
+    base = d.groupBy("tbl").agg(F.median("n").alias("med_n"))
+    mad = (
+        d.join(F.broadcast(base), "tbl")
+        .groupBy("tbl", "med_n")
+        .agg(F.median(F.abs(F.col("n") - F.col("med_n"))).alias("mad_n"))
+    )
+    return d.join(F.broadcast(mad), "tbl").select(
+        "tbl",
+        "day",
+        "n",
+        "med_n",
+        "mad_n",
+        (F.abs(F.col("n") - F.col("med_n")) > 3 * F.col("mad_n")).alias(
+            "is_anomaly"
+        ),
+    )
