@@ -1000,3 +1000,500 @@ def window_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- round-11 wave-2 time-series windows (docs/ROADMAP_r11.md #9-#14) ------
+# Shared contract: rolling moments accumulate as BIGINT cents/days inside
+# the frame (a float frame-SUM is partition-order dependent — the round-10
+# Kruskal-Wallis hazard applied to frames); floats appear only in the final
+# per-row expression, one fixed IEEE chain on both engine sides.
+
+
+@_q(
+    "window_bollinger_breakout",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS dollars
+      FROM orders GROUP BY 1
+    ), frames AS (
+      SELECT day, dollars,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+             CAST(SUM(dollars) OVER w AS BIGINT) AS s1,
+             CAST(SUM(dollars * dollars) OVER w AS BIGINT) AS s2
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, dollars, n_frame,
+           CAST(s1 AS DOUBLE) / CAST(n_frame AS DOUBLE) AS sma,
+           CASE WHEN n_frame = 20 THEN
+             SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n_frame AS DOUBLE))
+                  / (CAST(n_frame AS DOUBLE) - 1.0)) END AS sd,
+           CASE WHEN n_frame = 20 THEN
+             CAST(dollars AS DOUBLE)
+             > CAST(s1 AS DOUBLE) / CAST(n_frame AS DOUBLE)
+               + 2.0 * SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n_frame AS DOUBLE))
+                  / (CAST(n_frame AS DOUBLE) - 1.0))
+             END AS breakout_up,
+           CASE WHEN n_frame = 20 THEN
+             CAST(dollars AS DOUBLE)
+             < CAST(s1 AS DOUBLE) / CAST(n_frame AS DOUBLE)
+               - 2.0 * SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n_frame AS DOUBLE))
+                  / (CAST(n_frame AS DOUBLE) - 1.0))
+             END AS breakout_down
+    FROM frames
+    """,
+)
+def window_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily-revenue series: 20-day SMA +/- 2
+    sample stddevs, with breakout flags for days piercing a band. The
+    rolling first and second moments are EXACT INTEGER window sums over
+    the frame (the integer-moment rule: a float frame-SUM inherits the
+    partition-order hazard). The series is integer DOLLARS, not cents —
+    the round-11 overflow lesson: daily cents at sf0.1 reach ~1e9,
+    whose squares x 20 days exceed 2^63 and ANSI Spark raises where
+    DuckDB's HUGEINT sums silently keep going. Dollar-grain moments
+    hold to ~3e8 dollars/day; beyond that route s2 through
+    DECIMAL(38,0). Bands/flags emit only on complete 20-day frames; one
+    shuffle to the |days|-bounded series, one ordered window pass."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice"), 0).cast("bigint"))
+            .cast("bigint")
+            .alias("dollars")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-19, 0)
+    c = F.col("dollars")
+    frames = daily.select(
+        "day",
+        "dollars",
+        F.count("*").over(w).cast("bigint").alias("n_frame"),
+        F.sum(c).over(w).cast("bigint").alias("s1"),
+        F.sum(c * c).over(w).cast("bigint").alias("s2"),
+    )
+    nd = F.col("n_frame").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    sma = s1d / nd
+    sd = F.sqrt((s2d - s1d * s1d / nd) / (nd - 1.0))
+    full = F.col("n_frame") == 20
+    price = F.col("dollars").cast("double")
+    return frames.select(
+        "day",
+        "dollars",
+        "n_frame",
+        sma.alias("sma"),
+        F.when(full, sd).alias("sd"),
+        F.when(full, price > sma + 2.0 * sd).alias("breakout_up"),
+        F.when(full, price < sma - 2.0 * sd).alias("breakout_down"),
+    )
+
+
+@_q(
+    "window_donchian_channel",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT day, cents,
+           CAST(MAX(cents) OVER w AS BIGINT) AS high_20,
+           CAST(MIN(cents) OVER w AS BIGINT) AS low_20,
+           cents > MAX(cents) OVER w AS breakout_up,
+           cents < MIN(cents) OVER w AS breakout_down
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def window_donchian_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian 20-day high/low channel over daily revenue with breakout
+    flags — the no-float twin of the Bollinger entry (min/max frames
+    carry no accumulation hazard at all, so it doubles as the
+    cross-check that the frame SEMANTICS agree between engines: the
+    channel excludes the current row by construction, ROWS 20 PRECEDING
+    .. 1 PRECEDING). First row has no channel -> NULL flags, pinned
+    identically in both engines."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-20, -1)
+    hi = F.max("cents").over(w)
+    lo = F.min("cents").over(w)
+    return daily.select(
+        "day",
+        "cents",
+        hi.cast("bigint").alias("high_20"),
+        lo.cast("bigint").alias("low_20"),
+        (F.col("cents") > hi).alias("breakout_up"),
+        (F.col("cents") < lo).alias("breakout_down"),
+    )
+
+
+@_q(
+    "window_drawup_symmetry",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), curve AS (
+      SELECT day, cents,
+             CAST(MAX(cents) OVER cw AS BIGINT) AS peak,
+             CAST(MIN(cents) OVER cw AS BIGINT) AS trough
+      FROM daily
+      WINDOW cw AS (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(cents - trough) AS BIGINT) AS max_drawup_cents,
+           CAST(MAX(peak - cents) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(cents - trough) AS DOUBLE)
+             / CAST(MAX(peak - cents) AS DOUBLE) AS updown_asymmetry
+    FROM curve
+    """,
+)
+def window_drawup_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawup (current minus running trough — the mirror of the
+    graded max-drawdown) plus the up/down asymmetry ratio, the one-look
+    summary of whether a monitored series climbs faster than it falls.
+    Runs both running extrema in ONE ordered window pass over the
+    |days|-bounded exact-cents curve; everything is integer until the
+    final ratio division."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = daily.select(
+        "cents",
+        F.max("cents").over(w).cast("bigint").alias("peak"),
+        F.min("cents").over(w).cast("bigint").alias("trough"),
+    )
+    drawup = F.col("cents") - F.col("trough")
+    drawdown = F.col("peak") - F.col("cents")
+    return curve.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max(drawup).cast("bigint").alias("max_drawup_cents"),
+        F.max(drawdown).cast("bigint").alias("max_drawdown_cents"),
+        (
+            F.max(drawup).cast("double") / F.max(drawdown).cast("double")
+        ).alias("updown_asymmetry"),
+    )
+
+
+@_q(
+    "window_obv_flow",
+    """
+    WITH seq AS (
+      SELECT o_custkey AS custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             LAG(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ), flows AS (
+      SELECT custkey, o_orderkey, cents,
+             CASE WHEN prev IS NULL THEN 0
+                  WHEN cents > prev THEN cents
+                  WHEN cents < prev THEN -cents
+                  ELSE 0 END AS flow
+      FROM seq
+    )
+    SELECT custkey, o_orderkey, cents,
+           CAST(flow AS BIGINT) AS flow,
+           CAST(SUM(flow) OVER (PARTITION BY custkey
+             ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS obv
+    FROM flows
+    """,
+)
+def window_obv_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance-volume style signed cumulative flow per customer: each
+    order contributes its full value, signed by whether it is larger or
+    smaller than the customer's previous order (equal or first -> 0),
+    and the running total is the customer's accumulation/distribution
+    curve — the orders twin of the ticker indicator. Exact BIGINT
+    end-to-end (sign picks, no float anywhere); one shuffle on the
+    high-cardinality unskewed custkey, two window passes sharing it.
+    Ordering is pinned by (o_orderdate, o_orderkey); the cumulative
+    window re-orders by o_orderkey alone, which is equivalent on this
+    fixture (orderkeys are date-monotone per customer) and keeps the
+    oracle's sort key unique either way."""
+    w = Window.partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    seq = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_orderdate",
+        cents.alias("cents"),
+    )
+    seq = seq.select(
+        "custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "cents",
+        F.lag("cents").over(w).alias("prev"),
+    )
+    flow = (
+        F.when(F.col("prev").isNull(), 0)
+        .when(F.col("cents") > F.col("prev"), F.col("cents"))
+        .when(F.col("cents") < F.col("prev"), -F.col("cents"))
+        .otherwise(0)
+    )
+    flows = seq.select(
+        "custkey", "o_orderkey", "cents", flow.alias("flow")
+    )
+    cw = (
+        Window.partitionBy("custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flows.select(
+        "custkey",
+        "o_orderkey",
+        "cents",
+        F.col("flow").cast("bigint").alias("flow"),
+        F.sum("flow").over(cw).cast("bigint").alias("obv"),
+    )
+
+
+@_q(
+    "window_gap_zscore",
+    """
+    WITH seq AS (
+      SELECT o_custkey AS custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_num,
+             LAG(CAST(o_orderdate AS DATE) - DATE '1970-01-01') OVER w
+               AS prev_num
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ), gaps AS (
+      SELECT custkey, o_orderkey, day,
+             CAST(day_num - prev_num AS BIGINT) AS gap_days
+      FROM seq
+    ), frames AS (
+      SELECT custkey, o_orderkey, day, gap_days,
+             CAST(COUNT(gap_days) OVER fw AS BIGINT) AS n_frame,
+             CAST(SUM(gap_days) OVER fw AS BIGINT) AS s1,
+             CAST(SUM(gap_days * gap_days) OVER fw AS BIGINT) AS s2
+      FROM gaps
+      WINDOW fw AS (PARTITION BY custkey ORDER BY o_orderkey
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT custkey, o_orderkey, day, gap_days, n_frame,
+           CASE WHEN gap_days IS NOT NULL AND n_frame >= 3
+                     AND CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(n_frame AS DOUBLE) > 0.0
+                THEN (CAST(gap_days AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) / CAST(n_frame AS DOUBLE))
+                     / SQRT((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                               / CAST(n_frame AS DOUBLE))
+                            / (CAST(n_frame AS DOUBLE) - 1.0))
+           END AS gap_z,
+           CASE WHEN gap_days IS NOT NULL AND n_frame >= 3
+                     AND CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(n_frame AS DOUBLE) > 0.0
+                THEN ABS((CAST(gap_days AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) / CAST(n_frame AS DOUBLE))
+                     / SQRT((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                               / CAST(n_frame AS DOUBLE))
+                            / (CAST(n_frame AS DOUBLE) - 1.0))) > 2.0
+           END AS cadence_break
+    FROM frames
+    """,
+)
+def window_gap_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-cadence break detector: z-score of each inter-order gap
+    within customer against that customer's trailing 10-gap frame.
+    Gaps are exact integer epoch DAYS; the rolling first/second moments
+    are BIGINT window sums (the integer-moment rule — gaps^2 x 10 is
+    tiny), and the z/flag chain is per-row IEEE with a single sqrt,
+    emitted only where the frame holds >= 3 gaps with positive
+    variance. One shuffle on custkey; both windows share the ordered
+    pass. The first order per customer has a NULL gap and NULL z by
+    construction."""
+    w = Window.partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")
+    day_num = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    seq = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_orderdate",
+        F.to_date("o_orderdate").alias("day"),
+        day_num.alias("day_num"),
+    )
+    gaps = seq.select(
+        "custkey",
+        "o_orderkey",
+        "day",
+        (F.col("day_num") - F.lag("day_num").over(w))
+        .cast("bigint")
+        .alias("gap_days"),
+    )
+    fw = (
+        Window.partitionBy("custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-9, 0)
+    )
+    g = F.col("gap_days")
+    frames = gaps.select(
+        "custkey",
+        "o_orderkey",
+        "day",
+        "gap_days",
+        F.count(g).over(fw).cast("bigint").alias("n_frame"),
+        F.sum(g).over(fw).cast("bigint").alias("s1"),
+        F.sum(g * g).over(fw).cast("bigint").alias("s2"),
+    )
+    nd = F.col("n_frame").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    ss = s2d - s1d * s1d / nd
+    ok = g.isNotNull() & (F.col("n_frame") >= 3) & (ss > 0.0)
+    z = (g.cast("double") - s1d / nd) / F.sqrt(ss / (nd - 1.0))
+    return frames.select(
+        "custkey",
+        "o_orderkey",
+        "day",
+        "gap_days",
+        "n_frame",
+        F.when(ok, z).alias("gap_z"),
+        F.when(ok, F.abs(z) > 2.0).alias("cadence_break"),
+    )
+
+
+def _ema_weights(span: int, horizon: int) -> list[int]:
+    """Integer EMA weights w_k = round((1-alpha)^k * 2^20), alpha =
+    2/(span+1). Computed once at import into shared literals, so both
+    engine sides consume identical integers and no runtime libm pow is
+    involved anywhere (the round-10 non-dyadic-alpha prescription)."""
+    decay = 1.0 - 2.0 / (span + 1)
+    return [round(decay**k * (1 << 20)) for k in range(horizon)]
+
+
+_EMA12_W = _ema_weights(12, 24)
+_EMA26_W = _ema_weights(26, 40)
+
+
+def _ema_sql(weights: list[int]) -> tuple[str, str]:
+    num, den = [], []
+    for k, wt in enumerate(weights):
+        lag = f"LAG(cents, {k}) OVER w" if k else "cents"
+        num.append(f"COALESCE({lag} * {wt}, 0)")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_E12_NUM, _E12_DEN = _ema_sql(_EMA12_W)
+_E26_NUM, _E26_DEN = _ema_sql(_EMA26_W)
+
+
+@_q(
+    "window_ema_macd",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), terms AS (
+      SELECT day, cents,
+             {_E12_NUM} AS num12,
+             {_E12_DEN} AS den12,
+             {_E26_NUM} AS num26,
+             {_E26_DEN} AS den26
+      FROM daily
+      WINDOW w AS (ORDER BY day)
+    )
+    SELECT day, cents,
+           CAST(num12 AS DOUBLE) / CAST(den12 AS DOUBLE) / 100.0 AS ema12,
+           CAST(num26 AS DOUBLE) / CAST(den26 AS DOUBLE) / 100.0 AS ema26,
+           CAST(num12 AS DOUBLE) / CAST(den12 AS DOUBLE) / 100.0
+           - CAST(num26 AS DOUBLE) / CAST(den26 AS DOUBLE) / 100.0
+             AS macd
+    FROM terms
+    """,
+)
+def window_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD line (EMA(12) - EMA(26)) over daily revenue via the
+    bounded exponential-decay identity: each EMA is a truncated
+    weighted sum of trailing LAGs whose weights are PRECOMPUTED integer
+    literals round((1-alpha)^k * 2^20) — exact BIGINT accumulation,
+    zero runtime float sums (the round-10 integer-weight EWMA
+    prescription, non-dyadic alphas included), with present-weight-mass
+    renormalization unbiasing the warm-up rows and the deterministic
+    24/40-term truncation documented in the weights themselves (the
+    dropped tail mass is <2% for both spans). Budget: 2^20 x 1e10
+    cents x 40 terms ~ 4e17 < 2^63. One window pass over the
+    |days|-bounded series; the two EMAs share it."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+
+    def ema_terms(weights: list[int]):
+        num = F.lit(0).cast("bigint")
+        den = F.lit(0).cast("bigint")
+        for k, wt in enumerate(weights):
+            lagged = F.col("cents") if k == 0 else F.lag("cents", k).over(w)
+            num = num + F.coalesce(lagged * wt, F.lit(0))
+            den = den + F.when(lagged.isNotNull(), wt).otherwise(0)
+        return num, den
+
+    n12, d12 = ema_terms(_EMA12_W)
+    n26, d26 = ema_terms(_EMA26_W)
+    terms = daily.select(
+        "day",
+        "cents",
+        n12.alias("num12"),
+        d12.alias("den12"),
+        n26.alias("num26"),
+        d26.alias("den26"),
+    )
+    e12 = F.col("num12").cast("double") / F.col("den12").cast("double") / 100.0
+    e26 = F.col("num26").cast("double") / F.col("den26").cast("double") / 100.0
+    return terms.select(
+        "day",
+        "cents",
+        e12.alias("ema12"),
+        e26.alias("ema26"),
+        (e12 - e26).alias("macd"),
+    )
