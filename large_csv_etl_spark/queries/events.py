@@ -19,6 +19,7 @@ from ..io import load_table
 from .helpers import (
     DEC,
     dsum,
+    materialize_reduced,
     sql_dsum,
     sql_tvd_expr,
     tvd_fixed_point_aggs,
@@ -3726,4 +3727,505 @@ def events_repeat_purchase_latency(
             "max_latency_us",
             "total_latency_us",
         )
+    )
+
+
+# --- round-11 wave-2 events additions (docs/ROADMAP_r11.md #15-#20) --------
+
+
+@_q(
+    "events_stickiness_ratio",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM ev GROUP BY 1, 2
+    ), weekly AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM ev GROUP BY 1
+    ), rolled AS (
+      SELECT week, CAST(SUM(dau) AS BIGINT) AS sum_dau,
+             CAST(COUNT(*) AS BIGINT) AS n_active_days
+      FROM daily GROUP BY week
+    )
+    SELECT w.week, w.wau, r.sum_dau, r.n_active_days,
+           CAST(r.sum_dau AS DOUBLE) / CAST(r.n_active_days AS DOUBLE)
+             / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM weekly w JOIN rolled r ON r.week = w.week
+    """,
+)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per ISO week — the engagement ratio product
+    teams track (how much of the weekly audience shows up on an average
+    day). Graded at WEEK grain because the fixture's events span a
+    single month (the round-10 prototype note: month grain degenerates
+    to one row); both engines' date_trunc('week') is Monday-aligned.
+    Two distinct-count reductions (per day, per week) joined on week;
+    the ratio is exact counts with two IEEE divisions. At 100 TB the
+    distincts are the cost — both are map-side partial-distinct
+    aggregations on (period, user)."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    daily = ev.groupBy(week, day).agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    weekly = ev.groupBy(week).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    rolled = daily.groupBy("week").agg(
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+        F.count("*").cast("bigint").alias("n_active_days"),
+    )
+    return weekly.join(rolled, "week").select(
+        "week",
+        "wau",
+        "sum_dau",
+        "n_active_days",
+        (
+            F.col("sum_dau").cast("double")
+            / F.col("n_active_days").cast("double")
+            / F.col("wau").cast("double")
+        ).alias("stickiness"),
+    )
+
+
+@_q(
+    "events_power_user_curve",
+    """
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ), binned AS (
+      SELECT user_id, n_events,
+             NTILE(10) OVER (ORDER BY n_events, user_id) AS decile
+      FROM per_user
+    ), tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM per_user)
+    SELECT CAST(b.decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(b.n_events) AS BIGINT) AS sum_events,
+           CAST(SUM(b.n_events) AS DOUBLE) / CAST(t.t AS DOUBLE)
+             AS event_share
+    FROM binned b CROSS JOIN tot t
+    GROUP BY b.decile, t.t
+    """,
+)
+def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user activity curve: users binned into activity deciles,
+    each decile's share of total events — the concentration report
+    behind 'X% of users generate Y% of traffic'. NTILE over tied
+    activity counts assigns buckets by ORDER position, which is
+    engine-nondeterministic unless the ordering carries a unique
+    tie-break — so the window orders by (n_events, user_id) on BOTH
+    sides (the round-10 NTILE rule, same as quantile_binning_decile).
+    One reduction to |users| rows, one single-partition window over it
+    (bounded; range-partition the NTILE at 100 TB), exact integer
+    shares with one final division."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    w = Window.orderBy("n_events", "user_id")
+    binned = per_user.select(
+        "user_id", "n_events", F.ntile(10).over(w).alias("decile")
+    )
+    tot = per_user.agg(F.sum("n_events").cast("bigint").alias("t"))
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("sum_events"),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_users",
+            "sum_events",
+            (
+                F.col("sum_events").cast("double") / F.col("t").cast("double")
+            ).alias("event_share"),
+        )
+    )
+
+
+def _ewma_vol_weights() -> list[int]:
+    """alpha=0.25, 16-term horizon, 2^20 fixed point — the round-10
+    prototype-validated non-dyadic EWMA configuration. Python computes
+    the literals once at import; both engines consume identical ints."""
+    return [round(0.75**k * (1 << 20)) for k in range(16)]
+
+
+_EWMA_VOL_W = _ewma_vol_weights()
+_EWMA_NUM = " + ".join(
+    f"COALESCE({f'LAG(n, {k}) OVER w' if k else 'n'} * {wt}, 0)"
+    for k, wt in enumerate(_EWMA_VOL_W)
+)
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN {f'LAG(n, {k}) OVER w' if k else 'n'} IS NOT NULL"
+    f" THEN {wt} ELSE 0 END"
+    for k, wt in enumerate(_EWMA_VOL_W)
+)
+
+
+@_q(
+    "events_ewma_control_chart",
+    f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1
+    ), terms AS (
+      SELECT hour_start, n,
+             {_EWMA_NUM} AS num,
+             {_EWMA_DEN} AS den
+      FROM hourly
+      WINDOW w AS (ORDER BY hour_start)
+    ), base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM hourly
+    )
+    SELECT t.hour_start, t.n,
+           CAST(t.num AS DOUBLE) / CAST(t.den AS DOUBLE) AS ewma,
+           CAST(b.s1 AS DOUBLE) / CAST(b.cnt AS DOUBLE)
+           + 3.0 * SQRT((CAST(b.s2 AS DOUBLE)
+                         - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE)
+                           / CAST(b.cnt AS DOUBLE))
+                        / (CAST(b.cnt AS DOUBLE) - 1.0))
+                 * SQRT(0.25 / (2.0 - 0.25)) AS ucl,
+           CAST(b.s1 AS DOUBLE) / CAST(b.cnt AS DOUBLE)
+           - 3.0 * SQRT((CAST(b.s2 AS DOUBLE)
+                         - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE)
+                           / CAST(b.cnt AS DOUBLE))
+                        / (CAST(b.cnt AS DOUBLE) - 1.0))
+                 * SQRT(0.25 / (2.0 - 0.25)) AS lcl,
+           CAST(t.num AS DOUBLE) / CAST(t.den AS DOUBLE)
+           > CAST(b.s1 AS DOUBLE) / CAST(b.cnt AS DOUBLE)
+             + 3.0 * SQRT((CAST(b.s2 AS DOUBLE)
+                           - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE)
+                             / CAST(b.cnt AS DOUBLE))
+                          / (CAST(b.cnt AS DOUBLE) - 1.0))
+                   * SQRT(0.25 / (2.0 - 0.25))
+           OR CAST(t.num AS DOUBLE) / CAST(t.den AS DOUBLE)
+           < CAST(b.s1 AS DOUBLE) / CAST(b.cnt AS DOUBLE)
+             - 3.0 * SQRT((CAST(b.s2 AS DOUBLE)
+                           - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE)
+                             / CAST(b.cnt AS DOUBLE))
+                          / (CAST(b.cnt AS DOUBLE) - 1.0))
+                   * SQRT(0.25 / (2.0 - 0.25)) AS out_of_control
+    FROM terms t CROSS JOIN base b
+    """,
+)
+def events_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over hourly event volumes with asymptotic
+    +/-3-sigma limits — the drift-sensitive screen that catches slow
+    volume shifts a pointwise fence misses. The EWMA (alpha=0.25,
+    16-term horizon) is the round-10 prototype-validated integer-weight
+    identity: weights round(0.75^k * 2^20) are import-time literals, the
+    lag sum is exact BIGINT with present-mass renormalization; sigma
+    comes from exact integer global moments of the hourly counts and
+    the control-limit factor sqrt(alpha/(2-alpha)) is a fixed IEEE
+    chain (sqrt of a literal ratio). One reduction to the bounded
+    hourly series, one window pass, one broadcast of the 1-row
+    baseline."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.orderBy("hour_start")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k, wt in enumerate(_EWMA_VOL_W):
+        lagged = F.col("n") if k == 0 else F.lag("n", k).over(w)
+        num = num + F.coalesce(lagged * wt, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), wt).otherwise(0)
+    terms = hourly.select(
+        "hour_start", "n", num.alias("num"), den.alias("den")
+    )
+    nn = F.col("n")
+    base = hourly.agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(nn).cast("bigint").alias("s1"),
+        F.sum(nn * nn).cast("bigint").alias("s2"),
+    )
+    j = terms.crossJoin(F.broadcast(base))
+    cntd = F.col("cnt").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    center = s1d / cntd
+    sigma = F.sqrt((s2d - s1d * s1d / cntd) / (cntd - 1.0))
+    factor = F.sqrt(F.lit(0.25) / (2.0 - 0.25))
+    ewma = F.col("num").cast("double") / F.col("den").cast("double")
+    ucl = center + 3.0 * sigma * factor
+    lcl = center - 3.0 * sigma * factor
+    return j.select(
+        "hour_start",
+        "n",
+        ewma.alias("ewma"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((ewma > ucl) | (ewma < lcl)).alias("out_of_control"),
+    )
+
+
+@_q(
+    "events_session_depth_quantiles",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0
+                  ELSE 1 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ), depth AS (
+      SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           MEDIAN(n_events) AS p50_depth,
+           quantile_cont(n_events, 0.9) AS p90_depth,
+           quantile_cont(n_events, 0.99) AS p99_depth,
+           CAST(MAX(n_events) AS BIGINT) AS max_depth
+    FROM depth
+    """,
+)
+def events_session_depth_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth distribution: exact p50/p90/p99/max of events per
+    session over the graded 30-minute-gap sessionization (machinery
+    reused verbatim). The quantiles run on the |sessions|-bounded
+    reduced table via the proven exact-interpolation parity
+    (median/percentile vs MEDIAN/quantile_cont on exact integers). One
+    user-partitioned window pass, one reduction, one global aggregate."""
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_ok = ts_us - F.lag(ts_us).over(w) <= 1800 * 1_000_000
+    flagged = df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_ok, 0).otherwise(1).alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(cum)
+    )
+    depth = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    return depth.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.median("n_events").alias("p50_depth"),
+        F.percentile("n_events", 0.9).alias("p90_depth"),
+        F.percentile("n_events", 0.99).alias("p99_depth"),
+        F.max("n_events").cast("bigint").alias("max_depth"),
+    )
+
+
+@_q(
+    "events_type_cooccurrence_lift",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0
+                  ELSE 1 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ), st AS MATERIALIZED (
+      SELECT DISTINCT user_id, session_id, event_type FROM sess
+    ), tot AS (
+      SELECT CAST(COUNT(DISTINCT (user_id, session_id)) AS BIGINT) AS s
+      FROM st
+    ), per_type AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+      FROM st GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM st a
+      JOIN st b ON b.user_id = a.user_id
+                AND b.session_id = a.session_id
+                AND b.event_type > a.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+           (CAST(p.n_ab AS DOUBLE) * CAST(t.s AS DOUBLE))
+           / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN per_type ta ON ta.event_type = p.type_a
+    JOIN per_type tb ON tb.event_type = p.type_b
+    CROSS JOIN tot t
+    """,
+)
+def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type co-occurrence lift — the events twin of
+    text_collocation_lift: for each unordered type pair, how much more
+    often they share a session than independence predicts
+    (lift = P(ab) / (P(a) P(b)) cleared to the count lattice:
+    n_ab * S / (n_a * n_b), one fixed IEEE chain). Sessions come from
+    the graded 30-minute-gap machinery; the pair join runs on the
+    REDUCED distinct (session, type) table whose width is bounded by
+    the 5-type vocabulary, so candidates are ~|sessions| x 10 at worst.
+    The distinct table is materialized once and shared by the totals,
+    margins, and pair branches (Catalyst has no cross-branch CSE; the
+    DuckDB side mirrors with a MATERIALIZED CTE)."""
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_ok = ts_us - F.lag(ts_us).over(w) <= 1800 * 1_000_000
+    flagged = df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap_ok, 0).otherwise(1).alias("new_session"),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    st = materialize_reduced(
+        sess.select("user_id", "session_id", "event_type").distinct()
+    )
+    tot = st.select("user_id", "session_id").distinct().agg(
+        F.count("*").cast("bigint").alias("s")
+    )
+    per_type = st.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_t")
+    )
+    a = st.alias("a")
+    b = st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.session_id") == F.col("a.session_id"))
+            & (F.col("b.event_type") > F.col("a.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    ta = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    tb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab").cast("double") * F.col("s").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+@_q(
+    "events_weekday_effect",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    per_dow AS (
+      SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM per_dow),
+    parts AS (
+      SELECT dow, n_events,
+             (n_events * 10000) // (SELECT t FROM tot) AS floor_bps,
+             (n_events * 10000) % (SELECT t FROM tot) AS remainder
+      FROM per_dow
+    ), short AS (
+      SELECT 10000 - CAST(SUM(floor_bps) AS BIGINT) AS k FROM parts
+    )
+    SELECT dow, n_events,
+           CAST(floor_bps AS BIGINT) AS floor_bps,
+           CAST(floor_bps + CASE WHEN rk <= (SELECT k FROM short)
+                                 THEN 1 ELSE 0 END AS BIGINT)
+             AS allocated_bps,
+           CAST(n_events * 7 AS DOUBLE) / (SELECT CAST(t AS DOUBLE) FROM tot)
+             AS weekday_index
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, dow) AS rk
+      FROM parts
+    )
+    """,
+)
+def events_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week multiplicative traffic index (1.0 = a flat week) plus
+    an exact basis-point decomposition via largest-remainder
+    normalization — the seasonality report whose shares are GUARANTEED
+    to sum to 10000 (independent rounding drifts; Hamilton apportionment
+    doesn't — machinery reused from agg_largest_remainder_percent with
+    a deterministic dow tie-break). ISO day-of-week on both engines
+    (isodow vs weekday+1, Monday=1). One map-side-combinable reduction
+    to 7 rows; everything after is exact integer arithmetic plus one
+    index division."""
+    per_dow = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.weekday(F.col("ts")) + 1).cast("bigint").alias("dow")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    tot = per_dow.agg(F.sum("n_events").cast("bigint").alias("t"))
+    parts = per_dow.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_events",
+        "t",
+        F.expr("(n_events * 10000) div t").alias("floor_bps"),
+        F.expr("(n_events * 10000) % t").alias("remainder"),
+    )
+    short = parts.agg(
+        (F.lit(10000) - F.sum("floor_bps")).cast("bigint").alias("k")
+    )
+    w = Window.orderBy(F.col("remainder").desc(), "dow")
+    ranked = parts.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(short)
+    )
+    return ranked.select(
+        "dow",
+        "n_events",
+        F.col("floor_bps").cast("bigint").alias("floor_bps"),
+        (
+            F.col("floor_bps")
+            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("allocated_bps"),
+        (
+            (F.col("n_events") * 7).cast("double") / F.col("t").cast("double")
+        ).alias("weekday_index"),
     )
