@@ -1662,3 +1662,225 @@ def sample_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row_df if out is None else out.unionAll(row_df)
     return out.orderBy("round")
+
+
+# --- round-11 wave-2 additions (docs/ROADMAP_r11.md #35-#37) ----------------
+
+
+@_q(
+    "sample_group_holdout_split",
+    f"""
+    WITH assigned AS (
+      SELECT user_id, {sql_split_case("user_id")} AS split
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), ev AS (
+      SELECT e.user_id, a.split
+      FROM events e JOIN assigned a ON a.user_id = e.user_id
+    ), leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leaked_users FROM (
+        SELECT user_id FROM ev GROUP BY user_id
+        HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT ev.split,
+           CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           l.leaked_users
+    FROM ev CROSS JOIN leak l
+    GROUP BY ev.split, l.leaked_users
+    """,
+)
+def sample_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level train/val/test holdout over events: the split hashes
+    the GROUP key (user_id) through the repo-wide split contract, so
+    every event of a user lands in one split — the leakage-free split
+    every behavioral model needs (row-level hashing puts one user's
+    history on both sides of the fence). The report carries a
+    structural leakage audit column: users observed in more than one
+    split (zero by construction, COMPUTED not asserted, so a future
+    contract regression surfaces in the graded output). One distinct
+    reduction + a broadcastable assignment join; membership is a pure
+    hash function, stable under repartitioning and incremental
+    ingestion."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", split_assign(F.col("user_id")).alias("split"))
+    )
+    joined = ev.select("user_id").join(F.broadcast(assigned), "user_id")
+    leak = (
+        joined.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count("*").cast("bigint").alias("leaked_users"))
+    )
+    return (
+        joined.crossJoin(F.broadcast(leak))
+        .groupBy("split", "leaked_users")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select("split", "n_users", "n_events", "leaked_users")
+    )
+
+
+@_q(
+    "sample_inverse_frequency_weights",
+    """
+    WITH cls AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ), inv AS (
+      SELECT lang, n_docs,
+             CAST(1000000000000 // n_docs AS BIGINT) AS inv_fp
+      FROM cls
+    ), tot AS (SELECT CAST(SUM(inv_fp) AS BIGINT) AS t FROM inv),
+    parts AS (
+      SELECT lang, n_docs, inv_fp,
+             (inv_fp * 1000000) // (SELECT t FROM tot) AS floor_ppm,
+             (inv_fp * 1000000) % (SELECT t FROM tot) AS remainder
+      FROM inv
+    ), short AS (
+      SELECT 1000000 - CAST(SUM(floor_ppm) AS BIGINT) AS k FROM parts
+    )
+    SELECT lang, n_docs, inv_fp,
+           CAST(floor_ppm AS BIGINT) AS floor_ppm,
+           CAST(floor_ppm + CASE WHEN rk <= (SELECT k FROM short)
+                                 THEN 1 ELSE 0 END AS BIGINT)
+             AS allocated_ppm,
+           CAST(floor_ppm + CASE WHEN rk <= (SELECT k FROM short)
+                                 THEN 1 ELSE 0 END AS DOUBLE)
+             / 1000000.0 AS class_weight
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, lang) AS rk
+      FROM parts
+    )
+    """,
+)
+def sample_inverse_frequency_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights over document languages,
+    normalized to EXACTLY one million ppm by largest-remainder
+    apportionment — the rebalancing table a skewed-class sampler
+    consumes (rare languages get proportionally larger sampling mass;
+    independent rounding would drift off-budget). The inverse goes
+    through a 1e12 fixed-point integer division (1e12 div n — exact and
+    identical in both engines; no float reciprocal anywhere), then the
+    Hamilton machinery from agg_largest_remainder_percent with a
+    deterministic lang tie-break. One reduction to |langs| rows;
+    everything downstream is exact integers plus the final
+    weight-as-double rendering."""
+    from pyspark.sql import Window
+
+    cls = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    inv = cls.select(
+        "lang",
+        "n_docs",
+        F.expr("1000000000000 div n_docs").cast("bigint").alias("inv_fp"),
+    )
+    tot = inv.agg(F.sum("inv_fp").cast("bigint").alias("t"))
+    parts = inv.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "inv_fp",
+        F.expr("(inv_fp * 1000000) div t").alias("floor_ppm"),
+        F.expr("(inv_fp * 1000000) % t").alias("remainder"),
+    )
+    short = parts.agg(
+        (F.lit(1000000) - F.sum("floor_ppm")).cast("bigint").alias("k")
+    )
+    w = Window.orderBy(F.col("remainder").desc(), "lang")
+    ranked = parts.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(short)
+    )
+    allocated = F.col("floor_ppm") + F.when(
+        F.col("rk") <= F.col("k"), 1
+    ).otherwise(0)
+    return ranked.select(
+        "lang",
+        "n_docs",
+        "inv_fp",
+        F.col("floor_ppm").cast("bigint").alias("floor_ppm"),
+        allocated.cast("bigint").alias("allocated_ppm"),
+        (allocated.cast("double") / 1000000.0).alias("class_weight"),
+    )
+
+
+@_q(
+    "sample_sliding_window_backtest",
+    """
+    WITH o AS (
+      SELECT YEAR(o_orderdate) * 12 + (MONTH(o_orderdate) - 1) AS mnum
+      FROM orders
+    ), bounds AS (
+      SELECT CAST(MIN(mnum) AS BIGINT) AS m_min,
+             CAST(MAX(mnum) - MIN(mnum) + 1 AS BIGINT) AS span
+      FROM o
+    ), folds AS (
+      SELECT CAST(x AS BIGINT) AS fold FROM generate_series(1, 4) t(x)
+    ), edges AS (
+      SELECT f.fold,
+             b.m_min + (b.span * f.fold) // 5 - 1 AS train_end,
+             b.m_min + (b.span * (f.fold + 1)) // 5 - 1 AS test_end
+      FROM folds f CROSS JOIN bounds b
+    ), labeled AS (
+      SELECT e.fold,
+             CASE WHEN o.mnum <= e.train_end THEN 'train'
+                  WHEN o.mnum <= e.test_end THEN 'test'
+                  ELSE 'future' END AS role,
+             o.mnum
+      FROM o CROSS JOIN edges e
+    )
+    SELECT fold, role,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT mnum) AS BIGINT) AS n_months,
+           CAST(MIN(mnum) AS BIGINT) AS first_month,
+           CAST(MAX(mnum) AS BIGINT) AS last_month
+    FROM labeled GROUP BY fold, role
+    """,
+)
+def sample_sliding_window_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window backtest fold assignment over order months —
+    temporal cross-validation without shuffle leakage: fold k trains on
+    the first k/5 of the month range and tests on the next fifth, so
+    every test row is strictly later than all of its training data and
+    later folds subsume earlier training windows. Month boundaries are
+    exact integer month numbers (year*12+month), fold edges are integer
+    div over the bounded month span, and each order is labeled per fold
+    by two comparisons against the broadcast 4-row edge table. The
+    report is the fold x role census with month extents — the shape a
+    training scheduler consumes directly."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (
+            F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+        ).alias("mnum")
+    )
+    bounds = o.agg(
+        F.min("mnum").cast("bigint").alias("m_min"),
+        (F.max("mnum") - F.min("mnum") + 1).cast("bigint").alias("span"),
+    )
+    folds = spark.range(1, 5).select(F.col("id").alias("fold"))
+    edges = folds.crossJoin(F.broadcast(bounds)).select(
+        "fold",
+        F.expr("m_min + (span * fold) div 5 - 1").alias("train_end"),
+        F.expr("m_min + (span * (fold + 1)) div 5 - 1").alias("test_end"),
+    )
+    labeled = o.crossJoin(F.broadcast(edges)).select(
+        "fold",
+        F.when(F.col("mnum") <= F.col("train_end"), "train")
+        .when(F.col("mnum") <= F.col("test_end"), "test")
+        .otherwise("future")
+        .alias("role"),
+        "mnum",
+    )
+    return labeled.groupBy("fold", "role").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.countDistinct("mnum").cast("bigint").alias("n_months"),
+        F.min("mnum").cast("bigint").alias("first_month"),
+        F.max("mnum").cast("bigint").alias("last_month"),
+    )
