@@ -902,3 +902,87 @@ def approx_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+_AMS_R = 8  # independent +/-1 estimators in the F2 sketch panel
+
+
+def _ams_oracle() -> str:
+    cols = []
+    for r in range(_AMS_R):
+        sign = (
+            f"((('0x' || substr(md5('ams{r}:' || token), 1, 15))::BIGINT"
+            f" % 2) * 2 - 1)"
+        )
+        cols.append(
+            f"CAST(SUM({sign} * c) AS BIGINT) AS z_{r}"
+        )
+    z_cols = ",\n             ".join(cols)
+    sq = " + ".join(
+        f"CAST(z_{r} AS DOUBLE) * CAST(z_{r} AS DOUBLE)" for r in range(_AMS_R)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))
+        AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ), s AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact,
+             {z_cols}
+      FROM cnt
+    )
+    SELECT f2_exact,
+           {", ".join(f"z_{r}" for r in range(_AMS_R))},
+           ({sq}) / {float(_AMS_R)} AS f2_estimate
+    FROM s
+    """
+
+
+@_q("approx_ams_f2_sketch", _ams_oracle())
+def approx_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch over the
+    corpus token distribution — the rare sketch whose machinery is
+    oracle-checkable END TO END: each of the 8 estimators projects the
+    count vector onto a +/-1 hash direction (sign from the portable
+    60-bit md5 hash, salted 'ams{r}:'), Z_r = sum sign*count is
+    BIGINT-exact with no float anywhere (no ordering hazard — the
+    round-10 validated property), and the panel reports the exact
+    F2 = sum c^2 beside the estimator mean of Z_r^2 for calibration.
+    One token count pass + one wide aggregate; the sketch state is 8
+    integers regardless of vocabulary size, which is the whole point at
+    100 TB (F2 without the count table's memory)."""
+    from .helpers import phash60
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tokens = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token")
+    )
+    cnt = tokens.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    aggs = [F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact")]
+    for r in range(_AMS_R):
+        sign = (
+            phash60(F.concat(F.lit(f"ams{r}:"), F.col("token"))) % 2
+        ) * 2 - 1
+        aggs.append(
+            F.sum(sign * F.col("c")).cast("bigint").alias(f"z_{r}")
+        )
+    s = cnt.agg(*aggs)
+    sq = None
+    for r in range(_AMS_R):
+        term = F.col(f"z_{r}").cast("double") * F.col(f"z_{r}").cast(
+            "double"
+        )
+        sq = term if sq is None else sq + term
+    return s.select(
+        "f2_exact",
+        *[f"z_{r}" for r in range(_AMS_R)],
+        (sq / float(_AMS_R)).alias("f2_estimate"),
+    )

@@ -603,3 +603,54 @@ def multimodal_audio_fingerprint(
         )
         .limit(20)
     )
+
+
+@_q(
+    "multimodal_tile_index",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             16 + (octet_length(encode(text)) % 240) AS w,
+             16 + ((octet_length(encode(text)) // 7) % 240) AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST((w + 15) // 16 AS BIGINT) AS n_tiles_x,
+           CAST((h + 15) // 16 AS BIGINT) AS n_tiles_y,
+           CAST(((w + 15) // 16) * ((h + 15) // 16) AS BIGINT) AS n_tiles,
+           CAST(w - ((w + 15) // 16 - 1) * 16 AS BIGINT) AS last_tile_w,
+           CAST(h - ((h + 15) // 16 - 1) * 16 AS BIGINT) AS last_tile_h,
+           CAST(((w + 15) // 16) * 16 * (((h + 15) // 16) * 16) - w * h
+                AS BIGINT) AS padded_pixels
+    FROM d
+    """,
+)
+def multimodal_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-preprocessing patch-grid tiling index over the decoded image
+    dimensions: 16x16 tile counts per axis (ceiling division), ragged
+    last-tile extents, and the padding cost of snapping to the grid —
+    the index a patch-embedding stage consumes. The Spark side runs the
+    REAL mapInPandas stub-decode path (Arrow batch alignment is part of
+    what's graded, as in multimodal_decoded_dims) and applies the tile
+    arithmetic as JVM integer expressions on its output; the oracle
+    reproduces the closed form. Pure per-row integer arithmetic — no
+    shuffle at all beyond the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_payloads(attach_payload(docs), stub=True)
+    w = F.col("width").cast("bigint")
+    h = F.col("height").cast("bigint")
+    ntx = F.expr("(cast(width as bigint) + 15) div 16")
+    nty = F.expr("(cast(height as bigint) + 15) div 16")
+    return decoded.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        ntx.cast("bigint").alias("n_tiles_x"),
+        nty.cast("bigint").alias("n_tiles_y"),
+        (ntx * nty).cast("bigint").alias("n_tiles"),
+        (w - (ntx - 1) * 16).cast("bigint").alias("last_tile_w"),
+        (h - (nty - 1) * 16).cast("bigint").alias("last_tile_h"),
+        (ntx * 16 * (nty * 16) - w * h).cast("bigint").alias(
+            "padded_pixels"
+        ),
+    )

@@ -837,3 +837,80 @@ def temporal_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pairs").cast("double") / F.col("n")).alias("share"),
         )
     )
+
+
+ANTI_BAND_SECONDS = 86400  # temporal anti-join band: +/- 1 day
+
+
+@_q(
+    "temporal_anti_join_window",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts
+    FROM clicks c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM purchases p
+      WHERE p.user_id = c.user_id
+        AND p.ts >= c.ts - INTERVAL 1 DAY
+        AND p.ts <= c.ts + INTERVAL 1 DAY
+    )
+    """,
+)
+def temporal_anti_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ANTI-join: clicks with NO purchase by the same user
+    within +/-1 day — the negative-space twin of the graded range join
+    (the band join finds what's nearby; this finds what is provably
+    alone, the shape behind unconverted-exposure and orphan-signal
+    reports). Same scale discipline as range_join_follower_events: the
+    oracle's NOT EXISTS is a per-user interval scan, the engine buckets
+    both sides to the band width, replicates the LEFT side into its
+    three covering buckets (the +/-band spans at most 3), equi-joins on
+    (user, bucket), applies the exact band predicate, and finishes with
+    a LEFT ANTI join on the matched click ids. Candidates per click are
+    bounded by the user's purchases in a 3-day span. (Orders were NOT
+    used as the probe side: the fixture's events and orders occupy
+    disjoint calendar ranges, which would make an order/event anti-join
+    structurally total.)"""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(
+            F.unix_timestamp("ts") / ANTI_BAND_SECONDS
+        ).alias("bucket"),
+    )
+    left = clicks.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.unix_timestamp("ts") / ANTI_BAND_SECONDS).alias("b0"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)
+        ),
+    )
+    matched = (
+        left.join(
+            purchases,
+            (left.user_id == purchases.p_user)
+            & (left.bucket == purchases.bucket),
+        )
+        .filter(
+            (F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 1 DAY"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        .select("event_id")
+        .distinct()
+    )
+    return clicks.join(matched, "event_id", "left_anti").select(
+        "event_id", "user_id", "ts"
+    )

@@ -4349,3 +4349,228 @@ def text_url_extraction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tracking").cast("bigint").alias("n_tracking"),
         F.countDistinct("path").cast("bigint").alias("n_unique_paths"),
     )
+
+
+@_q(
+    "graph_degree_histogram",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(degree) AS BIGINT) // 2 AS n_edges,
+             CAST(MAX(degree) AS BIGINT) AS max_degree
+      FROM deg
+    )
+    SELECT d.degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes_at_degree,
+           CAST(COUNT(*) AS DOUBLE) / CAST(t.n_nodes AS DOUBLE)
+             AS node_share,
+           t.n_nodes, t.n_edges, t.max_degree,
+           2.0 * CAST(t.n_edges AS DOUBLE)
+           / (CAST(t.n_nodes AS DOUBLE) * (CAST(t.n_nodes AS DOUBLE) - 1.0))
+             AS graph_density
+    FROM deg d CROSS JOIN tot t
+    GROUP BY d.degree, t.n_nodes, t.n_edges, t.max_degree
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution table of the part co-purchase graph (parts
+    adjacent when some order contains both) with the graph-level
+    summary riding every row (node/edge counts, max degree, density) —
+    the log-free descriptive layer that completes the graph family: the
+    first artifact any graph-quality review reads before the expensive
+    structural operators run. The degree table is one edge-list
+    reduction (handshake identity pins n_edges = sum(deg)/2 exactly);
+    the histogram is a second bounded hash agg; density is one fixed
+    IEEE chain over exact integers."""
+    from .helpers import materialize_reduced
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = materialize_reduced(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    tot = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.expr("cast(sum(degree) as bigint) div 2").alias("n_edges"),
+        F.max("degree").cast("bigint").alias("max_degree"),
+    )
+    nd = F.col("n_nodes").cast("double")
+    return (
+        deg.crossJoin(F.broadcast(tot))
+        .groupBy("degree", "n_nodes", "n_edges", "max_degree")
+        .agg(F.count("*").cast("bigint").alias("n_nodes_at_degree"))
+        .select(
+            "degree",
+            "n_nodes_at_degree",
+            (F.col("n_nodes_at_degree").cast("double") / nd).alias(
+                "node_share"
+            ),
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            (
+                2.0 * F.col("n_edges").cast("double") / (nd * (nd - 1.0))
+            ).alias("graph_density"),
+        )
+    )
+
+
+@_q(
+    "graph_jaccard_link_prediction",
+    f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), adj AS MATERIALIZED (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL
+      SELECT v, u FROM edges
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY node
+    ), mid AS (
+      SELECT middle, nbr FROM (
+        SELECT node AS middle, nbr,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rn
+        FROM adj
+      ) WHERE rn <= {_CN_NBR_CAP}
+    ), wedge AS (
+      SELECT l.nbr AS a, r.nbr AS b
+      FROM mid l JOIN mid r
+        ON l.middle = r.middle AND l.nbr < r.nbr
+    ), cand AS (
+      SELECT w.a, w.b, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM wedge w
+      LEFT JOIN edges e ON e.u = w.a AND e.v = w.b
+      WHERE e.u IS NULL
+      GROUP BY w.a, w.b
+    )
+    SELECT CAST(c.a AS BIGINT) AS part_a, CAST(c.b AS BIGINT) AS part_b,
+           c.cn AS common_neighbors,
+           da.degree AS deg_a, db.degree AS deg_b,
+           CAST(c.cn AS DOUBLE)
+           / CAST(da.degree + db.degree - c.cn AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b
+    ORDER BY jaccard DESC, c.a, c.b LIMIT 50
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-normalized link prediction on the part co-purchase graph:
+    common neighbors divided by the neighborhood union
+    |N(a) ∩ N(b)| / (deg_a + deg_b - cn) for non-adjacent pairs — the
+    degree-corrected upgrade of graph_common_neighbors (raw counts
+    favor hubs; Jaccard surfaces pairs whose neighborhoods OVERLAP
+    proportionally). Wedge generation reuses the graded 16-neighbor
+    rank cap (O(|V| * cap^2), the 100 TB bound), full degrees come from
+    the uncapped adjacency reduction, and the score is exact counts
+    with one division. Deterministic (jaccard, a, b) top-50."""
+    from pyspark.sql import Window
+
+    from .helpers import materialize_reduced
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = materialize_reduced(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    # adj is derived twice (degrees, capped middles) but stays a cheap
+    # projection of the CHECKPOINTED edges — materializing it too
+    # double-buffers ~2|E| rows in block storage and OOMs a vanilla-heap
+    # driver at sf0.1 (measured round 11); recompute-from-blocks wins.
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v"), F.col("u")))
+    deg = adj.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    mid = (
+        adj.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("node").orderBy("nbr")),
+        )
+        .filter(F.col("rn") <= _CN_NBR_CAP)
+        .select(F.col("node").alias("middle"), "nbr")
+    )
+    l, r = mid.alias("l"), mid.alias("r")
+    wedge = l.join(
+        r,
+        (F.col("l.middle") == F.col("r.middle"))
+        & (F.col("l.nbr") < F.col("r.nbr")),
+    ).select(F.col("l.nbr").alias("a"), F.col("r.nbr").alias("b"))
+    cand = (
+        wedge.join(
+            edges,
+            (wedge.a == edges.u) & (wedge.b == edges.v),
+            "left_anti",
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("cn"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    scored = (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").cast("bigint").alias("part_a"),
+            F.col("b").cast("bigint").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            "deg_a",
+            "deg_b",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), "part_a", "part_b"
+    ).limit(50)
