@@ -2161,3 +2161,535 @@ def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("shared_fingerprints"), "doc_a", "doc_b"
     ).limit(50)
+
+
+# --- round-11 wave-3 additions (docs/ROADMAP_r11.md #27, #29, #30) ----------
+
+# Fixed stopword list for the stopword-insensitive near-dup pass. A
+# LITERAL list (not a corpus-derived one) keeps membership deterministic
+# under any corpus drift; these are the glue words of the fixture's
+# synthetic data-engineering vocabulary plus classic English stopwords.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+
+@_q(
+    "dedup_stopword_insensitive",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+               t -> t NOT IN {STOPWORDS!r}) AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), sh0 AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               AS shingle
+      FROM toks WHERE len(toks) >= 3
+    ), df AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), sh AS (
+      SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN df USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+             AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.2
+    """,
+)
+def dedup_stopword_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-insensitive near-dup pairs: word-trigram Jaccard >= 0.2
+    computed AFTER removing a fixed stopword list — the robustness
+    variant that catches near-dups differing only in boilerplate glue
+    words, which shift every raw trigram and hide from the plain
+    entry. Machinery is the graded dedup_ngram_jaccard shape (DF-capped
+    posting lists bound the candidate join; exact integer Jaccard with
+    one division); the only new step is the deterministic token filter,
+    a JVM higher-order lambda on both engine sides. Unigram posting
+    lists were deliberately NOT used: the fixture's ~31-word vocabulary
+    makes every unigram a full-corpus stopword-phrase (df^2 blowup),
+    while filtered trigrams keep the same bounded-candidate guarantee
+    at any scale."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    raw = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = F.filter(raw, lambda t: ~t.isin(*STOPWORDS))
+    filtered = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    from .helpers import materialize_reduced
+
+    sh = filtered.select(
+        "doc_id", F.explode(_shingles("toks", 3)).alias("shingle")
+    )
+    buckets = materialize_reduced(
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+    )
+    sizes = buckets.select(F.explode("docs").alias("doc_id")).groupBy(
+        "doc_id"
+    ).agg(F.count("*").alias("n_sh"))
+    pairs = (
+        _posting_list_pairs(buckets.filter(F.size("docs") >= 2))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+@_q(
+    "dedup_url_canonical",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('urlc:' || CAST(doc_id AS VARCHAR)),
+              1, 15))::BIGINT AS h
+      FROM documents
+    ), u AS (
+      SELECT doc_id,
+             CASE h % 3 WHEN 0 THEN 'https' ELSE 'http' END || '://'
+             || source || '.example'
+             || CASE (h // 3) % 3
+                  WHEN 0 THEN CASE h % 3 WHEN 0 THEN ':443' ELSE ':80' END
+                  WHEN 1 THEN ''
+                  ELSE ':8080' END
+             || '/p/' || CAST(doc_id % 20 AS VARCHAR)
+             || CASE (h // 9) % 3
+                  WHEN 0 THEN '?b=2&a=1'
+                  WHEN 1 THEN '?a=1&b=2'
+                  ELSE '?a=1&b=2&utm_source=x' END
+             || CASE (h // 27) % 2 WHEN 0 THEN '#sec' ELSE '' END AS url
+      FROM d
+    ), canon AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(
+               url, '#.*$', '', 'g'),
+               '&utm_[a-z_]+=[^&]*', '', 'g'),
+               '^(https://[^/:?#]+):443|^(http://[^/:?#]+):80',
+               '\1\2', 'g') AS stripped
+      FROM u
+    ), parts AS (
+      SELECT doc_id, url,
+             CASE WHEN POSITION('?' IN stripped) > 0
+                  THEN SUBSTR(stripped, 1, POSITION('?' IN stripped) - 1)
+                    || '?' || array_to_string(list_sort(
+                         regexp_split_to_array(SUBSTR(stripped,
+                           POSITION('?' IN stripped) + 1), '&')), '&')
+                  ELSE stripped END AS canonical_url
+      FROM canon
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS representative_doc
+    FROM parts GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the realest web-corpus dedup
+    precursor: strip fragments, drop tracking parameters, remove
+    scheme-default ports (:443/https, :80/http — non-default ports
+    survive), sort query keys, then exact-group by the canonical form
+    with group sizes, raw-variant counts, and a min-doc representative.
+    Entirely row-local normalization (regexp chains + one split/sort/
+    join, all JVM-side) followed by one exact groupBy — the 100 TB
+    shape. The URL corpus is hash-derived from (source, doc_id) with
+    colliding paths and permuted/noised query variants (the
+    committed-synthesis pattern: canonicalization logic is what is
+    graded), so the groups genuinely merge distinct raw spellings."""
+    h = phash60(F.concat(F.lit("urlc:"), F.col("doc_id").cast("string")))
+    hd = (
+        "cast(conv(substr(md5('urlc:' || cast(doc_id as string)), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    scheme = F.when(h % 3 == 0, F.lit("https")).otherwise(F.lit("http"))
+    port = (
+        F.when(
+            F.expr(f"({hd} div 3) % 3 = 0"),
+            F.when(h % 3 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .when(F.expr(f"({hd} div 3) % 3 = 1"), F.lit(""))
+        .otherwise(F.lit(":8080"))
+    )
+    query = (
+        F.when(F.expr(f"({hd} div 9) % 3 = 0"), F.lit("?b=2&a=1"))
+        .when(F.expr(f"({hd} div 9) % 3 = 1"), F.lit("?a=1&b=2"))
+        .otherwise(F.lit("?a=1&b=2&utm_source=x"))
+    )
+    frag = F.when(F.expr(f"({hd} div 27) % 2 = 0"), F.lit("#sec")).otherwise(
+        F.lit("")
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        F.col("source"),
+        F.lit(".example"),
+        port,
+        F.lit("/p/"),
+        (F.col("doc_id") % 20).cast("string"),
+        query,
+        frag,
+    )
+    u = load_table(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), r"#.*$", ""),
+            r"&utm_[a-z_]+=[^&]*",
+            "",
+        ),
+        r"^(https://[^/:?#]+):443|^(http://[^/:?#]+):80",
+        r"$1$2",
+    )
+    canon = u.select("doc_id", "url", stripped.alias("stripped"))
+    qpos = F.instr(F.col("stripped"), "?")
+    canonical = F.when(
+        qpos > 0,
+        F.concat(
+            F.col("stripped").substr(F.lit(1), qpos - 1),
+            F.lit("?"),
+            F.array_join(
+                F.array_sort(
+                    F.split(
+                        F.col("stripped").substr(
+                            qpos + 1, F.length("stripped")
+                        ),
+                        "&",
+                    )
+                ),
+                "&",
+            ),
+        ),
+    ).otherwise(F.col("stripped"))
+    parts = canon.select(
+        "doc_id", "url", canonical.alias("canonical_url")
+    )
+    return parts.groupBy("canonical_url").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+        F.min("doc_id").cast("bigint").alias("representative_doc"),
+    )
+
+
+MAX_DISPERSION_CLUSTER = 50  # pairwise work cap per near-dup cluster
+
+
+@_q(
+    "dedup_cluster_embedding_dispersion",
+    rf"""
+    WITH RECURSIVE pairs AS (
+      {{ngram}}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+      SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id
+      FROM reach GROUP BY a
+    ), sized AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS csize
+      FROM labels
+    ), mem AS (
+      SELECT doc_id, cluster_id FROM sized
+      WHERE csize <= {MAX_DISPERSION_CLUSTER}
+    ), pp AS (
+      SELECT m1.cluster_id,
+             CAST(round(CAST(list_cosine_similarity(
+                 CAST(e1.embedding AS DOUBLE[]),
+                 CAST(e2.embedding AS DOUBLE[])) AS DOUBLE)
+               * 1000000.0) AS BIGINT) AS cos_fp
+      FROM mem m1
+      JOIN mem m2 ON m2.cluster_id = m1.cluster_id
+                 AND m2.doc_id > m1.doc_id
+      JOIN embeddings e1 ON e1.vec_id = m1.doc_id
+      JOIN embeddings e2 ON e2.vec_id = m2.doc_id
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(cos_fp) AS DOUBLE) / COUNT(*) / 1000000.0
+             AS mean_pairwise_cos,
+           CAST(MIN(cos_fp) AS DOUBLE) / 1000000.0 AS min_pairwise_cos,
+           CAST(MAX(cos_fp) AS DOUBLE) / 1000000.0 AS max_pairwise_cos
+    FROM pp GROUP BY cluster_id
+    """,
+)
+def dedup_cluster_embedding_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding dispersion inside each near-dup TEXT cluster — the
+    dedup/similarity cross-check: if trigram-Jaccard clustering is
+    right, within-cluster embedding cosine should be high and tight;
+    a low-dispersion cluster whose mean cosine is ALSO low is a
+    clustering false-merge. Clusters are the graded transitive closure
+    (dedup_clusters machinery verbatim), capped at 50 members so the
+    within-cluster pair enumeration is bounded (near-dup clusters are
+    small by nature; the cap is graded semantics like the LSH bucket
+    caps). Each pair's cosine uses the proven sequential-fold identity
+    snapped to 1e-6 fixed point BEFORE the per-cluster mean, so the
+    cross-pair sum is exact integer addition in both engines. vec_id
+    keys embeddings 1:1 to doc_id at every SF (verified round 10)."""
+    from ..graph import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("cluster_id")
+    mem = (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        .withColumn("csize", F.count("*").over(w))
+        .filter(F.col("csize") <= MAX_DISPERSION_CLUSTER)
+        .select("doc_id", "cluster_id")
+    )
+    mem = materialize_reduced(mem)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    m1 = mem.alias("m1")
+    m2 = mem.alias("m2")
+    pair_ids = m1.join(
+        m2,
+        (F.col("m2.cluster_id") == F.col("m1.cluster_id"))
+        & (F.col("m2.doc_id") > F.col("m1.doc_id")),
+    ).select(
+        F.col("m1.cluster_id").alias("cluster_id"),
+        F.col("m1.doc_id").alias("da"),
+        F.col("m2.doc_id").alias("db"),
+    )
+    e1 = emb.select(
+        F.col("vec_id").alias("da"), F.col("embedding").alias("ea")
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("db"), F.col("embedding").alias("eb")
+    )
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    pp = (
+        pair_ids.join(e1, "da")
+        .join(e2, "db")
+        .select(
+            "cluster_id",
+            F.round(cos * 1000000.0, 0).cast("bigint").alias("cos_fp"),
+        )
+    )
+    return pp.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (
+            F.sum("cos_fp").cast("double") / F.count("*") / 1000000.0
+        ).alias("mean_pairwise_cos"),
+        (F.min("cos_fp").cast("double") / 1000000.0).alias(
+            "min_pairwise_cos"
+        ),
+        (F.max("cos_fp").cast("double") / 1000000.0).alias(
+            "max_pairwise_cos"
+        ),
+    )
+
+
+ORACLES["dedup_cluster_embedding_dispersion"] = ORACLES[
+    "dedup_cluster_embedding_dispersion"
+].format(ngram=ORACLES["dedup_ngram_jaccard"])
+
+
+@_q(
+    "dedup_record_linkage_score",
+    """
+    WITH src AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             c_mktsegment,
+             ('0x' || substr(md5('link:' || CAST(c_custkey AS VARCHAR)),
+              1, 15))::BIGINT AS h
+      FROM customer
+    ), incoming AS (
+      SELECT c_custkey AS true_key,
+             CASE h % 4
+               WHEN 0 THEN SUBSTR(c_name, 1, LENGTH(c_name) - 1)
+                 || CAST((CAST(SUBSTR(c_name, LENGTH(c_name), 1) AS INTEGER)
+                          + 1) % 10 AS VARCHAR)
+               WHEN 1 THEN SUBSTR(c_name, 1, LENGTH(c_name) - 1)
+               ELSE c_name END AS name,
+             CASE WHEN h % 5 = 0 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS nationkey,
+             bal_cents + (h % 201) - 100 AS bal_cents,
+             CASE WHEN h % 7 = 0 THEN 'CORRUPTED' ELSE c_mktsegment END
+               AS mktsegment
+      FROM src
+    ), cand AS (
+      SELECT i.true_key, c.c_custkey AS cand_key,
+             CASE WHEN i.name = c.c_name THEN 1 ELSE 0 END AS name_exact,
+             CASE WHEN i.name <> c.c_name
+                   AND SUBSTR(i.name, 1, 17) = SUBSTR(c.c_name, 1, 17)
+                  THEN 1 ELSE 0 END AS name_prefix,
+             CASE WHEN i.nationkey = c.c_nationkey THEN 1 ELSE 0 END
+               AS nation_agree,
+             CASE WHEN i.mktsegment = c.c_mktsegment THEN 1 ELSE 0 END
+               AS segment_agree,
+             CASE WHEN ABS(i.bal_cents
+                           - CAST(round(c.c_acctbal * 100) AS BIGINT))
+                       <= 10000 THEN 1 ELSE 0 END AS balance_band
+      FROM incoming i
+      JOIN customer c
+        ON SUBSTR(i.name, 1, 16) = SUBSTR(c.c_name, 1, 16)
+    ), scored AS (
+      SELECT true_key, cand_key,
+             CAST(8 * name_exact + 4 * name_prefix + 3 * nation_agree
+                  + 2 * segment_agree + balance_band AS BIGINT) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY true_key
+               ORDER BY 8 * name_exact + 4 * name_prefix + 3 * nation_agree
+                        + 2 * segment_agree + balance_band DESC, cand_key
+             ) AS rk
+      FROM cand
+    )
+    SELECT true_key, cand_key AS matched_key, score,
+           CASE WHEN cand_key = true_key THEN 1 ELSE 0 END AS is_true_match
+    FROM scored WHERE rk = 1
+    """,
+)
+def dedup_record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter-style record linkage over customer records: a
+    hash-corrupted 'incoming' copy of every customer (deterministic
+    last-digit typos / truncations, nation and segment swaps, balance
+    jitter — the committed dirty-fixture pattern; the fixture carries no
+    address/phone, so the agreement vector is the roadmap-scoped one)
+    is matched back against the clean table. Blocking on the 16-char
+    name prefix keeps candidates to <=100 per record at any SF (the
+    corruption classes all preserve the block). The agreement vector
+    (name exact / near, nationkey, segment, balance within $100) folds
+    into integer log-odds-style weights (8/4/3/2/1 literals), and the
+    top-scoring candidate per record wins with a deterministic key
+    tie-break; is_true_match makes the output self-evaluating. Exact
+    integers end-to-end — no float anywhere."""
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias(
+            "bal_cents"
+        ),
+        "c_mktsegment",
+        phash60(
+            F.concat(F.lit("link:"), F.col("c_custkey").cast("string"))
+        ).alias("h"),
+    )
+    nm = F.col("c_name")
+    last_digit = F.substring(nm, -1, 1).cast("int")
+    swapped = F.concat(
+        F.expr("substr(c_name, 1, length(c_name) - 1)"),
+        ((last_digit + 1) % 10).cast("string"),
+    )
+    truncated = F.expr("substr(c_name, 1, length(c_name) - 1)")
+    incoming = src.select(
+        F.col("c_custkey").alias("true_key"),
+        F.when(F.col("h") % 4 == 0, swapped)
+        .when(F.col("h") % 4 == 1, truncated)
+        .otherwise(nm)
+        .alias("name"),
+        F.when(F.col("h") % 5 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nationkey"),
+        (F.col("bal_cents") + (F.col("h") % 201) - 100).alias("bal_cents"),
+        F.when(F.col("h") % 7 == 0, F.lit("CORRUPTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("mktsegment"),
+    )
+    clean = load_table(spark, sf_dir, "customer")
+    cand = incoming.join(
+        clean,
+        F.substring(F.col("name"), 1, 16)
+        == F.substring(F.col("c_name"), 1, 16),
+    ).select(
+        "true_key",
+        F.col("c_custkey").alias("cand_key"),
+        F.when(F.col("name") == F.col("c_name"), 1).otherwise(0).alias(
+            "name_exact"
+        ),
+        F.when(
+            (F.col("name") != F.col("c_name"))
+            & (
+                F.substring(F.col("name"), 1, 17)
+                == F.substring(F.col("c_name"), 1, 17)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("name_prefix"),
+        F.when(F.col("nationkey") == F.col("c_nationkey"), 1)
+        .otherwise(0)
+        .alias("nation_agree"),
+        F.when(F.col("mktsegment") == F.col("c_mktsegment"), 1)
+        .otherwise(0)
+        .alias("segment_agree"),
+        F.when(
+            F.abs(
+                F.col("bal_cents")
+                - F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+            )
+            <= 10000,
+            1,
+        )
+        .otherwise(0)
+        .alias("balance_band"),
+    )
+    score = (
+        8 * F.col("name_exact")
+        + 4 * F.col("name_prefix")
+        + 3 * F.col("nation_agree")
+        + 2 * F.col("segment_agree")
+        + F.col("balance_band")
+    )
+    w = Window.partitionBy("true_key").orderBy(
+        score.desc(), "cand_key"
+    )
+    return (
+        cand.withColumn("score", score.cast("bigint"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "true_key",
+            F.col("cand_key").alias("matched_key"),
+            "score",
+            F.when(F.col("cand_key") == F.col("true_key"), 1)
+            .otherwise(0)
+            .alias("is_true_match"),
+        )
+    )
