@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from .helpers import fp_sum, sql_fp_sum
+from .helpers import fp_sum, materialize_reduced, sql_fp_sum
 
 QUERIES = {}
 ORACLES = {}
@@ -2739,4 +2739,565 @@ def sim_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("k_occurrence").desc(), "vec_id")
         .limit(10)
+    )
+
+
+# --- round-11 wave-3 additions (docs/ROADMAP_r11.md #31-#34) ----------------
+
+
+@_q(
+    "sim_centroid_drift_by_source",
+    """
+    WITH v AS (
+      SELECT e.vec_id, d.source,
+             list_transform(e.embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS v6
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ), ex AS (
+      SELECT vec_id, source, unnest(v6) AS val6,
+             generate_subscripts(v6, 1) AS pos
+      FROM v
+    ), src_cent AS (
+      SELECT source, pos,
+             CAST(round(CAST(SUM(val6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS smu,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM ex GROUP BY source, pos
+    ), glob_cent AS (
+      SELECT pos,
+             CAST(round(CAST(SUM(val6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS gmu
+      FROM ex GROUP BY pos
+    )
+    SELECT s.source,
+           CAST(MAX(s.n_vecs) AS BIGINT) AS n_vecs,
+           SQRT(CAST(SUM((s.smu - g.gmu) * (s.smu - g.gmu)) AS DOUBLE))
+             / 1000000.0 AS drift_l2,
+           CAST(MAX(ABS(s.smu - g.gmu)) AS DOUBLE) / 1000000.0
+             AS max_dim_shift
+    FROM src_cent s JOIN glob_cent g ON g.pos = s.pos
+    GROUP BY s.source
+    """,
+)
+def sim_centroid_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE embedding centroid drift against the global centroid —
+    the monitoring shape that catches one ingestion source going off
+    distribution (encoder version skew, corrupted batch) before it
+    poisons training. Embeddings join documents 1:1 on vec_id = doc_id
+    (verified round 10: both ids span the same 0..N-1 range at every
+    SF — the original per-day variant had no event link and was
+    re-keyed, commit d0c7130). Centroids use the established 1e-6
+    fixed-point integer machinery (posexplode + hash agg; rounded
+    integer means), so the squared-shift sum is exact BIGINT and the
+    only floats are one sqrt + unit conversions. Shuffle carries
+    (source, pos) partial sums, never vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    v6 = F.expr(
+        "transform(embedding,"
+        " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+    )
+    ex = (
+        emb.join(docs, "vec_id")
+        .select("source", v6.alias("v6"))
+        .select("source", F.posexplode("v6").alias("pos", "val6"))
+    )
+    src_cent = ex.groupBy("source", "pos").agg(
+        F.round(F.sum("val6").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("smu"),
+        F.count("*").cast("bigint").alias("n_vecs"),
+    )
+    glob_cent = ex.groupBy("pos").agg(
+        F.round(F.sum("val6").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("gmu")
+    )
+    diff = F.col("smu") - F.col("gmu")
+    return (
+        src_cent.join(F.broadcast(glob_cent), "pos")
+        .groupBy("source")
+        .agg(
+            F.max("n_vecs").cast("bigint").alias("n_vecs"),
+            (
+                F.sqrt(F.sum(diff * diff).cast("double")) / 1000000.0
+            ).alias("drift_l2"),
+            (F.max(F.abs(diff)).cast("double") / 1000000.0).alias(
+                "max_dim_shift"
+            ),
+        )
+    )
+
+
+@_q(
+    "sim_dim_quantization_error",
+    """
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, xd,
+             list_max(list_transform(xd, x -> abs(x))) AS maxabs
+      FROM t
+    ), q AS (
+      SELECT vec_id,
+             CAST(round(maxabs * 1000000.0) AS BIGINT) AS m6,
+             list_transform(xd,
+               x -> CAST(round(x * (127.0 / maxabs)) AS BIGINT)) AS qvec,
+             list_transform(xd,
+               x -> CAST(round(x * 1000000.0) AS BIGINT)) AS x6
+      FROM m WHERE maxabs > 0
+    ), e AS (
+      SELECT vec_id,
+             generate_subscripts(qvec, 1) AS pos,
+             unnest(qvec) AS qi,
+             x6[generate_subscripts(qvec, 1)] AS xi6,
+             m6
+      FROM q
+    ), err AS (
+      SELECT pos, 127 * xi6 - qi * m6 AS e_units
+      FROM e
+    )
+    SELECT CAST(pos - 1 AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(e_units) AS BIGINT) AS sum_err_units,
+           CAST(SUM(ABS(e_units)) AS BIGINT) AS sum_abs_err_units,
+           CAST(MAX(ABS(e_units)) AS BIGINT) AS max_abs_err_units,
+           CAST(SUM(ABS(e_units)) AS DOUBLE) / COUNT(*) / 127000000.0
+             AS mean_abs_err
+    FROM err GROUP BY pos
+    """,
+)
+def sim_dim_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION int8 reconstruction error audit — the quantize
+    twin's diagnostic: which embedding dimensions lose the most to the
+    symmetric per-vector 127/max|x| quantization (a dimension whose
+    error is systematically biased flags scale mismatch; one with fat
+    max error flags outliers). The error lives on an exact integer
+    lattice: e = 127 * round(x*1e6) - q * round(maxabs*1e6) is BIGINT
+    (|e| <= ~1e6; the true reconstruction error in value units is
+    e / 127e6), so every per-dimension aggregate is exact integer
+    arithmetic with one final unit conversion. The quantized value q
+    reuses embedding_quantize_int8's exact chain verbatim. posexplode +
+    one hash agg to 64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xd"),
+    ).withColumn("maxabs", F.array_max(F.transform("xd", F.abs)))
+    q = t.filter(F.col("maxabs") > 0).select(
+        "vec_id",
+        F.round(F.col("maxabs") * 1000000.0).cast("bigint").alias("m6"),
+        F.transform(
+            "xd",
+            lambda x: F.round(x * (F.lit(127.0) / F.col("maxabs"))).cast(
+                "bigint"
+            ),
+        ).alias("qvec"),
+        F.transform(
+            "xd", lambda x: F.round(x * 1000000.0).cast("bigint")
+        ).alias("x6"),
+    )
+    e = q.select(
+        "m6",
+        F.posexplode(F.arrays_zip("qvec", "x6")).alias("pos0", "z"),
+    ).select(
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            127 * F.col("z.x6") - F.col("z.qvec") * F.col("m6")
+        ).alias("e_units"),
+    )
+    return e.groupBy("pos").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("e_units").cast("bigint").alias("sum_err_units"),
+        F.sum(F.abs(F.col("e_units"))).cast("bigint").alias(
+            "sum_abs_err_units"
+        ),
+        F.max(F.abs(F.col("e_units"))).cast("bigint").alias(
+            "max_abs_err_units"
+        ),
+        (
+            F.sum(F.abs(F.col("e_units"))).cast("double")
+            / F.count("*")
+            / 127000000.0
+        ).alias("mean_abs_err"),
+    ).select(
+        (F.col("pos") - 1).cast("bigint").alias("dim"),
+        "n_vecs",
+        "sum_err_units",
+        "sum_abs_err_units",
+        "max_abs_err_units",
+        "mean_abs_err",
+    )
+
+
+JL_DIMS = 16  # Johnson-Lindenstrauss target dimensionality
+JL_PAIR_STRIDE = 10  # distortion panel: pairs (i, i+1) for i % 10 == 0
+
+
+def _jl_signs() -> list[tuple[int, int, int]]:
+    """±1 JL projection entries from the portable md5 hash (sign of
+    phash60('jl:p:d')) — both engines derive identical matrices, no
+    literal tables shipped (the sim_lsh_portable_buckets pattern)."""
+    import hashlib
+
+    out = []
+    for p in range(JL_DIMS):
+        for d in range(64):
+            h = int(
+                hashlib.md5(f"jl:{p}:{d}".encode()).hexdigest()[:15], 16
+            )
+            out.append((p, d, (h % 2) * 2 - 1))
+    return out
+
+
+@_q(
+    "sim_jl_projection_audit",
+    f"""
+    WITH t AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS x6
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, unnest(x6) AS ef, generate_subscripts(x6, 1) AS pos
+      FROM t
+    ), signs AS (
+      SELECT p.p, d.d,
+             ((('0x' || substr(md5('jl:' || p.p || ':' || d.d), 1,
+                15))::BIGINT % 2) * 2 - 1) AS s
+      FROM range({JL_DIMS}) p(p) CROSS JOIN range(64) d(d)
+    ), proj AS (
+      SELECT e.vec_id, s.p, CAST(SUM(e.ef * s.s) AS BIGINT) AS c
+      FROM e JOIN signs s ON s.d = e.pos - 1
+      GROUP BY e.vec_id, s.p
+    ), panel AS (
+      SELECT a.vec_id AS va, a.vec_id + 1 AS vb
+      FROM t a JOIN t b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % {JL_PAIR_STRIDE} = 0
+    ), d_orig AS (
+      SELECT p.va, p.vb,
+             CAST(list_sum(list_transform(
+               range(1, len(a.x6) + 1),
+               i -> (a.x6[i] - b.x6[i]) * (a.x6[i] - b.x6[i])))
+               AS BIGINT) AS d2o
+      FROM panel p
+      JOIN t a ON a.vec_id = p.va
+      JOIN t b ON b.vec_id = p.vb
+    ), d_proj AS (
+      SELECT p.va, p.vb,
+             CAST(SUM((ca.c - cb.c) * (ca.c - cb.c)) AS BIGINT) AS d2p
+      FROM panel p
+      JOIN proj ca ON ca.vec_id = p.va
+      JOIN proj cb ON cb.vec_id = p.vb AND cb.p = ca.p
+      GROUP BY p.va, p.vb
+    ), ratios AS (
+      SELECT CAST(round(1000000000.0 * CAST(dp.d2p AS DOUBLE)
+                        / ({JL_DIMS}.0 * CAST(do_.d2o AS DOUBLE)))
+                  AS BIGINT) AS r_fp
+      FROM d_orig do_ JOIN d_proj dp
+        ON dp.va = do_.va AND dp.vb = do_.vb
+      WHERE do_.d2o > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(r_fp) AS DOUBLE) / 1000000000.0 AS min_distortion,
+           MEDIAN(r_fp) / 1000000000.0 AS p50_distortion,
+           quantile_cont(r_fp, 0.9) / 1000000000.0 AS p90_distortion,
+           CAST(MAX(r_fp) AS DOUBLE) / 1000000000.0 AS max_distortion
+    FROM ratios
+    """,
+)
+def sim_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distance-preservation audit: project the
+    64-dim embeddings to 16 dims through a ±1 md5-derived sign matrix
+    and report the distortion quantiles of d2_proj / (k * d2_orig) over
+    a bounded pair panel (every 10th vector paired with its successor)
+    — the go/no-go check before shipping a cheap projected index. All
+    exact-integer machinery reused from the portable-LSH family: 1e-6
+    fixed-point embeddings x integer signs give BIGINT projected
+    coordinates; both squared distances stay BIGINT (64 dims x (4e6)^2
+    diffs ~ 1e18 < 2^63 worst-case; projected diffs ~6.7e16 x 16); each
+    pair contributes ONE float division snapped to 1e-9 fixed point, so
+    the quantiles run over exact integers (proven parity). Projection
+    uses the posexplode + broadcast-sign join formulation (measured
+    2.8x faster than per-row lambdas in the LSH twin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+        ).alias("x6"),
+    )
+    t = materialize_reduced(t)
+    signs = spark.createDataFrame(_jl_signs(), "p int, d int, s long")
+    e = t.select("vec_id", F.posexplode("x6").alias("d", "ef"))
+    proj = (
+        e.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("ef") * F.col("s")).cast("bigint").alias("c"))
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    d2o_expr = F.aggregate(
+        F.zip_with(
+            F.col("a.x6"),
+            F.col("b.x6"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d_orig = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .filter(F.col("a.vec_id") % JL_PAIR_STRIDE == 0)
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            d2o_expr.alias("d2o"),
+        )
+    )
+    ca = proj.select(
+        F.col("vec_id").alias("va"), F.col("p"), F.col("c").alias("c_a")
+    )
+    cb = proj.select(
+        F.col("vec_id").alias("vb"), F.col("p"), F.col("c").alias("c_b")
+    )
+    d_proj = (
+        d_orig.select("va", "vb")
+        .join(ca, "va")
+        .join(cb, ["vb", "p"])
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                (F.col("c_a") - F.col("c_b"))
+                * (F.col("c_a") - F.col("c_b"))
+            )
+            .cast("bigint")
+            .alias("d2p")
+        )
+    )
+    ratios = (
+        d_orig.join(d_proj, ["va", "vb"])
+        .filter(F.col("d2o") > 0)
+        .select(
+            F.round(
+                1000000000.0
+                * F.col("d2p").cast("double")
+                / (float(JL_DIMS) * F.col("d2o").cast("double"))
+            )
+            .cast("bigint")
+            .alias("r_fp")
+        )
+    )
+    return ratios.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.min("r_fp").cast("double") / 1000000000.0).alias(
+            "min_distortion"
+        ),
+        (F.median("r_fp") / 1000000000.0).alias("p50_distortion"),
+        (F.percentile("r_fp", 0.9) / 1000000000.0).alias(
+            "p90_distortion"
+        ),
+        (F.max("r_fp").cast("double") / 1000000000.0).alias(
+            "max_distortion"
+        ),
+    )
+
+
+NPROBE_SWEEP = (1, 2, 4, 8)  # the graded tuning curve's probe counts
+
+
+@_q(
+    "sim_nprobe_recall_sweep",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS v6
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, label, unnest(v6) AS val6,
+             generate_subscripts(v6, 1) AS pos
+      FROM v WHERE vec_id <> 0
+    ), c AS (
+      SELECT label AS clabel, pos,
+             CAST(round(CAST(SUM(val6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cmu
+      FROM ex GROUP BY label, pos
+    ), d AS (
+      SELECT e.vec_id, c.clabel,
+             CAST(SUM((e.val6 - c.cmu) * (e.val6 - c.cmu)) AS BIGINT) AS d2
+      FROM ex e JOIN c ON c.pos = e.pos
+      GROUP BY e.vec_id, c.clabel
+    ), assigned AS (
+      SELECT vec_id, clabel FROM (
+        SELECT vec_id, clabel,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, clabel) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), qex AS (
+      SELECT unnest(v6) AS val6, generate_subscripts(v6, 1) AS pos
+      FROM v WHERE vec_id = 0
+    ), qd AS (
+      SELECT c.clabel,
+             ROW_NUMBER() OVER (ORDER BY
+               CAST(SUM((q.val6 - c.cmu) * (q.val6 - c.cmu)) AS BIGINT),
+               c.clabel) AS cell_rank
+      FROM qex q JOIN c ON c.pos = q.pos GROUP BY c.clabel
+    ), score AS (
+      SELECT e.vec_id, CAST(SUM(e.val6 * q.val6) AS BIGINT) AS qdot6
+      FROM ex e JOIN qex q ON q.pos = e.pos
+      GROUP BY e.vec_id
+    ), truth AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY qdot6 DESC, vec_id) AS rn
+        FROM score
+      ) WHERE rn <= 10
+    ), sweep AS (
+      SELECT CAST(x AS BIGINT) AS nprobe
+      FROM (VALUES (1), (2), (4), (8)) t(x)
+    ), cand AS (
+      SELECT s.nprobe, a.vec_id
+      FROM sweep s
+      JOIN qd ON qd.cell_rank <= s.nprobe
+      JOIN assigned a ON a.clabel = qd.clabel
+    ), approx AS (
+      SELECT nprobe, vec_id FROM (
+        SELECT c2.nprobe, c2.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY c2.nprobe
+                                  ORDER BY sc.qdot6 DESC, c2.vec_id) AS rn
+        FROM cand c2 JOIN score sc ON sc.vec_id = c2.vec_id
+      ) WHERE rn <= 10
+    )
+    SELECT a.nprobe,
+           CAST(cc.n_candidates AS BIGINT) AS n_candidates,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(t.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM approx a
+    LEFT JOIN truth t ON t.vec_id = a.vec_id
+    JOIN (SELECT nprobe, COUNT(*) AS n_candidates FROM cand GROUP BY 1) cc
+      ON cc.nprobe = a.nprobe
+    GROUP BY a.nprobe, cc.n_candidates
+    """,
+)
+def sim_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@10 tuning curve at nprobe in {{1,2,4,8}} on ONE shared
+    cell assignment — sim_ivf_portable_topk grades a single operating
+    point; this grades the curve an index tuner actually reads
+    (candidates scanned vs recall). The coarse quantizer, assignment,
+    probe ranking, and exact-integer dot scores are the graded IVF
+    machinery verbatim (1e-6 fixed point, BIGINT distances, label/vec_id
+    tie-breaks); ground truth is the exact integer-dot top-10 over the
+    full corpus. The sweep multiplies only the TINY tables (probe ranks
+    x 4, candidate id lists) — centroids, assignment, and scores are
+    computed once and shared, which is exactly how a production sweep
+    amortizes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec6 = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+        ).alias("v6"),
+    )
+    corpus = materialize_reduced(vec6.filter(F.col("vec_id") != 0))
+    ex = corpus.select("label", F.posexplode("v6").alias("pos", "val6"))
+    cent_arr = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            F.round(F.sum("val6").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cmu")
+        )
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cmu"))),
+                lambda s: s["cmu"],
+            ).alias("c6")
+        )
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    dist = corpus.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "clabel", d2(F.col("v6"), F.col("c6")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "clabel")
+    )
+    qv = vec6.filter(F.col("vec_id") == 0).select(F.col("v6").alias("q6"))
+    wq = Window.orderBy("qd2", "clabel")
+    qd = (
+        cent_arr.crossJoin(F.broadcast(qv))
+        .select("clabel", d2(F.col("c6"), F.col("q6")).alias("qd2"))
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .select("clabel", "cell_rank")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("v6"), F.col("q6"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    score = materialize_reduced(
+        corpus.crossJoin(F.broadcast(qv)).select(
+            "vec_id", qdot.alias("qdot6")
+        )
+    )
+    wt = Window.orderBy(F.col("qdot6").desc(), "vec_id")
+    truth = (
+        score.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id")
+    )
+    sweep = spark.createDataFrame(
+        [(n,) for n in NPROBE_SWEEP], "nprobe long"
+    )
+    cand = (
+        sweep.join(F.broadcast(qd), F.col("cell_rank") <= F.col("nprobe"))
+        .join(assigned, "clabel")
+        .select("nprobe", "vec_id")
+    )
+    wa = Window.partitionBy("nprobe").orderBy(
+        F.col("qdot6").desc(), "vec_id"
+    )
+    approx = (
+        cand.join(score, "vec_id")
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 10)
+        .select("nprobe", "vec_id")
+    )
+    cc = cand.groupBy("nprobe").agg(
+        F.count("*").cast("bigint").alias("n_candidates")
+    )
+    hits = F.count(F.col("t_vec"))
+    return (
+        approx.join(
+            truth.select(F.col("vec_id"), F.col("vec_id").alias("t_vec")),
+            "vec_id",
+            "left",
+        )
+        .join(F.broadcast(cc), "nprobe")
+        .groupBy("nprobe", "n_candidates")
+        .agg(
+            hits.cast("bigint").alias("hits"),
+            (hits.cast("double") / 10.0).alias("recall_at_10"),
+        )
     )
