@@ -986,3 +986,119 @@ def approx_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"z_{r}" for r in range(_AMS_R)],
         (sq / float(_AMS_R)).alias("f2_estimate"),
     )
+
+
+RESERVOIR_K = 1000  # deterministic hash-order "reservoir" size
+
+
+@_q(
+    "approx_reservoir_quantile_twin",
+    f"""
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ('0x' || substr(md5('res:' || CAST(o_orderkey AS VARCHAR)),
+              1, 15))::BIGINT AS h
+      FROM orders
+    ), res AS (
+      SELECT cents FROM (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY h, o_orderkey) AS rn
+        FROM v
+      ) WHERE rn <= {RESERVOIR_K}
+    ), fper AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY cents
+    ), fcum AS (
+      SELECT cents, SUM(c) OVER (ORDER BY cents
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM fper
+    ), ftot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM fper),
+    sper AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM res GROUP BY cents
+    ), scum AS (
+      SELECT cents, SUM(c) OVER (ORDER BY cents
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM sper
+    ), stot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sper),
+    spine AS (
+      SELECT CAST(x AS BIGINT) AS decile FROM generate_series(1, 9) t(x)
+    ), fcut AS (
+      SELECT s.decile, CAST(MIN(c2.cents) AS BIGINT) AS exact_cents
+      FROM spine s CROSS JOIN ftot t
+      JOIN fcum c2 ON c2.cum >= (s.decile * t.n + 9) // 10
+      GROUP BY s.decile
+    ), scut AS (
+      SELECT s.decile, CAST(MIN(c2.cents) AS BIGINT) AS est_cents
+      FROM spine s CROSS JOIN stot t
+      JOIN scum c2 ON c2.cum >= (s.decile * t.n + 9) // 10
+      GROUP BY s.decile
+    )
+    SELECT f.decile, f.exact_cents, s.est_cents,
+           CAST(ABS(s.est_cents - f.exact_cents) AS BIGINT)
+             AS abs_err_cents,
+           CAST(ABS(s.est_cents - f.exact_cents) AS DOUBLE)
+             / CAST(f.exact_cents AS DOUBLE) AS rel_err
+    FROM fcut f JOIN scut s ON s.decile = f.decile
+    """,
+)
+def approx_reservoir_quantile_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservoir-sampled quantile estimates GRADED against the exact
+    panel — the companion that turns the rows-only reservoir pin into
+    an oracle-checked error table: a deterministic hash-order
+    'reservoir' (the {RESERVOIR_K} lowest md5-ranked orders — exactly
+    what a streaming reservoir converges to under a random permutation,
+    made engine-reproducible) estimates the nine deciles, and each
+    estimate sits beside the exact type-1 cut with absolute and
+    relative error. Both panels use the pinned interpolation-free
+    quantile machinery (distinct-value cum table + ceil-rank cut); at
+    100 TB the sample side is a top-k by hash (per-partition heaps),
+    never a global sort."""
+    from pyspark.sql import Window
+
+    from .helpers import phash60
+
+    v = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+        phash60(
+            F.concat(F.lit("res:"), F.col("o_orderkey").cast("string"))
+        ).alias("h"),
+    )
+    wr = Window.orderBy("h", "o_orderkey")
+    res = (
+        v.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select("cents")
+    )
+
+    def decile_panel(side: DataFrame, out_col: str) -> DataFrame:
+        per = side.groupBy("cents").agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        w = Window.orderBy("cents").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = per.select("cents", F.sum("c").over(w).alias("cum"))
+        tot = per.agg(F.sum("c").cast("bigint").alias("n"))
+        spine = spark.range(1, 10).select(F.col("id").alias("decile"))
+        thresholds = spine.crossJoin(F.broadcast(tot))
+        return (
+            cum.crossJoin(F.broadcast(thresholds))
+            .filter(F.col("cum") >= F.expr("(decile * n + 9) div 10"))
+            .groupBy("decile")
+            .agg(F.min("cents").cast("bigint").alias(out_col))
+        )
+
+    fcut = decile_panel(v.select("cents"), "exact_cents")
+    scut = decile_panel(res, "est_cents")
+    err = F.abs(F.col("est_cents") - F.col("exact_cents"))
+    return fcut.join(scut, "decile").select(
+        "decile",
+        "exact_cents",
+        "est_cents",
+        err.cast("bigint").alias("abs_err_cents"),
+        (
+            err.cast("double") / F.col("exact_cents").cast("double")
+        ).alias("rel_err"),
+    )

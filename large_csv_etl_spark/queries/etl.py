@@ -1578,3 +1578,279 @@ def etl_jsonl_dirty_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("valid_cents"),
     )
+
+
+# --- round-11 wave-3 additions (docs/ROADMAP_r11.md #38-#41) ----------------
+
+
+@_q(
+    "etl_scd3_previous_value",
+    """
+    WITH s1 AS (
+      SELECT c_custkey, c_acctbal FROM customer
+    ), s2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 97 <> 0
+    )
+    SELECT s1.c_custkey AS custkey,
+           s2.c_acctbal AS current_acctbal,
+           CASE WHEN s2.c_custkey IS NULL
+                  OR s1.c_acctbal <> s2.c_acctbal
+                THEN s1.c_acctbal END AS previous_acctbal,
+           CASE WHEN s2.c_custkey IS NULL THEN 'deleted'
+                WHEN s1.c_acctbal <> s2.c_acctbal THEN 'changed'
+                ELSE 'unchanged' END AS change_status
+    FROM s1 LEFT JOIN s2 ON s2.c_custkey = s1.c_custkey
+    """,
+)
+def etl_scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-3 merge beside the graded SCD2: one row per key carrying
+    the CURRENT value plus a previous-value column populated only on
+    change or delete — the dimension shape for consumers that need
+    'what changed' without interval history. Snapshots are the SCD2
+    entry's exact deterministic pair (acctbal bump on custkey%7,
+    deletion on custkey%97), so the two operators stay comparable in
+    the graded surface. One left equi-join on the key; value comparison
+    is the same stored double on both sides."""
+    s1 = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    s2 = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            F.col("c_custkey").alias("k2"),
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(100.0)
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal2"),
+        )
+    )
+    j = s1.join(s2, s1.c_custkey == s2.k2, "left")
+    changed_or_gone = F.col("k2").isNull() | (
+        F.col("c_acctbal") != F.col("bal2")
+    )
+    return j.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("bal2").alias("current_acctbal"),
+        F.when(changed_or_gone, F.col("c_acctbal")).alias(
+            "previous_acctbal"
+        ),
+        F.when(F.col("k2").isNull(), "deleted")
+        .when(F.col("c_acctbal") != F.col("bal2"), "changed")
+        .otherwise("unchanged")
+        .alias("change_status"),
+    )
+
+
+GZIP_CSV = str(
+    Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+    / "orders_feed.csv.gz"
+)
+CHECKSUM_POOL = str(
+    Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+    / "checksum_pool"
+)
+
+
+@_q(
+    "etl_gzip_csv_parity",
+    f"""
+    SELECT CAST(id AS BIGINT) AS id,
+           name,
+           CAST(round(CAST(amount AS DOUBLE) * 100) AS BIGINT)
+             AS amount_cents,
+           status
+    FROM read_csv('{GZIP_CSV}', header=true, all_varchar=true)
+    """,
+)
+def etl_gzip_csv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed CSV ingestion parity on a committed .csv.gz
+    fixture — both engines decompress natively, which the graded read
+    proves end-to-end. Round-10 probe lesson applied: Spark without
+    inferSchema reads every column as string while DuckDB type-infers,
+    so BOTH sides read all-varchar and cast each column explicitly (the
+    dialect-parity recipe). Money goes through the cents lattice. Scale
+    note, stated so nobody scales this blindly: a .gz file is
+    NON-SPLITTABLE — one task per file regardless of cluster size; at
+    100 TB you land many moderate .gz shards (or zstd/parquet), never
+    one giant archive."""
+    df = spark.read.option("header", True).csv(GZIP_CSV)
+    return df.select(
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.round(F.col("amount").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("amount_cents"),
+        "status",
+    )
+
+
+@_q(
+    "etl_input_file_checksum_dedup",
+    f"""
+    WITH files AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+             content,
+             CAST(octet_length(content) AS BIGINT) AS n_bytes
+      FROM read_blob('{CHECKSUM_POOL}/*.bin')
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           MIN(fname) AS representative_file,
+           CAST(MAX(n_bytes) AS BIGINT) AS n_bytes,
+           COUNT(*) > 1 AS is_duplicated
+    FROM files GROUP BY content
+    """,
+)
+def etl_input_file_checksum_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level input dedup by content checksum BEFORE parsing — the
+    idempotent-reingestion gate (a feed that re-delivers yesterday's
+    shard under a new name must not double-load). Spark reads the
+    committed binary pool via the binaryFile source and groups on
+    md5(content); DuckDB has no md5(BLOB) and CASTing bytes to VARCHAR
+    escapes them into a DIFFERENT digest (round-10 probe), so the
+    graded output is the dedup STRUCTURE — group sizes, min-name
+    representative, byte length, dup flag — with the digest kept
+    internal, never the digest string itself. The oracle groups on raw
+    blob equality, which is the same partition of the pool. At scale
+    the digest group-by shuffles |files| x 16-byte rows — nothing —
+    while saving a full re-parse of every duplicated shard."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(f"{CHECKSUM_POOL}/*.bin")
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+            F.md5(F.col("content")).alias("digest"),
+            F.octet_length(F.col("content")).cast("bigint").alias(
+                "n_bytes"
+            ),
+        )
+    )
+    return files.groupBy("digest").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.min("fname").alias("representative_file"),
+        F.max("n_bytes").cast("bigint").alias("n_bytes"),
+        (F.count("*") > 1).alias("is_duplicated"),
+    ).select("n_files", "representative_file", "n_bytes", "is_duplicated")
+
+
+@_q(
+    "etl_bitemporal_asof",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k, c_acctbal AS bal,
+             c_custkey % 7 = 0 AS changed,
+             c_custkey % 21 = 0 AS corrected
+      FROM customer
+    ), versions AS (
+      SELECT k, bal AS value,
+             DATE '1995-01-01' AS valid_from,
+             CASE WHEN changed THEN DATE '1996-01-01' END AS valid_to,
+             DATE '1995-01-05' AS tx_from,
+             CAST(NULL AS DATE) AS tx_to
+      FROM base
+      UNION ALL
+      SELECT k, bal + 90.0, DATE '1996-01-01', CAST(NULL AS DATE),
+             DATE '1996-01-03', DATE '1996-02-01'
+      FROM base WHERE changed AND corrected
+      UNION ALL
+      SELECT k, bal + 100.0, DATE '1996-01-01', CAST(NULL AS DATE),
+             DATE '1996-02-01', CAST(NULL AS DATE)
+      FROM base WHERE changed AND corrected
+      UNION ALL
+      SELECT k, bal + 100.0, DATE '1996-01-01', CAST(NULL AS DATE),
+             DATE '1996-01-03', CAST(NULL AS DATE)
+      FROM base WHERE changed AND NOT corrected
+    ), probes AS (
+      SELECT CAST(x AS DATE) AS t
+      FROM (VALUES (DATE '1996-01-15'), (DATE '1996-03-01')) p(x)
+    )
+    SELECT v.k AS custkey, p.t AS as_known_at, v.value
+    FROM versions v CROSS JOIN probes p
+    WHERE v.valid_from <= DATE '1996-06-01'
+      AND (v.valid_to IS NULL OR DATE '1996-06-01' < v.valid_to)
+      AND v.tx_from <= p.t
+      AND (v.tx_to IS NULL OR p.t < v.tx_to)
+    """,
+)
+def etl_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal (valid-time x transaction-time) point lookup: 'what was
+    the value as of valid time V, as the warehouse KNEW it at
+    transaction time T' — the audit query SCD2 alone cannot answer
+    (SCD2 tracks when facts were true, not when they were recorded).
+    The version table adds a synthetic transaction dimension to the
+    graded SCD2 snapshots (round-10 design note, commit 730f3cf):
+    every changed key's new version is recorded with a 2-day lag, and
+    the custkey%21 subset is first recorded WRONG (+90) then corrected
+    (+100) a month later — so probing T before vs after the correction
+    returns different values for the same valid time, which is the
+    bitemporal semantics in one graded surface. Both predicates are the
+    proven half-open-interval shape; two broadcast probes replicate the
+    |versions| table once each."""
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        (F.col("c_custkey") % 7 == 0).alias("changed"),
+        (F.col("c_custkey") % 21 == 0).alias("corrected"),
+    )
+    d = lambda s: F.lit(s).cast("date")
+    dnull = F.lit(None).cast("date")
+    v1 = base.select(
+        "k",
+        F.col("bal").alias("value"),
+        d("1995-01-01").alias("valid_from"),
+        F.when(F.col("changed"), d("1996-01-01")).alias("valid_to"),
+        d("1995-01-05").alias("tx_from"),
+        dnull.alias("tx_to"),
+    )
+    chg = base.filter(F.col("changed"))
+    wrong = chg.filter(F.col("corrected")).select(
+        "k",
+        (F.col("bal") + 90.0).alias("value"),
+        d("1996-01-01").alias("valid_from"),
+        dnull.alias("valid_to"),
+        d("1996-01-03").alias("tx_from"),
+        d("1996-02-01").alias("tx_to"),
+    )
+    fixed = chg.filter(F.col("corrected")).select(
+        "k",
+        (F.col("bal") + 100.0).alias("value"),
+        d("1996-01-01").alias("valid_from"),
+        dnull.alias("valid_to"),
+        d("1996-02-01").alias("tx_from"),
+        dnull.alias("tx_to"),
+    )
+    clean = chg.filter(~F.col("corrected")).select(
+        "k",
+        (F.col("bal") + 100.0).alias("value"),
+        d("1996-01-01").alias("valid_from"),
+        dnull.alias("valid_to"),
+        d("1996-01-03").alias("tx_from"),
+        dnull.alias("tx_to"),
+    )
+    versions = v1.unionAll(wrong).unionAll(fixed).unionAll(clean)
+    probes = spark.createDataFrame(
+        [("1996-01-15",), ("1996-03-01",)], ["t_str"]
+    ).select(F.col("t_str").cast("date").alias("t"))
+    vday = d("1996-06-01")
+    return (
+        versions.crossJoin(F.broadcast(probes))
+        .filter(
+            (F.col("valid_from") <= vday)
+            & (F.col("valid_to").isNull() | (vday < F.col("valid_to")))
+            & (F.col("tx_from") <= F.col("t"))
+            & (F.col("tx_to").isNull() | (F.col("t") < F.col("tx_to")))
+        )
+        .select(
+            F.col("k").alias("custkey"),
+            F.col("t").alias("as_known_at"),
+            "value",
+        )
+    )
