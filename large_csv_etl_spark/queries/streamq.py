@@ -464,3 +464,103 @@ def streaming_upsert_latest_event(
     out = out.localCheckpoint()
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# Left-outer drain scope: watermark delay + join horizon, in microseconds.
+# Clicks at or above min(max click_ts, max purchase_ts) minus this margin
+# are not provably flushed by a bounded drain (round-10 measurement,
+# commit 35e6bce), so the graded region stops strictly below the cutoff.
+LEFTOUTER_MARGIN_US = (2 * 3600 + 3600) * 1_000_000
+
+
+@_q(
+    "streaming_leftouter_interval_join",
+    f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    c AS (
+      SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+      FROM ev WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id AS p_user, ts AS purchase_ts, value AS purchase_value
+      FROM ev WHERE event_type = 'purchase'
+    ), cutoff AS (
+      SELECT LEAST((SELECT MAX(epoch_us(click_ts)) FROM c),
+                   (SELECT MAX(epoch_us(purchase_ts)) FROM p))
+             - {LEFTOUTER_MARGIN_US} AS cut_us
+    )
+    SELECT c.click_id, c.c_user, c.click_ts,
+           p.purchase_ts, p.purchase_value
+    FROM c
+    LEFT JOIN p ON p.p_user = c.c_user
+               AND p.purchase_ts > c.click_ts
+               AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    CROSS JOIN cutoff
+    WHERE epoch_us(c.click_ts) < cutoff.cut_us
+    """,
+)
+def streaming_leftouter_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join under the external oracle —
+    the outer-join state-timeout path the graded inner join
+    (streaming_click_attribution) doesn't exercise: an unmatched click
+    is held in state and emitted with NULL purchase columns only once
+    the GLOBAL watermark (min of both inputs' max event time minus the
+    2-hour delay) passes click_ts + the 1-hour band, on a final no-data
+    micro-batch. Clicks inside that tail horizon never flush in a
+    bounded drain (measured round 10: 209 of 210 rows, the stranded one
+    at the click-side max), so BOTH the drained output and the batch
+    oracle are scoped to click_ts strictly below
+    min(max_c, max_p) - delay - band, computed deterministically from
+    the static table — exactly how the watermark-lateness entries scope
+    their graded region. Matched rows emit un-gated; the same cutoff
+    applies to both sides so the compared sets agree."""
+    from ..streaming import (
+        click_purchase_leftouter_stream,
+        read_events_stream,
+        run_bounded,
+    )
+
+    name = f"stream_louter_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_louter_")
+    drained = run_bounded(
+        click_purchase_leftouter_stream(
+            read_events_stream(spark, sf_dir, glob="events.parquet")
+        ),
+        name,
+        ckpt,
+        output_mode="append",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    c_max = (
+        ev.filter(F.col("event_type") == "click")
+        .agg(F.max(F.unix_micros(ts)).alias("m"))
+    )
+    p_max = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.max(F.unix_micros(ts)).alias("m"))
+    )
+    cutoff = (
+        c_max.crossJoin(p_max.select(F.col("m").alias("m2")))
+        .select(
+            (
+                F.least(F.col("m"), F.col("m2"))
+                - F.lit(LEFTOUTER_MARGIN_US)
+            ).alias("cut_us")
+        )
+    )
+    return (
+        drained.crossJoin(F.broadcast(cutoff))
+        .filter(
+            F.unix_micros(F.col("click_ts").cast("timestamp"))
+            < F.col("cut_us")
+        )
+        .select(
+            "click_id",
+            "c_user",
+            "click_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
+    )

@@ -685,3 +685,50 @@ def hourly_users_stream(
         .agg(F.count("*").alias("hau"))
         .select(F.col("w.start").alias("hour_start"), "hau")
     )
+
+
+def click_purchase_leftouter_stream(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits exactly
+    once — joined to each same-user purchase in the following ``horizon``,
+    or with NULL purchase columns once the watermark proves no purchase
+    can still arrive. The outer side is the custom-state surface the
+    inner-join twin doesn't exercise: Spark holds the unmatched click in
+    state until the GLOBAL watermark (min of both inputs' max event time,
+    minus the delay) passes click_ts + horizon, then emits the NULL row
+    on a subsequent (possibly no-data) micro-batch. Clicks inside the
+    tail horizon min(max_c, max_p) - delay - horizon NEVER flush in a
+    bounded drain (measured round 10, commit 35e6bce) — callers must
+    scope any exact comparison to click_ts strictly below that cutoff."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user
+            AND purchase_ts > click_ts
+            AND purchase_ts <= click_ts + INTERVAL {horizon}"""
+        ),
+        "leftOuter",
+    ).select(
+        "click_id", "c_user", "click_ts", "purchase_ts", "purchase_value"
+    )
