@@ -78,81 +78,69 @@ _MODULES = [
 # composition tripwires red before the next rotation (ADVICE r9 #1).
 # Bump it with every rotation; a staleness test pins it to within one
 # round of the newest verdict file.
-WINDOW_GRADED_AS_OF = 9
+WINDOW_GRADED_AS_OF = 10
 
 GRADED_PRIORITY = [
-    # ---- round-10 window (VERDICT r9 ask #1): the never-graded backlog
-    # is 51 entries — ONE window's worth — so this rotation finishes the
-    # burn-down: the flagship re-grade plus 49 never-graded, deferring
-    # only `sim_triplet_mining` and `sim_hubness_audit` (the two newest
-    # similarity diagnostics; their family is already represented in the
-    # window by sim_knn_label_eval/sim_ndcg_eval). With zero re-grade
-    # slots beyond the flagship, the one-rep-per-family rule self-relaxes
-    # to families that still HAVE never-graded entries (gen_window.py
-    # policy #4: family reps are forced in by evicting re-grades, and
-    # there are none to evict) — quality/temporal/setops/scalars/approx/
-    # streamq/dedup/multimodal all hold r8-r9 verdicts and rotate back in
-    # next round. No new operators this round (verdict ask #3: the
-    # moratorium holds until the backlog is graded; rounds 11+ resume
-    # breadth at grade-as-you-go pace).
+    # ---- round-11 window (VERDICT r10 asks #1-#3): the flagship
+    # re-grade, the 2-entry similarity backlog (sim_triplet_mining,
+    # sim_hubness_audit — the r10 deferral, forced in), and 47 of the 51
+    # round-11 additions. Deferred to round 12 (immediately after the
+    # window in the oracled-first sort): sim_centroid_drift_by_source,
+    # sim_dim_quantization_error, sim_jl_projection_audit,
+    # sim_nprobe_recall_sweep — one coherent family backlog, chosen so
+    # every OTHER family's new entries grade this round while similarity
+    # stays represented by the two backlog diagnostics.
     # -- flagship re-grade (reference-parity transform core) --
     "etl_transform_parity",
-    # -- etl never-graded (7) --
-    "etl_fk_surrogate_keys",
-    "etl_late_arriving_dim",
-    "etl_type_inference_profile",
-    "etl_dead_letter_replay",
-    "etl_backfill_plan",
-    "etl_pseudonymize_audit",
-    "etl_data_vault_keys",
-    # -- relational/stats never-graded (8) --
-    "agg_simpsons_paradox_audit",
-    "agg_empirical_bayes_rates",
-    "agg_lorenz_curve_deciles",
-    "agg_chi_square_independence",
-    "customer_segment_migration",
-    "agg_trimmed_mean_by_group",
-    "agg_capture_recapture",
-    "agg_revenue_decomposition",
-    # -- windows never-graded (6) --
-    "window_order_gaps",
-    "window_rolling_median_7d",
-    "window_kaufman_efficiency",
-    "window_rsi_14",
-    "window_turning_points",
-    "window_sma_crossover",
-    # -- events never-graded (15) --
-    "events_changepoint_scan",
-    "events_funnel_time_constrained",
-    "events_whale_share",
-    "events_cohort_ltv",
-    "events_activity_streaks",
-    "events_diff_in_diff",
-    "events_markov_baseline_accuracy",
-    "events_behavior_predictability",
-    "events_rate_anomaly_anscombe",
-    "events_cadence_autocorrelation",
-    "events_survival_risk_table",
-    "events_attribution_position",
-    "events_cuped_adjustment",
-    "events_attribution_window_sensitivity",
-    "events_repeat_purchase_latency",
-    # -- sampling never-graded (3) --
-    "sample_systematic_interval",
-    "sample_balanced_class_downsample",
-    "sample_target_encoding_loo",
-    # -- text never-graded (8) --
-    "text_bm25_topk",
-    "text_collocation_lift",
-    "text_freq_spectrum",
-    "text_langid_eval_f1",
-    "text_term_burstiness",
-    "text_phonetic_collisions",
-    "text_rake_keywords",
-    "text_lexicon_router",
-    # -- similarity never-graded (2 of 4; triplet/hubness defer) --
-    "sim_knn_label_eval",
-    "sim_ndcg_eval",
+    "etl_scd3_previous_value",
+    "etl_gzip_csv_parity",
+    "etl_input_file_checksum_dedup",
+    "etl_bitemporal_asof",
+    "dq_schema_drift_diff",
+    "dq_candidate_key_audit",
+    "dq_volumetric_anomaly",
+    "temporal_anti_join_window",
+    "agg_kruskal_wallis",
+    "agg_anova_oneway",
+    "agg_cramers_v",
+    "agg_cohens_d",
+    "agg_mood_median_test",
+    "agg_wilcoxon_signed_rank",
+    "agg_weighted_correlation",
+    "agg_qq_deciles",
+    "window_bollinger_breakout",
+    "window_donchian_channel",
+    "window_drawup_symmetry",
+    "window_obv_flow",
+    "window_gap_zscore",
+    "window_ema_macd",
+    "approx_ams_f2_sketch",
+    "approx_reservoir_quantile_twin",
+    "events_stickiness_ratio",
+    "events_power_user_curve",
+    "events_ewma_control_chart",
+    "events_session_depth_quantiles",
+    "events_type_cooccurrence_lift",
+    "events_weekday_effect",
+    "sample_group_holdout_split",
+    "sample_inverse_frequency_weights",
+    "sample_sliding_window_backtest",
+    "streaming_leftouter_interval_join",
+    "text_mojibake_audit",
+    "text_markup_density",
+    "text_hapax_ratio",
+    "text_yule_k",
+    "text_sentence_length_stats",
+    "text_url_extraction_census",
+    "graph_degree_histogram",
+    "graph_jaccard_link_prediction",
+    "dedup_stopword_insensitive",
+    "dedup_url_canonical",
+    "dedup_cluster_embedding_dispersion",
+    "dedup_record_linkage_score",
+    "sim_triplet_mining",
+    "sim_hubness_audit",
+    "multimodal_tile_index",
 ]
 
 
