@@ -313,6 +313,58 @@ HEADLINE = [
     "agg_odds_ratio_2x2",
     "dq_rare_level_audit",
     "events_repeat_purchase_latency",
+    # round-11 additions
+    "agg_kruskal_wallis",
+    "agg_anova_oneway",
+    "agg_cramers_v",
+    "agg_cohens_d",
+    "agg_mood_median_test",
+    "agg_wilcoxon_signed_rank",
+    "agg_weighted_correlation",
+    "agg_qq_deciles",
+    "window_bollinger_breakout",
+    "window_donchian_channel",
+    "window_drawup_symmetry",
+    "window_obv_flow",
+    "window_gap_zscore",
+    "window_ema_macd",
+    "events_stickiness_ratio",
+    "events_power_user_curve",
+    "events_ewma_control_chart",
+    "events_session_depth_quantiles",
+    "events_type_cooccurrence_lift",
+    "events_weekday_effect",
+    "text_mojibake_audit",
+    "text_markup_density",
+    "text_hapax_ratio",
+    "text_yule_k",
+    "text_sentence_length_stats",
+    "text_url_extraction_census",
+    "dedup_url_canonical",
+    "dedup_record_linkage_score",
+    "dedup_stopword_insensitive",
+    "dedup_cluster_embedding_dispersion",
+    "sim_jl_projection_audit",
+    "sim_nprobe_recall_sweep",
+    "sim_centroid_drift_by_source",
+    "sim_dim_quantization_error",
+    "sample_group_holdout_split",
+    "sample_inverse_frequency_weights",
+    "sample_sliding_window_backtest",
+    "etl_gzip_csv_parity",
+    "etl_scd3_previous_value",
+    "etl_bitemporal_asof",
+    "etl_input_file_checksum_dedup",
+    "dq_candidate_key_audit",
+    "dq_volumetric_anomaly",
+    "dq_schema_drift_diff",
+    "approx_ams_f2_sketch",
+    "approx_reservoir_quantile_twin",
+    "temporal_anti_join_window",
+    "streaming_leftouter_interval_join",
+    "multimodal_tile_index",
+    "graph_jaccard_link_prediction",
+    "graph_degree_histogram",
 ]
 
 
