@@ -3938,6 +3938,12 @@ def events_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
         .agg(F.count("*").cast("bigint").alias("n"))
+        # emit-NTZ-at-source contract (VERDICT r9 ask #8): under the
+        # session UTC pin the cast is a pure reinterpretation
+        .select(
+            F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+            "n",
+        )
     )
     w = Window.orderBy("hour_start")
     num = F.lit(0).cast("bigint")

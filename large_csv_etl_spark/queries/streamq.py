@@ -559,8 +559,11 @@ def streaming_leftouter_interval_join(
         .select(
             "click_id",
             "c_user",
-            "click_ts",
-            "purchase_ts",
+            # emit-NTZ-at-source: the stream needs instant TIMESTAMPs for
+            # its watermarks, so the NTZ cast happens here at the drained
+            # boundary (pure reinterpretation under the UTC pin)
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
             "purchase_value",
         )
     )
