@@ -3710,6 +3710,10 @@ def agg_odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
               / (CAST(n_p AS DOUBLE) * CAST(n AS DOUBLE)
                  * (CAST(n AS DOUBLE) + 1.0)))
            - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_stat,
+           CASE WHEN 1.0 - CAST(tie_term AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) = 0.0
+                THEN NULL ELSE
            (((CAST(dr_f AS DOUBLE) * CAST(dr_f AS DOUBLE) * 3.0
                / (CAST(n_f AS DOUBLE) * CAST(n AS DOUBLE)
                   * (CAST(n AS DOUBLE) + 1.0))
@@ -3722,7 +3726,7 @@ def agg_odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 3.0 * (CAST(n AS DOUBLE) + 1.0))
            / (1.0 - CAST(tie_term AS DOUBLE)
               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                 - CAST(n AS DOUBLE))) AS h_adj
+                 - CAST(n AS DOUBLE))) END AS h_adj
     FROM s
     """,
 )
@@ -3803,7 +3807,9 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_p",
         "tie_term",
         h_raw.alias("h_stat"),
-        (h_raw / tie_corr).alias("h_adj"),
+        # total even when every value ties (tie_corr hits exactly 0 and
+        # ANSI division would raise): NULL, mirrored in the oracle
+        F.when(tie_corr != 0.0, h_raw / tie_corr).alias("h_adj"),
     )
 
 

@@ -1166,8 +1166,9 @@ def window_donchian_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
            CAST(MAX(cents - trough) AS BIGINT) AS max_drawup_cents,
            CAST(MAX(peak - cents) AS BIGINT) AS max_drawdown_cents,
-           CAST(MAX(cents - trough) AS DOUBLE)
-             / CAST(MAX(peak - cents) AS DOUBLE) AS updown_asymmetry
+           CASE WHEN MAX(peak - cents) > 0 THEN
+             CAST(MAX(cents - trough) AS DOUBLE)
+             / CAST(MAX(peak - cents) AS DOUBLE) END AS updown_asymmetry
     FROM curve
     """,
 )
@@ -1201,8 +1202,11 @@ def window_drawup_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_days"),
         F.max(drawup).cast("bigint").alias("max_drawup_cents"),
         F.max(drawdown).cast("bigint").alias("max_drawdown_cents"),
-        (
-            F.max(drawup).cast("double") / F.max(drawdown).cast("double")
+        # a monotone-rising curve has zero drawdown: NULL ratio (total
+        # under ANSI division), mirrored in the oracle
+        F.when(
+            F.max(drawdown) > 0,
+            F.max(drawup).cast("double") / F.max(drawdown).cast("double"),
         ).alias("updown_asymmetry"),
     )
 

@@ -94,6 +94,7 @@ def test_kruskal_wallis_identical_groups_h_zero(spark):
         r = REL_QUERIES["agg_kruskal_wallis"](spark, d).collect()[0]
     assert abs(r.h_stat) < 1e-9
     assert r.tie_term == 6**3 - 6
+    assert r.h_adj is None  # tie correction hits exactly 0 -> NULL
 
 
 def test_anova_equal_group_means_f_zero(spark):
@@ -280,6 +281,7 @@ def test_drawup_symmetry_monotone_rise_has_zero_drawdown(spark):
         r = WIN_QUERIES["window_drawup_symmetry"](spark, d).collect()[0]
     assert r.max_drawdown_cents == 0
     assert r.max_drawup_cents == 90000  # 1000.00 - 100.00 in cents
+    assert r.updown_asymmetry is None  # zero drawdown -> NULL, not an error
 
 
 def test_obv_flow_monotone_increase_accumulates(spark):
@@ -312,7 +314,8 @@ def test_gap_zscore_flags_cadence_break(spark):
             key=lambda r: r.o_orderkey,
         )
     assert out[0].gap_days is None and out[0].gap_z is None
-    assert all(r.cadence_break is False for r in out[1:-1])
+    # early rows (frame < 3 gaps) carry NULL flags; none may flag True
+    assert all(not r.cadence_break for r in out[1:-1])
     assert out[-1].cadence_break is True and out[-1].gap_z > 2.0
 
 
@@ -356,7 +359,7 @@ def test_power_user_curve_shares_sum_to_one(spark):
 
 def test_ewma_control_chart_constant_series_in_control(spark):
     rows = [_event(i, 1, "view", minute=i % 60, hour=(i // 60) % 24,
-                   day=1 + i // 1440) for i in range(288)]
+                   day=1 + i // 1440) for i in range(240)]
     with tempfile.TemporaryDirectory() as d:
         _events_dir(spark, rows, d)
         out = EVENT_QUERIES["events_ewma_control_chart"](spark, d).collect()
@@ -441,7 +444,7 @@ def test_backtest_folds_no_temporal_leakage(spark):
 def test_mojibake_audit_accounts_every_doc(spark):
     out = TEXT_QUERIES["text_mojibake_audit"](spark, SF_DIR).collect()
     n_docs = sum(r.n_docs for r in out)
-    assert n_docs == 100  # sf0.001 documents count
+    assert n_docs == 500  # sf0.001 documents count
     assert any(r.repl_chars > 0 for r in out)
     assert any(r.control_chars > 0 for r in out)
     assert all(r.clean_docs <= r.n_docs for r in out)
@@ -449,7 +452,7 @@ def test_mojibake_audit_accounts_every_doc(spark):
 
 def test_url_canonical_strips_noise(spark):
     out = DEDUP_QUERIES["dedup_url_canonical"](spark, SF_DIR).collect()
-    assert sum(r.n_urls for r in out) == 100
+    assert sum(r.n_urls for r in out) == 500
     # canonical forms carry no fragments, tracking params, default ports
     for r in out:
         assert "#" not in r.canonical_url
