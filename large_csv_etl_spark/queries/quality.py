@@ -1383,8 +1383,11 @@ def dq_schema_drift_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     and parquet physical types (INT64 for both BIGINT and TIMESTAMP)
     are lossier still. Schema reads are O(footer) metadata operations —
     no data scan at any scale; the diff itself is a full outer join on
-    column name over two |schema|-row frames. Snapshots are the
-    committed drift_v1/drift_v2 fixtures covering all four statuses."""
+    column name over two |schema|-row frames (Spark cannot broadcast a
+    FULL OUTER side, so the plan shows one sort-merge join — over
+    |columns| rows, which is scale-irrelevant by construction).
+    Snapshots are the committed drift_v1/drift_v2 fixtures covering all
+    four statuses."""
     rows_a = [
         (f.name, _spark_type_class(f.dataType.simpleString()))
         for f in spark.read.parquet(f"{_DRIFT_DIR}/drift_v1.parquet").schema
