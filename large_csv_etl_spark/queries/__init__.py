@@ -216,6 +216,10 @@ def _tz_invariant(fn: Callable[[SparkSession, str], DataFrame]):
             )
         return df
 
+    # sentinel for the registry test: proves the wrapper applied to an
+    # entry is THIS tz-invariance wrapper, not any functools.wraps shim
+    # (ADVICE r10 #4)
+    wrapped._tz_invariant = True
     return wrapped
 
 

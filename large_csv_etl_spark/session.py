@@ -81,5 +81,22 @@ def release_blocks(spark: SparkSession) -> None:
         for jrdd in list(jvm_rdds.values()):
             jrdd.unpersist(True)
         spark.catalog.clearCache()
-    except Exception:
-        pass  # cleanup is best-effort; never turn it into a query error
+    except Exception as exc:  # cleanup is best-effort, but never silent:
+        # if the py4j private API this leans on ever changes, the round-9
+        # OOM/timing-inflation protection would otherwise stop working
+        # invisibly for both bench.py and the mimic (ADVICE r10 #2) — warn
+        # once per process so battery logs show the breakage.
+        global _RELEASE_WARNED
+        if not _RELEASE_WARNED:
+            _RELEASE_WARNED = True
+            import sys
+
+            print(
+                f"release_blocks: cleanup failed ({type(exc).__name__}: "
+                f"{exc}) — block-release protection is INACTIVE for this "
+                "session",
+                file=sys.stderr,
+            )
+
+
+_RELEASE_WARNED = False

@@ -82,7 +82,11 @@ def test_every_family_represented_in_window():
     graded = _graded_as_of_window()
     backlog = {n for n in all_queries() if n in oracles and n not in graded}
     window = set(GRADED_PRIORITY)
-    if len(backlog) >= len(GRADED_PRIORITY) - 1:
+    # evictable slots = window minus the policy-pinned re-grades (today:
+    # the flagship). Deriving it keeps the relaxation correct if the
+    # window size or flagship policy ever changes (ADVICE r10 #5).
+    pinned = {"etl_transform_parity"} & window
+    if len(backlog) >= len(GRADED_PRIORITY) - len(pinned):
         required = [
             m
             for m in _MODULES

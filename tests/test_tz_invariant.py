@@ -86,8 +86,12 @@ def test_no_registry_query_relies_on_nested_rewrite():
     unconditionally)."""
     from large_csv_etl_spark.queries import all_queries
 
-    for fn in all_queries().values():
-        assert fn.__wrapped__ is not None  # functools.wraps marker
+    for name, fn in all_queries().items():
+        # getattr: a missing wrapper must fail as a clean assert, not an
+        # AttributeError; the sentinel pins the SPECIFIC wrapper rather
+        # than accepting any functools.wraps shim (ADVICE r10 #4)
+        assert getattr(fn, "__wrapped__", None) is not None, name
+        assert getattr(fn, "_tz_invariant", False), name
 
 
 # The 26 entries whose SOURCE schema carries a top-level instant
@@ -134,15 +138,24 @@ def test_tz_wrapper_load_bearing_set_never_grows(spark, sf_dir):
     from large_csv_etl_spark.queries import _MODULES
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    offenders = []
+    offenders_all = []
     for m in _MODULES:
         for name, fn in m.QUERIES.items():
             df = fn(spark, sf_dir)
             if any(
                 type(f.dataType) is T.TimestampType for f in df.schema.fields
-            ) and name not in TZ_WRAPPER_LOAD_BEARING:
-                offenders.append(name)
-    assert not offenders, (
-        f"new entries emit instant TIMESTAMP at the source: {offenders} — "
-        "emit TIMESTAMP_NTZ instead (VERDICT r9 ask #8), or flatten"
+            ):
+                offenders_all.append(name)
+    measured = set(offenders_all)
+    new_entries = sorted(measured - TZ_WRAPPER_LOAD_BEARING)
+    fixed_entries = sorted(TZ_WRAPPER_LOAD_BEARING - measured)
+    assert not new_entries, (
+        f"new entries emit instant TIMESTAMP at the source: {new_entries}"
+        " — emit TIMESTAMP_NTZ instead (VERDICT r9 ask #8), or flatten"
+    )
+    # equality, not subset (ADVICE r10 #3): an entry fixed at source must
+    # leave the frozen census too, or the documented set silently drifts
+    assert not fixed_entries, (
+        f"entries no longer emit instant TIMESTAMP: {fixed_entries} — "
+        "remove them from TZ_WRAPPER_LOAD_BEARING (the census shrank)"
     )

@@ -64,7 +64,11 @@ def main() -> int:
                 print(line)
                 printed = True
         if r.returncode != 0 or not printed:
-            print(f"RETIME {n} FAILED: {r.stderr.strip()[-300:]}")
+            # distinct prefix so downstream `^RETIME ` row parsers never
+            # misread a failure as a timing sample (ADVICE r10 #1);
+            # newline-flattened so the failure stays ONE line
+            tail = " | ".join(r.stderr.strip()[-300:].splitlines())
+            print(f"RETIME-FAIL {n}: {tail}")
             rc = 1
     return rc
 
