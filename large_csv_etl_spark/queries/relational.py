@@ -4710,3 +4710,1008 @@ def agg_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_cents").cast("double") / F.col("f_cents").cast("double")
         ).alias("qq_ratio"),
     )
+
+
+# --- round 12: ordered/paired/robust inference wave -----------------------
+
+
+@_q(
+    "agg_jonckheere_terpstra",
+    """
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+    ), per AS (
+      SELECT cents,
+             CAST(COUNT(CASE WHEN g = 'F' THEN 1 END) AS BIGINT) AS f,
+             CAST(COUNT(CASE WHEN g = 'P' THEN 1 END) AS BIGINT) AS p,
+             CAST(COUNT(CASE WHEN g = 'O' THEN 1 END) AS BIGINT) AS o
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT f, p, o,
+             COALESCE(SUM(f) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cf,
+             COALESCE(SUM(p) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+      FROM per
+    ), s AS (
+      SELECT CAST(SUM(f) AS BIGINT) AS n_f,
+             CAST(SUM(p) AS BIGINT) AS n_p,
+             CAST(SUM(o) AS BIGINT) AS n_o,
+             CAST(SUM(f) + SUM(p) + SUM(o) AS BIGINT) AS n,
+             CAST(SUM((p + o) * (2 * cf + f) + o * (2 * cp + p))
+                  AS BIGINT) AS jt_x2
+      FROM cum
+    )
+    SELECT n, n_f, n_p, n_o, jt_x2,
+           (n * n - ((n_f * n_f + n_p * n_p) + n_o * n_o)) // 2 AS e_x2,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * (2.0 * CAST(n AS DOUBLE) + 3.0)
+                      - ((CAST(n_f AS DOUBLE) * CAST(n_f AS DOUBLE)
+                            * (2.0 * CAST(n_f AS DOUBLE) + 3.0)
+                          + CAST(n_p AS DOUBLE) * CAST(n_p AS DOUBLE)
+                            * (2.0 * CAST(n_p AS DOUBLE) + 3.0))
+                         + CAST(n_o AS DOUBLE) * CAST(n_o AS DOUBLE)
+                           * (2.0 * CAST(n_o AS DOUBLE) + 3.0))) / 72.0 > 0.0
+           THEN (CAST(jt_x2 AS DOUBLE)
+                 - CAST((n * n - ((n_f * n_f + n_p * n_p) + n_o * n_o)) // 2
+                        AS DOUBLE))
+                / (2.0 * SQRT((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                 * (2.0 * CAST(n AS DOUBLE) + 3.0)
+                               - ((CAST(n_f AS DOUBLE) * CAST(n_f AS DOUBLE)
+                                     * (2.0 * CAST(n_f AS DOUBLE) + 3.0)
+                                   + CAST(n_p AS DOUBLE) * CAST(n_p AS DOUBLE)
+                                     * (2.0 * CAST(n_p AS DOUBLE) + 3.0))
+                                  + CAST(n_o AS DOUBLE) * CAST(n_o AS DOUBLE)
+                                    * (2.0 * CAST(n_o AS DOUBLE) + 3.0)))
+                              / 72.0))
+           END AS z
+    FROM s
+    """,
+)
+def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative k-sample test over the
+    hypothesized F < P < O order-status ordering on order value. JT is
+    the sum of the three pairwise Mann-Whitney U's taken in order
+    ((F,P), (F,O), (P,O)); everything reduces through the same
+    price-domain-bounded per-value table as agg_kruskal_wallis — one
+    hash agg on cents, one cumulative window — and the doubled-units
+    trick (jt_x2 = 2*JT = sum over values of opposing-mass-below*2 +
+    tie counts) keeps the tie credit integer, so jt_x2 is BIGINT-exact.
+    z uses the tie-UNCORRECTED JT variance [N^2(2N+3) -
+    sum n_i^2(2n_i+3)]/72 (tie correction documented out of scope) with
+    the k-group reduction UNROLLED in fixed (F, P, O) order per the
+    round-11 float-chain rule, NULL-guarded for a degenerate zero
+    variance. Scale: jt_x2 <= N^2 holds to ~3e9 rows in BIGINT; the
+    variance chain is pure double arithmetic on 4 scalars."""
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O", "P"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per = v.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "F", 1)).cast("bigint").alias("f"),
+        F.count(F.when(F.col("g") == "P", 1)).cast("bigint").alias("p"),
+        F.count(F.when(F.col("g") == "O", 1)).cast("bigint").alias("o"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "f",
+        "p",
+        "o",
+        F.coalesce(F.sum("f").over(w), F.lit(0)).alias("cf"),
+        F.coalesce(F.sum("p").over(w), F.lit(0)).alias("cp"),
+    )
+    s = cum.agg(
+        F.sum("f").cast("bigint").alias("n_f"),
+        F.sum("p").cast("bigint").alias("n_p"),
+        F.sum("o").cast("bigint").alias("n_o"),
+        (F.sum("f") + F.sum("p") + F.sum("o")).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("p") + F.col("o")) * (2 * F.col("cf") + F.col("f"))
+            + F.col("o") * (2 * F.col("cp") + F.col("p"))
+        )
+        .cast("bigint")
+        .alias("jt_x2"),
+    )
+    nd = F.col("n").cast("double")
+
+    def vterm(col: str):
+        d = F.col(col).cast("double")
+        return d * d * (2.0 * d + 3.0)
+
+    var = (
+        nd * nd * (2.0 * nd + 3.0)
+        - ((vterm("n_f") + vterm("n_p")) + vterm("n_o"))
+    ) / 72.0
+    e_x2 = F.expr(
+        "(n * n - ((n_f * n_f + n_p * n_p) + n_o * n_o)) div 2"
+    )
+    return s.select(
+        "n",
+        "n_f",
+        "n_p",
+        "n_o",
+        "jt_x2",
+        e_x2.alias("e_x2"),
+        F.when(
+            var > 0.0,
+            (F.col("jt_x2").cast("double") - e_x2.cast("double"))
+            / (2.0 * F.sqrt(var)),
+        ).alias("z"),
+    )
+
+
+@_q(
+    "agg_friedman_test",
+    """
+    WITH cell AS (
+      SELECT o_orderpriority AS blk, o_orderstatus AS trt,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+      GROUP BY 1, 2
+    ), full_blk AS (
+      SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 3
+    ), ranked AS (
+      SELECT a.blk, a.trt,
+             2 + 2 * CAST(SUM(CASE WHEN b.s * a.cnt < a.s * b.cnt
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+               + CAST(SUM(CASE WHEN b.trt <> a.trt
+                                    AND b.s * a.cnt = a.s * b.cnt
+                               THEN 1 ELSE 0 END) AS BIGINT) AS r2
+      FROM cell a
+      JOIN cell b ON a.blk = b.blk
+      JOIN full_blk fb ON fb.blk = a.blk
+      GROUP BY a.blk, a.trt
+    ), rsum AS (
+      SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN trt = 'F' THEN r2 END) AS BIGINT) AS r2_f,
+             CAST(SUM(CASE WHEN trt = 'O' THEN r2 END) AS BIGINT) AS r2_o,
+             CAST(SUM(CASE WHEN trt = 'P' THEN r2 END) AS BIGINT) AS r2_p
+      FROM ranked
+    )
+    SELECT b, r2_f, r2_o, r2_p,
+           CASE WHEN b > 0 THEN
+             CAST(r2_f * r2_f + r2_o * r2_o + r2_p * r2_p AS DOUBLE)
+             / (4.0 * CAST(b AS DOUBLE)) - 12.0 * CAST(b AS DOUBLE)
+           END AS chi2_f
+    FROM rsum
+    """,
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman within-block rank test: blocks = the 5 order-priority
+    levels, treatments = the F/O/P statuses, cell value = the mean
+    order value. Ranks of the k=3 treatment means within each block
+    come from PAIRWISE comparisons of exact DECIMAL-free integer
+    cross-products (mean_a < mean_b <=> s_a*cnt_b < s_b*cnt_a with
+    positive counts) — 15 bounded cells, no windowed rank, no ordering
+    hazard, and doubled ranks r2 = 2 + 2*#below + #ties keep midrank
+    tie credit integer. chi2_F = 12/(b k(k+1)) sum R_j^2 - 3 b(k+1)
+    collapses (k=3, doubled ranks) to sum(R2_j^2)/(4b) - 12b — integer
+    until ONE division, NULL-guarded for b=0; blocks missing a
+    treatment are excluded (Friedman requires complete blocks). Scale:
+    the cell cross-product s*cnt needs s*cnt < 2^63 — holds to ~1e5x
+    the sf0.1 per-cell mass; route through DECIMAL(38,0) beyond."""
+    cell = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O", "P"))
+        .groupBy(
+            F.col("o_orderpriority").alias("blk"),
+            F.col("o_orderstatus").alias("trt"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+    )
+    cell = materialize_reduced(cell)
+    full_blk = (
+        cell.groupBy("blk")
+        .count()
+        .filter(F.col("count") == 3)
+        .select(F.col("blk").alias("fblk"))
+    )
+    a = cell.alias("a")
+    b = cell.alias("b")
+    ranked = (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .join(full_blk, F.col("a.blk") == F.col("fblk"))
+        .groupBy(F.col("a.blk").alias("blk"), F.col("a.trt").alias("trt"))
+        .agg(
+            (
+                2
+                + 2
+                * F.sum(
+                    F.when(
+                        F.col("b.s") * F.col("a.cnt")
+                        < F.col("a.s") * F.col("b.cnt"),
+                        1,
+                    ).otherwise(0)
+                )
+                + F.sum(
+                    F.when(
+                        (F.col("b.trt") != F.col("a.trt"))
+                        & (
+                            F.col("b.s") * F.col("a.cnt")
+                            == F.col("a.s") * F.col("b.cnt")
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("r2")
+        )
+    )
+    rsum = ranked.agg(
+        F.countDistinct("blk").cast("bigint").alias("b"),
+        F.sum(F.when(F.col("trt") == "F", F.col("r2")))
+        .cast("bigint")
+        .alias("r2_f"),
+        F.sum(F.when(F.col("trt") == "O", F.col("r2")))
+        .cast("bigint")
+        .alias("r2_o"),
+        F.sum(F.when(F.col("trt") == "P", F.col("r2")))
+        .cast("bigint")
+        .alias("r2_p"),
+    )
+    bd = F.col("b").cast("double")
+    ssum = (
+        F.col("r2_f") * F.col("r2_f")
+        + F.col("r2_o") * F.col("r2_o")
+        + F.col("r2_p") * F.col("r2_p")
+    ).cast("double")
+    return rsum.select(
+        "b",
+        "r2_f",
+        "r2_o",
+        "r2_p",
+        F.when(F.col("b") > 0, ssum / (4.0 * bd) - 12.0 * bd).alias("chi2_f"),
+    )
+
+
+@_q(
+    "agg_kendall_tau",
+    """
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               // 120000 AS band
+      FROM lineitem
+    ), cells AS (
+      SELECT q, band, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY q, band
+    ), pairs AS (
+      SELECT CAST(SUM(CASE WHEN a.band < b.band
+                           THEN a.cnt * b.cnt ELSE 0 END) AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN a.band > b.band
+                           THEN a.cnt * b.cnt ELSE 0 END) AS BIGINT) AS disc
+      FROM cells a JOIN cells b ON a.q < b.q
+    ), qt AS (
+      SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS ties_q
+      FROM (SELECT SUM(cnt) AS t FROM cells GROUP BY q)
+    ), bt AS (
+      SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS ties_band
+      FROM (SELECT SUM(cnt) AS t FROM cells GROUP BY band)
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells
+    )
+    SELECT n, conc, disc, ties_q, ties_band,
+           CASE WHEN n * (n - 1) // 2 > ties_q
+                 AND n * (n - 1) // 2 > ties_band
+           THEN (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                / SQRT(CAST(n * (n - 1) // 2 - ties_q AS DOUBLE)
+                       * CAST(n * (n - 1) // 2 - ties_band AS DOUBLE))
+           END AS tau_b
+    FROM pairs CROSS JOIN qt CROSS JOIN bt CROSS JOIN tot
+    """,
+)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between line quantity and discounted price via the
+    bounded 2-D value-lattice identity: rows collapse onto (quantity,
+    price-band) cells (quantity has 50 values, band = discounted cents
+    div 120000 keeps ~100 bands), and concordant/discordant pair counts
+    are exact BIGINT sums of cell-count cross products over the strict
+    q-ordering half of the lattice self-join (~5k x 5k cell pairs at
+    any corpus size — the lattice, not the data, bounds the join).
+    Tie denominators from per-q / per-band marginal counts; tau_b's
+    single float chain (C - D)/sqrt((n0-n1)(n0-n2)) runs on doubles
+    cast per factor (the products overflow BIGINT), NULL-guarded for
+    all-tied degenerate inputs. Scale: n0 = n(n-1)/2 < 2^63 holds to
+    ~4e9 rows; beyond that the marginals route through DECIMAL(38,0)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)"
+            " AS BIGINT) div 120000"
+        ).alias("band"),
+    )
+    cells = li.groupBy("q", "band").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    cells = materialize_reduced(cells)
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pairs = a.join(b, F.col("a.q") < F.col("b.q")).agg(
+        F.sum(
+            F.when(
+                F.col("a.band") < F.col("b.band"),
+                F.col("a.cnt") * F.col("b.cnt"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                F.col("a.band") > F.col("b.band"),
+                F.col("a.cnt") * F.col("b.cnt"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("disc"),
+    )
+    qt = (
+        cells.groupBy("q")
+        .agg(F.sum("cnt").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2")).cast("bigint").alias("ties_q")
+        )
+    )
+    bt = (
+        cells.groupBy("band")
+        .agg(F.sum("cnt").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2"))
+            .cast("bigint")
+            .alias("ties_band")
+        )
+    )
+    tot = cells.agg(F.sum("cnt").cast("bigint").alias("n"))
+    j = (
+        pairs.crossJoin(F.broadcast(qt))
+        .crossJoin(F.broadcast(bt))
+        .crossJoin(F.broadcast(tot))
+    )
+    n0 = F.expr("n * (n - 1) div 2")
+    return j.select(
+        "n",
+        "conc",
+        "disc",
+        "ties_q",
+        "ties_band",
+        F.when(
+            (n0 > F.col("ties_q")) & (n0 > F.col("ties_band")),
+            (F.col("conc").cast("double") - F.col("disc").cast("double"))
+            / F.sqrt(
+                (n0 - F.col("ties_q")).cast("double")
+                * (n0 - F.col("ties_band")).cast("double")
+            ),
+        ).alias("tau_b"),
+    )
+
+
+@_q(
+    "agg_brown_forsythe",
+    """
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+    ), per AS (
+      SELECT cents,
+             CAST(COUNT(CASE WHEN g = 'F' THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN g = 'O' THEN 1 END) AS BIGINT) AS b,
+             CAST(COUNT(CASE WHEN g = 'P' THEN 1 END) AS BIGINT) AS p
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT cents, a, b, p,
+             SUM(a) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             SUM(p) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+      FROM per
+    ), tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n_f,
+             CAST(SUM(b) AS BIGINT) AS n_o,
+             CAST(SUM(p) AS BIGINT) AS n_p
+      FROM per
+    ), med AS (
+      SELECT MIN(CASE WHEN ca >= (n_f + 1) // 2 THEN cents END) AS med_f,
+             MIN(CASE WHEN cb >= (n_o + 1) // 2 THEN cents END) AS med_o,
+             MIN(CASE WHEN cp >= (n_p + 1) // 2 THEN cents END) AS med_p
+      FROM cum CROSS JOIN tot
+    ), dev AS (
+      SELECT CAST(SUM(a * abs(cents - med_f)) AS BIGINT) AS s_f,
+             CAST(SUM(b * abs(cents - med_o)) AS BIGINT) AS s_o,
+             CAST(SUM(p * abs(cents - med_p)) AS BIGINT) AS s_p,
+             CAST(SUM(CAST(a * (cents - med_f) * (cents - med_f)
+                           AS DECIMAL(38,0))) AS DOUBLE) AS q_f,
+             CAST(SUM(CAST(b * (cents - med_o) * (cents - med_o)
+                           AS DECIMAL(38,0))) AS DOUBLE) AS q_o,
+             CAST(SUM(CAST(p * (cents - med_p) * (cents - med_p)
+                           AS DECIMAL(38,0))) AS DOUBLE) AS q_p,
+             MIN(med_f) AS med_f, MIN(med_o) AS med_o, MIN(med_p) AS med_p
+      FROM per CROSS JOIN med
+    )
+    SELECT t.n_f, t.n_o, t.n_p, d.med_f, d.med_o, d.med_p,
+           CASE WHEN t.n_f + t.n_o + t.n_p > 3
+                 AND ((d.q_f + d.q_o) + d.q_p)
+                     - ((CAST(d.s_f AS DOUBLE) * CAST(d.s_f AS DOUBLE)
+                           / CAST(t.n_f AS DOUBLE)
+                         + CAST(d.s_o AS DOUBLE) * CAST(d.s_o AS DOUBLE)
+                           / CAST(t.n_o AS DOUBLE))
+                        + CAST(d.s_p AS DOUBLE) * CAST(d.s_p AS DOUBLE)
+                          / CAST(t.n_p AS DOUBLE)) > 0.0
+           THEN (((CAST(d.s_f AS DOUBLE) * CAST(d.s_f AS DOUBLE)
+                     / CAST(t.n_f AS DOUBLE)
+                   + CAST(d.s_o AS DOUBLE) * CAST(d.s_o AS DOUBLE)
+                     / CAST(t.n_o AS DOUBLE))
+                  + CAST(d.s_p AS DOUBLE) * CAST(d.s_p AS DOUBLE)
+                    / CAST(t.n_p AS DOUBLE)
+                  - (CAST(d.s_f AS DOUBLE) + CAST(d.s_o AS DOUBLE)
+                     + CAST(d.s_p AS DOUBLE))
+                    * (CAST(d.s_f AS DOUBLE) + CAST(d.s_o AS DOUBLE)
+                       + CAST(d.s_p AS DOUBLE))
+                    / CAST(t.n_f + t.n_o + t.n_p AS DOUBLE)) / 2.0)
+                / ((((d.q_f + d.q_o) + d.q_p)
+                    - ((CAST(d.s_f AS DOUBLE) * CAST(d.s_f AS DOUBLE)
+                          / CAST(t.n_f AS DOUBLE)
+                        + CAST(d.s_o AS DOUBLE) * CAST(d.s_o AS DOUBLE)
+                          / CAST(t.n_o AS DOUBLE))
+                       + CAST(d.s_p AS DOUBLE) * CAST(d.s_p AS DOUBLE)
+                         / CAST(t.n_p AS DOUBLE)))
+                   / CAST(t.n_f + t.n_o + t.n_p - 3 AS DOUBLE))
+           END AS f_stat
+    FROM dev d CROSS JOIN tot t
+    """,
+)
+def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe robust ANOVA: one-way F on the absolute deviations
+    |x - group median| across the F/O/P order-status groups (the
+    median-centered Levene variant — strictly more robust than the
+    mean-centered one, and integer-friendly: deviations are exact cents
+    BIGINTs once each group's cut is pinned to the TYPE-1 lower median,
+    reusing agg_mood_median_test's interpolation-free per-group cut
+    machinery — three cuts from ONE windowed pass over the shared
+    per-value table). Exact pieces: per-group deviation sums S_g
+    (BIGINT) and squared-deviation sums Q_g (DECIMAL(38,0) — cents^2
+    second moments overflow int64 at sf0.1, the round-11 lattice
+    lesson); the F chain SSB/(k-1) / (SSW/(N-k)) is one fixed-order
+    double reduction over those 6 scalars, NULL-guarded for SSW=0 and
+    N<=k. Scale: everything reduces through the price-domain-bounded
+    distinct-cents table; no data-row sort or shuffle beyond one hash
+    agg."""
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O", "P"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per = v.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "F", 1)).cast("bigint").alias("a"),
+        F.count(F.when(F.col("g") == "O", 1)).cast("bigint").alias("b"),
+        F.count(F.when(F.col("g") == "P", 1)).cast("bigint").alias("p"),
+    )
+    per = materialize_reduced(per)
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "cents",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+        F.sum("p").over(w).alias("cp"),
+    )
+    tot = per.agg(
+        F.sum("a").cast("bigint").alias("n_f"),
+        F.sum("b").cast("bigint").alias("n_o"),
+        F.sum("p").cast("bigint").alias("n_p"),
+    )
+    med = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("ca") >= F.expr("(n_f + 1) div 2"), F.col("cents"))
+        ).alias("med_f"),
+        F.min(
+            F.when(F.col("cb") >= F.expr("(n_o + 1) div 2"), F.col("cents"))
+        ).alias("med_o"),
+        F.min(
+            F.when(F.col("cp") >= F.expr("(n_p + 1) div 2"), F.col("cents"))
+        ).alias("med_p"),
+    )
+
+    def zq(cnt: str, medcol: str):
+        z = F.abs(F.col("cents") - F.col(medcol))
+        return (
+            F.sum(F.col(cnt) * z).cast("bigint"),
+            F.sum((F.col(cnt) * z * z).cast("decimal(38,0)")).cast("double"),
+        )
+
+    sf_, qf_ = zq("a", "med_f")
+    so_, qo_ = zq("b", "med_o")
+    sp_, qp_ = zq("p", "med_p")
+    dev = per.crossJoin(F.broadcast(med)).agg(
+        sf_.alias("s_f"),
+        so_.alias("s_o"),
+        sp_.alias("s_p"),
+        qf_.alias("q_f"),
+        qo_.alias("q_o"),
+        qp_.alias("q_p"),
+        F.min("med_f").alias("med_f"),
+        F.min("med_o").alias("med_o"),
+        F.min("med_p").alias("med_p"),
+    )
+    j = dev.crossJoin(F.broadcast(tot))
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    within_means = (
+        d("s_f") * d("s_f") / d("n_f") + d("s_o") * d("s_o") / d("n_o")
+    ) + d("s_p") * d("s_p") / d("n_p")
+    n_all = F.col("n_f") + F.col("n_o") + F.col("n_p")
+    s_all = d("s_f") + d("s_o") + d("s_p")
+    ssb = within_means - s_all * s_all / n_all.cast("double")
+    ssw = ((F.col("q_f") + F.col("q_o")) + F.col("q_p")) - within_means
+    return j.select(
+        "n_f",
+        "n_o",
+        "n_p",
+        "med_f",
+        "med_o",
+        "med_p",
+        F.when(
+            (n_all > 3) & (ssw > 0.0),
+            (ssb / 2.0) / (ssw / (n_all - 3).cast("double")),
+        ).alias("f_stat"),
+    )
+
+
+@_q(
+    "agg_mcnemar_paired",
+    """
+    WITH act AS (
+      SELECT o_custkey AS ck,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                      THEN 1 ELSE 0 END) AS a95,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                      THEN 1 ELSE 0 END) AS a96
+      FROM orders GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(a.a95, 0) AS a95, COALESCE(a.a96, 0) AS a96
+      FROM customer c LEFT JOIN act a ON a.ck = c.c_custkey
+    ), cells AS (
+      SELECT CAST(SUM(CASE WHEN a95 = 1 AND a96 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN a95 = 1 AND a96 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN a95 = 0 AND a96 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN a95 = 0 AND a96 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00
+      FROM j
+    )
+    SELECT n11, n10, n01, n00,
+           CASE WHEN n10 + n01 > 0 THEN
+             CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+             / CAST(n10 + n01 AS DOUBLE)
+           END AS mcnemar_chi2
+    FROM cells
+    """,
+)
+def agg_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on the customer panel: each customer is one
+    paired binary observation (active = placed >= 1 order) for 1995 vs
+    1996, the base population is the full customer dim (a LEFT join
+    keeps never-active customers in cell n00), and the statistic
+    (b - c)^2 / (b + c) depends only on the two discordant cells —
+    exact BIGINT counts, ONE division, NULL-guarded for b + c = 0 (the
+    round-11 ANSI-totality rule). Scale: one groupBy over orders to a
+    per-customer flag pair, one broadcast-or-shuffle join against the
+    dim, one global conditional count — no window, no sort."""
+    act = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max(
+                F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)
+            ).alias("a95"),
+            F.max(
+                F.when(F.year("o_orderdate") == 1996, 1).otherwise(0)
+            ).alias("a96"),
+        )
+    )
+    j = (
+        load_table(spark, sf_dir, "customer")
+        .join(act, F.col("ck") == F.col("c_custkey"), "left")
+        .select(
+            F.coalesce(F.col("a95"), F.lit(0)).alias("a95"),
+            F.coalesce(F.col("a96"), F.lit(0)).alias("a96"),
+        )
+    )
+    cells = j.agg(
+        F.sum(F.when((F.col("a95") == 1) & (F.col("a96") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when((F.col("a95") == 1) & (F.col("a96") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when((F.col("a95") == 0) & (F.col("a96") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when((F.col("a95") == 0) & (F.col("a96") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    diff = F.col("n10") - F.col("n01")
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            F.col("n10") + F.col("n01") > 0,
+            (diff * diff).cast("double")
+            / (F.col("n10") + F.col("n01")).cast("double"),
+        ).alias("mcnemar_chi2"),
+    )
+
+
+@_q(
+    "agg_theil_sen_banded",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), lags AS (
+      SELECT d1.day, d1.cents AS c1, d2.cents AS c2,
+             CAST(d2.day - d1.day AS BIGINT) AS lag
+      FROM daily d1 JOIN daily d2
+        ON d2.day - d1.day BETWEEN 1 AND 30
+    ), slopes AS (
+      SELECT (CASE WHEN c2 - c1 < 0 THEN -1 ELSE 1 END)
+             * ((abs(c2 - c1) * 10000) // lag) AS slope_fp
+      FROM lags
+    ), per AS (
+      SELECT slope_fp, CAST(COUNT(*) AS BIGINT) AS c
+      FROM slopes GROUP BY slope_fp
+    ), cum AS (
+      SELECT slope_fp,
+             SUM(c) OVER (ORDER BY slope_fp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM per
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_pairs FROM per)
+    SELECT t.n_pairs,
+           m.median_slope_fp,
+           CAST(m.median_slope_fp AS DOUBLE) / 10000.0
+             AS slope_cents_per_day
+    FROM tot t CROSS JOIN (
+      SELECT MIN(slope_fp) AS median_slope_fp
+      FROM cum CROSS JOIN tot
+      WHERE cumc >= (n_pairs + 1) // 2
+    ) m
+    """,
+)
+def agg_theil_sen_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Theil-Sen trend estimator over the daily-revenue series:
+    the median pairwise slope restricted to lag-1..30 day pairs (the
+    bounded panel keeps pair count at 30*|days| instead of |days|^2 —
+    the scale path for long series). Slopes live on an exact integer
+    lattice: slope_fp = sign * (|cents_j - cents_i| * 10000 div lag),
+    i.e. cents/day quantized at 1e-4 (documented quantization; the
+    sign-split keeps integer division TRUNCATION semantics identical
+    across engines — Spark's div truncates toward zero while DuckDB's
+    // floors, which diverge on negative numerators). TYPE-1 median
+    via per-value counts + one cumulative window over the bounded
+    distinct-slope table — no global sort of the pair set. The pair
+    generation is an equi-join on day arithmetic (Spark side explodes
+    a 30-element lag spine and joins on date_add), shuffle bounded by
+    the |days| table."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    daily = materialize_reduced(daily)
+    left = daily.select(
+        "day",
+        F.col("cents").alias("c1"),
+        F.explode(F.sequence(F.lit(1), F.lit(30))).alias("lag"),
+    )
+    right = daily.select(
+        F.col("day").alias("day2"), F.col("cents").alias("c2")
+    )
+    lags = left.join(
+        right, F.expr("date_add(day, lag)") == F.col("day2")
+    ).select(
+        F.col("c1"),
+        F.col("c2"),
+        F.col("lag").cast("bigint").alias("lag"),
+    )
+    slopes = lags.select(
+        (
+            F.when(F.col("c2") - F.col("c1") < 0, -1)
+            .otherwise(1)
+            * F.expr("(abs(c2 - c1) * 10000) div lag")
+        ).alias("slope_fp")
+    )
+    per = slopes.groupBy("slope_fp").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.orderBy("slope_fp").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select("slope_fp", F.sum("c").over(w).alias("cumc"))
+    tot = per.agg(F.sum("c").cast("bigint").alias("n_pairs"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cumc") >= F.expr("(n_pairs + 1) div 2"))
+        .agg(F.min("slope_fp").alias("median_slope_fp"))
+    )
+    return tot.crossJoin(F.broadcast(med)).select(
+        "n_pairs",
+        "median_slope_fp",
+        (F.col("median_slope_fp").cast("double") / 10000.0).alias(
+            "slope_cents_per_day"
+        ),
+    )
+
+
+@_q(
+    "agg_gini_mean_difference",
+    """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), per AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT cents, c,
+             2 * COALESCE(SUM(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS dr
+      FROM per
+    ), s AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(cents * c * dr) AS BIGINT) AS xcdr,
+             CAST(SUM(cents * c) AS BIGINT) AS w
+      FROM cum
+    )
+    SELECT n,
+           xcdr - (n + 1) * w AS sum_absdiff,
+           CASE WHEN n >= 2 THEN
+             2.0 * CAST(xcdr - (n + 1) * w AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE)
+           END AS gmd_cents,
+           CASE WHEN n >= 2 THEN
+             2.0 * CAST(xcdr - (n + 1) * w AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) / 100.0
+           END AS gmd_dollars
+    FROM s
+    """,
+)
+def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini mean difference (mean |x_i - x_j| over all pairs) of order
+    value via the sorted-rank identity sum((2r - n - 1) x_r) — no pair
+    join, no global data sort: the doubled-midrank machinery
+    (dr = 2*cum_before + c + 1, shared with agg_kruskal_wallis) makes
+    sum_absdiff = sum(x*c*dr) - (n+1)*sum(x*c) BIGINT-exact even under
+    ties, because tied values share x so any within-block rank
+    assignment yields the same total. The dispersion-sibling of the
+    graded Gini concentration entry (which normalizes by the mean; this
+    one reports the raw pairwise spread). One division, NULL-guarded
+    for n < 2. Scale: sum(x*c*dr) ~ n^2 * mean(x) overflows BIGINT
+    near ~2e9 order rows at this price domain — route through
+    DECIMAL(38,0) beyond (documented lattice budget)."""
+    from pyspark.sql import Window
+
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "cents",
+        "c",
+        (
+            2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+        ).alias("dr"),
+    )
+    s = cum.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("cents") * F.col("c") * F.col("dr"))
+        .cast("bigint")
+        .alias("xcdr"),
+        F.sum(F.col("cents") * F.col("c")).cast("bigint").alias("w"),
+    )
+    t = F.col("xcdr") - (F.col("n") + 1) * F.col("w")
+    gmd = 2.0 * t.cast("double") / (
+        F.col("n") * (F.col("n") - 1)
+    ).cast("double")
+    return s.select(
+        "n",
+        t.alias("sum_absdiff"),
+        F.when(F.col("n") >= 2, gmd).alias("gmd_cents"),
+        F.when(F.col("n") >= 2, gmd / 100.0).alias("gmd_dollars"),
+    )
+
+
+@_q(
+    "agg_two_sample_median_ci",
+    """
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), per AS (
+      SELECT cents,
+             CAST(COUNT(CASE WHEN g = 'F' THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN g = 'O' THEN 1 END) AS BIGINT) AS b
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT cents,
+             SUM(a) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM per
+    ), tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n_f,
+             CAST(SUM(b) AS BIGINT) AS n_o,
+             GREATEST(1, CAST(FLOOR(CAST(SUM(a) AS DOUBLE) / 2.0
+               - 1.96 * SQRT(CAST(SUM(a) AS DOUBLE)) / 2.0) AS BIGINT))
+               AS lo_rank_f,
+             LEAST(CAST(SUM(a) AS BIGINT),
+               CAST(CEIL(CAST(SUM(a) AS DOUBLE) / 2.0 + 1.0
+               + 1.96 * SQRT(CAST(SUM(a) AS DOUBLE)) / 2.0) AS BIGINT))
+               AS hi_rank_f,
+             (CAST(SUM(a) AS BIGINT) + 1) // 2 AS med_rank_f,
+             GREATEST(1, CAST(FLOOR(CAST(SUM(b) AS DOUBLE) / 2.0
+               - 1.96 * SQRT(CAST(SUM(b) AS DOUBLE)) / 2.0) AS BIGINT))
+               AS lo_rank_o,
+             LEAST(CAST(SUM(b) AS BIGINT),
+               CAST(CEIL(CAST(SUM(b) AS DOUBLE) / 2.0 + 1.0
+               + 1.96 * SQRT(CAST(SUM(b) AS DOUBLE)) / 2.0) AS BIGINT))
+               AS hi_rank_o,
+             (CAST(SUM(b) AS BIGINT) + 1) // 2 AS med_rank_o
+      FROM per
+    ), vals AS (
+      SELECT MIN(CASE WHEN ca >= med_rank_f THEN cents END) AS med_f,
+             MIN(CASE WHEN ca >= lo_rank_f THEN cents END) AS lo_f,
+             MIN(CASE WHEN ca >= hi_rank_f THEN cents END) AS hi_f,
+             MIN(CASE WHEN cb >= med_rank_o THEN cents END) AS med_o,
+             MIN(CASE WHEN cb >= lo_rank_o THEN cents END) AS lo_o,
+             MIN(CASE WHEN cb >= hi_rank_o THEN cents END) AS hi_o
+      FROM cum CROSS JOIN tot
+    )
+    SELECT t.n_f, t.n_o, v.med_f, v.lo_f, v.hi_f, v.med_o, v.lo_o, v.hi_o,
+           v.med_f - v.med_o AS med_diff,
+           v.lo_f - v.hi_o AS diff_lo,
+           v.hi_f - v.lo_o AS diff_hi
+    FROM vals v CROSS JOIN tot t
+    """,
+)
+def agg_two_sample_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic confidence bands for the F-vs-O median difference
+    of order value: each group's 95% median CI comes from the binomial
+    normal-rank approximation (lo/hi order-statistic ranks n/2 -+
+    1.96*sqrt(n)/2, sqrt-only — no float CDF), realized as exact rank
+    lookups on the shared per-value cumulative table (the TYPE-1 cut
+    machinery — no interpolation, no global data sort); the reported
+    difference band [lo_f - hi_o, hi_f - lo_o] is the conservative
+    interval combination. Rank arithmetic is one identical IEEE
+    floor/ceil/sqrt chain per group on exact BIGINT counts, clamped to
+    [1, n]; on empty groups every lookup is NULL (total, no division
+    anywhere). Scale: bounded by the distinct-cents table like every
+    rank entry in this family."""
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per = v.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "F", 1)).cast("bigint").alias("a"),
+        F.count(F.when(F.col("g") == "O", 1)).cast("bigint").alias("b"),
+    )
+    per = materialize_reduced(per)
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "cents",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+
+    def ranks(sum_col, suffix):
+        nd = sum_col.cast("double")
+        margin = 1.96 * F.sqrt(nd) / 2.0
+        return [
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(nd / 2.0 - margin).cast("bigint"),
+            ).alias(f"lo_rank_{suffix}"),
+            F.least(
+                sum_col.cast("bigint"),
+                F.ceil(nd / 2.0 + 1.0 + margin).cast("bigint"),
+            ).alias(f"hi_rank_{suffix}"),
+        ]
+
+    tot = per.agg(
+        F.sum("a").cast("bigint").alias("n_f"),
+        F.sum("b").cast("bigint").alias("n_o"),
+        *ranks(F.sum("a"), "f"),
+        *ranks(F.sum("b"), "o"),
+    ).select(
+        "*",
+        F.expr("(n_f + 1) div 2").alias("med_rank_f"),
+        F.expr("(n_o + 1) div 2").alias("med_rank_o"),
+    )
+    vals = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("ca") >= F.col("med_rank_f"), F.col("cents"))
+        ).alias("med_f"),
+        F.min(
+            F.when(F.col("ca") >= F.col("lo_rank_f"), F.col("cents"))
+        ).alias("lo_f"),
+        F.min(
+            F.when(F.col("ca") >= F.col("hi_rank_f"), F.col("cents"))
+        ).alias("hi_f"),
+        F.min(
+            F.when(F.col("cb") >= F.col("med_rank_o"), F.col("cents"))
+        ).alias("med_o"),
+        F.min(
+            F.when(F.col("cb") >= F.col("lo_rank_o"), F.col("cents"))
+        ).alias("lo_o"),
+        F.min(
+            F.when(F.col("cb") >= F.col("hi_rank_o"), F.col("cents"))
+        ).alias("hi_o"),
+    )
+    return vals.crossJoin(F.broadcast(tot.select("n_f", "n_o"))).select(
+        "n_f",
+        "n_o",
+        "med_f",
+        "lo_f",
+        "hi_f",
+        "med_o",
+        "lo_o",
+        "hi_o",
+        (F.col("med_f") - F.col("med_o")).alias("med_diff"),
+        (F.col("lo_f") - F.col("hi_o")).alias("diff_lo"),
+        (F.col("hi_f") - F.col("lo_o")).alias("diff_hi"),
+    )
