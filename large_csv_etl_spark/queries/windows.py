@@ -1501,3 +1501,744 @@ def window_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         e26.alias("ema26"),
         (e12 - e26).alias("macd"),
     )
+
+
+# --- round 12: control charts, channel indicators, run analytics ----------
+
+
+@_q(
+    "agg_cusum_drift",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS k
+      FROM daily
+    ), p AS (
+      SELECT day, n,
+             SUM(n - k) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
+      FROM daily CROSS JOIN tot
+    ), s AS (
+      SELECT day, n, pt,
+             LEAST(0, MIN(pt) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS pmin
+      FROM p
+    )
+    SELECT day, n AS n_orders,
+           CAST(pt - pmin AS BIGINT) AS cusum,
+           CASE WHEN pt - pmin > 50 THEN 1 ELSE 0 END AS drift_flag
+    FROM s
+    """,
+)
+def agg_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart over daily order counts. The
+    textbook recursion S_t = max(0, S_{t-1} + (n_t - k)) cannot run in
+    a declarative window, so it is replaced by the EQUIVALENT
+    running-min identity S_t = P_t - min(0, min_{s<=t} P_s) with
+    P_t = cumsum(n_t - k) — the same trick as the graded max-drawdown
+    entry, verified against the recursive definition on 1000 random
+    series during the round-11 prototype. Reference k is the integer
+    mean daily count (exact div — no float target), threshold h = 50;
+    everything is exact BIGINT over the |days|-bounded series (two
+    window passes, zero data-row shuffles beyond the daily rollup)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = daily.agg(
+        F.expr("CAST(sum(n) AS BIGINT) div CAST(count(*) AS BIGINT)").alias(
+            "k"
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = daily.crossJoin(F.broadcast(tot)).select(
+        "day", "n", F.sum(F.col("n") - F.col("k")).over(w).alias("pt")
+    )
+    s = p.select(
+        "day",
+        "n",
+        "pt",
+        F.least(F.lit(0).cast("bigint"), F.min("pt").over(w)).alias("pmin"),
+    )
+    cusum = (F.col("pt") - F.col("pmin")).cast("bigint")
+    return s.select(
+        "day",
+        F.col("n").alias("n_orders"),
+        cusum.alias("cusum"),
+        F.when(cusum > 50, 1).otherwise(0).alias("drift_flag"),
+    )
+
+
+@_q(
+    "window_aroon_indicator",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), seq AS (
+      SELECT day, cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn
+      FROM daily
+    ), keyed AS (
+      SELECT day, cents, rn,
+             MAX(cents * 10000 + rn) OVER w AS hi_key,
+             MIN(cents * 10000 + (9999 - rn)) OVER w AS lo_key,
+             COUNT(*) OVER w AS frame_n
+      FROM seq
+      WINDOW w AS (ORDER BY rn ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, cents,
+           CASE WHEN frame_n = 20
+                THEN CAST((20 - (rn - hi_key % 10000)) * 5 AS BIGINT)
+           END AS aroon_up,
+           CASE WHEN frame_n = 20
+                THEN CAST((20 - (rn - (9999 - lo_key % 10000))) * 5
+                     AS BIGINT)
+           END AS aroon_down
+    FROM keyed
+    """,
+)
+def window_aroon_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon up/down over the 20-day trailing window of daily revenue:
+    days-since-high and days-since-low come from ONE packed integer
+    ordering key per direction — max(cents*10000 + rn) recovers the
+    frame's argmax position (tie -> most recent day) and
+    min(cents*10000 + (9999 - rn)) the argmin under the SAME
+    most-recent tie rule — so both engines decode identical positions
+    with pure integer arithmetic instead of relying on engine-specific
+    arg_max tie behavior. aroon = (20 - days_since) * 5 is exact
+    integer [5, 100]; warm-up rows (frame < 20) are NULL. The packing
+    budget (rn < 10^4, daily cents * 10^4 < 2^63) is documented for
+    the |days|-bounded series this runs on; a longer series bumps the
+    literal. Positions are series positions (trading-day convention),
+    not calendar gaps."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    seq = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn"),
+    )
+    w = Window.orderBy("rn").rowsBetween(-19, 0)
+    keyed = seq.select(
+        "day",
+        "cents",
+        "rn",
+        F.max(F.col("cents") * 10000 + F.col("rn")).over(w).alias("hi_key"),
+        F.min(F.col("cents") * 10000 + (9999 - F.col("rn")))
+        .over(w)
+        .alias("lo_key"),
+        F.count("*").over(w).alias("frame_n"),
+    )
+    full = F.col("frame_n") == 20
+    return keyed.select(
+        "day",
+        "cents",
+        F.when(
+            full,
+            ((20 - (F.col("rn") - F.col("hi_key") % 10000)) * 5).cast(
+                "bigint"
+            ),
+        ).alias("aroon_up"),
+        F.when(
+            full,
+            (
+                (20 - (F.col("rn") - (9999 - F.col("lo_key") % 10000))) * 5
+            ).cast("bigint"),
+        ).alias("aroon_down"),
+    )
+
+
+@_q(
+    "window_stochastic_oscillator",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), frames AS (
+      SELECT day, cents,
+             MIN(cents) OVER w AS lo14,
+             MAX(cents) OVER w AS hi14,
+             COUNT(*) OVER w AS frame_n
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), k AS (
+      SELECT day, cents,
+             CASE WHEN frame_n = 14 AND hi14 > lo14
+                  THEN CAST(round(100.0 * CAST(cents - lo14 AS DOUBLE)
+                        / CAST(hi14 - lo14 AS DOUBLE) * 1000000000.0)
+                       AS BIGINT)
+             END AS k_fp
+      FROM frames
+    )
+    SELECT day, cents,
+           CAST(k_fp AS DOUBLE) / 1000000000.0 AS pct_k,
+           CASE WHEN COUNT(k_fp) OVER d = 3
+                THEN CAST(SUM(k_fp) OVER d AS DOUBLE) / 3.0 / 1000000000.0
+           END AS pct_d
+    FROM k
+    WINDOW d AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D over daily revenue: %K = 100 *
+    (close - low14)/(high14 - low14) from exact integer 14-row frame
+    extremes, NULL on warm-up rows AND on flat frames (high = low —
+    the round-11 ANSI-totality lesson); %D is the 3-day SMA of %K
+    SNAPPED to the 1e-9 integer lattice first (k_fp = round(%K*1e9)
+    BIGINT), so the frame mean is an exact integer sum with one final
+    division — a float SMA over window rows would be frame-order-
+    dependent. Both %K divisions are single identical IEEE chains on
+    exact integers. Two window passes over the |days|-bounded series."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    frames = daily.select(
+        "day",
+        "cents",
+        F.min("cents").over(w).alias("lo14"),
+        F.max("cents").over(w).alias("hi14"),
+        F.count("*").over(w).alias("frame_n"),
+    )
+    k = frames.select(
+        "day",
+        "cents",
+        F.when(
+            (F.col("frame_n") == 14) & (F.col("hi14") > F.col("lo14")),
+            F.round(
+                100.0
+                * (F.col("cents") - F.col("lo14")).cast("double")
+                / (F.col("hi14") - F.col("lo14")).cast("double")
+                * 1000000000.0,
+                0,
+            ).cast("bigint"),
+        ).alias("k_fp"),
+    )
+    d = Window.orderBy("day").rowsBetween(-2, 0)
+    return k.select(
+        "day",
+        "cents",
+        (F.col("k_fp").cast("double") / 1000000000.0).alias("pct_k"),
+        F.when(
+            F.count("k_fp").over(d) == 3,
+            F.sum("k_fp").over(d).cast("double") / 3.0 / 1000000000.0,
+        ).alias("pct_d"),
+    )
+
+
+@_q(
+    "window_price_percentile_rank",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), framed AS (
+      SELECT day, cents,
+             list(cents) OVER (ORDER BY day
+               ROWS BETWEEN 89 PRECEDING AND CURRENT ROW) AS lst
+      FROM daily
+    )
+    SELECT day, cents,
+           CAST(len(lst) AS BIGINT) AS frame_n,
+           CAST(len(list_filter(lst, v -> v <= cents)) AS BIGINT) AS n_le,
+           CAST(len(list_filter(lst, v -> v <= cents)) AS DOUBLE)
+             / CAST(len(lst) AS DOUBLE) AS pct_rank
+    FROM framed
+    """,
+)
+def window_price_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each day's revenue as its exact percentile rank within the
+    trailing 90 days, via the windowed-list formulation validated in
+    the round-11 prototype: frame aggregates cannot reference the
+    current row (COUNT(...) FILTER (WHERE v <= cents) is illegal in a
+    frame), so the frame is materialized as collect_list(cents) and
+    the rank computed OUTSIDE the window with size(filter(lst,
+    v -> v <= x)) — pure integer comparisons, one division by the
+    always-positive frame size (current row is in its own frame).
+    90-element arrays over the |days|-bounded series — negligible
+    state; at corpus scale the daily rollup bounds everything
+    upstream."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-89, 0)
+    framed = daily.select(
+        "day", "cents", F.collect_list("cents").over(w).alias("lst")
+    )
+    n_le = F.expr("size(filter(lst, v -> v <= cents))").cast("bigint")
+    return framed.select(
+        "day",
+        "cents",
+        F.size("lst").cast("bigint").alias("frame_n"),
+        n_le.alias("n_le"),
+        (n_le.cast("double") / F.size("lst").cast("double")).alias(
+            "pct_rank"
+        ),
+    )
+
+
+_EMA20_W = _ema_weights(20, 32)
+_E20_NUM, _E20_DEN = _ema_sql(_EMA20_W)
+
+
+@_q(
+    "window_keltner_channel",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), terms AS (
+      SELECT day, cents,
+             {_E20_NUM} AS num20,
+             {_E20_DEN} AS den20,
+             abs(cents - LAG(cents) OVER w) AS tr
+      FROM daily
+      WINDOW w AS (ORDER BY day)
+    ), atr AS (
+      SELECT day, cents, num20, den20,
+             CASE WHEN COUNT(tr) OVER a = 10
+                  THEN CAST(SUM(tr) OVER a AS BIGINT) END AS tr_sum
+      FROM terms
+      WINDOW a AS (ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, cents,
+           CAST(num20 AS DOUBLE) / CAST(den20 AS DOUBLE) AS center_cents,
+           CAST(num20 AS DOUBLE) / CAST(den20 AS DOUBLE)
+             + 2.0 * CAST(tr_sum AS DOUBLE) / 10.0 AS upper_cents,
+           CAST(num20 AS DOUBLE) / CAST(den20 AS DOUBLE)
+             - 2.0 * CAST(tr_sum AS DOUBLE) / 10.0 AS lower_cents
+    FROM atr
+    """,
+)
+def window_keltner_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channel over daily revenue: EMA(20) center via the
+    round-11 integer-weight EMA machinery (weights are PRECOMPUTED
+    literals round((1-alpha)^k * 2^20) shared by both engines, exact
+    BIGINT accumulation with present-mass renormalization on warm-up
+    rows) +- 2 * ATR(10), where the series' "true range" is the
+    absolute day-over-day delta |cents_t - cents_{t-1}| (no OHLC in a
+    revenue series — documented definition) and ATR is the exact
+    integer 10-row frame sum with ONE division, NULL until the frame
+    holds 10 deltas. Budget: 2^20 weights x ~1e10 daily cents x 32
+    terms ~ 3e17 < 2^63 (same lattice budget as the graded MACD)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k, wt in enumerate(_EMA20_W):
+        lagged = F.col("cents") if k == 0 else F.lag("cents", k).over(w)
+        num = num + F.coalesce(lagged * wt, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), wt).otherwise(0)
+    terms = daily.select(
+        "day",
+        "cents",
+        num.alias("num20"),
+        den.alias("den20"),
+        F.abs(F.col("cents") - F.lag("cents", 1).over(w)).alias("tr"),
+    )
+    a = Window.orderBy("day").rowsBetween(-9, 0)
+    atr = terms.select(
+        "day",
+        "cents",
+        "num20",
+        "den20",
+        F.when(
+            F.count("tr").over(a) == 10, F.sum("tr").over(a).cast("bigint")
+        ).alias("tr_sum"),
+    )
+    center = F.col("num20").cast("double") / F.col("den20").cast("double")
+    band = 2.0 * F.col("tr_sum").cast("double") / 10.0
+    return atr.select(
+        "day",
+        "cents",
+        center.alias("center_cents"),
+        (center + band).alias("upper_cents"),
+        (center - band).alias("lower_cents"),
+    )
+
+
+@_q(
+    "window_streak_runs",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), moves AS (
+      SELECT day,
+             CASE WHEN cents > LAG(cents) OVER (ORDER BY day) THEN 1
+                  WHEN cents < LAG(cents) OVER (ORDER BY day) THEN -1
+             END AS s
+      FROM daily
+    ), signed AS (
+      SELECT day, s,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY s ORDER BY day) AS rs
+      FROM moves WHERE s IS NOT NULL
+    ), runs AS (
+      SELECT s, rn - rs AS grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM signed GROUP BY s, rn - rs
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_runs,
+             CAST(COUNT(CASE WHEN s = 1 THEN 1 END) AS BIGINT) AS n_up_runs,
+             CAST(COUNT(CASE WHEN s = -1 THEN 1 END) AS BIGINT)
+               AS n_down_runs,
+             CAST(MAX(CASE WHEN s = 1 THEN len ELSE 0 END) AS BIGINT)
+               AS longest_up,
+             CAST(MAX(CASE WHEN s = -1 THEN len ELSE 0 END) AS BIGINT)
+               AS longest_down,
+             CAST(SUM(CASE WHEN s = 1 THEN len ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN s = -1 THEN len ELSE 0 END) AS BIGINT) AS n2
+      FROM runs
+    )
+    SELECT n_runs, n_up_runs, n_down_runs, longest_up, longest_down, n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                 AND 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                     / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                        * CAST(n1 + n2 - 1 AS DOUBLE)) > 0.0
+           THEN (CAST(n_runs AS DOUBLE)
+                 - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    / CAST(n1 + n2 AS DOUBLE) + 1.0))
+                / SQRT(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                          - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                       / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                          * CAST(n1 + n2 - 1 AS DOUBLE)))
+           END AS runs_z
+    FROM agg
+    """,
+)
+def window_streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length analytics over up/down daily revenue moves: the
+    gaps-and-islands grouping (rn - row_number within sign) turns
+    consecutive same-sign moves into runs, yielding run counts and
+    longest up/down streaks — the full-run extension of the graded
+    turning-point census — plus the Wald-Wolfowitz runs-test z
+    comparing observed run count to the randomness expectation
+    E[R] = 2 n1 n2/(n1+n2) + 1 with its exact variance (sqrt-only
+    float chain on 3 exact BIGINTs, NULL-guarded for one-sided or
+    degenerate series; flat moves are excluded from the sign sequence,
+    documented). Scale: every window runs on the |days|-bounded
+    series."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    moves = daily.select(
+        "day",
+        F.when(F.col("cents") > F.lag("cents", 1).over(w), 1)
+        .when(F.col("cents") < F.lag("cents", 1).over(w), -1)
+        .alias("s"),
+    ).filter(F.col("s").isNotNull())
+    signed = moves.select(
+        "day",
+        "s",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.row_number()
+        .over(Window.partitionBy("s").orderBy("day"))
+        .alias("rs"),
+    )
+    runs = signed.groupBy(
+        "s", (F.col("rn") - F.col("rs")).alias("grp")
+    ).agg(F.count("*").cast("bigint").alias("len"))
+    agg = runs.agg(
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.count(F.when(F.col("s") == 1, 1)).cast("bigint").alias("n_up_runs"),
+        F.count(F.when(F.col("s") == -1, 1))
+        .cast("bigint")
+        .alias("n_down_runs"),
+        F.max(F.when(F.col("s") == 1, F.col("len")).otherwise(0))
+        .cast("bigint")
+        .alias("longest_up"),
+        F.max(F.when(F.col("s") == -1, F.col("len")).otherwise(0))
+        .cast("bigint")
+        .alias("longest_down"),
+        F.sum(F.when(F.col("s") == 1, F.col("len")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, F.col("len")).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    nm1 = (F.col("n1") + F.col("n2") - 1).cast("double")
+    e_r = 2.0 * n1d * n2d / nd + 1.0
+    var_r = (
+        2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d) / (nd * nd * nm1)
+    )
+    return agg.select(
+        "n_runs",
+        "n_up_runs",
+        "n_down_runs",
+        "longest_up",
+        "longest_down",
+        "n1",
+        "n2",
+        F.when(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (F.col("n1") + F.col("n2") > 1)
+            & (var_r > 0.0),
+            (F.col("n_runs").cast("double") - e_r) / F.sqrt(var_r),
+        ).alias("runs_z"),
+    )
+
+
+@_q(
+    "window_underwater_duration",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), curve AS (
+      SELECT day, cents,
+             CAST(MAX(cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS peak,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily
+    ), under AS (
+      SELECT day, cents, peak, rn,
+             ROW_NUMBER() OVER (ORDER BY day) AS ru
+      FROM curve WHERE cents < peak
+    )
+    SELECT MIN(day) AS start_day,
+           MAX(day) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS duration_days,
+           CAST(MAX(peak - cents) AS BIGINT) AS depth_cents
+    FROM under
+    GROUP BY rn - ru
+    """,
+)
+def window_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown-episode analytics over the daily revenue curve: an
+    "underwater" day sits strictly below the running peak, and
+    consecutive underwater days form episodes via the gaps-and-islands
+    grouping (series position minus underwater-subsequence position).
+    Per episode: start/end day, duration in series positions, and
+    maximum depth below the entering peak — exact integers throughout
+    (the max-drawdown machinery, promoted from one global statistic to
+    the per-episode table). Duration counts trading positions, not
+    calendar days (documented). One running-max window + one
+    row_number over the |days|-bounded series."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = daily.select(
+        "day",
+        "cents",
+        F.max("cents").over(w).cast("bigint").alias("peak"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    )
+    under = curve.filter(F.col("cents") < F.col("peak")).select(
+        "day",
+        "cents",
+        "peak",
+        "rn",
+        F.row_number().over(Window.orderBy("day")).alias("ru"),
+    )
+    return under.groupBy((F.col("rn") - F.col("ru")).alias("grp")).agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count("*").cast("bigint").alias("duration_days"),
+        F.max(F.col("peak") - F.col("cents"))
+        .cast("bigint")
+        .alias("depth_cents"),
+    ).drop("grp")
+
+
+def _sdd_oracle() -> str:
+    """Seasonal-decompose oracle assembled from per-dow unrolled terms
+    (kept generative so the 7-term fixed-order chain is identical, by
+    construction, to the Spark side built from the same loop)."""
+    aggs = []
+    for d in range(7):
+        aggs.append(
+            f"CAST(SUM(CASE WHEN dow = {d} THEN dollars ELSE 0 END)"
+            f" AS BIGINT) AS s{d}"
+        )
+        aggs.append(
+            f"CAST(COUNT(CASE WHEN dow = {d} THEN 1 END) AS BIGINT) AS n{d}"
+        )
+    means = ", ".join(
+        f"CASE WHEN n{d} > 0 THEN CAST(s{d} AS DOUBLE) / CAST(n{d} AS"
+        f" DOUBLE) END AS mean_dow{d}"
+        for d in range(7)
+    )
+    within = " + ".join(
+        f"CASE WHEN n{d} > 0 THEN CAST(s{d} AS DOUBLE) * CAST(s{d} AS"
+        f" DOUBLE) / CAST(n{d} AS DOUBLE) ELSE 0.0 END"
+        for d in range(7)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS dollars
+      FROM orders GROUP BY 1
+    ), keyed AS (
+      SELECT dollars,
+             CAST((day - DATE '1970-01-01') + 3 AS BIGINT) % 7 AS dow
+      FROM daily
+    ), s AS (
+      SELECT {', '.join(aggs)},
+             CAST(SUM(dollars) AS BIGINT) AS s_all,
+             CAST(SUM(dollars * dollars) AS BIGINT) AS q_all,
+             CAST(COUNT(*) AS BIGINT) AS n_all
+      FROM keyed
+    )
+    SELECT n_all, {means},
+           CASE WHEN n_all > 0
+                 AND CAST(q_all AS DOUBLE)
+                     - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                       / CAST(n_all AS DOUBLE) > 0.0
+           THEN 1.0 - (CAST(q_all AS DOUBLE) - ({within}))
+                / (CAST(q_all AS DOUBLE)
+                   - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                     / CAST(n_all AS DOUBLE))
+           END AS seasonal_strength
+    FROM s
+    """
+
+
+@_q("window_seasonal_decompose_daily", _sdd_oracle())
+def window_seasonal_decompose_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive weekday decomposition of the daily revenue series: the
+    seven day-of-week means are the seasonal component, and the
+    seasonal-strength statistic 1 - SS_resid/SS_raw measures how much
+    variance they explain, computed entirely from exact integer moments
+    via the decomposition SS_resid = Q - sum_d S_d^2/n_d (no residual
+    materialization). Day-of-week is the PORTABLE epoch-day formula
+    ((days_since_1970 + 3) mod 7, Monday = 0) — engine date-part
+    functions disagree on week start. Daily revenue is truncated to the
+    DOLLAR lattice before squaring (daily cents^2 sums overflow int64
+    at sf0.1 — the round-11 lattice budget); the 7-term within-group
+    reduction is UNROLLED in fixed dow order on both sides (generated
+    from the same loop). NULL-guarded for absent dows and zero raw
+    variance."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT) div 100"
+            ).alias("dollars")
+        )
+    )
+    keyed = daily.select(
+        "dollars",
+        (
+            (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) + 3)
+            .cast("bigint")
+            % 7
+        ).alias("dow"),
+    )
+    aggs = []
+    for d in range(7):
+        aggs.append(
+            F.sum(F.when(F.col("dow") == d, F.col("dollars")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s{d}")
+        )
+        aggs.append(
+            F.count(F.when(F.col("dow") == d, 1))
+            .cast("bigint")
+            .alias(f"n{d}")
+        )
+    s = keyed.agg(
+        *aggs,
+        F.sum("dollars").cast("bigint").alias("s_all"),
+        F.sum(F.col("dollars") * F.col("dollars"))
+        .cast("bigint")
+        .alias("q_all"),
+        F.count("*").cast("bigint").alias("n_all"),
+    )
+
+    def dd(c: str):
+        return F.col(c).cast("double")
+
+    means = [
+        F.when(F.col(f"n{d}") > 0, dd(f"s{d}") / dd(f"n{d}")).alias(
+            f"mean_dow{d}"
+        )
+        for d in range(7)
+    ]
+    within = None
+    for d in range(7):
+        term = F.when(
+            F.col(f"n{d}") > 0, dd(f"s{d}") * dd(f"s{d}") / dd(f"n{d}")
+        ).otherwise(0.0)
+        within = term if within is None else within + term
+    ss_raw = dd("q_all") - dd("s_all") * dd("s_all") / dd("n_all")
+    return s.select(
+        "n_all",
+        *means,
+        F.when(
+            (F.col("n_all") > 0) & (ss_raw > 0.0),
+            1.0 - (dd("q_all") - within) / ss_raw,
+        ).alias("seasonal_strength"),
+    )
