@@ -4235,3 +4235,425 @@ def events_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events") * 7).cast("double") / F.col("t").cast("double")
         ).alias("weekday_index"),
     )
+
+
+# --- round 12: funnels, transition structure, seasonality grids -----------
+
+
+@_q(
+    "events_funnel_strict_order",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t1,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t2,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t3,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t4
+      FROM ev GROUP BY user_id
+    ), depth AS (
+      SELECT CASE
+               WHEN t1 IS NULL THEN 0
+               WHEN t2 IS NULL OR NOT (t2 > t1
+                    AND t2 <= t1 + 604800000000) THEN 1
+               WHEN t3 IS NULL OR NOT (t3 > t2
+                    AND t3 <= t1 + 604800000000) THEN 2
+               WHEN t4 IS NULL OR NOT (t4 > t3
+                    AND t4 <= t1 + 604800000000) THEN 3
+               ELSE 4
+             END AS step_depth
+      FROM firsts
+    )
+    SELECT step_depth, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY step_depth
+    """,
+)
+def events_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order signup -> view -> click -> purchase funnel within a
+    7-day window of the first signup: a user's funnel depth is the
+    deepest PREFIX whose per-step FIRST times are strictly increasing
+    and inside the window — computed from one conditional-MIN groupBy
+    (4 firsts per user) plus pairwise integer comparisons at epoch
+    micros, NO windows at all (the ordered-funnel entries use windowed
+    sequences; this is the strict set-based variant that cannot credit
+    out-of-order step completions). Depth 0 = never signed up. One
+    shuffle on user_id, then a 5-row rollup."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("event_type") == t, us)).alias(f"t{i}")
+                for i, t in enumerate(
+                    ["signup", "view", "click", "purchase"], start=1
+                )
+            ]
+        )
+    )
+    week = 604800000000
+    t1, t2, t3, t4 = (F.col(f"t{i}") for i in range(1, 5))
+    depth = firsts.select(
+        F.when(t1.isNull(), 0)
+        .when(
+            t2.isNull() | ~((t2 > t1) & (t2 <= t1 + week)), 1
+        )
+        .when(
+            t3.isNull() | ~((t3 > t2) & (t3 <= t1 + week)), 2
+        )
+        .when(
+            t4.isNull() | ~((t4 > t3) & (t4 <= t1 + week)), 3
+        )
+        .otherwise(4)
+        .alias("step_depth")
+    )
+    return depth.groupBy("step_depth").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+@_q(
+    "events_type_transition_gini",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+      FROM ev
+    ), pairs AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type,
+           CAST(SUM(cnt) AS BIGINT) AS n_transitions,
+           CAST(SUM(cnt) * SUM(cnt) - SUM(cnt * cnt) AS DOUBLE)
+             / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE) AS next_gini
+    FROM pairs GROUP BY event_type
+    """,
+)
+def events_type_transition_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Gini impurity of the NEXT event type: how predictable is
+    what follows each event class (the log-free stand-in for transition
+    entropy; the graded predictability entry is per USER — this is the
+    per-type structural view). Transitions from lead() over the
+    deterministic (ts, event_id) per-user order; impurity
+    1 - sum(p_i^2) is cleared to the exact n^2 integer lattice
+    ((n^2 - sum n_i^2)/n^2, one division, denominator structurally
+    positive inside each group). One shuffle for the lead window, one
+    bounded k x k rollup."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    pairs = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    n = F.sum("cnt")
+    ssq = F.sum(F.col("cnt") * F.col("cnt"))
+    return pairs.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_transitions"),
+        ((n * n - ssq).cast("double") / (n * n).cast("double")).alias(
+            "next_gini"
+        ),
+    )
+
+
+@_q(
+    "events_hourly_type_correlation",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                  AS BIGINT) AS x,
+             CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS BIGINT) AS y
+      FROM ev GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM hourly
+    )
+    SELECT n, sx, sy,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+           THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS pearson_r
+    FROM s
+    """,
+)
+def events_hourly_type_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson correlation between the click and view hourly count
+    series: do the two engagement types co-move at the hour grain? The
+    grid is hours with >= 1 event of ANY type (both series zero-filled
+    on it by conditional counts from ONE pass — no join); the
+    correlation uses the centering-free integer identity
+    (n*Sxy - Sx*Sy)/sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) — every moment
+    an exact BIGINT, ONE float chain at the end, NULL-guarded for
+    zero-variance series (the ANSI-totality rule). Scale: the hourly
+    grid bounds everything; moments are map-side combinable."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.when(F.col("event_type") == "view", 1))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = hourly.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        F.when(
+            (vx > 0) & (vy > 0),
+            num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")),
+        ).alias("pearson_r"),
+    )
+
+
+@_q(
+    "events_cohort_week_retention_triangle",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    uw AS (
+      SELECT DISTINCT user_id,
+             (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) // 7
+               AS wk
+      FROM ev
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id
+    ), cells AS (
+      SELECT c.cohort_wk, u.wk - c.cohort_wk AS week_age,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM uw u JOIN cohort c ON u.user_id = c.user_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT cohort_wk, CAST(n_users AS BIGINT) AS cohort_size
+      FROM cells WHERE week_age = 0
+    )
+    SELECT DATE '1970-01-01'
+             + CAST(7 * c.cohort_wk - 3 AS INTEGER) AS cohort_week_start,
+           c.week_age, c.n_users, s.cohort_size,
+           CAST(c.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+             AS retention
+    FROM cells c JOIN sized s ON c.cohort_wk = s.cohort_wk
+    """,
+)
+def events_cohort_week_retention_triangle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by the Monday-
+    start week of their FIRST event, tracked by distinct-user activity
+    at each week age (the week grain is the round-11 stickiness lesson
+    — the single-month fixture yields a 5x5 triangle instead of a 1x1
+    month cell). Weeks are the PORTABLE epoch formula (epoch_day + 3)
+    div 7 (Monday = week start) — engine week functions disagree on
+    locale conventions. Retention divides by the age-0 cell, which is
+    structurally the cohort size (a user's first-event week is always
+    active), so the division is total. Two shuffles: distinct
+    (user, week), then the bounded triangle rollup."""
+    wk = (
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint")
+            + 3
+        )
+        / 7
+    ).cast("bigint")
+    uw = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "(CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " AS BIGINT) + 3) div 7"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    uw = materialize_reduced(uw)
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cells = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_age")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+    sized = cells.filter(F.col("week_age") == 0).select(
+        "cohort_wk", F.col("n_users").cast("bigint").alias("cohort_size")
+    )
+    return cells.join(sized, "cohort_wk").select(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (7 * F.col("cohort_wk") - 3).cast("int"),
+        ).alias("cohort_week_start"),
+        "week_age",
+        "n_users",
+        "cohort_size",
+        (
+            F.col("n_users").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )
+
+
+@_q(
+    "events_peak_concentration",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    blocks AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) // 4 AS blk,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY 1, 2
+    ), days AS (
+      SELECT day,
+             CAST(SUM(cnt) AS BIGINT) AS total_events,
+             CAST(MAX(cnt * 8 + (7 - blk)) AS BIGINT) AS key
+      FROM blocks GROUP BY day
+    )
+    SELECT day,
+           CAST(7 - key % 8 AS BIGINT) AS peak_block,
+           CAST(key // 8 AS BIGINT) AS peak_events,
+           total_events,
+           CAST(key // 8 AS DOUBLE) / CAST(total_events AS DOUBLE)
+             AS peak_share
+    FROM days
+    """,
+)
+def events_peak_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each day's event volume inside its peak 4-hour block
+    (the 6 fixed blocks hour div 4): traffic-concentration screening
+    for batch-window placement. The argmax block comes from ONE packed
+    integer key max(cnt*8 + (7 - blk)) — max count, ties broken toward
+    the SMALLEST block id — decoded with pure integer arithmetic, so
+    both engines resolve ties identically without arg_max semantics.
+    The share divides by the day total, structurally positive inside
+    each group. One bounded (day x 6) rollup; exact integers up to the
+    single share division."""
+    blocks = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            F.expr("CAST(hour(ts) AS BIGINT) div 4").alias("blk"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    days = blocks.groupBy("day").agg(
+        F.sum("cnt").cast("bigint").alias("total_events"),
+        F.max(F.col("cnt") * 8 + (7 - F.col("blk")))
+        .cast("bigint")
+        .alias("key"),
+    )
+    peak_cnt = F.expr("key div 8").cast("bigint")
+    return days.select(
+        "day",
+        (7 - F.col("key") % 8).cast("bigint").alias("peak_block"),
+        peak_cnt.alias("peak_events"),
+        "total_events",
+        (
+            peak_cnt.cast("double") / F.col("total_events").cast("double")
+        ).alias("peak_share"),
+    )
+
+
+@_q(
+    "events_value_by_depth",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ), ordinals AS (
+      SELECT value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id) AS BIGINT) AS depth
+      FROM sessions
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(value)
+             AS mean_value
+    FROM ordinals GROUP BY depth
+    """,
+)
+def events_value_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean event value by within-session ordinal — the engagement-decay
+    curve (does the 5th event of a session carry less value than the
+    1st?). Reuses the graded 30-minute gap sessionization verbatim
+    (same (ts, event_id) deterministic order, same micros-precision gap
+    comparison), adds one row_number per session, and aggregates value
+    through the exact-DECIMAL-sum-then-one-division contract
+    (helpers.davg) so partition-order float accumulation cannot
+    diverge. Depth cardinality is bounded by the longest session. Two
+    windows + the rollup, all sharing the user_id shuffle."""
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_ok = ts_us - F.lag(ts_us).over(w) <= 1800 * 1_000_000
+    flagged = df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap_ok, 0).otherwise(1).alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(cum)
+    )
+    sw = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    ordinals = sessions.select(
+        "value", F.row_number().over(sw).cast("bigint").alias("depth")
+    )
+    return ordinals.groupBy("depth").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            / F.count("value")
+        ).alias("mean_value"),
+    )
