@@ -9,9 +9,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .dedup import STOPWORDS
 from .helpers import (
     davg,
     fp_sum,
+    materialize_reduced,
     phash60,
     sql_davg,
     sql_phash60,
@@ -4574,3 +4576,481 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     return scored.orderBy(
         F.desc("jaccard"), "part_a", "part_b"
     ).limit(50)
+
+
+# --- round 12: vocabulary curves, windowed diversity, positional structure
+
+
+@_q(
+    "text_vocab_coverage_curve",
+    r"""
+    WITH tok AS (
+      SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+        AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS BIGINT)
+               AS rnk
+      FROM cnt
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM cnt),
+    spine AS (SELECT UNNEST([1, 2, 4, 8, 16, 32]) AS k)
+    SELECT s.k,
+           CAST(SUM(r.c) AS BIGINT) AS covered_tokens,
+           MIN(t.total_tokens) AS total_tokens,
+           CAST(SUM(r.c) AS DOUBLE) / CAST(MIN(t.total_tokens) AS DOUBLE)
+             AS coverage
+    FROM spine s
+    JOIN ranked r ON r.rnk <= s.k
+    CROSS JOIN tot t
+    GROUP BY s.k
+    """,
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of corpus token mass covered by the top-k vocabulary at
+    k in {1,2,4,8,16,32} — the Zipf-concentration content of a log-log
+    slope without any runtime log (the round-9 libm screen). One
+    corpus-wide token count pass, one rank window over the BOUNDED
+    distinct-vocabulary table (ties broken on the token string so both
+    engines rank identically), then a 6-row k-spine joined on
+    rank <= k. Total is structurally positive whenever rows exist; the
+    coverage division is the only float. Scale: the rank window sorts
+    |vocab| rows, never data rows."""
+    tokens = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+        )
+    )
+    cnt = tokens.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
+    cnt = materialize_reduced(cnt)
+    ranked = cnt.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("token")))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("total_tokens"))
+    spine = spark.range(6).select(
+        F.expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").alias("k")
+    )
+    return (
+        F.broadcast(spine)
+        .join(ranked, F.col("rnk") <= F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum("c").cast("bigint").alias("covered_tokens"),
+            F.min("total_tokens").alias("total_tokens"),
+            (
+                F.sum("c").cast("double")
+                / F.min("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+@_q(
+    "text_mattr_windowed_ttr",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), tok AS (
+      SELECT doc_id, source, (pos - 1) // 100 AS wnd, t[pos] AS token
+      FROM (SELECT doc_id, source, UNNEST(range(1, len(t) + 1)) AS pos, t
+            FROM toks)
+    ), per_wnd AS (
+      SELECT source, doc_id, wnd,
+             CAST(round(CAST(COUNT(DISTINCT token) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE) * 1000000000.0)
+                  AS BIGINT) AS ttr_fp
+      FROM tok GROUP BY source, doc_id, wnd
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(ttr_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000000.0 AS mean_ttr
+    FROM per_wnd GROUP BY source
+    """,
+)
+def text_mattr_windowed_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed type-token ratio (the MATTR lexical-diversity family)
+    per source: each document splits into TUMBLING 100-token windows
+    (pos div 100 — deterministic and one pass, where a sliding window
+    would explode 100x), each window's TTR = distinct/count is one
+    exact integer division, and the per-source mean goes through the
+    1e-9 fixed-point snap (round then BIGINT sum) so float accumulation
+    order cannot diverge between engines. Tail windows shorter than 100
+    tokens are included (documented — dropping them would bias against
+    short docs). One explode + two hash aggs, all map-side combinable."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id", "source", _SPARK_TOKENS(F.lower(F.col("text"))).alias("t")
+        )
+    )
+    tok = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode("t").alias("pos0", "token"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("pos0 div 100").alias("wnd"),
+        "token",
+    )
+    per_wnd = tok.groupBy("source", "doc_id", "wnd").agg(
+        F.round(
+            F.countDistinct("token").cast("double")
+            / F.count("*").cast("double")
+            * 1000000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("ttr_fp")
+    )
+    return per_wnd.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        (
+            F.sum("ttr_fp").cast("double")
+            / F.count("*").cast("double")
+            / 1000000000.0
+        ).alias("mean_ttr"),
+    )
+
+
+@_q(
+    "text_stopword_density_gate",
+    rf"""
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+                  AS BIGINT) AS n_tokens,
+             CAST(LEN(LIST_FILTER(
+                    regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                    x -> x IN {STOPWORDS!r})) AS BIGINT) AS n_stopwords
+      FROM documents WHERE TRIM(text) <> ''
+    )
+    SELECT doc_id, source, n_tokens, n_stopwords,
+           CASE WHEN n_stopwords * 10 >= n_tokens
+                 AND n_stopwords * 10 <= n_tokens * 7
+                THEN 1 ELSE 0 END AS in_band,
+           CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS stopword_frac
+    FROM per
+    """,
+)
+def text_stopword_density_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density quality gate: natural prose carries a stable
+    fraction of function words, so documents outside [0.1, 0.7] are
+    flagged (too low = keyword stuffing / non-linguistic content; too
+    high = template filler). Uses the SHARED 10-word STOPWORDS constant
+    (dedup.py — one definition, so this gate and the stopword-
+    insensitive dedup can never disagree on the list) and decides the
+    band with exact integer cross-multiplication (stop*10 vs n and
+    7n) — the reported fraction is display-only. n_tokens is
+    structurally positive after the blank filter. Pure row-local
+    map work; no shuffle at all."""
+    raw = _SPARK_TOKENS(F.lower(F.col("text")))
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            "source",
+            F.size(raw).cast("bigint").alias("n_tokens"),
+            F.size(F.filter(raw, lambda x: x.isin(*STOPWORDS)))
+            .cast("bigint")
+            .alias("n_stopwords"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_stopwords",
+        F.when(
+            (F.col("n_stopwords") * 10 >= F.col("n_tokens"))
+            & (F.col("n_stopwords") * 10 <= F.col("n_tokens") * 7),
+            1,
+        )
+        .otherwise(0)
+        .alias("in_band"),
+        (
+            F.col("n_stopwords").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("stopword_frac"),
+    )
+
+
+@_q(
+    "text_casing_numeral_profile",
+    r"""
+    WITH d AS (
+      SELECT source,
+             TRIM(text || CASE ('0x' || substr(md5('case:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4
+               WHEN 0 THEN ' Alpha Beta'
+               WHEN 1 THEN ' UPPER CASE99'
+               WHEN 2 THEN ' 2024 v2 beta3'
+               ELSE '' END) AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), per AS (
+      SELECT source,
+             CAST(LEN(regexp_split_to_array(t, '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LEN(LIST_FILTER(regexp_split_to_array(t, '\s+'),
+                  x -> regexp_matches(x, '^[A-Z0-9]+$')
+                       AND regexp_matches(x, '[A-Z]'))) AS BIGINT)
+               AS upper_tokens,
+             CAST(LEN(LIST_FILTER(regexp_split_to_array(t, '\s+'),
+                  x -> regexp_matches(x, '^[A-Z][a-z]+$'))) AS BIGINT)
+               AS title_tokens,
+             CAST(LEN(LIST_FILTER(regexp_split_to_array(t, '\s+'),
+                  x -> regexp_matches(x, '[0-9]'))) AS BIGINT)
+               AS numeral_tokens
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(upper_tokens) AS BIGINT) AS upper_tokens,
+           CAST(SUM(title_tokens) AS BIGINT) AS title_tokens,
+           CAST(SUM(numeral_tokens) AS BIGINT) AS numeral_tokens,
+           CASE WHEN SUM(n_tokens) > 0 THEN
+             CAST(SUM(upper_tokens) AS DOUBLE)
+             / CAST(SUM(n_tokens) AS DOUBLE) END AS upper_share,
+           CASE WHEN SUM(n_tokens) > 0 THEN
+             CAST(SUM(title_tokens) AS DOUBLE)
+             / CAST(SUM(n_tokens) AS DOUBLE) END AS title_share,
+           CASE WHEN SUM(n_tokens) > 0 THEN
+             CAST(SUM(numeral_tokens) AS DOUBLE)
+             / CAST(SUM(n_tokens) AS DOUBLE) END AS numeral_share
+    FROM per GROUP BY source
+    """,
+)
+def text_casing_numeral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source casing and numeral token profile (ALL-CAPS share,
+    TitleCase share, digit-bearing share) — the token-grain sibling of
+    the mojibake audit, screening for shouty boilerplate and
+    numeric-table debris. The fixture corpus is all-lowercase letters,
+    so a cased/numeric surface is INJECTED per doc from its hash
+    (committed-synthesis pattern shared with text_mojibake_audit:
+    hash-selected Title / UPPER+digit / numeral suffixes) so every
+    counter exercises non-zero paths; character classes are explicit
+    ASCII ranges evaluated identically by Java regex and RE2. Pure
+    row-local classification, one |sources|-row rollup; share divisions
+    NULL-guarded."""
+    dh = phash60(
+        F.concat(F.lit("case:"), F.col("doc_id").cast("string"))
+    )
+    t = F.trim(
+        F.concat(
+            F.col("text"),
+            F.when(dh % 4 == 0, F.lit(" Alpha Beta"))
+            .when(dh % 4 == 1, F.lit(" UPPER CASE99"))
+            .when(dh % 4 == 2, F.lit(" 2024 v2 beta3"))
+            .otherwise(F.lit("")),
+        )
+    )
+    raw = F.split(t, r"\s+")
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.size(raw).cast("bigint").alias("n_tokens"),
+            F.size(
+                F.filter(
+                    raw,
+                    lambda x: x.rlike("^[A-Z0-9]+$") & x.rlike("[A-Z]"),
+                )
+            )
+            .cast("bigint")
+            .alias("upper_tokens"),
+            F.size(F.filter(raw, lambda x: x.rlike("^[A-Z][a-z]+$")))
+            .cast("bigint")
+            .alias("title_tokens"),
+            F.size(F.filter(raw, lambda x: x.rlike("[0-9]")))
+            .cast("bigint")
+            .alias("numeral_tokens"),
+        )
+    )
+    tot = F.sum("n_tokens")
+
+    def share(col: str):
+        return F.when(
+            tot > 0, F.sum(col).cast("double") / tot.cast("double")
+        )
+
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        tot.cast("bigint").alias("n_tokens"),
+        F.sum("upper_tokens").cast("bigint").alias("upper_tokens"),
+        F.sum("title_tokens").cast("bigint").alias("title_tokens"),
+        F.sum("numeral_tokens").cast("bigint").alias("numeral_tokens"),
+        share("upper_tokens").alias("upper_share"),
+        share("title_tokens").alias("title_share"),
+        share("numeral_tokens").alias("numeral_share"),
+    )
+
+
+@_q(
+    "text_duplicate_sentence_census",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(TRIM(text),
+               '(\S+\s+\S+\s+\S+\s+\S+\s+\S+)\s', '\1. ', 'g') AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), s AS (
+      SELECT doc_id, md5(TRIM(sent)) AS h
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array(t, '\. ')) AS sent
+            FROM d)
+      WHERE TRIM(sent) <> ''
+    ), grp AS (
+      SELECT h,
+             CAST(COUNT(*) AS BIGINT) AS occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM s GROUP BY h
+    )
+    SELECT occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(COUNT(CASE WHEN n_docs >= 2 THEN 1 END) AS BIGINT)
+             AS n_cross_doc_sentences
+    FROM grp GROUP BY occurrences
+    """,
+)
+def text_duplicate_sentence_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-duplicate sentence census across the corpus — the
+    sentence-grain dedup signal the document-level entries cannot see
+    (boilerplate sentences recurring across otherwise-distinct docs).
+    Reuses the round-11 deterministic sentence injection ('. ' after
+    every complete 5-token group, one greedy regexp identical in Java
+    regex and RE2), fingerprints each sentence with md5, and reports
+    the occurrence-count histogram with the cross-document split
+    (occurrences vs distinct docs — within-doc repetition and
+    cross-doc boilerplate are different hazards). Exact integer
+    counts only; the md5 groupBy is the same shuffle shape as the
+    shingle postings."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.trim(F.col("text")),
+                r"(\S+\s+\S+\s+\S+\s+\S+\s+\S+)\s",
+                "$1. ",
+            ).alias("t"),
+        )
+    )
+    s = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("t"), r"\. ")).alias("sent")
+        )
+        .filter(F.trim(F.col("sent")) != "")
+        .select("doc_id", F.md5(F.trim(F.col("sent"))).alias("h"))
+    )
+    grp = s.groupBy("h").agg(
+        F.count("*").cast("bigint").alias("occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    return grp.groupBy("occurrences").agg(
+        F.count("*").cast("bigint").alias("n_sentences"),
+        F.count(F.when(F.col("n_docs") >= 2, 1))
+        .cast("bigint")
+        .alias("n_cross_doc_sentences"),
+    )
+
+
+@_q(
+    "text_ngram_positional_bias",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), tri AS (
+      SELECT t[pos] || ' ' || t[pos + 1] || ' ' || t[pos + 2] AS trigram,
+             CASE WHEN 2 * pos <= len(t) THEN 1 ELSE 0 END AS head
+      FROM (SELECT doc_id, UNNEST(range(1, len(t) - 1)) AS pos, t
+            FROM toks)
+    ), cnt AS (
+      SELECT trigram,
+             CAST(SUM(head) AS BIGINT) AS head_cnt,
+             CAST(COUNT(*) - SUM(head) AS BIGINT) AS tail_cnt,
+             CAST(COUNT(*) AS BIGINT) AS total
+      FROM tri GROUP BY trigram
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY total DESC, trigram) AS rnk
+      FROM cnt
+    )
+    SELECT trigram, head_cnt, tail_cnt,
+           (CAST(head_cnt AS DOUBLE) - CAST(tail_cnt AS DOUBLE))
+             / SQRT(CAST(total AS DOUBLE)) AS bias_z
+    FROM ranked WHERE rnk <= 50
+    """,
+)
+def text_ngram_positional_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional bias of the top-50 corpus trigrams: does a frequent
+    trigram concentrate in document HEADS (structural boilerplate —
+    headers, preambles) or tails (signatures, footers)? Each trigram
+    occurrence is tagged head/tail by whether its start position falls
+    in the first half of its document (exact integer comparison
+    2*pos <= n), and the binomial z against the 50/50 null collapses
+    to (head - tail)/sqrt(total) — sqrt-only, denominator structurally
+    positive. Top-50 selection ranks the bounded trigram-count table
+    with a deterministic (count desc, trigram) tie-break. One explode
+    + one hash agg + one |vocab|-bounded rank window."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", _SPARK_TOKENS(F.lower(F.col("text"))).alias("t"))
+    )
+    tri = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("pos0", "trigram"),
+            F.size("t").alias("n"),
+        )
+        .select(
+            "trigram",
+            F.when(2 * (F.col("pos0") + 1) <= F.col("n"), 1)
+            .otherwise(0)
+            .alias("head"),
+        )
+    )
+    cnt = tri.groupBy("trigram").agg(
+        F.sum("head").cast("bigint").alias("head_cnt"),
+        (F.count("*") - F.sum("head")).cast("bigint").alias("tail_cnt"),
+        F.count("*").cast("bigint").alias("total"),
+    )
+    ranked = cnt.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("total").desc(), F.col("trigram")))
+        .alias("rnk"),
+    )
+    return ranked.filter(F.col("rnk") <= 50).select(
+        "trigram",
+        "head_cnt",
+        "tail_cnt",
+        (
+            (F.col("head_cnt").cast("double") - F.col("tail_cnt").cast("double"))
+            / F.sqrt(F.col("total").cast("double"))
+        ).alias("bias_z"),
+    )
