@@ -2693,3 +2693,298 @@ def dedup_record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_true_match"),
         )
     )
+
+
+# --- round 12: multiset similarity, sentence containment, calibration curve
+
+
+@_q(
+    "dedup_bag_jaccard",
+    rf"""
+    WITH sh AS (
+      SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT doc_id, UNNEST(list_transform(
+                 range(1, GREATEST(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingle
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+              FROM documents WHERE TRIM(text) <> '') t
+        WHERE len(toks) >= 3
+      ) GROUP BY doc_id, shingle
+    ), df AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), shc AS (
+      SELECT sh.doc_id, sh.shingle, sh.cnt FROM sh JOIN df USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_sh
+      FROM shc GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(LEAST(a.cnt, b.cnt)) AS BIGINT) AS n_shared
+      FROM shc a JOIN shc b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) AS bag_jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.2
+    """,
+)
+def dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) trigram Jaccard near-dup pairs: intersection =
+    sum of per-shingle MIN counts, union = n_a + n_b - intersection —
+    the repetition-aware variant the set-Jaccard entries cannot see
+    (a template stuffed with one repeated paragraph looks unique as a
+    SET but duplicates as a BAG). Counts ride the same posting-list
+    join as dedup_ngram_jaccard: the DF cap (distinct docs per shingle
+    <= MAX_SHINGLE_DF) bounds every shingle's pair fan-out regardless
+    of corpus size, and all arithmetic is exact BIGINT until the one
+    threshold division. Same 0.2 floor as the set entry so the two
+    outputs are directly comparable."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    sh = materialize_reduced(sh)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    shc = sh.join(df_ok, "shingle")
+    shc = materialize_reduced(shc)
+    sizes = shc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_sh")
+    )
+    a = shc.alias("a")
+    b = shc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.sum(F.least(F.col("a.cnt"), F.col("b.cnt")))
+            .cast("bigint")
+            .alias("n_shared")
+        )
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
+    ).cast("double")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_shared", jac.alias("bag_jaccard"))
+        .filter(F.col("bag_jaccard") >= 0.2)
+    )
+
+
+@_q(
+    "dedup_sentence_containment",
+    rf"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(TRIM(text),
+               '(\S+\s+\S+\s+\S+\s+\S+\s+\S+)\s', '\1. ', 'g') AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), s AS (
+      SELECT DISTINCT doc_id, md5(TRIM(sent)) AS h
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array(t, '\. ')) AS sent
+            FROM d)
+      WHERE TRIM(sent) <> ''
+    ), df AS (
+      SELECT h FROM s GROUP BY h HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), sc AS (SELECT s.doc_id, s.h FROM s JOIN df USING (h)),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sent
+      FROM sc GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sc a JOIN sc b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(sa.n_sent AS DOUBLE)
+             AS containment_a_in_b,
+           CAST(n_shared AS DOUBLE) / CAST(sb.n_sent AS DOUBLE)
+             AS containment_b_in_a
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n_sent AS DOUBLE) >= 0.5
+       OR CAST(n_shared AS DOUBLE) / CAST(sb.n_sent AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_sentence_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level containment — the copy-paste detector at sentence
+    grain: the share of doc A's DISTINCT sentences exactly contained in
+    doc B (and vice versa; both directions reported for each unordered
+    pair, flagged when either >= 0.5). Sentences come from the shared
+    round-11 deterministic injection, fingerprinted by md5 and joined
+    through DF-capped posting lists (a sentence appearing in more than
+    MAX_SHINGLE_DF docs is boilerplate, not evidence of pairwise
+    copying — the same cap rationale as the shingle entries). Exact
+    integer counts; two divisions by structurally-positive sizes."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.trim(F.col("text")),
+                r"(\S+\s+\S+\s+\S+\s+\S+\s+\S+)\s",
+                "$1. ",
+            ).alias("t"),
+        )
+    )
+    s = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("t"), r"\. ")).alias("sent")
+        )
+        .filter(F.trim(F.col("sent")) != "")
+        .select("doc_id", F.md5(F.trim(F.col("sent"))).alias("h"))
+        .distinct()
+    )
+    s = materialize_reduced(s)
+    df_ok = (
+        s.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("h")
+    )
+    sc = s.join(df_ok, "h")
+    sc = materialize_reduced(sc)
+    sizes = sc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_sent")
+    )
+    a = sc.alias("a")
+    b = sc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    c_ab = F.col("n_shared").cast("double") / F.col("sa.n_sent").cast(
+        "double"
+    )
+    c_ba = F.col("n_shared").cast("double") / F.col("sb.n_sent").cast(
+        "double"
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= 0.5)
+            | (F.col("containment_b_in_a") >= 0.5)
+        )
+    )
+
+
+ORACLES["dedup_minhash_calibration_curve"] = f"""
+    WITH est AS ({ORACLES["dedup_minhash_portable"]}),
+         exact AS ({ORACLES["dedup_ngram_jaccard"]})
+    SELECT LEAST(9, CAST(FLOOR(COALESCE(exact.jaccard, 0.0) * 10.0)
+                    AS BIGINT)) AS exact_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(round(est.est_jaccard * 1000000.0) AS BIGINT))
+                AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_est_jaccard,
+           CAST(SUM(CAST(round(COALESCE(exact.jaccard, 0.0) * 1000000.0)
+                AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*)
+             AS mean_exact_jaccard
+    FROM est LEFT JOIN exact
+      ON est.doc_a = exact.doc_a AND est.doc_b = exact.doc_b
+    GROUP BY exact_bin
+"""
+
+
+@_q("dedup_minhash_calibration_curve")
+def dedup_minhash_calibration_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The inverse view of dedup_minhash_calibration: estimator error
+    bucketed by the EXACT Jaccard decile (10 bins, pairs below the
+    exact join's 0.2 floor land in their COALESCE-0 bin as explicit
+    false positives) — the curve a threshold-tuner actually reads
+    (given true similarity x, what does the 16-perm estimator say?),
+    where the graded sibling buckets by the ESTIMATE. Composes the two
+    graded inputs, adds one |pairs|-row left join and a <= 10-row
+    rollup; means go through the shared 1e-6 fixed-point snap."""
+    est = dedup_minhash_portable(spark, sf_dir)
+    exact = dedup_ngram_jaccard(spark, sf_dir).withColumnsRenamed(
+        {"doc_a": "e_doc_a", "doc_b": "e_doc_b"}
+    )
+    j = est.join(
+        exact,
+        (est.doc_a == exact.e_doc_a) & (est.doc_b == exact.e_doc_b),
+        "left",
+    )
+    ex = F.coalesce(F.col("jaccard"), F.lit(0.0))
+    return (
+        j.groupBy(
+            F.least(
+                F.lit(9).cast("bigint"),
+                F.floor(ex * 10.0).cast("bigint"),
+            ).alias("exact_bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            (
+                fp_sum(F.col("est_jaccard"), 1e6).cast("double")
+                / F.lit(1000000.0)
+                / F.count("*")
+            ).alias("mean_est_jaccard"),
+            (
+                fp_sum(ex, 1e6).cast("double")
+                / F.lit(1000000.0)
+                / F.count("*")
+            ).alias("mean_exact_jaccard"),
+        )
+    )
