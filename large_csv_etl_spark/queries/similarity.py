@@ -3301,3 +3301,399 @@ def sim_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hits.cast("double") / 10.0).alias("recall_at_10"),
         )
     )
+
+
+# --- round 12: label margins, covariance screen, rank displacement --------
+
+
+@_q(
+    "sim_intra_inter_label_margin",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings
+    ), panel AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             ROUND(CAST(list_cosine_similarity(a.xd, b.xd) AS DOUBLE), 6)
+               AS cos_sim
+      FROM e a JOIN e b
+        ON b.vec_id = a.vec_id + 1
+           + ('0x' || substr(md5('mg:' || CAST(a.vec_id AS VARCHAR)),
+              1, 15))::BIGINT % 50
+    ), agg AS (
+      SELECT label_a AS label,
+             CAST(COUNT(CASE WHEN label_a = label_b THEN 1 END) AS BIGINT)
+               AS n_intra,
+             CAST(COUNT(CASE WHEN label_a <> label_b THEN 1 END) AS BIGINT)
+               AS n_inter,
+             CAST(SUM(CASE WHEN label_a = label_b THEN
+                  CAST(round(cos_sim * 1000000.0) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS intra_fp,
+             CAST(SUM(CASE WHEN label_a <> label_b THEN
+                  CAST(round(cos_sim * 1000000.0) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS inter_fp
+      FROM panel GROUP BY label_a
+    )
+    SELECT label, n_intra, n_inter,
+           CASE WHEN n_intra > 0 THEN
+             CAST(intra_fp AS DOUBLE) / 1000000.0 / CAST(n_intra AS DOUBLE)
+           END AS mean_intra_cos,
+           CASE WHEN n_inter > 0 THEN
+             CAST(inter_fp AS DOUBLE) / 1000000.0 / CAST(n_inter AS DOUBLE)
+           END AS mean_inter_cos,
+           CASE WHEN n_intra > 0 AND n_inter > 0 THEN
+             CAST(intra_fp AS DOUBLE) / 1000000.0 / CAST(n_intra AS DOUBLE)
+             - CAST(inter_fp AS DOUBLE) / 1000000.0 / CAST(n_inter AS DOUBLE)
+           END AS margin
+    FROM agg
+    """,
+)
+def sim_intra_inter_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality margin report per label: mean same-label cosine
+    minus mean cross-label cosine over a BOUNDED hash-derived pair
+    panel (each vector pairs with vec_id + 1 + hash%50 — one partner
+    per vector, so the panel is |vecs| rows, never all-pairs; partners
+    past the id range simply drop from the inner join, identically in
+    both engines). Cosines go through the established 6dp contract
+    (sim_cosine_topk) then the 1e-6 fixed-point snap, so the per-label
+    means are exact-integer sums with one division each; the margin is
+    NULL when a label lacks either pair kind. Prototype-validated
+    bit-identical at sf0.01 and sf0.1 in round 11. One equi-join + one
+    10-row rollup."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xd"),
+    )
+    partner = (
+        F.col("a.vec_id")
+        + 1
+        + F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("mg:"), F.col("a.vec_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 50
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.xd"), F.col("b.xd"), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("a.xd"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norm_b = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("b.xd"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    panel = a.join(b, F.col("b.vec_id") == partner).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.round(dot / (norm_a * norm_b), 6).alias("cos_sim"),
+    )
+    intra = F.col("label_a") == F.col("label_b")
+    cos_fp = F.round(F.col("cos_sim") * 1000000.0, 0).cast("bigint")
+    agg = panel.groupBy(F.col("label_a").alias("label")).agg(
+        F.count(F.when(intra, 1)).cast("bigint").alias("n_intra"),
+        F.count(F.when(~intra, 1)).cast("bigint").alias("n_inter"),
+        F.sum(F.when(intra, cos_fp).otherwise(0))
+        .cast("bigint")
+        .alias("intra_fp"),
+        F.sum(F.when(~intra, cos_fp).otherwise(0))
+        .cast("bigint")
+        .alias("inter_fp"),
+    )
+    mean_intra = (
+        F.col("intra_fp").cast("double")
+        / 1000000.0
+        / F.col("n_intra").cast("double")
+    )
+    mean_inter = (
+        F.col("inter_fp").cast("double")
+        / 1000000.0
+        / F.col("n_inter").cast("double")
+    )
+    return agg.select(
+        "label",
+        "n_intra",
+        "n_inter",
+        F.when(F.col("n_intra") > 0, mean_intra).alias("mean_intra_cos"),
+        F.when(F.col("n_inter") > 0, mean_inter).alias("mean_inter_cos"),
+        F.when(
+            (F.col("n_intra") > 0) & (F.col("n_inter") > 0),
+            mean_intra - mean_inter,
+        ).alias("margin"),
+    )
+
+
+@_q(
+    "sim_dim_covariance_screen",
+    """
+    WITH v AS (
+      SELECT vec_id, pos,
+             CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS val
+      FROM (SELECT vec_id, embedding,
+                   UNNEST(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings)
+    ), pairs AS (
+      SELECT a.pos AS pos_i, b.pos AS pos_j,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.val) AS BIGINT) AS sx,
+             CAST(SUM(b.val) AS BIGINT) AS sy,
+             CAST(SUM(a.val * b.val) AS BIGINT) AS sxy
+      FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.pos < b.pos
+      GROUP BY a.pos, b.pos
+    ), keyed AS (
+      SELECT pos_i, pos_j, n,
+             ABS(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS key_abs,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0
+               AS cov
+      FROM pairs
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY key_abs DESC, pos_i, pos_j)
+               AS rnk
+      FROM keyed
+    )
+    SELECT CAST(pos_i - 1 AS BIGINT) AS dim_i,
+           CAST(pos_j - 1 AS BIGINT) AS dim_j,
+           n, cov
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def sim_dim_covariance_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening-need audit: the top-20 |covariance| off-diagonal
+    dimension pairs of the embedding matrix. Values snap to the 1e-6
+    integer lattice so the per-pair moments (n, Sx, Sy, Sxy) are exact
+    BIGINTs from one posexplode self-join on vec_id (the 64*63/2 = 2016
+    bounded pairs do the heavy grouping; the ~|vecs|*64^2/2 joined rows
+    are embarrassingly parallel); the ordering key is the ABSOLUTE
+    integer covariance numerator n*Sxy - Sx*Sy evaluated with each
+    factor cast to double (the products overflow BIGINT at sf0.1 —
+    prototype lesson), ties broken on (dim_i, dim_j). The reported
+    covariance divides the same numerator by n^2 (floor-mean-free
+    centering identity) and de-scales the 1e-12 lattice. Prototype-
+    validated bit-identical at sf0.01 and sf0.1 in round 11."""
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 1000000.0, 0).cast(
+                        "bigint"
+                    ),
+                )
+            ).alias("pos0", "val"),
+        )
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.pos") < F.col("b.pos")),
+        )
+        .groupBy(
+            F.col("a.pos").alias("pos_i"), F.col("b.pos").alias("pos_j")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("a.val").cast("bigint").alias("sx"),
+            F.sum("b.val").cast("bigint").alias("sy"),
+            F.sum(F.col("a.val") * F.col("b.val"))
+            .cast("bigint")
+            .alias("sxy"),
+        )
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    keyed = pairs.select(
+        "pos_i",
+        "pos_j",
+        "n",
+        F.abs(num).alias("key_abs"),
+        (
+            num
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+            / 1000000000000.0
+        ).alias("cov"),
+    )
+    ranked = keyed.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("key_abs").desc(), F.col("pos_i"), F.col("pos_j")
+            )
+        )
+        .alias("rnk"),
+    )
+    return ranked.filter(F.col("rnk") <= 20).select(
+        (F.col("pos_i") - 1).cast("bigint").alias("dim_i"),
+        (F.col("pos_j") - 1).cast("bigint").alias("dim_j"),
+        "n",
+        "cov",
+    )
+
+
+@_q(
+    "sim_rank_displacement",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS v6
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, v6,
+             list_transform(xd,
+               x -> CAST(round(x * (127.0 / list_max(list_transform(xd,
+                    y -> abs(y))))) AS BIGINT)) AS qvec
+      FROM v WHERE list_max(list_transform(xd, y -> abs(y))) > 0
+    ), q AS (SELECT v6 AS q6, qvec AS qq FROM m WHERE vec_id = 0),
+    scored AS (
+      SELECT m.vec_id,
+             CAST(list_dot_product(m.v6, q.q6) AS BIGINT) AS exact_dot,
+             CAST(list_dot_product(m.qvec, q.qq) AS BIGINT) AS qdot
+      FROM m, q WHERE m.vec_id <> 0
+    ), cand AS (
+      SELECT vec_id, exact_dot, qdot,
+             CAST(ROW_NUMBER() OVER (ORDER BY exact_dot DESC, vec_id)
+                  AS BIGINT) AS exact_rank
+      FROM scored
+      ORDER BY exact_dot DESC, vec_id LIMIT 50
+    )
+    SELECT c.vec_id, c.exact_rank,
+           CAST(1 + COUNT(CASE WHEN s.qdot > c.qdot
+                      OR (s.qdot = c.qdot AND s.vec_id < c.vec_id)
+                      THEN 1 END) AS BIGINT) AS quant_rank,
+           CAST(ABS(c.exact_rank - (1 + COUNT(CASE WHEN s.qdot > c.qdot
+                      OR (s.qdot = c.qdot AND s.vec_id < c.vec_id)
+                      THEN 1 END))) AS BIGINT) AS displacement
+    FROM cand c JOIN scored s ON s.vec_id <> c.vec_id
+    GROUP BY c.vec_id, c.exact_rank, c.qdot
+    """,
+)
+def sim_rank_displacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman-footrule rank displacement of int8 quantization: for the
+    query's (vec_id 0) exact top-50, how far does each neighbor move in
+    the QUANTIZED ranking? Exact ranks use the 1e-6 integer-lattice dot
+    (BIGINT-exact, deterministic (dot, vec_id) ties); quantized ranks
+    use the established symmetric-int8 dot. The quantized GLOBAL rank
+    of each candidate is 1 + count of strictly-better vectors — a
+    broadcast of the 50-row candidate set against the scored corpus,
+    NOT a global row_number sort (the advisory-r11 scale shape: a
+    50-row nested-loop count distributes; a full-corpus rank window
+    collapses to one task). The retrieval-impact companion of the
+    quantization-error audit: it prices the int8 shrink in positions
+    lost, not MSE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xd"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000.0, 0).cast(
+                "bigint"
+            ),
+        ).alias("v6"),
+    ).withColumn("maxabs", F.array_max(F.transform("xd", F.abs)))
+    m = (
+        v.filter(F.col("maxabs") > 0)
+        .select(
+            "vec_id",
+            "v6",
+            F.transform(
+                "xd",
+                lambda x: F.round(x * (F.lit(127.0) / F.col("maxabs"))).cast(
+                    "bigint"
+                ),
+            ).alias("qvec"),
+        )
+    )
+
+    def idot(ca, cb):
+        return F.aggregate(
+            F.zip_with(ca, cb, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    q = m.filter(F.col("vec_id") == 0).select(
+        F.col("v6").alias("q6"), F.col("qvec").alias("qq")
+    )
+    scored = (
+        m.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            idot(F.col("v6"), F.col("q6")).alias("exact_dot"),
+            idot(F.col("qvec"), F.col("qq")).alias("qdot"),
+        )
+    )
+    scored = materialize_reduced(scored)
+    cand = (
+        scored.orderBy(F.col("exact_dot").desc(), "vec_id")
+        .limit(50)
+        .select(
+            F.col("vec_id").alias("c_vec_id"),
+            F.col("qdot").alias("c_qdot"),
+            F.row_number()
+            .over(Window.orderBy(F.col("exact_dot").desc(), "vec_id"))
+            .cast("bigint")
+            .alias("exact_rank"),
+        )
+    )
+    better = F.when(
+        (F.col("qdot") > F.col("c_qdot"))
+        | (
+            (F.col("qdot") == F.col("c_qdot"))
+            & (F.col("vec_id") < F.col("c_vec_id"))
+        ),
+        1,
+    )
+    j = F.broadcast(cand).join(
+        scored, F.col("vec_id") != F.col("c_vec_id")
+    )
+    out = j.groupBy("c_vec_id", "exact_rank", "c_qdot").agg(
+        (1 + F.count(better)).cast("bigint").alias("quant_rank")
+    )
+    return out.select(
+        F.col("c_vec_id").alias("vec_id"),
+        "exact_rank",
+        "quant_rank",
+        F.abs(F.col("exact_rank") - F.col("quant_rank"))
+        .cast("bigint")
+        .alias("displacement"),
+    )
