@@ -1854,3 +1854,295 @@ def etl_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+# --- round 12: SCD6 hybrid, currency as-of, dialect corners ----------------
+
+
+@_q(
+    "etl_scd6_hybrid",
+    """
+    WITH s1 AS (
+      SELECT c_custkey, c_acctbal FROM customer
+    ), s2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 97 <> 0
+    ), j AS (
+      SELECT s1.c_custkey AS custkey,
+             s1.c_acctbal AS old_bal,
+             s2.c_acctbal AS new_bal,
+             CASE WHEN s2.c_custkey IS NULL THEN 'deleted'
+                  WHEN s1.c_acctbal <> s2.c_acctbal THEN 'changed'
+                  ELSE 'unchanged' END AS change_status
+      FROM s1 LEFT JOIN s2 ON s2.c_custkey = s1.c_custkey
+    )
+    SELECT custkey, CAST(1 AS BIGINT) AS version,
+           old_bal AS row_acctbal,
+           new_bal AS current_acctbal,
+           CASE WHEN change_status <> 'unchanged' THEN old_bal END
+             AS previous_acctbal,
+           change_status = 'unchanged' AS is_current,
+           change_status
+    FROM j
+    UNION ALL
+    SELECT custkey, CAST(2 AS BIGINT) AS version,
+           new_bal AS row_acctbal,
+           new_bal AS current_acctbal,
+           old_bal AS previous_acctbal,
+           TRUE AS is_current,
+           change_status
+    FROM j WHERE change_status = 'changed'
+    """,
+)
+def etl_scd6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-6 (1+2+3 hybrid) merge on the established deterministic
+    snapshot pair (the SCD2/SCD3 entries' exact %7-bump / %97-delete
+    generators, so all three graded SCD shapes reconcile row-for-row):
+    type-2 interval rows (one per version, is_current flag), each row
+    OVERWRITTEN with the type-1 current value, plus the type-3
+    previous-value column. Changed keys yield two rows (historical +
+    current), deletions keep the history row with a NULL current value.
+    Pure joins + one UNION ALL of a filtered branch — no window, no
+    state; the key join broadcasts or shuffles like any dim merge."""
+    s1 = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    s2 = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            F.col("c_custkey").alias("k2"),
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(100.0)
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("new_bal"),
+        )
+    )
+    j = (
+        s1.join(s2, s1.c_custkey == s2.k2, "left")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("old_bal"),
+            "new_bal",
+            F.when(F.col("k2").isNull(), "deleted")
+            .when(F.col("c_acctbal") != F.col("new_bal"), "changed")
+            .otherwise("unchanged")
+            .alias("change_status"),
+        )
+    )
+    v1 = j.select(
+        "custkey",
+        F.lit(1).cast("bigint").alias("version"),
+        F.col("old_bal").alias("row_acctbal"),
+        F.col("new_bal").alias("current_acctbal"),
+        F.when(
+            F.col("change_status") != "unchanged", F.col("old_bal")
+        ).alias("previous_acctbal"),
+        (F.col("change_status") == "unchanged").alias("is_current"),
+        "change_status",
+    )
+    v2 = j.filter(F.col("change_status") == "changed").select(
+        "custkey",
+        F.lit(2).cast("bigint").alias("version"),
+        F.col("new_bal").alias("row_acctbal"),
+        F.col("new_bal").alias("current_acctbal"),
+        F.col("old_bal").alias("previous_acctbal"),
+        F.lit(True).alias("is_current"),
+        "change_status",
+    )
+    return v1.unionAll(v2)
+
+
+@_q(
+    "etl_currency_normalize_asof",
+    """
+    WITH months AS (
+      SELECT DISTINCT date_trunc('month', o_orderdate) AS m
+      FROM orders
+    ), rates AS (
+      SELECT CAST(m AS DATE) AS rate_day,
+             900000 + ('0x' || substr(md5('fx:' ||
+               strftime(CAST(m AS DATE), '%Y-%m')), 1, 15))::BIGINT
+               % 200000 AS rate_ppm
+      FROM months
+      WHERE (EXTRACT(year FROM m) * 12 + EXTRACT(month FROM m)) % 3 = 0
+    ), priced AS (
+      SELECT date_trunc('month', o.o_orderdate) AS order_month,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             MAX(CAST(r.rate_day - DATE '1970-01-01' AS BIGINT) * 10000000
+                 + r.rate_ppm) AS rate_key
+      FROM orders o JOIN rates r ON r.rate_day <= o.o_orderdate
+      GROUP BY o.o_orderkey, date_trunc('month', o.o_orderdate),
+               CAST(round(o.o_totalprice * 100) AS BIGINT)
+    )
+    SELECT CAST(order_month AS DATE) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM((cents * (rate_key % 10000000)) // 1000000)
+                AS BIGINT) AS sum_normalized_cents,
+           CAST(COUNT(DISTINCT rate_key) AS BIGINT) AS n_rates_used
+    FROM priced GROUP BY 1
+    """,
+)
+def etl_currency_normalize_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency normalization through a SPARSE synthetic monthly rate
+    table via as-of semantics: rates exist only for every third
+    calendar month (hash-derived integer ppm multipliers in
+    [0.9, 1.1)), and each order converts at the LATEST rate at or
+    before its date — the point-in-time join every multi-currency
+    warehouse needs, graded end-to-end. The as-of resolution is one
+    packed-integer MAX per order (epoch_day * 1e7 + ppm — ppm < 1.1e6
+    fits; decode by mod), so no window over data rows and the tiny
+    rate table broadcasts; conversion stays on the exact integer
+    lattice (cents * ppm div 1e6, truncating identically — both
+    factors nonnegative). Output is the month-grain rollup with a
+    used-rate count pinning the as-of choice."""
+    orders = load_table(spark, sf_dir, "orders")
+    months = orders.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).distinct()
+    rates = (
+        months.filter(
+            (F.year("m") * 12 + F.month("m")) % 3 == 0
+        )
+        .select(
+            F.col("m").cast("date").alias("rate_day"),
+            (
+                900000
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("fx:"),
+                                F.date_format("m", "yyyy-MM"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 200000
+            ).alias("rate_ppm"),
+        )
+    )
+    rate_key = (
+        F.datediff(
+            F.col("rate_day"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint")
+        * 10000000
+        + F.col("rate_ppm")
+    )
+    priced = (
+        orders.join(
+            F.broadcast(rates), F.col("rate_day") <= F.col("o_orderdate")
+        )
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("month", F.col("o_orderdate")).alias(
+                "order_month"
+            ),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .agg(F.max(rate_key).alias("rate_key"))
+    )
+    ppm = F.col("rate_key") % 10000000
+    return priced.groupBy(
+        F.col("order_month").cast("date").alias("order_month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum(F.expr("(cents * (rate_key % 10000000)) div 1000000"))
+        .cast("bigint")
+        .alias("sum_normalized_cents"),
+        F.countDistinct("rate_key").cast("bigint").alias("n_rates_used"),
+    )
+
+
+BOM_CSV = str(
+    Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "bom_crlf.csv"
+)
+
+
+@_q(
+    "etl_bom_encoding_csv",
+    f"""
+    SELECT CAST(id AS BIGINT) AS id,
+           name,
+           CAST(round(CAST(amount AS DOUBLE) * 100) AS BIGINT)
+             AS amount_cents,
+           CAST(LENGTH(name) AS BIGINT) AS name_chars
+    FROM read_csv('{BOM_CSV}', header=true, all_varchar=true)
+    """,
+)
+def etl_bom_encoding_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8-BOM + CRLF dialect parity on a committed fixture — the
+    encoding corner the RFC-4180 entry doesn't cover: the byte-order
+    mark must NOT corrupt the first header name ('id', not '\\ufeffid'),
+    and CRLF line endings must not leave trailing '\\r' in the last
+    field (both engines verified: Spark's Univocity parser and DuckDB's
+    sniffer each strip the BOM and treat CRLF as the record break).
+    Values roundtrip to exact cents; character counts pin any invisible
+    residue. Single small file — dialect conformance, not throughput."""
+    df = spark.read.option("header", True).csv(BOM_CSV)
+    return df.select(
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.round(F.col("amount").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("amount_cents"),
+        F.length("name").cast("bigint").alias("name_chars"),
+    )
+
+
+MULTICHAR_TXT = str(
+    Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+    / "multichar_delim.txt"
+)
+
+
+@_q(
+    "etl_multichar_delimiter",
+    f"""
+    WITH raw AS (
+      SELECT line FROM read_csv('{MULTICHAR_TXT}', header=false,
+             columns={{'line': 'VARCHAR'}}, delim=chr(1), quote='')
+    ), split AS (
+      SELECT string_split(line, '||') AS parts
+      FROM raw WHERE line NOT LIKE 'id||%'
+    )
+    SELECT CAST(parts[1] AS BIGINT) AS id,
+           parts[2] AS name,
+           CAST(round(CAST(parts[3] AS DOUBLE) * 100) AS BIGINT)
+             AS amount_cents
+    FROM split
+    """,
+)
+def etl_multichar_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-character ('||') delimited ingestion parity: Spark reads
+    the committed fixture natively (sep='||', supported since 3.0);
+    the DuckDB oracle — whose csv reader caps delimiters at one byte —
+    parses the same file as raw lines and string-splits, proving the
+    engine's native multi-char path against an independent
+    reconstruction rather than the same parser twice. Exact-cents
+    roundtrip like the other dialect entries."""
+    df = (
+        spark.read.option("header", True)
+        .option("sep", "||")
+        .csv(MULTICHAR_TXT)
+    )
+    return df.select(
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.round(F.col("amount").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("amount_cents"),
+    )

@@ -1574,3 +1574,363 @@ def dq_volumetric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# --- round 12: completeness trends, Benford second digit, PSI/TVD ---------
+
+
+@_q(
+    "dq_null_rate_trend",
+    """
+    WITH k AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             EXTRACT(month FROM o_orderdate) AS mn,
+             ('0x' || substr(md5('nr:' || CAST(o_orderkey AS VARCHAR)),
+              1, 15))::BIGINT % 100 AS h
+      FROM orders
+    ), flags AS (
+      SELECT m,
+             CASE WHEN h < mn THEN 1 ELSE 0 END AS null_a,
+             CASE WHEN h >= 95 THEN 1 ELSE 0 END AS null_b
+      FROM k
+    ), monthly AS (
+      SELECT m,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(null_a) AS BIGINT) AS nulls_a,
+             CAST(SUM(null_b) AS BIGINT) AS nulls_b,
+             CAST(round(1000000000.0 * CAST(SUM(null_a) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS rate_a_fp,
+             CAST(round(1000000000.0 * CAST(SUM(null_b) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS rate_b_fp
+      FROM flags GROUP BY m
+    ), jumps AS (
+      SELECT *,
+             abs(rate_a_fp - LAG(rate_a_fp) OVER (ORDER BY m)) AS jump_a
+      FROM monthly
+    ), mx AS (SELECT MAX(jump_a) AS max_jump FROM jumps)
+    SELECT m AS month,
+           n_rows, nulls_a, nulls_b,
+           CAST(rate_a_fp AS DOUBLE) / 1000000000.0 AS null_rate_a,
+           CAST(rate_b_fp AS DOUBLE) / 1000000000.0 AS null_rate_b,
+           CASE WHEN jump_a IS NOT NULL AND jump_a = mx.max_jump
+                THEN 1 ELSE 0 END AS largest_jump_flag
+    FROM jumps CROSS JOIN mx
+    """,
+)
+def dq_null_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month null-rate trend with a largest-jump flag — the
+    completeness-drift screen that catches an upstream feed silently
+    dropping a column. The fixture carries no nulls, so nullability is
+    INJECTED deterministically from the row hash (column A's rate
+    climbs with calendar month — a seasonal drift; column B holds a
+    flat 5% — the control), exercising every code path with
+    hash-reproducible truth. Rates snap to a 1e-9 integer lattice
+    (one identical IEEE divide + round per month) BEFORE the jump
+    comparison, so flagging the max month-over-month jump is pure
+    integer arithmetic. One month-grain rollup + one |months| window."""
+    from .helpers import phash60
+
+    k = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("m"),
+        F.month("o_orderdate").cast("bigint").alias("mn"),
+        (
+            phash60(
+                F.concat(F.lit("nr:"), F.col("o_orderkey").cast("string"))
+            )
+            % 100
+        ).alias("h"),
+    )
+    flags = k.select(
+        "m",
+        F.when(F.col("h") < F.col("mn"), 1).otherwise(0).alias("null_a"),
+        F.when(F.col("h") >= 95, 1).otherwise(0).alias("null_b"),
+    )
+    rate_fp = lambda c: F.round(
+        1000000000.0 * F.sum(c).cast("double") / F.count("*").cast("double"),
+        0,
+    ).cast("bigint")
+    monthly = flags.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("null_a").cast("bigint").alias("nulls_a"),
+        F.sum("null_b").cast("bigint").alias("nulls_b"),
+        rate_fp("null_a").alias("rate_a_fp"),
+        rate_fp("null_b").alias("rate_b_fp"),
+    )
+    from pyspark.sql import Window
+
+    jumps = monthly.select(
+        "*",
+        F.abs(
+            F.col("rate_a_fp")
+            - F.lag("rate_a_fp").over(Window.orderBy("m"))
+        ).alias("jump_a"),
+    )
+    mx = jumps.agg(F.max("jump_a").alias("max_jump"))
+    return jumps.crossJoin(F.broadcast(mx)).select(
+        F.col("m").alias("month"),
+        "n_rows",
+        "nulls_a",
+        "nulls_b",
+        (F.col("rate_a_fp").cast("double") / 1000000000.0).alias(
+            "null_rate_a"
+        ),
+        (F.col("rate_b_fp").cast("double") / 1000000000.0).alias(
+            "null_rate_b"
+        ),
+        F.when(
+            F.col("jump_a").isNotNull()
+            & (F.col("jump_a") == F.col("max_jump")),
+            1,
+        )
+        .otherwise(0)
+        .alias("largest_jump_flag"),
+    )
+
+
+# Benford second-digit reference frequencies, computed ONCE at import
+# (python math only — no runtime libm in either engine) and injected as
+# 1e-12 integer literals into both sides: P2(d) = sum over first digits
+# f=1..9 of log10(1 + 1/(10f + d)).
+def _benford2_fp() -> list[int]:
+    import math
+
+    return [
+        round(
+            sum(math.log10(1.0 + 1.0 / (10 * f + d)) for f in range(1, 10))
+            * 1e12
+        )
+        for d in range(10)
+    ]
+
+
+BENFORD2_FP = _benford2_fp()
+
+
+def _benford2_oracle() -> str:
+    ref = " UNION ALL ".join(
+        f"SELECT {d} AS digit, CAST({fp} AS BIGINT) AS ref_fp"
+        for d, fp in enumerate(BENFORD2_FP)
+    )
+    return f"""
+    WITH ref AS ({ref}), v AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                   AS VARCHAR), 2, 1) AS BIGINT) AS digit
+      FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 10
+    ), obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY digit
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+    SELECT r.digit,
+           COALESCE(o.n, 0) AS n,
+           CAST(COALESCE(o.n, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
+             AS share,
+           CAST(r.ref_fp AS DOUBLE) / 1000000000000.0 AS ref_share,
+           ABS(CAST(COALESCE(o.n, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
+               - CAST(r.ref_fp AS DOUBLE) / 1000000000000.0) AS abs_dev
+    FROM ref r LEFT JOIN obs o ON o.digit = r.digit
+    CROSS JOIN tot t
+    """
+
+
+@_q("dq_benford_second_digit", _benford2_oracle())
+def dq_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford SECOND-digit conformance of order amounts — the
+    fraud/synthetic-data screen one digit deeper than the graded
+    first-digit entry (second digits are nearly uniform, so deviations
+    expose rounding and fabrication the leading digit hides). The ten
+    reference frequencies sum log10 terms in PYTHON at import and ship
+    as shared 1e-12 integer literals (UNION ALL spine / broadcast local
+    rows — NO runtime log in either engine, the standing libm screen);
+    the observed digit is one substring of the integer cents string
+    (values < 10 cents excluded — no second digit). Share and deviation
+    are one identical IEEE chain per digit over exact counts.
+    Prototype-validated bit-identical at sf0.01 and sf0.1 in round 11."""
+    ref = spark.createDataFrame(
+        [(d, fp) for d, fp in enumerate(BENFORD2_FP)], "digit long, ref_fp long"
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .select(cents.alias("cents"))
+        .filter(F.col("cents") >= 10)
+        .select(
+            F.substring(F.col("cents").cast("string"), 2, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+    )
+    obs = v.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    j = (
+        F.broadcast(ref)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+    share = n.cast("double") / F.col("total").cast("double")
+    ref_share = F.col("ref_fp").cast("double") / 1000000000000.0
+    return j.select(
+        "digit",
+        n.alias("n"),
+        share.alias("share"),
+        ref_share.alias("ref_share"),
+        F.abs(share - ref_share).alias("abs_dev"),
+    )
+
+
+@_q(
+    "dq_psi_tvd_stability",
+    """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderdate < DATE '1998-07-01' THEN 1 ELSE 0 END
+               AS first_half
+      FROM orders
+    ), per AS (
+      SELECT cents,
+             CAST(SUM(first_half) AS BIGINT) AS c1,
+             CAST(COUNT(*) - SUM(first_half) AS BIGINT) AS c2
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT cents,
+             SUM(c1) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+      FROM per
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM per
+    ), spine AS (SELECT UNNEST(range(1, 10)) AS k),
+    cuts AS (
+      SELECT s.k, MIN(cents) AS cut
+      FROM cum CROSS JOIN tot CROSS JOIN spine s
+      WHERE ca >= (s.k * n1 + 9) // 10
+      GROUP BY s.k
+    ), binned AS (
+      SELECT p.cents, p.c1, p.c2,
+             1 + CAST(COUNT(CASE WHEN c.cut < p.cents THEN 1 END)
+                 AS BIGINT) AS bin
+      FROM per p CROSS JOIN cuts c
+      GROUP BY p.cents, p.c1, p.c2
+    ), bins AS (
+      SELECT bin,
+             CAST(SUM(c1) AS BIGINT) AS n_first,
+             CAST(SUM(c2) AS BIGINT) AS n_second
+      FROM binned GROUP BY bin
+    ), shares AS (
+      SELECT bin, n_first, n_second,
+             CASE WHEN t.n1 > 0 THEN
+               CAST(round(1000000000000.0 * CAST(n_first AS DOUBLE)
+                    / CAST(t.n1 AS DOUBLE)) AS BIGINT) ELSE 0 END AS p1_fp,
+             CASE WHEN t.n2 > 0 THEN
+               CAST(round(1000000000000.0 * CAST(n_second AS DOUBLE)
+                    / CAST(t.n2 AS DOUBLE)) AS BIGINT) ELSE 0 END AS p2_fp
+      FROM bins CROSS JOIN tot t
+    ), tvd AS (
+      SELECT CAST(SUM(abs(p1_fp - p2_fp)) AS BIGINT) AS tvd2_fp FROM shares
+    )
+    SELECT s.bin, s.n_first, s.n_second,
+           CAST(s.p1_fp AS DOUBLE) / 1000000000000.0 AS share_first,
+           CAST(s.p2_fp AS DOUBLE) / 1000000000000.0 AS share_second,
+           CAST(v.tvd2_fp AS DOUBLE) / 2.0 / 1000000000000.0 AS tvd
+    FROM shares s CROSS JOIN tvd v
+    """,
+)
+def dq_psi_tvd_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability screen between calendar halves (split at the
+    fixed literal 1998-07-01): order amounts bin into the FIRST half's
+    TYPE-1 deciles (the interpolation-free (k*n+9) div 10 rank-lookup
+    panel the Q-Q entry pinned), and the drift is reported as total
+    variation distance over the 10 bins — the PSI use case without
+    PSI's log (the standing libm screen; TVD is the bounded, metric
+    alternative). Shares snap to the 1e-12 lattice (one IEEE
+    divide+round each) so the TVD sum is exact integer; per-bin rows
+    carry both populations plus the global TVD. Everything reduces
+    through the bounded distinct-cents table; the 9-cut spine joins
+    broadcast."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-07-01").cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("first_half"),
+    )
+    per = v.groupBy("cents").agg(
+        F.sum("first_half").cast("bigint").alias("c1"),
+        (F.count("*") - F.sum("first_half")).cast("bigint").alias("c2"),
+    )
+    from .helpers import materialize_reduced
+
+    per = materialize_reduced(per)
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select("cents", F.sum("c1").over(w).alias("ca"))
+    tot = per.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    spine = spark.range(1, 10).select(F.col("id").alias("k"))
+    cuts = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(spine))
+        .filter(F.col("ca") >= F.expr("(k * n1 + 9) div 10"))
+        .groupBy("k")
+        .agg(F.min("cents").alias("cut"))
+    )
+    binned = (
+        per.crossJoin(F.broadcast(cuts))
+        .groupBy("cents", "c1", "c2")
+        .agg(
+            (
+                1
+                + F.count(F.when(F.col("cut") < F.col("cents"), 1))
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+    )
+    bins = binned.groupBy("bin").agg(
+        F.sum("c1").cast("bigint").alias("n_first"),
+        F.sum("c2").cast("bigint").alias("n_second"),
+    )
+
+    def share_fp(cnt: str, tot_col: str):
+        return F.when(
+            F.col(tot_col) > 0,
+            F.round(
+                1000000000000.0
+                * F.col(cnt).cast("double")
+                / F.col(tot_col).cast("double"),
+                0,
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    shares = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_first",
+        "n_second",
+        share_fp("n_first", "n1").alias("p1_fp"),
+        share_fp("n_second", "n2").alias("p2_fp"),
+    )
+    tvd = shares.agg(
+        F.sum(F.abs(F.col("p1_fp") - F.col("p2_fp")))
+        .cast("bigint")
+        .alias("tvd2_fp")
+    )
+    return shares.crossJoin(F.broadcast(tvd)).select(
+        "bin",
+        "n_first",
+        "n_second",
+        (F.col("p1_fp").cast("double") / 1000000000000.0).alias(
+            "share_first"
+        ),
+        (F.col("p2_fp").cast("double") / 1000000000000.0).alias(
+            "share_second"
+        ),
+        (F.col("tvd2_fp").cast("double") / 2.0 / 1000000000000.0).alias(
+            "tvd"
+        ),
+    )

@@ -1884,3 +1884,104 @@ def sample_sliding_window_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("mnum").cast("bigint").alias("first_month"),
         F.max("mnum").cast("bigint").alias("last_month"),
     )
+
+
+# --- round 12: quota sampling ----------------------------------------------
+
+# Fixed per-segment quotas for sample_quota_priority — literals shared by
+# both engine sides; retuning re-deals the sample (breaking change, same
+# contract discipline as the split thresholds in helpers.py).
+SEGMENT_QUOTAS = {
+    "AUTOMOBILE": 400,
+    "BUILDING": 250,
+    "FURNITURE": 150,
+    "HOUSEHOLD": 80,
+    "MACHINERY": 40,
+}
+
+
+def _quota_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{seg}' THEN {q}" for seg, q in SEGMENT_QUOTAS.items()
+    )
+    return f"CASE c_mktsegment {whens} ELSE 0 END"
+
+
+ORACLES["sample_quota_priority"] = f"""
+    WITH ranked AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST({_quota_case_sql()} AS BIGINT) AS quota,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS pri
+      FROM customer
+    )
+    SELECT c_mktsegment AS segment,
+           MIN(quota) AS quota,
+           CAST(COUNT(*) AS BIGINT) AS n_available,
+           CAST(COUNT(CASE WHEN pri <= quota THEN 1 END) AS BIGINT)
+             AS n_sampled,
+           CASE WHEN MIN(quota) > 0 THEN
+             CAST(COUNT(CASE WHEN pri <= quota THEN 1 END) AS DOUBLE)
+             / CAST(MIN(quota) AS DOUBLE) END AS fill_rate,
+           GREATEST(CAST(0 AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) - MIN(quota)) AS spillover,
+           CAST(SUM(CASE WHEN pri <= quota THEN c_custkey ELSE 0 END)
+                AS BIGINT) AS sample_key_checksum
+    FROM ranked GROUP BY c_mktsegment
+"""
+
+
+@_q("sample_quota_priority")
+def sample_quota_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: fill FIXED per-segment quotas (shared literal
+    table) by deterministic hash priority — row_number over
+    md5(custkey) within each market segment, custkey tie-break — the
+    uneven-quota generalization of the graded exact-k-per-stratum
+    entry. Reports per segment: availability, fill, fill rate
+    (NULL-guarded for a zero quota), spillover (demand beyond quota),
+    and a BIGINT checksum of the SELECTED keys so the grade pins the
+    actual sample membership, not just its size. New rows self-assign
+    stable priorities (pure hash), so re-running on a grown corpus
+    only ever appends lower-priority candidates. One window per
+    segment partition — the partition key is the segment, bounded
+    cardinality, unskewed fixture."""
+    from pyspark.sql import Window
+
+    quota = F.lit(None).cast("bigint")
+    expr = None
+    for seg, q in SEGMENT_QUOTAS.items():
+        cond = F.col("c_mktsegment") == seg
+        expr = (
+            F.when(cond, q) if expr is None else expr.when(cond, q)
+        )
+    quota = expr.otherwise(0).cast("bigint")
+    ranked = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        quota.alias("quota"),
+        F.row_number()
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+            )
+        )
+        .alias("pri"),
+    )
+    picked = F.col("pri") <= F.col("quota")
+    return ranked.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.min("quota").alias("quota"),
+        F.count("*").cast("bigint").alias("n_available"),
+        F.count(F.when(picked, 1)).cast("bigint").alias("n_sampled"),
+        F.when(
+            F.min("quota") > 0,
+            F.count(F.when(picked, 1)).cast("double")
+            / F.min("quota").cast("double"),
+        ).alias("fill_rate"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.count("*") - F.min("quota")).cast("bigint"),
+        ).alias("spillover"),
+        F.sum(F.when(picked, F.col("c_custkey")).otherwise(0))
+        .cast("bigint")
+        .alias("sample_key_checksum"),
+    )
