@@ -654,3 +654,96 @@ def multimodal_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "padded_pixels"
         ),
     )
+
+
+@_q(
+    "multimodal_letterbox_plan",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             16 + (octet_length(encode(text)) % 240) AS w,
+             16 + ((octet_length(encode(text)) // 7) % 240) AS h
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w, h,
+             LEAST(224000000 // w, 224000000 // h) AS scale_fp
+      FROM d
+    ), o AS (
+      SELECT doc_id, w, h, scale_fp,
+             GREATEST(1, w * scale_fp // 1000000) AS out_w,
+             GREATEST(1, h * scale_fp // 1000000) AS out_h
+      FROM s
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(scale_fp AS BIGINT) AS scale_fp,
+           CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+           CAST((224 - out_w) // 2 AS BIGINT) AS pad_left,
+           CAST(224 - out_w - (224 - out_w) // 2 AS BIGINT) AS pad_right,
+           CAST((224 - out_h) // 2 AS BIGINT) AS pad_top,
+           CAST(224 - out_h - (224 - out_h) // 2 AS BIGINT) AS pad_bottom,
+           CAST(out_w * out_h AS DOUBLE) / 50176.0 AS content_share
+    FROM o
+    """,
+)
+def multimodal_letterbox_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox (aspect-preserving resize-to-square) padding plan for a
+    224x224 model input — the resize sibling of the graded tile index:
+    fixed-point aspect-fit scale (1e-6 lattice, identical truncating
+    integer division in both engines), content extents clamped to >= 1,
+    and the left/right/top/bottom pad split with the floor-half
+    convention (left gets the smaller half). Spark runs the REAL
+    mapInPandas stub-decode path so Arrow batch alignment stays part of
+    what's graded; the oracle reproduces the closed form. content_share
+    divides by the constant 224^2 — total by construction. Pure per-row
+    integer arithmetic on the decode output."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_payloads(attach_payload(docs), stub=True)
+    w = F.col("width").cast("bigint")
+    h = F.col("height").cast("bigint")
+    scale_fp = F.least(
+        F.expr("CAST(224000000 AS BIGINT) div CAST(width AS BIGINT)"),
+        F.expr("CAST(224000000 AS BIGINT) div CAST(height AS BIGINT)"),
+    )
+    t = decoded.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        scale_fp.cast("bigint").alias("scale_fp"),
+    )
+    out_w = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr("CAST(width AS BIGINT) * scale_fp div 1000000"),
+    )
+    out_h = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr("CAST(height AS BIGINT) * scale_fp div 1000000"),
+    )
+    t2 = t.select(
+        "doc_id",
+        "width",
+        "height",
+        "scale_fp",
+        out_w.cast("int").alias("out_w"),
+        out_h.cast("int").alias("out_h"),
+    )
+    pad_w = F.lit(224) - F.col("out_w")
+    pad_h = F.lit(224) - F.col("out_h")
+    return t2.select(
+        "doc_id",
+        "width",
+        "height",
+        "scale_fp",
+        "out_w",
+        "out_h",
+        F.expr("CAST((224 - out_w) div 2 AS BIGINT)").alias("pad_left"),
+        (pad_w - F.expr("(224 - out_w) div 2"))
+        .cast("bigint")
+        .alias("pad_right"),
+        F.expr("CAST((224 - out_h) div 2 AS BIGINT)").alias("pad_top"),
+        (pad_h - F.expr("(224 - out_h) div 2"))
+        .cast("bigint")
+        .alias("pad_bottom"),
+        (
+            (F.col("out_w") * F.col("out_h")).cast("double") / 50176.0
+        ).alias("content_share"),
+    )

@@ -567,3 +567,77 @@ def streaming_leftouter_interval_join(
             "purchase_value",
         )
     )
+
+
+@_q(
+    "streaming_update_mode_topk",
+    """
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, n_events,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id)
+                  AS BIGINT) AS rnk
+      FROM counts
+    )
+    SELECT user_id, n_events, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def streaming_update_mode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode semantics graded end-to-end: the streaming per-user
+    event count emits CHANGED rows each micro-batch (update mode — the
+    low-latency alternative to complete-mode re-emission), a
+    foreachBatch sink appends every emission to a parquet capture, and
+    the final state per user is recovered as MAX(n_events) — correct
+    because a count is strictly monotone per user across batches (the
+    same recovery argument as the graded stateful-totals entry). The
+    global top-10 then ranks the recovered |users| state with a
+    deterministic (count desc, user_id) tie-break. The capture dir is
+    pre-seeded with an empty typed frame so a zero-row source still
+    reads back cleanly. State is O(|users|); the rank tier sees the
+    bounded recovered table, not the stream."""
+    from ..streaming import read_events_stream
+
+    sink_dir = tempfile.mkdtemp(prefix="upd_topk_") + "/capture"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_upd_topk_")
+    spark.createDataFrame(
+        [], "user_id bigint, n_events bigint"
+    ).write.mode("overwrite").parquet(sink_dir)
+    counts = (
+        read_events_stream(spark, sf_dir, glob="events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+
+    def _capture(batch_df, batch_id):
+        batch_df.select("user_id", "n_events").write.mode("append").parquet(
+            sink_dir
+        )
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(_capture)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = (
+        spark.read.parquet(sink_dir)
+        .groupBy("user_id")
+        .agg(F.max("n_events").cast("bigint").alias("n_events"))
+    )
+    from pyspark.sql import Window
+
+    ranked = state.select(
+        "user_id",
+        "n_events",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_events").desc(), "user_id"))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    out = ranked.filter(F.col("rnk") <= 10)
+    # materialize before temp cleanup; 10 rows
+    return out.localCheckpoint()

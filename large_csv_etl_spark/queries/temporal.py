@@ -914,3 +914,80 @@ def temporal_anti_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.join(matched, "event_id", "left_anti").select(
         "event_id", "user_id", "ts"
     )
+
+
+@_q(
+    "temporal_overlap_duration_matrix",
+    """
+    WITH iv AS (
+      SELECT o_orderstatus AS status,
+             MIN(CAST(o_orderdate AS DATE)) AS start_day,
+             MAX(CAST(o_orderdate AS DATE)) AS end_day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT a.status AS status_a, b.status AS status_b,
+           CAST(a.start_day AS DATE) AS start_a,
+           CAST(a.end_day AS DATE) AS end_a,
+           CAST(b.start_day AS DATE) AS start_b,
+           CAST(b.end_day AS DATE) AS end_b,
+           GREATEST(CAST(0 AS BIGINT),
+             CAST(LEAST(a.end_day, b.end_day)
+                  - GREATEST(a.start_day, b.start_day) AS BIGINT) + 1)
+             AS overlap_days,
+           CAST(a.end_day - a.start_day AS BIGINT) + 1 AS span_a_days,
+           CAST(b.end_day - b.start_day AS BIGINT) + 1 AS span_b_days
+    FROM iv a JOIN iv b ON a.status < b.status
+    """,
+)
+def temporal_overlap_duration_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise overlap DURATION matrix between per-status activity
+    intervals — the quantitative sibling of the graded Allen-relation
+    census (that entry names the relation; this one measures the shared
+    days). Intervals are [min, max] order date per status; overlap =
+    max(0, min(ends) - max(starts) + 1) in exact epoch-day arithmetic
+    (inclusive-day convention documented by the +1). The matrix joins
+    the k-row interval table against itself on the strict status order
+    — bounded by the status vocabulary, never by data rows."""
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.min("o_orderdate").alias("start_day"),
+            F.max("o_orderdate").alias("end_day"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    overlap = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.datediff(
+            F.least(F.col("a.end_day"), F.col("b.end_day")),
+            F.greatest(F.col("a.start_day"), F.col("b.start_day")),
+        ).cast("bigint")
+        + 1,
+    )
+    return a.join(b, F.col("a.status") < F.col("b.status")).select(
+        F.col("a.status").alias("status_a"),
+        F.col("b.status").alias("status_b"),
+        F.col("a.start_day").cast("date").alias("start_a"),
+        F.col("a.end_day").cast("date").alias("end_a"),
+        F.col("b.start_day").cast("date").alias("start_b"),
+        F.col("b.end_day").cast("date").alias("end_b"),
+        overlap.alias("overlap_days"),
+        (
+            F.datediff(F.col("a.end_day"), F.col("a.start_day")).cast(
+                "bigint"
+            )
+            + 1
+        ).alias("span_a_days"),
+        (
+            F.datediff(F.col("b.end_day"), F.col("b.start_day")).cast(
+                "bigint"
+            )
+            + 1
+        ).alias("span_b_days"),
+    )

@@ -5054,3 +5054,76 @@ def text_ngram_positional_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("total").cast("double"))
         ).alias("bias_z"),
     )
+
+
+@_q(
+    "graph_bipartite_projection",
+    """
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), capped AS (
+      SELECT cust, part,
+             ROW_NUMBER() OVER (PARTITION BY cust ORDER BY part) AS rn
+      FROM cp
+    ), kept AS (
+      SELECT cust, part FROM capped WHERE rn <= 16
+    )
+    SELECT a.part AS part_a, b.part AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_customers
+    FROM kept a JOIN kept b
+      ON a.cust = b.cust AND a.part < b.part
+    GROUP BY a.part, b.part
+    HAVING COUNT(*) >= 2
+    """,
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted one-mode projection of the customer-part bipartite
+    graph: part pairs weighted by the number of DISTINCT customers who
+    bought both — the cross-order co-purchase signal (the graded
+    market-basket entry counts within-order pairs; this one aggregates
+    a customer's whole history, which is what recommendation co-counts
+    actually use). The per-customer wedge is capped at the 16
+    lowest-numbered parts (the graph family's standing O(|V|*cap^2)
+    bound — an unbounded whale customer would otherwise emit
+    quadratically many pairs), and only edges with weight >= 2 surface
+    (weight-1 pairs are noise and dominate the raw projection). One
+    distinct pass, one bounded rank window per customer, one capped
+    self-join."""
+    cp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    capped = cp.select(
+        "cust",
+        "part",
+        F.row_number()
+        .over(Window.partitionBy("cust").orderBy("part"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 16)
+    capped = materialize_reduced(capped.select("cust", "part"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_customers"))
+        .filter(F.col("shared_customers") >= 2)
+    )
