@@ -1049,9 +1049,10 @@ def approx_reservoir_quantile_twin(spark: SparkSession, sf_dir: str) -> DataFram
     made engine-reproducible) estimates the nine deciles, and each
     estimate sits beside the exact type-1 cut with absolute and
     relative error. Both panels use the pinned interpolation-free
-    quantile machinery (distinct-value cum table + ceil-rank cut); at
-    100 TB the sample side is a top-k by hash (per-partition heaps),
-    never a global sort."""
+    quantile machinery (distinct-value cum table + ceil-rank cut); the
+    sample side is orderBy+limit — TakeOrderedAndProject per-partition
+    heaps, the plan shape that survives 100 TB (ADVICE r11 #2 replaced
+    the earlier full-table row_number window, which was one task)."""
     from pyspark.sql import Window
 
     from .helpers import phash60
@@ -1065,11 +1066,12 @@ def approx_reservoir_quantile_twin(spark: SparkSession, sf_dir: str) -> DataFram
             F.concat(F.lit("res:"), F.col("o_orderkey").cast("string"))
         ).alias("h"),
     )
-    wr = Window.orderBy("h", "o_orderkey")
+    # ADVICE r11 #2: the K lowest hash-ranked rows via orderBy+limit,
+    # which Catalyst compiles to TakeOrderedAndProject — per-partition
+    # top-K heaps merged at the driver, never a single-task global sort
+    # (a row_number window over the full table collapsed to one task).
     res = (
-        v.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= RESERVOIR_K)
-        .select("cents")
+        v.orderBy("h", "o_orderkey").limit(RESERVOIR_K).select("cents")
     )
 
     def decile_panel(side: DataFrame, out_col: str) -> DataFrame:

@@ -4483,11 +4483,12 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.cn AS common_neighbors,
            da.degree AS deg_a, db.degree AS deg_b,
            CAST(c.cn AS DOUBLE)
-           / CAST(da.degree + db.degree - c.cn AS DOUBLE) AS jaccard
+           / CAST(da.degree + db.degree - c.cn AS DOUBLE)
+             AS capped_jaccard
     FROM cand c
     JOIN deg da ON da.node = c.a
     JOIN deg db ON db.node = c.b
-    ORDER BY jaccard DESC, c.a, c.b LIMIT 50
+    ORDER BY capped_jaccard DESC, c.a, c.b LIMIT 50
     """,
 )
 def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4499,7 +4500,12 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     proportionally). Wedge generation reuses the graded 16-neighbor
     rank cap (O(|V| * cap^2), the 100 TB bound), full degrees come from
     the uncapped adjacency reduction, and the score is exact counts
-    with one division. Deterministic (jaccard, a, b) top-50."""
+    with one division. The column is named capped_jaccard (ADVICE r11
+    #3): the numerator counts common neighbors THROUGH the capped wedge
+    table while the union uses full degrees, so hub-adjacent pairs read
+    below their true coefficient — a deliberate, documented estimator,
+    not the exact metric. Deterministic (capped_jaccard, a, b)
+    top-50."""
     from pyspark.sql import Window
 
     from .helpers import materialize_reduced
@@ -4570,11 +4576,11 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
                 / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast(
                     "double"
                 )
-            ).alias("jaccard"),
+            ).alias("capped_jaccard"),
         )
     )
     return scored.orderBy(
-        F.desc("jaccard"), "part_a", "part_b"
+        F.desc("capped_jaccard"), "part_a", "part_b"
     ).limit(50)
 
 

@@ -1215,14 +1215,14 @@ def window_drawup_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_obv_flow",
     """
     WITH seq AS (
-      SELECT o_custkey AS custkey, o_orderkey,
+      SELECT o_custkey AS custkey, o_orderkey, o_orderdate,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
              LAG(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS prev
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey)
     ), flows AS (
-      SELECT custkey, o_orderkey, cents,
+      SELECT custkey, o_orderkey, o_orderdate, cents,
              CASE WHEN prev IS NULL THEN 0
                   WHEN cents > prev THEN cents
                   WHEN cents < prev THEN -cents
@@ -1232,7 +1232,7 @@ def window_drawup_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT custkey, o_orderkey, cents,
            CAST(flow AS BIGINT) AS flow,
            CAST(SUM(flow) OVER (PARTITION BY custkey
-             ORDER BY o_orderkey
+             ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS obv
     FROM flows
@@ -1246,10 +1246,11 @@ def window_obv_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve — the orders twin of the ticker indicator. Exact BIGINT
     end-to-end (sign picks, no float anywhere); one shuffle on the
     high-cardinality unskewed custkey, two window passes sharing it.
-    Ordering is pinned by (o_orderdate, o_orderkey); the cumulative
-    window re-orders by o_orderkey alone, which is equivalent on this
-    fixture (orderkeys are date-monotone per customer) and keeps the
-    oracle's sort key unique either way."""
+    BOTH window passes (the lag and the cumulative sum) order by the
+    same (o_orderdate, o_orderkey) key on both engine sides — ADVICE
+    r11 #1: the earlier o_orderkey-only cumulative order matched only
+    because the fixture's orderkeys are date-monotone per customer; a
+    regen without that property would silently change the indicator."""
     w = Window.partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     seq = load_table(spark, sf_dir, "orders").select(
@@ -1272,11 +1273,11 @@ def window_obv_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
     )
     flows = seq.select(
-        "custkey", "o_orderkey", "cents", flow.alias("flow")
+        "custkey", "o_orderkey", "o_orderdate", "cents", flow.alias("flow")
     )
     cw = (
         Window.partitionBy("custkey")
-        .orderBy("o_orderkey")
+        .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return flows.select(
