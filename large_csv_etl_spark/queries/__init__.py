@@ -78,69 +78,68 @@ _MODULES = [
 # composition tripwires red before the next rotation (ADVICE r9 #1).
 # Bump it with every rotation; a staleness test pins it to within one
 # round of the newest verdict file.
-WINDOW_GRADED_AS_OF = 10
+WINDOW_GRADED_AS_OF = 11
 
 GRADED_PRIORITY = [
-    # ---- round-11 window (VERDICT r10 asks #1-#3): the flagship
-    # re-grade, the 2-entry similarity backlog (sim_triplet_mining,
-    # sim_hubness_audit — the r10 deferral, forced in), and 47 of the 51
-    # round-11 additions. Deferred to round 12 (immediately after the
-    # window in the oracled-first sort): sim_centroid_drift_by_source,
-    # sim_dim_quantization_error, sim_jl_projection_audit,
-    # sim_nprobe_recall_sweep — one coherent family backlog, chosen so
-    # every OTHER family's new entries grade this round while similarity
-    # stays represented by the two backlog diagnostics.
+    # ---- round-12 window (VERDICT r11 asks #1-#3): the flagship
+    # re-grade, the 4-entry similarity backlog (centroid drift, dim
+    # quantization error, JL audit, nprobe sweep — the r11 deferral,
+    # forced in), and 45 of the 46 round-12 additions. Deferred to
+    # round 13 (immediately after the window in the oracled-first
+    # sort): sim_rank_displacement — chosen over deferring the sole
+    # never-graded multimodal entry, which would have left that family
+    # unrepresented while it still holds backlog (the family tripwire).
     # -- flagship re-grade (reference-parity transform core) --
     "etl_transform_parity",
-    "etl_scd3_previous_value",
-    "etl_gzip_csv_parity",
-    "etl_input_file_checksum_dedup",
-    "etl_bitemporal_asof",
-    "dq_schema_drift_diff",
-    "dq_candidate_key_audit",
-    "dq_volumetric_anomaly",
-    "temporal_anti_join_window",
-    "agg_kruskal_wallis",
-    "agg_anova_oneway",
-    "agg_cramers_v",
-    "agg_cohens_d",
-    "agg_mood_median_test",
-    "agg_wilcoxon_signed_rank",
-    "agg_weighted_correlation",
-    "agg_qq_deciles",
-    "window_bollinger_breakout",
-    "window_donchian_channel",
-    "window_drawup_symmetry",
-    "window_obv_flow",
-    "window_gap_zscore",
-    "window_ema_macd",
-    "approx_ams_f2_sketch",
-    "approx_reservoir_quantile_twin",
-    "events_stickiness_ratio",
-    "events_power_user_curve",
-    "events_ewma_control_chart",
-    "events_session_depth_quantiles",
-    "events_type_cooccurrence_lift",
-    "events_weekday_effect",
-    "sample_group_holdout_split",
-    "sample_inverse_frequency_weights",
-    "sample_sliding_window_backtest",
-    "streaming_leftouter_interval_join",
-    "text_mojibake_audit",
-    "text_markup_density",
-    "text_hapax_ratio",
-    "text_yule_k",
-    "text_sentence_length_stats",
-    "text_url_extraction_census",
-    "graph_degree_histogram",
-    "graph_jaccard_link_prediction",
-    "dedup_stopword_insensitive",
-    "dedup_url_canonical",
-    "dedup_cluster_embedding_dispersion",
-    "dedup_record_linkage_score",
-    "sim_triplet_mining",
-    "sim_hubness_audit",
-    "multimodal_tile_index",
+    "etl_scd6_hybrid",
+    "etl_currency_normalize_asof",
+    "etl_bom_encoding_csv",
+    "etl_multichar_delimiter",
+    "dq_null_rate_trend",
+    "dq_benford_second_digit",
+    "dq_psi_tvd_stability",
+    "temporal_overlap_duration_matrix",
+    "agg_jonckheere_terpstra",
+    "agg_friedman_test",
+    "agg_kendall_tau",
+    "agg_brown_forsythe",
+    "agg_mcnemar_paired",
+    "agg_theil_sen_banded",
+    "agg_gini_mean_difference",
+    "agg_two_sample_median_ci",
+    "agg_cusum_drift",
+    "window_aroon_indicator",
+    "window_stochastic_oscillator",
+    "window_price_percentile_rank",
+    "window_keltner_channel",
+    "window_streak_runs",
+    "window_underwater_duration",
+    "window_seasonal_decompose_daily",
+    "events_funnel_strict_order",
+    "events_type_transition_gini",
+    "events_hourly_type_correlation",
+    "events_cohort_week_retention_triangle",
+    "events_peak_concentration",
+    "events_value_by_depth",
+    "sample_quota_priority",
+    "streaming_update_mode_topk",
+    "text_vocab_coverage_curve",
+    "text_mattr_windowed_ttr",
+    "text_stopword_density_gate",
+    "text_casing_numeral_profile",
+    "text_duplicate_sentence_census",
+    "text_ngram_positional_bias",
+    "graph_bipartite_projection",
+    "dedup_bag_jaccard",
+    "dedup_sentence_containment",
+    "dedup_minhash_calibration_curve",
+    "sim_centroid_drift_by_source",
+    "sim_dim_quantization_error",
+    "sim_jl_projection_audit",
+    "sim_nprobe_recall_sweep",
+    "sim_intra_inter_label_margin",
+    "sim_dim_covariance_screen",
+    "multimodal_letterbox_plan",
 ]
 
 
