@@ -601,9 +601,12 @@ def streaming_update_mode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink_dir = tempfile.mkdtemp(prefix="upd_topk_") + "/capture"
     ckpt = tempfile.mkdtemp(prefix="ckpt_upd_topk_")
+    # repartition(1) guarantees a footer-bearing part file even for the
+    # zero-row seed (an empty 0-partition write leaves only _SUCCESS and
+    # the read-back cannot infer a schema)
     spark.createDataFrame(
         [], "user_id bigint, n_events bigint"
-    ).write.mode("overwrite").parquet(sink_dir)
+    ).repartition(1).write.mode("overwrite").parquet(sink_dir)
     counts = (
         read_events_stream(spark, sf_dir, glob="events.parquet")
         .groupBy("user_id")
