@@ -365,6 +365,36 @@ HEADLINE = [
     "multimodal_tile_index",
     "graph_jaccard_link_prediction",
     "graph_degree_histogram",
+    # round-12 representatives: one per new family wave
+    "agg_jonckheere_terpstra",
+    "agg_kendall_tau",
+    "agg_brown_forsythe",
+    "agg_theil_sen_banded",
+    "agg_cusum_drift",
+    "window_aroon_indicator",
+    "window_price_percentile_rank",
+    "window_seasonal_decompose_daily",
+    "events_funnel_strict_order",
+    "events_cohort_week_retention_triangle",
+    "events_value_by_depth",
+    "text_vocab_coverage_curve",
+    "text_mattr_windowed_ttr",
+    "text_duplicate_sentence_census",
+    "text_ngram_positional_bias",
+    "dedup_bag_jaccard",
+    "dedup_sentence_containment",
+    "sim_intra_inter_label_margin",
+    "sim_dim_covariance_screen",
+    "sim_rank_displacement",
+    "etl_scd6_hybrid",
+    "etl_currency_normalize_asof",
+    "dq_benford_second_digit",
+    "dq_psi_tvd_stability",
+    "sample_quota_priority",
+    "graph_bipartite_projection",
+    "temporal_overlap_duration_matrix",
+    "streaming_update_mode_topk",
+    "multimodal_letterbox_plan",
 ]
 
 
