@@ -621,5 +621,5 @@ def test_jaccard_link_prediction_bounds(spark):
     out = TEXT_QUERIES["graph_jaccard_link_prediction"](spark, SF_DIR).collect()
     assert 0 < len(out) <= 50
     for r in out:
-        assert 0.0 < r.jaccard <= 1.0
+        assert 0.0 < r.capped_jaccard <= 1.0
         assert r.common_neighbors <= min(r.deg_a, r.deg_b)
