@@ -2988,3 +2988,60 @@ def dedup_minhash_calibration_curve(
             ).alias("mean_exact_jaccard"),
         )
     )
+
+
+@_q(
+    "dedup_shingle_df_spectrum",
+    rf"""
+    WITH sh0 AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               AS shingle
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+            FROM documents WHERE TRIM(text) <> '') t
+      WHERE len(toks) >= 3
+    ), df AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+      FROM sh0 GROUP BY shingle
+    )
+    SELECT doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(doc_freq * COUNT(*) AS BIGINT) AS n_postings,
+           CASE WHEN doc_freq <= {MAX_SHINGLE_DF} THEN 1 ELSE 0 END
+             AS within_cap
+    FROM df GROUP BY doc_freq
+    """,
+)
+def dedup_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency spectrum of the trigram shingles feeding every
+    set-similarity entry: how many shingles occur in exactly k docs,
+    the posting mass at each frequency, and which frequencies the
+    MAX_SHINGLE_DF cap excludes — the empirical pricing of the cap (the
+    near-dup entries assert its NECESSITY; this measures what it
+    actually removes, which is how the threshold gets retuned on a new
+    corpus). Uses the SAME distinct-shingle construction as
+    dedup_ngram_jaccard so the spectrum describes exactly the postings
+    those entries join on. One shingle shuffle + one bounded
+    (|distinct df| rows) rollup; exact integers only."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    sh = shingle_rows(docs)
+    df = sh.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("doc_freq")
+    )
+    spectrum = df.groupBy("doc_freq").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    return spectrum.select(
+        "doc_freq",
+        "n_shingles",
+        (F.col("doc_freq") * F.col("n_shingles"))
+        .cast("bigint")
+        .alias("n_postings"),
+        F.when(F.col("doc_freq") <= MAX_SHINGLE_DF, 1)
+        .otherwise(0)
+        .alias("within_cap"),
+    )

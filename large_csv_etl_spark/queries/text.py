@@ -5133,3 +5133,62 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("shared_customers"))
         .filter(F.col("shared_customers") >= 2)
     )
+
+
+@_q(
+    "text_word_length_profile",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             LEAST(20, LENGTH(UNNEST(regexp_split_to_array(
+               TRIM(LOWER(text)), '\s+')))) AS len_bucket
+      FROM documents WHERE TRIM(text) <> ''
+    ), cnt AS (
+      SELECT source, CAST(len_bucket AS BIGINT) AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY source, len_bucket
+    ), tot AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total
+      FROM cnt GROUP BY source
+    )
+    SELECT c.source, c.len_bucket, c.n_tokens,
+           CAST(c.n_tokens AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+    FROM cnt c JOIN tot t ON t.source = c.source
+    """,
+)
+def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source word-length histogram (buckets 1..20, 20 = 20+ chars)
+    with within-source shares — the cheapest OCR/tokenization-noise
+    screen: merged-word artifacts pile mass into the top bucket while
+    over-split text collapses toward length 1-2. One explode + two
+    bounded hash aggs; LENGTH counts codepoints identically in both
+    engines (the round-10 mojibake verification); the share divides by
+    the structurally-positive source total."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token"),
+        )
+        .select(
+            "source",
+            F.least(F.lit(20), F.length("token"))
+            .cast("bigint")
+            .alias("len_bucket"),
+        )
+    )
+    cnt = tok.groupBy("source", "len_bucket").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("total")
+    )
+    return cnt.join(tot, "source").select(
+        "source",
+        "len_bucket",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double") / F.col("total").cast("double")
+        ).alias("share"),
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from .helpers import DEC, dsum, sql_dsum
+from .helpers import DEC, dsum, materialize_reduced, sql_dsum
 
 QUERIES = {}
 ORACLES = {}
@@ -2242,4 +2242,238 @@ def window_seasonal_decompose_daily(
             (F.col("n_all") > 0) & (ss_raw > 0.0),
             1.0 - (dd("q_all") - within) / ss_raw,
         ).alias("seasonal_strength"),
+    )
+
+
+# --- round 13 (pre-built in round 12): series-randomness and momentum ------
+
+
+@_q(
+    "agg_von_neumann_ratio",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS dollars
+      FROM orders GROUP BY 1
+    ), seq AS (
+      SELECT dollars,
+             dollars - LAG(dollars) OVER (ORDER BY day) AS diff
+      FROM daily
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dollars) AS BIGINT) AS sx,
+             CAST(SUM(dollars * dollars) AS BIGINT) AS sxx,
+             CAST(SUM(diff * diff) AS BIGINT) AS sdd,
+             CAST(COUNT(diff) AS BIGINT) AS n_diffs
+      FROM seq
+    )
+    SELECT n, n_diffs, sdd,
+           CASE WHEN n_diffs > 0
+                 AND CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n AS DOUBLE) > 0.0
+           THEN (CAST(sdd AS DOUBLE) / CAST(n_diffs AS DOUBLE))
+                / ((CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+           END AS von_neumann_ratio
+    FROM s
+    """,
+)
+def agg_von_neumann_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Von Neumann ratio (mean squared successive difference / variance)
+    of the daily revenue series — the randomness screen whose
+    expectation is 2 for an i.i.d. series, < 2 under positive serial
+    correlation (trending) and > 2 under alternation. Both moments are
+    exact BIGINTs on the DOLLAR lattice (cents^2 overflows int64 — the
+    standing budget), reduced in one pass + one lag window over the
+    |days|-bounded series; the ratio is a single fixed IEEE chain,
+    NULL-guarded for constant series and the single-day degenerate."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT) div 100"
+            ).alias("dollars")
+        )
+    )
+    w = Window.orderBy("day")
+    seq = daily.select(
+        "dollars",
+        (F.col("dollars") - F.lag("dollars").over(w)).alias("diff"),
+    )
+    s = seq.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dollars").cast("bigint").alias("sx"),
+        F.sum(F.col("dollars") * F.col("dollars"))
+        .cast("bigint")
+        .alias("sxx"),
+        F.sum(F.col("diff") * F.col("diff")).cast("bigint").alias("sdd"),
+        F.count("diff").cast("bigint").alias("n_diffs"),
+    )
+    nd = F.col("n").cast("double")
+    var_num = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+    )
+    return s.select(
+        "n",
+        "n_diffs",
+        "sdd",
+        F.when(
+            (F.col("n_diffs") > 0) & (var_num > 0.0),
+            (F.col("sdd").cast("double") / F.col("n_diffs").cast("double"))
+            / (var_num / nd),
+        ).alias("von_neumann_ratio"),
+    )
+
+
+@_q(
+    "agg_autocorr_lag_k",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS dollars
+      FROM orders GROUP BY 1
+    ), spine AS (SELECT UNNEST([1, 7, 28]) AS lag),
+    pairs AS (
+      SELECT s.lag, d1.dollars AS x, d2.dollars AS y
+      FROM daily d1
+      CROSS JOIN spine s
+      JOIN daily d2 ON d2.day = d1.day + CAST(s.lag AS INTEGER)
+    ), m AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n_pairs,
+           CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                 AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+           THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS autocorr
+    FROM m
+    """,
+)
+def agg_autocorr_lag_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at calendar lags 1, 7 and 28 —
+    the day-over-day persistence vs weekly vs monthly-cycle signal —
+    via the shifted-equi-join identity: each lag pairs day d with
+    d + lag (one date_add join over the |days| table per spine row,
+    never a window with data-dependent frames), then the centering-free
+    Pearson identity per lag: the MOMENTS are exact dollar-lattice
+    BIGINTs, and the n*Sxx - Sx^2 combination runs with each factor
+    cast to double (the products overflow int64 on this lattice — same
+    chain shape as agg_kendall_tau; identical IEEE text both engines).
+    Pairs-based estimator: means over the PAIRED subsets.
+    NULL-guarded degenerate variances. Three bounded joins + one 3-row
+    rollup."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT) div 100"
+            ).alias("dollars")
+        )
+    )
+    daily = materialize_reduced(daily)
+    left = daily.select(
+        "day",
+        F.col("dollars").alias("x"),
+        F.explode(F.array(F.lit(1), F.lit(7), F.lit(28))).alias("lag"),
+    )
+    right = daily.select(
+        F.col("day").alias("day2"), F.col("dollars").alias("y")
+    )
+    pairs = left.join(
+        right, F.expr("date_add(day, lag)") == F.col("day2")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    # cast-per-factor: n*sxx and sx^2 overflow BIGINT on the dollar
+    # lattice at sf0.01+ (the Kendall-tau chain shape); both engines run
+    # the identical double chain so parity holds without exact integers
+    def d(c):
+        return F.col(c).cast("double")
+
+    vx = d("n_pairs") * d("sxx") - d("sx") * d("sx")
+    vy = d("n_pairs") * d("syy") - d("sy") * d("sy")
+    num = d("n_pairs") * d("sxy") - d("sx") * d("sy")
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        F.when((vx > 0.0) & (vy > 0.0), num / F.sqrt(vx * vy)).alias(
+            "autocorr"
+        ),
+    )
+
+
+@_q(
+    "window_roc_momentum",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT day, cents,
+           CAST(cents - LAG(cents, 12) OVER (ORDER BY day) AS BIGINT)
+             AS momentum_cents,
+           CASE WHEN LAG(cents, 12) OVER (ORDER BY day) IS NOT NULL
+           THEN CAST(cents - LAG(cents, 12) OVER (ORDER BY day) AS DOUBLE)
+                / CAST(LAG(cents, 12) OVER (ORDER BY day) AS DOUBLE)
+           END AS roc_12
+    FROM daily
+    """,
+)
+def window_roc_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-period rate-of-change and raw momentum over daily revenue —
+    the simplest trend-strength pair (integer momentum = exact cents
+    delta; ROC = one division by the 12-back value, which is
+    structurally positive cents, NULL only on the warm-up rows where
+    the lag is missing). One lag window over the |days|-bounded
+    series; positions are series positions per the family convention."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    lag12 = F.lag("cents", 12).over(w)
+    return daily.select(
+        "day",
+        "cents",
+        (F.col("cents") - lag12).cast("bigint").alias("momentum_cents"),
+        F.when(
+            lag12.isNotNull(),
+            (F.col("cents") - lag12).cast("double") / lag12.cast("double"),
+        ).alias("roc_12"),
     )

@@ -901,3 +901,187 @@ def test_reservoir_twin_plan_is_top_k(spark):
     df = APPROX_QUERIES["approx_reservoir_quantile_twin"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- round-13 pre-builds (landed in round 12) -------------------------------
+
+
+def test_cochran_q_identity_fixture(spark):
+    """3 customers: always-active, 1995-only, never: C = (2,1,1),
+    T = 4, R = (3,1,0), Q = 2*(3*6 - 16)/(12 - 10) = 2."""
+    orders = [
+        _order(1, "O", 10.0, cust=1, year=1995),
+        _order(2, "O", 10.0, cust=1, year=1996),
+        _order(3, "O", 10.0, cust=1, year=1997),
+        _order(4, "O", 10.0, cust=2, year=1995),
+    ]
+    custs = [(1, 0.0, "B"), (2, 0.0, "B"), (3, 0.0, "B")]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, orders, d)
+        _customer_dir(spark, custs, d)
+        out = REL_QUERIES["agg_cochran_q"](spark, d).collect()[0]
+    assert (out["c95"], out["c96"], out["c97"], out["t"], out["sr2"]) == (
+        2, 1, 1, 4, 10,
+    )
+    assert abs(out["cochran_q"] - 2.0) < 1e-12
+
+
+def test_page_trend_perfect_order(spark):
+    """Every block ranks F < O < P: R2 = (10, 20, 30), l_x2 = 1*10 +
+    2*20 + 3*30 = 140, z = (140 - 120)/(2*sqrt(10)) — the maximum for
+    b = 5 blocks."""
+    rows = []
+    key = 0
+    for pri in range(5):
+        for price, status in ((1.0, "F"), (2.0, "O"), (3.0, "P")):
+            key += 1
+            rows.append(
+                (key, key, status, price, dt.datetime(1995, 1, 1),
+                 f"{pri + 1}-X")
+            )
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_page_trend_test"](spark, d).collect()[0]
+    import math
+
+    assert out["l_x2"] == 140
+    assert abs(out["page_z"] - 20.0 / (2.0 * math.sqrt(10.0))) < 1e-12
+
+
+def test_cliffs_delta_full_separation(spark):
+    """All F below all O: #(F>O) = 0, #(F<O) = n_f*n_o, delta = -1."""
+    rows = [_order(i, "F", float(i)) for i in (1, 2, 3)]
+    rows += [_order(i + 3, "O", float(i + 100)) for i in (1, 2, 3)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_cliffs_delta"](spark, d).collect()[0]
+    assert (out["gt"], out["lt"], out["ties"]) == (0, 9, 0)
+    assert abs(out["cliffs_delta"] + 1.0) < 1e-12
+
+
+def test_sign_test_counts(spark):
+    """Pairs: u1 up, u2 down, u3 tie, u4 not paired (1995 only):
+    n_pairs=3, z = (1-1)/sqrt(2) = 0."""
+    orders = [
+        _order(1, "O", 10.0, cust=1, year=1995),
+        _order(2, "O", 20.0, cust=1, year=1996),
+        _order(3, "O", 20.0, cust=2, year=1995),
+        _order(4, "O", 10.0, cust=2, year=1996),
+        _order(5, "O", 15.0, cust=3, year=1995),
+        _order(6, "O", 15.0, cust=3, year=1996),
+        _order(7, "O", 15.0, cust=4, year=1995),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, orders, d)
+        out = REL_QUERIES["agg_sign_test"](spark, d).collect()[0]
+    assert (out["n_pairs"], out["n_plus"], out["n_minus"], out["n_zero"]) \
+        == (3, 1, 1, 1)
+    assert abs(out["sign_z"]) < 1e-12
+
+
+def test_von_neumann_alternating_vs_trending(spark):
+    """A perfectly alternating series maximizes successive differences:
+    VN ratio lands above 2; a monotone ramp lands below 2."""
+    alt = [100.0 if i % 2 == 0 else 200.0 for i in range(20)]
+    ramp = [100.0 + 10.0 * i for i in range(20)]
+    results = {}
+    for name, series in (("alt", alt), ("ramp", ramp)):
+        rows = [
+            _order(i + 1, "O", p, day=i + 1) for i, p in enumerate(series)
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            _orders_dir(spark, rows, d)
+            results[name] = WIN_QUERIES["agg_von_neumann_ratio"](
+                spark, d
+            ).collect()[0]["von_neumann_ratio"]
+    assert results["alt"] > 2.0
+    assert results["ramp"] < 2.0
+
+
+def test_autocorr_weekly_cycle(spark):
+    """A pure 7-day-period series: lag-7 autocorrelation is exactly 1,
+    lag-1 is below it."""
+    rows = [
+        _order(i + 1, "O", 100.0 * ((i % 7) + 1), day=i + 1)
+        for i in range(28)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            r["lag"]: r["autocorr"]
+            for r in WIN_QUERIES["agg_autocorr_lag_k"](spark, d).collect()
+        }
+    assert abs(out[7] - 1.0) < 1e-9
+    assert out[1] < out[7]
+
+
+def test_roc_momentum_linear(spark):
+    """+$1/day linear series: momentum at lag 12 is exactly 1200 cents
+    on every warm row."""
+    rows = [_order(i, "O", 10.0 + i, day=i) for i in range(1, 20)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = WIN_QUERIES["window_roc_momentum"](spark, d).collect()
+    warm = [r for r in out if r["momentum_cents"] is not None]
+    assert warm and all(r["momentum_cents"] == 1200 for r in warm)
+    assert all(r["roc_12"] > 0 for r in warm)
+
+
+def test_new_vs_returning_split(spark):
+    """u1 active day 1 and 2; u2 active day 2 only: day 1 = 1 new,
+    day 2 = 1 new + 1 returning."""
+    rows = [
+        _event(1, 1, "view", 0, day=1),
+        _event(2, 1, "view", 0, day=2),
+        _event(3, 2, "view", 0, day=2),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r["day"].isoformat(): r
+            for r in EVENT_QUERIES["events_new_vs_returning"](
+                spark, d
+            ).collect()
+        }
+    assert out["2024-01-01"]["new_users"] == 1
+    assert out["2024-01-01"]["returning_users"] == 0
+    assert out["2024-01-02"]["new_users"] == 1
+    assert out["2024-01-02"]["returning_users"] == 1
+
+
+def test_word_length_profile_buckets(spark):
+    """Tokens of lengths 1, 5 and 25 land in buckets 1, 5 and 20 (the
+    20+ cap), with shares summing to 1 per source."""
+    docs = [_doc(1, "a hello " + "x" * 25)]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, docs, d)
+        out = {
+            r["len_bucket"]: r
+            for r in TEXT_QUERIES["text_word_length_profile"](
+                spark, d
+            ).collect()
+        }
+    assert set(out) == {1, 5, 20}
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_shingle_df_spectrum_mass(spark):
+    """Three docs sharing one trigram: that shingle has df=3; unique
+    shingles have df=1; posting mass = df * n_shingles per row."""
+    shared = "c1 c2 c3"
+    docs = [
+        _doc(1, f"{shared} a1 a2"),
+        _doc(2, f"{shared} b1 b2"),
+        _doc(3, f"{shared} d1 d2"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, docs, d)
+        out = {
+            r["doc_freq"]: r
+            for r in DEDUP_QUERIES["dedup_shingle_df_spectrum"](
+                spark, d
+            ).collect()
+        }
+    assert out[3]["n_shingles"] == 1 and out[3]["n_postings"] == 3
+    assert out[1]["n_shingles"] > 0
+    assert all(r["within_cap"] == 1 for r in out.values())
