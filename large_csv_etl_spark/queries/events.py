@@ -4708,3 +4708,90 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_share"
         ),
     )
+
+
+@_q(
+    "events_weekend_lift",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    keyed AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CASE WHEN (CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) + 3) % 7 >= 5
+                  THEN 1 ELSE 0 END AS is_weekend
+      FROM ev
+    ), per_type AS (
+      SELECT event_type,
+             CAST(SUM(is_weekend) AS BIGINT) AS we_events,
+             CAST(COUNT(*) - SUM(is_weekend) AS BIGINT) AS wd_events,
+             CAST(COUNT(DISTINCT CASE WHEN is_weekend = 1 THEN day END)
+                  AS BIGINT) AS we_days,
+             CAST(COUNT(DISTINCT CASE WHEN is_weekend = 0 THEN day END)
+                  AS BIGINT) AS wd_days
+      FROM keyed GROUP BY event_type
+    )
+    SELECT event_type, we_events, wd_events, we_days, wd_days,
+           CASE WHEN we_days > 0 AND wd_days > 0 AND wd_events > 0 THEN
+             (CAST(we_events AS DOUBLE) / CAST(we_days AS DOUBLE))
+             / (CAST(wd_events AS DOUBLE) / CAST(wd_days AS DOUBLE))
+           END AS weekend_lift
+    FROM per_type
+    """,
+)
+def events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday volume lift per event type: daily-rate ratio
+    (events per active weekend day over events per active weekday),
+    the seasonality screen that separates leisure-shaped types from
+    work-shaped ones. Weekend = portable epoch-day formula
+    ((epoch_day + 3) mod 7 >= 5, i.e. Saturday/Sunday with Monday = 0
+    — the same dow contract as the weekday-decomposition entry).
+    Active-day normalization uses DISTINCT day counts per class, so a
+    fixture span that clips a weekend is handled exactly; the ratio is
+    one fixed chain, NULL-guarded for absent classes. One pass + one
+    bounded per-type rollup."""
+    dow = (
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint")
+        + 3
+    ) % 7
+    keyed = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.when(dow >= 5, 1).otherwise(0).alias("is_weekend"),
+    )
+    per_type = keyed.groupBy("event_type").agg(
+        F.sum("is_weekend").cast("bigint").alias("we_events"),
+        (F.count("*") - F.sum("is_weekend"))
+        .cast("bigint")
+        .alias("wd_events"),
+        F.countDistinct(
+            F.when(F.col("is_weekend") == 1, F.col("day"))
+        )
+        .cast("bigint")
+        .alias("we_days"),
+        F.countDistinct(
+            F.when(F.col("is_weekend") == 0, F.col("day"))
+        )
+        .cast("bigint")
+        .alias("wd_days"),
+    )
+    we_rate = F.col("we_events").cast("double") / F.col("we_days").cast(
+        "double"
+    )
+    wd_rate = F.col("wd_events").cast("double") / F.col("wd_days").cast(
+        "double"
+    )
+    return per_type.select(
+        "event_type",
+        "we_events",
+        "wd_events",
+        "we_days",
+        "wd_days",
+        F.when(
+            (F.col("we_days") > 0)
+            & (F.col("wd_days") > 0)
+            & (F.col("wd_events") > 0),
+            we_rate / wd_rate,
+        ).alias("weekend_lift"),
+    )

@@ -2477,3 +2477,77 @@ def window_roc_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") - lag12).cast("double") / lag12.cast("double"),
         ).alias("roc_12"),
     )
+
+
+@_q(
+    "window_flat_day_rle",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ), moves AS (
+      SELECT day,
+             CASE WHEN n = LAG(n) OVER (ORDER BY day) THEN 1 ELSE 0 END
+               AS flat,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily
+    ), flagged AS (
+      SELECT day, rn,
+             ROW_NUMBER() OVER (ORDER BY day) AS rf
+      FROM moves WHERE flat = 1
+    ), runs AS (
+      SELECT rn - rf AS grp, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM flagged GROUP BY rn - rf
+    )
+    SELECT run_len,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(run_len * COUNT(*) AS BIGINT) AS flat_days
+    FROM runs GROUP BY run_len
+    """,
+)
+def window_flat_day_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of FLAT days (daily order count unchanged
+    from the previous day) — the stuck-feed screen: a healthy feed's
+    counts wiggle, a wedged upstream repeats yesterday's number, and
+    consecutive flat days are exactly what this histogram surfaces.
+    The streak-runs gaps-and-islands machinery applied to the EXCLUDED
+    zero-delta class (counts, not revenue — integer counts actually
+    tie day-over-day, so the operator exercises non-trivially on the
+    fixture). Exact integers, bounded |distinct run length| output."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.orderBy("day")
+    # rn is the position in the FULL series (computed BEFORE the flat
+    # filter — island grouping on a post-filter row_number degenerates
+    # to one giant run; caught by inspecting the sf0.01 output during
+    # the build); rf is the position within the flat subsequence.
+    moves = daily.select(
+        "day",
+        F.when(F.col("n") == F.lag("n").over(w), 1).otherwise(0).alias(
+            "flat"
+        ),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("flat") == 1)
+    flagged = moves.select(
+        "day",
+        "rn",
+        F.row_number().over(Window.orderBy("day")).alias("rf"),
+    )
+    runs = flagged.groupBy((F.col("rn") - F.col("rf")).alias("grp")).agg(
+        F.count("*").cast("bigint").alias("run_len")
+    )
+    return (
+        runs.groupBy("run_len")
+        .agg(F.count("*").cast("bigint").alias("n_runs"))
+        .select(
+            "run_len",
+            "n_runs",
+            (F.col("run_len") * F.col("n_runs"))
+            .cast("bigint")
+            .alias("flat_days"),
+        )
+    )

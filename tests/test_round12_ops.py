@@ -1085,3 +1085,43 @@ def test_shingle_df_spectrum_mass(spark):
     assert out[3]["n_shingles"] == 1 and out[3]["n_postings"] == 3
     assert out[1]["n_shingles"] > 0
     assert all(r["within_cap"] == 1 for r in out.values())
+
+
+def test_flat_day_rle_islands(spark):
+    """Counts 2,2,5,5,5,9: flat days at positions 2 (2=2), 4 and 5
+    (5=5): one run of 1 and one run of 2."""
+    rows = []
+    key = 0
+    counts = [2, 2, 5, 5, 5, 9]
+    for day, n in enumerate(counts, start=1):
+        for _ in range(n):
+            key += 1
+            rows.append(_order(key, "O", 10.0, day=day))
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            r["run_len"]: r["n_runs"]
+            for r in WIN_QUERIES["window_flat_day_rle"](spark, d).collect()
+        }
+    assert out == {1: 1, 2: 1}
+
+
+def test_weekend_lift_planted(spark):
+    """10 events/day on 2 weekend days vs 5/day on 5 weekdays: lift = 2
+    exactly. 2024-01-06/07 are Sat/Sun; 08-12 are Mon-Fri."""
+    rows = []
+    eid = 0
+    for day in (6, 7):
+        for i in range(10):
+            eid += 1
+            rows.append(_event(eid, 1, "view", i, day=day))
+    for day in range(8, 13):
+        for i in range(5):
+            eid += 1
+            rows.append(_event(eid, 1, "view", i, day=day))
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = EVENT_QUERIES["events_weekend_lift"](spark, d).collect()[0]
+    assert (out["we_events"], out["wd_events"]) == (20, 25)
+    assert (out["we_days"], out["wd_days"]) == (2, 5)
+    assert abs(out["weekend_lift"] - 2.0) < 1e-12
