@@ -4795,3 +4795,77 @@ def events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             we_rate / wd_rate,
         ).alias("weekend_lift"),
     )
+
+
+@_q(
+    "events_time_to_first_purchase",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               AS t_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t_purchase
+      FROM ev GROUP BY user_id
+    ), lat AS (
+      SELECT (t_purchase - t_signup) // 3600000000 AS hour_bucket
+      FROM firsts
+      WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase > t_signup
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_converted FROM lat)
+    SELECT CAST(l.hour_bucket AS BIGINT) AS hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / CAST(t.n_converted AS DOUBLE)
+             AS share
+    FROM lat l CROSS JOIN tot t
+    GROUP BY l.hour_bucket, t.n_converted
+    """,
+)
+def events_time_to_first_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signup-to-first-purchase latency distribution at hour grain — the
+    activation-speed curve: each converting user (first purchase
+    STRICTLY after first signup, both via conditional MINs — the
+    strict-funnel convention) contributes its latency's hour bucket
+    (exact integer epoch-micros arithmetic, nonnegative so the integer
+    division is floor==trunc in both engines). Shares divide by the
+    converted-user total, structurally positive whenever rows exist.
+    One user_id shuffle + one bounded histogram rollup."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", us)
+            ).alias("t_signup"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", us)
+            ).alias("t_purchase"),
+        )
+    )
+    lat = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_signup"))
+    ).select(
+        F.expr("(t_purchase - t_signup) div 3600000000").alias(
+            "hour_bucket"
+        )
+    )
+    tot = lat.agg(F.count("*").cast("bigint").alias("n_converted"))
+    return (
+        lat.crossJoin(F.broadcast(tot))
+        .groupBy("hour_bucket", "n_converted")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(
+            F.col("hour_bucket").cast("bigint").alias("hour_bucket"),
+            "n_users",
+            (
+                F.col("n_users").cast("double")
+                / F.col("n_converted").cast("double")
+            ).alias("share"),
+        )
+    )

@@ -1125,3 +1125,28 @@ def test_weekend_lift_planted(spark):
     assert (out["we_events"], out["wd_events"]) == (20, 25)
     assert (out["we_days"], out["wd_days"]) == (2, 5)
     assert abs(out["weekend_lift"] - 2.0) < 1e-12
+
+
+def test_time_to_first_purchase_buckets(spark):
+    """u1 converts in 30 min (bucket 0), u2 in 25 hours (bucket 25),
+    u3 purchases BEFORE signing up (excluded), u4 never converts."""
+    rows = [
+        _event(1, 1, "signup", 0, hour=0),
+        _event(2, 1, "purchase", 30, hour=0),
+        _event(3, 2, "signup", 0, hour=0, day=1),
+        _event(4, 2, "purchase", 0, hour=1, day=2),
+        _event(5, 3, "purchase", 0, hour=0),
+        _event(6, 3, "signup", 0, hour=1),
+        _event(7, 4, "signup", 0, hour=0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r["hour_bucket"]: r
+            for r in EVENT_QUERIES["events_time_to_first_purchase"](
+                spark, d
+            ).collect()
+        }
+    assert set(out) == {0, 25}
+    assert out[0]["n_users"] == 1 and out[25]["n_users"] == 1
+    assert abs(out[0]["share"] - 0.5) < 1e-12
