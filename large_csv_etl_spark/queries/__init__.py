@@ -78,68 +78,66 @@ _MODULES = [
 # composition tripwires red before the next rotation (ADVICE r9 #1).
 # Bump it with every rotation; a staleness test pins it to within one
 # round of the newest verdict file.
-WINDOW_GRADED_AS_OF = 11
+WINDOW_GRADED_AS_OF = 12
 
 GRADED_PRIORITY = [
-    # ---- round-12 window (VERDICT r11 asks #1-#3): the flagship
-    # re-grade, the 4-entry similarity backlog (centroid drift, dim
-    # quantization error, JL audit, nprobe sweep — the r11 deferral,
-    # forced in), and 45 of the 46 round-12 additions. Deferred to
-    # round 13 (immediately after the window in the oracled-first
-    # sort): sim_rank_displacement — chosen over deferring the sole
-    # never-graded multimodal entry, which would have left that family
-    # unrepresented while it still holds backlog (the family tripwire).
-    # -- flagship re-grade (reference-parity transform core) --
+    # ---- round-13 window (VERDICT r12 ask #1): the flagship re-grade,
+    # then ALL 14 never-graded backlog entries (the 13 round-12
+    # pre-builds + the r12 sim_rank_displacement deferral), then 35
+    # regression re-grades ordered stalest-first (r2-r5 era) with the
+    # gen_window.py family-representation rule applied. Never-graded
+    # backlog after this rotation: 0 (round-13 builds land AFTER this
+    # window ships and queue for round 14).
     "etl_transform_parity",
-    "etl_scd6_hybrid",
-    "etl_currency_normalize_asof",
-    "etl_bom_encoding_csv",
-    "etl_multichar_delimiter",
-    "dq_null_rate_trend",
-    "dq_benford_second_digit",
-    "dq_psi_tvd_stability",
-    "temporal_overlap_duration_matrix",
-    "agg_jonckheere_terpstra",
-    "agg_friedman_test",
-    "agg_kendall_tau",
-    "agg_brown_forsythe",
-    "agg_mcnemar_paired",
-    "agg_theil_sen_banded",
-    "agg_gini_mean_difference",
-    "agg_two_sample_median_ci",
-    "agg_cusum_drift",
-    "window_aroon_indicator",
-    "window_stochastic_oscillator",
-    "window_price_percentile_rank",
-    "window_keltner_channel",
-    "window_streak_runs",
-    "window_underwater_duration",
-    "window_seasonal_decompose_daily",
-    "events_funnel_strict_order",
-    "events_type_transition_gini",
-    "events_hourly_type_correlation",
-    "events_cohort_week_retention_triangle",
-    "events_peak_concentration",
-    "events_value_by_depth",
-    "sample_quota_priority",
-    "streaming_update_mode_topk",
-    "text_vocab_coverage_curve",
-    "text_mattr_windowed_ttr",
-    "text_stopword_density_gate",
-    "text_casing_numeral_profile",
-    "text_duplicate_sentence_census",
-    "text_ngram_positional_bias",
-    "graph_bipartite_projection",
-    "dedup_bag_jaccard",
-    "dedup_sentence_containment",
-    "dedup_minhash_calibration_curve",
-    "sim_centroid_drift_by_source",
-    "sim_dim_quantization_error",
-    "sim_jl_projection_audit",
-    "sim_nprobe_recall_sweep",
-    "sim_intra_inter_label_margin",
-    "sim_dim_covariance_screen",
-    "multimodal_letterbox_plan",
+    "agg_cochran_q",
+    "agg_page_trend_test",
+    "agg_cliffs_delta",
+    "agg_sign_test",
+    "agg_von_neumann_ratio",
+    "agg_autocorr_lag_k",
+    "window_roc_momentum",
+    "window_flat_day_rle",
+    "events_new_vs_returning",
+    "events_weekend_lift",
+    "events_time_to_first_purchase",
+    "text_word_length_profile",
+    "dedup_shingle_df_spectrum",
+    "sim_rank_displacement",
+    "q19_disjunctive_predicates",
+    "q2_min_cost_per_type",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q7_nation_pair_volume",
+    "scalar_array_functions",
+    "scalar_conditional_case",
+    "scalar_date_functions",
+    "scalar_math_functions",
+    "scalar_string_functions",
+    "setop_union_all_counts",
+    "subquery_scalar_above_avg",
+    "window_distribution_functions",
+    "window_first_last_value",
+    "window_lag_lead_delta",
+    "window_moving_avg_frame",
+    "window_range_frame_sum",
+    "window_rank_variants",
+    "window_topk_orders_per_customer",
+    "dedup_clusters",
+    "dedup_embedding_neardup",
+    "dedup_eval_decontamination",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_ngram_jaccard",
+    "grouping_sets_status_priority",
+    "join_left_anti_semi",
+    "multimodal_payload_stats",
+    "q17_small_quantity_revenue",
+    "sample_hash_uniform",
+    "sample_mixture_weighted",
+    "dq_expectations_orders",
+    "asof_join_with_ttl",
+    "agg_mode_by_group",
+    "streaming_click_attribution",
 ]
 
 
