@@ -2551,3 +2551,495 @@ def window_flat_day_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("flat_days"),
         )
     )
+
+
+# --- round 13: oscillator mirror, composed EMA, drawdown stress, runs -----
+
+
+_DAILY_CENTS_SQL = """
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared daily-revenue-cents series (the family's spine)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+
+
+@_q(
+    "window_williams_r",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), frames AS (
+      SELECT day, cents,
+             MIN(cents) OVER w AS lo14,
+             MAX(cents) OVER w AS hi14,
+             COUNT(*) OVER w AS frame_n
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), fp AS (
+      SELECT day, cents,
+             CASE WHEN frame_n = 14 AND hi14 > lo14
+                  THEN CAST(round(100.0 * CAST(hi14 - cents AS DOUBLE)
+                        / CAST(hi14 - lo14 AS DOUBLE) * 1000000000.0)
+                       AS BIGINT)
+             END AS r_fp,
+             CASE WHEN frame_n = 14 AND hi14 > lo14
+                  THEN CAST(round(100.0 * CAST(cents - lo14 AS DOUBLE)
+                        / CAST(hi14 - lo14 AS DOUBLE) * 1000000000.0)
+                       AS BIGINT)
+             END AS k_fp
+      FROM frames
+    )
+    SELECT day, cents,
+           CAST(r_fp AS DOUBLE) / 1000000000.0 AS pct_r,
+           CAST(k_fp AS DOUBLE) / 1000000000.0 AS pct_k,
+           CASE WHEN COUNT(k_fp) OVER d = 3
+                THEN CAST(3 * k_fp - SUM(k_fp) OVER d AS DOUBLE)
+                     / 3.0 / 1000000000.0
+           END AS kd_div
+    FROM fp
+    WINDOW d AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R over daily revenue — the stochastic oscillator's
+    mirror from the SAME exact integer 14-row frame extremes (%R =
+    100*(hi14 - close)/(hi14 - lo14); %R + %K = 100 by construction),
+    bundled with the %K - %D divergence (kd_div = (3*k_fp - sum3
+    k_fp)/3e9, exact integers up to one division) that makes the pair
+    a crossover signal rather than a re-label. NULL on warm-up rows
+    and flat frames (ANSI totality); both divisions are single IEEE
+    chains on exact integers snapped to the 1e-9 lattice. Two window
+    passes over the |days|-bounded series."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    frames = daily.select(
+        "day",
+        "cents",
+        F.min("cents").over(w).alias("lo14"),
+        F.max("cents").over(w).alias("hi14"),
+        F.count("*").over(w).alias("frame_n"),
+    )
+    full = (F.col("frame_n") == 14) & (F.col("hi14") > F.col("lo14"))
+    rng = (F.col("hi14") - F.col("lo14")).cast("double")
+    fp = frames.select(
+        "day",
+        "cents",
+        F.when(
+            full,
+            F.round(
+                100.0
+                * (F.col("hi14") - F.col("cents")).cast("double")
+                / rng
+                * 1000000000.0,
+                0,
+            ).cast("bigint"),
+        ).alias("r_fp"),
+        F.when(
+            full,
+            F.round(
+                100.0
+                * (F.col("cents") - F.col("lo14")).cast("double")
+                / rng
+                * 1000000000.0,
+                0,
+            ).cast("bigint"),
+        ).alias("k_fp"),
+    )
+    d = Window.orderBy("day").rowsBetween(-2, 0)
+    return fp.select(
+        "day",
+        "cents",
+        (F.col("r_fp").cast("double") / 1000000000.0).alias("pct_r"),
+        (F.col("k_fp").cast("double") / 1000000000.0).alias("pct_k"),
+        F.when(
+            F.count("k_fp").over(d) == 3,
+            (3 * F.col("k_fp") - F.sum("k_fp").over(d)).cast("double")
+            / 3.0
+            / 1000000000.0,
+        ).alias("kd_div"),
+    )
+
+
+def _trix_weights(span: int, horizon: int) -> list[int]:
+    """Integer weights of the TRIPLE-convolved EMA(span) kernel,
+    w3[k] = round((k+1)(k+2)/2 * (1-alpha)^k * 2^20) with alpha =
+    2/(span+1) — the closed form of geometric-decay convolved with
+    itself twice. Computed once at import into shared literals (the
+    round-10 no-runtime-libm prescription); at span=15 / horizon=90
+    the truncated kernel keeps 99.95% of the mass (sum 536,623,888)
+    and max_cents(1e10) * sum_weights = 5.4e18 < 2^63, so the BIGINT
+    accumulator holds (round-12 prototype, ROADMAP_r13 #13)."""
+    decay = 1.0 - 2.0 / (span + 1)
+    return [
+        round((k + 1) * (k + 2) // 2 * decay**k * (1 << 20))
+        for k in range(horizon)
+    ]
+
+
+_TRIX_W = _trix_weights(15, 90)
+_TRIX_NUM, _TRIX_DEN = _ema_sql(_TRIX_W)
+
+
+@_q(
+    "window_trix_indicator",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), terms AS (
+      SELECT day, cents,
+             {_TRIX_NUM} AS num,
+             {_TRIX_DEN} AS den
+      FROM daily
+      WINDOW w AS (ORDER BY day)
+    ), lagged AS (
+      SELECT day, cents, num, den,
+             LAG(num) OVER (ORDER BY day) AS lnum,
+             LAG(den) OVER (ORDER BY day) AS lden
+      FROM terms
+    )
+    SELECT day, cents,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS t3_dollars,
+           CASE WHEN lnum IS NOT NULL THEN
+             10000.0 * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                        - CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE))
+             / (CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE))
+           END AS trix
+    FROM lagged
+    """,
+)
+def window_trix_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX (1e4-scaled one-period ROC of the triple-smoothed EMA(15))
+    over daily revenue. The triple EMA is NOT three passes: it
+    collapses to ONE windowed integer dot product with the
+    triple-convolved kernel (k+1)(k+2)/2 * decay^k, precomputed as
+    integer literals shared by both engine sides (_trix_weights). The
+    single-kernel form renormalizes ONCE over present-weight mass on
+    warm-up rows — a documented definitional choice (composing three
+    independently-renormalized EMAs differs there; both engines share
+    this definition so parity is by construction, round-12 prototype).
+    T_t and T_{t-1} are ratios of exact BIGINTs; TRIX is one fixed
+    IEEE chain on them, NULL on the first row only (num > 0
+    structurally: cents > 0 and w0 > 0). One window pass over the
+    |days|-bounded series."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k, wt in enumerate(_TRIX_W):
+        lagged = F.col("cents") if k == 0 else F.lag("cents", k).over(w)
+        num = num + F.coalesce(lagged * wt, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), wt).otherwise(0)
+    terms = daily.select(
+        "day", "cents", num.alias("num"), den.alias("den")
+    )
+    lg = terms.select(
+        "day",
+        "cents",
+        "num",
+        "den",
+        F.lag("num").over(Window.orderBy("day")).alias("lnum"),
+        F.lag("den").over(Window.orderBy("day")).alias("lden"),
+    )
+    t = F.col("num").cast("double") / F.col("den").cast("double")
+    lt = F.col("lnum").cast("double") / F.col("lden").cast("double")
+    return lg.select(
+        "day",
+        "cents",
+        (t / 100.0).alias("t3_dollars"),
+        F.when(F.col("lnum").isNotNull(), 10000.0 * (t - lt) / lt).alias(
+            "trix"
+        ),
+    )
+
+
+@_q(
+    "window_ulcer_index",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), dd AS (
+      SELECT day, cents,
+             MAX(cents) OVER p AS peak_cents,
+             CAST(round(100.0
+                   * CAST(MAX(cents) OVER p - cents AS DOUBLE)
+                   / CAST(MAX(cents) OVER p AS DOUBLE)
+                   * 1000000.0) AS BIGINT) AS dd_fp
+      FROM daily
+      WINDOW p AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT day, cents, peak_cents,
+           CAST(dd_fp AS DOUBLE) / 1000000.0 AS dd_pct,
+           CASE WHEN COUNT(*) OVER f = 14 THEN
+             SQRT(CAST(SUM(dd_fp * dd_fp) OVER f AS DOUBLE) / 14.0)
+             / 1000000.0
+           END AS ulcer_14
+    FROM dd
+    WINDOW f AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day Ulcer Index over daily revenue: RMS of the drawdown
+    percentage from the running peak. Each row's drawdown pct is ONE
+    IEEE divide against the running-peak integer (peak > 0
+    structurally) snapped to the 1e-6 percent lattice (dd_fp <= 1e8,
+    so dd_fp^2 <= 1e16 and the 14-row frame sum of squares stays well
+    inside BIGINT — the lattice is chosen exactly for that budget);
+    the frame mean-of-squares is then an exact integer sum with one
+    final division + sqrt. NULL on warm-up rows (frame < 14). Two
+    window passes (running peak, then RMS frame) over the
+    |days|-bounded series."""
+    daily = _daily_cents(spark, sf_dir)
+    p = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max("cents").over(p)
+    dd = daily.select(
+        "day",
+        "cents",
+        peak.alias("peak_cents"),
+        F.round(
+            100.0
+            * (peak - F.col("cents")).cast("double")
+            / peak.cast("double")
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("dd_fp"),
+    )
+    f = Window.orderBy("day").rowsBetween(-13, 0)
+    return dd.select(
+        "day",
+        "cents",
+        "peak_cents",
+        (F.col("dd_fp").cast("double") / 1000000.0).alias("dd_pct"),
+        F.when(
+            F.count("*").over(f) == 14,
+            F.sqrt(
+                F.sum(F.col("dd_fp") * F.col("dd_fp")).over(f).cast("double")
+                / 14.0
+            )
+            / 1000000.0,
+        ).alias("ulcer_14"),
+    )
+
+
+@_q(
+    "window_threshold_reversal_count",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), flags AS (
+      SELECT day, cents,
+             CASE WHEN COUNT(*) OVER w = 20
+                   AND cents * 100 <= MAX(cents) OVER w * 95
+                  THEN 1 ELSE 0 END AS drop_rev,
+             CASE WHEN COUNT(*) OVER w = 20
+                   AND cents * 100 >= MIN(cents) OVER w * 105
+                  THEN 1 ELSE 0 END AS rise_rev
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(drop_rev) AS BIGINT) AS drop_reversals,
+           CAST(SUM(rise_rev) AS BIGINT) AS rise_reversals
+    FROM flags GROUP BY 1
+    """,
+)
+def window_threshold_reversal_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly count of >=5% reversals from the trailing 20-day frame
+    extremum — the STATELESS sibling of zigzag pivots (the recursive
+    pivot-anchored form has no prefix-scan identity; round-12
+    prototype, ROADMAP_r13 #15 recommendation (b)). A day is a drop
+    reversal when close*100 <= hi20*95 (integer cross-multiply, no
+    division anywhere) and a rise reversal when close*100 >= lo20*105;
+    warm-up frames (<20 rows) are structurally excluded by the
+    COUNT(*)=20 gate, keeping ANSI totality trivial. One window pass +
+    one bounded month rollup."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-19, 0)
+    full = F.count("*").over(w) == 20
+    flags = daily.select(
+        "day",
+        F.when(
+            full & (F.col("cents") * 100 <= F.max("cents").over(w) * 95), 1
+        )
+        .otherwise(0)
+        .alias("drop_rev"),
+        F.when(
+            full & (F.col("cents") * 100 >= F.min("cents").over(w) * 105), 1
+        )
+        .otherwise(0)
+        .alias("rise_rev"),
+    )
+    return (
+        flags.groupBy(F.date_trunc("month", "day").cast("date").alias("month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("drop_rev").cast("bigint").alias("drop_reversals"),
+            F.sum("rise_rev").cast("bigint").alias("rise_reversals"),
+        )
+    )
+
+
+@_q(
+    "window_volume_price_corr",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS dollars
+      FROM orders GROUP BY 1
+    ), sums AS (
+      SELECT day, n_orders, dollars,
+             COUNT(*) OVER w AS fn,
+             SUM(n_orders) OVER w AS sc,
+             SUM(dollars) OVER w AS sr,
+             SUM(n_orders * n_orders) OVER w AS scc,
+             SUM(dollars * dollars) OVER w AS srr,
+             SUM(n_orders * dollars) OVER w AS scr
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n_orders, dollars,
+           CASE WHEN fn = 30
+                 AND CAST(fn AS DOUBLE) * CAST(scc AS DOUBLE)
+                     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) > 0.0
+                 AND CAST(fn AS DOUBLE) * CAST(srr AS DOUBLE)
+                     - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) > 0.0
+           THEN (CAST(fn AS DOUBLE) * CAST(scr AS DOUBLE)
+                 - CAST(sc AS DOUBLE) * CAST(sr AS DOUBLE))
+                / SQRT((CAST(fn AS DOUBLE) * CAST(scc AS DOUBLE)
+                        - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                       * (CAST(fn AS DOUBLE) * CAST(srr AS DOUBLE)
+                          - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)))
+           END AS vol_price_corr
+    FROM sums
+    """,
+)
+def window_volume_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day Pearson correlation between daily order count
+    and daily revenue — the rolling-correlation shape at window grain:
+    six exact integer frame sums (revenue on the DOLLAR lattice so
+    dollars^2 <= 1e16 stays inside BIGINT over the 30-row frame — the
+    agg_autocorr_lag_k budget), then the centering-free identity as a
+    cast-per-factor double chain per row (n*Sxx - Sx^2 overflows int64
+    on this lattice; identical IEEE text both engines — the
+    agg_kendall_tau chain shape). NULL on warm-up frames and
+    degenerate variances. One window pass over the |days|-bounded
+    series."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT) div 100"
+            ).alias("dollars"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-29, 0)
+    sums = daily.select(
+        "day",
+        "n_orders",
+        "dollars",
+        F.count("*").over(w).alias("fn"),
+        F.sum("n_orders").over(w).alias("sc"),
+        F.sum("dollars").over(w).alias("sr"),
+        F.sum(F.col("n_orders") * F.col("n_orders")).over(w).alias("scc"),
+        F.sum(F.col("dollars") * F.col("dollars")).over(w).alias("srr"),
+        F.sum(F.col("n_orders") * F.col("dollars")).over(w).alias("scr"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    vx = d("fn") * d("scc") - d("sc") * d("sc")
+    vy = d("fn") * d("srr") - d("sr") * d("sr")
+    num = d("fn") * d("scr") - d("sc") * d("sr")
+    return sums.select(
+        "day",
+        "n_orders",
+        "dollars",
+        F.when(
+            (F.col("fn") == 30) & (vx > 0.0) & (vy > 0.0),
+            num / F.sqrt(vx * vy),
+        ).alias("vol_price_corr"),
+    )
+
+
+@_q(
+    "window_donchian_breakout_runs",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), flagged AS (
+      SELECT day, cents,
+             MAX(cents) OVER w AS hi20p,
+             COUNT(*) OVER w AS n20p,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ), brk AS (
+      SELECT day, cents, hi20p, rn,
+             ROW_NUMBER() OVER (ORDER BY day) AS rf
+      FROM flagged WHERE n20p = 20 AND cents > hi20p
+    )
+    SELECT MIN(day) AS run_start,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           CAST(MAX(cents - hi20p) AS BIGINT) AS max_overshoot_cents
+    FROM brk GROUP BY rn - rf
+    """,
+)
+def window_donchian_breakout_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Consecutive-day Donchian breakout runs: days whose close exceeds
+    the PRIOR 20-day high (frame 20 PRECEDING .. 1 PRECEDING, full
+    frames only) grouped into maximal consecutive islands via the
+    rn - rf gaps-and-islands key, where rn is the position in the FULL
+    series — computed BEFORE the breakout filter (the
+    window_flat_day_rle island-grouping lesson) — and rf the position
+    within the breakout subsequence. Per run: start day, length, max
+    overshoot above the prior high in exact cents. Three window passes
+    + one bounded rollup over the |days|-bounded series."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-20, -1)
+    flagged = daily.select(
+        "day",
+        "cents",
+        F.max("cents").over(w).alias("hi20p"),
+        F.count("*").over(w).alias("n20p"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    ).filter((F.col("n20p") == 20) & (F.col("cents") > F.col("hi20p")))
+    brk = flagged.select(
+        "day",
+        "cents",
+        "hi20p",
+        "rn",
+        F.row_number().over(Window.orderBy("day")).alias("rf"),
+    )
+    return (
+        brk.groupBy((F.col("rn") - F.col("rf")).alias("grp"))
+        .agg(
+            F.min("day").alias("run_start"),
+            F.count("*").cast("bigint").alias("run_len"),
+            F.max(F.col("cents") - F.col("hi20p"))
+            .cast("bigint")
+            .alias("max_overshoot_cents"),
+        )
+        .drop("grp")
+    )

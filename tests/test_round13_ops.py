@@ -1,0 +1,140 @@
+"""Semantic checks for the round-13 operators (beyond the oracle diff the
+mimic already runs): planted fixtures exercising each operator's defining
+property."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+
+from large_csv_etl_spark.queries.windows import QUERIES as WIN_QUERIES
+
+
+def _orders_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    df.coalesce(2).write.parquet(f"{d}/orders.parquet")
+
+
+def _daily_orders(prices, year=1995, month=1):
+    """One order per day with the given price; day i is prices[i-1]."""
+    rows = []
+    for i, p in enumerate(prices, 1):
+        day = dt.datetime(year, month, 1) + dt.timedelta(days=i - 1)
+        rows.append((i, i, "O", p, day, "3-MEDIUM"))
+    return rows
+
+
+# --- windows family --------------------------------------------------------
+
+
+def test_williams_r_mirror_of_pct_k(spark):
+    """Strictly increasing series: on the first full frame the close IS
+    the 14-day high, so %R = 0 and %K = 100; the two always sum to 100
+    on non-flat full frames."""
+    rows = _daily_orders([float(i) for i in range(1, 16)])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            r["day"]: r
+            for r in WIN_QUERIES["window_williams_r"](spark, d).collect()
+        }
+    full = [r for r in out.values() if r["pct_r"] is not None]
+    assert len(full) == 2  # days 14 and 15
+    for r in full:
+        assert abs(r["pct_r"]) < 1e-9
+        assert abs(r["pct_k"] - 100.0) < 1e-9
+
+
+def test_trix_zero_on_constant_series(spark):
+    """Constant daily revenue: the triple-smoothed EMA equals the
+    constant on every row (present-mass renormalization keeps warm-up
+    exact), so TRIX = 0 everywhere after the first row."""
+    rows = _daily_orders([5.0] * 6)
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = sorted(
+            WIN_QUERIES["window_trix_indicator"](spark, d).collect(),
+            key=lambda r: r["day"],
+        )
+    assert out[0]["trix"] is None
+    for r in out:
+        assert abs(r["t3_dollars"] - 5.0) < 1e-9
+    for r in out[1:]:
+        assert abs(r["trix"]) < 1e-9
+
+
+def test_ulcer_zero_without_drawdown(spark):
+    """Monotone nondecreasing revenue never trades below its running
+    peak: every drawdown is 0 and the full-frame ulcer index is 0."""
+    rows = _daily_orders([float(i) for i in range(1, 16)])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = sorted(
+            WIN_QUERIES["window_ulcer_index"](spark, d).collect(),
+            key=lambda r: r["day"],
+        )
+    assert all(r["dd_pct"] == 0.0 for r in out)
+    full = [r for r in out if r["ulcer_14"] is not None]
+    assert len(full) == 2
+    assert all(r["ulcer_14"] == 0.0 for r in full)
+
+
+def test_threshold_reversal_counts_drop(spark):
+    """24 flat days then one 60%-down day: only that day clears the
+    5% drop gate (40*100 <= 100*95); no rise reversal (the trailing
+    low includes the crash day itself)."""
+    rows = _daily_orders([1.0] * 24 + [0.4])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = WIN_QUERIES["window_threshold_reversal_count"](
+            spark, d
+        ).collect()
+    assert len(out) == 1
+    assert out[0]["n_days"] == 25
+    assert out[0]["drop_reversals"] == 1
+    assert out[0]["rise_reversals"] == 0
+
+
+def test_volume_price_corr_perfect(spark):
+    """Day i carries i orders of a fixed price: count and revenue are
+    exactly proportional, so the first full 30-day frame reads r = 1."""
+    rows = []
+    key = 0
+    for i in range(1, 31):
+        day = dt.datetime(1995, 1, 1) + dt.timedelta(days=i - 1)
+        for _ in range(i):
+            key += 1
+            rows.append((key, key, "O", 100.0, day, "3-MEDIUM"))
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = sorted(
+            WIN_QUERIES["window_volume_price_corr"](spark, d).collect(),
+            key=lambda r: r["day"],
+        )
+    assert out[-1]["n_orders"] == 30
+    assert out[-1]["vol_price_corr"] == pytest.approx(1.0, abs=1e-9)
+    assert all(r["vol_price_corr"] is None for r in out[:-1])
+
+
+def test_donchian_breakout_runs_island(spark):
+    """21 flat days then two successively higher closes: both break the
+    prior 20-day high and form ONE run of length 2 with overshoot
+    100 cents each step (200 over 100, 300 over 200)."""
+    rows = _daily_orders([1.0] * 21 + [2.0, 3.0])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = WIN_QUERIES["window_donchian_breakout_runs"](
+            spark, d
+        ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["run_start"] == dt.date(1995, 1, 22)
+    assert r["run_len"] == 2
+    assert r["max_overshoot_cents"] == 100
