@@ -6122,3 +6122,551 @@ def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(nz.cast("double")),
         ).alias("sign_z"),
     )
+
+
+# --- round 13: location shift, serial correlation, composed correlation ----
+
+
+@_q(
+    "agg_hodges_lehmann_banded",
+    """
+    WITH vf AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS fc,
+             CAST(COUNT(*) AS BIGINT) AS a
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    ), vo AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS oc,
+             CAST(COUNT(*) AS BIGINT) AS b
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    ), nb AS (
+      SELECT GREATEST(1, CAST(COUNT(*) AS BIGINT) // 8) AS nbuck FROM vo
+    ), vfb AS (
+      SELECT fc, a,
+             ('0x' || substr(md5(CAST(fc AS VARCHAR)), 1, 15))::BIGINT
+             % (SELECT nbuck FROM nb) AS bkt
+      FROM vf
+    ), vob AS (
+      SELECT oc, b,
+             ('0x' || substr(md5(CAST(oc AS VARCHAR)), 1, 15))::BIGINT
+             % (SELECT nbuck FROM nb) AS bkt
+      FROM vo
+    ), pairs AS (
+      SELECT f.fc - o.oc AS d, f.a * o.b AS wgt,
+             ROW_NUMBER() OVER (
+               PARTITION BY f.fc
+               ORDER BY md5(CAST(f.fc AS VARCHAR) || '|'
+                            || CAST(o.oc AS VARCHAR)), o.oc
+             ) AS pk
+      FROM vfb f JOIN vob o ON o.bkt = f.bkt
+    ), panel AS (
+      SELECT d, CAST(SUM(wgt) AS BIGINT) AS w
+      FROM pairs WHERE pk <= 8 GROUP BY d
+    ), cum AS (
+      SELECT d, w,
+             SUM(w) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM panel
+    ), tot AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS t,
+             (CAST(SUM(w) AS BIGINT) + 1) // 2 AS med_rank
+      FROM panel
+    )
+    SELECT t AS n_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM vf) AS n_f_vals,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM vo) AS n_o_vals,
+           (SELECT MIN(CASE WHEN cw >= tot.med_rank THEN d END)
+            FROM cum) AS hl_shift_cents
+    FROM tot
+    """,
+)
+def agg_hodges_lehmann_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location-shift estimate between the F and O
+    order-value populations, on a BOUNDED hash-banded pair panel: the
+    full HL statistic is the median of all n_f*n_o pairwise
+    differences, which is quadratic; this entry restricts each
+    distinct F value to the <= 8 distinct O values that share its
+    md5-derived hash bucket (nbuck = |vo|/8 buckets, so the expected
+    bucket load is 8, hard-capped by a per-F row_number over the
+    in-bucket md5 order) — a documented DETERMINISTIC panel
+    restriction, not a uniform subsample: the estimate is the weighted
+    TYPE-1 median (count-weighted by a*b multiplicities) of the panel
+    differences. Exact integer weights and cumulative ranks; no
+    division anywhere. Scale: everything is bounded by the
+    distinct-cents tables and the 8-per-value cap (the ROADMAP_r13 #4
+    panel design)."""
+    from pyspark.sql import Window
+
+    from .helpers import phash60
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    vf = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(cents.alias("fc"))
+        .groupBy("fc")
+        .agg(F.count("*").cast("bigint").alias("a"))
+    )
+    vo = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(cents.alias("oc"))
+        .groupBy("oc")
+        .agg(F.count("*").cast("bigint").alias("b"))
+    )
+    vo = materialize_reduced(vo)
+    vf = materialize_reduced(vf)
+    # Localize the bucket count (bounded 1-row fetch): leaving nbuck as a
+    # joined column makes the bucket condition a non-equi predicate and
+    # Catalyst falls back to a nested-loop join (measured 38 s at sf0.01,
+    # unbounded at sf0.1); as a literal the bucket is a computed COLUMN on
+    # each side and the join is a plain hash equi-join on it.
+    nbuck = max(1, vo.count() // 8)
+    pairs = (
+        vf.withColumn(
+            "bkt", phash60(F.col("fc").cast("string")) % F.lit(nbuck)
+        )
+        .join(
+            vo.withColumn(
+                "bkt", phash60(F.col("oc").cast("string")) % F.lit(nbuck)
+            ),
+            "bkt",
+        )
+        .select(
+            "fc",
+            "oc",
+            (F.col("fc") - F.col("oc")).alias("d"),
+            (F.col("a") * F.col("b")).alias("wgt"),
+        )
+        .withColumn(
+            "pk",
+            F.row_number().over(
+                Window.partitionBy("fc").orderBy(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("fc").cast("string"),
+                            F.col("oc").cast("string"),
+                        )
+                    ),
+                    "oc",
+                )
+            ),
+        )
+    )
+    panel = (
+        pairs.filter(F.col("pk") <= 8)
+        .groupBy("d")
+        .agg(F.sum("wgt").cast("bigint").alias("w"))
+    )
+    panel = materialize_reduced(panel)
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = panel.select("d", F.sum("w").over(w).alias("cw"))
+    tot = panel.agg(
+        F.sum("w").cast("bigint").alias("t"),
+        F.expr("(CAST(sum(w) AS BIGINT) + 1) div 2").alias("med_rank"),
+    )
+    counts = vf.agg(F.count("*").cast("bigint").alias("n_f_vals")).crossJoin(
+        vo.agg(F.count("*").cast("bigint").alias("n_o_vals"))
+    )
+    hl = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(F.col("cw") >= F.col("med_rank"), F.col("d"))).alias(
+            "hl_shift_cents"
+        )
+    )
+    return (
+        tot.select(F.col("t").alias("n_pairs"))
+        .crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(hl))
+        .select("n_pairs", "n_f_vals", "n_o_vals", "hl_shift_cents")
+    )
+
+
+@_q(
+    "agg_durbin_watson",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS y
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT day, y,
+             ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM daily
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(t * y) AS BIGINT) AS sty
+      FROM idx
+    ), fit AS (
+      SELECT n, st, sy, stt, sty,
+             CASE WHEN CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) > 0.0
+             THEN (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+             END AS slope
+      FROM m
+    ), fit2 AS (
+      SELECT n, slope,
+             (CAST(sy AS DOUBLE) - slope * CAST(st AS DOUBLE))
+             / CAST(n AS DOUBLE) AS icept
+      FROM fit
+    ), resid AS (
+      SELECT i.t,
+             CAST(round((CAST(i.y AS DOUBLE)
+               - (f.icept + f.slope * CAST(i.t AS DOUBLE))) * 100.0)
+               AS BIGINT) AS e_fp
+      FROM idx i CROSS JOIN fit2 f
+      WHERE f.slope IS NOT NULL
+    ), lagd AS (
+      SELECT e_fp,
+             LAG(e_fp) OVER (ORDER BY t) AS le_fp
+      FROM resid
+    ), s AS (
+      SELECT CAST(SUM(CAST(e_fp AS DECIMAL(38,0)) * e_fp)
+                  AS DECIMAL(38,0)) AS see,
+             CAST(SUM(CASE WHEN le_fp IS NOT NULL
+                  THEN CAST(e_fp - le_fp AS DECIMAL(38,0))
+                       * (e_fp - le_fp) ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sdd
+      FROM lagd
+    )
+    SELECT f.n AS n_days, f.slope, f.icept,
+           CASE WHEN CAST(s.see AS DOUBLE) > 0.0
+           THEN CAST(s.sdd AS DOUBLE) / CAST(s.see AS DOUBLE)
+           END AS dw
+    FROM fit2 f CROSS JOIN s
+    """,
+)
+def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation statistic on OLS-detrended
+    daily revenue: closed-form OLS on the (day_index, dollars) series
+    from five exact BIGINT moments (slope/intercept as the standard
+    cast-per-factor double chains, NULL-guarded degenerate spread =
+    constant-index series of < 2 days), residuals computed per row by
+    ONE identical IEEE chain and snapped to the 1e-2 residual lattice
+    (e_fp = round(e * 100) BIGINT, so both engines sum identical
+    integers in any order), then DW = sum (e_t - e_{t-1})^2 / sum
+    e_t^2 with DECIMAL(38,0) accumulators (e_fp <= ~1e10 squares to
+    1e20 — past int64, inside decimal). dw ~ 2 means no serial
+    correlation. One day rollup, one 1-row broadcast fit, one lag
+    window over the |days|-bounded series."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT) div 100"
+            ).alias("y")
+        )
+    )
+    idx = daily.select(
+        "day", "y", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    idx = materialize_reduced(idx)
+    m = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    den = d("n") * d("stt") - d("st") * d("st")
+    slope = F.when(
+        den > 0.0, (d("n") * d("sty") - d("st") * d("sy")) / den
+    )
+    fit = m.select("n", "st", "sy", slope.alias("slope"))
+    fit2 = fit.select(
+        "n",
+        "slope",
+        ((d("sy") - F.col("slope") * d("st")) / d("n")).alias("icept"),
+    )
+    resid = (
+        idx.crossJoin(F.broadcast(fit2))
+        .filter(F.col("slope").isNotNull())
+        .select(
+            "t",
+            F.round(
+                (
+                    F.col("y").cast("double")
+                    - (
+                        F.col("icept")
+                        + F.col("slope") * F.col("t").cast("double")
+                    )
+                )
+                * 100.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("e_fp"),
+        )
+    )
+    lagd = resid.select(
+        "e_fp", F.lag("e_fp").over(Window.orderBy("t")).alias("le_fp")
+    )
+    de = F.col("e_fp") - F.col("le_fp")
+    s = lagd.agg(
+        F.sum(F.col("e_fp").cast("decimal(38,0)") * F.col("e_fp"))
+        .cast("decimal(38,0)")
+        .alias("see"),
+        F.sum(
+            F.when(
+                F.col("le_fp").isNotNull(),
+                de.cast("decimal(38,0)") * de,
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("sdd"),
+    )
+    return fit2.crossJoin(F.broadcast(s)).select(
+        F.col("n").alias("n_days"),
+        "slope",
+        "icept",
+        F.when(
+            F.col("see").cast("double") > 0.0,
+            F.col("sdd").cast("double") / F.col("see").cast("double"),
+        ).alias("dw"),
+    )
+
+
+@_q(
+    "agg_partial_correlation",
+    """
+    WITH v AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+               AS BIGINT) AS y,
+             CAST(round(l_tax * 10000.0) AS BIGINT) AS z
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(z) AS BIGINT) AS sz,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS szz,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS sxz,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS syz
+      FROM v
+    ), r AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS r_xy,
+             (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS r_xz,
+             (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS r_yz
+      FROM m
+      WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+        AND CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+            - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) > 0.0
+    )
+    SELECT n, r_xy, r_xz, r_yz,
+           CASE WHEN (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0.0
+           THEN (r_xy - r_xz * r_yz)
+                / SQRT((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+           END AS r_xy_given_z
+    FROM r
+    """,
+)
+def agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of (quantity, discounted line value)
+    controlling for the tax rate: r_xy.z = (r_xy - r_xz r_yz) /
+    sqrt((1 - r_xz^2)(1 - r_yz^2)) from the three pairwise
+    centering-free correlation chains — validated bit-identical across
+    engines in the round-12 prototype (ROADMAP_r13 #8: the chain must
+    mirror TEXTUALLY; the moments are exact so only the final IEEE
+    composition matters). First moments are exact BIGINT; second
+    moments run in DECIMAL(38,0) with cast-per-factor products (y <=
+    1e7 cents squares past int64 at any real SF); every correlation is
+    the cast-per-factor double chain, and both the variance guards and
+    the |r_z| ~ 1 degeneracy guard are explicit (ANSI totality). One
+    scan, one 1-row reduction — embarrassingly scalable."""
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("x"),
+        F.round(
+            F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.round(F.col("l_tax") * 10000.0, 0).cast("bigint").alias("z"),
+    )
+
+    def d38(a, b):
+        return F.sum(F.col(a).cast("decimal(38,0)") * F.col(b)).cast(
+            "decimal(38,0)"
+        )
+
+    m = v.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        d38("x", "x").alias("sxx"),
+        d38("y", "y").alias("syy"),
+        d38("z", "z").alias("szz"),
+        d38("x", "y").alias("sxy"),
+        d38("x", "z").alias("sxz"),
+        d38("y", "z").alias("syz"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    def var(nm, s1):
+        return d("n") * d(nm) - d(s1) * d(s1)
+
+    def corr(snm, a, b, va, vb):
+        return (d("n") * d(snm) - d(a) * d(b)) / F.sqrt(va * vb)
+
+    vx, vy, vz = var("sxx", "sx"), var("syy", "sy"), var("szz", "sz")
+    r = m.filter((vx > 0.0) & (vy > 0.0) & (vz > 0.0)).select(
+        "n",
+        corr("sxy", "sx", "sy", vx, vy).alias("r_xy"),
+        corr("sxz", "sx", "sz", vx, vz).alias("r_xz"),
+        corr("syz", "sy", "sz", vy, vz).alias("r_yz"),
+    )
+    guard = (1.0 - F.col("r_xz") * F.col("r_xz")) * (
+        1.0 - F.col("r_yz") * F.col("r_yz")
+    )
+    return r.select(
+        "n",
+        "r_xy",
+        "r_xz",
+        "r_yz",
+        F.when(
+            guard > 0.0,
+            (F.col("r_xy") - F.col("r_xz") * F.col("r_yz"))
+            / F.sqrt(guard),
+        ).alias("r_xy_given_z"),
+    )
+
+
+@_q(
+    "agg_grubbs_screen",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS x
+      FROM orders GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+      FROM monthly
+    ), dev AS (
+      SELECT CAST(MAX(abs(mo.x * m.n - m.sx) * 1000000
+               + (EXTRACT(year FROM mo.month) * 100
+                  + EXTRACT(month FROM mo.month))) AS BIGINT) AS packed
+      FROM monthly mo CROSS JOIN m
+    )
+    SELECT m.n AS n_months,
+           CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_dollars,
+           CASE WHEN m.n > 1 AND CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                     - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) > 0.0
+           THEN SQRT((CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                      - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+                     / (CAST(m.n AS DOUBLE)
+                        * (CAST(m.n AS DOUBLE) - 1.0)))
+           END AS sd_dollars,
+           CAST(d.packed % 1000000 AS BIGINT) AS worst_month_ym,
+           CASE WHEN m.n > 1 AND CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                     - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) > 0.0
+           THEN (CAST(d.packed // 1000000 AS DOUBLE) / CAST(m.n AS DOUBLE))
+                / SQRT((CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                        - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+                       / (CAST(m.n AS DOUBLE)
+                          * (CAST(m.n AS DOUBLE) - 1.0)))
+           END AS g_stat
+    FROM m CROSS JOIN dev d
+    """,
+)
+def agg_grubbs_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs-style maximum studentized deviation over monthly revenue
+    totals: G = max_i |x_i - mean| / s on the ~84-month dollar series.
+    The deviation stays EXACT until the final chain via the |n*x_i -
+    Sx| identity (integer, no mean subtraction), and the argmax month
+    rides a packed integer key (dev*1e6 + yyyymm — deviation dominates,
+    month breaks exact ties deterministically toward the LATER month
+    via MAX). s is the sample s.d. from exact dollar-lattice moments
+    (one sqrt), G = (max_dev/n)/s — both NULL-guarded for n <= 1 or a
+    constant series. No critical-value table: the statistic is
+    reported, the threshold is the consumer's (documented choice,
+    ROADMAP_r13 #9). Bounded 84-row series end-to-end."""
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT) div 100"
+            ).alias("x")
+        )
+    )
+    monthly = materialize_reduced(monthly)
+    m = monthly.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    dev = monthly.crossJoin(F.broadcast(m)).agg(
+        F.max(
+            F.abs(F.col("x") * F.col("n") - F.col("sx")) * 1000000
+            + (F.year("month") * 100 + F.month("month"))
+        )
+        .cast("bigint")
+        .alias("packed")
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    spread = d("n") * d("sxx") - d("sx") * d("sx")
+    sd = F.sqrt(spread / (d("n") * (d("n") - 1.0)))
+    ok = (F.col("n") > 1) & (spread > 0.0)
+    return m.crossJoin(F.broadcast(dev)).select(
+        F.col("n").alias("n_months"),
+        (d("sx") / d("n")).alias("mean_dollars"),
+        F.when(ok, sd).alias("sd_dollars"),
+        (F.col("packed") % 1000000).cast("bigint").alias("worst_month_ym"),
+        F.when(
+            ok,
+            (F.expr("CAST(packed div 1000000 AS DOUBLE)") / d("n")) / sd,
+        ).alias("g_stat"),
+    )

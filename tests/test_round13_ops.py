@@ -138,3 +138,103 @@ def test_donchian_breakout_runs_island(spark):
     assert r["run_start"] == dt.date(1995, 1, 22)
     assert r["run_len"] == 2
     assert r["max_overshoot_cents"] == 100
+
+
+# --- relational stats family ----------------------------------------------
+
+from large_csv_etl_spark.queries.relational import QUERIES as REL_QUERIES
+
+
+def _lineitem_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double",
+    )
+    df.coalesce(2).write.parquet(f"{d}/lineitem.parquet")
+
+
+def test_hodges_lehmann_single_values(spark):
+    """One distinct value per side collapses the panel to one pair:
+    nbuck = 1 so the bucket join keeps it, and the weighted median IS
+    the single difference (100 - 50 cents) with weight 2*3."""
+    rows = [
+        (1, 1, "F", 1.0, dt.datetime(1995, 1, 1), "3-M"),
+        (2, 2, "F", 1.0, dt.datetime(1995, 1, 2), "3-M"),
+        (3, 3, "O", 0.5, dt.datetime(1995, 1, 3), "3-M"),
+        (4, 4, "O", 0.5, dt.datetime(1995, 1, 4), "3-M"),
+        (5, 5, "O", 0.5, dt.datetime(1995, 1, 5), "3-M"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_hodges_lehmann_banded"](spark, d).collect()[0]
+    assert out["n_f_vals"] == 1 and out["n_o_vals"] == 1
+    assert out["n_pairs"] == 6
+    assert out["hl_shift_cents"] == 50
+
+
+def test_durbin_watson_alternating_residuals(spark):
+    """Daily dollars 11,9,11,9: OLS slope -0.4, intercept 11, residuals
+    (0.4,-1.2,1.2,-0.4) -> DW = 10.88/3.2 = 3.4 exactly on the 1e-2
+    residual lattice."""
+    rows = _daily_orders([11.0, 9.0, 11.0, 9.0])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_durbin_watson"](spark, d).collect()[0]
+    assert out["n_days"] == 4
+    assert out["slope"] == pytest.approx(-0.4, abs=1e-12)
+    assert out["dw"] == pytest.approx(3.4, abs=1e-12)
+
+
+def test_durbin_watson_perfect_trend_guard(spark):
+    """A perfectly linear series has zero residuals: see = 0 and dw is
+    NULL (the ANSI-totality guard), while the fit itself is exact."""
+    rows = _daily_orders([10.0, 20.0, 30.0, 40.0])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_durbin_watson"](spark, d).collect()[0]
+    assert out["slope"] == pytest.approx(10.0, abs=1e-12)
+    assert out["icept"] == pytest.approx(0.0, abs=1e-12)
+    assert out["dw"] is None
+
+
+def test_partial_correlation_identical_xy(spark):
+    """y is an exact multiple of x: r_xy = 1; controlling for an
+    independent z cannot reduce a perfect correlation, so r_xy.z = 1."""
+    rows = [
+        (float(i), float(i), 0.0, 0.08 * (i % 2)) for i in range(1, 9)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_dir(spark, rows, d)
+        out = REL_QUERIES["agg_partial_correlation"](spark, d).collect()[0]
+    assert out["r_xy"] == pytest.approx(1.0, abs=1e-12)
+    assert out["r_xy_given_z"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_partial_correlation_constant_control_guard(spark):
+    """A constant control variable has zero variance: the pairwise
+    correlations are undefined and the entry returns zero rows rather
+    than dividing by zero."""
+    rows = [(float(i), float(i), 0.0, 0.05) for i in range(1, 6)]
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_dir(spark, rows, d)
+        out = REL_QUERIES["agg_partial_correlation"](spark, d).collect()
+    assert out == []
+
+
+def test_grubbs_flags_outlier_month(spark):
+    """Monthly dollars 100,100,400: mean 200, s = sqrt(30000), max
+    deviation 200 -> G = 200/s = 2/sqrt(3); the packed key names March
+    as the worst month."""
+    rows = [
+        (1, 1, "O", 100.0, dt.datetime(1995, 1, 15), "3-M"),
+        (2, 2, "O", 100.0, dt.datetime(1995, 2, 15), "3-M"),
+        (3, 3, "O", 400.0, dt.datetime(1995, 3, 15), "3-M"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_grubbs_screen"](spark, d).collect()[0]
+    assert out["n_months"] == 3
+    assert out["mean_dollars"] == pytest.approx(200.0, abs=1e-12)
+    assert out["worst_month_ym"] == 199503
+    assert out["g_stat"] == pytest.approx(2.0 / 3.0**0.5, rel=1e-12)
