@@ -4869,3 +4869,332 @@ def events_time_to_first_purchase(
             ).alias("share"),
         )
     )
+
+
+# --- round 13: burstiness, churn states, gap audit, value concentration ---
+
+
+@_q(
+    "events_burstiness_index",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 AS gap_s
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), per AS (
+      SELECT user_id,
+             CAST(COUNT(gap_s) AS BIGINT) AS n,
+             CAST(SUM(gap_s) AS BIGINT) AS s1,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+      FROM gaps GROUP BY user_id
+    ), b AS (
+      SELECT CASE WHEN SQRT(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       + CAST(s1 AS DOUBLE) > 0.0
+             THEN (SQRT(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   - CAST(s1 AS DOUBLE))
+                  / (SQRT(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     + CAST(s1 AS DOUBLE))
+             END AS burst
+      FROM per WHERE n >= 1
+    )
+    SELECT CAST(FLOOR(burst * 10.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM b WHERE burst IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of each
+    user's inter-arrival seconds, reported as a bounded 0.1-bin user
+    histogram (B in [-1, 1] -> ~21 bins): B ~ -1 is a regular
+    (bot-like) cadence, B ~ 0 Poisson, B > 0 bursty-human. Gaps are
+    exact integer seconds (micros div 1e6 lattice), per-user moments
+    exact BIGINT, and B is rewritten with num/den scaled by n so the
+    only float work is the shared n*s2 - s1^2 cast-per-factor chain +
+    one sqrt (identical IEEE text both engines; sigma = sqrt(n*s2 -
+    s1^2)/n, mu = s1/n). NULL-guarded: single-event users contribute
+    no gap; all-zero-gap users (sigma = mu = 0) are excluded by the
+    den > 0 guard. One user shuffle, bounded output."""
+    ev = load_table(spark, sf_dir, "events")
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP))"
+            " - lag(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+            " div 1000000"
+        ).alias("gap_s"),
+    )
+    per = gaps.groupBy("user_id").agg(
+        F.count("gap_s").cast("bigint").alias("n"),
+        F.sum("gap_s").cast("bigint").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    sig_n = F.sqrt(d("n") * d("s2") - d("s1") * d("s1"))
+    b = per.filter(F.col("n") >= 1).select(
+        F.when(
+            sig_n + d("s1") > 0.0, (sig_n - d("s1")) / (sig_n + d("s1"))
+        ).alias("burst")
+    )
+    return (
+        b.filter(F.col("burst").isNotNull())
+        .groupBy(F.floor(F.col("burst") * 10.0).cast("bigint").alias("bin"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+@_q(
+    "events_churn_flags",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM ev
+    ), fd AS (
+      SELECT user_id, MIN(day) AS first_day FROM du GROUP BY user_id
+    ), spine AS (SELECT DISTINCT day FROM du),
+    per AS (
+      SELECT s.day, d.user_id,
+             MAX(CASE WHEN d.day >= s.day - 6 THEN 1 ELSE 0 END) AS cur,
+             MAX(CASE WHEN d.day <= s.day - 7 THEN 1 ELSE 0 END) AS prev
+      FROM spine s
+      JOIN du d ON d.day BETWEEN s.day - 13 AND s.day
+      GROUP BY s.day, d.user_id
+    )
+    SELECT p.day,
+           CAST(COUNT(CASE WHEN cur = 1 AND prev = 0
+                AND f.first_day > p.day - 14 THEN 1 END) AS BIGINT)
+             AS n_new,
+           CAST(COUNT(CASE WHEN cur = 1 AND prev = 1 THEN 1 END) AS BIGINT)
+             AS n_retained,
+           CAST(COUNT(CASE WHEN cur = 1 AND prev = 0
+                AND f.first_day <= p.day - 14 THEN 1 END) AS BIGINT)
+             AS n_resurrected,
+           CAST(COUNT(CASE WHEN cur = 0 AND prev = 1 THEN 1 END) AS BIGINT)
+             AS n_churned
+    FROM per p JOIN fd f ON f.user_id = p.user_id
+    GROUP BY p.day
+    """,
+)
+def events_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day user lifecycle states from two adjacent trailing-7-day
+    activity windows (the rolling-WAU machinery INVERTED): as of day d,
+    a user active in (d-6..d] is RETAINED if also active in
+    (d-13..d-7], NEW if not and their first-ever day is inside the
+    14-day horizon, RESURRECTED if not but they were first seen before
+    it; a user active in (d-13..d-7] but silent in (d-6..d] is CHURNED
+    that day. The bounded range join fans each (day, user) activity
+    pair into <= 14 windows (window width, never corpus size — the
+    events_rolling_wau scale argument), the per-user window flags are
+    conditional MAXes, and the first-day lookup is one join onto the
+    per-user min-day table. Exact counts, no division. Output:
+    |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+        "user_id",
+    ).distinct()
+    du = materialize_reduced(du)
+    fd = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    spine = du.select("day").distinct()
+    s, d = spine.alias("s"), du.alias("d")
+    per = (
+        s.join(
+            d,
+            (F.col("d.day") >= F.date_sub(F.col("s.day"), 13))
+            & (F.col("d.day") <= F.col("s.day")),
+        )
+        .groupBy(F.col("s.day").alias("day"), F.col("d.user_id").alias("user_id"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("d.day") >= F.date_sub(F.col("s.day"), 6), 1
+                ).otherwise(0)
+            ).alias("cur"),
+            F.max(
+                F.when(
+                    F.col("d.day") <= F.date_sub(F.col("s.day"), 7), 1
+                ).otherwise(0)
+            ).alias("prev"),
+        )
+    )
+    j = per.join(fd, "user_id")
+    horizon = F.date_sub(F.col("day"), 14)
+    return j.groupBy("day").agg(
+        F.count(
+            F.when(
+                (F.col("cur") == 1)
+                & (F.col("prev") == 0)
+                & (F.col("first_day") > horizon),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_new"),
+        F.count(F.when((F.col("cur") == 1) & (F.col("prev") == 1), 1))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.count(
+            F.when(
+                (F.col("cur") == 1)
+                & (F.col("prev") == 0)
+                & (F.col("first_day") <= horizon),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+        F.count(F.when((F.col("cur") == 0) & (F.col("prev") == 1), 1))
+        .cast("bigint")
+        .alias("n_churned"),
+    )
+
+
+@_q(
+    "events_session_gap_distribution",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    gaps AS (
+      SELECT (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 AS gap_s
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT LEAST(gap_s // 60, 60) AS bucket_min,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(COUNT(CASE WHEN gap_s <= 1800 THEN 1 END) AS BIGINT)
+             AS n_within_session
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_session_gap_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Minute-grain histogram of per-user inter-event gaps around the
+    30-minute sessionization threshold — the empirical basis for the
+    gap choice in events_sessionization: a clean bimodal histogram
+    (mass well below 30 min, mass well above, a thin valley at the
+    threshold) validates it; mass piled AT the threshold says the
+    cutoff is splitting real sessions. Gaps are exact integer seconds
+    (micros div 1e6), buckets integer-div minutes capped at 60
+    (61-row bounded output), and n_within_session counts the <= 1800 s
+    side per bucket so the threshold column is explicit. One user
+    shuffle, no division."""
+    gaps = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP))"
+            " - lag(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+            " div 1000000"
+        ).alias("gap_s")
+    )
+    return (
+        gaps.filter(F.col("gap_s").isNotNull())
+        .groupBy(
+            F.least(F.expr("gap_s div 60"), F.lit(60)).alias("bucket_min")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.count(F.when(F.col("gap_s") <= 1800, 1))
+            .cast("bigint")
+            .alias("n_within_session"),
+        )
+    )
+
+
+@_q(
+    "events_value_concentration_by_type",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    per AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, cents, c,
+             2 * COALESCE(SUM(c) OVER (PARTITION BY event_type
+               ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS dr
+      FROM per
+    ), s AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(cents * c * dr) AS BIGINT) AS xcdr,
+             CAST(SUM(cents * c) AS BIGINT) AS w
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type, n, w AS sum_cents,
+           CASE WHEN n >= 2 AND w > 0 THEN
+             CAST(xcdr - (n + 1) * w AS DOUBLE)
+             / CAST(n AS DOUBLE) / CAST(w AS DOUBLE)
+           END AS gini
+    FROM s
+    """,
+)
+def events_value_concentration_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type Gini concentration of event value — the value-skew
+    screen (is 'purchase' revenue spread across events or carried by a
+    few whales?) — via the doubled-midrank identity G = (sum(x c dr) -
+    (n+1) sum(x c)) / (n sum(x c)) on the bounded per-type value-cents
+    lattice, PARTITIONED per type (the agg_gini_mean_difference
+    machinery with a partition key; ties exact by the shared
+    tied-values-share-x argument). Exact BIGINT numerators, two casts
+    and two divisions at the end, NULL-guarded n < 2 and w <= 0
+    (value is structurally positive on the fixture but the guard is
+    total). Scale: sum(x c dr) ~ n_type^2 * mean(x) — route through
+    DECIMAL(38,0) beyond ~1e9 rows/type (same documented budget as the
+    GMD entry). One shuffle to the value lattice, 5-row output."""
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.select(
+        "event_type",
+        "cents",
+        "c",
+        (
+            2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+        ).alias("dr"),
+    )
+    s = cum.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("cents") * F.col("c") * F.col("dr"))
+        .cast("bigint")
+        .alias("xcdr"),
+        F.sum(F.col("cents") * F.col("c")).cast("bigint").alias("w"),
+    )
+    t = F.col("xcdr") - (F.col("n") + 1) * F.col("w")
+    return s.select(
+        "event_type",
+        "n",
+        F.col("w").alias("sum_cents"),
+        F.when(
+            (F.col("n") >= 2) & (F.col("w") > 0),
+            t.cast("double") / F.col("n").cast("double")
+            / F.col("w").cast("double"),
+        ).alias("gini"),
+    )

@@ -238,3 +238,116 @@ def test_grubbs_flags_outlier_month(spark):
     assert out["mean_dollars"] == pytest.approx(200.0, abs=1e-12)
     assert out["worst_month_ym"] == 199503
     assert out["g_stat"] == pytest.approx(2.0 / 3.0**0.5, rel=1e-12)
+
+
+# --- events family ---------------------------------------------------------
+
+from large_csv_etl_spark.queries.events import QUERIES as EVENT_QUERIES
+
+
+def _events_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(2).write.parquet(f"{d}/events.parquet")
+
+
+def test_burstiness_regular_cadence(spark):
+    """Perfectly regular 60-second gaps: sigma = 0, mu = 60, so
+    B = -1 and the user lands in bin floor(-10.0) = -10."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i, 0), 1, "click", 1.0, "{}")
+        for i in range(5)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = EVENT_QUERIES["events_burstiness_index"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["bin"] == -10
+    assert out[0]["n_users"] == 1
+
+
+def test_churn_flags_lifecycle(spark):
+    """User 1 active daily (retained once both windows fill), user 2
+    active only day 1 (churned mid-horizon), user 3 active days 1 and
+    15 (resurrected at day 15: first seen at the 14-day horizon edge)."""
+    rows = []
+    eid = 0
+    for day in range(1, 16):
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 1, day, 12, 0), 1, "view", 1.0, "{}")
+        )
+    eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 1, 13, 0), 2, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 1, 14, 0), 3, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 15, 14, 0), 3, "view", 1.0, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r["day"]: r
+            for r in EVENT_QUERIES["events_churn_flags"](spark, d).collect()
+        }
+    d8 = out[dt.date(2024, 1, 8)]
+    assert d8["n_retained"] == 1  # user 1 in both windows
+    assert d8["n_churned"] == 2  # users 2 and 3: day 1 in (d-13..d-7], silent
+    d15 = out[dt.date(2024, 1, 15)]
+    assert d15["n_retained"] == 1
+    assert d15["n_resurrected"] == 1  # user 3 returns, first day at horizon
+    assert d15["n_churned"] == 0  # user 2 aged out of the band
+    d1 = out[dt.date(2024, 1, 1)]
+    assert d1["n_new"] == 3  # everyone first seen inside the horizon
+
+
+def test_session_gap_distribution_buckets(spark):
+    """Gaps of 30 s, 90 s and 2000 s land in minute buckets 0, 1 and 33,
+    with only the first two inside the 30-min session threshold."""
+    times = [0, 30, 120, 2120]
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1, 0, 0, 0)
+            + dt.timedelta(seconds=t),
+            1,
+            "click",
+            1.0,
+            "{}",
+        )
+        for i, t in enumerate(times)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r["bucket_min"]: r
+            for r in EVENT_QUERIES["events_session_gap_distribution"](
+                spark, d
+            ).collect()
+        }
+    assert out[0]["n_gaps"] == 1 and out[0]["n_within_session"] == 1
+    assert out[1]["n_gaps"] == 1 and out[1]["n_within_session"] == 1
+    assert out[33]["n_gaps"] == 1 and out[33]["n_within_session"] == 0
+
+
+def test_value_concentration_gini(spark):
+    """Type 'flat' (all values equal) reads G = 0; type 'skew' with
+    values {1, 3} reads the population Gini 0.25."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "flat", 2.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 1), 1, "flat", 2.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 0, 2), 2, "skew", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 0, 3), 2, "skew", 3.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r["event_type"]: r
+            for r in EVENT_QUERIES["events_value_concentration_by_type"](
+                spark, d
+            ).collect()
+        }
+    assert out["flat"]["gini"] == pytest.approx(0.0, abs=1e-12)
+    assert out["skew"]["gini"] == pytest.approx(0.25, abs=1e-12)
