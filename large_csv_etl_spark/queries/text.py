@@ -5192,3 +5192,528 @@ def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("double") / F.col("total").cast("double")
         ).alias("share"),
     )
+
+
+# --- round 13: char-grain drift, punctuation, templating, vocab overlap ---
+
+
+@_q(
+    "text_char_trigram_source_tvd",
+    r"""
+    WITH d AS (
+      SELECT source, LOWER(TRIM(text)) AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), tg AS (
+      SELECT source, substr(t, i, 3) AS tri
+      FROM (
+        SELECT source, t, UNNEST(generate_series(1, LENGTH(t) - 2)) AS i
+        FROM d WHERE LENGTH(t) >= 3
+      )
+    ), st AS (
+      SELECT source, tri, COUNT(*) AS c_st FROM tg GROUP BY source, tri
+    ), s AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_trigrams,
+             COUNT(*) AS n_distinct_trigrams
+      FROM st GROUP BY source
+    ), c AS (
+      SELECT tri, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tri
+    ), tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM c
+    )
+    SELECT st.source, s.n_trigrams, s.n_distinct_trigrams,
+           {tvd} AS tvd_vs_corpus
+    FROM st
+    JOIN s USING (source)
+    JOIN c USING (tri)
+    CROSS JOIN tot
+    GROUP BY st.source, s.n_trigrams, s.n_distinct_trigrams
+    """.format(
+        tvd=sql_tvd_expr(
+            "CAST(st.c_st AS DOUBLE) / s.n_trigrams",
+            "CAST(c.c_t AS DOUBLE) / tot.n",
+        )
+    ),
+)
+def text_char_trigram_source_tvd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source drift at CHARACTER-trigram grain: TVD between each
+    source's char-3-gram distribution and the corpus mix — the encoding
+    /transliteration screen (mojibake, homoglyph swaps, and
+    hyphenation drift perturb char n-grams while leaving token-level
+    stats nearly intact; the token-grain twin is
+    text_source_token_drift, whose 1e-12 fixed-point TVD machinery
+    this entry shares verbatim). The position explode is the only
+    corpus-size stage; everything downstream is bounded by the
+    char-trigram vocabulary. Densities snap to the shared fixed-point
+    lattice so partition order can never shift the sum."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("source", F.lower(F.trim(F.col("text"))).alias("t"))
+        .filter(F.length("t") >= 3)
+    )
+    tg = d.select(
+        "source",
+        F.explode(F.sequence(F.lit(1), F.length("t") - 2)).alias("i"),
+        "t",
+    ).select("source", F.expr("substring(t, i, 3)").alias("tri"))
+    st = tg.groupBy("source", "tri").agg(F.count("*").alias("c_st"))
+    st = materialize_reduced(st)
+    s = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_trigrams"),
+        F.count("*").alias("n_distinct_trigrams"),
+    )
+    c = st.groupBy("tri").agg(F.sum("c_st").alias("c_t"))
+    tot = c.agg(F.sum("c_t").alias("n"))
+    p_s = F.col("c_st").cast("double") / F.col("n_trigrams")
+    p_c = F.col("c_t").cast("double") / F.col("n")
+    joined = (
+        st.join(F.broadcast(s), "source")
+        .join(c, "tri")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        joined.groupBy("source", "n_trigrams", "n_distinct_trigrams")
+        .agg(*tvd_fixed_point_aggs(p_s, p_c))
+        .select(
+            "source",
+            "n_trigrams",
+            "n_distinct_trigrams",
+            tvd_from_fixed_point().alias("tvd_vs_corpus"),
+        )
+    )
+
+
+@_q(
+    "text_punctuation_profile",
+    r"""
+    WITH d AS (
+      SELECT source,
+             regexp_replace(TRIM(text),
+               '(\S+\s+\S+\s+\S+\s+\S+\s+\S+)\s', '\1. ', 'g')
+             || CASE ('0x' || substr(md5('punct:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4
+               WHEN 0 THEN ' ok, fine, yes!'
+               WHEN 1 THEN ' really? maybe, no.'
+               WHEN 2 THEN ' end!'
+               ELSE '' END AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), per AS (
+      SELECT source,
+             CAST(LENGTH(t) AS BIGINT) AS n_chars,
+             CAST(LENGTH(t) - LENGTH(replace(t, '.', '')) AS BIGINT)
+               AS n_period,
+             CAST(LENGTH(t) - LENGTH(replace(t, '!', '')) AS BIGINT)
+               AS n_excl,
+             CAST(LENGTH(t) - LENGTH(replace(t, '?', '')) AS BIGINT)
+               AS n_quest,
+             CAST(LENGTH(t) - LENGTH(replace(t, ',', '')) AS BIGINT)
+               AS n_comma
+      FROM d
+    )
+    SELECT source,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_period) AS BIGINT) AS n_period,
+           CAST(SUM(n_excl) AS BIGINT) AS n_excl,
+           CAST(SUM(n_quest) AS BIGINT) AS n_quest,
+           CAST(SUM(n_comma) AS BIGINT) AS n_comma,
+           CASE WHEN SUM(n_chars) > 0 THEN
+             1000.0 * CAST(SUM(n_period + n_excl + n_quest) AS DOUBLE)
+             / CAST(SUM(n_chars) AS DOUBLE) END AS terminal_per_kchar,
+           CASE WHEN SUM(n_chars) > 0 THEN
+             1000.0 * CAST(SUM(n_comma) AS DOUBLE)
+             / CAST(SUM(n_chars) AS DOUBLE) END AS comma_per_kchar
+    FROM per GROUP BY source
+    """,
+)
+def text_punctuation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source terminal-punctuation and comma densities — the
+    prose-vs-debris screen (real prose runs ~5-15 sentence terminals
+    per 1000 chars; scraped tables and code gutters don't). The
+    all-lowercase fixture corpus carries no punctuation, so the
+    surface is INJECTED deterministically: the round-11 sentence
+    machinery ('. ' after each complete 5-token group — shared with
+    text_duplicate_sentence_census) plus a hash-selected punctuation
+    suffix per doc (committed-synthesis pattern), so every counter
+    exercises non-zero paths. Counts are exact char-class counts via
+    length-difference (explicit chars, no regex class ambiguity);
+    densities are one NULL-guarded division per source. Row-local
+    work + one |sources|-row rollup."""
+    dh = phash60(
+        F.concat(F.lit("punct:"), F.col("doc_id").cast("string"))
+    )
+    t = F.concat(
+        F.regexp_replace(
+            F.trim(F.col("text")),
+            r"(\S+\s+\S+\s+\S+\s+\S+\s+\S+)\s",
+            "$1. ",
+        ),
+        F.when(dh % 4 == 0, F.lit(" ok, fine, yes!"))
+        .when(dh % 4 == 1, F.lit(" really? maybe, no."))
+        .when(dh % 4 == 2, F.lit(" end!"))
+        .otherwise(F.lit("")),
+    )
+
+    def ccount(ch: str):
+        return (
+            F.length("t") - F.length(F.replace(F.col("t"), F.lit(ch)))
+        ).cast("bigint")
+
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("source", t.alias("t"))
+        .select(
+            "source",
+            F.length("t").cast("bigint").alias("n_chars"),
+            ccount(".").alias("n_period"),
+            ccount("!").alias("n_excl"),
+            ccount("?").alias("n_quest"),
+            ccount(",").alias("n_comma"),
+        )
+    )
+    chars = F.sum("n_chars")
+    return per.groupBy("source").agg(
+        chars.cast("bigint").alias("n_chars"),
+        F.sum("n_period").cast("bigint").alias("n_period"),
+        F.sum("n_excl").cast("bigint").alias("n_excl"),
+        F.sum("n_quest").cast("bigint").alias("n_quest"),
+        F.sum("n_comma").cast("bigint").alias("n_comma"),
+        F.when(
+            chars > 0,
+            1000.0
+            * (
+                F.sum("n_period") + F.sum("n_excl") + F.sum("n_quest")
+            ).cast("double")
+            / chars.cast("double"),
+        ).alias("terminal_per_kchar"),
+        F.when(
+            chars > 0,
+            1000.0 * F.sum("n_comma").cast("double") / chars.cast("double"),
+        ).alias("comma_per_kchar"),
+    )
+
+
+@_q(
+    "text_repeated_substring_mass",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), g AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+      FROM (
+        SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 7)) AS i
+        FROM toked WHERE len(toks) >= 8
+      )
+    ), per AS (
+      SELECT doc_id, fp, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g GROUP BY doc_id, fp
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+             AS n_repeated,
+           CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS DOUBLE)
+           / CAST(SUM(c) AS DOUBLE) AS repeat_share
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_repeated_substring_mass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Share of each document's 8-token shingles that repeat WITHIN the
+    document — the INTRA-doc templating signal (navigation loops,
+    repeated list stanzas, copy-paste padding) that the cross-doc
+    shingle entries are blind to. Shingle positions come from the
+    shared position explode, fingerprints travel as md5 (the shuffle
+    never carries text), and a shingle with in-doc count c >= 2
+    contributes all c positions to the repeated mass. n_shingles =
+    len(toks) - 7 > 0 structurally for every surviving doc, so the
+    share division is total without a guard. Per-doc bounded output;
+    the (doc, fp) aggregate is map-side combinable."""
+    toked = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id", _SPARK_TOKENS(F.lower(F.col("text"))).alias("toks")
+        )
+        .filter(F.size("toks") >= 8)
+    )
+    g = toked.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 7)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), 8))).alias(
+            "fp"
+        ),
+    )
+    per = g.groupBy("doc_id", "fp").agg(F.count("*").cast("bigint").alias("c"))
+    rep = F.coalesce(
+        F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_shingles"),
+        rep.cast("bigint").alias("n_repeated"),
+        (rep.cast("double") / F.sum("c").cast("double")).alias(
+            "repeat_share"
+        ),
+    )
+
+
+@_q(
+    "text_lead_dup_cluster",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), lead16 AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_slice(toks, 1, 16), ' ')) AS fp
+      FROM toked
+    ), grp AS (
+      SELECT fp,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM lead16 GROUP BY fp
+    )
+    SELECT n_docs AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(MAX(n_sources) AS BIGINT) AS max_source_spread
+    FROM grp GROUP BY n_docs
+    """,
+)
+def text_lead_dup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-duplicate clustering: documents grouped by the md5 of their
+    first 16 tokens — the syndicated-article signal (wire stories and
+    mirrored posts share their lead verbatim while bodies diverge, so
+    whole-doc hashing misses them). Reported as the cluster-size
+    histogram with the max cross-SOURCE spread per size (a size-k
+    cluster spanning k sources is syndication; spanning one source is
+    in-feed re-publication) — bounded output at any corpus size, and
+    non-degenerate even when the corpus has no lead dups (the size-1
+    row is the mass). Docs shorter than 16 tokens cluster on their
+    full prefix (list_slice/F.slice truncate identically). One md5
+    groupBy shuffle + one bounded rollup."""
+    toked = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            "source",
+            _SPARK_TOKENS(F.lower(F.col("text"))).alias("toks"),
+        )
+    )
+    lead16 = toked.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), 1, 16))).alias("fp"),
+    )
+    grp = lead16.groupBy("fp").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    return grp.groupBy(F.col("n_docs").alias("cluster_size")).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.max("n_sources").cast("bigint").alias("max_source_spread"),
+    )
+
+
+@_q(
+    "text_numeric_claim_density",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             TRIM(text || CASE ('0x' || substr(md5('num:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4
+               WHEN 0 THEN ' 1 2 3 4 5 6 7 8 9 10 11 12'
+               WHEN 1 THEN ' 99 2024'
+               ELSE '' END) AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), per AS (
+      SELECT doc_id,
+             CAST(LEN(regexp_split_to_array(t, '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LEN(LIST_FILTER(regexp_split_to_array(t, '\s+'),
+                  x -> regexp_matches(x, '^[0-9][0-9.,%$]*$'))) AS BIGINT)
+               AS numeral_tokens
+      FROM d
+    )
+    SELECT doc_id, n_tokens, numeral_tokens,
+           CASE WHEN n_tokens > 0 THEN
+             CAST(numeral_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           END AS numeral_density,
+           CASE WHEN n_tokens > 0
+                 AND numeral_tokens * 10 >= n_tokens * 3
+                THEN 1 ELSE 0 END AS is_table_like
+    FROM per
+    """,
+)
+def text_numeric_claim_density(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document numeral-token density with a fixed 30% gate:
+    documents that are mostly numbers are tables / price lists / score
+    dumps, not prose — exactly the rows a training-data pipeline
+    routes away from the language mixture. Numeral tokens are the
+    explicit class ^[0-9][0-9.,%$]*$ (digit-led with number
+    furniture, identical in Java regex and RE2); the fixture corpus
+    is all-letters so a numeric surface is INJECTED per doc from its
+    hash (committed-synthesis pattern shared with the casing profile:
+    a 12-numeral run flips ~1/4 of docs over the gate, a 2-numeral
+    tail stays under it). The gate itself is an integer
+    cross-multiply (numeral*10 >= tokens*3 — no division), the
+    density one NULL-guarded division. Pure row-local work."""
+    dh = phash60(F.concat(F.lit("num:"), F.col("doc_id").cast("string")))
+    t = F.trim(
+        F.concat(
+            F.col("text"),
+            F.when(dh % 4 == 0, F.lit(" 1 2 3 4 5 6 7 8 9 10 11 12"))
+            .when(dh % 4 == 1, F.lit(" 99 2024"))
+            .otherwise(F.lit("")),
+        )
+    )
+    raw = F.split(t, r"\s+")
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.size(raw).cast("bigint").alias("n_tokens"),
+            F.size(
+                F.filter(raw, lambda x: x.rlike(r"^[0-9][0-9.,%$]*$"))
+            )
+            .cast("bigint")
+            .alias("numeral_tokens"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "numeral_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("numeral_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+        ).alias("numeral_density"),
+        F.when(
+            (F.col("n_tokens") > 0)
+            & (F.col("numeral_tokens") * 10 >= F.col("n_tokens") * 3),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_table_like"),
+    )
+
+
+@_q(
+    "text_vocab_jaccard_matrix",
+    r"""
+    WITH tk AS (
+      SELECT source,
+             UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), st AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tk GROUP BY source, token
+    ), ranked AS (
+      SELECT source, token,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, token) AS rk
+      FROM st
+    ), topv AS (
+      SELECT source, token FROM ranked WHERE rk <= 1000
+    ), sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab
+      FROM topv GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM topv a JOIN topv b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, sa.n_vocab AS n_a, sb.n_vocab AS n_b,
+           i.n_inter,
+           CAST(i.n_inter AS DOUBLE)
+           / CAST(sa.n_vocab + sb.n_vocab - i.n_inter AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def text_vocab_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-similarity map: Jaccard overlap of the top-1000
+    per-source vocabularies (ranked by frequency with the
+    deterministic (count DESC, token) tie-break — the coverage-curve
+    ranking). The self-join runs on the RANKED vocab table (<= 1000
+    rows per source), so the pair matrix costs |sources|^2 * overlap,
+    never corpus size; pairs with an EMPTY intersection are absent by
+    inner-join semantics (documented — the fixture's shared generator
+    vocabulary makes all pairs present in practice), and the union
+    denominator |A| + |B| - |inter| is structurally positive whenever
+    a pair appears. Exact integer counts, one division per pair,
+    bounded |sources|^2 output."""
+    tk = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token"),
+        )
+    )
+    st = tk.groupBy("source", "token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "token")
+    topv = (
+        st.select("source", "token", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 1000)
+        .select("source", "token")
+    )
+    topv = materialize_reduced(topv)
+    sizes = topv.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_vocab")
+    )
+    a, b = topv.alias("a"), topv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_vocab").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_vocab").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -351,3 +351,139 @@ def test_value_concentration_gini(spark):
         }
     assert out["flat"]["gini"] == pytest.approx(0.0, abs=1e-12)
     assert out["skew"]["gini"] == pytest.approx(0.25, abs=1e-12)
+
+
+# --- text family -----------------------------------------------------------
+
+import hashlib
+
+from large_csv_etl_spark.queries.text import QUERIES as TEXT_QUERIES
+
+
+def _docs_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(2).write.parquet(f"{d}/documents.parquet")
+
+
+def _doc(doc_id, text, source="s0"):
+    return (doc_id, text, "en", source, len(text))
+
+
+def _ph60_mod(s: str, m: int) -> int:
+    """Python twin of helpers.phash60(...) % m for planted fixtures."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % m
+
+
+def test_char_trigram_tvd_disjoint_sources(spark):
+    """Two sources with disjoint char-trigram vocabularies split the
+    corpus 50/50: each source's TVD vs the mix is exactly 0.5."""
+    rows = [_doc(1, "aaaa", "sA"), _doc(2, "bbbb", "sB")]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = {
+            r["source"]: r
+            for r in TEXT_QUERIES["text_char_trigram_source_tvd"](
+                spark, d
+            ).collect()
+        }
+    assert out["sA"]["n_trigrams"] == 2
+    assert out["sA"]["tvd_vs_corpus"] == pytest.approx(0.5, abs=1e-9)
+    assert out["sB"]["tvd_vs_corpus"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_punctuation_profile_counts(spark):
+    """Ten tokens gain two injected sentence terminals; the
+    hash-selected suffix for the planted doc_id is accounted exactly."""
+    doc_id = next(
+        i for i in range(1, 50) if _ph60_mod(f"punct:{i}", 4) == 0
+    )
+    text = "a b c d e f g h i j"
+    rows = [_doc(doc_id, text)]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = TEXT_QUERIES["text_punctuation_profile"](spark, d).collect()[0]
+    # sentence machinery: '. ' after each complete 5-token group that is
+    # followed by more text -> 1 period; suffix ' ok, fine, yes!' adds
+    # 2 commas + 1 exclamation.
+    assert out["n_period"] == 1
+    assert out["n_excl"] == 1
+    assert out["n_comma"] == 2
+    assert out["n_quest"] == 0
+
+
+def test_repeated_substring_mass_doubled_phrase(spark):
+    """An 8-token phrase written twice yields 9 shingles of which the
+    lead shingle repeats (positions 1 and 9): share = 2/9."""
+    phrase = "a b c d e f g h"
+    rows = [_doc(1, phrase + " " + phrase)]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = TEXT_QUERIES["text_repeated_substring_mass"](
+            spark, d
+        ).collect()[0]
+    assert out["n_shingles"] == 9
+    assert out["n_repeated"] == 2
+    assert out["repeat_share"] == pytest.approx(2.0 / 9.0, abs=1e-12)
+
+
+def test_lead_dup_cluster_histogram(spark):
+    """Two docs sharing their first 16 tokens from different sources
+    form a size-2 cluster with source spread 2; a third doc stands
+    alone."""
+    lead = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        _doc(1, lead + " tail one", "sA"),
+        _doc(2, lead + " other tail", "sB"),
+        _doc(3, "completely different text entirely", "sA"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = {
+            r["cluster_size"]: r
+            for r in TEXT_QUERIES["text_lead_dup_cluster"](
+                spark, d
+            ).collect()
+        }
+    assert out[2]["n_clusters"] == 1
+    assert out[2]["max_source_spread"] == 2
+    assert out[1]["n_clusters"] == 1
+
+
+def test_numeric_claim_density_gate(spark):
+    """A no-injection doc that is 3/4 numerals clears the 30% gate; a
+    no-injection all-letters doc stays at zero."""
+    ids = [i for i in range(1, 200) if _ph60_mod(f"num:{i}", 4) >= 2]
+    rows = [
+        _doc(ids[0], "1 2 3 x"),
+        _doc(ids[1], "plain words only here"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = {
+            r["doc_id"]: r
+            for r in TEXT_QUERIES["text_numeric_claim_density"](
+                spark, d
+            ).collect()
+        }
+    assert out[ids[0]]["numeral_density"] == pytest.approx(0.75, abs=1e-12)
+    assert out[ids[0]]["is_table_like"] == 1
+    assert out[ids[1]]["numeral_tokens"] == 0
+    assert out[ids[1]]["is_table_like"] == 0
+
+
+def test_vocab_jaccard_two_sources(spark):
+    """Vocabularies {a,b,c} and {b,c,d}: intersection 2, union 4,
+    jaccard 0.5."""
+    rows = [_doc(1, "a b c", "sA"), _doc(2, "b c d", "sB")]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = TEXT_QUERIES["text_vocab_jaccard_matrix"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("sA", "sB")
+    assert (r["n_a"], r["n_b"], r["n_inter"]) == (3, 3, 2)
+    assert r["jaccard"] == pytest.approx(0.5, abs=1e-12)
