@@ -3045,3 +3045,141 @@ def dedup_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("within_cap"),
     )
+
+
+@_q(
+    "dedup_transitivity_audit",
+    rf"""
+    WITH sh0 AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               AS shingle
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+            FROM documents WHERE TRIM(text) <> '') t
+      WHERE len(toks) >= 3
+    ), df AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), sh AS (
+      SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN df USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), full_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - COUNT(*)) AS jaccard
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+    ), strong AS (
+      SELECT doc_a, doc_b FROM full_pairs WHERE jaccard >= 0.2
+    ), triples AS (
+      SELECT p.doc_a AS x, q.doc_b AS y FROM strong p
+      JOIN strong q ON p.doc_b = q.doc_a
+      UNION ALL
+      SELECT p.doc_b AS x, q.doc_b AS y FROM strong p
+      JOIN strong q ON p.doc_a = q.doc_a AND p.doc_b < q.doc_b
+      UNION ALL
+      SELECT p.doc_a AS x, q.doc_a AS y FROM strong p
+      JOIN strong q ON p.doc_b = q.doc_b AND p.doc_a < q.doc_a
+    ), judged AS (
+      SELECT t.x, t.y, COALESCE(fp.jaccard, 0.0) AS j_xy
+      FROM triples t
+      LEFT JOIN full_pairs fp ON fp.doc_a = t.x AND fp.doc_b = t.y
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM strong)
+             AS n_strong_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(CASE WHEN j_xy < 0.1 THEN 1 END) AS BIGINT)
+             AS n_violations,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(COUNT(CASE WHEN j_xy < 0.1 THEN 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) END AS violation_share
+    FROM judged
+    """,
+)
+def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup transitivity audit: among connected triples of the
+    trigram-Jaccard >= 0.2 pair graph (A~B and B~C through any shared
+    endpoint), how many outer pairs (A, C) fall below threshold/2 =
+    0.1? High violation share means the threshold is chaining
+    unrelated docs through hubs and connected-component dedup will
+    over-merge; near-zero means clusters are metrically tight. The
+    un-thresholded pair table comes from the SAME DF-capped posting
+    machinery as dedup_ngram_jaccard (so the two entries can never
+    disagree on a jaccard); triples enumerate once each via the three
+    shared-endpoint orientations with canonical x < y; outer pairs
+    sharing NO shingle have jaccard 0 by the left-join COALESCE.
+    Everything is bounded by the capped pair set (sum of df^2 over
+    shingles), never |docs|^2. Single-row output."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    sh = shingle_rows(docs)
+    buckets = materialize_reduced(
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+    )
+    sizes = (
+        buckets.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    shared = (
+        _posting_list_pairs(buckets.filter(F.size("docs") >= 2))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
+    )
+    full_pairs = materialize_reduced(
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+    strong = full_pairs.filter(F.col("jaccard") >= 0.2).select(
+        "doc_a", "doc_b"
+    )
+    strong = materialize_reduced(strong)
+    p, q = strong.alias("p"), strong.alias("q")
+    t1 = p.join(q, F.col("p.doc_b") == F.col("q.doc_a")).select(
+        F.col("p.doc_a").alias("x"), F.col("q.doc_b").alias("y")
+    )
+    t2 = p.join(
+        q,
+        (F.col("p.doc_a") == F.col("q.doc_a"))
+        & (F.col("p.doc_b") < F.col("q.doc_b")),
+    ).select(F.col("p.doc_b").alias("x"), F.col("q.doc_b").alias("y"))
+    t3 = p.join(
+        q,
+        (F.col("p.doc_b") == F.col("q.doc_b"))
+        & (F.col("p.doc_a") < F.col("q.doc_a")),
+    ).select(F.col("p.doc_a").alias("x"), F.col("q.doc_a").alias("y"))
+    triples = t1.unionAll(t2).unionAll(t3)
+    judged = triples.join(
+        full_pairs,
+        (F.col("x") == F.col("doc_a")) & (F.col("y") == F.col("doc_b")),
+        "left",
+    ).select("x", "y", F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("j_xy"))
+    n_strong = strong.agg(
+        F.count("*").cast("bigint").alias("n_strong_pairs")
+    )
+    viol = F.count(F.when(F.col("j_xy") < 0.1, 1))
+    agg = judged.agg(
+        F.count("*").cast("bigint").alias("n_triples"),
+        viol.cast("bigint").alias("n_violations"),
+        F.when(
+            F.count("*") > 0,
+            viol.cast("double") / F.count("*").cast("double"),
+        ).alias("violation_share"),
+    )
+    return n_strong.crossJoin(F.broadcast(agg)).select(
+        "n_strong_pairs", "n_triples", "n_violations", "violation_share"
+    )

@@ -3697,3 +3697,514 @@ def sim_rank_displacement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("displacement"),
     )
+
+
+# --- round 13: metric agreement, elbow curve, norm bands, silhouette ------
+
+
+def _rank_panel_pred(prefix: str, mod: int):
+    """Deterministic hash query panel: vec_id selected when
+    phash60(prefix || vec_id) % mod == 0 (engine-portable)."""
+    from .helpers import phash60
+
+    return (
+        phash60(F.concat(F.lit(prefix), F.col("vec_id").cast("string")))
+        % mod
+        == 0
+    )
+
+
+@_q(
+    "sim_cosine_euclidean_rank_agreement",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS v6
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v6,
+             CAST(list_dot_product(v6, v6) AS BIGINT) AS n2
+      FROM v
+    ), q AS (
+      SELECT vec_id AS qid, v6 AS q6 FROM n
+      WHERE ('0x' || substr(md5('rankq:' || CAST(vec_id AS VARCHAR)),
+             1, 15))::BIGINT % 50 = 0
+    ), scored AS (
+      SELECT q.qid, n.vec_id,
+             CAST(list_dot_product(n.v6, q.q6) AS BIGINT) AS dot6,
+             n.n2
+      FROM n JOIN q ON n.vec_id <> q.qid
+      WHERE n.n2 > 0
+    ), cosr AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY CAST(dot6 AS DOUBLE)
+                        / SQRT(CAST(n2 AS DOUBLE)) DESC, vec_id) AS rk
+      FROM scored
+    ), l2r AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY n2 - 2 * dot6, vec_id) AS rk
+      FROM scored
+    )
+    SELECT c.qid AS query_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE)
+           / CAST(20 - COUNT(*) AS DOUBLE) AS jaccard_top10
+    FROM (SELECT qid, vec_id FROM cosr WHERE rk <= 10) c
+    JOIN (SELECT qid, vec_id FROM l2r WHERE rk <= 10) l
+      ON c.qid = l.qid AND c.vec_id = l.vec_id
+    GROUP BY c.qid
+    """,
+)
+def sim_cosine_euclidean_rank_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-10 overlap between the cosine and Euclidean rankings for a
+    deterministic hash query panel (~2% of vectors) — the metric-choice
+    audit: on normalized embeddings the two rankings agree, and the
+    overlap measures how far the corpus is from that regime. Both
+    rankings come from the SAME 1e-6 integer-lattice dot/norm table:
+    the Euclidean key n2 - 2*dot is exact BIGINT (the query norm is a
+    common shift and drops out), the cosine key dot/sqrt(n2) is one
+    identical IEEE chain on exact integers (the query norm is a common
+    positive factor and drops out); both rank with the (key, vec_id)
+    deterministic tie-break. Zero-norm vectors are excluded (cosine
+    undefined). Queries whose two top-10 sets are disjoint are absent
+    by inner-join semantics (documented; jaccard_top10 = n/(20-n) is
+    structurally guarded by n >= 1 there). Scale: panel broadcast x
+    corpus scan, two bounded per-query windows."""
+    from .helpers import materialize_reduced
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000.0, 0).cast(
+                "bigint"
+            ),
+        ).alias("v6"),
+    ).select(
+        "vec_id",
+        "v6",
+        F.aggregate(
+            F.zip_with(F.col("v6"), F.col("v6"), lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n2"),
+    )
+    n = materialize_reduced(n)
+    q = n.filter(_rank_panel_pred("rankq:", 50)).select(
+        F.col("vec_id").alias("qid"), F.col("v6").alias("q6")
+    )
+    scored = (
+        n.filter(F.col("n2") > 0)
+        .join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("v6"), F.col("q6"), lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dot6"),
+            "n2",
+        )
+    )
+    scored = materialize_reduced(scored)
+    cos_key = F.col("dot6").cast("double") / F.sqrt(F.col("n2").cast("double"))
+    wc = Window.partitionBy("qid").orderBy(cos_key.desc(), "vec_id")
+    wl = Window.partitionBy("qid").orderBy(
+        F.col("n2") - 2 * F.col("dot6"), "vec_id"
+    )
+    ctop = (
+        scored.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id")
+    )
+    ltop = (
+        scored.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("qid").alias("l_qid"), F.col("vec_id").alias("l_vec"))
+    )
+    j = ctop.join(
+        ltop,
+        (F.col("qid") == F.col("l_qid")) & (F.col("vec_id") == F.col("l_vec")),
+    )
+    cnt = F.count("*")
+    return j.groupBy(F.col("qid").alias("query_vec_id")).agg(
+        cnt.cast("bigint").alias("n_overlap"),
+        (cnt.cast("double") / (20 - cnt).cast("double")).alias(
+            "jaccard_top10"
+        ),
+    )
+
+
+def _lloyd_sql_for_k(k: int, iterations: int) -> str:
+    """Standalone unrolled-Lloyd SQL for one k, returning a single
+    (k, n_vectors, inertia) row — the embedding_kmeans_lloyd oracle
+    generator parameterized by k (same integer micro-unit arithmetic,
+    same (d2, cid) argmin tie-break, same rounded-integer-mean update)."""
+    head = f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v6
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), ex AS MATERIALIZED (
+      SELECT vec_id, unnest(v6) AS val6, generate_subscripts(v6, 1) AS pos
+      FROM v
+    ), seeds AS MATERIALIZED (
+      SELECT vec_id FROM v ORDER BY vec_id LIMIT {k}
+    ), cent0 AS MATERIALIZED (
+      SELECT e.vec_id AS cid, e.pos, e.val6 AS cmu
+      FROM ex e JOIN seeds s ON e.vec_id = s.vec_id
+    )"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f""", d{i} AS MATERIALIZED (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM((e.val6 - c.cmu) * (e.val6 - c.cmu)) AS BIGINT) AS d2
+      FROM ex e JOIN cent{i - 1} c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cid
+    ), a{i} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    ), cent{i} AS MATERIALIZED (
+      SELECT a.cid, e.pos,
+             CAST(round(CAST(SUM(e.val6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cmu
+      FROM ex e JOIN a{i} a ON e.vec_id = a.vec_id
+      GROUP BY a.cid, e.pos
+    )""")
+    tail = f""", dfin AS MATERIALIZED (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM((e.val6 - c.cmu) * (e.val6 - c.cmu)) AS BIGINT) AS d2
+      FROM ex e JOIN cent{iterations} c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cid
+    ), afin AS MATERIALIZED (
+      SELECT vec_id, d2 FROM (
+        SELECT vec_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dfin
+      ) WHERE rn = 1
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(d2) AS DOUBLE) AS inertia
+    FROM afin"""
+    return head + "".join(its) + tail
+
+
+@_q(
+    "sim_kmeans_inertia_curve",
+    "\nUNION ALL\n".join(
+        f"SELECT * FROM ({_lloyd_sql_for_k(k, 2)})" for k in (2, 4, 8)
+    ),
+)
+def sim_kmeans_inertia_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd inertia at k in {2, 4, 8} — the elbow-curve table that
+    prices the graded k=8 choice (embedding_kmeans_lloyd): three
+    unrolled 2-iteration runs of the SAME integer micro-unit Lloyd
+    machinery (deterministic smallest-vec_id seeds, exact BIGINT
+    distances, rounded-integer-mean centroids, (d2, cid) argmin), each
+    reporting total inertia over the final assignment. Monotone
+    non-increasing in k by construction on any fixture. Scale: per k,
+    each iteration is one broadcast (k x dim) centroid table against a
+    corpus scan — the 100 TB k-means plan, run three times."""
+    from .helpers import materialize_reduced
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vec6 = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+        ).alias("v6"),
+    )
+    vec6 = materialize_reduced(vec6)
+    d2 = F.aggregate(
+        F.zip_with(F.col("v6"), F.col("c6"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+
+    def assign(centroids):
+        return (
+            vec6.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "v6", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    outs = []
+    for k in (2, 4, 8):
+        cent_arr = materialize_reduced(
+            vec6.orderBy("vec_id")
+            .limit(k)
+            .select(F.col("vec_id").alias("cid"), F.col("v6").alias("c6"))
+        )
+        for _ in range(2):
+            a = assign(cent_arr).select(
+                "cid", F.posexplode("v6").alias("pos", "val6")
+            )
+            cent = a.groupBy("cid", "pos").agg(
+                F.round(F.sum("val6").cast("double") / F.count("*"))
+                .cast("bigint")
+                .alias("cmu")
+            )
+            cent_arr = materialize_reduced(
+                cent.groupBy("cid").agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "cmu"))),
+                        lambda s: s["cmu"],
+                    ).alias("c6")
+                )
+            )
+        outs.append(
+            assign(cent_arr).agg(
+                F.lit(k).cast("bigint").alias("k"),
+                F.count("*").cast("bigint").alias("n_vectors"),
+                F.sum(F.col("d2").cast("decimal(38,0)"))
+                .cast("double")
+                .alias("inertia"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+@_q(
+    "sim_norm_percentile_bands",
+    """
+    WITH n AS (
+      SELECT vec_id, label,
+             CAST(round(SQRT(CAST(list_dot_product(
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)),
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+             ) AS DOUBLE))) AS BIGINT) AS norm6
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), banded AS (
+      SELECT label, norm6,
+             NTILE(10) OVER (ORDER BY norm6, vec_id) AS band
+      FROM n
+    )
+    SELECT CAST(band AS BIGINT) AS band, label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(norm6) AS BIGINT) AS min_norm6,
+           CAST(MAX(norm6) AS BIGINT) AS max_norm6
+    FROM banded GROUP BY band, label
+    """,
+)
+def sim_norm_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm decile bands with the per-band label mix — the
+    distributional companion of the norm-outlier gate: a label
+    concentrated in the extreme bands is a scaling artifact (an
+    un-normalized encoder batch), not semantics. Norms ride the 1e-6
+    integer lattice snapped to integer micro-units (norm6 =
+    round(sqrt(exact integer dot)) — one sqrt + one round on exact
+    BIGINTs, identical both engines), deciles are NTILE(10) over the
+    deterministic (norm6, vec_id) order (rank arithmetic, no float
+    quantiles), and the output is the bounded 10 x |labels| grid with
+    per-cell norm ranges. One corpus scan + one rank window + one
+    rollup."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v6 = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("bigint"),
+    )
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(v6, v6, lambda a, b: a * b),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+            ),
+            0,
+        )
+        .cast("bigint")
+        .alias("norm6"),
+    )
+    banded = n.select(
+        "label",
+        "norm6",
+        F.ntile(10).over(Window.orderBy("norm6", "vec_id")).alias("band"),
+    )
+    return banded.groupBy(
+        F.col("band").cast("bigint").alias("band"), "label"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.min("norm6").cast("bigint").alias("min_norm6"),
+        F.max("norm6").cast("bigint").alias("max_norm6"),
+    )
+
+
+@_q(
+    "sim_silhouette_sampled",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS v6
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), cent AS (
+      SELECT label AS clabel, pos,
+             CAST(round(CAST(SUM(val6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cmu
+      FROM (
+        SELECT label, unnest(v6) AS val6, generate_subscripts(v6, 1) AS pos
+        FROM v
+      )
+      GROUP BY label, pos
+    ), panel AS (
+      SELECT vec_id, label, v6 FROM v
+      WHERE ('0x' || substr(md5('silq:' || CAST(vec_id AS VARCHAR)),
+             1, 15))::BIGINT % 4 = 0
+    ), pd AS (
+      SELECT p.vec_id, p.label, c.clabel,
+             CAST(SUM((e.val6 - c.cmu) * (e.val6 - c.cmu)) AS BIGINT) AS d2
+      FROM (
+        SELECT vec_id, label, unnest(v6) AS val6,
+               generate_subscripts(v6, 1) AS pos
+        FROM panel
+      ) e
+      JOIN panel p ON p.vec_id = e.vec_id
+      JOIN cent c ON c.pos = e.pos
+      GROUP BY p.vec_id, p.label, c.clabel
+    ), ab AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN d2 END) AS a2,
+             MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+      FROM pd GROUP BY vec_id, label
+    ), s AS (
+      SELECT vec_id, label,
+             CASE WHEN GREATEST(a2, b2) > 0 THEN
+               CAST(round((SQRT(CAST(b2 AS DOUBLE))
+                           - SQRT(CAST(a2 AS DOUBLE)))
+                    / SQRT(CAST(GREATEST(a2, b2) AS DOUBLE))
+                    * 1000000.0) AS BIGINT)
+             END AS s_fp
+      FROM ab WHERE a2 IS NOT NULL AND b2 IS NOT NULL
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_panel,
+           CAST(COUNT(s_fp) AS BIGINT) AS n_scored,
+           CASE WHEN COUNT(s_fp) > 0 THEN
+             CAST(SUM(s_fp) AS DOUBLE) / CAST(COUNT(s_fp) AS DOUBLE)
+             / 1000000.0 END AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+)
+def sim_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-form) silhouette on a deterministic
+    hash-sampled panel (~1/4 of vectors): per panel vector, a = L2
+    distance to its OWN label centroid, b = distance to the NEAREST
+    other label centroid, s = (b - a)/max(a, b) — the cluster-quality
+    screen without the all-pairs silhouette's quadratic cost (the
+    medoid distances are replaced by the label-centroid machinery,
+    documented simplification). Centroids are the integer micro-unit
+    rounded means over ALL vectors (the Lloyd update formula), panel
+    distances exact BIGINT, s one identical sqrt chain snapped to the
+    1e-6 lattice, per-label means exact integer sums with one final
+    division. Degenerate a2 = b2 = 0 panels are excluded by the
+    max > 0 guard and reported via n_panel vs n_scored. Scale:
+    centroid table is |labels| x dim (broadcast); panel cost is
+    |panel| x |labels|."""
+    from .helpers import materialize_reduced, phash60
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+        ).alias("v6"),
+    )
+    v = materialize_reduced(v)
+    cent = (
+        v.select("label", F.posexplode("v6").alias("pos", "val6"))
+        .groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            F.round(F.sum("val6").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cmu")
+        )
+    )
+    cent_arr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cmu"))),
+            lambda s: s["cmu"],
+        ).alias("c6")
+    )
+    panel = v.filter(
+        phash60(F.concat(F.lit("silq:"), F.col("vec_id").cast("string")))
+        % 4
+        == 0
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v6"), F.col("c6"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pd = panel.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    ab = pd.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("d2"))
+        ).alias("a2"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("d2"))
+        ).alias("b2"),
+    )
+    mx = F.greatest(F.col("a2"), F.col("b2"))
+    s = ab.filter(
+        F.col("a2").isNotNull() & F.col("b2").isNotNull()
+    ).select(
+        "label",
+        F.when(
+            mx > 0,
+            F.round(
+                (
+                    F.sqrt(F.col("b2").cast("double"))
+                    - F.sqrt(F.col("a2").cast("double"))
+                )
+                / F.sqrt(mx.cast("double"))
+                * 1000000.0,
+                0,
+            ).cast("bigint"),
+        ).alias("s_fp"),
+    )
+    return s.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_panel"),
+        F.count("s_fp").cast("bigint").alias("n_scored"),
+        F.when(
+            F.count("s_fp") > 0,
+            F.sum("s_fp").cast("double")
+            / F.count("s_fp").cast("double")
+            / 1000000.0,
+        ).alias("mean_silhouette"),
+    )

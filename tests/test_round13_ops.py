@@ -487,3 +487,118 @@ def test_vocab_jaccard_two_sources(spark):
     assert (r["source_a"], r["source_b"]) == ("sA", "sB")
     assert (r["n_a"], r["n_b"], r["n_inter"]) == (3, 3, 2)
     assert r["jaccard"] == pytest.approx(0.5, abs=1e-12)
+
+
+# --- similarity / dedup families --------------------------------------------
+
+from large_csv_etl_spark.queries.dedup import QUERIES as DEDUP_QUERIES
+from large_csv_etl_spark.queries.similarity import QUERIES as SIM_QUERIES
+
+
+def _emb_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(2).write.parquet(f"{d}/embeddings.parquet")
+
+
+def test_rank_agreement_full_overlap(spark):
+    """Four candidates and one panel query: both top-10s hold all four,
+    so overlap = 4 and jaccard = 4/16."""
+    qid = next(
+        i for i in range(1, 400) if _ph60_mod(f"rankq:{i}", 50) == 0
+    )
+    rows = [(qid, [1.0, 0.0], 0)]
+    cand_ids = [
+        i
+        for i in range(1, 400)
+        if i != qid and _ph60_mod(f"rankq:{i}", 50) != 0
+    ][:4]
+    for j, cid in enumerate(cand_ids):
+        rows.append((cid, [1.0, 0.1 * (j + 1)], 1))
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir(spark, rows, d)
+        out = SIM_QUERIES["sim_cosine_euclidean_rank_agreement"](
+            spark, d
+        ).collect()
+    assert len(out) == 1
+    assert out[0]["query_vec_id"] == qid
+    assert out[0]["n_overlap"] == 4
+    assert out[0]["jaccard_top10"] == pytest.approx(0.25, abs=1e-12)
+
+
+def test_kmeans_inertia_curve_monotone(spark):
+    """Inertia is monotone non-increasing in k, and with k >= distinct
+    points it reaches 0: four planted points, ks 2/4/8."""
+    rows = [
+        (0, [0.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),
+        (2, [10.0, 10.0], 1),
+        (3, [11.0, 10.0], 1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir(spark, rows, d)
+        out = {
+            r["k"]: r
+            for r in SIM_QUERIES["sim_kmeans_inertia_curve"](
+                spark, d
+            ).collect()
+        }
+    assert set(out) == {2, 4, 8}
+    assert all(r["n_vectors"] == 4 for r in out.values())
+    assert out[2]["inertia"] >= out[4]["inertia"] >= out[8]["inertia"]
+    assert out[4]["inertia"] == 0.0  # k=4 covers every distinct point
+
+
+def test_norm_percentile_bands_order(spark):
+    """Ten unit-spaced norms tile NTILE(10) one per band, each band's
+    range degenerate at its own norm."""
+    rows = [(i, [float(i), 0.0], i % 2) for i in range(1, 11)]
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir(spark, rows, d)
+        out = SIM_QUERIES["sim_norm_percentile_bands"](spark, d).collect()
+    assert len(out) == 10
+    by_band = sorted(out, key=lambda r: r["band"])
+    assert [r["n_vecs"] for r in by_band] == [1] * 10
+    assert [r["min_norm6"] for r in by_band] == [
+        i * 1000000 for i in range(1, 11)
+    ]
+
+
+def test_silhouette_separated_clusters(spark):
+    """Two tight, far-apart label clusters: every panel vector sits
+    nearly on its own centroid, so the mean silhouette approaches 1."""
+    rows = []
+    for i in range(40):
+        lab = i % 2
+        base = 0.0 if lab == 0 else 100.0
+        rows.append((i, [base + 0.01 * (i // 2 % 2), 0.0], lab))
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir(spark, rows, d)
+        out = SIM_QUERIES["sim_silhouette_sampled"](spark, d).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_panel"] >= 1
+        if r["n_scored"] > 0:
+            assert r["mean_silhouette"] > 0.99
+
+
+def test_transitivity_audit_chain_violation(spark):
+    """A~B and B~C strong but A and C share nothing: one triple, one
+    violation (jaccard(A,C) = 0 < 0.1)."""
+    # B bridges A and C: A shares its first half with B, C its second
+    # half, and A/C are disjoint.
+    part1 = " ".join(f"a{i}" for i in range(12))
+    part2 = " ".join(f"c{i}" for i in range(12))
+    rows = [
+        _doc(1, part1),
+        _doc(2, part1 + " " + part2),
+        _doc(3, part2),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = DEDUP_QUERIES["dedup_transitivity_audit"](spark, d).collect()[0]
+    assert out["n_strong_pairs"] == 2
+    assert out["n_triples"] == 1
+    assert out["n_violations"] == 1
+    assert out["violation_share"] == pytest.approx(1.0, abs=1e-12)
