@@ -2146,3 +2146,446 @@ def etl_multichar_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("amount_cents"),
     )
+
+
+# --- round 13: column health, key-width audit, quarantine trend, drift ----
+
+QUARANTINE_CSV = str(
+    Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+    / "quarantine_feed.csv"
+)
+
+
+@_q(
+    "etl_dead_column_detector",
+    """
+    WITH k AS (
+      SELECT o_orderstatus, o_orderpriority,
+             ('0x' || substr(md5('dead:' || CAST(o_orderkey AS VARCHAR)),
+              1, 15))::BIGINT % 1000 AS h
+      FROM orders
+    ), synth AS (
+      SELECT CASE WHEN h < 50 THEN NULL ELSE o_orderstatus END AS col_gappy,
+             'X' AS col_constant,
+             CASE WHEN h = 0 THEN 'Z' ELSE 'Y' END AS col_near_const,
+             o_orderpriority AS col_healthy
+      FROM k
+    ), unpvt AS (
+      SELECT 'col_gappy' AS column_name, col_gappy AS val FROM synth
+      UNION ALL
+      SELECT 'col_constant', col_constant FROM synth
+      UNION ALL
+      SELECT 'col_near_const', col_near_const FROM synth
+      UNION ALL
+      SELECT 'col_healthy', col_healthy FROM synth
+    ), per AS (
+      SELECT column_name, val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM unpvt WHERE val IS NOT NULL
+      GROUP BY column_name, val
+    ), tot AS (
+      SELECT column_name,
+             CAST(SUM(c) AS BIGINT) AS n_nonnull,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_count
+      FROM per GROUP BY column_name
+    ), base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM synth
+    )
+    SELECT u.column_name, b.n_rows,
+           b.n_rows - COALESCE(t.n_nonnull, 0) AS n_nulls,
+           COALESCE(t.n_distinct, 0) AS n_distinct,
+           COALESCE(t.top_count, 0) AS top_count,
+           CASE
+             WHEN COALESCE(t.n_nonnull, 0) = 0 THEN 'dead'
+             WHEN t.n_distinct = 1 THEN 'constant'
+             WHEN t.top_count * 100 >= t.n_nonnull * 99
+               THEN 'near_constant'
+             ELSE 'healthy'
+           END AS verdict
+    FROM (SELECT DISTINCT column_name FROM unpvt) u
+    LEFT JOIN tot t USING (column_name)
+    CROSS JOIN base b
+    """,
+)
+def etl_dead_column_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column liveness audit — all-NULL / constant / near-constant
+    flags, the first screen a schema-on-read ingest runs before
+    trusting a new feed. The clean fixture carries no such pathology,
+    so a 4-column surface is SYNTHESIZED from the row hash
+    (hash-null-injected status, a literal constant, a 1-in-1000
+    near-constant, and a genuinely healthy column — the
+    dq_null_rate_trend committed-synthesis pattern). The unpivot
+    (UNION ALL of narrow projections; Spark side uses the stack()
+    expression — same shape) feeds ONE (column, value) count table;
+    verdicts are integer arithmetic only (the 99% near-constant gate
+    is the cross-multiply top*100 >= nonnull*99). Bounded 4-row
+    output; the value table is bounded by the per-column domains."""
+    from .helpers import phash60
+
+    k = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        (
+            phash60(
+                F.concat(F.lit("dead:"), F.col("o_orderkey").cast("string"))
+            )
+            % 1000
+        ).alias("h"),
+    )
+    synth = k.select(
+        F.when(F.col("h") < 50, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("col_gappy"),
+        F.lit("X").alias("col_constant"),
+        F.when(F.col("h") == 0, "Z").otherwise("Y").alias("col_near_const"),
+        F.col("o_orderpriority").alias("col_healthy"),
+    )
+    unpvt = synth.select(
+        F.expr(
+            "stack(4,"
+            " 'col_gappy', col_gappy,"
+            " 'col_constant', col_constant,"
+            " 'col_near_const', col_near_const,"
+            " 'col_healthy', col_healthy) AS (column_name, val)"
+        )
+    )
+    per = (
+        unpvt.filter(F.col("val").isNotNull())
+        .groupBy("column_name", "val")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = per.groupBy("column_name").agg(
+        F.sum("c").cast("bigint").alias("n_nonnull"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_count"),
+    )
+    base = synth.agg(F.count("*").cast("bigint").alias("n_rows"))
+    names = unpvt.select("column_name").distinct()
+    out = (
+        names.join(tot, "column_name", "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "column_name",
+            "n_rows",
+            (
+                F.col("n_rows") - F.coalesce(F.col("n_nonnull"), F.lit(0))
+            ).alias("n_nulls"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+            F.coalesce(F.col("top_count"), F.lit(0)).alias("top_count"),
+            F.when(
+                F.coalesce(F.col("n_nonnull"), F.lit(0)) == 0, "dead"
+            )
+            .when(F.col("n_distinct") == 1, "constant")
+            .when(
+                F.col("top_count") * 100 >= F.col("n_nonnull") * 99,
+                "near_constant",
+            )
+            .otherwise("healthy")
+            .alias("verdict"),
+        )
+    )
+    return out
+
+
+@_q(
+    "etl_composite_key_collision",
+    """
+    WITH keys AS (
+      SELECT md5(CAST(o_orderkey AS VARCHAR) || '|'
+                 || CAST(o_custkey AS VARCHAR)) AS full_key
+      FROM orders
+    ), widths AS (SELECT UNNEST([8, 12, 16]) AS width),
+    pfx AS (
+      SELECT w.width, substr(k.full_key, 1, w.width) AS prefix
+      FROM keys k CROSS JOIN widths w
+    ), per AS (
+      SELECT width,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT prefix) AS BIGINT) AS n_distinct
+      FROM pfx GROUP BY width
+    )
+    SELECT CAST(width AS BIGINT) AS width, n_rows, n_distinct,
+           n_rows - n_distinct AS n_collisions,
+           CAST(n_rows AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE) / 2.0
+           / CASE width WHEN 8 THEN 4294967296.0
+                        WHEN 12 THEN 281474976710656.0
+                        ELSE 18446744073709551616.0 END
+             AS expected_collisions,
+           CASE WHEN CAST(n_rows AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE)
+                     / 2.0 > 0.0
+           THEN CAST(n_rows - n_distinct AS DOUBLE)
+                / (CAST(n_rows AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE) / 2.0
+                   / CASE width WHEN 8 THEN 4294967296.0
+                                WHEN 12 THEN 281474976710656.0
+                                ELSE 18446744073709551616.0 END)
+           END AS obs_over_expected
+    FROM per
+    """,
+)
+def etl_composite_key_collision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Birthday-style collision audit for md5-prefix surrogate keys at
+    widths 8/12/16 hex chars — prices the 'short readable id' shortcut
+    before it ships: observed collisions (rows minus distinct
+    prefixes) against the birthday expectation n(n-1)/2 / 16^w, the
+    latter a LITERAL per width (16^8 = 2^32 etc. — no runtime pow).
+    Exact integer collision counts; the expectation and ratio are one
+    fixed double chain, NULL-guarded for n < 2. Scale: one distinct
+    per width over the prefix (the 3x fanout is the width panel, never
+    the corpus)."""
+    keys = load_table(spark, sf_dir, "orders").select(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+            )
+        ).alias("full_key")
+    )
+    pfx = keys.select(
+        F.explode(F.array(F.lit(8), F.lit(12), F.lit(16))).alias("width"),
+        "full_key",
+    ).select(
+        "width", F.expr("substring(full_key, 1, width)").alias("prefix")
+    )
+    per = pfx.groupBy("width").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("prefix").cast("bigint").alias("n_distinct"),
+    )
+    space = (
+        F.when(F.col("width") == 8, F.lit(4294967296.0))
+        .when(F.col("width") == 12, F.lit(281474976710656.0))
+        .otherwise(F.lit(18446744073709551616.0))
+    )
+    npairs = (
+        F.col("n_rows").cast("double")
+        * (F.col("n_rows") - 1).cast("double")
+        / 2.0
+    )
+    expected = npairs / space
+    return per.select(
+        F.col("width").cast("bigint").alias("width"),
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).alias("n_collisions"),
+        expected.alias("expected_collisions"),
+        F.when(
+            npairs > 0.0,
+            (F.col("n_rows") - F.col("n_distinct")).cast("double")
+            / expected,
+        ).alias("obs_over_expected"),
+    )
+
+
+@_q(
+    "etl_quarantine_rate_trend",
+    f"""
+    WITH raw AS (
+      SELECT * FROM read_csv('{QUARANTINE_CSV}', header=true,
+                             all_varchar=true)
+    ), classed AS (
+      SELECT CAST(date_trunc('month',
+               TRY_CAST("timestamp" AS TIMESTAMP)) AS DATE) AS month,
+             CASE
+               WHEN transaction_id IS NULL OR TRIM(transaction_id) = ''
+                 THEN 'missing_key'
+               WHEN TRY_CAST(amount AS DOUBLE) IS NULL THEN 'bad_amount'
+               WHEN TRY_CAST(amount AS DOUBLE) < 0 THEN 'negative_amount'
+               ELSE 'ok'
+             END AS verdict
+      FROM raw
+    ), monthly AS (
+      SELECT month,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(CASE WHEN verdict = 'missing_key' THEN 1 END)
+               AS BIGINT) AS n_missing_key,
+             CAST(COUNT(CASE WHEN verdict = 'bad_amount' THEN 1 END)
+               AS BIGINT) AS n_bad_amount,
+             CAST(COUNT(CASE WHEN verdict = 'negative_amount' THEN 1 END)
+               AS BIGINT) AS n_negative,
+             CAST(COUNT(CASE WHEN verdict <> 'ok' THEN 1 END) AS BIGINT)
+               AS n_rejects,
+             CAST(round(1000000000.0
+               * CAST(COUNT(CASE WHEN verdict <> 'ok' THEN 1 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS rate_fp
+      FROM classed GROUP BY month
+    ), jumps AS (
+      SELECT *,
+             abs(rate_fp - LAG(rate_fp) OVER (ORDER BY month)) AS jump
+      FROM monthly
+    ), mx AS (SELECT MAX(jump) AS max_jump FROM jumps)
+    SELECT month, n_rows, n_missing_key, n_bad_amount, n_negative,
+           n_rejects,
+           CAST(rate_fp AS DOUBLE) / 1000000000.0 AS reject_rate,
+           CASE WHEN jump IS NOT NULL AND jump = mx.max_jump
+                THEN 1 ELSE 0 END AS largest_jump_flag
+    FROM jumps CROSS JOIN mx
+    """,
+)
+def etl_quarantine_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly quarantine-rate trend over the committed six-month dirty
+    feed (tests/fixtures/quarantine_feed.csv — index-deterministic
+    dirt: bad-numeric rate climbing 1%->6% by month, blank keys flat
+    3%, negatives flat 2%): the etl_reject_reasons classification
+    (missing key > unparseable amount > negative, first match wins)
+    rolled into the dq_null_rate_trend shape — reject rate snapped to
+    the 1e-9 lattice per month, month-over-month jumps compared as
+    exact integers, largest jump flagged. ``sf_dir`` is unused
+    (committed fixture, same rationale as etl_transform_parity). One
+    CSV scan, one month rollup, one |months| window."""
+    raw = (
+        spark.read.option("header", True)
+        .schema(
+            "transaction_id string, user_id string, amount string,"
+            " timestamp string, status string"
+        )
+        .csv(QUARANTINE_CSV)
+    )
+    amt = F.expr("try_cast(amount AS double)")
+    classed = raw.select(
+        F.date_trunc(
+            "month", F.expr("try_cast(timestamp AS timestamp)")
+        )
+        .cast("date")
+        .alias("month"),
+        F.when(
+            F.col("transaction_id").isNull()
+            | (F.trim(F.col("transaction_id")) == ""),
+            "missing_key",
+        )
+        .when(amt.isNull(), "bad_amount")
+        .when(amt < 0, "negative_amount")
+        .otherwise("ok")
+        .alias("verdict"),
+    )
+    rej = F.count(F.when(F.col("verdict") != "ok", 1))
+    monthly = classed.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("verdict") == "missing_key", 1))
+        .cast("bigint")
+        .alias("n_missing_key"),
+        F.count(F.when(F.col("verdict") == "bad_amount", 1))
+        .cast("bigint")
+        .alias("n_bad_amount"),
+        F.count(F.when(F.col("verdict") == "negative_amount", 1))
+        .cast("bigint")
+        .alias("n_negative"),
+        rej.cast("bigint").alias("n_rejects"),
+        F.round(
+            1000000000.0
+            * rej.cast("double")
+            / F.count("*").cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("rate_fp"),
+    )
+    from pyspark.sql import Window
+
+    jumps = monthly.select(
+        "*",
+        F.abs(
+            F.col("rate_fp") - F.lag("rate_fp").over(Window.orderBy("month"))
+        ).alias("jump"),
+    )
+    mx = jumps.agg(F.max("jump").alias("max_jump"))
+    return jumps.crossJoin(F.broadcast(mx)).select(
+        "month",
+        "n_rows",
+        "n_missing_key",
+        "n_bad_amount",
+        "n_negative",
+        "n_rejects",
+        (F.col("rate_fp").cast("double") / 1000000000.0).alias(
+            "reject_rate"
+        ),
+        F.when(
+            F.col("jump").isNotNull() & (F.col("jump") == F.col("max_jump")),
+            1,
+        )
+        .otherwise(0)
+        .alias("largest_jump_flag"),
+    )
+
+
+@_q(
+    "etl_header_drift_audit",
+    f"""
+    WITH v1 AS (
+      SELECT column_name, column_type,
+             ROW_NUMBER() OVER () AS ordinal
+      FROM (DESCRIBE SELECT * FROM
+            read_parquet('{EVOLVE_DIR}/evolve_v1.parquet'))
+    ), v2 AS (
+      SELECT column_name, column_type,
+             ROW_NUMBER() OVER () AS ordinal
+      FROM (DESCRIBE SELECT * FROM
+            read_parquet('{EVOLVE_DIR}/evolve_v2.parquet'))
+    ), canon AS (
+      SELECT COALESCE(a.column_name, b.column_name) AS column_name,
+             CASE a.column_type WHEN 'BIGINT' THEN 'int64'
+                  WHEN 'DOUBLE' THEN 'double'
+                  WHEN 'VARCHAR' THEN 'string' ELSE a.column_type END
+               AS type_v1,
+             CASE b.column_type WHEN 'BIGINT' THEN 'int64'
+                  WHEN 'DOUBLE' THEN 'double'
+                  WHEN 'VARCHAR' THEN 'string' ELSE b.column_type END
+               AS type_v2,
+             CAST(a.ordinal AS BIGINT) AS ordinal_v1,
+             CAST(b.ordinal AS BIGINT) AS ordinal_v2
+      FROM v1 a FULL OUTER JOIN v2 b USING (column_name)
+    )
+    SELECT column_name, type_v1, type_v2, ordinal_v1, ordinal_v2,
+           CASE WHEN type_v1 IS NULL THEN 'added'
+                WHEN type_v2 IS NULL THEN 'removed'
+                WHEN type_v1 <> type_v2 THEN 'retyped'
+                ELSE 'unchanged' END AS change
+    FROM canon
+    """,
+)
+def etl_header_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift between the two committed evolve fixtures as a
+    graded TABLE (the schema-evolution entry at header grain): per
+    column — presence, canonical type (int64/double/string vocabulary
+    shared with the oracle's DESCRIBE mapping), ordinal position in
+    each version, and the added/removed/retyped/unchanged verdict. The
+    Spark side reads only parquet FOOTERS (spark.read.parquet(...)
+    .schema — no data scan) and lifts the two schema objects into a
+    bounded local DataFrame; the oracle derives the same table from
+    DESCRIBE. ``sf_dir`` unused (committed fixtures). At 100 TB this
+    is the cheap pre-flight before a merge-schema read of a drifted
+    lake path."""
+    _CANON = {"bigint": "int64", "double": "double", "string": "string"}
+
+    def cols(path):
+        sch = spark.read.parquet(path).schema
+        return [
+            (f.name, _CANON.get(f.dataType.simpleString(),
+                                f.dataType.simpleString()), i + 1)
+            for i, f in enumerate(sch.fields)
+        ]
+
+    v1 = spark.createDataFrame(
+        cols(f"{EVOLVE_DIR}/evolve_v1.parquet"),
+        "column_name string, type_v1 string, ordinal_v1 long",
+    )
+    v2 = spark.createDataFrame(
+        cols(f"{EVOLVE_DIR}/evolve_v2.parquet"),
+        "column_name string, type_v2 string, ordinal_v2 long",
+    )
+    canon = v1.join(v2, "column_name", "full_outer")
+    return canon.select(
+        "column_name",
+        "type_v1",
+        "type_v2",
+        "ordinal_v1",
+        "ordinal_v2",
+        F.when(F.col("type_v1").isNull(), "added")
+        .when(F.col("type_v2").isNull(), "removed")
+        .when(F.col("type_v1") != F.col("type_v2"), "retyped")
+        .otherwise("unchanged")
+        .alias("change"),
+    )

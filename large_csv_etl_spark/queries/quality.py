@@ -1934,3 +1934,188 @@ def dq_psi_tvd_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tvd"
         ),
     )
+
+
+# --- round 13: log-free near-constant screen, FK orphan trend -------------
+
+
+@_q(
+    "dq_constant_column_entropy_free",
+    """
+    WITH k AS (
+      SELECT o_orderstatus, o_orderpriority,
+             ('0x' || substr(md5('gini:' || CAST(o_orderkey AS VARCHAR)),
+              1, 15))::BIGINT % 1000 AS h
+      FROM orders
+    ), unpvt AS (
+      SELECT 'o_orderstatus' AS column_name, o_orderstatus AS val FROM k
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM k
+      UNION ALL
+      SELECT 'synth_constant', 'X' FROM k
+      UNION ALL
+      SELECT 'synth_near_const',
+             CASE WHEN h = 0 THEN 'Z' ELSE 'Y' END FROM k
+    ), per AS (
+      SELECT column_name, val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM unpvt GROUP BY column_name, val
+    ), s AS (
+      SELECT column_name,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c * c) AS BIGINT) AS sc2
+      FROM per GROUP BY column_name
+    )
+    SELECT column_name, n, n_distinct,
+           CASE WHEN n > 0 THEN
+             CAST(n * n - sc2 AS DOUBLE) / CAST(n AS DOUBLE)
+             / CAST(n AS DOUBLE) END AS gini_impurity,
+           CASE WHEN n > 0 AND 50 * (n * n - sc2) < n * n
+                THEN 1 ELSE 0 END AS is_near_constant
+    FROM s
+    """,
+)
+def dq_constant_column_entropy_free(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-constant column screen WITHOUT logs: Gini impurity
+    1 - sum(p_i^2) = (n^2 - sum c_i^2)/n^2 per column, flagged when
+    impurity < 0.02 — the entropy screen's libm-free twin (no log in
+    any oracle-paired expression, the standing ROADMAP screen). The
+    flag itself is the exact integer cross-multiply 50*(n^2 - sc2) <
+    n^2; the reported impurity is one fixed double chain. Columns:
+    the two real categorical orders columns plus a synthesized
+    constant and 1-in-1000 near-constant (hash synthesis, so both
+    flag paths exercise). Budget: n^2 <= 2.25e10 at sf0.1 and c^2 <=
+    n^2 — BIGINT holds to ~3e9 rows, DECIMAL(38,0) beyond
+    (documented). One unpivot + one bounded value-table rollup."""
+    from .helpers import phash60
+
+    k = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        (
+            phash60(
+                F.concat(F.lit("gini:"), F.col("o_orderkey").cast("string"))
+            )
+            % 1000
+        ).alias("h"),
+    )
+    unpvt = k.select(
+        F.expr(
+            "stack(4,"
+            " 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority,"
+            " 'synth_constant', 'X',"
+            " 'synth_near_const', CASE WHEN h = 0 THEN 'Z' ELSE 'Y' END)"
+            " AS (column_name, val)"
+        )
+    )
+    per = unpvt.groupBy("column_name", "val").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    s = per.groupBy("column_name").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    spread = F.col("n") * F.col("n") - F.col("sc2")
+    return s.select(
+        "column_name",
+        "n",
+        "n_distinct",
+        F.when(
+            F.col("n") > 0,
+            spread.cast("double")
+            / F.col("n").cast("double")
+            / F.col("n").cast("double"),
+        ).alias("gini_impurity"),
+        F.when(
+            (F.col("n") > 0)
+            & (50 * spread < F.col("n") * F.col("n")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_near_constant"),
+    )
+
+
+@_q(
+    "dq_referential_orphan_trend",
+    """
+    WITH li AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             CASE WHEN ('0x' || substr(md5('orph:'
+                    || CAST(l_orderkey AS VARCHAR) || ':'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000 < 3 * EXTRACT(month FROM l_shipdate)
+                  THEN l_orderkey + 1000000000
+                  ELSE l_orderkey END AS fk
+      FROM lineitem
+    ), j AS (
+      SELECT li.month,
+             CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END AS orphan
+      FROM li LEFT JOIN orders o ON o.o_orderkey = li.fk
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(orphan) AS BIGINT) AS n_orphans,
+           CAST(CAST(round(1000000000.0 * CAST(SUM(orphan) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS DOUBLE)
+           / 1000000000.0 AS orphan_rate
+    FROM j GROUP BY month
+    """,
+)
+def dq_referential_orphan_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly lineitem -> orders orphan-rate trend — the FK audit at
+    month grain, catching referential drift (an upstream purge or a
+    partial backfill) that the one-shot orphan count can't date. The
+    clean fixture has zero orphans, so orphanhood is INJECTED
+    deterministically: a hash-selected, calendar-climbing share of
+    line items (0.3% x ship-month) gets its FK remapped beyond the
+    key space (the dq_null_rate_trend seasonal-drift synthesis on the
+    join key). The probe is one broadcast-able LEFT join on the
+    (possibly remapped) key; rates snap to the 1e-9 lattice. Exact
+    counts, one division per month, |months| rows."""
+    from .helpers import phash60
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        F.when(
+            phash60(
+                F.concat(
+                    F.lit("orph:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 1000
+            < 3 * F.month("l_shipdate"),
+            F.col("l_orderkey") + 1000000000,
+        )
+        .otherwise(F.col("l_orderkey"))
+        .alias("fk"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    j = li.join(orders, li.fk == orders.o_orderkey, "left").select(
+        "month",
+        F.when(F.col("o_orderkey").isNull(), 1).otherwise(0).alias("orphan"),
+    )
+    return j.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("orphan").cast("bigint").alias("n_orphans"),
+        (
+            F.round(
+                1000000000.0
+                * F.sum("orphan").cast("double")
+                / F.count("*").cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .cast("double")
+            / 1000000000.0
+        ).alias("orphan_rate"),
+    )

@@ -602,3 +602,159 @@ def test_transitivity_audit_chain_violation(spark):
     assert out["n_triples"] == 1
     assert out["n_violations"] == 1
     assert out["violation_share"] == pytest.approx(1.0, abs=1e-12)
+
+
+# --- etl / quality families -------------------------------------------------
+
+from large_csv_etl_spark.queries.etl import QUERIES as ETL_QUERIES
+from large_csv_etl_spark.queries.quality import QUERIES as DQ_QUERIES
+
+
+def test_dead_column_detector_verdicts(spark):
+    """Planted 10-row orders: the literal column reads 'constant', the
+    balanced priority column reads 'healthy', and the gappy column's
+    null count equals the hash-derived injection exactly."""
+    rows = []
+    for i in range(1, 11):
+        pri = "1-URGENT" if i % 2 == 0 else "3-MEDIUM"
+        rows.append((i, i, "O", 10.0, dt.datetime(1995, 1, i), pri))
+    expected_nulls = sum(
+        1 for i in range(1, 11) if _ph60_mod(f"dead:{i}", 1000) < 50
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            r["column_name"]: r
+            for r in ETL_QUERIES["etl_dead_column_detector"](
+                spark, d
+            ).collect()
+        }
+    assert out["col_constant"]["verdict"] == "constant"
+    assert out["col_healthy"]["verdict"] == "healthy"
+    assert out["col_gappy"]["n_nulls"] == expected_nulls
+
+
+def test_composite_key_collision_no_collisions(spark):
+    """Three distinct composite keys cannot collide at any width; the
+    birthday expectation at width 8 is 3 pairs / 2^32."""
+    rows = [
+        (k, k * 7, "O", 10.0, dt.datetime(1995, 1, k), "3-M")
+        for k in (1, 2, 3)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            r["width"]: r
+            for r in ETL_QUERIES["etl_composite_key_collision"](
+                spark, d
+            ).collect()
+        }
+    assert set(out) == {8, 12, 16}
+    for r in out.values():
+        assert r["n_collisions"] == 0
+    assert out[8]["expected_collisions"] == pytest.approx(
+        3.0 / 4294967296.0, rel=1e-12
+    )
+
+
+def test_quarantine_rate_trend_fixture_truth(spark):
+    """The committed feed's dirt is index-deterministic: month m has
+    2m bad-amount rows, 6 blank keys, 4 negatives; every month-over-
+    month jump ties at +2/200 so months 2-6 all carry the flag."""
+    out = {
+        r["month"].month: r
+        for r in ETL_QUERIES["etl_quarantine_rate_trend"](
+            spark, None
+        ).collect()
+    }
+    assert len(out) == 6
+    for m in range(1, 7):
+        r = out[m]
+        assert r["n_rows"] == 200
+        assert r["n_bad_amount"] == 2 * m
+        assert r["n_missing_key"] == 6
+        assert r["n_negative"] == 4
+        assert r["n_rejects"] == 2 * m + 10
+    assert out[1]["largest_jump_flag"] == 0
+    for m in range(2, 7):
+        assert out[m]["largest_jump_flag"] == 1
+
+
+def test_header_drift_audit_committed_fixtures(spark):
+    """evolve_v1 -> evolve_v2: id and amount unchanged, category added
+    at ordinal 3."""
+    out = {
+        r["column_name"]: r
+        for r in ETL_QUERIES["etl_header_drift_audit"](
+            spark, None
+        ).collect()
+    }
+    assert out["id"]["change"] == "unchanged"
+    assert out["amount"]["change"] == "unchanged"
+    assert out["category"]["change"] == "added"
+    assert out["category"]["ordinal_v2"] == 3
+    assert out["category"]["ordinal_v1"] is None
+
+
+def test_entropy_free_gate_boundary(spark):
+    """99:1 status split -> impurity 0.0198 < 0.02 (flagged); the
+    balanced priority column is far above the gate."""
+    rows = []
+    for i in range(1, 101):
+        status = "O" if i > 1 else "F"
+        pri = "1-URGENT" if i % 2 == 0 else "3-MEDIUM"
+        rows.append((i, i, status, 10.0, dt.datetime(1995, 1, 1), pri))
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            r["column_name"]: r
+            for r in DQ_QUERIES["dq_constant_column_entropy_free"](
+                spark, d
+            ).collect()
+        }
+    assert out["o_orderstatus"]["gini_impurity"] == pytest.approx(
+        0.0198, abs=1e-12
+    )
+    assert out["o_orderstatus"]["is_near_constant"] == 1
+    assert out["o_orderpriority"]["is_near_constant"] == 0
+    assert out["synth_constant"]["gini_impurity"] == 0.0
+
+
+def _lineitem_fk_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber long, l_shipdate timestamp"
+    )
+    df.coalesce(2).write.parquet(f"{d}/lineitem.parquet")
+
+
+def test_orphan_trend_injection(spark):
+    """Line items whose hash selects them for injection count as
+    orphans; the rest resolve against orders."""
+    month = 6  # injection band is h < 18 in June
+    clean = [
+        (k, n)
+        for k in range(1, 50)
+        for n in (1,)
+        if _ph60_mod(f"orph:{k}:{n}", 1000) >= 3 * month
+    ][:4]
+    dirty = [
+        (k, n)
+        for k in range(1, 500)
+        for n in (2,)
+        if _ph60_mod(f"orph:{k}:{n}", 1000) < 3 * month
+    ][:1]
+    li = [
+        (k, n, dt.datetime(1995, month, 15)) for k, n in clean + dirty
+    ]
+    orders = [
+        (k, k, "O", 10.0, dt.datetime(1995, 1, 1), "3-M")
+        for k in range(1, 500)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_fk_dir(spark, li, d)
+        _orders_dir(spark, orders, d)
+        out = DQ_QUERIES["dq_referential_orphan_trend"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 5
+    assert out[0]["n_orphans"] == 1
+    assert out[0]["orphan_rate"] == pytest.approx(0.2, abs=1e-9)
