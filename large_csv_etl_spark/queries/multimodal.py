@@ -747,3 +747,81 @@ def multimodal_letterbox_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("out_w") * F.col("out_h")).cast("double") / 50176.0
         ).alias("content_share"),
     )
+
+
+@_q(
+    "multimodal_aspect_bucket_census",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             16 + (octet_length(encode(text)) % 240) AS w,
+             16 + ((octet_length(encode(text)) // 7) % 240) AS h
+      FROM documents
+    ), bucketed AS (
+      SELECT doc_id, w, h,
+             CASE WHEN w * 10 > h * 11 THEN 'landscape'
+                  WHEN h * 10 > w * 11 THEN 'portrait'
+                  ELSE 'square' END AS bucket,
+             GREATEST(1, w * LEAST(224000000 // w, 224000000 // h)
+                          // 1000000) AS out_w,
+             GREATEST(1, h * LEAST(224000000 // w, 224000000 // h)
+                          // 1000000) AS out_h
+      FROM d
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(50176 - out_w * out_h) AS BIGINT) AS total_pad_pixels,
+           CAST(SUM(50176 - out_w * out_h) AS DOUBLE)
+           / (50176.0 * CAST(COUNT(*) AS DOUBLE)) AS mean_waste_share
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def multimodal_aspect_bucket_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aspect-ratio bucket census with per-bucket letterbox waste — the
+    batch-shape planner's input: training batches grouped by aspect
+    bucket pad less, and this table prices each bucket's residual
+    letterbox cost under the 224x224 plan. Buckets use fixed 10%
+    thresholds as integer cross-multiplies (landscape: w*10 > h*11;
+    portrait: h*10 > w*11; square between — no division, no float
+    ratio anywhere); pad pixels reuse the letterbox-plan closed form
+    (1e-6 fixed-point aspect-fit scale, clamped extents) on the SAME
+    stub-decoded dims, so the census and the per-doc plan can never
+    disagree. The Spark side runs the REAL mapInPandas stub-decode
+    path (Arrow batch alignment stays graded); one bounded 3-row
+    rollup after row-local arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_payloads(attach_payload(docs), stub=True)
+    scale_fp = F.least(
+        F.expr("CAST(224000000 AS BIGINT) div CAST(width AS BIGINT)"),
+        F.expr("CAST(224000000 AS BIGINT) div CAST(height AS BIGINT)"),
+    )
+    scaled = decoded.select(
+        "width", "height", scale_fp.cast("bigint").alias("scale_fp")
+    )
+    b = scaled.select(
+        F.when(
+            F.col("width") * 10 > F.col("height") * 11, "landscape"
+        )
+        .when(F.col("height") * 10 > F.col("width") * 11, "portrait")
+        .otherwise("square")
+        .alias("bucket"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("CAST(width AS BIGINT) * scale_fp div 1000000"),
+        ).alias("out_w"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("CAST(height AS BIGINT) * scale_fp div 1000000"),
+        ).alias("out_h"),
+    )
+    pad = F.lit(50176) - F.col("out_w") * F.col("out_h")
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(pad).cast("bigint").alias("total_pad_pixels"),
+        (
+            F.sum(pad).cast("double")
+            / (F.lit(50176.0) * F.count("*").cast("double"))
+        ).alias("mean_waste_share"),
+    )

@@ -1985,3 +1985,244 @@ def sample_quota_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sample_key_checksum"),
     )
+
+
+# --- round 13: allocation comparison, fixed-size SWOR panel ----------------
+
+
+@_q(
+    "sample_stratified_neyman_vs_proportional",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), m AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mu
+      FROM c GROUP BY stratum
+    ), g AS (
+      SELECT c.stratum, m.n_h,
+             CAST(SUM(c.cents - m.mu) AS BIGINT) AS ds,
+             CAST(CAST(SUM(CAST(c.cents - m.mu AS DECIMAL(38,0))
+                           * (c.cents - m.mu)) AS DECIMAL(38,0))
+                  AS BIGINT) AS ds2
+      FROM c JOIN m ON m.stratum = c.stratum
+      GROUP BY c.stratum, m.n_h
+    ), w AS (
+      SELECT stratum, n_h,
+             CAST(round(n_h * SQRT((CAST(ds2 AS DOUBLE)
+                   - CAST(ds AS DOUBLE) * CAST(ds AS DOUBLE) / n_h)
+                   / n_h)) AS BIGINT) AS wgt,
+             (CAST(ds2 AS DOUBLE)
+              - CAST(ds AS DOUBLE) * CAST(ds AS DOUBLE) / n_h)
+             / n_h AS var_cents
+      FROM g
+    ), alloc AS (
+      SELECT stratum, n_h, var_cents,
+             10000 * wgt // SUM(wgt) OVER () AS ney_base,
+             10000 * wgt % SUM(wgt) OVER () AS ney_rem,
+             10000 * n_h // SUM(n_h) OVER () AS pro_base,
+             10000 * n_h % SUM(n_h) OVER () AS pro_rem
+      FROM w
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY ney_rem DESC, stratum) AS ney_rk,
+             ROW_NUMBER() OVER (ORDER BY pro_rem DESC, stratum) AS pro_rk,
+             10000 - SUM(ney_base) OVER () AS ney_left,
+             10000 - SUM(pro_base) OVER () AS pro_left
+      FROM alloc
+    ), final AS (
+      SELECT stratum, n_h, var_cents,
+             CAST(ney_base + CASE WHEN ney_rk <= ney_left THEN 1 ELSE 0 END
+                  AS BIGINT) AS neyman_n,
+             CAST(pro_base + CASE WHEN pro_rk <= pro_left THEN 1 ELSE 0 END
+                  AS BIGINT) AS proportional_n
+      FROM ranked
+    )
+    SELECT stratum, n_h, neyman_n, proportional_n,
+           CASE WHEN neyman_n > 0 THEN
+             CAST(n_h AS DOUBLE) * CAST(n_h AS DOUBLE) * var_cents
+             / CAST(neyman_n AS DOUBLE) END AS var_term_neyman,
+           CASE WHEN proportional_n > 0 THEN
+             CAST(n_h AS DOUBLE) * CAST(n_h AS DOUBLE) * var_cents
+             / CAST(proportional_n AS DOUBLE) END AS var_term_proportional
+    FROM final
+    """,
+)
+def sample_stratified_neyman_vs_proportional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neyman vs proportional allocation of a 10,000-row budget,
+    side-by-side with each plan's realized variance contribution
+    N_h^2 S_h^2 / n_h — the table that JUSTIFIES Neyman (its total is
+    provably minimal for the budget). Allocations are EXACT integers
+    via the largest-remainder method on BIGINT weights (base = floor
+    of the integer-div share, the leftover seats go to the largest
+    division remainders with the deterministic (remainder DESC,
+    stratum) rank) so the two columns always sum to exactly 10,000;
+    the per-stratum variance reuses the graded Neyman entry's
+    centered-moment machinery verbatim. Divisions NULL-guarded for
+    zero allocations (structurally impossible for non-degenerate
+    strata, guarded anyway). Bounded |strata| table end-to-end."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    m = c.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.expr(
+            "CAST(SUM(cents) AS BIGINT) div CAST(COUNT(*) AS BIGINT)"
+        ).alias("mu"),
+    )
+    d = F.col("cents") - F.col("mu")
+    g = (
+        c.join(F.broadcast(m), "stratum")
+        .groupBy("stratum", "n_h")
+        .agg(
+            F.sum(d).cast("bigint").alias("ds"),
+            F.sum(d.cast("decimal(38,0)") * d)
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("ds2"),
+        )
+    )
+    n_h = F.col("n_h")
+    ds, ds2 = F.col("ds").cast("double"), F.col("ds2").cast("double")
+    var_cents = (ds2 - ds * ds / n_h) / n_h
+    w = g.select(
+        "stratum",
+        "n_h",
+        F.round(n_h * F.sqrt(var_cents)).cast("bigint").alias("wgt"),
+        var_cents.alias("var_cents"),
+    )
+    tot = Window.partitionBy()
+    alloc = w.select(
+        "stratum",
+        "n_h",
+        "var_cents",
+        F.expr("10000 * wgt").alias("ney_num"),
+        F.sum("wgt").over(tot).alias("ney_den"),
+        F.expr("10000 * n_h").alias("pro_num"),
+        F.sum("n_h").over(tot).alias("pro_den"),
+    ).select(
+        "stratum",
+        "n_h",
+        "var_cents",
+        F.expr("ney_num div ney_den").alias("ney_base"),
+        F.expr("ney_num % ney_den").alias("ney_rem"),
+        F.expr("pro_num div pro_den").alias("pro_base"),
+        F.expr("pro_num % pro_den").alias("pro_rem"),
+    )
+    ranked = alloc.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("ney_rem").desc(), "stratum"))
+        .alias("ney_rk"),
+        F.row_number()
+        .over(Window.orderBy(F.col("pro_rem").desc(), "stratum"))
+        .alias("pro_rk"),
+        (F.lit(10000) - F.sum("ney_base").over(tot)).alias("ney_left"),
+        (F.lit(10000) - F.sum("pro_base").over(tot)).alias("pro_left"),
+    )
+    ney_n = (
+        F.col("ney_base")
+        + F.when(F.col("ney_rk") <= F.col("ney_left"), 1).otherwise(0)
+    ).cast("bigint")
+    pro_n = (
+        F.col("pro_base")
+        + F.when(F.col("pro_rk") <= F.col("pro_left"), 1).otherwise(0)
+    ).cast("bigint")
+    final = ranked.select(
+        "stratum",
+        "n_h",
+        "var_cents",
+        ney_n.alias("neyman_n"),
+        pro_n.alias("proportional_n"),
+    )
+    nd = F.col("n_h").cast("double")
+    return final.select(
+        "stratum",
+        "n_h",
+        "neyman_n",
+        "proportional_n",
+        F.when(
+            F.col("neyman_n") > 0,
+            nd * nd * F.col("var_cents") / F.col("neyman_n").cast("double"),
+        ).alias("var_term_neyman"),
+        F.when(
+            F.col("proportional_n") > 0,
+            nd
+            * nd
+            * F.col("var_cents")
+            / F.col("proportional_n").cast("double"),
+        ).alias("var_term_proportional"),
+    )
+
+
+SWOR_PANEL_SIZE = 500
+
+
+@_q(
+    "sample_deterministic_swor_panel",
+    f"""
+    WITH ranked AS (
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+      LIMIT {SWOR_PANEL_SIZE}
+    ), avail AS (
+      SELECT c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_available
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT a.segment, a.n_available,
+           CAST(COALESCE(COUNT(r.c_custkey), 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(SUM(r.c_custkey), 0) AS BIGINT)
+             AS sample_key_checksum
+    FROM avail a
+    LEFT JOIN ranked r ON r.c_mktsegment = a.segment
+    GROUP BY a.segment, a.n_available
+    """,
+)
+def sample_deterministic_swor_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-size sampling WITHOUT replacement: the md5-lowest
+    {SWOR_PANEL_SIZE} customers form the panel (exact GLOBAL size, the
+    quota entry's hash-priority order without per-segment quotas),
+    reported per segment with a BIGINT membership checksum so the
+    grade pins exactly WHO is in the panel. The global top-k by hash
+    compiles to TakeOrderedAndProject (per-partition heaps, k rows to
+    the driver — the reservoir-twin plan shape, never a global sort),
+    and membership is reproducible on any engine from md5 alone: a
+    grown corpus re-deals nothing, it only competes for the same
+    {SWOR_PANEL_SIZE} seats. Segments outside the panel report
+    zero-with-checksum-0 via the LEFT join (total, no division)."""
+    cust = load_table(spark, sf_dir, "customer")
+    ranked = (
+        cust.select("c_custkey", "c_mktsegment")
+        .orderBy(F.md5(F.col("c_custkey").cast("string")), "c_custkey")
+        .limit(SWOR_PANEL_SIZE)
+    )
+    avail = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_available")
+    )
+    r = ranked.select(
+        F.col("c_mktsegment").alias("r_segment"),
+        F.col("c_custkey").alias("r_key"),
+    )
+    return (
+        avail.join(r, F.col("segment") == F.col("r_segment"), "left")
+        .groupBy("segment", "n_available")
+        .agg(
+            F.coalesce(F.count("r_key"), F.lit(0))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.coalesce(F.sum("r_key"), F.lit(0))
+            .cast("bigint")
+            .alias("sample_key_checksum"),
+        )
+    )

@@ -991,3 +991,113 @@ def temporal_overlap_duration_matrix(
             + 1
         ).alias("span_b_days"),
     )
+
+
+@_q(
+    "temporal_gap_islands_coverage",
+    """
+    WITH du AS (
+      SELECT DISTINCT o_orderstatus AS status,
+             CAST(o_orderdate AS DATE) AS day
+      FROM orders
+    ), flagged AS (
+      SELECT status, day,
+             CASE WHEN day - LAG(day) OVER w > 30 THEN 1 ELSE 0 END
+               AS new_island
+      FROM du
+      WINDOW w AS (PARTITION BY status ORDER BY day)
+    ), islands AS (
+      SELECT status, day,
+             CAST(SUM(new_island) OVER (PARTITION BY status ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island_id
+      FROM flagged
+    ), per_island AS (
+      SELECT status, island_id,
+             MAX(day) - MIN(day) + 1 AS island_days
+      FROM islands GROUP BY status, island_id
+    ), span AS (
+      SELECT status,
+             MAX(day) - MIN(day) + 1 AS span_days,
+             CAST(COUNT(*) AS BIGINT) AS n_active_days
+      FROM du GROUP BY status
+    )
+    SELECT s.status,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(p.island_days) AS BIGINT) AS covered_days,
+           CAST(s.span_days AS BIGINT) AS span_days,
+           s.n_active_days,
+           CAST(SUM(p.island_days) AS DOUBLE)
+           / CAST(s.span_days AS DOUBLE) AS coverage_share
+    FROM per_island p JOIN span s ON s.status = p.status
+    GROUP BY s.status, s.span_days, s.n_active_days
+    """,
+)
+def temporal_gap_islands_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-status activity coverage: distinct order days split into
+    islands wherever the gap exceeds 30 days, then covered days (sum
+    of island extents, gaps <= 30 days bridged) over the status's full
+    span — the interval-union arithmetic that tells dormant-but-alive
+    feeds (few long islands, high coverage) from burst-and-vanish ones
+    (many short islands). Classic gaps-and-islands: one lag flag, one
+    running sum for island ids, exact epoch-day integer arithmetic
+    throughout, ONE division per status. span_days >= 1 structurally
+    (any status present has >= 1 day). Scale: everything after the
+    distinct is bounded by |status| x |days|."""
+    du = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .distinct()
+    )
+    from .helpers import materialize_reduced
+
+    du = materialize_reduced(du)  # |status| x |days| rows, read 3x below
+    w = Window.partitionBy("status").orderBy("day")
+    flagged = du.select(
+        "status",
+        "day",
+        F.when(
+            F.datediff(F.col("day"), F.lag("day").over(w)) > 30, 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "status",
+        "day",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("island_id"),
+    )
+    per_island = islands.groupBy("status", "island_id").agg(
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("island_days")
+    )
+    span = du.groupBy("status").agg(
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("span_days"),
+        F.count("*").cast("bigint").alias("n_active_days"),
+    )
+    return (
+        per_island.join(F.broadcast(span), "status")
+        .groupBy("status", "span_days", "n_active_days")
+        .agg(
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.sum("island_days").cast("bigint").alias("covered_days"),
+        )
+        .select(
+            "status",
+            "n_islands",
+            "covered_days",
+            F.col("span_days").cast("bigint").alias("span_days"),
+            "n_active_days",
+            (
+                F.col("covered_days").cast("double")
+                / F.col("span_days").cast("double")
+            ).alias("coverage_share"),
+        )
+    )

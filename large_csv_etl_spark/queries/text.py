@@ -5717,3 +5717,105 @@ def text_vocab_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@_q(
+    "graph_weighted_degree_strength",
+    """
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), capped AS (
+      SELECT cust, part,
+             ROW_NUMBER() OVER (PARTITION BY cust ORDER BY part) AS rn
+      FROM cp
+    ), kept AS (
+      SELECT cust, part FROM capped WHERE rn <= 16
+    ), edges AS (
+      SELECT a.part AS part_a, b.part AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM kept a JOIN kept b
+        ON a.cust = b.cust AND a.part < b.part
+      GROUP BY a.part, b.part
+      HAVING COUNT(*) >= 2
+    ), nodes AS (
+      SELECT part, CAST(SUM(w) AS BIGINT) AS strength,
+             CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (
+        SELECT part_a AS part, w FROM edges
+        UNION ALL
+        SELECT part_b AS part, w FROM edges
+      )
+      GROUP BY part
+    )
+    SELECT strength,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(degree) AS BIGINT) AS min_degree,
+           CAST(MAX(degree) AS BIGINT) AS max_degree
+    FROM nodes GROUP BY strength
+    """,
+)
+def graph_weighted_degree_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Node-strength distribution over the bipartite-projection
+    co-purchase graph: per part, strength = sum of incident edge
+    weights (shared-customer counts) and degree = incident edge count,
+    rolled into the bounded strength histogram with per-class degree
+    range — the hub screen for the round-12 projection (a
+    high-strength low-degree node is one hot pairing; high-strength
+    high-degree is a true hub). Edges come from the SAME capped,
+    weight >= 2 projection as graph_bipartite_projection (so the two
+    entries can never disagree on an edge); incidence is the two-way
+    UNION ALL, all exact integers, no division. Output bounded by
+    |distinct strength values|."""
+    cp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    capped = cp.select(
+        "cust",
+        "part",
+        F.row_number()
+        .over(Window.partitionBy("cust").orderBy("part"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 16)
+    capped = materialize_reduced(capped.select("cust", "part"))
+    a, b = capped.alias("a"), capped.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    nodes = (
+        edges.select(F.col("part_a").alias("part"), "w")
+        .unionAll(edges.select(F.col("part_b").alias("part"), "w"))
+        .groupBy("part")
+        .agg(
+            F.sum("w").cast("bigint").alias("strength"),
+            F.count("*").cast("bigint").alias("degree"),
+        )
+    )
+    return nodes.groupBy("strength").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.min("degree").cast("bigint").alias("min_degree"),
+        F.max("degree").cast("bigint").alias("max_degree"),
+    )

@@ -758,3 +758,142 @@ def test_orphan_trend_injection(spark):
     assert out[0]["n_rows"] == 5
     assert out[0]["n_orphans"] == 1
     assert out[0]["orphan_rate"] == pytest.approx(0.2, abs=1e-9)
+
+
+# --- sampling / temporal / graph / multimodal families ----------------------
+
+from large_csv_etl_spark.queries.multimodal import QUERIES as MM_QUERIES
+from large_csv_etl_spark.queries.sampling import QUERIES as SAMPLE_QUERIES
+from large_csv_etl_spark.queries.temporal import QUERIES as TEMP_QUERIES
+
+
+def _customer_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_acctbal double, c_mktsegment string"
+    )
+    df.coalesce(2).write.parquet(f"{d}/customer.parquet")
+
+
+def test_neyman_vs_proportional_degenerate_stratum(spark):
+    """Stratum A has zero spread (weight 0), B carries all the Neyman
+    budget; proportional splits 50/50. Both plans sum to exactly
+    10,000 (largest-remainder)."""
+    rows = []
+    key = 0
+    for i in range(100):
+        key += 1
+        rows.append((key, key, "O", 5.0, dt.datetime(1995, 1, 1), "A"))
+    for i in range(100):
+        key += 1
+        price = 1.0 if i % 2 == 0 else 3.0
+        rows.append((key, key, "O", price, dt.datetime(1995, 1, 1), "B"))
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            r["stratum"]: r
+            for r in SAMPLE_QUERIES[
+                "sample_stratified_neyman_vs_proportional"
+            ](spark, d).collect()
+        }
+    assert out["A"]["neyman_n"] == 0
+    assert out["B"]["neyman_n"] == 10000
+    assert out["A"]["proportional_n"] == 5000
+    assert out["B"]["proportional_n"] == 5000
+    assert out["A"]["var_term_neyman"] is None  # zero-alloc guard
+    assert out["A"]["var_term_proportional"] == pytest.approx(0.0)
+
+
+def test_swor_panel_membership_checksum(spark):
+    """600 customers, panel 500: membership is exactly the md5-lowest
+    500 keys; per-segment counts and checksums reproduce in Python."""
+    rows = [(k, 0.0, "SEG" + str(k % 3)) for k in range(1, 601)]
+    picked = sorted(
+        range(1, 601),
+        key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k),
+    )[:500]
+    with tempfile.TemporaryDirectory() as d:
+        _customer_dir(spark, rows, d)
+        out = {
+            r["segment"]: r
+            for r in SAMPLE_QUERIES["sample_deterministic_swor_panel"](
+                spark, d
+            ).collect()
+        }
+    assert sum(r["n_selected"] for r in out.values()) == 500
+    for s in range(3):
+        seg = f"SEG{s}"
+        members = [k for k in picked if k % 3 == s]
+        assert out[seg]["n_selected"] == len(members)
+        assert out[seg]["sample_key_checksum"] == sum(members)
+
+
+def test_gap_islands_coverage_split(spark):
+    """Days 1-5 then 50-52 (gap 45 > 30): two islands, covered 8 of a
+    52-day span."""
+    rows = [
+        (i, i, "O", 1.0, dt.datetime(1995, 1, day), "3-M")
+        for i, day in enumerate([1, 2, 3, 4, 5], 1)
+    ]
+    rows += [
+        (10 + i, 10 + i, "O", 1.0, dt.datetime(1995, 2, day), "3-M")
+        for i, day in enumerate([19, 20, 21], 1)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = TEMP_QUERIES["temporal_gap_islands_coverage"](
+            spark, d
+        ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_islands"] == 2
+    assert r["covered_days"] == 8
+    assert r["span_days"] == 52
+    assert r["coverage_share"] == pytest.approx(8.0 / 52.0, abs=1e-12)
+
+
+def _li_parts_dir(spark, rows, d):
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.coalesce(2).write.parquet(f"{d}/lineitem.parquet")
+
+
+def test_graph_strength_two_node_edge(spark):
+    """Two customers both buy parts 10 and 20: one weight-2 edge, both
+    endpoints read strength 2 / degree 1."""
+    orders = [
+        (1, 1, "O", 1.0, dt.datetime(1995, 1, 1), "3-M"),
+        (2, 2, "O", 1.0, dt.datetime(1995, 1, 2), "3-M"),
+    ]
+    li = [(1, 10), (1, 20), (2, 10), (2, 20)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, orders, d)
+        _li_parts_dir(spark, li, d)
+        out = TEXT_QUERIES["graph_weighted_degree_strength"](
+            spark, d
+        ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["strength"] == 2
+    assert r["n_parts"] == 2
+    assert (r["min_degree"], r["max_degree"]) == (1, 1)
+
+
+def test_aspect_bucket_census_three_shapes(spark):
+    """Byte lengths 0 / 100 / 240 decode to 16x16 (square), 116x30
+    (landscape) and 16x50 (portrait) under the stub dims."""
+    rows = [
+        _doc(1, ""),
+        _doc(2, "x" * 100),
+        _doc(3, "x" * 240),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = {
+            r["bucket"]: r
+            for r in MM_QUERIES["multimodal_aspect_bucket_census"](
+                spark, d
+            ).collect()
+        }
+    assert out["square"]["n_docs"] == 1
+    assert out["landscape"]["n_docs"] == 1
+    assert out["portrait"]["n_docs"] == 1
+    assert out["square"]["total_pad_pixels"] == 0  # 16x16 scales to 224x224
