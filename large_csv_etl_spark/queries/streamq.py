@@ -644,3 +644,76 @@ def streaming_update_mode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ranked.filter(F.col("rnk") <= 10)
     # materialize before temp cleanup; 10 rows
     return out.localCheckpoint()
+
+
+@_q(
+    "streaming_append_mode_hourly",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    mx AS (
+      SELECT CAST(DATE_TRUNC('hour', MAX(ts)) AS TIMESTAMP) AS mh FROM ev
+    ), agg AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+               AS total_value
+      FROM ev
+      GROUP BY hour_start, event_type
+    )
+    SELECT a.hour_start, a.event_type, a.n_events, a.total_value
+    FROM agg a CROSS JOIN mx
+    WHERE a.hour_start < mx.mh - INTERVAL 3 HOUR
+    """,
+)
+def streaming_append_mode_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPEND-mode streaming hourly counts — the emission contract the
+    complete-mode twin (streaming_hourly_tumbling) never exercises: in
+    append mode a window row is emitted exactly once, when the
+    watermark closes it, so the drained sink holds only FINALIZED
+    windows. The graded region is scoped to windows provably flushed
+    by the availableNow drain: the round-12 prototype measured the
+    flush frontier at trunc_hour(max_ts) - (2 h watermark + 1 h
+    window), so both sides keep hour_start STRICTLY below
+    trunc_hour(max_ts) - 3 h — the boundary window itself is excluded,
+    making the comparison immune to the frontier's off-by-one (the
+    r10 left-outer drain-scope lesson, same discipline as
+    streaming_leftouter_interval_join). The cutoff comes from the
+    STATIC table max (1-row broadcast), so an empty source grades as
+    empty on both sides. State is bounded by watermark delay + window
+    width at any scale."""
+    from ..io import load_table
+    from ..streaming import (
+        hourly_tumbling_stream,
+        read_events_stream,
+        run_bounded,
+    )
+
+    name = f"stream_append_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_append_")
+    emitted = run_bounded(
+        hourly_tumbling_stream(
+            read_events_stream(spark, sf_dir, glob="events.parquet")
+        ),
+        name,
+        ckpt,
+        output_mode="append",
+    )
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.date_trunc("hour", F.max(F.col("ts").cast("timestamp"))).alias(
+                "mh"
+            )
+        )
+    )
+    return (
+        emitted.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("hour_start")
+            < F.col("mh") - F.expr("INTERVAL 3 HOURS")
+        )
+        .select("hour_start", "event_type", "n_events", "total_value")
+    )

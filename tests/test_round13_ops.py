@@ -897,3 +897,43 @@ def test_aspect_bucket_census_three_shapes(spark):
     assert out["landscape"]["n_docs"] == 1
     assert out["portrait"]["n_docs"] == 1
     assert out["square"]["total_pad_pixels"] == 0  # 16x16 scales to 224x224
+
+
+# --- streaming family -------------------------------------------------------
+
+from large_csv_etl_spark.queries.streamq import QUERIES as STREAM_QUERIES
+
+
+def test_append_mode_hourly_scope(spark):
+    """One event per hour 0-9: the graded region stops strictly below
+    trunc_hour(max) - 3h, so exactly hours 0-5 surface, each final."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (h, dt.datetime(2024, 1, 1, h, 30), 1, "view", 1.0, "{}")
+        for h in range(10)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        # single-file layout: the streaming reader's footer probe globs
+        # for a FILE named events.parquet (the driver fixture layout)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        )
+        pq.write_table(tbl, f"{d}/events.parquet")
+        out = sorted(
+            STREAM_QUERIES["streaming_append_mode_hourly"](
+                spark, d
+            ).collect(),
+            key=lambda r: r["hour_start"],
+        )
+    assert [r["hour_start"].hour for r in out] == list(range(6))
+    assert all(r["n_events"] == 1 for r in out)
+    assert all(r["total_value"] == 1.0 for r in out)
