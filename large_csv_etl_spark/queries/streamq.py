@@ -717,3 +717,96 @@ def streaming_append_mode_hourly(
         )
         .select("hour_start", "event_type", "n_events", "total_value")
     )
+
+
+@_q(
+    "streaming_fullouter_interval_join",
+    f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    c AS (
+      SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+      FROM ev WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id AS p_user, ts AS purchase_ts,
+             event_id AS purchase_id, value AS purchase_value
+      FROM ev WHERE event_type = 'purchase'
+    ), cutoff AS (
+      SELECT LEAST((SELECT MAX(epoch_us(click_ts)) FROM c),
+                   (SELECT MAX(epoch_us(purchase_ts)) FROM p))
+             - {LEFTOUTER_MARGIN_US} AS cut_us
+    )
+    SELECT c.click_id, c.c_user, c.click_ts,
+           p.purchase_id, p.p_user, p.purchase_ts, p.purchase_value
+    FROM c
+    FULL OUTER JOIN p ON p.p_user = c.c_user
+               AND p.purchase_ts > c.click_ts
+               AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    CROSS JOIN cutoff
+    WHERE COALESCE(epoch_us(c.click_ts), epoch_us(p.purchase_ts))
+          < cutoff.cut_us
+    """,
+)
+def streaming_fullouter_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join under the external oracle
+    — the final outer-join state surface beside the graded inner
+    (streaming_click_attribution) and left-outer entries: unmatched
+    PURCHASES now also sit in state until the global watermark proves
+    no click can still open their band, then emit with NULL click
+    columns on a late (possibly no-data) micro-batch. Drain scope
+    measured during the round-13 build (sf0.01: 3941 of 3954 batch
+    rows flushed; every stranded row's ANCHOR — click_ts when present,
+    else purchase_ts — sat past min(max_c, max_p) - delay - band), so
+    BOTH sides scope each row by COALESCE(click_ts, purchase_ts)
+    strictly below that cutoff, computed deterministically from the
+    static table. Same 2 h watermark / 1 h band as the left-outer
+    twin; state stays bounded by delay + band at any scale."""
+    from ..streaming import (
+        click_purchase_fullouter_stream,
+        read_events_stream,
+        run_bounded,
+    )
+
+    name = f"stream_fouter_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_fouter_")
+    drained = run_bounded(
+        click_purchase_fullouter_stream(
+            read_events_stream(spark, sf_dir, glob="events.parquet")
+        ),
+        name,
+        ckpt,
+        output_mode="append",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    c_max = (
+        ev.filter(F.col("event_type") == "click")
+        .agg(F.max(F.unix_micros(ts)).alias("m"))
+    )
+    p_max = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.max(F.unix_micros(ts)).alias("m2"))
+    )
+    cutoff = c_max.crossJoin(p_max).select(
+        (
+            F.least(F.col("m"), F.col("m2")) - F.lit(LEFTOUTER_MARGIN_US)
+        ).alias("cut_us")
+    )
+    anchor = F.coalesce(
+        F.unix_micros(F.col("click_ts").cast("timestamp")),
+        F.unix_micros(F.col("purchase_ts").cast("timestamp")),
+    )
+    return (
+        drained.crossJoin(F.broadcast(cutoff))
+        .filter(anchor < F.col("cut_us"))
+        .select(
+            "click_id",
+            "c_user",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            "purchase_id",
+            "p_user",
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            "purchase_value",
+        )
+    )

@@ -732,3 +732,57 @@ def click_purchase_leftouter_stream(
     ).select(
         "click_id", "c_user", "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+def click_purchase_fullouter_stream(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: the left-outer twin's
+    state machine extended to the purchase side — an unmatched purchase
+    is also held in state and emitted with NULL click columns once the
+    global watermark proves no click can still open its band (clicks
+    matching purchase p carry click_ts in [p - horizon, p)). Flush
+    frontiers measured during the round-13 build (sf0.01 drain vs the
+    batch full outer): click-anchored rows behave exactly like the
+    left-outer entry (flush below min(max_c, max_p) - delay - horizon);
+    purchase-only rows flush below the SAME cutoff — callers scope each
+    row by its own anchor (click_ts when present, else purchase_ts)
+    strictly below that cutoff."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user
+            AND purchase_ts > click_ts
+            AND purchase_ts <= click_ts + INTERVAL {horizon}"""
+        ),
+        "fullOuter",
+    ).select(
+        "click_id",
+        "c_user",
+        "click_ts",
+        "purchase_id",
+        "p_user",
+        "purchase_ts",
+        "purchase_value",
+    )

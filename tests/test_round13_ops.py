@@ -937,3 +937,62 @@ def test_append_mode_hourly_scope(spark):
     assert [r["hour_start"].hour for r in out] == list(range(6))
     assert all(r["n_events"] == 1 for r in out)
     assert all(r["total_value"] == 1.0 for r in out)
+
+
+def test_fullouter_interval_join_all_three_row_kinds(spark):
+    """Matched, unmatched-click and unmatched-purchase rows all emit
+    inside the graded region; the tail events that anchor the
+    watermark are excluded by the cutoff."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 1, 0), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 1, 30), 1, "purchase", 5.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 1, 0), 2, "click", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 1, 0), 3, "purchase", 7.0, "{}"),
+        # tail anchors: push both watermarks a day ahead
+        (5, dt.datetime(2024, 1, 2, 10, 0), 9, "click", 1.0, "{}"),
+        (6, dt.datetime(2024, 1, 2, 12, 0), 9, "purchase", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        )
+        pq.write_table(tbl, f"{d}/events.parquet")
+        out = STREAM_QUERIES["streaming_fullouter_interval_join"](
+            spark, d
+        ).collect()
+    kinds = {(r["click_id"], r["purchase_id"]) for r in out}
+    assert kinds == {(1, 2), (3, None), (None, 4)}
+    matched = next(r for r in out if r["click_id"] == 1)
+    assert matched["purchase_value"] == 5.0
+
+
+def test_zorder_pruning_audit_orderings(spark, sf_dir):
+    """The audit's defining inequalities on the driver fixture: hash
+    prunes nothing, the single-column sort prunes only its own probe,
+    and Z-order prunes BOTH probes strictly better than hash."""
+    out = {
+        r["layout"]: r
+        for r in ETL_QUERIES["layout_zorder_pruning_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    h, s, z = out["hash"], out["sort_custkey"], out["zorder"]
+    # hash never beats a clustered layout on its clustered dimension
+    assert s["files_scanned_custkey_probe"] < h["files_scanned_custkey_probe"]
+    assert z["files_scanned_custkey_probe"] < h["files_scanned_custkey_probe"]
+    # the single-column sort cannot prune the other dimension at all
+    assert s["files_scanned_cents_probe"] == s["n_files"]
+    # Z-order prunes BOTH probes below the full file count
+    assert z["files_scanned_custkey_probe"] < z["n_files"]
+    assert z["files_scanned_cents_probe"] < z["n_files"]
+    assert z["files_scanned_cents_probe"] < s["files_scanned_cents_probe"]
