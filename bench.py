@@ -395,6 +395,33 @@ HEADLINE = [
     "temporal_overlap_duration_matrix",
     "streaming_update_mode_topk",
     "multimodal_letterbox_plan",
+    # round-13 additions
+    "agg_hodges_lehmann_banded",
+    "agg_durbin_watson",
+    "agg_partial_correlation",
+    "window_trix_indicator",
+    "window_volume_price_corr",
+    "window_donchian_breakout_runs",
+    "events_burstiness_index",
+    "events_churn_flags",
+    "events_value_concentration_by_type",
+    "text_char_trigram_source_tvd",
+    "text_repeated_substring_mass",
+    "text_vocab_jaccard_matrix",
+    "dedup_transitivity_audit",
+    "sim_cosine_euclidean_rank_agreement",
+    "sim_kmeans_inertia_curve",
+    "sim_silhouette_sampled",
+    "etl_dead_column_detector",
+    "etl_quarantine_rate_trend",
+    "dq_referential_orphan_trend",
+    "sample_stratified_neyman_vs_proportional",
+    "temporal_gap_islands_coverage",
+    "graph_weighted_degree_strength",
+    "multimodal_aspect_bucket_census",
+    "streaming_append_mode_hourly",
+    "streaming_fullouter_interval_join",
+    "layout_zorder_pruning_audit",
 ]
 
 
