@@ -715,7 +715,15 @@ def streaming_append_mode_hourly(
             F.col("hour_start")
             < F.col("mh") - F.expr("INTERVAL 3 HOURS")
         )
-        .select("hour_start", "event_type", "n_events", "total_value")
+        .select(
+            # emit-NTZ-at-source (the left-outer precedent): the stream
+            # needs instant TIMESTAMPs for its watermark, so the NTZ cast
+            # happens at the drained boundary under the UTC pin
+            F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
     )
 
 
