@@ -3183,3 +3183,93 @@ def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_strong.crossJoin(F.broadcast(agg)).select(
         "n_strong_pairs", "n_triples", "n_violations", "violation_share"
     )
+
+
+@_q(
+    "dedup_crosssource_dup_matrix",
+    r"""
+    WITH fp AS (
+      SELECT source,
+             md5(TRIM(LOWER(text))) AS h
+      FROM documents WHERE TRIM(text) <> ''
+    ), grp AS (
+      SELECT h, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM fp GROUP BY h, source
+    ), dup AS (
+      SELECT h FROM grp GROUP BY h
+      HAVING SUM(c) >= 2 AND COUNT(*) <= 100
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CASE WHEN a.source = b.source
+                  THEN a.c * (a.c - 1) / 2
+                  ELSE a.c * b.c END AS n_pairs
+      FROM grp a
+      JOIN grp b ON a.h = b.h AND a.source <= b.source
+      JOIN dup d ON d.h = a.h
+      WHERE a.source < b.source OR (a.source = b.source AND a.c >= 2)
+    )
+    SELECT source_a, source_b,
+           CAST(SUM(n_pairs) AS BIGINT) AS n_dup_pairs
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def dedup_crosssource_dup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-duplicate pair counts per source pair — the syndication
+    matrix at WHOLE-DOCUMENT grain (the lead-cluster entry sees only
+    heads; this sees verbatim mirrors): md5 of the normalized text,
+    per-(fingerprint, source) counts, then within-fingerprint pair
+    arithmetic — same-source pairs c*(c-1)/2, cross-source pairs
+    c_a*c_b — summed per source pair. The per-fingerprint source
+    spread is capped at 100 (a fingerprint spanning more sources than
+    that is generator boilerplate and would square; same role as
+    MAX_SHINGLE_DF, documented). Exact integers, no division; output
+    bounded by |sources|^2."""
+    fp = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("source", F.md5(F.trim(F.lower(F.col("text")))).alias("h"))
+    )
+    grp = fp.groupBy("h", "source").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    grp = materialize_reduced(grp)
+    dup = (
+        grp.groupBy("h")
+        .agg(F.sum("c").alias("tot"), F.count("*").alias("nsrc"))
+        .filter((F.col("tot") >= 2) & (F.col("nsrc") <= 100))
+        .select("h")
+    )
+    a, b = grp.alias("a"), grp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") <= F.col("b.source")),
+        )
+        .join(
+            dup.select(F.col("h").alias("dup_h")),
+            F.col("a.h") == F.col("dup_h"),
+        )
+        .filter(
+            (F.col("a.source") < F.col("b.source"))
+            | (
+                (F.col("a.source") == F.col("b.source"))
+                & (F.col("a.c") >= 2)
+            )
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.when(
+                F.col("a.source") == F.col("b.source"),
+                F.expr("a.c * (a.c - 1) div 2"),
+            )
+            .otherwise(F.col("a.c") * F.col("b.c"))
+            .alias("n_pairs"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.sum("n_pairs").cast("bigint").alias("n_dup_pairs")
+    )

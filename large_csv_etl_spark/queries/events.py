@@ -5198,3 +5198,223 @@ def events_value_concentration_by_type(
             / F.col("w").cast("double"),
         ).alias("gini"),
     )
+
+
+# --- round 14 pre-builds (wave 1): dispersion, concentration, cadence ------
+
+
+@_q(
+    "events_fano_hourly_by_type",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    span AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS h0,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS h1
+      FROM ev
+    ), spine AS (
+      SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start,
+             t.event_type
+      FROM span
+      CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+    ), cnt AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1, 2
+    ), filled AS (
+      SELECT s.event_type, COALESCE(cnt.c, 0) AS c
+      FROM spine s
+      LEFT JOIN cnt ON cnt.hour_start = s.hour_start
+                   AND cnt.event_type = s.event_type
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM filled GROUP BY event_type
+    )
+    SELECT event_type, n_hours, s1 AS n_events,
+           CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_hourly,
+           CASE WHEN s1 > 0 THEN
+             (CAST(n_hours AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n_hours AS DOUBLE) * CAST(s1 AS DOUBLE))
+           END AS fano_factor
+    FROM m
+    """,
+)
+def events_fano_hourly_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type Fano factor of HOURLY event counts over the
+    zero-filled hour spine — the dispersion screen at stream grain
+    (the agg_fano_factor_daily sibling on events): absent hours are
+    REAL zeros (sequence-exploded spine from the 1-row global span,
+    the gap-fill machinery), because skipping them biases the variance
+    down exactly when the signal is burstiest. Exact BIGINT count
+    moments per type, one cast-per-factor chain, one division,
+    NULL-guarded empty types. Spine cost: |hours| x |types| rows —
+    bounded by the calendar, never the corpus."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias(
+            "hour_start"
+        ),
+        "event_type",
+    )
+    span = ev.agg(
+        F.min("hour_start").alias("h0"), F.max("hour_start").alias("h1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        span.select(
+            F.explode(
+                F.sequence(
+                    F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR")
+                )
+            ).alias("hour_start")
+        )
+        .crossJoin(F.broadcast(types))
+    )
+    cnt = ev.groupBy("hour_start", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    filled = spine.join(cnt, ["hour_start", "event_type"], "left").select(
+        "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    m = filled.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    return m.select(
+        "event_type",
+        "n_hours",
+        F.col("s1").alias("n_events"),
+        (d("s1") / d("n_hours")).alias("mean_hourly"),
+        F.when(
+            F.col("s1") > 0,
+            (d("n_hours") * d("s2") - d("s1") * d("s1"))
+            / (d("n_hours") * d("s1")),
+        ).alias("fano_factor"),
+    )
+
+
+@_q(
+    "events_dow_hour_concentration",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    cell AS (
+      SELECT event_type,
+             (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) % 7
+               AS dow,
+             EXTRACT(hour FROM ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1, 2, 3
+    ), m AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(c * c) AS BIGINT) AS sc2
+      FROM cell GROUP BY event_type
+    )
+    SELECT event_type, n AS n_events, n_cells,
+           CASE WHEN n > 0 THEN
+             CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+           END AS simpson_concentration,
+           CASE WHEN n > 0 THEN
+             1.0 - CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   / CAST(n AS DOUBLE)
+           END AS simpson_diversity
+    FROM m
+    """,
+)
+def events_dow_hour_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type Simpson concentration of the day-of-week x hour cell
+    distribution (168 cells max) — the log-free schedule-concentration
+    screen: a cron-driven type concentrates its mass in a few cells
+    (high sum p^2), organic traffic spreads it. Portable epoch-day dow
+    ((epoch_day + 3) % 7 — the events_weekend_lift convention, no
+    locale/WEEKDAY ambiguity), exact BIGINT cell counts, the rational
+    identity sum(c^2)/n^2 with one fixed chain (no entropy, no log).
+    Bounded |types| x 168 cell table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (F.unix_date(F.col("ts").cast("timestamp").cast("date")) + 3)
+            % 7
+        ).alias("dow"),
+        F.hour(F.col("ts").cast("timestamp")).alias("hr"),
+    )
+    cell = ev.groupBy("event_type", "dow", "hr").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    m = cell.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    conc = F.col("sc2").cast("double") / F.col("n").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "n_cells",
+        F.when(F.col("n") > 0, conc).alias("simpson_concentration"),
+        F.when(F.col("n") > 0, 1.0 - conc).alias("simpson_diversity"),
+    )
+
+
+@_q(
+    "events_repeat_purchase_interval",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    p AS (
+      SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase'
+    ), gaps AS (
+      SELECT (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 86400000000
+               AS gap_days
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT LEAST(gap_days, 30) AS gap_days_capped,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_repeat_purchase_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase cadence: day-grain histogram of per-user gaps
+    between CONSECUTIVE purchase events (the commerce retention
+    signal the all-event gap entries dilute — purchases are ~1/5 of
+    the stream). Gaps are exact integer days (micros div 86400e6),
+    capped at 30 for a bounded 31-row output; single-purchase users
+    contribute no gap. One user shuffle over the purchase subset
+    (filter pushed to the scan), one bounded rollup."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    gaps = p.select(
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP))"
+            " - lag(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+            " div 86400000000"
+        ).alias("gap_days")
+    )
+    return (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .groupBy(
+            F.least(F.col("gap_days"), F.lit(30)).alias("gap_days_capped")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_gaps"))
+    )

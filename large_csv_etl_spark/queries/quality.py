@@ -2119,3 +2119,72 @@ def dq_referential_orphan_trend(
             / 1000000000.0
         ).alias("orphan_rate"),
     )
+
+
+@_q(
+    "dq_minmax_drift_by_month",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+             CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+      FROM orders GROUP BY 1
+    ), jumps AS (
+      SELECT month, min_cents, max_cents,
+             max_cents - min_cents AS range_cents,
+             abs((max_cents - min_cents)
+                 - LAG(max_cents - min_cents) OVER (ORDER BY month))
+               AS jump
+      FROM monthly
+    ), mx AS (SELECT MAX(jump) AS max_jump FROM jumps)
+    SELECT month, min_cents, max_cents, range_cents,
+           CASE WHEN jump IS NOT NULL AND jump = mx.max_jump
+                THEN 1 ELSE 0 END AS largest_jump_flag
+    FROM jumps CROSS JOIN mx
+    """,
+)
+def dq_minmax_drift_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly value-bounds trend with a largest-range-jump flag — the
+    unit-change incident screen (a feed that silently flips from
+    dollars to cents moves the RANGE by ~100x in one month; means
+    barely notice when volume also shifts): exact integer min/max
+    cents per month, month-over-month range jumps compared as exact
+    integers (no lattice needed — bounds are already integers), max
+    jump flagged. The bounds sibling of dq_null_rate_trend. One month
+    rollup + one |months| window."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.min(cents).cast("bigint").alias("min_cents"),
+            F.max(cents).cast("bigint").alias("max_cents"),
+        )
+    )
+    rng = F.col("max_cents") - F.col("min_cents")
+    jumps = monthly.select(
+        "month",
+        "min_cents",
+        "max_cents",
+        rng.alias("range_cents"),
+        F.abs(rng - F.lag(rng).over(Window.orderBy("month"))).alias("jump"),
+    )
+    mx = jumps.agg(F.max("jump").alias("max_jump"))
+    return jumps.crossJoin(F.broadcast(mx)).select(
+        "month",
+        "min_cents",
+        "max_cents",
+        "range_cents",
+        F.when(
+            F.col("jump").isNotNull() & (F.col("jump") == F.col("max_jump")),
+            1,
+        )
+        .otherwise(0)
+        .alias("largest_jump_flag"),
+    )

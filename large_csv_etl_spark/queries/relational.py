@@ -6670,3 +6670,383 @@ def agg_grubbs_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("CAST(packed div 1000000 AS DOUBLE)") / d("n")) / sd,
         ).alias("g_stat"),
     )
+
+
+# --- round 14 pre-builds (wave 1): randomness, shape, independence ---------
+
+
+@_q(
+    "agg_runs_test",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS y
+      FROM orders GROUP BY 1
+    ), per AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY y
+    ), cum AS (
+      SELECT y, SUM(c) OVER (ORDER BY y
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy
+      FROM per
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             (CAST(SUM(c) AS BIGINT) + 1) // 2 AS med_rank
+      FROM per
+    ), med AS (
+      SELECT MIN(CASE WHEN cy >= tot.med_rank THEN y END) AS m
+      FROM cum CROSS JOIN tot
+    ), seq AS (
+      SELECT day, CASE WHEN y > med.m THEN 1 ELSE 0 END AS above
+      FROM daily CROSS JOIN med WHERE y <> med.m
+    ), flagged AS (
+      SELECT above,
+             CASE WHEN above <> LAG(above) OVER (ORDER BY day)
+                  THEN 1 ELSE 0 END AS switch
+      FROM seq
+    ), s AS (
+      SELECT CAST(SUM(above) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(above) AS BIGINT) AS n2,
+             CAST(1 + SUM(switch) AS BIGINT) AS runs
+      FROM flagged
+    )
+    SELECT n1, n2, runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                 AND 2 * n1 * n2 > n1 + n2 THEN
+             (CAST(runs AS DOUBLE)
+              - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / CAST(n1 + n2 AS DOUBLE) + 1.0))
+             / SQRT(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       - CAST(n1 + n2 AS DOUBLE))
+                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                       * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
+           END AS runs_z
+    FROM s
+    """,
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue above/below-median
+    sequence — the sign-pattern randomness screen beside the
+    von Neumann ratio (which sees magnitudes; this sees only order):
+    days tying the TYPE-1 median are dropped (standard treatment,
+    reported via n1+n2 < |days|), runs = 1 + lag switches, and
+    z = (R - mu)/sigma with mu = 2 n1 n2/n + 1 and the textbook
+    variance — exact BIGINT counts into one fixed cast-per-factor
+    double chain (one sqrt), NULL-guarded for degenerate one-sided
+    sequences and 2 n1 n2 <= n (variance <= 0). One day rollup, one
+    bounded median lookup, one lag window."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT) div 100"
+            ).alias("y")
+        )
+    )
+    daily = materialize_reduced(daily)
+    per = daily.groupBy("y").agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select("y", F.sum("c").over(w).alias("cy"))
+    tot = per.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.expr("(CAST(sum(c) AS BIGINT) + 1) div 2").alias("med_rank"),
+    )
+    med = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(F.col("cy") >= F.col("med_rank"), F.col("y"))).alias(
+            "m"
+        )
+    )
+    seq = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("m"))
+        .select("day", F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("above"))
+    )
+    flagged = seq.select(
+        "above",
+        F.when(
+            F.col("above") != F.lag("above").over(Window.orderBy("day")), 1
+        )
+        .otherwise(0)
+        .alias("switch"),
+    )
+    s = flagged.agg(
+        F.sum("above").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("above")).cast("bigint").alias("n2"),
+        (1 + F.sum("switch")).cast("bigint").alias("runs"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    two_n1n2 = 2.0 * d("n1") * d("n2")
+    mu = two_n1n2 / nd + 1.0
+    var = two_n1n2 * (two_n1n2 - nd) / (nd * nd * (nd - 1.0))
+    return s.select(
+        "n1",
+        "n2",
+        "runs",
+        F.when(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (F.col("n1") + F.col("n2") > 1)
+            & (2 * F.col("n1") * F.col("n2") > F.col("n1") + F.col("n2")),
+            (d("runs") - mu) / F.sqrt(var),
+        ).alias("runs_z"),
+    )
+
+
+@_q(
+    "agg_quartile_skewness",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), per AS (
+      SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY g, cents
+    ), cum AS (
+      SELECT g, cents,
+             SUM(c) OVER (PARTITION BY g ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM per
+    ), tot AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+             GREATEST(1, (CAST(SUM(c) AS BIGINT) + 1) // 4) AS q1_rank,
+             (CAST(SUM(c) AS BIGINT) + 1) // 2 AS med_rank,
+             LEAST(CAST(SUM(c) AS BIGINT),
+                   (3 * (CAST(SUM(c) AS BIGINT) + 1)) // 4) AS q3_rank
+      FROM per GROUP BY g
+    ), cuts AS (
+      SELECT c.g, t.n,
+             MIN(CASE WHEN c.cc >= t.q1_rank THEN c.cents END) AS q1,
+             MIN(CASE WHEN c.cc >= t.med_rank THEN c.cents END) AS med,
+             MIN(CASE WHEN c.cc >= t.q3_rank THEN c.cents END) AS q3
+      FROM cum c JOIN tot t ON t.g = c.g
+      GROUP BY c.g, t.n
+    )
+    SELECT g AS stratum, n, q1, med, q3,
+           CASE WHEN q3 > q1 THEN
+             CAST(q3 + q1 - 2 * med AS DOUBLE) / CAST(q3 - q1 AS DOUBLE)
+           END AS bowley_skew
+    FROM cuts
+    """,
+)
+def agg_quartile_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness per priority stratum: (q3 + q1 -
+    2*med)/(q3 - q1) — the moment-free skew sibling of the graded
+    moment entries, immune to the dollar-lattice cubing that makes
+    third moments overflow-prone. Quartiles are TYPE-1 cuts on the
+    shared per-value cumulative machinery at the documented rank
+    convention q1 = max(1, (n+1) div 4), med = (n+1) div 2, q3 =
+    min(n, 3(n+1) div 4) — exact integer rank lookups, no
+    interpolation. One guarded division per stratum (IQR = 0 on a
+    degenerate stratum -> NULL). Bounded by the per-stratum
+    distinct-cents tables."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    per = v.groupBy("g", "cents").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    per = materialize_reduced(per)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select("g", "cents", F.sum("c").over(w).alias("cc"))
+    n = F.sum("c").cast("bigint")
+    tot = per.groupBy("g").agg(
+        n.alias("n"),
+        F.greatest(
+            F.lit(1).cast("bigint"), F.expr("(CAST(sum(c) AS BIGINT) + 1) div 4")
+        ).alias("q1_rank"),
+        F.expr("(CAST(sum(c) AS BIGINT) + 1) div 2").alias("med_rank"),
+        F.least(
+            n, F.expr("(3 * (CAST(sum(c) AS BIGINT) + 1)) div 4")
+        ).alias("q3_rank"),
+    )
+    cuts = (
+        cum.join(F.broadcast(tot), "g")
+        .groupBy("g", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cc") >= F.col("q1_rank"), F.col("cents"))
+            ).alias("q1"),
+            F.min(
+                F.when(F.col("cc") >= F.col("med_rank"), F.col("cents"))
+            ).alias("med"),
+            F.min(
+                F.when(F.col("cc") >= F.col("q3_rank"), F.col("cents"))
+            ).alias("q3"),
+        )
+    )
+    return cuts.select(
+        F.col("g").alias("stratum"),
+        "n",
+        "q1",
+        "med",
+        "q3",
+        F.when(
+            F.col("q3") > F.col("q1"),
+            (F.col("q3") + F.col("q1") - 2 * F.col("med")).cast("double")
+            / (F.col("q3") - F.col("q1")).cast("double"),
+        ).alias("bowley_skew"),
+    )
+
+
+@_q(
+    "agg_chi2_independence",
+    """
+    WITH cell AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ), rm AS (
+      SELECT s, CAST(SUM(o) AS BIGINT) AS r FROM cell GROUP BY s
+    ), cm AS (
+      SELECT p, CAST(SUM(o) AS BIGINT) AS c FROM cell GROUP BY p
+    ), tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT s) AS BIGINT) AS n_s,
+             CAST(COUNT(DISTINCT p) AS BIGINT) AS n_p
+      FROM cell
+    ), terms AS (
+      SELECT CAST(round(
+               (CAST(tot.n AS DOUBLE) * CAST(cell.o AS DOUBLE)
+                - CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE))
+               * (CAST(tot.n AS DOUBLE) * CAST(cell.o AS DOUBLE)
+                  - CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE))
+               / (CAST(tot.n AS DOUBLE) * CAST(rm.r AS DOUBLE)
+                  * CAST(cm.c AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS t_fp
+      FROM cell
+      JOIN rm USING (s)
+      JOIN cm USING (p)
+      CROSS JOIN tot
+      WHERE rm.r > 0 AND cm.c > 0
+    )
+    SELECT tot.n, tot.n_s, tot.n_p,
+           (tot.n_s - 1) * (tot.n_p - 1) AS df,
+           CAST(SUM(t_fp) AS DOUBLE) / 1000000000.0 AS chi2
+    FROM terms CROSS JOIN tot
+    GROUP BY tot.n, tot.n_s, tot.n_p
+    """,
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test for status x priority —
+    the significance companion to the graded Cramer's V (which
+    normalizes this statistic): per cell, (n*o - r*c)^2/(n*r*c) as ONE
+    identical cast-per-factor IEEE chain (n*o products pass int64
+    comfort on large corpora, so the chain runs in double from the
+    start — the agg_autocorr_lag_k shape) snapped to the 1e-9 lattice
+    BEFORE the sum, so the 15-cell reduction is exact integer addition
+    in any order. Margins are exact BIGINT; df = (|s|-1)(|p|-1) exact.
+    Empty margins are structurally excluded. Bounded 15-cell
+    reduction."""
+    cell = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    cell = materialize_reduced(cell)
+    rm = cell.groupBy("s").agg(F.sum("o").cast("bigint").alias("r"))
+    cm = cell.groupBy("p").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cell.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("s").cast("bigint").alias("n_s"),
+        F.countDistinct("p").cast("bigint").alias("n_p"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    dev = d("n") * d("o") - d("r") * d("c")
+    term = dev * dev / (d("n") * d("r") * d("c"))
+    terms = (
+        cell.join(F.broadcast(rm), "s")
+        .join(F.broadcast(cm), "p")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("r") > 0) & (F.col("c") > 0))
+        .select(
+            "n",
+            "n_s",
+            "n_p",
+            F.round(term * 1000000000.0, 0).cast("bigint").alias("t_fp"),
+        )
+    )
+    return terms.groupBy("n", "n_s", "n_p").agg(
+        ((F.first("n_s") - 1) * (F.first("n_p") - 1)).alias("df"),
+        (F.sum("t_fp").cast("double") / 1000000000.0).alias("chi2"),
+    ).select("n", "n_s", "n_p", "df", "chi2")
+
+
+@_q(
+    "agg_fano_factor_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM daily
+    )
+    SELECT n AS n_days, s1 AS n_orders,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_daily,
+           CASE WHEN s1 > 0 THEN
+             (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE))
+           END AS fano_factor
+    FROM s
+    """,
+)
+def agg_fano_factor_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of daily order counts —
+    the overdispersion screen: ~1 is Poisson arrival, >1 clumped
+    (campaign bursts), <1 regularized (rate-limited upstream). F =
+    (n*S2 - S1^2)/(n*S1) from exact BIGINT count moments via the
+    population-variance identity, one cast-per-factor double chain,
+    one division, NULL-guarded empty table. The count-grain sibling of
+    events_burstiness_index. One day rollup, 1-row output."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    s = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("s1").alias("n_orders"),
+        (d("s1") / d("n")).alias("mean_daily"),
+        F.when(
+            F.col("s1") > 0,
+            (d("n") * d("s2") - d("s1") * d("s1")) / (d("n") * d("s1")),
+        ).alias("fano_factor"),
+    )

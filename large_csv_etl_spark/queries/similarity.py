@@ -4208,3 +4208,94 @@ def sim_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0,
         ).alias("mean_silhouette"),
     )
+
+
+@_q(
+    "sim_centroid_distance_matrix",
+    """
+    WITH v AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS v6
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), cent AS (
+      SELECT label, pos,
+             CAST(round(CAST(SUM(val6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cmu
+      FROM (
+        SELECT label, unnest(v6) AS val6, generate_subscripts(v6, 1) AS pos
+        FROM v
+      )
+      GROUP BY label, pos
+    ), pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM((a.cmu - b.cmu) * (a.cmu - b.cmu)) AS BIGINT) AS d2
+      FROM cent a JOIN cent b
+        ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b, d2,
+           SQRT(CAST(d2 AS DOUBLE)) / 1000000.0 AS dist
+    FROM pairs
+    """,
+)
+def sim_centroid_distance_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise label-centroid L2 distance matrix (|labels| choose 2
+    rows) — the confusion-risk map: labels whose centroids nearly
+    coincide are the ones every nearest-centroid assignment and IVF
+    routing decision will mix up. Centroids are the integer micro-unit
+    rounded means (the Lloyd update formula, shared with the graded
+    k-means/silhouette entries so the three can never disagree on a
+    centroid); pair distances are exact BIGINT sums over the
+    dimension-aligned join of the two centroid tables, one sqrt at the
+    end. Everything is bounded by |labels| x dim."""
+    from .helpers import materialize_reduced
+
+    v = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select(
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+        ).alias("v6"),
+    )
+    cent = (
+        v.select("label", F.posexplode("v6").alias("pos", "val6"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.sum("val6").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cmu")
+        )
+    )
+    cent = materialize_reduced(cent)
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum(
+                (F.col("a.cmu") - F.col("b.cmu"))
+                * (F.col("a.cmu") - F.col("b.cmu"))
+            )
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "d2",
+        (F.sqrt(F.col("d2").cast("double")) / 1000000.0).alias("dist"),
+    )

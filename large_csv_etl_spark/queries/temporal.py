@@ -1101,3 +1101,53 @@ def temporal_gap_islands_coverage(
             ).alias("coverage_share"),
         )
     )
+
+
+@_q(
+    "temporal_business_day_share",
+    """
+    WITH keyed AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CASE WHEN (CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) + 3) % 7 >= 5
+                  THEN 1 ELSE 0 END AS is_weekend
+      FROM orders
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(is_weekend) AS BIGINT) AS weekend_orders,
+           CAST(COUNT(*) - SUM(is_weekend) AS BIGINT) AS weekday_orders,
+           CAST(COUNT(*) - SUM(is_weekend) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS business_day_share
+    FROM keyed GROUP BY month
+    """,
+)
+def temporal_business_day_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly weekday-vs-weekend order split — the calendar-sanity
+    screen for the 1995-2001 span (a B2B feed should run ~5/7 weekday
+    mass every month; a month that doesn't has a timezone or
+    batch-date bug): the portable epoch-day dow ((epoch_day + 3) % 7
+    >= 5 — the events_weekend_lift convention), exact integer counts,
+    one division per month (n_orders > 0 structurally per month
+    present). One month rollup, |months| rows."""
+    keyed = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.when(
+            (F.unix_date(F.to_date("o_orderdate")) + 3) % 7 >= 5, 1
+        )
+        .otherwise(0)
+        .alias("is_weekend"),
+    )
+    return keyed.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("is_weekend").cast("bigint").alias("weekend_orders"),
+        (F.count("*") - F.sum("is_weekend"))
+        .cast("bigint")
+        .alias("weekday_orders"),
+        (
+            (F.count("*") - F.sum("is_weekend")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("business_day_share"),
+    )

@@ -5819,3 +5819,140 @@ def graph_weighted_degree_strength(
         F.min("degree").cast("bigint").alias("min_degree"),
         F.max("degree").cast("bigint").alias("max_degree"),
     )
+
+
+# --- round 14 pre-builds (wave 1): rank-frequency, positional profile ------
+
+
+@_q(
+    "text_zipf_rank_frequency",
+    r"""
+    WITH tk AS (
+      SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+        AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tk GROUP BY token
+    ), top AS (
+      SELECT token, freq FROM cnt
+      ORDER BY freq DESC, token LIMIT 1024
+    ), ranked AS (
+      SELECT token, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+               AS rnk
+      FROM top
+    )
+    SELECT rnk, token, freq,
+           CAST(rnk * freq AS BIGINT) AS rank_x_freq
+    FROM ranked
+    WHERE rnk IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+    """,
+)
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency probe at geometric ranks 1..1024: the
+    frequency at each rank plus the rank*frequency product (a Zipfian
+    corpus holds it roughly constant; a templated corpus's product
+    COLLAPSES past the boilerplate vocabulary) — the log-free form of
+    the Zipf-slope fit (report the curve, not the exponent; the
+    standing no-libm screen). The global ranking is orderBy + LIMIT
+    1024 — TakeOrderedAndProject per-partition heaps, never a
+    full-vocab sort — then a row_number over the 1024 survivors.
+    Exact integers throughout, deterministic (freq DESC, token)
+    ties. <= 11-row output."""
+    from pyspark.sql import Window
+
+    tk = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token")
+        )
+    )
+    cnt = tk.groupBy("token").agg(F.count("*").cast("bigint").alias("freq"))
+    top = cnt.orderBy(F.col("freq").desc(), "token").limit(1024)
+    ranked = top.select(
+        "token",
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "token"))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    return ranked.filter(
+        F.col("rnk").isin(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+    ).select(
+        "rnk",
+        "token",
+        "freq",
+        (F.col("rnk") * F.col("freq")).cast("bigint").alias("rank_x_freq"),
+    )
+
+
+@_q(
+    "text_token_position_profile",
+    r"""
+    WITH toked AS (
+      SELECT regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), pos AS (
+      SELECT CASE
+               WHEN 3 * (i - 1) < len(toks) THEN 'first_third'
+               WHEN 3 * (i - 1) < 2 * len(toks) THEN 'middle_third'
+               ELSE 'last_third'
+             END AS third,
+             LENGTH(toks[i]) AS tok_len
+      FROM (SELECT toks, UNNEST(generate_series(1, len(toks))) AS i
+            FROM toked)
+    )
+    SELECT third,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(tok_len) AS BIGINT) AS total_chars,
+           CAST(SUM(tok_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_len,
+           CAST(COUNT(CASE WHEN tok_len >= 8 THEN 1 END) AS BIGINT)
+             AS n_long,
+           CAST(COUNT(CASE WHEN tok_len >= 8 THEN 1 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS long_share
+    FROM pos GROUP BY third
+    """,
+)
+def text_token_position_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-length profile by relative document position (first /
+    middle / last third): OCR noise, truncation damage and appended
+    boilerplate are all POSITION-correlated, so a last-third whose
+    mean token length diverges from the first third flags tail
+    corruption that whole-doc stats average away. Thirds are the exact
+    integer comparison 3*(i-1) vs len (no division), lengths exact
+    BIGINT sums, the two shares/means single guarded divisions
+    (n_tokens > 0 structurally per group present). One position
+    explode, 3-row output."""
+    toked = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(_SPARK_TOKENS(F.lower(F.col("text"))).alias("toks"))
+    )
+    pos = toked.select(
+        F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("i"),
+        "toks",
+    ).select(
+        F.when(3 * (F.col("i") - 1) < F.size("toks"), "first_third")
+        .when(3 * (F.col("i") - 1) < 2 * F.size("toks"), "middle_third")
+        .otherwise("last_third")
+        .alias("third"),
+        F.length(F.element_at(F.col("toks"), F.col("i"))).alias("tok_len"),
+    )
+    long_n = F.count(F.when(F.col("tok_len") >= 8, 1))
+    return pos.groupBy("third").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("tok_len").cast("bigint").alias("total_chars"),
+        (F.sum("tok_len").cast("double") / F.count("*").cast("double")).alias(
+            "mean_len"
+        ),
+        long_n.cast("bigint").alias("n_long"),
+        (long_n.cast("double") / F.count("*").cast("double")).alias(
+            "long_share"
+        ),
+    )

@@ -3043,3 +3043,142 @@ def window_donchian_breakout_runs(
         )
         .drop("grp")
     )
+
+
+# --- round 14 pre-builds (wave 1): momentum and detrending -----------------
+
+
+@_q(
+    "window_chande_momentum",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), moves AS (
+      SELECT day, cents,
+             CASE WHEN LAG(cents) OVER (ORDER BY day) IS NULL THEN NULL
+                  ELSE GREATEST(cents - LAG(cents) OVER (ORDER BY day), 0)
+             END AS up,
+             CASE WHEN LAG(cents) OVER (ORDER BY day) IS NULL THEN NULL
+                  ELSE GREATEST(LAG(cents) OVER (ORDER BY day) - cents, 0)
+             END AS dn
+      FROM daily
+    ), frames AS (
+      SELECT day, cents,
+             SUM(up) OVER w AS su,
+             SUM(dn) OVER w AS sd,
+             COUNT(up) OVER w AS nd
+      FROM moves
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, cents,
+           CASE WHEN nd = 14 AND su + sd > 0 THEN
+             100.0 * CAST(su - sd AS DOUBLE) / CAST(su + sd AS DOUBLE)
+           END AS cmo_14
+    FROM frames
+    """,
+)
+def window_chande_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chande Momentum Oscillator CMO(14) = 100*(S_up - S_dn)/(S_up +
+    S_dn) over daily revenue — RSI's symmetric unsmoothed sibling
+    (same up/dn move decomposition, no EMA warm-up bias): exact
+    integer 14-frame up/down sums, ONE division per row, NULL on
+    warm-up frames (count of non-null deltas < 14) and on flat frames
+    (su + sd = 0 — ANSI totality). One lag + one frame pass over the
+    |days|-bounded series."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day")
+    lagc = F.lag("cents").over(w)
+    # GREATEST ignores NULLs in BOTH engines (greatest(NULL, 0) = 0), which
+    # would silently turn the warm-up row into a phantom zero move — gate
+    # on the lag explicitly so day 1 contributes no move at all.
+    moves = daily.select(
+        "day",
+        "cents",
+        F.when(
+            lagc.isNotNull(),
+            F.greatest(F.col("cents") - lagc, F.lit(0)),
+        ).alias("up"),
+        F.when(
+            lagc.isNotNull(),
+            F.greatest(lagc - F.col("cents"), F.lit(0)),
+        ).alias("dn"),
+    )
+    f = Window.orderBy("day").rowsBetween(-13, 0)
+    frames = moves.select(
+        "day",
+        "cents",
+        F.sum("up").over(f).alias("su"),
+        F.sum("dn").over(f).alias("sd"),
+        F.count("up").over(f).alias("nd"),
+    )
+    return frames.select(
+        "day",
+        "cents",
+        F.when(
+            (F.col("nd") == 14) & (F.col("su") + F.col("sd") > 0),
+            100.0
+            * (F.col("su") - F.col("sd")).cast("double")
+            / (F.col("su") + F.col("sd")).cast("double"),
+        ).alias("cmo_14"),
+    )
+
+
+@_q(
+    "window_detrended_oscillator",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), sma AS (
+      SELECT day, cents,
+             SUM(cents) OVER w AS s20,
+             COUNT(*) OVER w AS n20
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), lagged AS (
+      SELECT day, cents,
+             LAG(s20, 11) OVER (ORDER BY day) AS ls20,
+             LAG(n20, 11) OVER (ORDER BY day) AS ln20
+      FROM sma
+    )
+    SELECT day, cents,
+           CASE WHEN ln20 = 20 THEN
+             CAST(cents AS DOUBLE) - CAST(ls20 AS DOUBLE) / 20.0
+           END AS dpo_20
+    FROM lagged
+    """,
+)
+def window_detrended_oscillator(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Detrended price oscillator DPO(20) = close_t - SMA20(t - 11)
+    over daily revenue: subtracting a HALF-WINDOW-SHIFTED moving
+    average removes the trend component at the window scale, leaving
+    the cycle — the classic cycle-vs-trend split, and the displaced-
+    frame shape no other window entry exercises (a lag OF a frame
+    aggregate). The SMA travels as its exact integer frame SUM (one
+    division at the end), the 11-row displacement is a lag of that
+    exact sum, and rows whose displaced frame was not full (ln20 <>
+    20) are NULL. One frame pass + one lag pass over the
+    |days|-bounded series."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-19, 0)
+    sma = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("s20"),
+        F.count("*").over(w).alias("n20"),
+    )
+    lw = Window.orderBy("day")
+    lagged = sma.select(
+        "day",
+        "cents",
+        F.lag("s20", 11).over(lw).alias("ls20"),
+        F.lag("n20", 11).over(lw).alias("ln20"),
+    )
+    return lagged.select(
+        "day",
+        "cents",
+        F.when(
+            F.col("ln20") == 20,
+            F.col("cents").cast("double")
+            - F.col("ls20").cast("double") / 20.0,
+        ).alias("dpo_20"),
+    )
