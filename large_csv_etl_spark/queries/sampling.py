@@ -2227,79 +2227,3 @@ def sample_deterministic_swor_panel(
         )
     )
 
-
-@_q(
-    "sample_balanced_class_downsample",
-    """
-    WITH cls AS (
-      SELECT o_orderstatus AS cls, CAST(COUNT(*) AS BIGINT) AS n_avail
-      FROM orders GROUP BY 1
-    ), cap AS (SELECT MIN(n_avail) AS m FROM cls),
-    ranked AS (
-      SELECT o_orderkey, o_orderstatus AS cls,
-             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
-               AS pri
-      FROM orders
-    )
-    SELECT c.cls, c.n_avail, CAST(cap.m AS BIGINT) AS class_cap,
-           CAST(COUNT(CASE WHEN r.pri <= cap.m THEN 1 END) AS BIGINT)
-             AS n_selected,
-           CAST(SUM(CASE WHEN r.pri <= cap.m THEN r.o_orderkey
-                    ELSE 0 END) AS BIGINT) AS sample_key_checksum
-    FROM ranked r
-    JOIN cls c ON c.cls = r.cls
-    CROSS JOIN cap
-    GROUP BY c.cls, c.n_avail, cap.m
-    """,
-)
-def sample_balanced_class_downsample(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Balanced-class downsampling plan: every status class capped at
-    the MINORITY class count (the classic class-imbalance fix before
-    training a classifier), membership by deterministic md5 hash
-    priority within class with the key tie-break — so the balanced
-    panel is reproducible on any engine, self-stable under corpus
-    growth, and pinned by a per-class BIGINT key checksum (the quota
-    entry's membership discipline). The cap is a 1-row broadcast MIN;
-    the per-class rank is one window on the class partition key
-    (bounded cardinality, unskewed fixture). Exact integers, no
-    division."""
-    from pyspark.sql import Window
-
-    orders = load_table(spark, sf_dir, "orders")
-    cls = orders.groupBy(F.col("o_orderstatus").alias("cls")).agg(
-        F.count("*").cast("bigint").alias("n_avail")
-    )
-    cap = cls.agg(F.min("n_avail").alias("m"))
-    ranked = orders.select(
-        "o_orderkey",
-        F.col("o_orderstatus").alias("cls"),
-        F.row_number()
-        .over(
-            Window.partitionBy("o_orderstatus").orderBy(
-                F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
-            )
-        )
-        .alias("pri"),
-    )
-    picked = F.col("pri") <= F.col("m")
-    return (
-        ranked.join(F.broadcast(cls), "cls")
-        .crossJoin(F.broadcast(cap))
-        .groupBy("cls", "n_avail", "m")
-        .agg(
-            F.count(F.when(picked, 1)).cast("bigint").alias("n_selected"),
-            F.sum(F.when(picked, F.col("o_orderkey")).otherwise(0))
-            .cast("bigint")
-            .alias("sample_key_checksum"),
-        )
-        .select(
-            "cls",
-            "n_avail",
-            F.col("m").cast("bigint").alias("class_cap"),
-            "n_selected",
-            "sample_key_checksum",
-        )
-    )

@@ -315,33 +315,6 @@ def test_minmax_drift_flags_range_jump(spark):
     assert [out[m]["largest_jump_flag"] for m in (1, 2, 3)] == [0, 0, 1]
 
 
-def test_balanced_downsample_caps_and_membership(spark):
-    """Classes F (5 rows) and O (2 rows): cap = 2, each class selects
-    its md5-lowest 2 keys (checksums reproduced in Python)."""
-    rows = []
-    for k in range(1, 6):
-        rows.append((k, k, "F", 1.0, dt.datetime(1995, 1, k), "3-M"))
-    for k in (10, 11):
-        rows.append((k, k, "O", 1.0, dt.datetime(1995, 1, 1), "3-M"))
-    f_keys = sorted(
-        range(1, 6),
-        key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k),
-    )[:2]
-    with tempfile.TemporaryDirectory() as d:
-        _orders_dir(spark, rows, d)
-        out = {
-            r["cls"]: r
-            for r in SAMPLE_QUERIES["sample_balanced_class_downsample"](
-                spark, d
-            ).collect()
-        }
-    assert out["F"]["class_cap"] == 2
-    assert out["F"]["n_selected"] == 2
-    assert out["F"]["sample_key_checksum"] == sum(f_keys)
-    assert out["O"]["n_selected"] == 2
-    assert out["O"]["sample_key_checksum"] == 21
-
-
 def test_business_day_share_known_calendar(spark):
     """1995-01-02/03 are weekdays, 1995-01-07 a Saturday: share 2/3 —
     the portable dow agrees with Python's weekday()."""
