@@ -78,72 +78,67 @@ _MODULES = [
 # composition tripwires red before the next rotation (ADVICE r9 #1).
 # Bump it with every rotation; a staleness test pins it to within one
 # round of the newest verdict file.
-WINDOW_GRADED_AS_OF = 12
+WINDOW_GRADED_AS_OF = 13
 
 GRADED_PRIORITY = [
-    # ---- round-13 window, re-rotated mid-round after the ROADMAP_r13
-    # build wave (39 new oracled entries grew the backlog to 53; the
-    # first rotation's 35 re-grade slots would have wasted the round —
-    # the test_window_is_mostly_never_graded tripwire caught it): the
-    # flagship re-grade, ALL 14 round-12 pre-builds + the r12
-    # sim_rank_displacement deferral, then 35 of the 39 round-13
-    # additions. Deferred to round 14 (first in line after the
-    # flagship): sim_kmeans_inertia_curve, sim_norm_percentile_bands,
-    # sim_silhouette_sampled, sim_cosine_euclidean_rank_agreement —
-    # chosen so every family with backlog keeps a window
-    # representative (multimodal_aspect_bucket_census swaps in for the
-    # 4th similarity entry; similarity stays represented by
-    # sim_rank_displacement).
+    # ---- round-14 window (tools/gen_window.py against r1-r13
+    # verdicts): the flagship re-grade, then ALL 19 never-graded
+    # entries — the 4 round-13 similarity deferrals (VERDICT r13 ask
+    # #7: stop deferring) and the 15 ROADMAP_r14 wave-1 pre-builds —
+    # then 30 regression re-grades ordered stalest-first (r2/r3
+    # vintages), with family representation forced in for approx
+    # (agg_mode_by_group) and streamq (streaming_click_attribution).
+    # Zero never-graded entries deferred this round.
     "etl_transform_parity",
-    "agg_cochran_q",
-    "agg_page_trend_test",
-    "agg_cliffs_delta",
-    "agg_sign_test",
-    "agg_von_neumann_ratio",
-    "agg_autocorr_lag_k",
-    "window_roc_momentum",
-    "window_flat_day_rle",
-    "events_new_vs_returning",
-    "events_weekend_lift",
-    "events_time_to_first_purchase",
-    "text_word_length_profile",
-    "dedup_shingle_df_spectrum",
-    "sim_rank_displacement",
-    "etl_dead_column_detector",
-    "etl_composite_key_collision",
-    "etl_quarantine_rate_trend",
-    "etl_header_drift_audit",
-    "layout_zorder_pruning_audit",
-    "dq_constant_column_entropy_free",
-    "dq_referential_orphan_trend",
-    "temporal_gap_islands_coverage",
-    "agg_hodges_lehmann_banded",
-    "agg_durbin_watson",
-    "agg_partial_correlation",
-    "agg_grubbs_screen",
-    "window_williams_r",
-    "window_trix_indicator",
-    "window_ulcer_index",
-    "window_threshold_reversal_count",
-    "window_volume_price_corr",
-    "window_donchian_breakout_runs",
-    "events_burstiness_index",
-    "events_churn_flags",
-    "events_session_gap_distribution",
-    "events_value_concentration_by_type",
-    "sample_stratified_neyman_vs_proportional",
-    "sample_deterministic_swor_panel",
-    "streaming_append_mode_hourly",
-    "streaming_fullouter_interval_join",
-    "text_char_trigram_source_tvd",
-    "text_punctuation_profile",
-    "text_repeated_substring_mass",
-    "text_lead_dup_cluster",
-    "text_numeric_claim_density",
-    "text_vocab_jaccard_matrix",
-    "graph_weighted_degree_strength",
-    "dedup_transitivity_audit",
-    "multimodal_aspect_bucket_census",
+    "dq_minmax_drift_by_month",
+    "temporal_business_day_share",
+    "agg_runs_test",
+    "agg_quartile_skewness",
+    "agg_chi2_independence",
+    "agg_fano_factor_daily",
+    "window_chande_momentum",
+    "window_detrended_oscillator",
+    "events_fano_hourly_by_type",
+    "events_dow_hour_concentration",
+    "events_repeat_purchase_interval",
+    "text_zipf_rank_frequency",
+    "text_token_position_profile",
+    "dedup_crosssource_dup_matrix",
+    "sim_cosine_euclidean_rank_agreement",
+    "sim_kmeans_inertia_curve",
+    "sim_norm_percentile_bands",
+    "sim_silhouette_sampled",
+    "sim_centroid_distance_matrix",
+    "q19_disjunctive_predicates",
+    "q2_min_cost_per_type",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q7_nation_pair_volume",
+    "scalar_array_functions",
+    "scalar_conditional_case",
+    "scalar_date_functions",
+    "scalar_math_functions",
+    "scalar_string_functions",
+    "setop_union_all_counts",
+    "subquery_scalar_above_avg",
+    "window_distribution_functions",
+    "window_first_last_value",
+    "window_lag_lead_delta",
+    "window_moving_avg_frame",
+    "window_range_frame_sum",
+    "window_rank_variants",
+    "window_topk_orders_per_customer",
+    "dedup_clusters",
+    "dedup_embedding_neardup",
+    "dedup_eval_decontamination",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_ngram_jaccard",
+    "grouping_sets_status_priority",
+    "multimodal_payload_stats",
+    "sample_hash_uniform",
+    "agg_mode_by_group",
+    "streaming_click_attribution",
 ]
 
 
