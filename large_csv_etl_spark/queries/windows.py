@@ -3182,3 +3182,547 @@ def window_detrended_oscillator(
             - F.col("ls20").cast("double") / 20.0,
         ).alias("dpo_20"),
     )
+
+
+# --- round 14: volatility / trend indicators on the daily OHLC-ish spine --
+
+_DAILY_HLC_SQL = """
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS hi,
+             MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS lo,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // CAST(COUNT(*) AS BIGINT) AS cls,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+"""
+
+
+def _daily_hlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily pseudo-OHLC spine: hi/lo = max/min single-order cents,
+    cls = floor-mean order cents (total div count — the mean keeps
+    close on the same scale as hi/lo; ROADMAP_r14 #10 sketched the
+    daily TOTAL, which would dwarf any single-order hi/lo and turn
+    every true range into yesterday's-total distance — documented
+    deviation), n_orders = day count. All exact BIGINTs; positive, so
+    DuckDB's flooring // and Spark's truncating div agree."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.max(cents).alias("hi"),
+            F.min(cents).alias("lo"),
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT) div count(*)"
+            ).alias("cls"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "window_average_true_range",
+    f"""
+    WITH daily AS ({_DAILY_HLC_SQL}
+    ), tr AS (
+      SELECT day, hi, lo, cls,
+             CASE WHEN LAG(cls) OVER (ORDER BY day) IS NULL THEN hi - lo
+                  ELSE GREATEST(hi - lo,
+                                abs(hi - LAG(cls) OVER (ORDER BY day)),
+                                abs(lo - LAG(cls) OVER (ORDER BY day)))
+             END AS tr
+      FROM daily
+    )
+    SELECT day, hi, lo, cls, tr,
+           CAST(COUNT(*) OVER w AS BIGINT) AS frame_n,
+           CAST(CAST(SUM(tr) OVER w AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) / 100.0 AS atr14
+    FROM tr
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_average_true_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR(14) on the daily pseudo-OHLC spine (_daily_hlc): true range
+    = GREATEST(hi-lo, |hi-prev_close|, |lo-prev_close|), with the
+    warm-up row gated EXPLICITLY to hi-lo before GREATEST ever sees a
+    NULL lag (the window_chande_momentum lesson: GREATEST ignores
+    NULLs in both engines, silently shrinking the argument list), and
+    ATR as the exact-integer frame mean over 14 rows (partial warm-up
+    frames averaged over frame_n — Wilder's seed choice, documented).
+    Budget: tr < 2^37 cents, 14-term sum < 2^42. One day rollup + one
+    ordered window over the |days|-bounded series."""
+    daily = _daily_hlc(spark, sf_dir)
+    lw = Window.orderBy("day")
+    pc = F.lag("cls").over(lw)
+    tr = F.when(pc.isNull(), F.col("hi") - F.col("lo")).otherwise(
+        F.greatest(
+            F.col("hi") - F.col("lo"),
+            F.abs(F.col("hi") - pc),
+            F.abs(F.col("lo") - pc),
+        )
+    )
+    t = daily.select("day", "hi", "lo", "cls", tr.alias("tr"))
+    fw = Window.orderBy("day").rowsBetween(-13, 0)
+    return t.select(
+        "day",
+        "hi",
+        "lo",
+        "cls",
+        "tr",
+        F.count("*").over(fw).cast("bigint").alias("frame_n"),
+        (
+            F.sum("tr").over(fw).cast("bigint").cast("double")
+            / F.count("*").over(fw).cast("double")
+            / 100.0
+        ).alias("atr14"),
+    )
+
+
+@_q(
+    "window_vortex_indicator",
+    f"""
+    WITH daily AS ({_DAILY_HLC_SQL}
+    ), l AS (
+      SELECT day, hi, lo,
+             LAG(hi) OVER (ORDER BY day) AS phi,
+             LAG(lo) OVER (ORDER BY day) AS plo,
+             LAG(cls) OVER (ORDER BY day) AS pcls
+      FROM daily
+    ), t AS (
+      SELECT day,
+             CASE WHEN plo IS NOT NULL THEN abs(hi - plo) END AS vmp,
+             CASE WHEN phi IS NOT NULL THEN abs(lo - phi) END AS vmm,
+             CASE WHEN pcls IS NOT NULL THEN
+               GREATEST(hi - lo, abs(hi - pcls), abs(lo - pcls))
+             END AS tr
+      FROM l
+    )
+    SELECT day,
+           CAST(SUM(vmp) OVER w AS BIGINT) AS vmp14,
+           CAST(SUM(vmm) OVER w AS BIGINT) AS vmm14,
+           CAST(SUM(tr) OVER w AS BIGINT) AS tr14,
+           CASE WHEN CAST(SUM(tr) OVER w AS BIGINT) > 0 THEN
+             CAST(CAST(SUM(vmp) OVER w AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(tr) OVER w AS BIGINT) AS DOUBLE) END
+             AS vi_plus,
+           CASE WHEN CAST(SUM(tr) OVER w AS BIGINT) > 0 THEN
+             CAST(CAST(SUM(vmm) OVER w AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(tr) OVER w AS BIGINT) AS DOUBLE) END
+             AS vi_minus
+    FROM t
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_vortex_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vortex indicator VI+/VI- over 14-day frames: VM+ = |hi_t -
+    lo_{t-1}|, VM- = |lo_t - hi_{t-1}|, both against the shared true
+    range. Unlike ATR, the warm-up row contributes NOTHING here — all
+    three terms are gated NULL when their lag is missing, and frame
+    SUMs skip NULLs identically in both engines, so numerator and
+    denominator always cover the same day set. Two guarded divisions
+    by the exact integer TR sum (0 only when every frame day is
+    single-order flat). One window pass over the |days|-bounded
+    series."""
+    daily = _daily_hlc(spark, sf_dir)
+    lw = Window.orderBy("day")
+    l = daily.select(
+        "day",
+        "hi",
+        "lo",
+        F.lag("hi").over(lw).alias("phi"),
+        F.lag("lo").over(lw).alias("plo"),
+        F.lag("cls").over(lw).alias("pcls"),
+    )
+    t = l.select(
+        "day",
+        F.when(
+            F.col("plo").isNotNull(), F.abs(F.col("hi") - F.col("plo"))
+        ).alias("vmp"),
+        F.when(
+            F.col("phi").isNotNull(), F.abs(F.col("lo") - F.col("phi"))
+        ).alias("vmm"),
+        F.when(
+            F.col("pcls").isNotNull(),
+            F.greatest(
+                F.col("hi") - F.col("lo"),
+                F.abs(F.col("hi") - F.col("pcls")),
+                F.abs(F.col("lo") - F.col("pcls")),
+            ),
+        ).alias("tr"),
+    )
+    fw = Window.orderBy("day").rowsBetween(-13, 0)
+    vmp14 = F.sum("vmp").over(fw).cast("bigint")
+    vmm14 = F.sum("vmm").over(fw).cast("bigint")
+    tr14 = F.sum("tr").over(fw).cast("bigint")
+    return t.select(
+        "day",
+        vmp14.alias("vmp14"),
+        vmm14.alias("vmm14"),
+        tr14.alias("tr14"),
+        F.when(tr14 > 0, vmp14.cast("double") / tr14.cast("double")).alias(
+            "vi_plus"
+        ),
+        F.when(tr14 > 0, vmm14.cast("double") / tr14.cast("double")).alias(
+            "vi_minus"
+        ),
+    )
+
+
+def _hull_kernel() -> list[int]:
+    """Integer kernel of HMA(16) = WMA(4) over (2*WMA(8) - WMA(16)),
+    composed at import into ONE 19-tap dot product (the TRIX
+    composed-kernel precedent, ROADMAP_r14 #11). Exact rationals on a
+    common denominator: WMA(8)/WMA(16)/WMA(4) denominators 36/136/10,
+    lcm(36,136) = 1224, so u_i = 68*(8-i) - 9*(16-i) (i<8) else
+    -9*(16-i) is the 1224-scaled detrend kernel and C_k =
+    sum_j (4-j)*u_{k-j} the 12240-scaled Hull kernel. sum(C) = 12240
+    exactly (mean-preserving); sum(|C|) = 18390 => max |num| <
+    1.9e4 * 1e10 cents < 2^63. Negative taps mean warm-up
+    renormalization is ill-defined, so HMA is NULL until the 19-row
+    frame is complete."""
+    u = [0] * 16
+    for i in range(8):
+        u[i] += 2 * 34 * (8 - i)
+    for i in range(16):
+        u[i] -= 9 * (16 - i)
+    c = [0] * 19
+    for j in range(4):
+        for i in range(16):
+            c[i + j] += (4 - j) * u[i]
+    return c
+
+
+_HULL_C = _hull_kernel()
+_HULL_DEN = 12240
+_HULL_NUM_SQL = " + ".join(
+    f"COALESCE(LAG(cents, {k}) OVER w * ({c}), 0)" if k else f"cents * ({c})"
+    for k, c in enumerate(_HULL_C)
+)
+
+
+@_q(
+    "window_hull_ma",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), terms AS (
+      SELECT day, cents,
+             {_HULL_NUM_SQL} AS num,
+             CAST(COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 18 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS frame_n
+      FROM daily
+      WINDOW w AS (ORDER BY day)
+    )
+    SELECT day, cents, frame_n,
+           CASE WHEN frame_n = 19 THEN
+             CAST(num AS DOUBLE) / {_HULL_DEN}.0 / 100.0 END AS hma16
+    FROM terms
+    """,
+)
+def window_hull_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hull moving average HMA(16) over daily revenue: WMA(sqrt(16)=4)
+    of the detrended series 2*WMA(8) - WMA(16), collapsed at import
+    into ONE exact integer 19-tap kernel (_hull_kernel — composition
+    proof and the 12240 common denominator there), so the triple-WMA
+    stack costs a single window pass and zero runtime float sums.
+    Kernel taps are NEGATIVE on the tail (that is what makes Hull lag
+    shorter than its span), so present-mass renormalization on partial
+    frames is meaningless — warm-up rows report frame_n and NULL. One
+    fixed num/12240/100 double chain on complete frames."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day")
+    num = None
+    for k, c in enumerate(_HULL_C):
+        lagged = F.col("cents") if k == 0 else F.lag("cents", k).over(w)
+        term = F.coalesce(lagged * F.lit(c), F.lit(0))
+        num = term if num is None else num + term
+    fw = Window.orderBy("day").rowsBetween(-18, 0)
+    terms = daily.select(
+        "day",
+        "cents",
+        num.alias("num"),
+        F.count("*").over(fw).cast("bigint").alias("frame_n"),
+    )
+    return terms.select(
+        "day",
+        "cents",
+        "frame_n",
+        F.when(
+            F.col("frame_n") == 19,
+            F.col("num").cast("double") / float(_HULL_DEN) / 100.0,
+        ).alias("hma16"),
+    )
+
+
+def _ema2_weights(span: int, horizon: int) -> list[int]:
+    """Integer weights of the EMA(span)-of-EMA(span) kernel, w2[k] =
+    round((k+1) * (1-alpha)^k * 2^20) — geometric decay convolved with
+    itself once (the TRIX generator's double-smoothed sibling).
+    Import-time literals shared by both engine sides."""
+    decay = 1.0 - 2.0 / (span + 1)
+    return [round((k + 1) * decay**k * (1 << 20)) for k in range(horizon)]
+
+
+_MASS_E1_W = _ema_weights(9, 40)
+_MASS_E2_W = _ema2_weights(9, 60)
+
+
+def _kernel_sql(weights: list[int], col: str) -> tuple[str, str]:
+    """num/den SQL for an integer-weight kernel over an arbitrary
+    column (the _ema_sql pattern, column-parameterized)."""
+    num, den = [], []
+    for k, wt in enumerate(weights):
+        lag = f"LAG({col}, {k}) OVER w" if k else col
+        num.append(f"COALESCE({lag} * {wt}, 0)")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_MASS_E1_NUM, _MASS_E1_DEN = _kernel_sql(_MASS_E1_W, "rng")
+_MASS_E2_NUM, _MASS_E2_DEN = _kernel_sql(_MASS_E2_W, "rng")
+
+
+@_q(
+    "window_mass_index",
+    f"""
+    WITH daily AS ({_DAILY_HLC_SQL}
+    ), r AS (
+      SELECT day, hi - lo AS rng FROM daily
+    ), terms AS (
+      SELECT day, rng,
+             {_MASS_E1_NUM} AS n1, {_MASS_E1_DEN} AS d1,
+             {_MASS_E2_NUM} AS n2, {_MASS_E2_DEN} AS d2
+      FROM r
+      WINDOW w AS (ORDER BY day)
+    ), snap AS (
+      SELECT day, rng,
+             CASE WHEN n2 > 0 THEN
+               CAST(round(CAST(n1 AS DOUBLE) / CAST(d1 AS DOUBLE)
+                          / (CAST(n2 AS DOUBLE) / CAST(d2 AS DOUBLE))
+                          * 1000000000.0) AS BIGINT) END AS ratio_fp
+      FROM terms
+    )
+    SELECT day, rng, ratio_fp,
+           CAST(COUNT(ratio_fp) OVER w2 AS BIGINT) AS n25,
+           CASE WHEN COUNT(ratio_fp) OVER w2 > 0 THEN
+             CAST(CAST(SUM(ratio_fp) OVER w2 AS BIGINT) AS DOUBLE)
+               / 1000000000.0 END AS mass25
+    FROM snap
+    WINDOW w2 AS (ORDER BY day ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass index: 25-day sum of EMA9(range)/EMA9(EMA9(range)) over the
+    daily hi-lo order-value range — the reversal-bulge screen
+    (ROADMAP_r14 #13). Both EMAs are import-time integer kernels (the
+    double-smoothed one via _ema2_weights, (k+1)*decay^k — one
+    convolution, not two passes); each day's ratio is one fixed IEEE
+    chain on four exact BIGINTs, snapped to the 1e-9 lattice BEFORE
+    the 25-sum so the frame aggregate is order-independent (the
+    fp_sum discipline, applied through a window). NULL-guarded on
+    n2 = 0 (every horizon day single-order flat); budget: ratio <
+    ~1e3 => |ratio_fp| < 1e12, 25-sum < 2.5e13 < 2^63; kernel sums
+    < 2.6e7 weight-mass * 1e10 cents < 2^63."""
+    daily = _daily_hlc(spark, sf_dir)
+    r = daily.select("day", (F.col("hi") - F.col("lo")).alias("rng"))
+    w = Window.orderBy("day")
+
+    def kernel(weights):
+        num = F.lit(0).cast("bigint")
+        den = F.lit(0).cast("bigint")
+        for k, wt in enumerate(weights):
+            lagged = F.col("rng") if k == 0 else F.lag("rng", k).over(w)
+            num = num + F.coalesce(lagged * wt, F.lit(0))
+            den = den + F.when(lagged.isNotNull(), wt).otherwise(0)
+        return num, den
+
+    n1, d1 = kernel(_MASS_E1_W)
+    n2, d2 = kernel(_MASS_E2_W)
+    terms = r.select(
+        "day",
+        "rng",
+        n1.alias("n1"),
+        d1.alias("d1"),
+        n2.alias("n2"),
+        d2.alias("d2"),
+    )
+    ratio = (
+        F.col("n1").cast("double")
+        / F.col("d1").cast("double")
+        / (F.col("n2").cast("double") / F.col("d2").cast("double"))
+    )
+    snap = terms.select(
+        "day",
+        "rng",
+        F.when(
+            F.col("n2") > 0,
+            F.round(ratio * 1000000000.0, 0).cast("bigint"),
+        ).alias("ratio_fp"),
+    )
+    w2 = Window.orderBy("day").rowsBetween(-24, 0)
+    n25 = F.count("ratio_fp").over(w2).cast("bigint")
+    return snap.select(
+        "day",
+        "rng",
+        "ratio_fp",
+        n25.alias("n25"),
+        F.when(
+            n25 > 0,
+            F.sum("ratio_fp").over(w2).cast("bigint").cast("double")
+            / 1000000000.0,
+        ).alias("mass25"),
+    )
+
+
+def _force_weights(span: int, horizon: int) -> list[int]:
+    """EMA weights at 2^10 scale (not the usual 2^20): the force-index
+    addend is delta_dollars * n_orders, itself up to ~6e13 at a
+    1e8-orders/day ceiling, so the weight scale is dropped two decades
+    to keep num < 6e13 * 1024 * 40 < 2.5e18 < 2^63. Kernel
+    quantization is part of the operator's definition — both engine
+    sides consume the same literals."""
+    decay = 1.0 - 2.0 / (span + 1)
+    return [round(decay**k * (1 << 10)) for k in range(horizon)]
+
+
+_FORCE_W = _force_weights(13, 40)
+_FORCE_NUM_SQL, _FORCE_DEN_SQL = _kernel_sql(_FORCE_W, "x")
+
+
+@_q(
+    "window_force_index",
+    f"""
+    WITH daily AS ({_DAILY_HLC_SQL}
+    ), d AS (
+      SELECT day, cls, n_orders,
+             LAG(cls) OVER (ORDER BY day) AS pcls
+      FROM daily
+    ), xs AS (
+      SELECT day,
+             CASE WHEN pcls IS NOT NULL THEN
+               (CASE WHEN cls < pcls THEN -1 ELSE 1 END
+                * (abs(cls - pcls) // 100)) * n_orders END AS x
+      FROM d
+    ), terms AS (
+      SELECT day, x,
+             {_FORCE_NUM_SQL} AS num,
+             {_FORCE_DEN_SQL} AS den
+      FROM xs
+      WINDOW w AS (ORDER BY day)
+    )
+    SELECT day, x,
+           CASE WHEN den > 0 THEN
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END
+             AS force_ema13
+    FROM terms
+    """,
+)
+def window_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Force index EMA(13) over x_t = (close_t - close_{t-1} in whole
+    dollars) * daily order count (volume) — the effort-confirmation
+    signal (ROADMAP_r14 #14). close is the floor-mean order value, so
+    the delta is scale-invariant (< the max single-order price, ~6e5
+    dollars) and the BIGINT budget is carried by volume alone
+    (_force_weights). The dollar truncation is sign-split —
+    sign * (|delta| // 100) — because Spark's div truncates toward
+    zero while DuckDB's // floors (the Theil-Sen lesson). Warm-up day
+    has no delta: x NULL, kernel renormalizes over present weight
+    mass, den = 0 only before any x exists."""
+    daily = _daily_hlc(spark, sf_dir)
+    lw = Window.orderBy("day")
+    d = daily.select(
+        "day", "cls", "n_orders", F.lag("cls").over(lw).alias("pcls")
+    )
+    xs = d.select(
+        "day",
+        F.when(
+            F.col("pcls").isNotNull(),
+            F.when(F.col("cls") < F.col("pcls"), -1).otherwise(1)
+            * F.expr("abs(cls - pcls) div 100")
+            * F.col("n_orders"),
+        ).alias("x"),
+    )
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k, wt in enumerate(_FORCE_W):
+        lagged = F.col("x") if k == 0 else F.lag("x", k).over(lw)
+        num = num + F.coalesce(lagged * wt, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), wt).otherwise(0)
+    terms = xs.select("day", "x", num.alias("num"), den.alias("den"))
+    return terms.select(
+        "day",
+        "x",
+        F.when(
+            F.col("den") > 0,
+            F.col("num").cast("double") / F.col("den").cast("double"),
+        ).alias("force_ema13"),
+    )
+
+
+@_q(
+    "window_donchian_width_percentile",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), widths AS (
+      SELECT day, cents,
+             MAX(cents) OVER w20 - MIN(cents) OVER w20 AS width,
+             CAST(COUNT(*) OVER w20 AS BIGINT) AS n20
+      FROM daily
+      WINDOW w20 AS (ORDER BY day ROWS BETWEEN 19 PRECEDING
+                     AND CURRENT ROW)
+    ), framed AS (
+      SELECT day, width, n20,
+             list(width) OVER (ORDER BY day
+               ROWS BETWEEN 249 PRECEDING AND CURRENT ROW) AS lst
+      FROM widths
+    )
+    SELECT day, width, n20,
+           CAST(len(lst) AS BIGINT) AS hist_n,
+           CAST(len(list_filter(lst, v -> v <= width)) AS BIGINT) AS n_le,
+           CAST(len(list_filter(lst, v -> v <= width)) AS DOUBLE)
+             / CAST(len(lst) AS DOUBLE) AS width_pct_rank
+    FROM framed
+    """,
+)
+def window_donchian_width_percentile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Today's 20-day Donchian channel width as its percentile rank in
+    the trailing 250-day width history — the volatility-squeeze screen
+    (ROADMAP_r14 #17). Width = max - min over the 20-row frame
+    (warm-up frames use the rows present, reported via n20 — keeping
+    every width non-NULL sidesteps the engines' differing NULL
+    treatment inside list aggregates); the rank reuses the
+    windowed-list formulation validated for window_price_percentile_
+    rank (a frame aggregate cannot reference the current row, so the
+    250-frame materializes as a list and the count happens outside).
+    Pure integer comparisons; one division by the always-positive
+    history size. 250-element arrays over the |days|-bounded series."""
+    daily = _daily_cents(spark, sf_dir)
+    w20 = Window.orderBy("day").rowsBetween(-19, 0)
+    widths = daily.select(
+        "day",
+        (F.max("cents").over(w20) - F.min("cents").over(w20)).alias(
+            "width"
+        ),
+        F.count("*").over(w20).cast("bigint").alias("n20"),
+    )
+    w250 = Window.orderBy("day").rowsBetween(-249, 0)
+    framed = widths.select(
+        "day",
+        "width",
+        "n20",
+        F.collect_list("width").over(w250).alias("lst"),
+    )
+    n_le = F.expr("size(filter(lst, v -> v <= width))").cast("bigint")
+    return framed.select(
+        "day",
+        "width",
+        "n20",
+        F.size("lst").cast("bigint").alias("hist_n"),
+        n_le.alias("n_le"),
+        (n_le.cast("double") / F.size("lst").cast("double")).alias(
+            "width_pct_rank"
+        ),
+    )

@@ -1,0 +1,170 @@
+"""Semantic checks for the round-14 build wave (ROADMAP_r14 waves 2-3,
+built this round after the round-14 window shipped)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+
+from large_csv_etl_spark.queries.windows import (
+    QUERIES as WIN_QUERIES,
+    _FORCE_W,
+    _HULL_C,
+    _HULL_DEN,
+    _MASS_E1_W,
+    _MASS_E2_W,
+)
+
+
+def _orders_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    df.coalesce(2).write.parquet(f"{d}/orders.parquet")
+
+
+def _day_rows(day_prices, year=1995, month=1):
+    """day_prices: list of per-day price lists (multi-order days)."""
+    rows, key = [], 0
+    for i, prices in enumerate(day_prices, 1):
+        day = dt.datetime(year, month, 1) + dt.timedelta(days=i - 1)
+        for p in prices:
+            key += 1
+            rows.append((key, key, "O", p, day, "3-MEDIUM"))
+    return rows
+
+
+def test_atr_warmup_gate_and_frame_mean(spark):
+    """Day1 hi=2000 lo=1000 cls=1500 (tr = hi-lo, no prev close);
+    day2 single 40.00 order: tr = max(0, |4000-1500|) = 2500;
+    ATR day2 = (1000 + 2500)/2 cents."""
+    rows = _day_rows([[10.0, 20.0], [40.0]])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = WIN_QUERIES["window_average_true_range"](spark, d).collect()
+    out.sort(key=lambda r: r["day"])
+    assert [r["tr"] for r in out] == [1000, 2500]
+    assert out[0]["atr14"] == pytest.approx(10.0)
+    assert out[1]["atr14"] == pytest.approx(17.5)
+
+
+def test_vortex_numerators_and_guard(spark):
+    """Days [10], [12,16], [13]: VM+/VM-/TR all NULL on day1 (every
+    lag gated), day3 cumulative VI+ = 700/700, VI- = 500/700."""
+    rows = _day_rows([[10.0], [12.0, 16.0], [13.0]])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = WIN_QUERIES["window_vortex_indicator"](spark, d).collect()
+    out.sort(key=lambda r: r["day"])
+    assert out[0]["vmp14"] is None and out[0]["vi_plus"] is None
+    assert (out[1]["vmp14"], out[1]["vmm14"], out[1]["tr14"]) == (
+        600,
+        200,
+        600,
+    )
+    assert (out[2]["vmp14"], out[2]["vmm14"], out[2]["tr14"]) == (
+        700,
+        500,
+        700,
+    )
+    assert out[2]["vi_plus"] == pytest.approx(1.0)
+    assert out[2]["vi_minus"] == pytest.approx(5.0 / 7.0)
+
+
+def test_hull_kernel_matches_naive_composition(spark):
+    """The single 19-tap kernel equals WMA4(2*WMA8 - WMA16) computed
+    naively, and warm-up rows (frame < 19) are NULL."""
+    import random
+
+    rng = random.Random(7)
+    prices = [round(rng.uniform(10, 500), 2) for _ in range(25)]
+    rows = _day_rows([[p] for p in prices])
+    cents = [round(p * 100) for p in prices]
+
+    def wma(vals, n, t):
+        num = sum((n - i) * vals[t - i] for i in range(n))
+        return num / (n * (n + 1) / 2)
+
+    def hma_naive(t):
+        d = [
+            2 * wma(cents, 8, t - j) - wma(cents, 16, t - j)
+            for j in range(4)
+        ]
+        return sum((4 - j) * d[j] for j in range(4)) / 10.0 / 100.0
+
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = WIN_QUERIES["window_hull_ma"](spark, d).collect()
+    out.sort(key=lambda r: r["day"])
+    assert all(r["hma16"] is None for r in out[:18])
+    for t in range(18, 25):
+        assert out[t]["hma16"] == pytest.approx(hma_naive(t), rel=1e-9)
+    assert sum(_HULL_C) == _HULL_DEN == 12240
+
+
+def test_mass_index_flat_guard_and_ratio(spark):
+    """Single-order (rng=0) horizons leave n2=0 -> NULL ratio; a
+    spread day then a flat day reproduce the closed-form kernel
+    ratio."""
+    rows = _day_rows([[10.0, 20.0], [15.0]])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = WIN_QUERIES["window_mass_index"](spark, d).collect()
+    out.sort(key=lambda r: r["day"])
+    assert out[0]["ratio_fp"] == 10**9  # e1 = e2 = rng on day 1
+    w0, w1 = _MASS_E1_W[0], _MASS_E1_W[1]
+    v0, v1 = _MASS_E2_W[0], _MASS_E2_W[1]
+    e1 = 1000.0 * w1 / (w0 + w1)
+    e2 = 1000.0 * v1 / (v0 + v1)
+    assert out[1]["ratio_fp"] == round(e1 / e2 * 1e9)
+    assert out[1]["mass25"] == pytest.approx(
+        (10**9 + round(e1 / e2 * 1e9)) / 1e9
+    )
+    # all-flat corpus: every ratio NULL
+    rows = _day_rows([[10.0], [20.0], [30.0]])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = WIN_QUERIES["window_mass_index"](spark, d).collect()
+    assert all(r["ratio_fp"] is None and r["mass25"] is None for r in out)
+
+
+def test_force_index_sign_split_and_ema(spark):
+    """cls deltas +300 then -600 cents -> x = +3, -6 (whole dollars,
+    sign-split truncation) * volume 1; EMA13 renormalizes over
+    present weights."""
+    rows = _day_rows([[10.0], [13.0], [7.0]])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = WIN_QUERIES["window_force_index"](spark, d).collect()
+    out.sort(key=lambda r: r["day"])
+    assert [r["x"] for r in out] == [None, 3, -6]
+    assert out[0]["force_ema13"] is None
+    w0, w1 = _FORCE_W[0], _FORCE_W[1]
+    assert out[1]["force_ema13"] == pytest.approx(3.0)
+    assert out[2]["force_ema13"] == pytest.approx(
+        (-6 * w0 + 3 * w1) / float(w0 + w1)
+    )
+
+
+def test_donchian_width_percentile_squeeze(spark):
+    """22 days: a day-1 spike inflates early widths; once it leaves
+    the 20-frame the width collapses and the rank reads 3/22."""
+    prices = [100.0] + [10.0] * 20 + [10.5]
+    rows = _day_rows([[p] for p in prices])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = WIN_QUERIES["window_donchian_width_percentile"](
+            spark, d
+        ).collect()
+    out.sort(key=lambda r: r["day"])
+    assert out[0]["width"] == 0
+    assert out[1]["width"] == 9000 and out[19]["width"] == 9000
+    assert out[20]["width"] == 0  # spike aged out
+    assert out[21]["width"] == 50
+    assert out[21]["hist_n"] == 22 and out[21]["n_le"] == 3
+    assert out[21]["width_pct_rank"] == pytest.approx(3.0 / 22.0)
