@@ -7050,3 +7050,538 @@ def agg_fano_factor_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d("n") * d("s2") - d("s1") * d("s1")) / (d("n") * d("s1")),
         ).alias("fano_factor"),
     )
+
+
+# --- round 14: dispersion / slope / stratified-effect screens --------------
+
+
+@_q(
+    "agg_ansari_bradley",
+    """
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), per AS (
+      SELECT cents,
+             CAST(COUNT(CASE WHEN g = 'F' THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN g = 'O' THEN 1 END) AS BIGINT) AS b
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT a, b,
+             COALESCE(SUM(a + b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+      FROM per
+    ), tot AS (
+      SELECT CAST(SUM(a + b) AS BIGINT) AS n FROM per
+    ), scored AS (
+      SELECT a, b,
+             LEAST(2 * cb + (a + b) + 1,
+                   2 * (tot.n + 1) - (2 * cb + (a + b) + 1)) AS s2
+      FROM cum CROSS JOIN tot
+    ), s AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1,
+             CAST(SUM(b) AS BIGINT) AS n2,
+             CAST(SUM(a * s2) AS BIGINT) AS t2_f,
+             CAST(SUM((a + b) * s2) AS BIGINT) AS s2_tot,
+             CAST(SUM((a + b) * s2 * s2) AS BIGINT) AS q2_tot
+      FROM scored
+    )
+    SELECT n1, n2, t2_f, s2_tot, q2_tot,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                 AND CAST(n1 + n2 AS DOUBLE) * q2_tot
+                     - CAST(s2_tot AS DOUBLE) * s2_tot > 0 THEN
+             (CAST(t2_f AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * s2_tot / (n1 + n2))
+             / SQRT(CAST(n1 AS DOUBLE) * n2
+                    * (CAST(n1 + n2 AS DOUBLE) * q2_tot
+                       - CAST(s2_tot AS DOUBLE) * s2_tot)
+                    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                       * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
+           END AS ab_z
+    FROM s
+    """,
+)
+def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley dispersion-difference rank test between the F and
+    O order-value populations — the scale-alternative sibling of the
+    Mann-Whitney location test, on the same distinct-VALUE cumulative
+    machinery (no global row sort). Symmetric scores min(r, n+1-r) are
+    kept DOUBLED so midranks stay integer: mr2 = 2*cum_before + t + 1,
+    s2 = min(mr2, 2(n+1) - mr2). The z uses the tie-EXACT conditional
+    moments of the realized score multiset — E[T] = n1*S/n, Var =
+    n1*n2*(n*Q - S^2)/(n^2(n-1)) — rather than the no-tie textbook
+    constants, so heavy cents-lattice ties never bias the screen.
+    Exact BIGINT sums (budget: Q2 ~ n^3/3 needs n < 3e6; beyond that
+    move the cubic sum to DECIMAL(38,0)), then ONE fixed double chain
+    (casts, one sqrt), NULL-guarded for degenerate all-tied data."""
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per = v.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "F", 1)).cast("bigint").alias("a"),
+        F.count(F.when(F.col("g") == "O", 1)).cast("bigint").alias("b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "a",
+        "b",
+        F.coalesce(F.sum(F.col("a") + F.col("b")).over(w), F.lit(0)).alias(
+            "cb"
+        ),
+    )
+    tot = per.agg(F.sum(F.col("a") + F.col("b")).cast("bigint").alias("n"))
+    t = F.col("a") + F.col("b")
+    mr2 = 2 * F.col("cb") + t + 1
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "a",
+        "b",
+        F.least(mr2, 2 * (F.col("n") + 1) - mr2).alias("s2"),
+    )
+    s = scored.agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("n2"),
+        F.sum(F.col("a") * F.col("s2")).cast("bigint").alias("t2_f"),
+        F.sum((F.col("a") + F.col("b")) * F.col("s2"))
+        .cast("bigint")
+        .alias("s2_tot"),
+        F.sum((F.col("a") + F.col("b")) * F.col("s2") * F.col("s2"))
+        .cast("bigint")
+        .alias("q2_tot"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    nq_ss = nd * F.col("q2_tot") - d("s2_tot") * F.col("s2_tot")
+    z = (d("t2_f") - d("n1") * F.col("s2_tot") / (F.col("n1") + F.col("n2"))) / F.sqrt(
+        d("n1") * F.col("n2") * nq_ss / (nd * (F.col("n1") + F.col("n2")) * (nd - 1.0))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        "t2_f",
+        "s2_tot",
+        "q2_tot",
+        F.when(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (F.col("n1") + F.col("n2") > 1)
+            & (nq_ss > 0),
+            z,
+        ).alias("ab_z"),
+    )
+
+
+@_q(
+    "agg_siegel_repeated_medians_banded",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT d1.day AS day_i,
+             (CASE WHEN d2.cents - d1.cents < 0 THEN -1 ELSE 1 END
+              * CASE WHEN d2.day < d1.day THEN -1 ELSE 1 END)
+             * ((abs(d2.cents - d1.cents) * 10000)
+                // abs(CAST(d2.day - d1.day AS BIGINT))) AS slope_fp
+      FROM daily d1 JOIN daily d2
+        ON abs(d2.day - d1.day) BETWEEN 1 AND 30
+    ), per_i AS (
+      SELECT day_i, slope_fp, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs GROUP BY day_i, slope_fp
+    ), cum_i AS (
+      SELECT day_i, slope_fp,
+             SUM(c) OVER (PARTITION BY day_i ORDER BY slope_fp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+             SUM(c) OVER (PARTITION BY day_i) AS n_i
+      FROM per_i
+    ), med_i AS (
+      SELECT day_i, MIN(slope_fp) AS med_slope_fp
+      FROM cum_i WHERE cumc >= (n_i + 1) // 2
+      GROUP BY day_i
+    ), per AS (
+      SELECT med_slope_fp, CAST(COUNT(*) AS BIGINT) AS c
+      FROM med_i GROUP BY med_slope_fp
+    ), cum AS (
+      SELECT med_slope_fp,
+             SUM(c) OVER (ORDER BY med_slope_fp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM per
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_days FROM per)
+    SELECT t.n_days, m.siegel_slope_fp,
+           CAST(m.siegel_slope_fp AS DOUBLE) / 10000.0
+             AS slope_cents_per_day
+    FROM tot t CROSS JOIN (
+      SELECT MIN(med_slope_fp) AS siegel_slope_fp
+      FROM cum CROSS JOIN tot
+      WHERE cumc >= (n_days + 1) // 2
+    ) m
+    """,
+)
+def agg_siegel_repeated_medians_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Siegel repeated-medians slope over the daily-revenue series,
+    banded: median over days i of (median over partners j with
+    |day_j - day_i| in 1..30 of the pairwise slope) — the 50%-
+    breakdown upgrade of the banded Theil-Sen entry on the same
+    +-30-day panel (validated bound: <= 60 partners per day, pair
+    count 60*|days|, per-day median state 60 rows — the double median
+    stays bounded, ROADMAP_r14 wave-3 #6). Slopes on the exact 1e-4
+    cents/day lattice with BOTH sign factors split out (value sign *
+    direction sign) so integer-division truncation matches across
+    engines on backward pairs. Inner medians: ONE cumulative window
+    partitioned by day_i; outer median: the per-value machinery over
+    the |days|-bounded median table."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    daily = materialize_reduced(daily)
+    left = daily.select(
+        F.col("day").alias("day_i"),
+        F.col("cents").alias("c1"),
+        F.explode(
+            F.array(
+                *[F.lit(k) for k in range(-30, 0)],
+                *[F.lit(k) for k in range(1, 31)],
+            )
+        ).alias("off"),
+    )
+    right = daily.select(
+        F.col("day").alias("day_j"), F.col("cents").alias("c2")
+    )
+    pairs = left.join(
+        right, F.expr("date_add(day_i, off)") == F.col("day_j")
+    ).select(
+        "day_i",
+        (
+            F.when(F.col("c2") - F.col("c1") < 0, -1).otherwise(1)
+            * F.when(F.col("off") < 0, -1).otherwise(1)
+            * F.expr("(abs(c2 - c1) * 10000) div abs(off)")
+        ).alias("slope_fp"),
+    )
+    per_i = pairs.groupBy("day_i", "slope_fp").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wi = (
+        Window.partitionBy("day_i")
+        .orderBy("slope_fp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_i = per_i.select(
+        "day_i",
+        "slope_fp",
+        F.sum("c").over(wi).alias("cumc"),
+        F.sum("c").over(Window.partitionBy("day_i")).alias("n_i"),
+    )
+    med_i = (
+        cum_i.filter(F.col("cumc") >= F.expr("(n_i + 1) div 2"))
+        .groupBy("day_i")
+        .agg(F.min("slope_fp").alias("med_slope_fp"))
+    )
+    per = med_i.groupBy("med_slope_fp").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.orderBy("med_slope_fp").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select("med_slope_fp", F.sum("c").over(w).alias("cumc"))
+    tot = per.agg(F.sum("c").cast("bigint").alias("n_days"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cumc") >= F.expr("(n_days + 1) div 2"))
+        .agg(F.min("med_slope_fp").alias("siegel_slope_fp"))
+    )
+    return tot.crossJoin(F.broadcast(med)).select(
+        "n_days",
+        "siegel_slope_fp",
+        (F.col("siegel_slope_fp").cast("double") / 10000.0).alias(
+            "slope_cents_per_day"
+        ),
+    )
+
+
+@_q(
+    "agg_pooled_vs_welch_df",
+    """
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice) AS BIGINT) AS dollars
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), m AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dollars) AS BIGINT) AS s1,
+             CAST(SUM(dollars * dollars) AS BIGINT) AS s2
+      FROM v GROUP BY g
+    ), w AS (
+      SELECT
+        (SELECT n FROM m WHERE g = 'F') AS n1,
+        (SELECT n FROM m WHERE g = 'O') AS n2,
+        (SELECT (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)
+                  / (n - 1) FROM m WHERE g = 'F') AS v1,
+        (SELECT (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)
+                  / (n - 1) FROM m WHERE g = 'O') AS v2
+    )
+    SELECT n1, n2, v1, v2,
+           CAST(n1 + n2 - 2 AS BIGINT) AS df_pooled,
+           ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS df_welch,
+           SQRT(((n1 - 1) * v1 + (n2 - 1) * v2)
+                / (CAST(n1 AS DOUBLE) + n2 - 2.0)
+                * (1.0 / n1 + 1.0 / n2)) AS se_pooled,
+           SQRT(v1 / n1 + v2 / n2) AS se_welch
+    FROM w
+    """,
+)
+def agg_pooled_vs_welch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled-variance vs Welch-Satterthwaite degrees of freedom for
+    the F-vs-O mean contrast, with BOTH t denominators — the
+    assumption-sensitivity report that prices the equal-variance
+    shortcut (ROADMAP_r14 #7): df_welch << df_pooled or a diverging SE
+    pair flags heteroscedasticity before anyone trusts the pooled
+    t-test. Same whole-DOLLAR exact moment machinery as
+    agg_welch_ttest (the cents second moment overflows int64 at
+    sf0.1), one fixed double chain, two IEEE sqrts, no libm."""
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice"), 0).cast("bigint").alias("dollars"),
+        )
+    )
+    m = v.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dollars").cast("bigint").alias("s1"),
+        F.sum(F.col("dollars") * F.col("dollars"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") / F.col("n") * F.col("s1")
+    ) / (F.col("n") - 1)
+    f = m.filter(F.col("g") == "F").select(
+        F.col("n").alias("n1"), var.alias("v1")
+    )
+    o = m.filter(F.col("g") == "O").select(
+        F.col("n").alias("n2"), var.alias("v2")
+    )
+    w = f.crossJoin(F.broadcast(o))
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    pooled_var = (
+        (F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2")
+    ) / (F.col("n1").cast("double") + F.col("n2") - 2.0)
+    return w.select(
+        "n1",
+        "n2",
+        "v1",
+        "v2",
+        (F.col("n1") + F.col("n2") - 2).cast("bigint").alias("df_pooled"),
+        (
+            ((se1 + se2) * (se1 + se2))
+            / (
+                se1 * se1 / (F.col("n1") - 1)
+                + se2 * se2 / (F.col("n2") - 1)
+            )
+        ).alias("df_welch"),
+        F.sqrt(
+            pooled_var * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+        ).alias("se_pooled"),
+        F.sqrt(se1 + se2).alias("se_welch"),
+    )
+
+
+@_q(
+    "agg_odds_ratio_stratified",
+    """
+    WITH v AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       > 25000000 THEN 1 ELSE 0 END AS hi,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS ur
+      FROM orders
+    ), cells AS (
+      SELECT yr,
+             CAST(SUM(hi * ur) AS BIGINT) AS a,
+             CAST(SUM(hi * (1 - ur)) AS BIGINT) AS b,
+             CAST(SUM((1 - hi) * ur) AS BIGINT) AS c,
+             CAST(SUM((1 - hi) * (1 - ur)) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY yr
+    ), mh AS (
+      SELECT
+        CAST(SUM(CAST(round(CAST(a AS DOUBLE) * d / n * 1000000.0)
+                      AS BIGINT)) AS BIGINT) AS num_fp,
+        CAST(SUM(CAST(round(CAST(b AS DOUBLE) * c / n * 1000000.0)
+                      AS BIGINT)) AS BIGINT) AS den_fp
+      FROM cells
+    )
+    SELECT yr, a, b, c, d,
+           CASE WHEN b * c > 0 THEN
+             (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)
+           END AS or_k,
+           CASE WHEN mh.den_fp > 0 THEN
+             CAST(mh.num_fp AS DOUBLE) / CAST(mh.den_fp AS DOUBLE)
+           END AS mh_or
+    FROM cells CROSS JOIN mh
+    """,
+)
+def agg_odds_ratio_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio of (order value > $250k) x
+    (urgent priority), stratified by order year — the
+    confounder-adjusted effect screen beside the crude 2x2 entry
+    (Simpson's-paradox-proof: each year contributes a_k*d_k/n_k and
+    b_k*c_k/n_k, so a year-composition shift can't manufacture an
+    association). Cells are exact integers; each stratum term is ONE
+    IEEE multiply-divide chain snapped to the 1e-6 lattice before the
+    BIGINT sum (fp_sum discipline: term <= n_k, so 1e10-row strata
+    stay under 2^63 by 2+ decades). Reports OR, not log-OR — no libm
+    (documented). Per-year rows carry the constant MH column; or_k is
+    NULL-guarded on empty off-diagonals."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    v = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.when(cents > 25000000, 1).otherwise(0).alias("hi"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("ur"),
+    )
+    cells = v.groupBy("yr").agg(
+        F.sum(F.col("hi") * F.col("ur")).cast("bigint").alias("a"),
+        F.sum(F.col("hi") * (1 - F.col("ur"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("hi")) * F.col("ur")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("hi")) * (1 - F.col("ur")))
+        .cast("bigint")
+        .alias("d"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    cells = materialize_reduced(cells)
+    term_num = F.col("a").cast("double") * F.col("d") / F.col("n")
+    term_den = F.col("b").cast("double") * F.col("c") / F.col("n")
+    mh = cells.agg(
+        F.sum(F.round(term_num * 1000000.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("num_fp"),
+        F.sum(F.round(term_den * 1000000.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("den_fp"),
+    )
+    return cells.crossJoin(F.broadcast(mh)).select(
+        "yr",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(
+            F.col("b") * F.col("c") > 0,
+            F.col("a").cast("double") * F.col("d")
+            / (F.col("b").cast("double") * F.col("c")),
+        ).alias("or_k"),
+        F.when(
+            F.col("den_fp") > 0,
+            F.col("num_fp").cast("double") / F.col("den_fp").cast("double"),
+        ).alias("mh_or"),
+    )
+
+
+@_q(
+    "agg_extreme_spacings",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), sp AS (
+      SELECT cents - LAG(cents) OVER (ORDER BY cents, day) AS gap,
+             LAG(cents) OVER (ORDER BY cents, day) AS lo
+      FROM daily
+    ), gaps AS (
+      SELECT gap, lo FROM sp WHERE gap IS NOT NULL
+    ), ext AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             MAX(gap) AS max_gap, MIN(gap) AS min_gap
+      FROM gaps
+    )
+    SELECT n_gaps, max_gap,
+           (SELECT MIN(lo) FROM gaps WHERE gap = ext.max_gap)
+             AS max_gap_lo,
+           min_gap,
+           (SELECT MIN(lo) FROM gaps WHERE gap = ext.min_gap)
+             AS min_gap_lo
+    FROM ext
+    """,
+)
+def agg_extreme_spacings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme spacings of the daily-revenue multiset — max and min gap
+    between consecutive SORTED daily totals (the clustering screen:
+    a huge max spacing flags an outlier regime, a zero min spacing
+    flags exact-duplicate days), each located by its smallest lower
+    endpoint (deterministic under gap ties without packed keys — a
+    bounded filter against the broadcast extremes instead, because
+    cents * any shift would overflow the packed lattice). The lag runs
+    over (cents, day) so duplicate totals order deterministically.
+    Everything is bounded by the |days| rollup; exact integers end to
+    end."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "day")
+    sp = daily.select(
+        (F.col("cents") - F.lag("cents").over(w)).alias("gap"),
+        F.lag("cents").over(w).alias("lo"),
+    )
+    gaps = sp.filter(F.col("gap").isNotNull())
+    gaps = materialize_reduced(gaps)
+    ext = gaps.agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.max("gap").alias("max_gap"),
+        F.min("gap").alias("min_gap"),
+    )
+    lo_max = (
+        gaps.join(F.broadcast(ext), F.col("gap") == F.col("max_gap"))
+        .agg(F.min("lo").alias("max_gap_lo"))
+    )
+    lo_min = (
+        gaps.join(F.broadcast(ext), F.col("gap") == F.col("min_gap"))
+        .agg(F.min("lo").alias("min_gap_lo"))
+    )
+    return (
+        ext.crossJoin(F.broadcast(lo_max))
+        .crossJoin(F.broadcast(lo_min))
+        .select("n_gaps", "max_gap", "max_gap_lo", "min_gap", "min_gap_lo")
+    )

@@ -168,3 +168,121 @@ def test_donchian_width_percentile_squeeze(spark):
     assert out[21]["width"] == 50
     assert out[21]["hist_n"] == 22 and out[21]["n_le"] == 3
     assert out[21]["width_pct_rank"] == pytest.approx(3.0 / 22.0)
+
+
+from large_csv_etl_spark.queries.relational import QUERIES as REL_QUERIES
+
+
+def _status_orders(spark, fo_prices, d, year=1995):
+    """fo_prices: list of (status, price). One order per day."""
+    rows = []
+    for i, (st, p) in enumerate(fo_prices, 1):
+        day = dt.datetime(year, 1, 1) + dt.timedelta(days=i - 1)
+        rows.append((i, i, st, p, day, "3-MEDIUM"))
+    _orders_dir(spark, rows, d)
+
+
+def test_ansari_bradley_no_ties_and_ties(spark):
+    """F={1,3} O={2,4}: AB scores 1,2,2,1 -> T_F = E[T] -> z = 0.
+    F={1,1} O={1,2}: tie-exact moments give z = 1 exactly."""
+    with tempfile.TemporaryDirectory() as d:
+        _status_orders(
+            spark, [("F", 1.0), ("O", 2.0), ("F", 3.0), ("O", 4.0)], d
+        )
+        out = REL_QUERIES["agg_ansari_bradley"](spark, d).collect()[0]
+    assert (out["n1"], out["n2"]) == (2, 2)
+    assert (out["t2_f"], out["s2_tot"], out["q2_tot"]) == (6, 12, 40)
+    assert out["ab_z"] == pytest.approx(0.0, abs=1e-12)
+    with tempfile.TemporaryDirectory() as d:
+        _status_orders(
+            spark, [("F", 1.0), ("F", 1.0), ("O", 1.0), ("O", 2.0)], d
+        )
+        out = REL_QUERIES["agg_ansari_bradley"](spark, d).collect()[0]
+    assert (out["t2_f"], out["s2_tot"], out["q2_tot"]) == (8, 14, 52)
+    assert out["ab_z"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_siegel_repeated_medians_small_series(spark):
+    """Cents 1000/2000/4000 on days 1-3: per-day medians 1e7/1e7/1.5e7
+    fp -> outer median 1e7 fp = 1000 cents/day; backward pairs must
+    sign-split to the same slope as their forward twins."""
+    with tempfile.TemporaryDirectory() as d:
+        _status_orders(
+            spark, [("O", 10.0), ("O", 20.0), ("O", 40.0)], d
+        )
+        out = REL_QUERIES["agg_siegel_repeated_medians_banded"](
+            spark, d
+        ).collect()[0]
+    assert out["n_days"] == 3
+    assert out["siegel_slope_fp"] == 10_000_000
+    assert out["slope_cents_per_day"] == pytest.approx(1000.0)
+
+
+def test_pooled_vs_welch_df(spark):
+    """F dollars {10,20}, O {10,30}: v1=50 v2=200, df_pooled=2,
+    df_welch = 15625/10625, se_pooled = se_welch = sqrt(125)."""
+    with tempfile.TemporaryDirectory() as d:
+        _status_orders(
+            spark,
+            [("F", 10.0), ("F", 20.0), ("O", 10.0), ("O", 30.0)],
+            d,
+        )
+        out = REL_QUERIES["agg_pooled_vs_welch_df"](spark, d).collect()[0]
+    assert (out["n1"], out["n2"], out["df_pooled"]) == (2, 2, 2)
+    assert out["v1"] == pytest.approx(50.0)
+    assert out["v2"] == pytest.approx(200.0)
+    assert out["df_welch"] == pytest.approx(15625.0 / 10625.0, rel=1e-12)
+    assert out["se_pooled"] == pytest.approx(125.0**0.5, rel=1e-12)
+    assert out["se_welch"] == pytest.approx(125.0**0.5, rel=1e-12)
+
+
+def test_odds_ratio_stratified_two_years(spark):
+    """Year1 cells 1/1/1/1 (OR 1), year2 2/1/1/1 (OR 2): MH OR =
+    (0.25 + 0.4)/(0.25 + 0.2) on the 1e-6 lattice."""
+    rows = []
+
+    def add(key, price, pri, year):
+        rows.append(
+            (
+                key,
+                key,
+                "O",
+                price,
+                dt.datetime(year, 6, 1 + key % 20),
+                pri,
+            )
+        )
+
+    add(1, 300000.0, "1-URGENT", 1995)
+    add(2, 260000.0, "5-LOW", 1995)
+    add(3, 100.0, "1-URGENT", 1995)
+    add(4, 50.0, "5-LOW", 1995)
+    add(5, 300000.0, "1-URGENT", 1996)
+    add(6, 310000.0, "1-URGENT", 1996)
+    add(7, 260000.0, "5-LOW", 1996)
+    add(8, 100.0, "1-URGENT", 1996)
+    add(9, 50.0, "5-LOW", 1996)
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_odds_ratio_stratified"](spark, d).collect()
+    by_yr = {r["yr"]: r for r in out}
+    assert (by_yr[1995]["a"], by_yr[1995]["d"]) == (1, 1)
+    assert by_yr[1995]["or_k"] == pytest.approx(1.0)
+    assert (by_yr[1996]["a"], by_yr[1996]["b"], by_yr[1996]["c"],
+            by_yr[1996]["d"]) == (2, 1, 1, 1)
+    assert by_yr[1996]["or_k"] == pytest.approx(2.0)
+    assert by_yr[1995]["mh_or"] == pytest.approx(650000.0 / 450000.0)
+    assert by_yr[1996]["mh_or"] == by_yr[1995]["mh_or"]
+
+
+def test_extreme_spacings_with_duplicate_totals(spark):
+    """Daily totals 1000/3000/3000/7000 cents: sorted spacings 2000, 0,
+    4000 -> max 4000 @ lo 3000, min 0 @ lo 3000."""
+    with tempfile.TemporaryDirectory() as d:
+        _status_orders(
+            spark, [("O", 10.0), ("O", 30.0), ("O", 30.0), ("O", 70.0)], d
+        )
+        out = REL_QUERIES["agg_extreme_spacings"](spark, d).collect()[0]
+    assert out["n_gaps"] == 3
+    assert (out["max_gap"], out["max_gap_lo"]) == (4000, 3000)
+    assert (out["min_gap"], out["min_gap_lo"]) == (0, 3000)
