@@ -5418,3 +5418,284 @@ def events_repeat_purchase_interval(
         )
         .agg(F.count("*").cast("bigint").alias("n_gaps"))
     )
+
+
+# --- round 14: session depth/value distributions, weekly mix stability ----
+
+_SESSION_SIZES_SQL = """
+      WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                  FROM events),
+      flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, value,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM flagged
+      )
+"""
+
+
+def _session_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 30-min-gap session assignment (the graded
+    events_sessionization machinery) carrying value through — returns
+    (user_id, session_id, value) at event grain."""
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_ok = ts_us - F.lag(ts_us).over(w) <= 1800 * 1_000_000
+    flagged = df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap_ok, 0).otherwise(1).alias("new_session"),
+    )
+    return flagged.select(
+        "user_id",
+        "value",
+        F.sum("new_session").over(cum).alias("session_id"),
+    )
+
+
+@_q(
+    "events_session_depth_decay",
+    f"""
+    {_SESSION_SIZES_SQL}
+    , sizes AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sz
+      FROM sessions GROUP BY user_id, session_id
+    ), per AS (
+      SELECT sz, CAST(COUNT(*) AS BIGINT) AS c FROM sizes GROUP BY sz
+    ), spine AS (
+      SELECT CAST(UNNEST(generate_series(1, 21)) AS BIGINT) AS k
+    ), reached AS (
+      SELECT k, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_reached
+      FROM spine LEFT JOIN per ON per.sz >= spine.k
+      GROUP BY k
+    ), decay AS (
+      SELECT k, n_reached,
+             LEAD(n_reached) OVER (ORDER BY k) AS n_next
+      FROM reached
+    )
+    SELECT k, n_reached, n_next,
+           CASE WHEN n_reached > 0 THEN
+             CAST(n_next AS DOUBLE) / CAST(n_reached AS DOUBLE)
+           END AS p_continue
+    FROM decay WHERE k <= 20
+    """,
+)
+def events_session_depth_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth survival: P(session reaches depth k+1 | reached k)
+    for k = 1..20 from the graded 30-min sessionization — the
+    engagement-decay curve (ROADMAP_r14 #19). Computed on the bounded
+    per-SIZE census, never the session list: n_reached(k) = sum of
+    counts with size >= k via a 21-row spine joined against the
+    |distinct sizes| table, survival ratio from one lead + one guarded
+    division. One user shuffle (sessionization) + bounded-table
+    arithmetic after."""
+    sizes = (
+        _session_frame(spark, sf_dir)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").cast("bigint").alias("sz"))
+    )
+    per = sizes.groupBy("sz").agg(F.count("*").cast("bigint").alias("c"))
+    spine = spark.range(1, 22).select(F.col("id").alias("k"))
+    reached = (
+        spine.join(F.broadcast(per), per.sz >= spine.k, "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_reached"))
+    )
+    decay = reached.select(
+        "k",
+        "n_reached",
+        F.lead("n_reached").over(Window.orderBy("k")).alias("n_next"),
+    )
+    return decay.filter(F.col("k") <= 20).select(
+        "k",
+        "n_reached",
+        "n_next",
+        F.when(
+            F.col("n_reached") > 0,
+            F.col("n_next").cast("double") / F.col("n_reached").cast("double"),
+        ).alias("p_continue"),
+    )
+
+
+@_q(
+    "events_value_per_session_distribution",
+    f"""
+    {_SESSION_SIZES_SQL}
+    , totals AS (
+      SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM sessions GROUP BY user_id, session_id
+    ), buckets AS (
+      SELECT cents // 5000 AS bucket, cents FROM totals
+    ), per AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM buckets GROUP BY cents
+    ), cum AS (
+      SELECT cents, SUM(c) OVER (ORDER BY cents
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM per
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per),
+    med AS (
+      SELECT MIN(cents) AS median_cents
+      FROM cum CROSS JOIN tot WHERE cumc >= (tot.n + 1) // 2
+    )
+    SELECT bucket,
+           CAST(bucket * 50 AS BIGINT) AS bucket_lo_dollars,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           med.median_cents
+    FROM buckets CROSS JOIN med
+    GROUP BY bucket, med.median_cents
+    """,
+)
+def events_value_per_session_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-session value totals on a fixed $50 bucket ladder (integer
+    cents // 5000 — width_bucket semantics without the function), plus
+    the TYPE-1 median session value as a constant column — the
+    session-economics histogram (ROADMAP_r14 #21). Totals are exact
+    cent sums; bucketing and the median (per-value counts + one
+    cumulative window over the bounded distinct-total table) never
+    sort raw sessions. Both engines' integer divisions agree (cents
+    >= 0 structurally: fixture values are positive; a refunds-bearing
+    feed would sign-split, documented)."""
+    totals = (
+        _session_frame(spark, sf_dir)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    buckets = totals.select(
+        F.expr("cents div 5000").alias("bucket"), "cents"
+    )
+    buckets = materialize_reduced(buckets)
+    per = buckets.groupBy("cents").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select("cents", F.sum("c").over(w).alias("cumc"))
+    tot = per.agg(F.sum("c").cast("bigint").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cumc") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("cents").alias("median_cents"))
+    )
+    return (
+        buckets.crossJoin(F.broadcast(med))
+        .groupBy("bucket", "median_cents")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50).cast("bigint").alias("bucket_lo_dollars"),
+            "n_sessions",
+            "median_cents",
+        )
+    )
+
+
+@_q(
+    "events_type_entropy_free_mix_by_week",
+    """
+    WITH ev AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS wk,
+             event_type
+      FROM events
+    ), cells AS (
+      SELECT wk, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev GROUP BY wk, event_type
+    ), weekly AS (
+      SELECT wk,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * c) AS BIGINT) AS c2
+      FROM cells GROUP BY wk
+    ), snapped AS (
+      SELECT wk, n,
+             CAST(round(1000000000.0
+                  * (1.0 - CAST(c2 AS DOUBLE) / n / n)) AS BIGINT)
+               AS simpson_fp
+      FROM weekly
+    ), jumps AS (
+      SELECT *,
+             abs(simpson_fp - LAG(simpson_fp) OVER (ORDER BY wk))
+               AS jump
+      FROM snapped
+    ), mx AS (SELECT MAX(jump) AS max_jump FROM jumps)
+    SELECT wk AS week, n,
+           CAST(simpson_fp AS DOUBLE) / 1000000000.0 AS simpson_index,
+           CASE WHEN jump IS NOT NULL AND jump = mx.max_jump
+                THEN 1 ELSE 0 END AS largest_jump_flag
+    FROM jumps CROSS JOIN mx
+    """,
+)
+def events_type_entropy_free_mix_by_week(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly event-type mix concentration as the log-free Simpson
+    index 1 - sum(c^2)/n^2, with the largest week-over-week jump
+    flagged (the dq_null_rate_trend shape on mix concentration —
+    an instrumentation swap shows up as a concentration cliff,
+    ROADMAP_r14 #23). Exact integer cell counts and c^2 sums; the
+    index is one identical IEEE chain snapped to the 1e-9 lattice
+    BEFORE the jump comparison, so the flag is pure integer
+    arithmetic. Week grain is ISO-Monday date_trunc in both engines.
+    One (week, type) rollup + one |weeks| window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("wk"),
+        "event_type",
+    )
+    cells = ev.groupBy("wk", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    weekly = cells.groupBy("wk").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("c2"),
+    )
+    snapped = weekly.select(
+        "wk",
+        "n",
+        F.round(
+            1000000000.0
+            * (1.0 - F.col("c2").cast("double") / F.col("n") / F.col("n")),
+            0,
+        )
+        .cast("bigint")
+        .alias("simpson_fp"),
+    )
+    jumps = snapped.select(
+        "*",
+        F.abs(
+            F.col("simpson_fp")
+            - F.lag("simpson_fp").over(Window.orderBy("wk"))
+        ).alias("jump"),
+    )
+    mx = jumps.agg(F.max("jump").alias("max_jump"))
+    return jumps.crossJoin(F.broadcast(mx)).select(
+        F.col("wk").alias("week"),
+        "n",
+        (F.col("simpson_fp").cast("double") / 1000000000.0).alias(
+            "simpson_index"
+        ),
+        F.when(
+            F.col("jump").isNotNull() & (F.col("jump") == F.col("max_jump")),
+            1,
+        )
+        .otherwise(0)
+        .alias("largest_jump_flag"),
+    )

@@ -286,3 +286,95 @@ def test_extreme_spacings_with_duplicate_totals(spark):
     assert out["n_gaps"] == 3
     assert (out["max_gap"], out["max_gap_lo"]) == (4000, 3000)
     assert (out["min_gap"], out["min_gap_lo"]) == (0, 3000)
+
+
+from large_csv_etl_spark.queries.events import QUERIES as EVENT_QUERIES
+
+
+def _events_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(2).write.parquet(f"{d}/events.parquet")
+
+
+def _ev(eid, minute, user, typ="click", value=1.0, day=1):
+    return (
+        eid,
+        dt.datetime(2024, 1, day, 10, 0) + dt.timedelta(minutes=minute),
+        user,
+        typ,
+        value,
+        "{}",
+    )
+
+
+def test_session_depth_decay_survival(spark):
+    """Session sizes {3,1,1}: n_reached = 3,1,1,0,...; p_continue =
+    1/3, 1, 0, then NULL once nothing reaches k."""
+    rows = [
+        _ev(1, 0, 1),
+        _ev(2, 10, 1),
+        _ev(3, 20, 1),
+        _ev(4, 0, 2),
+        _ev(5, 300, 2),  # 5h later: new session
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = EVENT_QUERIES["events_session_depth_decay"](spark, d).collect()
+    by_k = {r["k"]: r for r in out}
+    assert len(out) == 20
+    assert [by_k[k]["n_reached"] for k in (1, 2, 3, 4)] == [3, 1, 1, 0]
+    assert by_k[1]["p_continue"] == pytest.approx(1.0 / 3.0)
+    assert by_k[2]["p_continue"] == pytest.approx(1.0)
+    assert by_k[3]["p_continue"] == pytest.approx(0.0)
+    assert by_k[4]["p_continue"] is None
+
+
+def test_value_per_session_distribution(spark):
+    """Session totals 3000 and 6000 cents: buckets 0 and 1, TYPE-1
+    median 3000."""
+    rows = [
+        _ev(1, 0, 1, value=10.0),
+        _ev(2, 10, 1, value=20.0),
+        _ev(3, 0, 2, value=60.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = EVENT_QUERIES["events_value_per_session_distribution"](
+            spark, d
+        ).collect()
+    by_b = {r["bucket"]: r for r in out}
+    assert by_b[0]["n_sessions"] == 1 and by_b[0]["bucket_lo_dollars"] == 0
+    assert by_b[1]["n_sessions"] == 1 and by_b[1]["bucket_lo_dollars"] == 50
+    assert all(r["median_cents"] == 3000 for r in out)
+
+
+def test_weekly_mix_simpson_jump(spark):
+    """Week of Jan 1 2024 (Mon): mix 3a+1b -> simpson 0.375; next week
+    4a -> 0; the collapse week carries the largest-jump flag."""
+    rows = [
+        _ev(1, 0, 1, "a"),
+        _ev(2, 1, 2, "a"),
+        _ev(3, 2, 3, "a"),
+        _ev(4, 3, 4, "b"),
+        _ev(5, 0, 1, "a", day=8),
+        _ev(6, 1, 2, "a", day=8),
+        _ev(7, 2, 3, "a", day=8),
+        _ev(8, 3, 4, "a", day=8),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = EVENT_QUERIES["events_type_entropy_free_mix_by_week"](
+            spark, d
+        ).collect()
+    out.sort(key=lambda r: r["week"])
+    assert len(out) == 2
+    assert out[0]["simpson_index"] == pytest.approx(0.375)
+    assert out[1]["simpson_index"] == pytest.approx(0.0)
+    assert (out[0]["largest_jump_flag"], out[1]["largest_jump_flag"]) == (
+        0,
+        1,
+    )
