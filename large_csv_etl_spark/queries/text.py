@@ -5956,3 +5956,390 @@ def text_token_position_profile(
             "long_share"
         ),
     )
+
+
+# --- round 14: corpus growth, splice/boilerplate census, quote surface ----
+
+
+@_q(
+    "text_heaps_curve",
+    r"""
+    WITH toked AS (
+      SELECT doc_id,
+             md5('heaps:' || CAST(doc_id AS VARCHAR)) AS ord_key,
+             regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), cums AS (
+      SELECT doc_id, toks,
+             CAST(SUM(len(toks)) OVER (ORDER BY ord_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_end
+      FROM toked
+    ), firsts AS (
+      SELECT token, MIN(cum_end) AS first_cum
+      FROM (SELECT UNNEST(toks) AS token, cum_end FROM cums)
+      GROUP BY token
+    ), spine AS (
+      SELECT CAST(UNNEST([1000, 4000, 16000, 64000]) AS BIGINT)
+        AS prefix_tokens
+    )
+    SELECT s.prefix_tokens,
+           CAST(COALESCE((SELECT MAX(cum_end) FROM cums
+                          WHERE cum_end <= s.prefix_tokens), 0) AS BIGINT)
+             AS n_tokens_in_prefix,
+           CAST(COALESCE((SELECT COUNT(*) FROM firsts
+                          WHERE first_cum <= s.prefix_tokens), 0) AS BIGINT)
+             AS n_distinct_tokens
+    FROM spine s
+    """,
+)
+def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law growth table: distinct-token count at fixed corpus
+    prefix sizes (1k/4k/16k/64k tokens, docs taken in md5 order so the
+    prefix is deterministic and reshuffle-stable) — reported as the
+    raw curve, NOT a fitted exponent (no log, no regression:
+    ROADMAP_r14 #24). A prefix is every doc whose cumulative token
+    count THROUGH that doc fits the target; a token is in the prefix
+    iff its first-appearance doc is (first_cum = min over docs of the
+    containing doc's cum_end — one vocab-bounded aggregate, no
+    per-prefix re-scan). One |docs| window + one token groupBy; the
+    4-row spine probes both bounded tables."""
+    from pyspark.sql import Window
+
+    toked = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat(F.lit("heaps:"), F.col("doc_id").cast("string"))
+            ).alias("ord_key"),
+            _SPARK_TOKENS(F.lower(F.col("text"))).alias("toks"),
+        )
+    )
+    w = Window.orderBy("ord_key").rowsBetween(Window.unboundedPreceding, 0)
+    cums = toked.select(
+        "toks", F.sum(F.size("toks")).over(w).cast("bigint").alias("cum_end")
+    )
+    cums = materialize_reduced(cums)
+    firsts = (
+        cums.select(F.explode("toks").alias("token"), "cum_end")
+        .groupBy("token")
+        .agg(F.min("cum_end").alias("first_cum"))
+    )
+    spine = spark.createDataFrame(
+        [(1000,), (4000,), (16000,), (64000,)], "prefix_tokens long"
+    )
+    tok_counts = (
+        spine.crossJoin(firsts)
+        .filter(F.col("first_cum") <= F.col("prefix_tokens"))
+        .groupBy("prefix_tokens")
+        .agg(F.count("*").cast("bigint").alias("n_distinct_tokens"))
+    )
+    prefix_mass = (
+        spine.crossJoin(cums.select("cum_end"))
+        .filter(F.col("cum_end") <= F.col("prefix_tokens"))
+        .groupBy("prefix_tokens")
+        .agg(F.max("cum_end").cast("bigint").alias("n_tokens_in_prefix"))
+    )
+    return (
+        spine.join(F.broadcast(prefix_mass), "prefix_tokens", "left")
+        .join(F.broadcast(tok_counts), "prefix_tokens", "left")
+        .select(
+            "prefix_tokens",
+            F.coalesce("n_tokens_in_prefix", F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_in_prefix"),
+            F.coalesce("n_distinct_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_tokens"),
+        )
+    )
+
+
+@_q(
+    "text_prefix_suffix_dup_matrix",
+    r"""
+    WITH toked AS (
+      SELECT doc_id,
+             regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), fps AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, 1, 16), ' ')) AS head_fp,
+             md5(array_to_string(
+               list_slice(toks, GREATEST(len(toks) - 15, 1), len(toks)),
+               ' ')) AS tail_fp
+      FROM toked
+    ), hc AS (
+      SELECT head_fp, COUNT(*) AS n FROM fps GROUP BY head_fp
+    ), tc AS (
+      SELECT tail_fp, COUNT(*) AS n FROM fps GROUP BY tail_fp
+    ), flagged AS (
+      SELECT CASE WHEN hc.n >= 2 THEN 1 ELSE 0 END AS head_dup,
+             CASE WHEN tc.n >= 2 THEN 1 ELSE 0 END AS tail_dup
+      FROM fps JOIN hc USING (head_fp) JOIN tc USING (tail_fp)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(head_dup * tail_dup) AS BIGINT) AS both_dup,
+           CAST(SUM(head_dup * (1 - tail_dup)) AS BIGINT) AS head_only,
+           CAST(SUM((1 - head_dup) * tail_dup) AS BIGINT) AS tail_only,
+           CAST(SUM((1 - head_dup) * (1 - tail_dup)) AS BIGINT) AS neither
+    FROM flagged
+    """,
+)
+def text_prefix_suffix_dup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Head-16 vs tail-16 token-fingerprint duplication census — the
+    2x2 that separates true duplicates (both ends shared) from spliced
+    /re-headlined copies (tail only) and boilerplate-footer families
+    vs syndicated leads (ROADMAP_r14 #26). Two md5-fingerprint
+    groupBys (the lead-dup machinery, mirrored onto suffixes via the
+    GREATEST-gated slice both engines truncate identically), one
+    broadcast-back join, one wide conditional aggregate. Bounded by
+    |docs| everywhere; no pairwise work."""
+    toked = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id", _SPARK_TOKENS(F.lower(F.col("text"))).alias("toks")
+        )
+    )
+    fps = toked.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), 1, 16))).alias(
+            "head_fp"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("toks"),
+                    F.greatest(F.size("toks") - 15, F.lit(1)),
+                    F.lit(16),
+                ),
+            )
+        ).alias("tail_fp"),
+    )
+    fps = materialize_reduced(fps)
+    hc = fps.groupBy("head_fp").agg(F.count("*").alias("hn"))
+    tc = fps.groupBy("tail_fp").agg(F.count("*").alias("tn"))
+    flagged = (
+        fps.join(hc, "head_fp")
+        .join(tc, "tail_fp")
+        .select(
+            F.when(F.col("hn") >= 2, 1).otherwise(0).alias("head_dup"),
+            F.when(F.col("tn") >= 2, 1).otherwise(0).alias("tail_dup"),
+        )
+    )
+    h, t = F.col("head_dup"), F.col("tail_dup")
+    return flagged.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(h * t).cast("bigint").alias("both_dup"),
+        F.sum(h * (1 - t)).cast("bigint").alias("head_only"),
+        F.sum((1 - h) * t).cast("bigint").alias("tail_only"),
+        F.sum((1 - h) * (1 - t)).cast("bigint").alias("neither"),
+    )
+
+
+@_q(
+    "text_quote_density",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE WHEN ('0x' || substr(md5('quote:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 3 = 0
+               THEN '"' || substr(TRIM(text), 1, 40) || '" '
+                    || TRIM(text)
+               ELSE TRIM(text) END AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), segs AS (
+      SELECT doc_id, source, t,
+             string_split(t, '"') AS seg
+      FROM d
+    ), per AS (
+      SELECT doc_id, source,
+             CAST(LENGTH(t) AS BIGINT) AS n_chars,
+             CAST(len(seg) - 1 AS BIGINT) AS n_quote_chars,
+             CAST(COALESCE((
+               SELECT SUM(LENGTH(seg[i]))
+               FROM UNNEST(generate_series(1, len(seg))) AS u(i)
+               WHERE i % 2 = 0), 0) AS BIGINT) AS quoted_chars
+      FROM segs
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_quote_chars % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unbalanced,
+           CAST(SUM(CASE WHEN n_quote_chars >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quoting_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN n_quote_chars % 2 = 0 THEN quoted_chars
+                         ELSE 0 END) AS BIGINT) AS quoted_chars,
+           CASE WHEN SUM(n_chars) > 0 THEN
+             CAST(SUM(CASE WHEN n_quote_chars % 2 = 0 THEN quoted_chars
+                           ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(n_chars) AS DOUBLE) END AS quote_share
+    FROM per GROUP BY source
+    """,
+)
+def text_quote_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotation-delimited span share per source — the reported-speech
+    /citation-surface screen (ROADMAP_r14 #28). The all-lowercase
+    fixture carries no quote characters, so a third of docs
+    (hash-selected) get a leading quoted 40-char span INJECTED (the
+    punctuation-profile committed-synthesis pattern). Split on '\"'
+    gives segments whose EVEN ordinals (1-based) sit inside quotes
+    when the doc's quote count is even; unbalanced docs are counted
+    and excluded from the quoted mass rather than guessed at. Explicit
+    char counting, one guarded division per source; row-local work +
+    one |sources| rollup."""
+    dh = phash60(
+        F.concat(F.lit("quote:"), F.col("doc_id").cast("string"))
+    )
+    base = F.trim(F.col("text"))
+    t = F.when(
+        dh % 3 == 0,
+        F.concat(
+            F.lit('"'), F.substring(base, 1, 40), F.lit('" '), base
+        ),
+    ).otherwise(base)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", "source", t.alias("t"))
+    )
+    segs = d.select(
+        "doc_id",
+        "source",
+        "t",
+        F.split(F.col("t"), '"', -1).alias("seg"),
+    )
+    per = segs.select(
+        "source",
+        F.length("t").cast("bigint").alias("n_chars"),
+        (F.size("seg") - 1).cast("bigint").alias("n_quote_chars"),
+        F.coalesce(
+            F.expr(
+                "aggregate(filter(transform(seg, (s, i) -> "
+                "CASE WHEN (i + 1) % 2 = 0 THEN length(s) ELSE -1 END), "
+                "v -> v >= 0), 0L, (acc, v) -> acc + v)"
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("quoted_chars"),
+    )
+    balanced = F.col("n_quote_chars") % 2 == 0
+    qmass = F.sum(F.when(balanced, F.col("quoted_chars")).otherwise(0))
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(~balanced, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unbalanced"),
+        F.sum(F.when(F.col("n_quote_chars") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quoting_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        qmass.cast("bigint").alias("quoted_chars"),
+        F.when(
+            F.sum("n_chars") > 0,
+            qmass.cast("double") / F.sum("n_chars").cast("double"),
+        ).alias("quote_share"),
+    )
+
+
+@_q(
+    "text_source_length_drift",
+    r"""
+    WITH d AS (
+      SELECT source,
+             1 + ('0x' || substr(md5('mon:' || CAST(doc_id AS VARCHAR)),
+                  1, 15))::BIGINT % 12 AS mon,
+             CAST(LENGTH(TRIM(text)) AS BIGINT) AS n_chars
+      FROM documents WHERE TRIM(text) <> ''
+    ), monthly AS (
+      SELECT source, mon,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(round(1000000.0 * CAST(SUM(n_chars) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mean_fp
+      FROM d GROUP BY source, mon
+    ), jumps AS (
+      SELECT *,
+             abs(mean_fp - LAG(mean_fp) OVER (PARTITION BY source
+               ORDER BY mon)) AS jump
+      FROM monthly
+    ), mx AS (
+      SELECT source, MAX(jump) AS max_jump FROM jumps GROUP BY source
+    )
+    SELECT j.source, CAST(j.mon AS BIGINT) AS mon, n_docs, sum_chars,
+           CAST(mean_fp AS DOUBLE) / 1000000.0 AS mean_chars,
+           CASE WHEN jump IS NOT NULL AND jump = mx.max_jump
+                THEN 1 ELSE 0 END AS largest_jump_flag
+    FROM jumps j JOIN mx ON j.source = mx.source
+    """,
+)
+def text_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source monthly mean document length with the largest
+    month-over-month jump flagged per source — the truncation-incident
+    screen (a feed that starts clipping bodies shows a mean-length
+    cliff; ROADMAP_r14 #29). The fixture has no ingest dates, so the
+    doc->month assignment is hash-derived (documented synthesis:
+    md5('mon:'||doc_id) % 12 — uniform by construction, so a healthy
+    corpus reads flat and the flag marks noise scale). Means snap to
+    the 1e-6 lattice before the jump comparison (the null-rate-trend
+    discipline); one (source, month) rollup + one bounded window."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            (
+                1
+                + phash60(
+                    F.concat(F.lit("mon:"), F.col("doc_id").cast("string"))
+                )
+                % 12
+            ).alias("mon"),
+            F.length(F.trim(F.col("text"))).cast("bigint").alias("n_chars"),
+        )
+    )
+    monthly = d.groupBy("source", "mon").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.round(
+            1000000.0
+            * F.sum("n_chars").cast("double")
+            / F.count("*").cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("mean_fp"),
+    )
+    from pyspark.sql import Window
+
+    jumps = monthly.select(
+        "*",
+        F.abs(
+            F.col("mean_fp")
+            - F.lag("mean_fp").over(
+                Window.partitionBy("source").orderBy("mon")
+            )
+        ).alias("jump"),
+    )
+    mx = jumps.groupBy("source").agg(F.max("jump").alias("max_jump"))
+    return jumps.join(F.broadcast(mx), "source").select(
+        "source",
+        F.col("mon").cast("bigint").alias("mon"),
+        "n_docs",
+        "sum_chars",
+        (F.col("mean_fp").cast("double") / 1000000.0).alias("mean_chars"),
+        F.when(
+            F.col("jump").isNotNull() & (F.col("jump") == F.col("max_jump")),
+            1,
+        )
+        .otherwise(0)
+        .alias("largest_jump_flag"),
+    )

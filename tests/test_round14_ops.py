@@ -378,3 +378,142 @@ def test_weekly_mix_simpson_jump(spark):
         0,
         1,
     )
+
+
+import hashlib
+
+from large_csv_etl_spark.queries.text import QUERIES as TEXT_QUERIES
+
+
+def _docs_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(2).write.parquet(f"{d}/documents.parquet")
+
+
+def _doc(doc_id, text, source="s0"):
+    return (doc_id, text, "en", source, len(text))
+
+
+def _h60(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_heaps_curve_matches_python_replica(spark):
+    """Curve equals an exact Python replica of the md5-ordered prefix
+    logic, including the 1000-token cap cutting off a 1500-token doc."""
+    docs = {
+        1: "a b c",
+        2: "a d",
+        3: "e e e",
+        4: " ".join(["big"] * 1500),
+        5: "f g",
+    }
+    rows = [_doc(i, t) for i, t in docs.items()]
+    ordered = sorted(
+        docs, key=lambda i: hashlib.md5(f"heaps:{i}".encode()).hexdigest()
+    )
+    cum, cum_end, seen_at = 0, {}, {}
+    for i in ordered:
+        toks = docs[i].split()
+        cum += len(toks)
+        cum_end[i] = cum
+        for t in toks:
+            seen_at.setdefault(t, cum)
+    expected = {}
+    for p in (1000, 4000, 16000, 64000):
+        mass = max((c for c in cum_end.values() if c <= p), default=0)
+        expected[p] = (mass, sum(1 for v in seen_at.values() if v <= p))
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = TEXT_QUERIES["text_heaps_curve"](spark, d).collect()
+    got = {
+        r["prefix_tokens"]: (r["n_tokens_in_prefix"], r["n_distinct_tokens"])
+        for r in out
+    }
+    assert got == expected
+    assert got[64000][0] == 1510 and got[64000][1] == 8
+
+
+def test_prefix_suffix_dup_matrix_cells(spark):
+    """2 lead-sharing docs, 2 tail-sharing docs, 2 identical short
+    docs, 1 unique -> cells (2, 2, 2, 1)."""
+    head = " ".join(f"h{i}" for i in range(16))
+    tail = " ".join(f"t{i}" for i in range(16))
+    rows = [
+        _doc(1, f"{head} ua"),
+        _doc(2, f"{head} ub"),
+        _doc(3, f"uc {tail}"),
+        _doc(4, f"ud {tail}"),
+        _doc(5, "same short doc"),
+        _doc(6, "same short doc"),
+        _doc(7, "only one here"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = TEXT_QUERIES["text_prefix_suffix_dup_matrix"](
+            spark, d
+        ).collect()[0]
+    assert out["n_docs"] == 7
+    assert (
+        out["both_dup"],
+        out["head_only"],
+        out["tail_only"],
+        out["neither"],
+    ) == (2, 2, 2, 1)
+
+
+def test_quote_density_injection_replica(spark):
+    """Share equals the Python replica of the hash-gated injection
+    (one balanced leading quoted span per selected doc)."""
+    docs = {i: f"doc body number {i} with some words" for i in range(1, 10)}
+    rows = [_doc(i, t) for i, t in docs.items()]
+    n_chars = quoted = n_quoting = 0
+    for i, t in docs.items():
+        if _h60(f"quote:{i}") % 3 == 0:
+            span = t[:40]
+            n_chars += len(t) + len(span) + 3
+            quoted += len(span)
+            n_quoting += 1
+        else:
+            n_chars += len(t)
+    assert n_quoting > 0  # the synthesis actually fires on this corpus
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = TEXT_QUERIES["text_quote_density"](spark, d).collect()[0]
+    assert out["n_docs"] == 9 and out["n_unbalanced"] == 0
+    assert out["n_quoting_docs"] == n_quoting
+    assert out["quoted_chars"] == quoted
+    assert out["n_chars"] == n_chars
+    assert out["quote_share"] == pytest.approx(quoted / n_chars)
+
+
+def test_source_length_drift_replica(spark):
+    """Monthly means and the per-source largest-jump flag equal the
+    Python replica of the hash month assignment."""
+    docs = {i: "x" * (10 + 7 * i) for i in range(1, 30)}
+    rows = [_doc(i, t) for i, t in docs.items()]
+    agg = {}
+    for i, t in docs.items():
+        mon = 1 + _h60(f"mon:{i}") % 12
+        n, s = agg.get(mon, (0, 0))
+        agg[mon] = (n + 1, s + len(t))
+    fp = {m: round(1e6 * s / n) for m, (n, s) in agg.items()}
+    mons = sorted(agg)
+    jumps = {
+        m: abs(fp[m] - fp[pm]) for pm, m in zip(mons, mons[1:])
+    }
+    mx = max(jumps.values())
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = TEXT_QUERIES["text_source_length_drift"](spark, d).collect()
+    assert len(out) == len(mons)
+    for r in out:
+        n, s = agg[r["mon"]]
+        assert (r["n_docs"], r["sum_chars"]) == (n, s)
+        assert r["mean_chars"] == pytest.approx(fp[r["mon"]] / 1e6)
+        expect_flag = 1 if jumps.get(r["mon"]) == mx else 0
+        assert r["largest_jump_flag"] == expect_flag
