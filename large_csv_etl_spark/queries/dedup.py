@@ -3273,3 +3273,324 @@ def dedup_crosssource_dup_matrix(
     return pairs.groupBy("source_a", "source_b").agg(
         F.sum("n_pairs").cast("bigint").alias("n_dup_pairs")
     )
+
+
+# --- round 14: banding sensitivity, strong-pair component structure -------
+
+_SENS_CONFIGS = [
+    (16, 1, 6.25e-2),
+    (8, 2, 3.5355339059327373e-1),
+    (4, 4, 7.0710678118654757e-1),
+]
+
+
+def _band_sensitivity_oracle() -> str:
+    shingles = ORACLES["dedup_minhash_portable"].split("), hh AS")[0]
+    ctes, rows = [], []
+    for b, r, thr in _SENS_CONFIGS:
+        ctes.append(f"""
+    b{b} AS MATERIALIZED (
+      SELECT doc_id, p // {r} AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY p)) AS bh
+      FROM sig GROUP BY doc_id, p // {r}
+    ), bz{b} AS MATERIALIZED (
+      SELECT band, bh FROM b{b} GROUP BY band, bh
+      HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+    ), p{b} AS MATERIALIZED (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b2
+      FROM b{b} x
+      JOIN b{b} y ON x.band = y.band AND x.bh = y.bh
+                 AND x.doc_id < y.doc_id
+      JOIN bz{b} z ON z.band = x.band AND z.bh = x.bh
+    )""")
+        rows.append(f"""
+    SELECT {b} AS n_bands, {r} AS rows_per_band,
+           {thr:.17e} AS s_curve_threshold,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bz{b})
+             AS n_candidate_buckets,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p{b})
+             AS n_candidate_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             (SELECT a FROM p{b} UNION SELECT b2 FROM p{b}))
+             AS n_docs_in_pairs""")
+    return (
+        shingles
+        + """
+    ), hh AS (
+      SELECT doc_id, j, md5(shingle || ':' || j) AS m
+      FROM sh CROSS JOIN range(8) r(j)
+    ), ph AS (
+      SELECT doc_id, 2*j AS p, ('0x' || substr(m, 1, 15))::BIGINT AS h
+      FROM hh
+      UNION ALL
+      SELECT doc_id, 2*j + 1 AS p, ('0x' || substr(m, 16, 15))::BIGINT AS h
+      FROM hh
+    ), sig AS MATERIALIZED (
+      SELECT doc_id, p, MIN(h) AS mh FROM ph GROUP BY doc_id, p
+    ),"""
+        + ",".join(ctes)
+        + "\n    UNION ALL".join(rows)
+    )
+
+
+@_q("dedup_band_sensitivity_curve", _band_sensitivity_oracle())
+def dedup_band_sensitivity_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical LSH banding S-curve: realized candidate bucket/pair
+    volumes AND doc coverage at band widths r = 1, 2, 4 over the SAME
+    16-value portable MinHash signature (ROADMAP_r14 #30). The
+    calibration entry reports collision PROBABILITIES and the band
+    sweep reports uncapped wide-config costs; this entry walks the
+    other side of the curve down to r = 1 (threshold 1/16 — the
+    recall-at-any-cost setting) WITH the production MAX_BUCKET cap
+    applied to pairing, plus n_docs_in_pairs — the fraction of the
+    corpus the setting would drag into verification. Signature built
+    once (graded machinery); each config re-bands with p div r; pair
+    generation is the capped posting-list expansion, never a corpus
+    self-join."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    wide = _portable_minhash_sigs(docs)
+    stack_expr = (
+        "stack(16, " + ", ".join(f"{p}, m{p}" for p in range(16))
+        + ") AS (p, mh)"
+    )
+    sig = materialize_reduced(wide.selectExpr("doc_id", stack_expr))
+    out = None
+    for b, r, thr in _SENS_CONFIGS:
+        banded = (
+            sig.groupBy("doc_id", F.expr(f"p div {r}").alias("band"))
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("p", "mh"))
+                            ),
+                            lambda s: s["mh"].cast("string"),
+                        ),
+                        ":",
+                    )
+                ).alias("bh")
+            )
+        )
+        buckets = (
+            banded.groupBy("band", "bh")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+            .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
+        )
+        buckets = materialize_reduced(buckets)
+        pairs = _posting_list_pairs(buckets).distinct()
+        pairs = materialize_reduced(pairs)
+        coverage = (
+            pairs.select(F.col("doc_a").alias("d"))
+            .union(pairs.select(F.col("doc_b").alias("d")))
+            .distinct()
+        )
+        row = (
+            buckets.agg(
+                F.count("*").cast("bigint").alias("n_candidate_buckets")
+            )
+            .crossJoin(
+                pairs.agg(
+                    F.count("*").cast("bigint").alias("n_candidate_pairs")
+                )
+            )
+            .crossJoin(
+                coverage.agg(
+                    F.count("*").cast("bigint").alias("n_docs_in_pairs")
+                )
+            )
+            .select(
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.lit(thr).alias("s_curve_threshold"),
+                "n_candidate_buckets",
+                "n_candidate_pairs",
+                "n_docs_in_pairs",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@_q(
+    "dedup_cluster_size_spectrum",
+    rf"""
+    WITH RECURSIVE pairs AS (
+      {{ngram}}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+      SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id
+      FROM reach GROUP BY a
+    ), sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY cluster_id
+    ), nondeg AS (
+      SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM sizes GROUP BY cluster_size
+    ), singles AS (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             (SELECT COUNT(*) FROM documents WHERE TRIM(text) <> '')
+             - (SELECT COALESCE(CAST(SUM(cluster_size * n_clusters)
+                                     AS BIGINT), 0) FROM nondeg)
+               AS n_clusters
+    )
+    SELECT cluster_size, n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+    FROM (SELECT * FROM nondeg UNION ALL
+          SELECT cluster_size, CAST(n_clusters AS BIGINT) FROM singles
+          WHERE n_clusters > 0)
+    """,
+)
+def dedup_cluster_size_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected-component size histogram of the trigram-Jaccard >= 0.2
+    strong-pair graph, WITH the singleton mass (docs in no strong pair
+    — the graded dedup_clusters table only covers paired docs, so its
+    histogram alone can't answer 'what fraction of the corpus
+    dedupes') — the threshold-health spectrum: a healthy threshold
+    reads as a long size-1 tail plus small tight clusters; a giant
+    component means hub-chaining (ROADMAP_r14 #31). Components via the
+    same bounded min-label propagation (graph.connected_components,
+    localCheckpoint lineage cuts); the singleton row is exact
+    arithmetic against the non-empty doc count."""
+    from ..graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    nondeg = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    )
+    nondeg = materialize_reduced(nondeg)
+    n_docs_total = docs.agg(F.count("*").cast("bigint").alias("n_total"))
+    paired_mass = nondeg.agg(
+        F.coalesce(
+            F.sum(F.col("cluster_size") * F.col("n_clusters")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_paired")
+    )
+    singles = (
+        n_docs_total.crossJoin(F.broadcast(paired_mass))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("n_total") - F.col("n_paired"))
+            .cast("bigint")
+            .alias("n_clusters"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    return (
+        nondeg.unionByName(singles)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )
+
+
+ORACLES["dedup_cluster_size_spectrum"] = ORACLES[
+    "dedup_cluster_size_spectrum"
+].format(ngram=ORACLES["dedup_ngram_jaccard"])
+
+
+@_q(
+    "graph_component_census_strongpairs",
+    rf"""
+    WITH RECURSIVE pairs AS (
+      {{ngram}}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+      SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id
+      FROM reach GROUP BY a
+    ), nodes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM labels GROUP BY cluster_id
+    ), edge_comp AS (
+      SELECT l.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+      FROM pairs p JOIN labels l ON l.doc_id = p.doc_a
+      GROUP BY l.cluster_id
+    )
+    SELECT n.cluster_id AS component_id, n.n_nodes, e.n_edges,
+           CAST(2 * e.n_edges AS DOUBLE)
+             / (CAST(n.n_nodes AS DOUBLE) * (n.n_nodes - 1))
+             AS density
+    FROM nodes n JOIN edge_comp e USING (cluster_id)
+    """,
+)
+def graph_component_census_strongpairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-component census of the strong-pair (trigram-Jaccard >= 0.2)
+    graph: node count, edge count, and internal density 2E/(n(n-1)) —
+    the structure table behind the size spectrum (density ~1 means a
+    clique of true duplicates; a large sparse component means
+    hub-chaining and over-merge risk; ROADMAP_r14 #47, sharing the
+    spectrum's component machinery). Components >= 2 nodes always
+    (every member has an edge), so the density division is
+    structurally nonzero. Edges assign to their doc_a's component
+    (endpoints agree by construction). Bounded label-propagation
+    rounds; output bounded by |components|."""
+    from ..graph import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    pairs = materialize_reduced(pairs)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    nodes = comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    lab = comp.select(
+        F.col("node").alias("doc_a"), F.col("component").alias("cluster_id")
+    )
+    edge_comp = (
+        pairs.join(lab, "doc_a")
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    return (
+        nodes.join(edge_comp, "cluster_id")
+        .select(
+            F.col("cluster_id").alias("component_id"),
+            "n_nodes",
+            "n_edges",
+            (
+                (2 * F.col("n_edges")).cast("double")
+                / (
+                    F.col("n_nodes").cast("double")
+                    * (F.col("n_nodes") - 1)
+                )
+            ).alias("density"),
+        )
+    )
+
+
+ORACLES["graph_component_census_strongpairs"] = ORACLES[
+    "graph_component_census_strongpairs"
+].format(ngram=ORACLES["dedup_ngram_jaccard"])

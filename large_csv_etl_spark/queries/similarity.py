@@ -4299,3 +4299,301 @@ def sim_centroid_distance_matrix(
         "d2",
         (F.sqrt(F.col("d2").cast("double")) / 1000000.0).alias("dist"),
     )
+
+
+# --- round 14: k-occurrence distribution, per-subspace PQ distortion ------
+
+
+@_q(
+    "sim_hubness_kocc",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 200
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND(CAST(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6)
+               AS cos_sim
+      FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ), kocc AS (
+      SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+      FROM ranked WHERE rn <= 10 GROUP BY vec_id
+    ), nz AS (
+      SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM kocc GROUP BY k_occ
+    ), hist AS (
+      SELECT * FROM nz
+      UNION ALL
+      SELECT CAST(0 AS BIGINT),
+             (SELECT COUNT(*) FROM embeddings)
+             - (SELECT COALESCE(CAST(SUM(n_vectors) AS BIGINT), 0) FROM nz)
+    ), m AS (
+      SELECT CAST(SUM(n_vectors) AS BIGINT) AS n,
+             CAST(SUM(k_occ * n_vectors) AS BIGINT) AS s1,
+             CAST(SUM(k_occ * k_occ * n_vectors) AS BIGINT) AS s2,
+             CAST(SUM(k_occ * k_occ * k_occ * n_vectors) AS BIGINT) AS s3
+      FROM hist
+    ), sk AS (
+      SELECT CASE WHEN n > 0 AND
+               CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+             THEN
+               (CAST(s3 AS DOUBLE) / n
+                - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n))
+               / ((CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                  * SQRT(CAST(s2 AS DOUBLE) / n
+                         - (CAST(s1 AS DOUBLE) / n)
+                           * (CAST(s1 AS DOUBLE) / n)))
+             END AS kocc_skewness
+      FROM m
+    )
+    SELECT h.k_occ, h.n_vectors, sk.kocc_skewness
+    FROM hist h CROSS JOIN sk
+    WHERE h.n_vectors > 0
+    """,
+)
+def sim_hubness_kocc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence DISTRIBUTION of the embedding space: over the
+    bounded 200-query panel, how often each corpus vector lands in a
+    top-10, reported as the full histogram INCLUDING the
+    zero-occurrence mass, with the histogram's moment skewness as the
+    scalar hubness measure (positive skew = hubby space;
+    ROADMAP_r14 #32 — the audit entry shows the ten biggest hubs,
+    this shows the whole shape the skew summarizes). Same 6dp cosine /
+    vec_id tie-break contract; moments are exact BIGINT sums over the
+    bounded histogram (k_occ <= 2000, cubes < 2^63 at any corpus
+    size), skew is one fixed double chain with a sigma^2 > 0 guard
+    (m2 * sqrt(m2), no fractional pow)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_n = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint()
+    q = emb_n.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    scored = (
+        emb_n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(
+                F.col("cos_sim").desc(), "vec_id"
+            )
+        ),
+    )
+    kocc = (
+        ranked.filter(F.col("rn") <= 10)
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("bigint").alias("k_occ"))
+    )
+    nz = kocc.groupBy("k_occ").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    nz = materialize_reduced(nz)
+    total = emb.agg(F.count("*").cast("bigint").alias("n_total"))
+    zero = (
+        total.crossJoin(
+            F.broadcast(
+                nz.agg(
+                    F.coalesce(F.sum("n_vectors"), F.lit(0))
+                    .cast("bigint")
+                    .alias("n_in")
+                )
+            )
+        )
+        .select(
+            F.lit(0).cast("bigint").alias("k_occ"),
+            (F.col("n_total") - F.col("n_in"))
+            .cast("bigint")
+            .alias("n_vectors"),
+        )
+    )
+    hist = nz.unionByName(zero).filter(F.col("n_vectors") > 0)
+    hist = materialize_reduced(hist)
+    k = F.col("k_occ")
+    m = hist.agg(
+        F.sum("n_vectors").cast("bigint").alias("n"),
+        F.sum(k * F.col("n_vectors")).cast("bigint").alias("s1"),
+        F.sum(k * k * F.col("n_vectors")).cast("bigint").alias("s2"),
+        F.sum(k * k * k * F.col("n_vectors")).cast("bigint").alias("s3"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3.0 * mu * (F.col("s2").cast("double") / F.col("n"))
+        + 2.0 * mu * mu * mu
+    )
+    sk = m.select(
+        F.when((F.col("n") > 0) & (m2 > 0), m3 / (m2 * F.sqrt(m2))).alias(
+            "kocc_skewness"
+        )
+    )
+    return hist.crossJoin(F.broadcast(sk)).select(
+        "k_occ", "n_vectors", "kocc_skewness"
+    )
+
+
+PQ14_SUBSPACES = 8
+PQ14_SUBDIM = 8  # 64 dims / 8 subspaces — the finer split of ROADMAP #34
+
+
+@_q(
+    "sim_pq_subspace_distortion",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS v6
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, label, unnest(v6) AS val6,
+             generate_subscripts(v6, 1) AS pos,
+             (generate_subscripts(v6, 1) - 1) // {PQ14_SUBDIM} AS sub
+      FROM v WHERE vec_id <> 0
+    ), c AS (
+      SELECT label AS clabel, sub, pos,
+             CAST(round(CAST(SUM(val6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cmu
+      FROM ex GROUP BY label, sub, pos
+    ), d AS (
+      SELECT e.vec_id, e.sub, c.clabel,
+             CAST(SUM((e.val6 - c.cmu) * (e.val6 - c.cmu)) AS BIGINT) AS d2
+      FROM ex e JOIN c ON c.pos = e.pos AND c.sub = e.sub
+      GROUP BY e.vec_id, e.sub, c.clabel
+    ), best AS (
+      SELECT vec_id, sub, d2 FROM (
+        SELECT vec_id, sub, d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, sub ORDER BY d2, clabel) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), norms AS (
+      SELECT sub, CAST(SUM(val6 * val6) AS BIGINT) AS norm2
+      FROM ex GROUP BY sub
+    ), errs AS (
+      SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(d2) AS BIGINT) AS err2
+      FROM best GROUP BY sub
+    ), tot AS (
+      SELECT CAST(SUM(err2) AS BIGINT) AS total_err2 FROM errs
+    )
+    SELECT e.sub AS subspace, e.n_vectors, e.err2, n.norm2,
+           CASE WHEN n.norm2 > 0 THEN
+             CAST(e.err2 AS DOUBLE) / CAST(n.norm2 AS DOUBLE)
+           END AS rel_error,
+           CASE WHEN t.total_err2 > 0 THEN
+             CAST(e.err2 AS DOUBLE) / CAST(t.total_err2 AS DOUBLE)
+           END AS err_share
+    FROM errs e JOIN norms n USING (sub) CROSS JOIN tot t
+    """,
+)
+def sim_pq_subspace_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-subspace product-quantization distortion at the finer 8x8
+    split: which 8-dim slices of the embedding lose the most under PQ
+    (err_share localizes the damage; rel_error prices it against the
+    subspace's own mass) — the dimension-triage table you read before
+    choosing a PQ layout (ROADMAP_r14 #34; the graded
+    embedding_pq_audit reports the 4x16 global number, this one splits
+    8x8 and reports WHERE). Same supervised per-label sub-centroid
+    codebook and exact 1e-6 micro-unit BIGINT machinery; two guarded
+    divisions per row; output bounded at 8 rows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec6 = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+        ).alias("v6"),
+    )
+    corpus = vec6.filter(F.col("vec_id") != 0)
+    ex = corpus.select(
+        "label", "vec_id", F.posexplode("v6").alias("pos", "val6")
+    ).withColumn("sub", F.expr(f"pos div {PQ14_SUBDIM}"))
+    ex = materialize_reduced(ex)
+    sub_cent = (
+        ex.groupBy(
+            F.col("label").alias("clabel"),
+            F.col("sub").alias("csub"),
+            F.col("pos").alias("cpos"),
+        )
+        .agg(
+            F.round(F.sum("val6").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cmu")
+        )
+    )
+    dist = (
+        ex.join(
+            F.broadcast(sub_cent),
+            (F.col("pos") == F.col("cpos")) & (F.col("sub") == F.col("csub")),
+        )
+        .groupBy("vec_id", "sub", "clabel")
+        .agg(
+            F.sum(
+                (F.col("val6") - F.col("cmu"))
+                * (F.col("val6") - F.col("cmu"))
+            )
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "clabel")
+    best = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "d2")
+    )
+    norms = ex.groupBy("sub").agg(
+        F.sum(F.col("val6") * F.col("val6")).cast("bigint").alias("norm2")
+    )
+    errs = best.groupBy("sub").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum("d2").cast("bigint").alias("err2"),
+    )
+    errs = materialize_reduced(errs)
+    tot = errs.agg(F.sum("err2").cast("bigint").alias("total_err2"))
+    return (
+        errs.join(norms, "sub")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sub").alias("subspace"),
+            "n_vectors",
+            "err2",
+            "norm2",
+            F.when(
+                F.col("norm2") > 0,
+                F.col("err2").cast("double") / F.col("norm2").cast("double"),
+            ).alias("rel_error"),
+            F.when(
+                F.col("total_err2") > 0,
+                F.col("err2").cast("double")
+                / F.col("total_err2").cast("double"),
+            ).alias("err_share"),
+        )
+    )

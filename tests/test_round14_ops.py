@@ -517,3 +517,123 @@ def test_source_length_drift_replica(spark):
         assert r["mean_chars"] == pytest.approx(fp[r["mon"]] / 1e6)
         expect_flag = 1 if jumps.get(r["mon"]) == mx else 0
         assert r["largest_jump_flag"] == expect_flag
+
+
+from large_csv_etl_spark.queries.dedup import QUERIES as DEDUP_QUERIES
+from large_csv_etl_spark.queries.similarity import QUERIES as SIM_QUERIES
+
+
+def test_band_sensitivity_nesting_and_dup_detection(spark):
+    """Exact dups collide at every band width; narrower rows can only
+    ADD candidates (width-4 match implies its width-2/1 sub-bands
+    match), so pair counts are monotone in band count."""
+    dup = "the quick brown fox jumps over the lazy dog again " * 3
+    rows = [
+        _doc(1, dup),
+        _doc(2, dup),
+        _doc(3, "completely different words about something else entirely"),
+        _doc(4, "yet another unrelated document with its own vocabulary"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = DEDUP_QUERIES["dedup_band_sensitivity_curve"](
+            spark, d
+        ).collect()
+    by_r = {r["rows_per_band"]: r for r in out}
+    assert set(by_r) == {1, 2, 4}
+    assert all(r["n_candidate_pairs"] >= 1 for r in out)
+    assert all(r["n_docs_in_pairs"] >= 2 for r in out)
+    assert (
+        by_r[1]["n_candidate_pairs"]
+        >= by_r[2]["n_candidate_pairs"]
+        >= by_r[4]["n_candidate_pairs"]
+    )
+
+
+_CLUSTER_DOCS = [
+    _doc(1, "alpha beta gamma delta epsilon"),
+    _doc(2, "alpha beta gamma delta epsilon"),
+    _doc(3, "alpha beta gamma delta epsilon"),
+    _doc(4, "one two three four five six"),
+    _doc(5, "one two three four five six"),
+    _doc(6, "nothing shared here at all whatsoever"),
+    _doc(7, "equally unrelated tokens in this document"),
+]
+
+
+def test_cluster_size_spectrum_with_singletons(spark):
+    """Triple + pair + 2 singletons -> spectrum {3:1, 2:1, 1:2}."""
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, _CLUSTER_DOCS, d)
+        out = DEDUP_QUERIES["dedup_cluster_size_spectrum"](
+            spark, d
+        ).collect()
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"]) for r in out}
+    assert got == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+
+
+def test_component_census_strongpairs(spark):
+    """Identical-doc components are cliques: triple -> 3 edges density
+    1.0; pair -> 1 edge density 1.0; min-doc_id component ids."""
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, _CLUSTER_DOCS, d)
+        out = DEDUP_QUERIES["graph_component_census_strongpairs"](
+            spark, d
+        ).collect()
+    by_id = {r["component_id"]: r for r in out}
+    assert set(by_id) == {1, 4}
+    assert (by_id[1]["n_nodes"], by_id[1]["n_edges"]) == (3, 3)
+    assert by_id[1]["density"] == pytest.approx(1.0)
+    assert (by_id[4]["n_nodes"], by_id[4]["n_edges"]) == (2, 1)
+    assert by_id[4]["density"] == pytest.approx(1.0)
+
+
+def _emb_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(2).write.parquet(f"{d}/embeddings.parquet")
+
+
+def test_hubness_kocc_degenerate_uniform(spark):
+    """5 vectors, every query's top-10 holds all 4 others -> one
+    histogram row k_occ=4 x 5 vectors; zero variance -> NULL skew;
+    occurrence mass = 5 queries x 4 slots."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(0.1, 1.0) for _ in range(8)], i % 2)
+        for i in range(5)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir(spark, rows, d)
+        out = SIM_QUERIES["sim_hubness_kocc"](spark, d).collect()
+    assert len(out) == 1
+    assert (out[0]["k_occ"], out[0]["n_vectors"]) == (4, 5)
+    assert out[0]["kocc_skewness"] is None
+
+
+def test_pq_subspace_distortion_localized(spark):
+    """Two same-label vectors differing only in dim 0 by 2.0: all
+    distortion lands in subspace 0 (err2 = 2 * (1e6)^2, rel 0.2,
+    share 1.0); other subspaces exact-zero with NULL rel_error on
+    empty norms."""
+    v1 = [1.0] + [0.0] * 63
+    v2 = [3.0] + [0.0] * 63
+    rows = [(1, v1, 0), (2, v2, 0)]
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir(spark, rows, d)
+        out = SIM_QUERIES["sim_pq_subspace_distortion"](spark, d).collect()
+    by_sub = {r["subspace"]: r for r in out}
+    assert set(by_sub) == set(range(8))
+    s0 = by_sub[0]
+    assert s0["err2"] == 2 * 10**12
+    assert s0["norm2"] == 10**12 + 9 * 10**12
+    assert s0["rel_error"] == pytest.approx(0.2)
+    assert s0["err_share"] == pytest.approx(1.0)
+    for s in range(1, 8):
+        r = by_sub[s]
+        assert r["err2"] == 0 and r["norm2"] == 0
+        assert r["rel_error"] is None
+        assert r["err_share"] == pytest.approx(0.0)
