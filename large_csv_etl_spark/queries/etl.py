@@ -2765,3 +2765,289 @@ def layout_zorder_pruning_audit(
             .alias("files_scanned_cents_probe"),
         )
     )
+
+
+# --- round 14: idempotence as a graded property, multi-batch trailers -----
+
+_REINGEST_RUN_SQL = f"""
+      SELECT transaction_id, user_id,
+             CAST(round(round_even(TRY_CAST(amount AS DOUBLE) * 100, 0))
+                  AS BIGINT) AS cents,
+             "timestamp", LOWER(TRIM(COALESCE(status, 'unknown'))) AS status
+      FROM read_csv('{DIRTY_CSV}', header=true, all_varchar=true)
+      WHERE transaction_id IS NOT NULL AND TRIM(transaction_id) <> ''
+        AND user_id IS NOT NULL AND TRIM(user_id) <> ''
+        AND TRY_CAST(amount AS DOUBLE) IS NOT NULL
+        AND NOT isnan(TRY_CAST(amount AS DOUBLE))
+        AND TRY_CAST(amount AS DOUBLE) >= 0
+        AND LOWER(TRIM(COALESCE(status, 'unknown'))) <> 'cancelled'
+"""
+
+
+_REINGEST_CANON_SQL = (
+    "transaction_id || '|' || user_id || '|' || "
+    "CAST(cents AS VARCHAR) || '|' || "
+    'COALESCE("timestamp", chr(1)) '
+    "|| '|' || status"
+)
+
+
+@_q(
+    "etl_idempotent_reingest_audit",
+    f"""
+    WITH run1 AS ({_REINGEST_RUN_SQL}
+    ), run2 AS ({_REINGEST_RUN_SQL}
+    ), tagged AS (
+      SELECT 1 AS batch_id, * FROM run1
+      UNION ALL
+      SELECT 2 AS batch_id, * FROM run2
+    ), per AS (
+      SELECT batch_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST({sql_phash60(_REINGEST_CANON_SQL)}
+                          AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS row_checksum
+      FROM tagged GROUP BY batch_id
+    ), cmp AS (
+      SELECT COUNT(DISTINCT n_rows) = 1 AS counts_match,
+             COUNT(DISTINCT row_checksum) = 1 AS checksums_match
+      FROM per
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, n_rows, row_checksum,
+           cmp.counts_match, cmp.checksums_match
+    FROM per CROSS JOIN cmp
+    """,
+)
+def etl_idempotent_reingest_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Idempotence of the reference transform as a GRADED property, not
+    a pytest (ROADMAP_r14 #36): the F1-F5/P1-P5 pipeline runs TWICE
+    over the committed dirty fixture (two independent scans — Spark
+    genuinely executes the DAG twice; the oracle expands the run CTE
+    twice), the runs union under batch ids, and the graded row set
+    carries per-run count + order-insensitive row checksum (BIGINT sum
+    of the portable 60-bit hash of the canonical row rendering —
+    amount pivoted to exact cents so no double ever formats) plus the
+    cross-run equality verdicts. A nondeterministic transform (clock
+    stamps, random ids, input-order dependence) would flip
+    checksums_match red before any consumer noticed."""
+    runs = []
+    for b in (1, 2):
+        df = transform(read_transactions_csv(spark, DIRTY_CSV)).drop(
+            "processed_at"
+        )
+        runs.append(df.select(F.lit(b).alias("batch_id"), "*"))
+    tagged = runs[0].unionByName(runs[1])
+    canon = F.concat_ws(
+        "|",
+        "transaction_id",
+        "user_id",
+        F.round(F.col("amount") * 100, 0).cast("bigint").cast("string"),
+        F.coalesce(F.col("timestamp"), F.lit("\x01")),
+        "status",
+    )
+    from .helpers import phash60
+
+    per = tagged.groupBy("batch_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(phash60(canon).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("row_checksum"),
+    )
+    per = per.localCheckpoint(eager=True)
+    cmp = per.agg(
+        (F.countDistinct("n_rows") == 1).alias("counts_match"),
+        (F.countDistinct("row_checksum") == 1).alias("checksums_match"),
+    )
+    return per.crossJoin(F.broadcast(cmp)).select(
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+        "n_rows",
+        "row_checksum",
+        "counts_match",
+        "checksums_match",
+    )
+
+
+TRAILER_MULTI_DAT = str(
+    Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+    / "trailer_multibatch.dat"
+)
+
+
+@_q(
+    "etl_trailer_checksum_trend",
+    f"""
+    WITH raw AS (
+      SELECT column0 AS line
+      FROM read_csv('{TRAILER_MULTI_DAT}', delim=chr(7), header=false,
+                    quote='', all_varchar=true)
+    ), d AS (
+      SELECT TRIM(substr(line, 2, 2)) AS batch_id,
+             CAST(replace(TRIM(substr(line, 10, 10)), '.', '') AS BIGINT)
+               AS cents
+      FROM raw WHERE substr(line, 1, 1) = 'D'
+    ), t AS (
+      SELECT TRIM(substr(line, 2, 2)) AS batch_id,
+             CAST(TRIM(substr(line, 4, 6)) AS BIGINT) AS trailer_count,
+             CAST(TRIM(substr(line, 10, 12)) AS BIGINT) AS trailer_cents
+      FROM raw WHERE substr(line, 1, 1) = 'T'
+    ), agg AS (
+      SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_data_rows,
+             CAST(SUM(cents) AS BIGINT) AS data_cents
+      FROM d GROUP BY batch_id
+    )
+    SELECT t.batch_id, agg.n_data_rows, t.trailer_count,
+           agg.n_data_rows = t.trailer_count AS count_ok,
+           agg.data_cents, t.trailer_cents,
+           agg.data_cents = t.trailer_cents AS total_ok
+    FROM t JOIN agg USING (batch_id)
+    """,
+)
+def etl_trailer_checksum_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trailer-file acceptance check generalized to a MULTI-batch
+    feed (ROADMAP_r14 #37): every record carries its batch id (the
+    order-free variant of the protocol — the single-batch entry's
+    stateful 'current batch' tracking would depend on line order,
+    which a distributed text scan does not guarantee), so per-batch
+    declared-vs-computed count and exact-cents total verdicts are one
+    groupBy + one broadcast-sized join. The committed fixture carries
+    three batches including a negative-total batch and a deliberate
+    count mismatch, so both verdict polarities exercise."""
+    lines = spark.read.text(TRAILER_MULTI_DAT)
+    rectype = F.substring("value", 1, 1)
+    bid = F.trim(F.substring("value", 2, 2))
+    d = (
+        lines.filter(rectype == "D")
+        .groupBy(bid.alias("batch_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_data_rows"),
+            F.sum(
+                F.regexp_replace(
+                    F.trim(F.substring("value", 10, 10)), r"\.", ""
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("data_cents"),
+        )
+    )
+    t = lines.filter(rectype == "T").select(
+        bid.alias("batch_id"),
+        F.trim(F.substring("value", 4, 6)).cast("bigint").alias(
+            "trailer_count"
+        ),
+        F.trim(F.substring("value", 10, 12)).cast("bigint").alias(
+            "trailer_cents"
+        ),
+    )
+    return t.join(d, "batch_id").select(
+        "batch_id",
+        "n_data_rows",
+        "trailer_count",
+        (F.col("n_data_rows") == F.col("trailer_count")).alias("count_ok"),
+        "data_cents",
+        "trailer_cents",
+        (F.col("data_cents") == F.col("trailer_cents")).alias("total_ok"),
+    )
+
+
+def _order_drift_checksums_sql(path: str, suffix: str) -> str:
+    """Per-column (name, ordinal, value checksum) rows for one of the
+    committed permuted-column fixtures. Ordinals come from DESCRIBE
+    row order; checksums hash each column's canonical rendering
+    (amount pivots to exact cents so no double formats)."""
+    canon = {
+        "id": "CAST(id AS VARCHAR)",
+        "amount": "CAST(CAST(round(amount * 100) AS BIGINT) AS VARCHAR)",
+        "category": "category",
+    }
+    selects = [
+        f"""SELECT '{c}' AS column_name,
+             CAST(SUM({sql_phash60(f"'{c}:' || {expr}")}) AS BIGINT)
+               AS checksum_{suffix}
+      FROM read_parquet('{path}')"""
+        for c, expr in canon.items()
+    ]
+    return " UNION ALL ".join(selects)
+
+
+@_q(
+    "etl_column_order_drift",
+    f"""
+    WITH o1 AS (
+      SELECT column_name, CAST(ROW_NUMBER() OVER () AS BIGINT) AS pos_v1
+      FROM (DESCRIBE SELECT * FROM
+            read_parquet('{{order_dir}}/order_v1.parquet'))
+    ), o2 AS (
+      SELECT column_name, CAST(ROW_NUMBER() OVER () AS BIGINT) AS pos_v2
+      FROM (DESCRIBE SELECT * FROM
+            read_parquet('{{order_dir}}/order_v2.parquet'))
+    ), c1 AS ({{cks1}}
+    ), c2 AS ({{cks2}})
+    SELECT column_name, pos_v1, pos_v2,
+           pos_v1 <> pos_v2 AS reordered,
+           checksum_v1, checksum_v2,
+           checksum_v1 = checksum_v2 AS values_match
+    FROM o1 JOIN o2 USING (column_name)
+    JOIN c1 USING (column_name) JOIN c2 USING (column_name)
+    """,
+)
+def etl_column_order_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-based parquet resolution is ordinal-independent, proven as
+    a graded table (ROADMAP_r14 #38): the two committed fixtures carry
+    the SAME column set and rows with a permuted physical order; per
+    column the entry reports both ordinals, the reordered flag, and a
+    value checksum from each read path — values_match = true on every
+    row despite the permutation is the contract a by-position reader
+    (raw CSV thinking) silently breaks. Ordinals read from footers
+    only (the header-drift idiom); checksums are exact BIGINT sums of
+    the portable hash over each column's canonical rendering (amount
+    via exact cents, 3 rows: no overflow)."""
+    from .helpers import phash60
+
+    canon = {
+        "id": F.col("id").cast("string"),
+        "amount": F.round(F.col("amount") * 100, 0)
+        .cast("bigint")
+        .cast("string"),
+        "category": F.col("category"),
+    }
+
+    def side(path, suffix):
+        df = spark.read.parquet(path)
+        pos = spark.createDataFrame(
+            [(n, i + 1) for i, n in enumerate(df.columns)],
+            f"column_name string, pos_{suffix} long",
+        )
+        cks = None
+        for c, expr in canon.items():
+            row = df.agg(
+                F.sum(phash60(F.concat(F.lit(f"{c}:"), expr)))
+                .cast("bigint")
+                .alias(f"checksum_{suffix}")
+            ).select(F.lit(c).alias("column_name"), f"checksum_{suffix}")
+            cks = row if cks is None else cks.unionByName(row)
+        return pos.join(cks, "column_name")
+
+    v1 = side(f"{EVOLVE_DIR}/order_v1.parquet", "v1")
+    v2 = side(f"{EVOLVE_DIR}/order_v2.parquet", "v2")
+    return v1.join(v2, "column_name").select(
+        "column_name",
+        "pos_v1",
+        "pos_v2",
+        (F.col("pos_v1") != F.col("pos_v2")).alias("reordered"),
+        "checksum_v1",
+        "checksum_v2",
+        (F.col("checksum_v1") == F.col("checksum_v2")).alias(
+            "values_match"
+        ),
+    )
+
+
+ORACLES["etl_column_order_drift"] = ORACLES["etl_column_order_drift"].format(
+    order_dir=EVOLVE_DIR,
+    cks1=_order_drift_checksums_sql(f"{EVOLVE_DIR}/order_v1.parquet", "v1"),
+    cks2=_order_drift_checksums_sql(f"{EVOLVE_DIR}/order_v2.parquet", "v2"),
+)

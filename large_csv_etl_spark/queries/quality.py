@@ -2188,3 +2188,109 @@ def dq_minmax_drift_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("largest_jump_flag"),
     )
+
+
+# --- round 14: cross-field business rules in one wide aggregate ----------
+
+
+@_q(
+    "dq_cross_field_rules",
+    """
+    WITH j AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS ship_lag_days,
+             l.l_discount
+               + CASE WHEN ('0x' || substr(md5('xd:' ||
+                       CAST(l.l_orderkey AS VARCHAR) || ':' ||
+                       CAST(l.l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                       % 89 = 1 THEN 1.0 ELSE 0.0 END AS discount_adj,
+             CASE WHEN ('0x' || substr(md5('xq:' ||
+                    CAST(l.l_orderkey AS VARCHAR) || ':' ||
+                    CAST(l.l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                    % 83 = 2 THEN -l.l_quantity ELSE l.l_quantity END
+               AS qty_adj,
+             CASE WHEN ('0x' || substr(md5('xs:' ||
+                    CAST(l.l_orderkey AS VARCHAR) || ':' ||
+                    CAST(l.l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                    % 97 = 3 THEN 4000 ELSE 0 END AS ship_shift_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ship_lag_days - ship_shift_days < 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS viol_ship_before_order,
+           CAST(SUM(CASE WHEN discount_adj < 0.0 OR discount_adj > 1.0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS viol_discount_range,
+           CAST(SUM(CASE WHEN qty_adj <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS viol_qty_nonpositive,
+           CAST(SUM(CASE WHEN ship_lag_days - ship_shift_days < 0
+                          OR discount_adj < 0.0 OR discount_adj > 1.0
+                          OR qty_adj <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_any_violation
+    FROM j
+    """,
+)
+def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field business-rule audit in ONE wide aggregate
+    (ROADMAP_r14 #39): ship-date >= order-date (the JOIN rule — the
+    only one that crosses tables), discount in [0,1], quantity
+    positive. The TPC-H fixture satisfies all three by construction,
+    so violations are INJECTED deterministically from per-line hashes
+    (a 4000-day ship backshift, a +1.0 discount bump, a quantity sign
+    flip — disjoint hash channels so rules trip independently and
+    every counter exercises non-zero). Date arithmetic stays on exact
+    day integers; one broadcast-joined scan, map-side combinable."""
+    from .helpers import phash60
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def h(tag):
+        return phash60(
+            F.concat(
+                F.lit(tag),
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        )
+
+    j = l.join(
+        F.broadcast(o.select("o_orderkey", "o_orderdate")),
+        l.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("ship_lag_days"),
+        (
+            F.col("l_discount")
+            + F.when(h("xd:") % 89 == 1, 1.0).otherwise(0.0)
+        ).alias("discount_adj"),
+        F.when(h("xq:") % 83 == 2, -F.col("l_quantity"))
+        .otherwise(F.col("l_quantity"))
+        .alias("qty_adj"),
+        F.when(h("xs:") % 97 == 3, 4000).otherwise(0).alias(
+            "ship_shift_days"
+        ),
+    )
+    ship_viol = F.col("ship_lag_days") - F.col("ship_shift_days") < 0
+    disc_viol = (F.col("discount_adj") < 0.0) | (F.col("discount_adj") > 1.0)
+    qty_viol = F.col("qty_adj") <= 0
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(ship_viol, 1).otherwise(0))
+        .cast("bigint")
+        .alias("viol_ship_before_order"),
+        F.sum(F.when(disc_viol, 1).otherwise(0))
+        .cast("bigint")
+        .alias("viol_discount_range"),
+        F.sum(F.when(qty_viol, 1).otherwise(0))
+        .cast("bigint")
+        .alias("viol_qty_nonpositive"),
+        F.sum(F.when(ship_viol | disc_viol | qty_viol, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_any_violation"),
+    )

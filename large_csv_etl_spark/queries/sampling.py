@@ -2227,3 +2227,123 @@ def sample_deterministic_swor_panel(
         )
     )
 
+
+
+# --- round 14: importance-weighted estimation under a tilted design -------
+
+
+@_q(
+    "sample_importance_reweighted_mean",
+    """
+    WITH pop AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS urgent,
+             ('0x' || substr(md5('irw:' || CAST(o_orderkey AS VARCHAR)),
+              1, 15))::BIGINT % 10 AS h
+      FROM orders
+    ), sampled AS (
+      SELECT cents, urgent,
+             CASE WHEN urgent = 1 THEN 10 ELSE 90 END AS w9
+      FROM pop
+      WHERE (urgent = 1 AND h < 9) OR (urgent = 0 AND h < 1)
+    ), est AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+             CAST(SUM(urgent) AS BIGINT) AS n_sample_urgent,
+             CAST(SUM(cents * w9) AS BIGINT) AS num_x9,
+             CAST(SUM(w9) AS BIGINT) AS den_x9,
+             CAST(SUM(cents) AS BIGINT) AS cents_sum
+      FROM sampled
+    ), truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(SUM(cents) AS BIGINT) AS pop_cents
+      FROM pop
+    )
+    SELECT t.n_pop, e.n_sample, e.n_sample_urgent,
+           CASE WHEN e.den_x9 > 0 THEN
+             CAST(e.num_x9 AS DOUBLE) / CAST(e.den_x9 AS DOUBLE) / 100.0
+           END AS ht_mean_dollars,
+           CASE WHEN e.n_sample > 0 THEN
+             CAST(e.cents_sum AS DOUBLE) / CAST(e.n_sample AS DOUBLE)
+               / 100.0
+           END AS naive_mean_dollars,
+           CASE WHEN t.n_pop > 0 THEN
+             CAST(t.pop_cents AS DOUBLE) / CAST(t.n_pop AS DOUBLE) / 100.0
+           END AS true_mean_dollars
+    FROM est e CROSS JOIN truth t
+    """,
+)
+def sample_importance_reweighted_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-normalized importance (Hajek) estimate of mean order value
+    under a deliberately TILTED hash design — urgent orders sampled at
+    p = 0.9, everything else at p = 0.1 (deterministic md5 membership,
+    reshuffle-stable) — next to the naive sample mean it corrects and
+    the full-population truth (ROADMAP_r14 #42: the estimator audit
+    that prices ignoring the weights). Weights 1/p enter on a common
+    x9 integer lattice (10/9 -> 10, 10 -> 90), so numerator and
+    denominator are exact BIGINT sums (budget: cents * 90 * 1e10 rows
+    ~ 9e18 at 100 TB — the edge of int64, documented; shard the sum
+    if the corpus grows past it) and the estimate is one guarded
+    division. One scan, map-side combinable."""
+    from .helpers import materialize_reduced, phash60
+
+    pop = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("urgent"),
+        (
+            phash60(
+                F.concat(F.lit("irw:"), F.col("o_orderkey").cast("string"))
+            )
+            % 10
+        ).alias("h"),
+    )
+    pop = materialize_reduced(pop)
+    sampled = pop.filter(
+        ((F.col("urgent") == 1) & (F.col("h") < 9))
+        | ((F.col("urgent") == 0) & (F.col("h") < 1))
+    ).select(
+        "cents",
+        "urgent",
+        F.when(F.col("urgent") == 1, 10).otherwise(90).alias("w9"),
+    )
+    est = sampled.agg(
+        F.count("*").cast("bigint").alias("n_sample"),
+        F.sum("urgent").cast("bigint").alias("n_sample_urgent"),
+        F.sum(F.col("cents") * F.col("w9")).cast("bigint").alias("num_x9"),
+        F.sum("w9").cast("bigint").alias("den_x9"),
+        F.sum("cents").cast("bigint").alias("cents_sum"),
+    )
+    truth = pop.agg(
+        F.count("*").cast("bigint").alias("n_pop"),
+        F.sum("cents").cast("bigint").alias("pop_cents"),
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        "n_pop",
+        "n_sample",
+        "n_sample_urgent",
+        F.when(
+            F.col("den_x9") > 0,
+            F.col("num_x9").cast("double")
+            / F.col("den_x9").cast("double")
+            / 100.0,
+        ).alias("ht_mean_dollars"),
+        F.when(
+            F.col("n_sample") > 0,
+            F.col("cents_sum").cast("double")
+            / F.col("n_sample").cast("double")
+            / 100.0,
+        ).alias("naive_mean_dollars"),
+        F.when(
+            F.col("n_pop") > 0,
+            F.col("pop_cents").cast("double")
+            / F.col("n_pop").cast("double")
+            / 100.0,
+        ).alias("true_mean_dollars"),
+    )

@@ -637,3 +637,134 @@ def test_pq_subspace_distortion_localized(spark):
         assert r["err2"] == 0 and r["norm2"] == 0
         assert r["rel_error"] is None
         assert r["err_share"] == pytest.approx(0.0)
+
+
+from large_csv_etl_spark.queries.etl import QUERIES as ETL_QUERIES
+from large_csv_etl_spark.queries.quality import QUERIES as DQ_QUERIES
+from large_csv_etl_spark.queries.sampling import QUERIES as SAMPLE_QUERIES
+
+
+def test_idempotent_reingest_two_identical_batches(spark):
+    """Both runs over the committed dirty fixture agree on count and
+    checksum — the graded idempotence property."""
+    out = ETL_QUERIES["etl_idempotent_reingest_audit"](
+        spark, "unused"
+    ).collect()
+    assert len(out) == 2
+    assert {r["batch_id"] for r in out} == {1, 2}
+    assert len({r["n_rows"] for r in out}) == 1
+    assert len({r["row_checksum"] for r in out}) == 1
+    assert all(r["counts_match"] and r["checksums_match"] for r in out)
+
+
+def test_trailer_checksum_trend_verdicts(spark):
+    """Batch 01/02 reconcile (02 with a negative total); batch 03's
+    declared count is off by one while its total still reconciles."""
+    out = ETL_QUERIES["etl_trailer_checksum_trend"](
+        spark, "unused"
+    ).collect()
+    by_b = {r["batch_id"]: r for r in out}
+    assert set(by_b) == {"01", "02", "03"}
+    assert by_b["01"]["count_ok"] and by_b["01"]["total_ok"]
+    assert by_b["01"]["data_cents"] == 119974
+    assert by_b["02"]["count_ok"] and by_b["02"]["total_ok"]
+    assert by_b["02"]["data_cents"] == -666
+    assert not by_b["03"]["count_ok"]
+    assert by_b["03"]["n_data_rows"] == 2 and by_b["03"]["trailer_count"] == 3
+    assert by_b["03"]["total_ok"]
+
+
+def test_column_order_drift_permutation_invariance(spark):
+    """id and category swap ordinals between the fixtures, amount
+    stays put; every column's value checksum matches regardless."""
+    out = ETL_QUERIES["etl_column_order_drift"](spark, "unused").collect()
+    by_c = {r["column_name"]: r for r in out}
+    assert set(by_c) == {"id", "amount", "category"}
+    assert (by_c["id"]["pos_v1"], by_c["id"]["pos_v2"]) == (1, 3)
+    assert (by_c["category"]["pos_v1"], by_c["category"]["pos_v2"]) == (3, 1)
+    assert not by_c["amount"]["reordered"]
+    assert by_c["id"]["reordered"] and by_c["category"]["reordered"]
+    assert all(r["values_match"] for r in out)
+
+
+def _lineitem_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_quantity double,"
+        " l_discount double, l_shipdate timestamp",
+    )
+    df.coalesce(2).write.parquet(f"{d}/lineitem.parquet")
+
+
+def test_cross_field_rules_replica(spark):
+    """Violation counts equal the Python replica of the three hash
+    injection channels over 400 synthetic lines."""
+    orders, lines = [], []
+    base = dt.datetime(1995, 1, 10)
+    for ok in range(1, 101):
+        orders.append((ok, ok, "O", 100.0, base, "3-MEDIUM"))
+        for ln in range(1, 5):
+            lines.append((ok, ln, 5.0, 0.05, base + dt.timedelta(days=30)))
+    exp_ship = exp_disc = exp_qty = exp_any = 0
+    for ok in range(1, 101):
+        for ln in range(1, 5):
+            s = _h60(f"xs:{ok}:{ln}") % 97 == 3  # 30 - 4000 < 0
+            dv = _h60(f"xd:{ok}:{ln}") % 89 == 1
+            q = _h60(f"xq:{ok}:{ln}") % 83 == 2
+            exp_ship += s
+            exp_disc += dv
+            exp_qty += q
+            exp_any += s or dv or q
+    assert exp_ship and exp_disc and exp_qty  # every channel fires
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, orders, d)
+        _lineitem_dir(spark, lines, d)
+        out = DQ_QUERIES["dq_cross_field_rules"](spark, d).collect()[0]
+    assert out["n_rows"] == 400
+    assert out["viol_ship_before_order"] == exp_ship
+    assert out["viol_discount_range"] == exp_disc
+    assert out["viol_qty_nonpositive"] == exp_qty
+    assert out["rows_any_violation"] == exp_any
+
+
+def test_importance_reweighted_mean_replica(spark):
+    """Hajek estimate, naive mean, and truth equal the Python replica
+    of the 0.9/0.1 tilted design."""
+    rows = []
+    for k in range(1, 201):
+        pri = "1-URGENT" if k % 2 == 0 else "5-LOW"
+        price = float(10 + k)
+        rows.append(
+            (k, k, "O", price, dt.datetime(1995, 3, 1 + k % 25), pri)
+        )
+    num = den = cents_sum = n_sample = n_urgent = 0
+    pop_cents = 0
+    for k in range(1, 201):
+        cents = round((10 + k) * 100)
+        urgent = 1 if k % 2 == 0 else 0
+        pop_cents += cents
+        h = _h60(f"irw:{k}") % 10
+        if (urgent and h < 9) or (not urgent and h < 1):
+            w9 = 10 if urgent else 90
+            num += cents * w9
+            den += w9
+            cents_sum += cents
+            n_sample += 1
+            n_urgent += urgent
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = SAMPLE_QUERIES["sample_importance_reweighted_mean"](
+            spark, d
+        ).collect()[0]
+    assert (out["n_pop"], out["n_sample"], out["n_sample_urgent"]) == (
+        200,
+        n_sample,
+        n_urgent,
+    )
+    assert out["ht_mean_dollars"] == pytest.approx(num / den / 100.0)
+    assert out["naive_mean_dollars"] == pytest.approx(
+        cents_sum / n_sample / 100.0
+    )
+    assert out["true_mean_dollars"] == pytest.approx(
+        pop_cents / 200 / 100.0
+    )
