@@ -825,3 +825,187 @@ def multimodal_aspect_bucket_census(
             / (F.lit(50176.0) * F.count("*").cast("double"))
         ).alias("mean_waste_share"),
     )
+
+
+# --- round 14: batch packing of the tile census ----------------------------
+
+_PACK_CAPACITY = 64
+_PACK_SIZES = [64, 32, 16, 8, 4, 2, 1]
+
+
+def _tile_pack_oracle() -> str:
+    bucket_case = (
+        "CASE WHEN n > 32 THEN 64 WHEN n > 16 THEN 32 WHEN n > 8 THEN 16 "
+        "WHEN n > 4 THEN 8 WHEN n > 2 THEN 4 WHEN n > 1 THEN 2 ELSE 1 END"
+    )
+    ctes = [
+        f"""d AS (
+      SELECT (((16 + (octet_length(encode(text)) % 240)) + 15) // 16)
+             * (((16 + ((octet_length(encode(text)) // 7) % 240)) + 15) // 16)
+             AS n
+      FROM documents
+    ), b AS (
+      SELECT {bucket_case} AS bucket,
+             CASE WHEN n > 64 THEN 1 ELSE 0 END AS oversize
+      FROM d
+    ), cnt AS (
+      SELECT CAST(s.x AS BIGINT) AS bucket,
+             COALESCE(g.c, 0) AS c, COALESCE(g.ov, 0) AS ov
+      FROM (VALUES (64), (32), (16), (8), (4), (2), (1)) s(x)
+      LEFT JOIN (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c,
+                        CAST(SUM(oversize) AS BIGINT) AS ov
+                 FROM b GROUP BY bucket) g ON g.bucket = s.x
+    ), st0 AS (SELECT CAST(0 AS BIGINT) AS bins, CAST(0 AS BIGINT) AS free)"""
+    ]
+    prev = "st0"
+    for sz in _PACK_SIZES:
+        ctes.append(f"""st{sz} AS (
+      SELECT bins + nb AS bins,
+             free - absorbed * {sz} + nb * 64 - (c - absorbed) * {sz}
+               AS free
+      FROM (
+        SELECT i.bins, i.free, i.c, i.absorbed,
+               ((i.c - i.absorbed) * {sz} + 63) // 64 AS nb
+        FROM (
+          SELECT p.bins, p.free, cc.c,
+                 LEAST(cc.c, p.free // {sz}) AS absorbed
+          FROM {prev} p
+          CROSS JOIN (SELECT c FROM cnt WHERE bucket = {sz}) cc
+        ) i
+      )
+    )""")
+        prev = f"st{sz}"
+    steps = " UNION ALL ".join(
+        f"SELECT CAST({sz} AS BIGINT) AS bucket, bins AS bins_after, "
+        f"free AS free_after FROM st{sz}"
+        for sz in _PACK_SIZES
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""", steps AS ({steps})
+    SELECT s.bucket AS tile_bucket, cnt.c AS n_images,
+           cnt.ov AS n_oversize,
+           CAST(s.bins_after AS BIGINT) AS bins_after,
+           CAST(s.free_after AS BIGINT) AS free_after,
+           CASE WHEN s.bins_after > 0 THEN
+             CAST(s.bins_after * 64 - s.free_after AS DOUBLE)
+               / CAST(s.bins_after * 64 AS DOUBLE) END AS occupancy
+    FROM steps s JOIN cnt ON cnt.bucket = s.bucket"""
+    )
+
+
+@_q("multimodal_tile_batch_packing", _tile_pack_oracle())
+def multimodal_tile_batch_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-fit-decreasing packing of decoded-image tile counts into
+    fixed 64-tile batches, made CLOSED-FORM by bucketing each count up
+    to its next power of two (clamped at the 64 capacity; oversize
+    images are counted and take one full batch each — a production
+    packer would split them): with every item size dividing the
+    capacity and processed in decreasing order, each open bin's free
+    space is always a multiple of the current size, so FFD reduces to
+    the exact 7-step integer recurrence (absorbed = min(c, free div s);
+    new bins = ceil(remaining mass / 64)) — provably optimal for
+    divisor sizes, no per-item loop anywhere (ROADMAP_r14 #48: the
+    wave-3 'document the round count' validation — the round count is
+    the FIXED 7 sizes, not |images|). The graded table walks the
+    packing: per size tier, the census and the bins/free/occupancy
+    state after placing it. Census via the closed-form tile grid
+    (multimodal_tile_index's machinery); the recurrence runs as seven
+    chained 1-row crossJoins — fully lazy, nothing collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_payloads(attach_payload(docs), stub=True)
+    d = decoded.select(
+        (
+            F.expr("(cast(width as bigint) + 15) div 16")
+            * F.expr("(cast(height as bigint) + 15) div 16")
+        ).alias("n")
+    )
+    bucket = (
+        F.when(F.col("n") > 32, 64)
+        .when(F.col("n") > 16, 32)
+        .when(F.col("n") > 8, 16)
+        .when(F.col("n") > 4, 8)
+        .when(F.col("n") > 2, 4)
+        .when(F.col("n") > 1, 2)
+        .otherwise(1)
+        .cast("bigint")
+    )
+    b = d.select(
+        bucket.alias("bucket"),
+        F.when(F.col("n") > 64, 1).otherwise(0).alias("oversize"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("oversize").cast("bigint").alias("ov"),
+    )
+    spine = spark.createDataFrame(
+        [(s,) for s in _PACK_SIZES], "bucket long"
+    )
+    cnt = (
+        spine.join(F.broadcast(g), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+            F.coalesce("ov", F.lit(0)).cast("bigint").alias("ov"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("bins"),
+        F.lit(0).cast("bigint").alias("free"),
+    )
+    steps = []
+    for sz in _PACK_SIZES:
+        row = cnt.filter(F.col("bucket") == sz).select("c")
+        st = state.crossJoin(F.broadcast(row)).select(
+            "bins",
+            "free",
+            "c",
+            F.expr(f"least(c, free div {sz})").alias("absorbed"),
+        )
+        st = st.select(
+            "bins",
+            "free",
+            "c",
+            "absorbed",
+            F.expr(f"((c - absorbed) * {sz} + 63) div 64").alias("nb"),
+        )
+        state = st.select(
+            (F.col("bins") + F.col("nb")).cast("bigint").alias("bins"),
+            (
+                F.col("free")
+                - F.col("absorbed") * sz
+                + F.col("nb") * 64
+                - (F.col("c") - F.col("absorbed")) * sz
+            )
+            .cast("bigint")
+            .alias("free"),
+        )
+        steps.append(
+            state.select(
+                F.lit(sz).cast("bigint").alias("tile_bucket"),
+                F.col("bins").alias("bins_after"),
+                F.col("free").alias("free_after"),
+            )
+        )
+    walk = steps[0]
+    for s in steps[1:]:
+        walk = walk.unionByName(s)
+    used = F.col("bins_after") * 64 - F.col("free_after")
+    return walk.join(
+        F.broadcast(cnt.withColumnRenamed("bucket", "tile_bucket")),
+        "tile_bucket",
+    ).select(
+        "tile_bucket",
+        F.col("c").alias("n_images"),
+        F.col("ov").alias("n_oversize"),
+        "bins_after",
+        "free_after",
+        F.when(
+            F.col("bins_after") > 0,
+            used.cast("double") / (F.col("bins_after") * 64).cast("double"),
+        ).alias("occupancy"),
+    )

@@ -818,3 +818,80 @@ def streaming_fullouter_interval_join(
             "purchase_value",
         )
     )
+
+
+@_q(
+    "streaming_update_mode_user_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(COALESCE(value, 0) * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_update_mode_user_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UPDATE-mode per-user running totals graded on the LAST-EMISSION
+    contract itself (ROADMAP_r14 #45): the BUILT-IN streaming groupBy
+    aggregate (no custom state — the applyInPandasWithState twin is
+    streaming_user_totals) emits each changed user's CURRENT totals
+    per micro-batch into a foreachBatch parquet capture that records
+    the batch_id; the final state per user is the row at MAX(batch_id)
+    — update-mode's own contract, correct for NON-monotone aggregates
+    too (a refund-bearing value sum breaks the max-recovery shortcut
+    the top-k entry leans on; batch-id recovery does not care).
+    Scope: availableNow drains every file, an unwatermarked per-user
+    aggregate holds complete state, so the last emission per user
+    equals the batch GROUP BY regardless of how the drain splits into
+    micro-batches — that is the measured scope contract, with state
+    O(|users|) at any scale. Value totals on the exact cents lattice."""
+    from ..streaming import read_events_stream
+
+    sink_dir = tempfile.mkdtemp(prefix="upd_totals_") + "/capture"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_upd_totals_")
+    spark.createDataFrame(
+        [], "user_id bigint, n_events bigint, total_cents bigint,"
+        " batch_id bigint"
+    ).repartition(1).write.mode("overwrite").parquet(sink_dir)
+    totals = (
+        read_events_stream(spark, sf_dir, glob="events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+
+    def _capture(batch_df, batch_id):
+        batch_df.select(
+            "user_id",
+            "n_events",
+            "total_cents",
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+        ).write.mode("append").parquet(sink_dir)
+
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(_capture)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cap = spark.read.parquet(sink_dir)
+    out = cap.groupBy("user_id").agg(
+        F.max_by("n_events", "batch_id").cast("bigint").alias("n_events"),
+        F.max_by("total_cents", "batch_id")
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    # materialize before the temp capture dir could be cleaned; |users|
+    return out.localCheckpoint()

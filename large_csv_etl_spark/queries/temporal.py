@@ -1151,3 +1151,107 @@ def temporal_business_day_share(
             / F.count("*").cast("double")
         ).alias("business_day_share"),
     )
+
+
+# --- round 14: staleness economics of the as-of join ----------------------
+
+
+@_q(
+    "temporal_asof_staleness_profile",
+    """
+    WITH matched AS (
+      {asof}
+    ), st AS (
+      SELECT (epoch_us(ts) - epoch_us(CAST(matched_orderdate
+               AS TIMESTAMP))) // 3600000000 AS staleness_hours
+      FROM matched WHERE matched_orderkey IS NOT NULL
+    ), per AS (
+      SELECT staleness_hours, CAST(COUNT(*) AS BIGINT) AS c
+      FROM st GROUP BY staleness_hours
+    ), cum AS (
+      SELECT staleness_hours,
+             SUM(c) OVER (ORDER BY staleness_hours
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM per
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_matched FROM per),
+    med AS (
+      SELECT MIN(staleness_hours) AS median_staleness_hours
+      FROM cum CROSS JOIN tot WHERE cumc >= (tot.n_matched + 1) // 2
+    ), unm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_unmatched
+      FROM matched WHERE matched_orderkey IS NULL
+    )
+    SELECT per.staleness_hours // 24 AS staleness_days,
+           CAST(SUM(per.c) AS BIGINT) AS n_events,
+           med.median_staleness_hours,
+           unm.n_unmatched
+    FROM per CROSS JOIN med CROSS JOIN unm
+    GROUP BY 1, med.median_staleness_hours, unm.n_unmatched
+    """,
+)
+def temporal_asof_staleness_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution of event-to-matched-order staleness from the graded
+    as-of join — the table that prices a TTL choice (ROADMAP_r14 #43:
+    how stale is the dimension row an event actually joins to?).
+    Staleness floors to exact integer hours on the micros lattice
+    (both inputs non-negative-ordered by the as-of contract, so // and
+    div agree); the TYPE-1 median runs on the hour-grain per-value
+    table, while histogram rows roll up to DAY grain — the fixture's
+    orders (1995-2001) and events (2024) are calendar-disjoint by
+    contract, so hour-grain rows would explode the output without
+    adding signal (documented deviation from the ROADMAP sketch).
+    Unmatched events are counted, not silently dropped."""
+    from .helpers import materialize_reduced
+
+    matched = QUERIES["asof_join_latest_order"](spark, sf_dir)
+    matched = materialize_reduced(matched)
+    st = matched.filter(F.col("matched_orderkey").isNotNull()).select(
+        (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("matched_orderdate").cast("timestamp"))
+            )
+            .cast("bigint")
+            .alias("us")
+        )
+    ).select(F.expr("us div 3600000000").alias("staleness_hours"))
+    per = st.groupBy("staleness_hours").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    per = materialize_reduced(per)
+    w = Window.orderBy("staleness_hours").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select("staleness_hours", F.sum("c").over(w).alias("cumc"))
+    tot = per.agg(F.sum("c").cast("bigint").alias("n_matched"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cumc") >= F.expr("(n_matched + 1) div 2"))
+        .agg(F.min("staleness_hours").alias("median_staleness_hours"))
+    )
+    unm = matched.filter(F.col("matched_orderkey").isNull()).agg(
+        F.count("*").cast("bigint").alias("n_unmatched")
+    )
+    return (
+        per.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(unm))
+        .groupBy(
+            F.expr("staleness_hours div 24").alias("staleness_days"),
+            "median_staleness_hours",
+            "n_unmatched",
+        )
+        .agg(F.sum("c").cast("bigint").alias("n_events"))
+        .select(
+            "staleness_days",
+            "n_events",
+            "median_staleness_hours",
+            "n_unmatched",
+        )
+    )
+
+
+ORACLES["temporal_asof_staleness_profile"] = ORACLES[
+    "temporal_asof_staleness_profile"
+].format(asof=ORACLES["asof_join_latest_order"])

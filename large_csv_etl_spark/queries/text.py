@@ -6343,3 +6343,150 @@ def text_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("largest_jump_flag"),
     )
+
+
+@_q(
+    "graph_ktruss_edges",
+    r"""
+    WITH d AS (
+      SELECT doc_id, LOWER(TRIM(text)) AS t FROM documents
+      WHERE TRIM(text) <> ''
+    ), tok AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(regexp_split_to_array(t, '\s+')) AS token
+      FROM d
+    ), edges AS (
+      SELECT a.token AS u, b.token AS v
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ), oriented AS (
+      SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END
+               AS x,
+             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END
+               AS y,
+             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg
+                  ELSE du.deg END AS dy
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+      SELECT o1.x AS a, o1.y AS b, o2.y AS c
+      FROM oriented o1
+      JOIN oriented o2
+        ON o1.x = o2.x AND (o1.dy, o1.y) < (o2.dy, o2.y)
+      JOIN oriented o3 ON o3.x = o1.y AND o3.y = o2.y
+    ), tri_edges AS (
+      SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM tri
+      UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri
+      UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri
+    ), support AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS sup FROM tri_edges
+      GROUP BY u, v
+    ), all_sup AS (
+      SELECT e.u, e.v, COALESCE(s.sup, 0) AS support
+      FROM edges e LEFT JOIN support s ON s.u = e.u AND s.v = e.v
+    )
+    SELECT support, CAST(COUNT(*) AS BIGINT) AS n_edges,
+           support >= 1 AS in_3truss
+    FROM all_sup GROUP BY support
+    """,
+)
+def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge triangle-support histogram / 3-truss membership over the
+    token co-occurrence graph (ROADMAP_r14 #46): every triangle from
+    the graded degree-ordered wedge join (the validated bound — wedge
+    work lands on low-degree vertices) charges its THREE edges one
+    support unit; edges in no triangle keep support 0 via the
+    left-join COALESCE; the k=3 truss is exactly the support >= 1
+    tier, and the histogram shows where a higher-k cut would bite.
+    Edge keys canonicalize lexically (LEAST/GREATEST), matching the
+    u < v edge table. Exact integers end to end; output bounded by
+    |distinct supports|."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token"),
+    ).distinct()
+    a, b = tok.alias("a"), tok.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .select(F.col("a.token").alias("u"), F.col("b.token").alias("v"))
+        .distinct()
+    )
+    edges = materialize_reduced(edges)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    e = edges.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v"
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+    )
+    oriented = materialize_reduced(oriented)
+    o1, o2, o3 = (
+        oriented.alias("o1"),
+        oriented.alias("o2"),
+        oriented.alias("o3"),
+    )
+    tri = (
+        o1.join(
+            o2,
+            (F.col("o1.x") == F.col("o2.x"))
+            & (
+                F.struct(F.col("o1.dy"), F.col("o1.y"))
+                < F.struct(F.col("o2.dy"), F.col("o2.y"))
+            ),
+        )
+        .join(
+            o3,
+            (F.col("o3.x") == F.col("o1.y"))
+            & (F.col("o3.y") == F.col("o2.y")),
+        )
+        .select(
+            F.col("o1.x").alias("a"),
+            F.col("o1.y").alias("b"),
+            F.col("o2.y").alias("c"),
+        )
+    )
+    tri_edges = None
+    for p, q in (("a", "b"), ("a", "c"), ("b", "c")):
+        part = tri.select(
+            F.least(F.col(p), F.col(q)).alias("u"),
+            F.greatest(F.col(p), F.col(q)).alias("v"),
+        )
+        tri_edges = part if tri_edges is None else tri_edges.unionAll(part)
+    support = tri_edges.groupBy("u", "v").agg(
+        F.count("*").cast("bigint").alias("sup")
+    )
+    all_sup = edges.join(support, ["u", "v"], "left").select(
+        F.coalesce(F.col("sup"), F.lit(0)).alias("support")
+    )
+    return (
+        all_sup.groupBy("support")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+        .select(
+            "support", "n_edges", (F.col("support") >= 1).alias("in_3truss")
+        )
+    )

@@ -768,3 +768,117 @@ def test_importance_reweighted_mean_replica(spark):
     assert out["true_mean_dollars"] == pytest.approx(
         pop_cents / 200 / 100.0
     )
+
+
+from large_csv_etl_spark.queries.multimodal import (
+    QUERIES as MM_QUERIES,
+)
+from large_csv_etl_spark.queries.streamq import QUERIES as STREAM_QUERIES
+from large_csv_etl_spark.queries.temporal import QUERIES as TEMP_QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_asof_staleness_profile_small(spark):
+    """Staleness 1h and 30.5h (floors to 30) -> day buckets 0 and 1,
+    TYPE-1 median 1h, one unmatched event counted."""
+    orders = [(1, 1, "O", 10.0, dt.datetime(1995, 1, 1, 0, 0), "3-MEDIUM")]
+    events = [
+        (1, dt.datetime(1995, 1, 1, 1, 0), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(1995, 1, 2, 6, 30), 1, "click", 1.0, "{}"),
+        (3, dt.datetime(1995, 1, 1, 1, 0), 2, "click", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, orders, d)
+        _events_dir(spark, events, d)
+        out = TEMP_QUERIES["temporal_asof_staleness_profile"](
+            spark, d
+        ).collect()
+    by_day = {r["staleness_days"]: r for r in out}
+    assert set(by_day) == {0, 1}
+    assert by_day[0]["n_events"] == 1 and by_day[1]["n_events"] == 1
+    assert all(r["median_staleness_hours"] == 1 for r in out)
+    assert all(r["n_unmatched"] == 1 for r in out)
+
+
+def test_streaming_update_mode_user_totals_final_state(spark):
+    """Last emission per user equals the batch totals, including a
+    negative-value (refund) user the max-recovery shortcut would
+    break on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    events = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 1, "purchase", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11, 0), 1, "refund", -5.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 10, 0), 2, "purchase", 2.5, "{}"),
+    ]
+    cols = list(zip(*events))
+    with tempfile.TemporaryDirectory() as d:
+        # single-file layout: the streaming reader's footer probe
+        # mirrors the driver fixture, not a Spark part-file directory
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(cols[0], pa.int64()),
+                    "ts": pa.array(cols[1], pa.timestamp("us")),
+                    "user_id": pa.array(cols[2], pa.int64()),
+                    "event_type": pa.array(cols[3], pa.string()),
+                    "value": pa.array(cols[4], pa.float64()),
+                    "props": pa.array(cols[5], pa.string()),
+                }
+            ),
+            f"{d}/events.parquet",
+        )
+        out = STREAM_QUERIES["streaming_update_mode_user_totals"](
+            spark, d
+        ).collect()
+    by_u = {r["user_id"]: r for r in out}
+    assert (by_u[1]["n_events"], by_u[1]["total_cents"]) == (2, 500)
+    assert (by_u[2]["n_events"], by_u[2]["total_cents"]) == (1, 250)
+
+
+def test_ktruss_support_histogram(spark):
+    """Triangle a-b-c plus pendant edge c-d: three support-1 edges in
+    the 3-truss, one support-0 edge outside it."""
+    rows = [_doc(1, "a b c"), _doc(2, "c d")]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = TEXT_QUERIES["graph_ktruss_edges"](spark, d).collect()
+    by_s = {r["support"]: r for r in out}
+    assert set(by_s) == {0, 1}
+    assert by_s[1]["n_edges"] == 3 and by_s[1]["in_3truss"]
+    assert by_s[0]["n_edges"] == 1 and not by_s[0]["in_3truss"]
+
+
+def test_tile_packing_matches_item_level_ffd(spark):
+    """The 7-step divisor recurrence equals a per-item first-fit-
+    decreasing simulation over the same bucketed sizes, and mass is
+    conserved (bins*64 = placed + free) at the final step."""
+    out = MM_QUERIES["multimodal_tile_batch_packing"](
+        spark, SF0001
+    ).collect()
+    by_b = {r["tile_bucket"]: r for r in out}
+    assert set(by_b) == {1, 2, 4, 8, 16, 32, 64}
+    sizes = []
+    for s in sorted(by_b, reverse=True):
+        sizes.extend([s] * by_b[s]["n_images"])
+    bins = []
+    for s in sizes:  # already decreasing
+        for i, free in enumerate(bins):
+            if free >= s:
+                bins[i] -= s
+                break
+        else:
+            bins.append(64 - s)
+    final = by_b[1]
+    assert final["bins_after"] == len(bins)
+    assert final["free_after"] == sum(bins)
+    placed = sum(s * by_b[s]["n_images"] for s in by_b)
+    assert final["bins_after"] * 64 == placed + final["free_after"]
+    prev = 0
+    for s in sorted(by_b, reverse=True):
+        assert by_b[s]["bins_after"] >= prev
+        prev = by_b[s]["bins_after"]
+        occ = by_b[s]["occupancy"]
+        assert occ is None or 0.0 < occ <= 1.0
