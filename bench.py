@@ -22,10 +22,17 @@ import time
 from large_csv_etl_spark.queries import all_queries
 from large_csv_etl_spark.session import get_spark, release_blocks
 
-# Headline set: the reference-analog aggregates, the TPC-H-shaped join/agg
-# suite, windows, events, text, dedup, similarity — one representative per
-# operator family (full registry runs in CORRECTNESS; bench tracks the
-# expensive/representative plans).
+# Headline set — SELECTION RULE (VERDICT r13 ask #9): the set grows
+# SUB-linearly with the registry. Every operator family keeps at least
+# one timed representative, and a new round contributes only its
+# heaviest / structurally-novel plans (new kernels, new join shapes,
+# new streaming drains) — NOT every new entry; cheap variants of
+# already-timed machinery (another EMA kernel, another rank test on the
+# shared cumulative machinery) are covered by their family
+# representative. Full-registry correctness runs in CORRECTNESS; bench
+# tracks representative plans so the per-round battery stays bounded
+# (~390 entries) while staying per-query comparable across rounds
+# (tools/bench_compare.py diffs the commons).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -422,6 +429,15 @@ HEADLINE = [
     "streaming_append_mode_hourly",
     "streaming_fullouter_interval_join",
     "layout_zorder_pruning_audit",
+    # round-14 representatives (5 of 32 new entries, per the rule above):
+    # the wedge-join k-truss, the triple-banding LSH sweep, the 200-query
+    # panel histogram, the decode-census packing walk, and the
+    # foreachBatch update-mode capture
+    "graph_ktruss_edges",
+    "dedup_band_sensitivity_curve",
+    "sim_hubness_kocc",
+    "multimodal_tile_batch_packing",
+    "streaming_update_mode_user_totals",
 ]
 
 
