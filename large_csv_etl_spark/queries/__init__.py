@@ -81,14 +81,18 @@ _MODULES = [
 WINDOW_GRADED_AS_OF = 13
 
 GRADED_PRIORITY = [
-    # ---- round-14 window (tools/gen_window.py against r1-r13
-    # verdicts): the flagship re-grade, then ALL 19 never-graded
-    # entries — the 4 round-13 similarity deferrals (VERDICT r13 ask
-    # #7: stop deferring) and the 15 ROADMAP_r14 wave-1 pre-builds —
-    # then 30 regression re-grades ordered stalest-first (r2/r3
-    # vintages), with family representation forced in for approx
-    # (agg_mode_by_group) and streamq (streaming_click_attribution).
-    # Zero never-graded entries deferred this round.
+    # ---- round-14 window, RE-ROTATED mid-round after the ROADMAP_r14
+    # build wave (32 new oracled entries grew the backlog 19 -> 51,
+    # flipping test_window_is_mostly_never_graded red against the
+    # first rotation's 30 re-grade slots — the same mid-round
+    # correction round 13 made): the flagship re-grade, then 49 of the
+    # 51 never-graded entries — the 4 round-13 similarity deferrals
+    # (VERDICT r13 ask #7), the 15 wave-1 pre-builds, and 30 of the 32
+    # round-14 builds, with multimodal_tile_batch_packing swapped in
+    # for sim_hubness_kocc so every family with backlog keeps a window
+    # representative (similarity stays represented by five entries).
+    # Deferred to round 15, both mimic-green at three SFs:
+    # sim_hubness_kocc, sim_pq_subspace_distortion.
     "etl_transform_parity",
     "dq_minmax_drift_by_month",
     "temporal_business_day_share",
@@ -109,36 +113,36 @@ GRADED_PRIORITY = [
     "sim_norm_percentile_bands",
     "sim_silhouette_sampled",
     "sim_centroid_distance_matrix",
-    "q19_disjunctive_predicates",
-    "q2_min_cost_per_type",
-    "q4_order_priority_exists",
-    "q6_forecast_revenue",
-    "q7_nation_pair_volume",
-    "scalar_array_functions",
-    "scalar_conditional_case",
-    "scalar_date_functions",
-    "scalar_math_functions",
-    "scalar_string_functions",
-    "setop_union_all_counts",
-    "subquery_scalar_above_avg",
-    "window_distribution_functions",
-    "window_first_last_value",
-    "window_lag_lead_delta",
-    "window_moving_avg_frame",
-    "window_range_frame_sum",
-    "window_rank_variants",
-    "window_topk_orders_per_customer",
-    "dedup_clusters",
-    "dedup_embedding_neardup",
-    "dedup_eval_decontamination",
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "dedup_ngram_jaccard",
-    "grouping_sets_status_priority",
-    "multimodal_payload_stats",
-    "sample_hash_uniform",
-    "agg_mode_by_group",
-    "streaming_click_attribution",
+    "etl_idempotent_reingest_audit",
+    "etl_trailer_checksum_trend",
+    "etl_column_order_drift",
+    "dq_cross_field_rules",
+    "temporal_asof_staleness_profile",
+    "agg_ansari_bradley",
+    "agg_siegel_repeated_medians_banded",
+    "agg_pooled_vs_welch_df",
+    "agg_odds_ratio_stratified",
+    "agg_extreme_spacings",
+    "window_average_true_range",
+    "window_vortex_indicator",
+    "window_hull_ma",
+    "window_mass_index",
+    "window_force_index",
+    "window_donchian_width_percentile",
+    "events_session_depth_decay",
+    "events_value_per_session_distribution",
+    "events_type_entropy_free_mix_by_week",
+    "sample_importance_reweighted_mean",
+    "streaming_update_mode_user_totals",
+    "text_heaps_curve",
+    "text_prefix_suffix_dup_matrix",
+    "text_quote_density",
+    "text_source_length_drift",
+    "graph_ktruss_edges",
+    "dedup_band_sensitivity_curve",
+    "dedup_cluster_size_spectrum",
+    "graph_component_census_strongpairs",
+    "multimodal_tile_batch_packing",
 ]
 
 
