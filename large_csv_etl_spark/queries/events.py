@@ -5699,3 +5699,152 @@ def events_type_entropy_free_mix_by_week(
         .otherwise(0)
         .alias("largest_jump_flag"),
     )
+
+
+# --- round 15 wave-1 pre-builds: absence streaks, lifetime Pareto share ----
+
+
+@_q(
+    "events_absence_streaks",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    active AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day_no
+      FROM ev
+    ), gaps AS (
+      SELECT user_id,
+             day_no - LAG(day_no) OVER (PARTITION BY user_id
+                                        ORDER BY day_no) - 1 AS absent_run
+      FROM active
+    ), per_user AS (
+      SELECT user_id,
+             COALESCE(MAX(absent_run), 0) AS longest_absent
+      FROM gaps GROUP BY user_id
+    )
+    SELECT LEAST(longest_absent, 14) AS absent_days_capped,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user
+    GROUP BY 1
+    """,
+)
+def events_absence_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user longest absent-days run inside the user's own observed
+    span (gap-islands at user grain): distinct active epoch-days per
+    user, consecutive-day gaps minus one = absent run, MAX per user,
+    then a capped histogram (14+ bucketed together for a bounded
+    15-row output over the one-month fixture window or any window).
+    Single-active-day users have no gap and read longest_absent = 0
+    (COALESCE, documented). Exact integer epoch-day arithmetic
+    (micros div 86400e6, positive so floor == trunc); one (user, day)
+    dedup shuffle + one user window over the reduced day sets."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day_no"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    gaps = active.select(
+        "user_id",
+        (F.col("day_no") - F.lag("day_no").over(w) - 1).alias("absent_run"),
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.coalesce(F.max("absent_run"), F.lit(0)).alias("longest_absent")
+    )
+    return per_user.groupBy(
+        F.least(F.col("longest_absent"), F.lit(14)).alias(
+            "absent_days_capped"
+        )
+    ).agg(F.count("*").cast("bigint").alias("n_users"))
+
+
+@_q(
+    "events_value_pareto_share",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    per_user AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(30,4))) AS v
+      FROM ev GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, v,
+             ROW_NUMBER() OVER (ORDER BY v DESC, user_id) AS rk
+      FROM per_user
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS BIGINT) // 10 AS n_top,
+             SUM(v) AS total_v
+      FROM per_user
+    )
+    SELECT t.n_users, t.n_top,
+           CAST(SUM(CASE WHEN r.rk <= t.n_top THEN r.v
+                         ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+             AS top_value,
+           CAST(t.total_v AS DOUBLE) AS total_value,
+           CASE WHEN t.n_top > 0 AND t.total_v <> 0 THEN
+             CAST(SUM(CASE WHEN r.rk <= t.n_top THEN r.v
+                           ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+             / CAST(t.total_v AS DOUBLE)
+           END AS pareto_share
+    FROM ranked r CROSS JOIN tot t
+    GROUP BY t.n_users, t.n_top, t.total_v
+    """,
+)
+def events_value_pareto_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lifetime value concentration: the share of ALL event value held
+    by the top decile of users over the whole window — the global
+    80/20 readout (events_whale_share grades the same concentration
+    at DAY grain with NTILE; this is the lifetime cut via an exact
+    rank threshold n_top = n_users div 10). Per-user totals are exact
+    DECIMAL sums; ROW_NUMBER over (v DESC, user_id) pins ties; the
+    only doubles are the surfaced totals and the one guarded share
+    division (n_top = 0 on <10 users -> NULL). One user shuffle +
+    one window over the reduced per-user table + a broadcast 1-row
+    totals join."""
+    from pyspark.sql import Window
+
+    from .helpers import DEC as _DEC
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast(_DEC)).alias("v")
+    )
+    ranked = per_user.select(
+        "user_id",
+        "v",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc(), "user_id"))
+        .alias("rk"),
+    )
+    tot = per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr("count(*) div 10").cast("bigint").alias("n_top"),
+        F.sum("v").alias("total_v"),
+    )
+    zero_dec = F.lit(0).cast(_DEC)
+    top_sum = F.sum(
+        F.when(F.col("rk") <= F.col("n_top"), F.col("v")).otherwise(
+            zero_dec
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_users", "n_top", "total_v")
+        .agg(top_sum.alias("top_sum"))
+        .select(
+            "n_users",
+            "n_top",
+            F.col("top_sum").cast("double").alias("top_value"),
+            F.col("total_v").cast("double").alias("total_value"),
+            F.when(
+                (F.col("n_top") > 0) & (F.col("total_v") != 0),
+                F.col("top_sum").cast("double")
+                / F.col("total_v").cast("double"),
+            ).alias("pareto_share"),
+        )
+    )

@@ -1009,3 +1009,72 @@ def multimodal_tile_batch_packing(
             used.cast("double") / (F.col("bins_after") * 64).cast("double"),
         ).alias("occupancy"),
     )
+
+
+# --- round 15 wave-1 pre-build: resolution ladder census -------------------
+
+
+@_q(
+    "multimodal_resolution_ladder_census",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             16 + (octet_length(encode(text)) % 240) AS w,
+             16 + ((octet_length(encode(text)) // 7) % 240) AS h
+      FROM documents
+    ), sized AS (
+      SELECT doc_id,
+             GREATEST(w, h) * 4 AS long_side
+      FROM d
+    ), assigned AS (
+      SELECT long_side,
+             CASE WHEN long_side <= 384 THEN 256
+                  WHEN long_side <= 640 THEN 512
+                  WHEN long_side <= 896 THEN 768
+                  ELSE 1024 END AS rung
+      FROM sized
+    )
+    SELECT CAST(rung AS BIGINT) AS rung,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE long_side < rung) AS BIGINT)
+             AS n_upscale,
+           CAST(COUNT(*) FILTER (WHERE long_side < rung) AS DOUBLE)
+             / COUNT(*) AS upscale_share
+    FROM assigned GROUP BY rung
+    """,
+)
+def multimodal_resolution_ladder_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Resolution-ladder census for aspect-bucketed training: each image
+    is assigned to the NEAREST rung of the 256/512/768/1024 long-side
+    ladder (midpoint ties 384/640/896 go to the smaller rung — pure
+    integer thresholds, no division), and the per-rung upscale-needed
+    share (long side below its rung) prices how much of the corpus a
+    trainer would be inflating. Stub dims land in 16..255, so the
+    census scales them x4 to a synthetic 64..1020 native long side
+    spanning every rung (documented synthesis, same spirit as the
+    hash-derived doc->month assignment elsewhere); the Spark side runs
+    the REAL mapInPandas stub-decode path so the Arrow batch plumbing
+    stays graded. Row-local arithmetic, then a bounded 4-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_payloads(attach_payload(docs), stub=True)
+    sized = decoded.select(
+        (F.greatest(F.col("width"), F.col("height")) * 4).alias(
+            "long_side"
+        )
+    )
+    assigned = sized.select(
+        "long_side",
+        F.when(F.col("long_side") <= 384, 256)
+        .when(F.col("long_side") <= 640, 512)
+        .when(F.col("long_side") <= 896, 768)
+        .otherwise(1024)
+        .alias("rung"),
+    )
+    up = F.count(F.when(F.col("long_side") < F.col("rung"), 1))
+    return assigned.groupBy(F.col("rung").cast("bigint").alias("rung")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        up.cast("bigint").alias("n_upscale"),
+        (up.cast("double") / F.count("*")).alias("upscale_share"),
+    )

@@ -2294,3 +2294,89 @@ def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rows_any_violation"),
     )
+
+
+# --- round 15 wave-1 pre-build: primary-key gap census ---------------------
+
+
+@_q(
+    "dq_primary_key_gap_census",
+    """
+    WITH k AS (
+      SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS key FROM orders
+    ), gaps AS (
+      SELECT key,
+             key - LAG(key) OVER (ORDER BY key) - 1 AS missing_run
+      FROM k
+    ), ext AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MIN(key) AS BIGINT) AS min_key,
+             CAST(MAX(key) AS BIGINT) AS max_key
+      FROM k
+    ), g AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE missing_run > 0) AS BIGINT)
+               AS n_gaps,
+             COALESCE(CAST(MAX(missing_run) AS BIGINT), 0) AS largest_gap
+      FROM gaps
+    )
+    SELECT e.n_keys, e.min_key, e.max_key,
+           e.max_key - e.min_key + 1 AS keyspace,
+           e.max_key - e.min_key + 1 - e.n_keys AS n_missing,
+           g.n_gaps, g.largest_gap,
+           CASE WHEN e.max_key - e.min_key + 1 > 0 THEN
+             CAST(e.n_keys AS DOUBLE)
+             / CAST(e.max_key - e.min_key + 1 AS DOUBLE)
+           END AS coverage_share
+    FROM ext e CROSS JOIN g
+    """,
+)
+def dq_primary_key_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key gap/island census over o_orderkey: key count, span
+    extents, missing-key total, number of gap runs, largest run, and
+    coverage share of the occupied keyspace — the sequence-health
+    screen that catches dropped ingest batches (a giant gap) vs a
+    sparse-by-design keyspace (TPC-H populates 1 in 4 keys, which
+    this table makes legible as uniform small runs). Exact integer
+    arithmetic on the distinct-key spine (lag - 1 = missing run
+    length); ONE guarded division. The distinct spine is one shuffle;
+    the window runs over it ordered."""
+    from pyspark.sql import Window
+
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").cast("bigint").alias("key"))
+        .distinct()
+    )
+    gaps = k.select(
+        "key",
+        (F.col("key") - F.lag("key").over(Window.orderBy("key")) - 1).alias(
+            "missing_run"
+        ),
+    )
+    ext = k.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.min("key").cast("bigint").alias("min_key"),
+        F.max("key").cast("bigint").alias("max_key"),
+    )
+    g = gaps.agg(
+        F.count(F.when(F.col("missing_run") > 0, 1))
+        .cast("bigint")
+        .alias("n_gaps"),
+        F.coalesce(F.max("missing_run").cast("bigint"), F.lit(0)).alias(
+            "largest_gap"
+        ),
+    )
+    keyspace = F.col("max_key") - F.col("min_key") + 1
+    return ext.crossJoin(F.broadcast(g)).select(
+        "n_keys",
+        "min_key",
+        "max_key",
+        keyspace.alias("keyspace"),
+        (keyspace - F.col("n_keys")).alias("n_missing"),
+        "n_gaps",
+        "largest_gap",
+        F.when(
+            keyspace > 0,
+            F.col("n_keys").cast("double") / keyspace.cast("double"),
+        ).alias("coverage_share"),
+    )

@@ -7585,3 +7585,312 @@ def agg_extreme_spacings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(lo_min))
         .select("n_gaps", "max_gap", "max_gap_lo", "min_gap", "min_gap_lo")
     )
+
+
+# --- round 15 wave-1 pre-builds: quartile dispersion/location, lag signs ---
+
+
+@_q(
+    "agg_coefficient_quartile_variation",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), per AS (
+      SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY g, cents
+    ), cum AS (
+      SELECT g, cents,
+             SUM(c) OVER (PARTITION BY g ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM per
+    ), tot AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+             GREATEST(1, (CAST(SUM(c) AS BIGINT) + 1) // 4) AS q1_rank,
+             LEAST(CAST(SUM(c) AS BIGINT),
+                   (3 * (CAST(SUM(c) AS BIGINT) + 1)) // 4) AS q3_rank
+      FROM per GROUP BY g
+    ), cuts AS (
+      SELECT c.g, t.n,
+             MIN(CASE WHEN c.cc >= t.q1_rank THEN c.cents END) AS q1,
+             MIN(CASE WHEN c.cc >= t.q3_rank THEN c.cents END) AS q3
+      FROM cum c JOIN tot t ON t.g = c.g
+      GROUP BY c.g, t.n
+    )
+    SELECT g AS stratum, n, q1, q3,
+           CASE WHEN q3 + q1 > 0 THEN
+             CAST(q3 - q1 AS DOUBLE) / CAST(q3 + q1 AS DOUBLE)
+           END AS cqv
+    FROM cuts
+    """,
+)
+def agg_coefficient_quartile_variation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Coefficient of quartile variation (q3-q1)/(q3+q1) per priority
+    stratum — the scale-free dispersion screen beside Bowley skew
+    (agg_quartile_skewness shares the cut machinery verbatim, so the
+    two panels can never disagree on their quartiles). TYPE-1 exact
+    integer rank lookups at q1 = max(1, (n+1) div 4), q3 = min(n,
+    3(n+1) div 4); ONE guarded division per stratum (q3+q1 = 0 only
+    on an all-zero stratum -> NULL, impossible on positive prices but
+    guarded for ANSI totality). Bounded by the per-stratum
+    distinct-cents tables; no moment sums anywhere."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    per = v.groupBy("g", "cents").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    per = materialize_reduced(per)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select("g", "cents", F.sum("c").over(w).alias("cc"))
+    n = F.sum("c").cast("bigint")
+    tot = per.groupBy("g").agg(
+        n.alias("n"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("(CAST(sum(c) AS BIGINT) + 1) div 4"),
+        ).alias("q1_rank"),
+        F.least(
+            n, F.expr("(3 * (CAST(sum(c) AS BIGINT) + 1)) div 4")
+        ).alias("q3_rank"),
+    )
+    cuts = (
+        cum.join(F.broadcast(tot), "g")
+        .groupBy("g", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cc") >= F.col("q1_rank"), F.col("cents"))
+            ).alias("q1"),
+            F.min(
+                F.when(F.col("cc") >= F.col("q3_rank"), F.col("cents"))
+            ).alias("q3"),
+        )
+    )
+    return cuts.select(
+        F.col("g").alias("stratum"),
+        "n",
+        "q1",
+        "q3",
+        F.when(
+            F.col("q3") + F.col("q1") > 0,
+            (F.col("q3") - F.col("q1")).cast("double")
+            / (F.col("q3") + F.col("q1")).cast("double"),
+        ).alias("cqv"),
+    )
+
+
+@_q(
+    "agg_tukey_trimean",
+    """
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), per AS (
+      SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY g, cents
+    ), cum AS (
+      SELECT g, cents,
+             SUM(c) OVER (PARTITION BY g ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM per
+    ), tot AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+             GREATEST(1, (CAST(SUM(c) AS BIGINT) + 1) // 4) AS q1_rank,
+             (CAST(SUM(c) AS BIGINT) + 1) // 2 AS med_rank,
+             LEAST(CAST(SUM(c) AS BIGINT),
+                   (3 * (CAST(SUM(c) AS BIGINT) + 1)) // 4) AS q3_rank
+      FROM per GROUP BY g
+    ), cuts AS (
+      SELECT c.g, t.n,
+             MIN(CASE WHEN c.cc >= t.q1_rank THEN c.cents END) AS q1,
+             MIN(CASE WHEN c.cc >= t.med_rank THEN c.cents END) AS med,
+             MIN(CASE WHEN c.cc >= t.q3_rank THEN c.cents END) AS q3
+      FROM cum c JOIN tot t ON t.g = c.g
+      GROUP BY c.g, t.n
+    )
+    SELECT g AS stratum, n, q1, med, q3,
+           CAST(q1 + 2 * med + q3 AS DOUBLE) / 400.0 AS trimean
+    FROM cuts
+    """,
+)
+def agg_tukey_trimean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey trimean (q1 + 2*med + q3)/4 per order status — the missing
+    member of the robust-location panel (agg_robust_location_panel
+    carries midhinge/median; the trimean blends both). Quartiles are
+    TYPE-1 cuts on the shared per-value cumulative machinery at the
+    documented rank convention; the only float op is the final /400
+    (4 quarters x 100 cents -> dollars), a single exact-int-to-double
+    division identical in both engines. Bounded by the per-status
+    distinct-cents tables."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    per = v.groupBy("g", "cents").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    per = materialize_reduced(per)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select("g", "cents", F.sum("c").over(w).alias("cc"))
+    n = F.sum("c").cast("bigint")
+    tot = per.groupBy("g").agg(
+        n.alias("n"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("(CAST(sum(c) AS BIGINT) + 1) div 4"),
+        ).alias("q1_rank"),
+        F.expr("(CAST(sum(c) AS BIGINT) + 1) div 2").alias("med_rank"),
+        F.least(
+            n, F.expr("(3 * (CAST(sum(c) AS BIGINT) + 1)) div 4")
+        ).alias("q3_rank"),
+    )
+    cuts = (
+        cum.join(F.broadcast(tot), "g")
+        .groupBy("g", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cc") >= F.col("q1_rank"), F.col("cents"))
+            ).alias("q1"),
+            F.min(
+                F.when(F.col("cc") >= F.col("med_rank"), F.col("cents"))
+            ).alias("med"),
+            F.min(
+                F.when(F.col("cc") >= F.col("q3_rank"), F.col("cents"))
+            ).alias("q3"),
+        )
+    )
+    return cuts.select(
+        F.col("g").alias("stratum"),
+        "n",
+        "q1",
+        "med",
+        "q3",
+        (
+            (F.col("q1") + 2 * F.col("med") + F.col("q3")).cast("double")
+            / F.lit(400.0)
+        ).alias("trimean"),
+    )
+
+
+@_q(
+    "agg_lag_sign_agreement",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), delta AS (
+      SELECT day,
+             cents - LAG(cents) OVER (ORDER BY day) AS d
+      FROM daily
+    ), signs AS (
+      SELECT day,
+             CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1
+                  WHEN d = 0 THEN 0 END AS s
+      FROM delta
+    ), lagged AS (
+      SELECT 1 AS lag_k, s AS s_now,
+             LAG(s, 1) OVER (ORDER BY day) AS s_then
+      FROM signs
+      UNION ALL
+      SELECT 7 AS lag_k, s AS s_now,
+             LAG(s, 7) OVER (ORDER BY day) AS s_then
+      FROM signs
+    )
+    SELECT lag_k,
+           CAST(COUNT(*) FILTER (WHERE s_now <> 0 AND s_then <> 0)
+                AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE s_now <> 0 AND s_then <> 0
+                                   AND s_now = s_then) AS BIGINT) AS n_agree,
+           CASE WHEN COUNT(*) FILTER (WHERE s_now <> 0 AND s_then <> 0) > 0
+                THEN CAST(COUNT(*) FILTER (WHERE s_now <> 0 AND s_then <> 0
+                                             AND s_now = s_then) AS DOUBLE)
+                     / COUNT(*) FILTER (WHERE s_now <> 0 AND s_then <> 0)
+           END AS agree_share
+    FROM lagged
+    GROUP BY lag_k
+    """,
+)
+def agg_lag_sign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-agreement share of daily revenue deltas at lags 1 and 7 —
+    the integer-lattice cousin of agg_autocorr_lag_k: where autocorr
+    weighs magnitudes (and needs a moment budget), this counts only
+    sign(delta_t) == sign(delta_{t-k}) over pairs where BOTH deltas
+    are nonzero, so the whole statistic is exact integers plus one
+    guarded division per lag. Zero deltas are excluded (a flat day
+    carries no direction, the runs-test convention); the warm-up rows
+    where either sign is NULL drop via the <> 0 predicates (NULL-safe:
+    s <> 0 is NULL, FILTER drops it, both engines). The day spine is
+    bounded (~2.4k rows); each lag is one window pass over it, the two
+    branches unioned (LAG offsets must be literals in Spark); weekly
+    seasonality reads as lag-7 agreement above lag-1."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    delta = daily.select(
+        "day",
+        (F.col("cents") - F.lag("cents").over(Window.orderBy("day"))).alias(
+            "d"
+        ),
+    )
+    signs = delta.select(
+        "day",
+        F.when(F.col("d") > 0, 1)
+        .when(F.col("d") < 0, -1)
+        .when(F.col("d") == 0, 0)
+        .alias("s"),
+    )
+    wd = Window.orderBy("day")
+    lagged = signs.select(
+        F.lit(1).alias("lag_k"),
+        F.col("s").alias("s_now"),
+        F.lag("s", 1).over(wd).alias("s_then"),
+    ).unionAll(
+        signs.select(
+            F.lit(7).alias("lag_k"),
+            F.col("s").alias("s_now"),
+            F.lag("s", 7).over(wd).alias("s_then"),
+        )
+    )
+    both = (F.col("s_now") != 0) & (F.col("s_then") != 0)
+    n_pairs = F.count(F.when(both, 1)).cast("bigint")
+    n_agree = F.count(
+        F.when(both & (F.col("s_now") == F.col("s_then")), 1)
+    ).cast("bigint")
+    return lagged.groupBy("lag_k").agg(
+        n_pairs.alias("n_pairs"),
+        n_agree.alias("n_agree"),
+        F.when(
+            n_pairs > 0, n_agree.cast("double") / n_pairs
+        ).alias("agree_share"),
+    )

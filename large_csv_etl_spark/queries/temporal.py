@@ -1255,3 +1255,106 @@ def temporal_asof_staleness_profile(
 ORACLES["temporal_asof_staleness_profile"] = ORACLES[
     "temporal_asof_staleness_profile"
 ].format(asof=ORACLES["asof_join_latest_order"])
+
+
+# --- round 15 wave-1 pre-build: order inter-arrival cadence ----------------
+
+
+@_q(
+    "temporal_order_interarrival_profile",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(o_orderkey AS BIGINT) AS k
+      FROM orders
+    ), gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, k), d)
+               AS gap_days
+      FROM o
+    ), gg AS (
+      SELECT CAST(gap_days AS BIGINT) AS gap_days FROM gaps
+      WHERE gap_days IS NOT NULL
+    ), per AS (
+      SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS c
+      FROM gg GROUP BY gap_days
+    ), cum AS (
+      SELECT gap_days,
+             SUM(c) OVER (ORDER BY gap_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM per
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_gaps_total FROM per),
+    med AS (
+      SELECT MIN(gap_days) AS median_gap_days
+      FROM cum CROSS JOIN tot WHERE cumc >= (tot.n_gaps_total + 1) // 2
+    )
+    SELECT LEAST(per.gap_days // 30, 24) AS gap_months_capped,
+           CAST(SUM(per.c) AS BIGINT) AS n_gaps,
+           med.median_gap_days,
+           tot.n_gaps_total
+    FROM per CROSS JOIN med CROSS JOIN tot
+    GROUP BY 1, med.median_gap_days, tot.n_gaps_total
+    """,
+)
+def temporal_order_interarrival_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-customer order inter-arrival cadence over the 1995-2001
+    span — the commerce twin of events_repeat_purchase_interval at
+    date grain: consecutive-order gaps in exact integer days (lag
+    over (o_orderdate, o_orderkey) pins same-day ties), a 30-day-
+    bucket histogram capped at 24 months (bounded 25-row output), and
+    the TYPE-1 median gap via per-value counts, repeated per row from
+    a 1-row broadcast (the staleness-profile shape). Single-order
+    customers contribute no gap. Gaps are non-negative so DuckDB //
+    and Spark div agree; one customer shuffle + bounded day-grain
+    rollups."""
+    from pyspark.sql import Window
+
+    from .helpers import materialize_reduced
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderkey").cast("bigint").alias("k"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "k")
+    gaps = o.select(
+        F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap_days")
+    )
+    gg = gaps.filter(F.col("gap_days").isNotNull()).select(
+        F.col("gap_days").cast("bigint").alias("gap_days")
+    )
+    per = gg.groupBy("gap_days").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    per = materialize_reduced(per)
+    cw = Window.orderBy("gap_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select("gap_days", F.sum("c").over(cw).alias("cumc"))
+    tot = per.agg(F.sum("c").cast("bigint").alias("n_gaps_total"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cumc") >= F.expr("(n_gaps_total + 1) div 2")
+        )
+        .agg(F.min("gap_days").alias("median_gap_days"))
+    )
+    return (
+        per.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.least(F.expr("gap_days div 30"), F.lit(24)).alias(
+                "gap_months_capped"
+            ),
+            "median_gap_days",
+            "n_gaps_total",
+        )
+        .agg(F.sum("c").cast("bigint").alias("n_gaps"))
+        .select(
+            "gap_months_capped", "n_gaps", "median_gap_days", "n_gaps_total"
+        )
+    )

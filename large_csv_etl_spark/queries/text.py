@@ -6490,3 +6490,352 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support", "n_edges", (F.col("support") >= 1).alias("in_3truss")
         )
     )
+
+
+# --- round 15 wave-1 pre-builds: sentence medians, Simpson diversity, ------
+# --- char-class mix, doc-length Lorenz -------------------------------------
+
+
+@_q(
+    "text_sentence_length_profile",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_replace(TRIM(text),
+               '(\S+\s+\S+\s+\S+\s+\S+\s+\S+)\s', '\1. ', 'g') AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ), s AS (
+      SELECT doc_id, source,
+             UNNEST(regexp_split_to_array(t, '\. ')) AS sent
+      FROM d
+    ), per AS (
+      SELECT source,
+             CAST(LEN(regexp_split_to_array(TRIM(sent), '\s+'))
+                  AS BIGINT) AS n_tok
+      FROM s WHERE TRIM(sent) <> ''
+    ), cnt AS (
+      SELECT source, n_tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM per GROUP BY source, n_tok
+    ), cum AS (
+      SELECT source, n_tok, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM cnt
+    ), tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_sentences,
+             CAST(SUM(n_tok * c) AS BIGINT) AS n_tokens,
+             (CAST(SUM(c) AS BIGINT) + 1) // 2 AS med_rank
+      FROM cnt GROUP BY source
+    )
+    SELECT t.source, t.n_sentences, t.n_tokens,
+           CAST(t.n_tokens AS DOUBLE) / t.n_sentences
+             AS mean_sentence_tokens,
+           MIN(CASE WHEN c.cc >= t.med_rank THEN c.n_tok END)
+             AS median_sentence_tokens
+    FROM cum c JOIN tot t ON t.source = c.source
+    GROUP BY t.source, t.n_sentences, t.n_tokens
+    """,
+)
+def text_sentence_length_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source sentence-length mean AND TYPE-1 median (the graded
+    text_sentence_length_stats carries mean/max only — the median is
+    the robust half this profile adds, on the same committed '. '
+    boundary synthesis: one global regexp_replace injects a boundary
+    after every complete 5-token group, identical greedy semantics in
+    Java regex and RE2). Median via exact per-value counts + the
+    cumulative rank lookup at (n+1) div 2 — no interpolation, no
+    float until the single mean division. Sentence-length vocabulary
+    is tiny (tokens per sentence), so the cut machinery runs on a
+    bounded table per source."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            "source",
+            F.regexp_replace(
+                F.trim(F.col("text")),
+                r"(\S+\s+\S+\s+\S+\s+\S+\s+\S+)\s",
+                "$1. ",
+            ).alias("t"),
+        )
+    )
+    s = d.select(
+        "source", F.explode(F.split(F.col("t"), r"\. ")).alias("sent")
+    )
+    per = s.filter(F.trim(F.col("sent")) != "").select(
+        "source",
+        F.size(F.split(F.trim(F.col("sent")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    cnt = per.groupBy("source", "n_tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cnt = materialize_reduced(cnt)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnt.select("source", "n_tok", "c", F.sum("c").over(w).alias("cc"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_sentences"),
+        F.sum(F.col("n_tok") * F.col("c")).cast("bigint").alias("n_tokens"),
+        F.expr("(CAST(sum(c) AS BIGINT) + 1) div 2").alias("med_rank"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "source")
+        .groupBy("source", "n_sentences", "n_tokens")
+        .agg(
+            F.min(
+                F.when(F.col("cc") >= F.col("med_rank"), F.col("n_tok"))
+            ).alias("median_sentence_tokens")
+        )
+        .select(
+            "source",
+            "n_sentences",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double") / F.col("n_sentences")
+            ).alias("mean_sentence_tokens"),
+            "median_sentence_tokens",
+        )
+    )
+
+
+@_q(
+    "text_unigram_simpson_diversity",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+               AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), cnt AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+           CASE WHEN SUM(c) > 0 THEN
+             1.0 - CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE)
+                   / (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+                      * CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE))
+           END AS simpson_diversity
+    FROM cnt GROUP BY source
+    """,
+)
+def text_unigram_simpson_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source Simpson diversity of the unigram distribution, 1 -
+    sum(c^2)/n^2 — the log-free perplexity cousin (high = diverse
+    vocabulary, low = repetitive corpus; the entropy-free discipline
+    every diversity entry here follows). Exact BIGINT c and c^2 sums
+    over the bounded per-source vocabulary (budget: c < 2^31 keeps
+    sum(c^2) < 2^63 — the fixture's max unigram count is ~10^5 and
+    even a 100 TB corpus caps a single token's per-source count well
+    under 2^31 after sharding); the ratio pivots each exact sum
+    through ONE int64->double conversion before the multiply/divide
+    (the round-7 hugeint->double prescription). One token shuffle
+    reduced map-side to |source x vocab|."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    cnt = tok.groupBy("source", "token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    n = F.sum("c").cast("bigint")
+    c2 = F.sum(F.col("c") * F.col("c")).cast("bigint")
+    return cnt.groupBy("source").agg(
+        n.alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        c2.alias("sum_c2"),
+        F.when(
+            n > 0,
+            F.lit(1.0)
+            - c2.cast("double") / (n.cast("double") * n.cast("double")),
+        ).alias("simpson_diversity"),
+    )
+
+
+@_q(
+    "text_char_class_mix",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(LENGTH(text)
+                  - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                  AS BIGINT) AS n_letters,
+             CAST(LENGTH(text)
+                  - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_digits,
+             CAST(LENGTH(text)
+                  - LENGTH(regexp_replace(text, '[ \t\n]', '', 'g'))
+                  AS BIGINT) AS n_ws
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_letters) AS BIGINT) AS n_letters,
+           CAST(SUM(n_digits) AS BIGINT) AS n_digits,
+           CAST(SUM(n_ws) AS BIGINT) AS n_ws,
+           CAST(SUM(n_chars - n_letters - n_digits - n_ws) AS BIGINT)
+             AS n_other,
+           CASE WHEN SUM(n_chars) > 0 THEN
+             CAST(SUM(n_letters) AS DOUBLE) / SUM(n_chars) END
+             AS letter_share,
+           CASE WHEN SUM(n_chars) > 0 THEN
+             CAST(SUM(n_digits) AS DOUBLE) / SUM(n_chars) END
+             AS digit_share,
+           CASE WHEN SUM(n_chars) > 0 THEN
+             CAST(SUM(n_ws) AS DOUBLE) / SUM(n_chars) END AS ws_share
+    FROM per GROUP BY source
+    """,
+)
+def text_char_class_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class mix (letter / digit / whitespace /
+    other shares) by the length-difference method — strip one class
+    with a global regexp_replace and subtract lengths, so no per-char
+    explode ever runs (the OCR-junk screen: scanned corpora shift
+    mass from letters to 'other'). Classes are RE2-portable literal
+    ranges; whitespace is the explicit [ \\t\\n] set (\\s differs on
+    unicode spaces between engines — documented). Exact BIGINT counts,
+    three guarded share divisions; row-local work then a |sources|
+    rollup."""
+    txt = F.col("text")
+    n_chars = F.length(txt).cast("bigint")
+    per = load_table(spark, sf_dir, "documents").select(
+        "source",
+        n_chars.alias("n_chars"),
+        (n_chars - F.length(F.regexp_replace(txt, "[A-Za-z]", "")))
+        .cast("bigint")
+        .alias("n_letters"),
+        (n_chars - F.length(F.regexp_replace(txt, "[0-9]", "")))
+        .cast("bigint")
+        .alias("n_digits"),
+        (n_chars - F.length(F.regexp_replace(txt, "[ \t\n]", "")))
+        .cast("bigint")
+        .alias("n_ws"),
+    )
+    tot = F.sum("n_chars").cast("bigint")
+    share = lambda c: F.when(
+        tot > 0, F.sum(c).cast("double") / tot.cast("double")
+    )
+    return per.groupBy("source").agg(
+        tot.alias("n_chars"),
+        F.sum("n_letters").cast("bigint").alias("n_letters"),
+        F.sum("n_digits").cast("bigint").alias("n_digits"),
+        F.sum("n_ws").cast("bigint").alias("n_ws"),
+        F.sum(
+            F.col("n_chars")
+            - F.col("n_letters")
+            - F.col("n_digits")
+            - F.col("n_ws")
+        )
+        .cast("bigint")
+        .alias("n_other"),
+        share("n_letters").alias("letter_share"),
+        share("n_digits").alias("digit_share"),
+        share("n_ws").alias("ws_share"),
+    )
+
+
+@_q(
+    "text_doclength_lorenz_deciles",
+    """
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS len
+      FROM documents
+    ), ranked AS (
+      SELECT len,
+             NTILE(10) OVER (ORDER BY len, doc_id) AS decile
+      FROM d
+    ), tot AS (
+      SELECT CAST(SUM(len) AS BIGINT) AS tot_len,
+             CAST(COUNT(*) AS BIGINT) AS tot_n
+      FROM d
+    ), per_decile AS (
+      SELECT decile, CAST(SUM(len) AS BIGINT) AS dv,
+             CAST(COUNT(*) AS BIGINT) AS dn
+      FROM ranked GROUP BY decile
+    ), cum AS (
+      SELECT decile, dn, dv,
+             CAST(SUM(dv) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_v,
+             CAST(SUM(dn) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n
+      FROM per_decile
+    )
+    SELECT CAST(c.decile AS BIGINT) AS decile,
+           c.dn AS n_docs,
+           c.dv AS decile_chars,
+           CAST(c.cum_n AS DOUBLE) / t.tot_n AS cum_doc_share,
+           CAST(c.cum_v AS DOUBLE) / CAST(t.tot_len AS DOUBLE)
+             AS cum_char_share
+    FROM cum c, tot t
+    """,
+)
+def text_doclength_lorenz_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lorenz curve of document lengths at decile cuts: docs ordered by
+    n_chars, cumulative doc share vs cumulative character-mass share —
+    how unequally corpus mass concentrates in long documents (the
+    revenue Lorenz machinery, agg_lorenz_curve_deciles, applied to the
+    corpus; a steep tail decile means a handful of giant docs dominate
+    token budgets). Exact BIGINT char sums (fixture total ~10^8; a
+    100 TB corpus at ~10^14 chars still fits int64) through the decile
+    rollup and cumulative window; NTILE over (len, doc_id) pins ties;
+    only the two final share divisions are doubles, each exact sum
+    pivoted through one int64->double conversion. Window over the
+    reduced 10-row decile table."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("len")
+    )
+    ranked = d.select(
+        "len",
+        F.ntile(10).over(Window.orderBy("len", "doc_id")).alias("decile"),
+    )
+    tot = d.agg(
+        F.sum("len").cast("bigint").alias("tot_len"),
+        F.count("*").cast("bigint").alias("tot_n"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.sum("len").cast("bigint").alias("dv"),
+        F.count("*").cast("bigint").alias("dn"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_decile.select(
+        "decile",
+        "dn",
+        "dv",
+        F.sum("dv").over(wc).cast("bigint").alias("cum_v"),
+        F.sum("dn").over(wc).cast("bigint").alias("cum_n"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("dn").alias("n_docs"),
+        F.col("dv").alias("decile_chars"),
+        (F.col("cum_n").cast("double") / F.col("tot_n")).alias(
+            "cum_doc_share"
+        ),
+        (
+            F.col("cum_v").cast("double") / F.col("tot_len").cast("double")
+        ).alias("cum_char_share"),
+    )

@@ -3726,3 +3726,135 @@ def window_donchian_width_percentile(
             "width_pct_rank"
         ),
     )
+
+
+# --- round 15 wave-1 pre-builds: elder ray, classic pivots -----------------
+
+_EMA13_W = _ema_weights(13, 26)
+_E13_NUM, _E13_DEN = _ema_sql(_EMA13_W)
+
+
+@_q(
+    "window_elder_ray",
+    f"""
+    WITH daily AS ({_DAILY_HLC_SQL}
+    ), terms AS (
+      SELECT day, hi, lo, cls AS cents,
+             {_E13_NUM} AS num13,
+             {_E13_DEN} AS den13
+      FROM (SELECT day, hi, lo, cls, cls AS cents FROM daily)
+      WINDOW w AS (ORDER BY day)
+    )
+    SELECT day, hi, lo, cents AS cls,
+           CAST(num13 AS DOUBLE) / CAST(den13 AS DOUBLE) / 100.0 AS ema13,
+           CAST(hi AS DOUBLE) / 100.0
+             - CAST(num13 AS DOUBLE) / CAST(den13 AS DOUBLE) / 100.0
+             AS bull_power,
+           CAST(lo AS DOUBLE) / 100.0
+             - CAST(num13 AS DOUBLE) / CAST(den13 AS DOUBLE) / 100.0
+             AS bear_power
+    FROM terms
+    """,
+)
+def window_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder-ray bull/bear power on the daily pseudo-OHLC spine
+    (_daily_hlc): bull = hi - EMA13(close), bear = lo - EMA13(close),
+    where close is the spine's floor-mean order cents (same scale as
+    hi/lo, the documented _daily_hlc deviation) and EMA13 is the
+    bounded integer-weight kernel round((1-2/14)^k * 2^20) truncated
+    at 26 terms (<2% tail mass) with present-weight renormalization —
+    the window_ema_macd prescription, zero runtime libm. Budget: 2^20
+    x hi-scale cents (<2^38 at 100 TB single-order prices) x 26 terms
+    < 2^63. One day rollup + one ordered window over the
+    |days|-bounded series; the three outputs share the kernel."""
+    daily = _daily_hlc(spark, sf_dir).withColumnRenamed("cls", "cents")
+    w = Window.orderBy("day")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k, wt in enumerate(_EMA13_W):
+        lagged = F.col("cents") if k == 0 else F.lag("cents", k).over(w)
+        num = num + F.coalesce(lagged * wt, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), wt).otherwise(0)
+    terms = daily.select(
+        "day", "hi", "lo", "cents",
+        num.alias("num13"), den.alias("den13"),
+    )
+    ema = (
+        F.col("num13").cast("double") / F.col("den13").cast("double")
+        / 100.0
+    )
+    return terms.select(
+        "day",
+        "hi",
+        "lo",
+        F.col("cents").alias("cls"),
+        ema.alias("ema13"),
+        (F.col("hi").cast("double") / 100.0 - ema).alias("bull_power"),
+        (F.col("lo").cast("double") / 100.0 - ema).alias("bear_power"),
+    )
+
+
+@_q(
+    "window_pivot_points",
+    f"""
+    WITH daily AS ({_DAILY_HLC_SQL}
+    ), lagged AS (
+      SELECT day, cls,
+             LAG(hi) OVER (ORDER BY day) AS ph,
+             LAG(lo) OVER (ORDER BY day) AS pl,
+             LAG(cls) OVER (ORDER BY day) AS pc
+      FROM daily
+    ), piv AS (
+      SELECT day, cls, ph, pl, pc,
+             ph + pl + pc AS p3
+      FROM lagged
+    )
+    SELECT day,
+           CAST(cls AS DOUBLE) / 100.0 AS cls,
+           CAST(p3 AS DOUBLE) / 300.0 AS pivot,
+           CAST(2 * p3 - 3 * pl AS DOUBLE) / 300.0 AS r1,
+           CAST(2 * p3 - 3 * ph AS DOUBLE) / 300.0 AS s1,
+           CASE WHEN p3 IS NULL THEN 'warmup'
+                WHEN 3 * cls > 2 * p3 - 3 * pl THEN 'above_r1'
+                WHEN 3 * cls < 2 * p3 - 3 * ph THEN 'below_s1'
+                ELSE 'inside' END AS band_position
+    FROM piv
+    """,
+)
+def window_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic daily pivot points from the PRIOR day's hi/lo/close on
+    the pseudo-OHLC spine: pivot = (h+l+c)/3, r1 = 2*pivot - l, s1 =
+    2*pivot - h, plus today's close position within the [s1, r1] band.
+    The band classification is pure integer cross-multiplication
+    (3*cls vs 2*p3 - 3*pl — no float ever enters a comparison); the
+    emitted pivot/r1/s1 are single exact-int-to-double divisions
+    (/300 = x3 fixed point -> dollars), deterministic in both
+    engines. Warm-up day (no prior) labels 'warmup' with NULL levels.
+    One window pass over the |days|-bounded spine."""
+    daily = _daily_hlc(spark, sf_dir)
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "cls",
+        F.lag("hi").over(w).alias("ph"),
+        F.lag("lo").over(w).alias("pl"),
+        F.lag("cls").over(w).alias("pc"),
+    )
+    piv = lagged.select(
+        "day", "cls", "ph", "pl", "pc",
+        (F.col("ph") + F.col("pl") + F.col("pc")).alias("p3"),
+    )
+    r1_x3 = 2 * F.col("p3") - 3 * F.col("pl")
+    s1_x3 = 2 * F.col("p3") - 3 * F.col("ph")
+    return piv.select(
+        "day",
+        (F.col("cls").cast("double") / 100.0).alias("cls"),
+        (F.col("p3").cast("double") / 300.0).alias("pivot"),
+        (r1_x3.cast("double") / 300.0).alias("r1"),
+        (s1_x3.cast("double") / 300.0).alias("s1"),
+        F.when(F.col("p3").isNull(), "warmup")
+        .when(3 * F.col("cls") > r1_x3, "above_r1")
+        .when(3 * F.col("cls") < s1_x3, "below_s1")
+        .otherwise("inside")
+        .alias("band_position"),
+    )

@@ -1,0 +1,291 @@
+"""Semantic checks for the round-15 wave-1 pre-builds (built in round 14
+after the round-14 window shipped; each also carries a three-SF mimic
+pass — ROADMAP_r15 wave 1)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+
+from large_csv_etl_spark.queries.events import QUERIES as EVENT_QUERIES
+from large_csv_etl_spark.queries.multimodal import QUERIES as MM_QUERIES
+from large_csv_etl_spark.queries.quality import QUERIES as DQ_QUERIES
+from large_csv_etl_spark.queries.relational import QUERIES as REL_QUERIES
+from large_csv_etl_spark.queries.temporal import QUERIES as TEMP_QUERIES
+from large_csv_etl_spark.queries.text import QUERIES as TEXT_QUERIES
+from large_csv_etl_spark.queries.windows import QUERIES as WIN_QUERIES
+
+
+def _orders_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    df.coalesce(2).write.parquet(f"{d}/orders.parquet")
+
+
+def _daily_orders(prices, year=1995, month=1):
+    rows = []
+    for i, p in enumerate(prices, 1):
+        day = dt.datetime(year, month, 1) + dt.timedelta(days=i - 1)
+        rows.append((i, i, "O", p, day, "3-MEDIUM"))
+    return rows
+
+
+def _events_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(2).write.parquet(f"{d}/events.parquet")
+
+
+def _docs_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(2).write.parquet(f"{d}/documents.parquet")
+
+
+def _doc(doc_id, text, source="s0"):
+    return (doc_id, text, "en", source, len(text))
+
+
+def test_cqv_five_point_stratum(spark):
+    """Cents 100..500 on one stratum: TYPE-1 q1 = 100 (rank (5+1)//4 =
+    1), q3 = 400 (rank min(5, 18//4) = 4) -> cqv = 300/500 = 0.6."""
+    rows = _daily_orders([1.0, 2.0, 3.0, 4.0, 5.0])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_coefficient_quartile_variation"](
+            spark, d
+        ).collect()[0]
+    assert (out["q1"], out["q3"]) == (100, 400)
+    assert out["cqv"] == pytest.approx(0.6, abs=1e-15)
+
+
+def test_tukey_trimean_five_points(spark):
+    """Same 100..500 cents: med = 300 -> trimean = (100 + 600 + 400)/4
+    = 275 cents = 2.75 dollars."""
+    rows = _daily_orders([1.0, 2.0, 3.0, 4.0, 5.0])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_tukey_trimean"](spark, d).collect()[0]
+    assert (out["q1"], out["med"], out["q3"]) == (100, 300, 400)
+    assert out["trimean"] == pytest.approx(2.75, abs=1e-15)
+
+
+def test_lag_sign_agreement_alternation(spark):
+    """Daily totals 10,20,10,20,10,20: five alternating deltas. Lag 1:
+    4 both-nonzero pairs, 0 agreements. Lag 7: no pairs (NULL share)."""
+    rows = _daily_orders([10.0, 20.0, 10.0, 20.0, 10.0, 20.0])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            r["lag_k"]: r
+            for r in REL_QUERIES["agg_lag_sign_agreement"](
+                spark, d
+            ).collect()
+        }
+    assert out[1]["n_pairs"] == 4 and out[1]["n_agree"] == 0
+    assert out[1]["agree_share"] == 0.0
+    assert out[7]["n_pairs"] == 0 and out[7]["agree_share"] is None
+
+
+def test_elder_ray_constant_series_is_flat(spark):
+    """One 100.00 order per day for 5 days: hi = lo = cls = EMA13 ->
+    bull_power = bear_power = 0 exactly (integer num = cents * den)."""
+    rows = _daily_orders([100.0] * 5)
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = WIN_QUERIES["window_elder_ray"](spark, d).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["ema13"] == pytest.approx(100.0, abs=0.0)
+        assert r["bull_power"] == 0.0 and r["bear_power"] == 0.0
+
+
+def test_pivot_points_two_days(spark):
+    """Day 1: orders 10 and 30 (hi 3000, lo 1000, cls 2000). Day 2:
+    close 20.00. Pivot = 20, r1 = 30, s1 = 10, close inside the band;
+    day 1 is the warmup row."""
+    d1 = dt.datetime(1995, 1, 1)
+    d2 = dt.datetime(1995, 1, 2)
+    rows = [
+        (1, 1, "O", 10.0, d1, "3-MEDIUM"),
+        (2, 2, "O", 30.0, d1, "3-MEDIUM"),
+        (3, 3, "O", 20.0, d2, "3-MEDIUM"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            str(r["day"]): r
+            for r in WIN_QUERIES["window_pivot_points"](spark, d).collect()
+        }
+    assert out["1995-01-01"]["band_position"] == "warmup"
+    assert out["1995-01-01"]["pivot"] is None
+    r2 = out["1995-01-02"]
+    assert r2["pivot"] == pytest.approx(20.0)
+    assert r2["r1"] == pytest.approx(30.0)
+    assert r2["s1"] == pytest.approx(10.0)
+    assert r2["band_position"] == "inside"
+
+
+def test_absence_streaks_gap_islands(spark):
+    """User 1 active days 1,2,5 (absent runs 0 and 2 -> longest 2);
+    user 2 active once (longest 0)."""
+    t0 = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(days=1), 1, "view", 1.0, "{}"),
+        (3, t0 + dt.timedelta(days=4), 1, "view", 1.0, "{}"),
+        (4, t0, 2, "view", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r["absent_days_capped"]: r["n_users"]
+            for r in EVENT_QUERIES["events_absence_streaks"](
+                spark, d
+            ).collect()
+        }
+    assert out == {0: 1, 2: 1}
+
+
+def test_value_pareto_top_decile(spark):
+    """Ten users with lifetime values 1..10: n_top = 1, top value 10,
+    total 55 -> share 10/55."""
+    t0 = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), i, "purchase", float(i), "{}")
+        for i in range(1, 11)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = EVENT_QUERIES["events_value_pareto_share"](
+            spark, d
+        ).collect()[0]
+    assert out["n_users"] == 10 and out["n_top"] == 1
+    assert out["top_value"] == pytest.approx(10.0)
+    assert out["total_value"] == pytest.approx(55.0)
+    assert out["pareto_share"] == pytest.approx(10.0 / 55.0)
+
+
+def test_sentence_profile_median(spark):
+    """A 12-token doc gets boundaries after tokens 5 and 10 -> sentence
+    lengths 5,5,2: mean 4.0, TYPE-1 median 5 (rank (3+1)//2 = 2)."""
+    text = " ".join(f"w{i}" for i in range(12))
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, [_doc(1, text)], d)
+        out = TEXT_QUERIES["text_sentence_length_profile"](
+            spark, d
+        ).collect()[0]
+    assert out["n_sentences"] == 3 and out["n_tokens"] == 12
+    assert out["mean_sentence_tokens"] == pytest.approx(4.0)
+    assert out["median_sentence_tokens"] == 5
+
+
+def test_simpson_diversity_small_vocab(spark):
+    """Tokens 'a a b': sum c^2 = 5, n = 3 -> 1 - 5/9 = 4/9."""
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, [_doc(1, "a a b")], d)
+        out = TEXT_QUERIES["text_unigram_simpson_diversity"](
+            spark, d
+        ).collect()[0]
+    assert out["n_tokens"] == 3 and out["n_types"] == 2
+    assert out["sum_c2"] == 5
+    assert out["simpson_diversity"] == pytest.approx(4.0 / 9.0)
+
+
+def test_char_class_mix_counts(spark):
+    """'ab1 \\n!' = 2 letters, 1 digit, 2 whitespace, 1 other of 6."""
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, [_doc(1, "ab1 \n!")], d)
+        out = TEXT_QUERIES["text_char_class_mix"](spark, d).collect()[0]
+    assert out["n_chars"] == 6
+    assert out["n_letters"] == 2 and out["n_digits"] == 1
+    assert out["n_ws"] == 2 and out["n_other"] == 1
+    assert out["letter_share"] == pytest.approx(2.0 / 6.0)
+
+
+def test_doclength_lorenz_linear(spark):
+    """Ten docs of lengths 1..10: decile k holds doc k; cumulative char
+    share at decile 1 is 1/55 and at decile 10 is 1."""
+    rows = [_doc(i, "x" * i) for i in range(1, 11)]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = {
+            r["decile"]: r
+            for r in TEXT_QUERIES["text_doclength_lorenz_deciles"](
+                spark, d
+            ).collect()
+        }
+    assert len(out) == 10
+    assert out[1]["n_docs"] == 1 and out[1]["decile_chars"] == 1
+    assert out[1]["cum_char_share"] == pytest.approx(1.0 / 55.0)
+    assert out[10]["cum_char_share"] == pytest.approx(1.0)
+    assert out[10]["cum_doc_share"] == pytest.approx(1.0)
+
+
+def test_pk_gap_census_planted_gaps(spark):
+    """Keys 1,2,5,9: two gap runs (len 2 and 3), keyspace 9, coverage
+    4/9."""
+    d1 = dt.datetime(1995, 1, 1)
+    rows = [(k, k, "O", 10.0, d1, "3-MEDIUM") for k in (1, 2, 5, 9)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = DQ_QUERIES["dq_primary_key_gap_census"](spark, d).collect()[0]
+    assert out["n_keys"] == 4 and out["keyspace"] == 9
+    assert out["n_missing"] == 5
+    assert out["n_gaps"] == 2 and out["largest_gap"] == 3
+    assert out["coverage_share"] == pytest.approx(4.0 / 9.0)
+
+
+def test_interarrival_profile_two_customers(spark):
+    """Customer 1 orders on days 0, 10, 100 (gaps 10 and 90 -> buckets
+    0 and 3); customer 2 orders once (no gap). Median gap = 10."""
+    base = dt.datetime(1995, 1, 1)
+    rows = [
+        (1, 1, "O", 10.0, base, "3-MEDIUM"),
+        (2, 1, "O", 10.0, base + dt.timedelta(days=10), "3-MEDIUM"),
+        (3, 1, "O", 10.0, base + dt.timedelta(days=100), "3-MEDIUM"),
+        (4, 2, "O", 10.0, base, "3-MEDIUM"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            r["gap_months_capped"]: r
+            for r in TEMP_QUERIES["temporal_order_interarrival_profile"](
+                spark, d
+            ).collect()
+        }
+    assert set(out) == {0, 3}
+    assert out[0]["n_gaps"] == 1 and out[3]["n_gaps"] == 1
+    assert out[0]["median_gap_days"] == 10
+    assert out[0]["n_gaps_total"] == 2
+
+
+def test_resolution_ladder_known_byte_lengths(spark):
+    """Byte length 10 -> stub dims 26x17, long side 104 -> rung 256,
+    upscale needed; byte length 100 -> 116x30, long side 464 -> rung
+    512, upscale needed."""
+    rows = [_doc(1, "x" * 10), _doc(2, "y" * 100)]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = {
+            r["rung"]: r
+            for r in MM_QUERIES["multimodal_resolution_ladder_census"](
+                spark, d
+            ).collect()
+        }
+    assert set(out) == {256, 512}
+    assert out[256]["n_docs"] == 1 and out[256]["n_upscale"] == 1
+    assert out[512]["n_docs"] == 1
+    assert out[512]["upscale_share"] == pytest.approx(1.0)
