@@ -5848,3 +5848,317 @@ def events_value_pareto_share(
             ).alias("pareto_share"),
         )
     )
+
+
+# --- round 15 wave-2 pre-builds: CV^2 burstiness, peak-hour stability, -----
+# --- within-session co-occurrence ------------------------------------------
+
+
+@_q(
+    "events_interevent_cv2",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+               AS gap_s
+      FROM ev
+    ), per_user AS (
+      SELECT user_id,
+             CAST(COUNT(gap_s) AS BIGINT) AS n,
+             CAST(SUM(gap_s) AS BIGINT) AS s1,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+      FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+    ), scored AS (
+      SELECT (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS cv2
+      FROM per_user WHERE n >= 2 AND s1 > 0
+    )
+    SELECT CASE WHEN cv2 < 0.5 THEN 'regular_lt_0.5'
+                WHEN cv2 < 1.0 THEN 'sub_poisson_0.5_1'
+                WHEN cv2 < 2.0 THEN 'poissonish_1_2'
+                WHEN cv2 < 5.0 THEN 'bursty_2_5'
+                ELSE 'extreme_ge_5' END AS cv2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY 1
+    """,
+)
+def events_interevent_cv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CV^2 of inter-event gaps — the burstiness census at
+    user grain (CV^2 ~ 1 reads Poisson, > 1 bursty; the corpus-level
+    burstiness entries average this away). Gaps floor to the seconds
+    lattice (micros div 1e6, non-negative so // == div); per-user n,
+    s1, s2 are exact BIGINTs (gap < 2.7e6 s inside the fixture month,
+    s2 < n * 7.3e12 — int64-safe up to ~10^6 events/user); CV^2 =
+    (n*s2 - s1^2)/s1^2 pivots each exact sum through ONE int64->double
+    conversion because s1^2 itself can exceed int64 (the round-7
+    prescription). Eligibility: >= 2 gaps and s1 > 0 (all-simultaneous
+    streams carry no cadence — documented). Output is a bounded 5-label
+    histogram; one user shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP))"
+            " - lag(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+            " div 1000000"
+        ).alias("gap_s"),
+    )
+    per_user = (
+        gaps.filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("bigint").alias("n"),
+            F.sum("gap_s").cast("bigint").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s"))
+            .cast("bigint")
+            .alias("s2"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")
+    scored = per_user.filter(
+        (F.col("n") >= 2) & (F.col("s1") > 0)
+    ).select(
+        (
+            (d("n") * d("s2") - d("s1") * d("s1")) / (d("s1") * d("s1"))
+        ).alias("cv2")
+    )
+    return scored.groupBy(
+        F.when(F.col("cv2") < 0.5, "regular_lt_0.5")
+        .when(F.col("cv2") < 1.0, "sub_poisson_0.5_1")
+        .when(F.col("cv2") < 2.0, "poissonish_1_2")
+        .when(F.col("cv2") < 5.0, "bursty_2_5")
+        .otherwise("extreme_ge_5")
+        .alias("cv2_bucket")
+    ).agg(F.count("*").cast("bigint").alias("n_users"))
+
+
+@_q(
+    "events_peak_hour_stability",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    cells AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 // 7 AS week_no,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1, 2, 3
+    ), peaks AS (
+      SELECT event_type, week_no,
+             99 - (MAX(c * 100 + (99 - hour_of_day)) % 100) AS peak_hour
+      FROM cells GROUP BY event_type, week_no
+    ), changes AS (
+      SELECT event_type, week_no, peak_hour,
+             CASE WHEN LAG(peak_hour) OVER (PARTITION BY event_type
+                                            ORDER BY week_no)
+                       IS DISTINCT FROM peak_hour
+                   AND LAG(peak_hour) OVER (PARTITION BY event_type
+                                            ORDER BY week_no) IS NOT NULL
+                  THEN 1 ELSE 0 END AS changed
+      FROM peaks
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_weeks,
+           CAST(SUM(changed) AS BIGINT) AS n_changes,
+           CAST(MIN(CASE WHEN week_no = (SELECT MIN(week_no) FROM peaks p2
+                                         WHERE p2.event_type = changes.event_type)
+                         THEN peak_hour END) AS BIGINT) AS first_peak_hour
+    FROM changes GROUP BY event_type
+    """,
+)
+def events_peak_hour_stability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Week-over-week stability of each event type's PEAK HOUR — the
+    instrumentation-shift screen (a timezone bug or SDK swap moves the
+    peak; organic traffic doesn't). Weeks are portable epoch-weeks
+    (epoch_day div 7 — no ISO-week library semantics to disagree on);
+    the per-week peak is a packed-integer argmax c*100 + (99 - hour),
+    ties resolved to the SMALLEST hour deterministically; changes
+    count weeks whose peak differs from the previous week's
+    (IS DISTINCT FROM, NULL-safe at the first week which never
+    counts). Exact integers end-to-end; bounded |types x weeks|
+    intermediates; one rollup + one window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 div 7"
+        ).alias("week_no"),
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000)"
+            " div 3600000000"
+        ).alias("hour_of_day"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    peaks = cells.groupBy("event_type", "week_no").agg(
+        (
+            F.lit(99)
+            - F.max(
+                F.col("c") * 100 + (F.lit(99) - F.col("hour_of_day"))
+            )
+            % 100
+        ).alias("peak_hour")
+    )
+    w = Window.partitionBy("event_type").orderBy("week_no")
+    prev = F.lag("peak_hour").over(w)
+    changes = peaks.select(
+        "event_type",
+        "week_no",
+        "peak_hour",
+        F.when(
+            prev.isNotNull() & ~prev.eqNullSafe(F.col("peak_hour")), 1
+        )
+        .otherwise(0)
+        .alias("changed"),
+    )
+    first_week = peaks.groupBy("event_type").agg(
+        F.min("week_no").alias("w0")
+    )
+    return (
+        changes.join(F.broadcast(first_week), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_weeks"),
+            F.sum("changed").cast("bigint").alias("n_changes"),
+            F.min(
+                F.when(
+                    F.col("week_no") == F.col("w0"), F.col("peak_hour")
+                )
+            )
+            .cast("bigint")
+            .alias("first_peak_hour"),
+        )
+    )
+
+
+@_q(
+    "events_type_cooccurrence_matrix",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0
+                  ELSE 1 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_type,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ), st AS (
+      SELECT DISTINCT user_id, session_id, event_type FROM sessions
+    ), n_sess AS (
+      SELECT CAST(COUNT(DISTINCT user_id || '#' || session_id) AS BIGINT)
+        AS n_sessions
+      FROM st
+    ), marg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_with
+      FROM st GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ma.n_with AS n_a, mb.n_with AS n_b, s.n_sessions,
+           CASE WHEN ma.n_with > 0 AND mb.n_with > 0 THEN
+             CAST(p.n_both AS DOUBLE) * CAST(s.n_sessions AS DOUBLE)
+             / (CAST(ma.n_with AS DOUBLE) * CAST(mb.n_with AS DOUBLE))
+           END AS lift
+    FROM pairs p
+    JOIN marg ma ON ma.event_type = p.type_a
+    JOIN marg mb ON mb.event_type = p.type_b
+    CROSS JOIN n_sess s
+    """,
+)
+def events_type_cooccurrence_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Within-session event-type co-occurrence with lift vs
+    independence: sessions from the graded 30-minute-gap
+    sessionization, distinct (session, type) membership, unordered
+    pairs type_a < type_b, lift = n_both * n_sessions / (n_a * n_b)
+    (> 1 = the types travel together; the bounded |types|^2 output
+    makes this a table, not a blowup). Counts are exact BIGINTs; lift
+    pivots each through one int64->double conversion (cast-per-
+    factor). The pair self-join keys on (user, session) — bounded by
+    |types| rows per session, so the join output is |sessions| x
+    |types|^2 at worst, reduced map-side. Two user-keyed shuffles +
+    broadcast marginals."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_session = F.when(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(
+            F.lag(F.col("ts").cast("timestamp")).over(w)
+        )
+        <= 30 * 60 * 1000000,
+        0,
+    ).otherwise(1)
+    sessions = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(new_session).over(cum).cast("bigint").alias("session_id"),
+    )
+    st = sessions.select("user_id", "session_id", "event_type").distinct()
+    n_sess = st.select(
+        F.concat_ws("#", "user_id", "session_id").alias("sk")
+    ).agg(F.countDistinct("sk").cast("bigint").alias("n_sessions"))
+    marg = st.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_with")
+    )
+    a = st.alias("a")
+    b = st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    ma = marg.select(
+        F.col("event_type").alias("type_a"), F.col("n_with").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("event_type").alias("type_b"), F.col("n_with").alias("n_b")
+    )
+    d = lambda c: F.col(c).cast("double")
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            "n_sessions",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                d("n_both") * d("n_sessions") / (d("n_a") * d("n_b")),
+            ).alias("lift"),
+        )
+    )

@@ -1078,3 +1078,69 @@ def multimodal_resolution_ladder_census(
         up.cast("bigint").alias("n_upscale"),
         (up.cast("double") / F.count("*")).alias("upscale_share"),
     )
+
+
+@_q(
+    "multimodal_payload_byte_simpson",
+    """
+    WITH chars AS (
+      SELECT source,
+             unicode(substring(text, pos, 1)) AS code
+      FROM documents, UNNEST(range(1, LENGTH(text) + 1)) AS t(pos)
+      WHERE LENGTH(text) > 0
+    ), cnt AS (
+      SELECT source, code, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars GROUP BY source, code
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+           CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+           CASE WHEN SUM(c) > 0 THEN
+             CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE)
+             / (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+                * CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE))
+           END AS simpson_concentration
+    FROM cnt GROUP BY source
+    """,
+)
+def multimodal_payload_byte_simpson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source byte-value Simpson concentration of the payload
+    stream — the log-free compressibility proxy (uniform bytes ~
+    1/256 reads incompressible; concentrated bytes read compressible
+    text/padding): sum(c^2)/n^2 over the bounded 256-cell byte census
+    per source. The payload is the documents' utf-8 bytes (the
+    attach_payload contract) and the fixture is ASCII, so Spark's
+    ascii() equals DuckDB's unicode() per character — the VAD
+    entry's graded convention. Exact BIGINT c and c^2 sums (c <
+    2^31.5 holds to ~10^9 bytes/value/source; beyond that shard
+    sources first — documented); the ratio pivots each sum through
+    one int64->double conversion. The char explode is row-local; the
+    shuffle carries only |sources| x 256 cells."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    chars = docs.select(
+        "source",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
+        "text",
+    ).select(
+        "source",
+        F.ascii(F.expr("substring(text, pos, 1)")).alias("code"),
+    )
+    cnt = chars.groupBy("source", "code").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    n = F.sum("c").cast("bigint")
+    c2 = F.sum(F.col("c") * F.col("c")).cast("bigint")
+    return cnt.groupBy("source").agg(
+        n.alias("n_bytes"),
+        F.count("*").cast("bigint").alias("n_distinct_bytes"),
+        c2.alias("sum_c2"),
+        F.when(
+            n > 0,
+            c2.cast("double") / (n.cast("double") * n.cast("double")),
+        ).alias("simpson_concentration"),
+    )

@@ -7894,3 +7894,193 @@ def agg_lag_sign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_pairs > 0, n_agree.cast("double") / n_pairs
         ).alias("agree_share"),
     )
+
+
+# --- round 15 wave-2 pre-builds: ordered trend test, turning points --------
+
+
+@_q(
+    "agg_cochran_armitage_trend",
+    """
+    WITH base AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) - 1995 AS t,
+             CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       > 25000000 THEN 1 ELSE 0 END AS hi
+      FROM orders
+    ), cells AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t,
+             CAST(SUM(hi) AS BIGINT) AS r_t
+      FROM base GROUP BY t
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_years,
+             CAST(SUM(n_t) AS BIGINT) AS n_total,
+             CAST(SUM(r_t) AS BIGINT) AS n_high,
+             CAST(SUM(t * n_t) AS BIGINT) AS s1,
+             CAST(SUM(t * t * n_t) AS BIGINT) AS s2,
+             CAST(SUM(t * r_t) AS BIGINT) AS tr
+      FROM cells
+    )
+    SELECT n_years, n_total, n_high, tr,
+           CASE WHEN n_total > 0 AND n_high > 0 AND n_high < n_total
+                     AND CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(n_total AS DOUBLE) > 0
+           THEN
+             (CAST(tr AS DOUBLE)
+              - CAST(n_high AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n_total AS DOUBLE))
+             / SQRT(
+                 (CAST(n_high AS DOUBLE) / CAST(n_total AS DOUBLE))
+                 * (1.0 - CAST(n_high AS DOUBLE) / CAST(n_total AS DOUBLE))
+                 * (CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n_total AS DOUBLE))
+               )
+           END AS ca_z
+    FROM sums
+    """,
+)
+def agg_cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage trend test of the high-value-order share (> $250k
+    cents threshold, the stratified-OR entry's cut) across ORDERED
+    years 1995-2001 with integer scores t = year - 1995: T = sum t*r_t
+    against E = p*sum t*n_t and Var = p(1-p)(S2 - S1^2/N) — the
+    ordered-alternative sibling of the chi-square independence entry
+    (which ignores year order). All five sufficient sums are exact
+    BIGINTs (t <= 6, so t^2*n fits trivially); the z chain pivots each
+    through ONE int64->double conversion and uses a single
+    IEEE-correctly-rounded SQRT. Guards: degenerate share (0 or 1) or
+    zero score variance -> NULL. One year rollup, then a 7-row
+    reduction."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    base = load_table(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate").cast("bigint") - 1995).alias("t"),
+        F.when(cents > 25000000, 1).otherwise(0).alias("hi"),
+    )
+    cells = base.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_t"),
+        F.sum("hi").cast("bigint").alias("r_t"),
+    )
+    sums = cells.agg(
+        F.count("*").cast("bigint").alias("n_years"),
+        F.sum("n_t").cast("bigint").alias("n_total"),
+        F.sum("r_t").cast("bigint").alias("n_high"),
+        F.sum(F.col("t") * F.col("n_t")).cast("bigint").alias("s1"),
+        F.sum(F.col("t") * F.col("t") * F.col("n_t"))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.col("t") * F.col("r_t")).cast("bigint").alias("tr"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    p = d("n_high") / d("n_total")
+    score_var = d("s2") - d("s1") * d("s1") / d("n_total")
+    return sums.select(
+        "n_years",
+        "n_total",
+        "n_high",
+        "tr",
+        F.when(
+            (F.col("n_total") > 0)
+            & (F.col("n_high") > 0)
+            & (F.col("n_high") < F.col("n_total"))
+            & (score_var > 0),
+            (d("tr") - p * d("s1"))
+            / F.sqrt(p * (F.lit(1.0) - p) * score_var),
+        ).alias("ca_z"),
+    )
+
+
+@_q(
+    "agg_turning_point_test",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), ctx AS (
+      SELECT cents,
+             LAG(cents) OVER (ORDER BY day) AS prev,
+             LEAD(cents) OVER (ORDER BY day) AS nxt
+      FROM daily
+    ), flags AS (
+      SELECT CASE WHEN (prev < cents AND cents > nxt)
+                    OR (prev > cents AND cents < nxt)
+                  THEN 1 ELSE 0 END AS tp
+      FROM ctx WHERE prev IS NOT NULL AND nxt IS NOT NULL
+    ), agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+             CAST(COALESCE(SUM(tp), 0) AS BIGINT) AS n_turning
+      FROM flags
+    )
+    SELECT n_days, n_turning,
+           CASE WHEN n_days >= 3 THEN
+             2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0
+           END AS expected_tp,
+           CASE WHEN n_days >= 3
+                     AND 16.0 * CAST(n_days AS DOUBLE) - 29.0 > 0
+           THEN (CAST(n_turning AS DOUBLE)
+                 - 2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0)
+                / SQRT((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0)
+           END AS tp_z
+    FROM agg
+    """,
+)
+def agg_turning_point_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point randomness test on the daily-revenue sequence: T =
+    count of STRICT local extrema (prev < y > next or prev > y < next —
+    flat neighbors disqualify by definition, documented) against E =
+    2(n-2)/3 and Var = (16n-29)/90; the second-difference-grain screen
+    beside the runs test (window_turning_points LISTS the points; this
+    grades the test statistic). Interior flags are exact integer
+    comparisons on the daily cents; n_days is counted off the day
+    spine itself so 0/1/2-day inputs report truthfully (the flags
+    table is empty there and n_turning coalesces to 0).
+    Cast-per-factor double z with one SQRT; NULL below n = 3. One day
+    rollup + one ordered window over the bounded spine."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    ctx = daily.select(
+        "cents",
+        F.lag("cents").over(w).alias("prev"),
+        F.lead("cents").over(w).alias("nxt"),
+    )
+    flags = ctx.filter(
+        F.col("prev").isNotNull() & F.col("nxt").isNotNull()
+    ).select(
+        F.when(
+            ((F.col("prev") < F.col("cents")) & (F.col("cents") > F.col("nxt")))
+            | ((F.col("prev") > F.col("cents")) & (F.col("cents") < F.col("nxt"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("tp")
+    )
+    nd_tot = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    agg = flags.agg(
+        F.coalesce(F.sum("tp"), F.lit(0)).cast("bigint").alias("n_turning")
+    ).crossJoin(F.broadcast(nd_tot))
+    nd = F.col("n_days").cast("double")
+    exp_tp = F.lit(2.0) * (nd - 2.0) / 3.0
+    return agg.select(
+        "n_days",
+        "n_turning",
+        F.when(F.col("n_days") >= 3, exp_tp).alias("expected_tp"),
+        F.when(
+            (F.col("n_days") >= 3) & (F.lit(16.0) * nd - 29.0 > 0),
+            (F.col("n_turning").cast("double") - exp_tp)
+            / F.sqrt((F.lit(16.0) * nd - 29.0) / 90.0),
+        ).alias("tp_z"),
+    )

@@ -2347,3 +2347,83 @@ def sample_importance_reweighted_mean(
             / 100.0,
         ).alias("true_mean_dollars"),
     )
+
+
+# --- round 15 wave-2 pre-build: dedup-aware effective sample size ----------
+
+
+@_q(
+    "sample_dedup_aware_ess",
+    """
+    WITH fp AS (
+      SELECT MD5(LOWER(TRIM(text))) AS fingerprint FROM documents
+    ), clusters AS (
+      SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS c
+      FROM fp GROUP BY fingerprint
+    ), agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             CAST(SUM(1000000000 // c) AS BIGINT) AS sum_inv_size_fp
+      FROM clusters
+    )
+    SELECT n_docs, n_clusters, n_dup_docs, sum_inv_size_fp,
+           CASE WHEN sum_inv_size_fp > 0 THEN
+             CAST(n_clusters AS DOUBLE) * CAST(n_clusters AS DOUBLE)
+             * 1000000000.0 / CAST(sum_inv_size_fp AS DOUBLE)
+           END AS ess,
+           CASE WHEN n_docs > 0 AND sum_inv_size_fp > 0 THEN
+             CAST(n_clusters AS DOUBLE) * CAST(n_clusters AS DOUBLE)
+             * 1000000000.0 / CAST(sum_inv_size_fp AS DOUBLE)
+             / CAST(n_docs AS DOUBLE)
+           END AS ess_ratio
+    FROM agg
+    """,
+)
+def sample_dedup_aware_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size under inverse-cluster-size weighting: give
+    every doc in an exact-dup cluster of size c the weight 1/c, then
+    ESS = (sum w)^2 / sum w^2 — what deduplication buys the estimator
+    (sum w = n_clusters exactly; sum w^2 = sum 1/c). The 1/c terms
+    ride the documented 1e-9 fixed-point lattice (1e9 div c — exact
+    integer floor, both engines agree on positive operands), so the
+    whole reduction is BIGINT until the final ess = n_clusters^2 *
+    1e9 / sum_fp, pivoted cast-per-factor (n_clusters^2 can pass 2^63
+    at corpus scale in doubles only). ess_ratio = ess/n_docs is the
+    headline: 1.0 = dedup changes nothing, low = heavy duplication.
+    Clusters are MD5(LOWER(TRIM(text))) groups — the graded exact-
+    dedup fingerprint. One fingerprint shuffle."""
+    df = load_table(spark, sf_dir, "documents")
+    fp = df.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+    clusters = fp.groupBy("fingerprint").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    agg = clusters.agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.sum(F.expr("1000000000 div c")).cast("bigint").alias(
+            "sum_inv_size_fp"
+        ),
+    )
+    d = lambda c: F.col(c).cast("double")
+    ess = (
+        d("n_clusters") * d("n_clusters") * F.lit(1000000000.0)
+        / d("sum_inv_size_fp")
+    )
+    return agg.select(
+        "n_docs",
+        "n_clusters",
+        "n_dup_docs",
+        "sum_inv_size_fp",
+        F.when(F.col("sum_inv_size_fp") > 0, ess).alias("ess"),
+        F.when(
+            (F.col("n_docs") > 0) & (F.col("sum_inv_size_fp") > 0),
+            ess / d("n_docs"),
+        ).alias("ess_ratio"),
+    )

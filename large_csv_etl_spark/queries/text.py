@@ -6839,3 +6839,89 @@ def text_doclength_lorenz_deciles(
             F.col("cum_v").cast("double") / F.col("tot_len").cast("double")
         ).alias("cum_char_share"),
     )
+
+
+@_q(
+    "text_topk_coverage_curve",
+    r"""
+    WITH tok AS (
+      SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+        AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rk
+      FROM vocab
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM vocab
+    ), ks AS (
+      SELECT CAST(k AS BIGINT) AS k
+      FROM (VALUES (1), (10), (100), (1000)) AS t(k)
+    )
+    SELECT ks.k,
+           CAST(COALESCE(SUM(CASE WHEN r.rk <= ks.k THEN r.c END), 0)
+                AS BIGINT) AS covered_tokens,
+           t.total_tokens, t.n_types,
+           CASE WHEN t.total_tokens > 0 THEN
+             CAST(COALESCE(SUM(CASE WHEN r.rk <= ks.k THEN r.c END), 0)
+                  AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+           END AS coverage_share
+    FROM ks CROSS JOIN tot t LEFT JOIN ranked r ON r.rk <= ks.k
+    GROUP BY ks.k, t.total_tokens, t.n_types
+    """,
+)
+def text_topk_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-heaviness curve: the share of total corpus token mass
+    covered by the top-k unigrams at k = 1/10/100/1000 — the readout
+    that prices a stopword list or a truncated vocabulary (Zipf
+    rank-frequency lists the head; this integrates it). Ranking is
+    ROW_NUMBER over (count DESC, token) so ties are pinned; covered
+    mass is an exact BIGINT sum per k over the bounded vocab,
+    replicated via a 4-row k-spine (LEFT JOIN keeps every k even on
+    an empty vocab, coalesced to 0); one guarded share division.
+    One token shuffle reduced map-side to |vocab|."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token")
+        )
+    )
+    vocab = tok.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    vocab = materialize_reduced(vocab)
+    ranked = vocab.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "token"))
+        .alias("rk"),
+    )
+    tot = vocab.agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    ks = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(1), F.lit(10), F.lit(100), F.lit(1000))
+        ).alias("k0")
+    ).select(F.col("k0").cast("bigint").alias("k"))
+    joined = ks.crossJoin(F.broadcast(tot)).join(
+        ranked, ranked.rk <= F.col("k"), "left"
+    )
+    covered = F.coalesce(F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c"))), F.lit(0))
+    return joined.groupBy("k", "total_tokens", "n_types").agg(
+        covered.cast("bigint").alias("covered_tokens"),
+        F.when(
+            F.col("total_tokens") > 0,
+            covered.cast("double") / F.col("total_tokens").cast("double"),
+        ).alias("coverage_share"),
+    ).select(
+        "k", "covered_tokens", "total_tokens", "n_types", "coverage_share"
+    )

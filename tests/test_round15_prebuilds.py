@@ -289,3 +289,159 @@ def test_resolution_ladder_known_byte_lengths(spark):
     assert out[256]["n_docs"] == 1 and out[256]["n_upscale"] == 1
     assert out[512]["n_docs"] == 1
     assert out[512]["upscale_share"] == pytest.approx(1.0)
+
+
+# --- wave-2 pre-builds (built later in round 14) ---------------------------
+
+
+def test_cochran_armitage_two_year_trend(spark):
+    """1995: 2 orders, 0 high; 1996: 2 orders, 1 high (> $250k). N=4,
+    R=1, S1=2, S2=2, TR=1 -> z = (1 - 0.5)/sqrt(0.1875) = 2/sqrt(3)."""
+    rows = [
+        (1, 1, "O", 10.0, dt.datetime(1995, 3, 1), "3-MEDIUM"),
+        (2, 2, "O", 20.0, dt.datetime(1995, 6, 1), "3-MEDIUM"),
+        (3, 3, "O", 300000.0, dt.datetime(1996, 3, 1), "3-MEDIUM"),
+        (4, 4, "O", 30.0, dt.datetime(1996, 6, 1), "3-MEDIUM"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_cochran_armitage_trend"](
+            spark, d
+        ).collect()[0]
+    assert out["n_total"] == 4 and out["n_high"] == 1 and out["tr"] == 1
+    assert out["ca_z"] == pytest.approx(2.0 / 3.0**0.5, rel=1e-12)
+
+
+def test_turning_points_strict_extrema(spark):
+    """Dollars 10,30,20,40,30: all three interior days are strict
+    extrema -> T=3, n=5, E=2, z = 1/sqrt(51/90). A flat shoulder
+    (10,20,20,30) yields zero turning points."""
+    rows = _daily_orders([10.0, 30.0, 20.0, 40.0, 30.0])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_turning_point_test"](spark, d).collect()[0]
+    assert out["n_days"] == 5 and out["n_turning"] == 3
+    assert out["expected_tp"] == pytest.approx(2.0)
+    assert out["tp_z"] == pytest.approx(1.0 / (51.0 / 90.0) ** 0.5)
+
+    rows = _daily_orders([10.0, 20.0, 20.0, 30.0])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_turning_point_test"](spark, d).collect()[0]
+    assert out["n_days"] == 4 and out["n_turning"] == 0
+
+
+def test_interevent_cv2_buckets(spark):
+    """User 1: equal 10s gaps -> CV^2 = 0 (regular). User 2: gaps 1s
+    and 99s -> CV^2 = 0.9604 (sub-Poisson bucket edge-exact)."""
+    t0 = dt.datetime(2024, 1, 5, 12)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=10), 1, "view", 1.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=20), 1, "view", 1.0, "{}"),
+        (4, t0, 2, "view", 1.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=1), 2, "view", 1.0, "{}"),
+        (6, t0 + dt.timedelta(seconds=100), 2, "view", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = {
+            r["cv2_bucket"]: r["n_users"]
+            for r in EVENT_QUERIES["events_interevent_cv2"](
+                spark, d
+            ).collect()
+        }
+    assert out == {"regular_lt_0.5": 1, "sub_poisson_0.5_1": 1}
+
+
+def test_peak_hour_stability_shift(spark):
+    """Week A (Jan 1-3): type 'view' peaks at hour 2 (2 vs 1 events);
+    week B (Jan 4+): peaks at hour 5 -> one change, first peak 2; a
+    within-week tie resolves to the smaller hour."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 2), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 2), 2, "view", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 3, 5), 3, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 4, 5), 4, "view", 1.0, "{}"),
+        (5, dt.datetime(2024, 1, 5, 5), 5, "view", 1.0, "{}"),
+        (6, dt.datetime(2024, 1, 4, 9), 6, "view", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = EVENT_QUERIES["events_peak_hour_stability"](
+            spark, d
+        ).collect()
+    r = {x["event_type"]: x for x in out}["view"]
+    assert r["n_weeks"] == 2 and r["n_changes"] == 1
+    assert r["first_peak_hour"] == 2
+
+
+def test_type_cooccurrence_lift(spark):
+    """Session 1 carries view+purchase, session 2 view only: pair
+    (purchase, view) n_both=1, lift = 1*2/(2*1) = 1.0."""
+    t0 = dt.datetime(2024, 1, 5, 12)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 1, "purchase", 9.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = EVENT_QUERIES["events_type_cooccurrence_matrix"](
+            spark, d
+        ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("purchase", "view")
+    assert r["n_both"] == 1 and r["n_sessions"] == 2
+    assert r["n_a"] == 1 and r["n_b"] == 2
+    assert r["lift"] == pytest.approx(1.0)
+
+
+def test_topk_coverage_small_vocab(spark):
+    """Tokens a a a b b c: top-1 covers 3/6, top-10 covers all."""
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, [_doc(1, "a a a b b c")], d)
+        out = {
+            r["k"]: r
+            for r in TEXT_QUERIES["text_topk_coverage_curve"](
+                spark, d
+            ).collect()
+        }
+    assert set(out) == {1, 10, 100, 1000}
+    assert out[1]["covered_tokens"] == 3
+    assert out[1]["coverage_share"] == pytest.approx(0.5)
+    assert out[10]["coverage_share"] == pytest.approx(1.0)
+    assert out[1]["n_types"] == 3 and out[1]["total_tokens"] == 6
+
+
+def test_dedup_aware_ess_weights(spark):
+    """Two copies of 'x' plus one 'y': weights 1/2,1/2,1 -> ESS =
+    (sum w)^2 / sum w^2 = 4/1.5 = 8/3; ratio 8/9."""
+    from large_csv_etl_spark.queries.sampling import (
+        QUERIES as SAMPLE_QUERIES,
+    )
+
+    rows = [_doc(1, "x"), _doc(2, "x"), _doc(3, "y")]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = SAMPLE_QUERIES["sample_dedup_aware_ess"](
+            spark, d
+        ).collect()[0]
+    assert out["n_docs"] == 3 and out["n_clusters"] == 2
+    assert out["n_dup_docs"] == 2
+    assert out["sum_inv_size_fp"] == 1500000000
+    assert out["ess"] == pytest.approx(8.0 / 3.0)
+    assert out["ess_ratio"] == pytest.approx(8.0 / 9.0)
+
+
+def test_payload_byte_simpson_concentration(spark):
+    """Text 'aab': byte counts a=2, b=1 -> concentration 5/9."""
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, [_doc(1, "aab")], d)
+        out = MM_QUERIES["multimodal_payload_byte_simpson"](
+            spark, d
+        ).collect()[0]
+    assert out["n_bytes"] == 3 and out["n_distinct_bytes"] == 2
+    assert out["sum_c2"] == 5
+    assert out["simpson_concentration"] == pytest.approx(5.0 / 9.0)
