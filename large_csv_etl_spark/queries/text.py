@@ -6912,16 +6912,40 @@ def text_topk_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit(1), F.lit(10), F.lit(100), F.lit(1000))
         ).alias("k0")
     ).select(F.col("k0").cast("bigint").alias("k"))
-    joined = ks.crossJoin(F.broadcast(tot)).join(
-        ranked, ranked.rk <= F.col("k"), "left"
+    # bucket each vocab row by the SMALLEST ladder k that includes its
+    # rank, roll up to <= 4 partial sums, and only then join the 4-row
+    # spine (a rk <= k join directly against |vocab| would be a
+    # broadcast-nested-loop over the whole vocabulary at 100 TB; this
+    # keeps the non-equi join 4 x 4)
+    bucketed = ranked.select(
+        "c",
+        F.when(F.col("rk") <= 1, F.lit(1))
+        .when(F.col("rk") <= 10, F.lit(10))
+        .when(F.col("rk") <= 100, F.lit(100))
+        .when(F.col("rk") <= 1000, F.lit(1000))
+        .cast("bigint")
+        .alias("kb"),
+    ).filter(F.col("kb").isNotNull())
+    partial = bucketed.groupBy("kb").agg(
+        F.sum("c").cast("bigint").alias("bc")
     )
-    covered = F.coalesce(F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c"))), F.lit(0))
-    return joined.groupBy("k", "total_tokens", "n_types").agg(
-        covered.cast("bigint").alias("covered_tokens"),
-        F.when(
-            F.col("total_tokens") > 0,
-            covered.cast("double") / F.col("total_tokens").cast("double"),
-        ).alias("coverage_share"),
-    ).select(
-        "k", "covered_tokens", "total_tokens", "n_types", "coverage_share"
+    covered_rows = ks.join(
+        F.broadcast(partial), partial.kb <= F.col("k"), "left"
+    )
+    covered = F.coalesce(F.sum("bc"), F.lit(0))
+    return (
+        covered_rows.groupBy("k")
+        .agg(covered.cast("bigint").alias("covered_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "covered_tokens",
+            "total_tokens",
+            "n_types",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+            ).alias("coverage_share"),
+        )
     )
