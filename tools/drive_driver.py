@@ -184,6 +184,17 @@ def main() -> int:
         help="spark.sql.shuffle.partitions (default: the core count "
         "parsed from --master, falling back to 32)",
     )
+    ap.add_argument(
+        "--recycle-every",
+        type=int,
+        default=0,
+        help="proactively rebuild the vanilla session after N entries "
+        "(0 = never). Round-14 evidence: a ~600-entry sf0.1 battery "
+        "accumulated enough JVM litter that graph_common_neighbors "
+        "OOM'd the 1 GiB heap mid-query even though every entry passes "
+        "solo and the 528-entry round-13 battery was green; 150 keeps "
+        "headroom. Dead-JVM recovery is always on regardless.",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -197,13 +208,40 @@ def main() -> int:
 
         m = _re.search(r"local\[(\d+)\]", args.master)
         args.shuffle_partitions = m.group(1) if m else "32"
-    spark = (
-        SparkSession.builder.master(args.master)
-        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
-        .appName("drive_driver")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def build_spark():
+        s = (
+            SparkSession.builder.master(args.master)
+            .config(
+                "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
+            )
+            .appName("drive_driver")
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    def recycle_spark(old):
+        # Rebuild the vanilla session after a JVM death (round-14: one
+        # sf0.1 OOM inside graph_common_neighbors killed the gateway and
+        # cascaded ConnectionRefused over the remaining 138 battery
+        # entries). py4j keeps module-level references to the dead
+        # gateway; clearing them is the documented recovery for a
+        # crashed-JVM PySpark driver — the new session is exactly as
+        # vanilla as the first.
+        from pyspark import SparkContext
+
+        try:
+            old.stop()
+        except Exception:
+            pass
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkContext._active_spark_context = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        return build_spark()
+
+    spark = build_spark()
 
     con = duckdb.connect()
     tables = (
@@ -232,19 +270,32 @@ def main() -> int:
     if unknown:
         raise SystemExit(f"unknown query names: {unknown}")
 
-    n_pass = n_fail = n_err = 0
-    for name in names:
+    n_pass = n_fail = n_err = n_recycles = 0
+    retried: set[str] = set()
+    since_recycle = 0
+    i = 0
+    while i < len(names):
+        name = names[i]
+        if args.recycle_every and since_recycle >= args.recycle_every:
+            spark = recycle_spark(spark)
+            n_recycles += 1
+            since_recycle = 0
+            print(f"  -- proactive session recycle before {name}")
         fn = queries[name]
         t0 = time.perf_counter()
         try:
             df = fn(spark, args.sf_dir)
             if name not in oracles:
-                if args.skip_rows_only:
-                    continue
-                n = df.count()
-                print(f"  rows-only {name}: {n} rows ({time.perf_counter()-t0:.1f}s)")
-                n_pass += 1
-                continue
+                if not args.skip_rows_only:
+                    n = df.count()
+                    print(
+                        f"  rows-only {name}: {n} rows "
+                        f"({time.perf_counter()-t0:.1f}s)"
+                    )
+                    n_pass += 1
+                i += 1
+                since_recycle += 1
+                continue  # the finally below still releases blocks
 
             s_fields = [(f.name, spark_canon(f.dataType)) for f in df.schema.fields]
             s_rows = [r.asDict() for r in df.collect()]
@@ -307,11 +358,37 @@ def main() -> int:
                 n_pass += 1
                 print(f"  ok   {name}: {len(s_rows)} rows ({took:.1f}s)")
         except Exception as exc:
+            alive = True
+            try:
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                alive = False
+            if not alive and name not in retried:
+                # JVM death (OOM / crash): without this, every later
+                # entry cascades to ConnectionRefused. Recycle the
+                # vanilla session and retry THIS entry once; a second
+                # death on the same entry records the error for real.
+                retried.add(name)
+                print(
+                    f"  -- JVM dead at {name} ({type(exc).__name__}); "
+                    "recycling vanilla session and retrying the entry once"
+                )
+                spark = recycle_spark(spark)
+                n_recycles += 1
+                since_recycle = 0
+                continue
             n_err += 1
             print(f"  ERR  {name}: {type(exc).__name__}: {exc}")
         finally:
-            _release_blocks(spark)
+            try:
+                _release_blocks(spark)
+            except Exception:
+                pass
+        i += 1
+        since_recycle += 1
 
+    if n_recycles:
+        print(f"session recycles: {n_recycles} (retried: {sorted(retried)})")
     print(f"\npass={n_pass} fail={n_fail} err={n_err}")
     return 0 if (n_fail == 0 and n_err == 0) else 1
 
