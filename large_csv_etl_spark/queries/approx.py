@@ -1104,3 +1104,4 @@ def approx_reservoir_quantile_twin(spark: SparkSession, sf_dir: str) -> DataFram
             err.cast("double") / F.col("exact_cents").cast("double")
         ).alias("rel_err"),
     )
+

@@ -2380,3 +2380,163 @@ def dq_primary_key_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_keys").cast("double") / keyspace.cast("double"),
         ).alias("coverage_share"),
     )
+
+
+@_q(
+    "dq_categorical_domain_drift",
+    """
+    WITH base AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CASE WHEN CAST(date_trunc('month', o_orderdate) AS DATE)
+                       >= DATE '1998-01-01'
+                   AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+                  THEN o_orderstatus || '2'
+                  ELSE o_orderstatus END AS s1,
+             o_orderpriority AS pr
+      FROM orders
+    ), lv AS (
+      SELECT 'status' AS col_name, month,
+             CASE WHEN month >= DATE '2000-07-01' AND s1 = 'P'
+                  THEN 'P_RENAMED' ELSE s1 END AS level
+      FROM base
+      UNION
+      SELECT 'priority' AS col_name, month, pr AS level FROM base
+    ), mi AS (
+      SELECT col_name, month,
+             CAST(DENSE_RANK() OVER (PARTITION BY col_name
+                                     ORDER BY month) AS BIGINT) AS midx
+      FROM (SELECT DISTINCT col_name, month FROM lv)
+    ), lvi AS (
+      SELECT l.col_name, l.level, m.midx
+      FROM lv l JOIN mi m
+        ON m.col_name = l.col_name AND m.month = l.month
+    ), cur AS (SELECT * FROM lvi WHERE midx >= 2),
+    prev AS (
+      SELECT col_name, level, midx + 1 AS midx FROM lvi
+    ), delta AS (
+      SELECT COALESCE(c.col_name, p.col_name) AS col_name,
+             COALESCE(c.midx, p.midx) AS midx,
+             CASE WHEN p.level IS NULL THEN 1 ELSE 0 END AS added,
+             CASE WHEN c.level IS NULL THEN 1 ELSE 0 END AS removed
+      FROM cur c FULL OUTER JOIN prev p
+        ON c.col_name = p.col_name AND c.level = p.level
+       AND c.midx = p.midx
+    ), counts AS (
+      SELECT col_name, midx,
+             CAST(SUM(added) AS BIGINT) AS n_added,
+             CAST(SUM(removed) AS BIGINT) AS n_removed
+      FROM delta GROUP BY col_name, midx
+    ), nlv AS (
+      SELECT col_name, midx, CAST(COUNT(*) AS BIGINT) AS n_levels
+      FROM lvi GROUP BY col_name, midx
+    )
+    SELECT c.col_name, m.month, n.n_levels, c.n_added, c.n_removed
+    FROM counts c
+    JOIN mi m ON m.col_name = c.col_name AND m.midx = c.midx
+    JOIN nlv n ON n.col_name = c.col_name AND n.midx = c.midx
+    WHERE c.midx >= 2
+    """,
+)
+def dq_categorical_domain_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Month-over-month categorical-domain drift: per column, the
+    added/removed level table between consecutive OBSERVED months —
+    the screen that catches enum-version bumps and silent renames.
+    Two incidents are HASH-INJECTED into status so every path
+    exercises (the audit-entry synthesis discipline): from 1998-01,
+    1/16 of rows (md5 first hex nibble '0') carry a versioned
+    'X2' level (added spike, nothing removed); from 2000-07, level
+    'P' is renamed 'P_RENAMED' (one added + one removed in the same
+    month). Priority is left untouched as the all-zeros control row
+    set. Transitions come from a FULL OUTER join of each month's
+    distinct level set against the previous month's, at bounded
+    |levels x months| scale; phantom (last+1) join rows drop at the
+    month-spine join; the first observed month reports no
+    transitions by construction."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    month = F.trunc("o_orderdate", "month")
+    s1 = F.when(
+        (month >= F.lit("1998-01-01").cast("date"))
+        & (
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+            == "0"
+        ),
+        F.concat(F.col("o_orderstatus"), F.lit("2")),
+    ).otherwise(F.col("o_orderstatus"))
+    base = o.select(
+        month.alias("month"),
+        s1.alias("s1"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    lv = (
+        base.select(
+            F.lit("status").alias("col_name"),
+            "month",
+            F.when(
+                (F.col("month") >= F.lit("2000-07-01").cast("date"))
+                & (F.col("s1") == "P"),
+                "P_RENAMED",
+            )
+            .otherwise(F.col("s1"))
+            .alias("level"),
+        )
+        .unionAll(
+            base.select(
+                F.lit("priority").alias("col_name"),
+                "month",
+                F.col("pr").alias("level"),
+            )
+        )
+        .distinct()
+    )
+    mi = (
+        lv.select("col_name", "month")
+        .distinct()
+        .select(
+            "col_name",
+            "month",
+            F.dense_rank()
+            .over(Window.partitionBy("col_name").orderBy("month"))
+            .cast("bigint")
+            .alias("midx"),
+        )
+    )
+    lvi = lv.join(mi, ["col_name", "month"]).select(
+        "col_name", "level", "midx"
+    )
+    cur = lvi.filter(F.col("midx") >= 2)
+    prev = lvi.select(
+        "col_name", "level", (F.col("midx") + 1).alias("midx")
+    )
+    c = cur.alias("c")
+    p = prev.alias("p")
+    delta = c.join(
+        p,
+        (F.col("c.col_name") == F.col("p.col_name"))
+        & (F.col("c.level") == F.col("p.level"))
+        & (F.col("c.midx") == F.col("p.midx")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c.col_name"), F.col("p.col_name")).alias(
+            "col_name"
+        ),
+        F.coalesce(F.col("c.midx"), F.col("p.midx")).alias("midx"),
+        F.when(F.col("p.level").isNull(), 1).otherwise(0).alias("added"),
+        F.when(F.col("c.level").isNull(), 1).otherwise(0).alias("removed"),
+    )
+    counts = delta.groupBy("col_name", "midx").agg(
+        F.sum("added").cast("bigint").alias("n_added"),
+        F.sum("removed").cast("bigint").alias("n_removed"),
+    )
+    nlv = lvi.groupBy("col_name", "midx").agg(
+        F.count("*").cast("bigint").alias("n_levels")
+    )
+    return (
+        counts.filter(F.col("midx") >= 2)
+        .join(mi, ["col_name", "midx"])
+        .join(nlv, ["col_name", "midx"])
+        .select("col_name", "month", "n_levels", "n_added", "n_removed")
+    )

@@ -8084,3 +8084,117 @@ def agg_turning_point_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((F.lit(16.0) * nd - 29.0) / 90.0),
         ).alias("tp_z"),
     )
+
+
+# --- round 15 wave-2 pre-build: MAD z-score outlier census -----------------
+
+
+@_q(
+    "agg_mad_zscore_outlier_census",
+    """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), per AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY cents
+    ), cum AS (
+      SELECT cents,
+             SUM(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM per
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per),
+    med AS (
+      SELECT MIN(cents) AS med
+      FROM cum CROSS JOIN tot WHERE cc >= (tot.n + 1) // 2
+    ), devs AS (
+      SELECT abs(per.cents - med.med) AS dev, per.c
+      FROM per CROSS JOIN med
+    ), dev_per AS (
+      SELECT dev, CAST(SUM(c) AS BIGINT) AS c FROM devs GROUP BY dev
+    ), dev_cum AS (
+      SELECT dev,
+             SUM(c) OVER (ORDER BY dev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM dev_per
+    ), mad AS (
+      SELECT MIN(dev) AS mad
+      FROM dev_cum CROSS JOIN tot WHERE cc >= (tot.n + 1) // 2
+    )
+    SELECT tot.n, med.med AS med_cents, mad.mad AS mad_cents,
+           CAST(SUM(CASE WHEN d.dev * 10000 > 3 * 14826 * mad.mad
+                         THEN d.c ELSE 0 END) AS BIGINT) AS n_gt_3s,
+           CAST(SUM(CASE WHEN d.dev * 10000 > 5 * 14826 * mad.mad
+                         THEN d.c ELSE 0 END) AS BIGINT) AS n_gt_5s,
+           CAST(SUM(CASE WHEN d.dev * 10000 > 10 * 14826 * mad.mad
+                         THEN d.c ELSE 0 END) AS BIGINT) AS n_gt_10s
+    FROM devs d CROSS JOIN med CROSS JOIN mad CROSS JOIN tot
+    GROUP BY tot.n, med.med, mad.mad
+    """,
+)
+def agg_mad_zscore_outlier_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust outlier census on order value: counts of |x - median| >
+    k * 1.4826 * MAD at k = 3/5/10 — the sigma-equivalent gates a
+    mean/stddev z-score would let heavy tails drag around. Median and
+    MAD are TYPE-1 rank lookups on the shared per-value cumulative
+    machinery; every gate is the exact integer cross-multiply
+    dev * 10000 > k * 14826 * MAD (1.4826 carried as the 14826/10000
+    rational — no float ever enters a comparison, no division
+    anywhere). Budget: dev < 2^38 cents x 10^4 < 2^52. Bounded by the
+    distinct-cents table; one broadcast median + one broadcast MAD."""
+    from pyspark.sql import Window
+
+    from .helpers import materialize_reduced
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        )
+    )
+    per = v.groupBy("cents").agg(F.count("*").cast("bigint").alias("c"))
+    per = materialize_reduced(per)
+    cw = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select("cents", F.sum("c").over(cw).alias("cc"))
+    tot = per.agg(F.sum("c").cast("bigint").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cc") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("cents").alias("med"))
+    )
+    devs = per.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("cents") - F.col("med")).alias("dev"), "c"
+    )
+    devs = materialize_reduced(devs)
+    dev_per = devs.groupBy("dev").agg(F.sum("c").cast("bigint").alias("c"))
+    dw = Window.orderBy("dev").rowsBetween(Window.unboundedPreceding, 0)
+    dev_cum = dev_per.select("dev", F.sum("c").over(dw).alias("cc"))
+    mad = (
+        dev_cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cc") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("dev").alias("mad"))
+    )
+    gate = lambda k: F.sum(
+        F.when(
+            F.col("dev") * 10000 > k * 14826 * F.col("mad"), F.col("c")
+        ).otherwise(0)
+    ).cast("bigint")
+    return (
+        devs.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n", "med", "mad")
+        .agg(
+            gate(3).alias("n_gt_3s"),
+            gate(5).alias("n_gt_5s"),
+            gate(10).alias("n_gt_10s"),
+        )
+        .select(
+            "n",
+            F.col("med").alias("med_cents"),
+            F.col("mad").alias("mad_cents"),
+            "n_gt_3s",
+            "n_gt_5s",
+            "n_gt_10s",
+        )
+    )

@@ -3858,3 +3858,266 @@ def window_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("inside")
         .alias("band_position"),
     )
+
+
+# --- round 15 wave-2 pre-builds: Chaikin volatility, CCI, robust z ---------
+
+_EMA10_W = _ema_weights(10, 24)
+_E10_NUM, _E10_DEN = _ema_sql(_EMA10_W)
+
+
+@_q(
+    "window_chaikin_volatility",
+    f"""
+    WITH daily AS ({_DAILY_HLC_SQL}
+    ), rng AS (
+      SELECT day, hi - lo AS cents FROM daily
+    ), terms AS (
+      SELECT day, cents,
+             {_E10_NUM} AS num10,
+             {_E10_DEN} AS den10
+      FROM rng
+      WINDOW w AS (ORDER BY day)
+    ), snapped AS (
+      SELECT day, cents,
+             CAST(round(CAST(num10 AS DOUBLE) / CAST(den10 AS DOUBLE)
+                        * 1000000000.0) AS BIGINT) AS ema_fp
+      FROM terms
+    ), lagged AS (
+      SELECT day, cents, ema_fp,
+             LAG(ema_fp, 10) OVER (ORDER BY day) AS ema_fp_10
+      FROM snapped
+    )
+    SELECT day, cents AS range_cents,
+           CAST(ema_fp AS DOUBLE) / 1000000000.0 / 100.0 AS ema10_range,
+           CASE WHEN ema_fp_10 > 0 THEN
+             100.0 * (CAST(ema_fp AS DOUBLE) - CAST(ema_fp_10 AS DOUBLE))
+             / CAST(ema_fp_10 AS DOUBLE)
+           END AS chaikin_volatility
+    FROM lagged
+    """,
+)
+def window_chaikin_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin volatility: 10-day rate of change of EMA10(daily hi-lo
+    range) on the pseudo-OHLC spine — the reversal-bulge screen that
+    reads widening ranges as building volatility. The EMA rides the
+    bounded integer-weight kernel (24 taps, <2% dropped tail), and
+    each row's EMA is SNAPPED to the 1e-9 fixed-point lattice BEFORE
+    the 10-row lag ratio (the TRIX guard discipline: the ratio must
+    compare two identically-snapped BIGINTs, never two raw double
+    chains); one guarded division (flat 10-back range -> NULL).
+    Budget: range < 2^38 cents x 2^20 weights x 24 terms < 2^63; the
+    1e9 snap of a <= 2^38-cent EMA stays under 2^53 in the double.
+    One day rollup + one ordered window."""
+    daily = _daily_hlc(spark, sf_dir)
+    rng = daily.select("day", (F.col("hi") - F.col("lo")).alias("cents"))
+    w = Window.orderBy("day")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k, wt in enumerate(_EMA10_W):
+        lagged = F.col("cents") if k == 0 else F.lag("cents", k).over(w)
+        num = num + F.coalesce(lagged * wt, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), wt).otherwise(0)
+    snapped = rng.select(
+        "day",
+        "cents",
+        F.round(
+            num.cast("double") / den.cast("double") * 1000000000.0, 0
+        )
+        .cast("bigint")
+        .alias("ema_fp"),
+    )
+    lagged = snapped.select(
+        "day",
+        "cents",
+        "ema_fp",
+        F.lag("ema_fp", 10).over(w).alias("ema_fp_10"),
+    )
+    return lagged.select(
+        "day",
+        F.col("cents").alias("range_cents"),
+        (F.col("ema_fp").cast("double") / 1000000000.0 / 100.0).alias(
+            "ema10_range"
+        ),
+        F.when(
+            F.col("ema_fp_10") > 0,
+            F.lit(100.0)
+            * (
+                F.col("ema_fp").cast("double")
+                - F.col("ema_fp_10").cast("double")
+            )
+            / F.col("ema_fp_10").cast("double"),
+        ).alias("chaikin_volatility"),
+    )
+
+
+@_q(
+    "window_cci",
+    f"""
+    WITH daily AS ({_DAILY_HLC_SQL}
+    ), tp AS (
+      SELECT day, hi + lo + cls AS tp3 FROM daily
+    ), framed AS (
+      SELECT day, tp3,
+             CAST(SUM(tp3) OVER w AS BIGINT) AS sum3,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             list(tp3) OVER w AS lst
+      FROM tp
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), dev AS (
+      SELECT day, tp3, sum3, n,
+             CAST(list_aggregate(
+               list_transform(lst, x -> abs(x * n - sum3)), 'sum')
+               AS BIGINT) AS s_dev
+      FROM framed
+    )
+    SELECT day, n AS frame_n,
+           CAST(tp3 AS DOUBLE) / 300.0 AS typical_price,
+           CASE WHEN s_dev > 0 THEN
+             CAST((tp3 * n - sum3) * n * 1000 AS DOUBLE)
+             / CAST(15 * s_dev AS DOUBLE)
+           END AS cci20
+    FROM dev
+    """,
+)
+def window_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity Channel Index CCI(20) = (tp - SMA20(tp)) / (0.015 *
+    mean|tp - SMA20|) on the pseudo-OHLC spine, computed ENTIRELY on
+    the integer lattice: with tp3 = hi+lo+cls (3x the typical price —
+    the scale cancels), the mean absolute deviation needs the frame
+    AND its own mean, so the frame is materialized as a windowed list
+    (the percentile-rank precedent) and every deviation term is the
+    exact integer |tp3_j*n - sum3|; the closed form collapses to
+    (tp3*n - sum3)*n*1000 / (15*S) — ONE guarded division, zero
+    intermediate floats. Budget: tp3 < 2^40 cents, x n(<=20) x 1000
+    < 2^55. 20-element arrays over the |days|-bounded spine."""
+    daily = _daily_hlc(spark, sf_dir)
+    tp = daily.select(
+        "day", (F.col("hi") + F.col("lo") + F.col("cls")).alias("tp3")
+    )
+    w = Window.orderBy("day").rowsBetween(-19, 0)
+    framed = tp.select(
+        "day",
+        "tp3",
+        F.sum("tp3").over(w).cast("bigint").alias("sum3"),
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.collect_list("tp3").over(w).alias("lst"),
+    )
+    dev = framed.select(
+        "day",
+        "tp3",
+        "sum3",
+        "n",
+        F.expr(
+            "aggregate(transform(lst, x -> abs(x * n - sum3)),"
+            " 0L, (a, x) -> a + x)"
+        )
+        .cast("bigint")
+        .alias("s_dev"),
+    )
+    return dev.select(
+        "day",
+        F.col("n").alias("frame_n"),
+        (F.col("tp3").cast("double") / 300.0).alias("typical_price"),
+        F.when(
+            F.col("s_dev") > 0,
+            (
+                (F.col("tp3") * F.col("n") - F.col("sum3"))
+                * F.col("n")
+                * 1000
+            ).cast("double")
+            / (15 * F.col("s_dev")).cast("double"),
+        ).alias("cci20"),
+    )
+
+
+@_q(
+    "window_robust_frame_zscore",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), framed AS (
+      SELECT day, cents,
+             list(cents) OVER (ORDER BY day
+               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS lst
+      FROM daily
+    ), med AS (
+      SELECT day, cents, lst,
+             CAST(len(lst) AS BIGINT) AS n,
+             list_sort(lst)[(len(lst) + 1) // 2] AS frame_med
+      FROM framed
+    ), mad AS (
+      SELECT day, cents, n, frame_med,
+             list_sort(list_transform(lst, x -> abs(x - frame_med)))
+               [(n + 1) // 2] AS frame_mad
+      FROM med
+    )
+    SELECT day, cents, n AS frame_n,
+           CAST(frame_med AS BIGINT) AS frame_med,
+           CAST(frame_mad AS BIGINT) AS frame_mad,
+           CASE WHEN frame_mad > 0 THEN
+             CAST(cents - frame_med AS DOUBLE) / CAST(frame_mad AS DOUBLE)
+           END AS robust_z
+    FROM mad
+    """,
+)
+def window_robust_frame_zscore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust rolling z-score: (cents - frame_median) / frame_MAD over
+    the trailing 30 days — the robust twin of window_gap_zscore
+    (whose mean/stddev a single spike drags around; the median/MAD
+    pair shrugs it off). Frame median and MAD are TYPE-1 picks at
+    rank (n+1) div 2 on the SORTED windowed list (array indexing is
+    1-based in BOTH engines), deviations are exact integers, and the
+    only float is the final guarded division (MAD = 0 on a
+    majority-constant frame -> NULL, documented). 30-element arrays
+    over the |days|-bounded spine."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-29, 0)
+    framed = daily.select(
+        "day", "cents", F.collect_list("cents").over(w).alias("lst")
+    )
+    med = framed.select(
+        "day",
+        "cents",
+        "lst",
+        F.size("lst").cast("bigint").alias("n"),
+        F.expr(
+            "element_at(array_sort(lst),"
+            " CAST((size(lst) + 1) div 2 AS INT))"
+        ).alias("frame_med"),
+    )
+    mad = med.select(
+        "day",
+        "cents",
+        "n",
+        "frame_med",
+        F.expr(
+            "element_at(array_sort(transform(lst,"
+            " x -> abs(x - frame_med))), CAST((n + 1) div 2 AS INT))"
+        ).alias("frame_mad"),
+    )
+    return mad.select(
+        "day",
+        "cents",
+        F.col("n").alias("frame_n"),
+        F.col("frame_med").cast("bigint").alias("frame_med"),
+        F.col("frame_mad").cast("bigint").alias("frame_mad"),
+        F.when(
+            F.col("frame_mad") > 0,
+            (F.col("cents") - F.col("frame_med")).cast("double")
+            / F.col("frame_mad").cast("double"),
+        ).alias("robust_z"),
+    )

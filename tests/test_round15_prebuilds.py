@@ -445,3 +445,146 @@ def test_payload_byte_simpson_concentration(spark):
     assert out["n_bytes"] == 3 and out["n_distinct_bytes"] == 2
     assert out["sum_c2"] == 5
     assert out["simpson_concentration"] == pytest.approx(5.0 / 9.0)
+
+
+# --- wave-2, third batch (built at round-14 close) -------------------------
+
+
+def test_chaikin_flat_range_reads_zero(spark):
+    """Two orders per day with a constant 20-dollar spread: EMA10 of
+    the range is constant, so the 10-back rate of change is 0 from
+    day 11 on (and NULL during warm-up)."""
+    rows = []
+    for i in range(1, 13):
+        day = dt.datetime(1995, 1, i)
+        rows.append((2 * i - 1, i, "O", 10.0, day, "3-MEDIUM"))
+        rows.append((2 * i, i, "O", 30.0, day, "3-MEDIUM"))
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            str(r["day"]): r
+            for r in WIN_QUERIES["window_chaikin_volatility"](
+                spark, d
+            ).collect()
+        }
+    assert out["1995-01-05"]["chaikin_volatility"] is None
+    assert out["1995-01-11"]["chaikin_volatility"] == 0.0
+    assert out["1995-01-12"]["chaikin_volatility"] == 0.0
+    assert out["1995-01-12"]["ema10_range"] == pytest.approx(20.0)
+
+
+def test_cci_top_of_range_reads_100(spark):
+    """Single orders 10/20/30 dollars: on day 3 the typical price sits
+    at the top of its 3-day frame -> CCI = +100 exactly (the
+    integer closed form (tp3*n - sum3)*n*1000 / (15*S))."""
+    rows = _daily_orders([10.0, 20.0, 30.0])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            str(r["day"]): r
+            for r in WIN_QUERIES["window_cci"](spark, d).collect()
+        }
+    assert out["1995-01-03"]["cci20"] == pytest.approx(100.0)
+    assert out["1995-01-01"]["cci20"] is None  # one-row frame, S = 0
+
+
+def test_robust_frame_zscore_spike(spark):
+    """Dollars 10,20,30,40,100: day-5 frame median 3000 cents, MAD
+    1000 -> z = 7; a majority-constant frame yields NULL (MAD 0)."""
+    rows = _daily_orders([10.0, 20.0, 30.0, 40.0, 100.0])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            str(r["day"]): r
+            for r in WIN_QUERIES["window_robust_frame_zscore"](
+                spark, d
+            ).collect()
+        }
+    r5 = out["1995-01-05"]
+    assert (r5["frame_med"], r5["frame_mad"]) == (3000, 1000)
+    assert r5["robust_z"] == pytest.approx(7.0)
+
+    rows = _daily_orders([10.0, 10.0, 10.0, 10.0, 20.0])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            str(r["day"]): r
+            for r in WIN_QUERIES["window_robust_frame_zscore"](
+                spark, d
+            ).collect()
+        }
+    assert out["1995-01-05"]["frame_mad"] == 0
+    assert out["1995-01-05"]["robust_z"] is None
+
+
+def test_mad_outlier_census_single_spike(spark):
+    """Dollars 1..5 plus one 100: median 300 cents, MAD 100 cents;
+    only the 10000-cent spike clears every sigma-equivalent gate."""
+    rows = _daily_orders([1.0, 2.0, 3.0, 4.0, 5.0, 100.0])
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = REL_QUERIES["agg_mad_zscore_outlier_census"](
+            spark, d
+        ).collect()[0]
+    assert out["n"] == 6
+    assert out["med_cents"] == 300 and out["mad_cents"] == 100
+    assert out["n_gt_3s"] == 1
+    assert out["n_gt_5s"] == 1
+    assert out["n_gt_10s"] == 1
+
+
+def _nibble0_key(start):
+    import hashlib
+
+    k = start
+    while hashlib.md5(str(k).encode()).hexdigest()[0] != "0":
+        k += 1
+    return k
+
+
+def _not_nibble0_key(start):
+    import hashlib
+
+    k = start
+    while hashlib.md5(str(k).encode()).hexdigest()[0] == "0":
+        k += 1
+    return k
+
+
+def test_categorical_domain_drift_injections(spark):
+    """Four months of status 'P' with the two injected incidents:
+    1998-01 adds the versioned 'P2' (one added, none removed);
+    2000-06 is quiet; 2000-07 renames P -> P_RENAMED (one added, one
+    removed). Priority is the all-zeros control."""
+    months = [
+        dt.datetime(1997, 12, 5),
+        dt.datetime(1998, 1, 5),
+        dt.datetime(2000, 6, 5),
+        dt.datetime(2000, 7, 5),
+    ]
+    rows = []
+    kid = 1
+    for i, m in enumerate(months):
+        plain = _not_nibble0_key(1000 * (i + 1))
+        rows.append((plain, kid, "P", 10.0, m, "X"))
+        kid += 1
+        if i >= 1:  # from 1998-01 on, also a nibble-0 key -> 'P2'
+            zero = _nibble0_key(1000 * (i + 1))
+            rows.append((zero, kid, "P", 10.0, m, "X"))
+            kid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = {
+            (r["col_name"], str(r["month"])): r
+            for r in DQ_QUERIES["dq_categorical_domain_drift"](
+                spark, d
+            ).collect()
+        }
+    s = lambda m: out[("status", m)]
+    assert (s("1998-01-01")["n_added"], s("1998-01-01")["n_removed"]) == (1, 0)
+    assert (s("2000-06-01")["n_added"], s("2000-06-01")["n_removed"]) == (0, 0)
+    assert (s("2000-07-01")["n_added"], s("2000-07-01")["n_removed"]) == (1, 1)
+    assert s("2000-07-01")["n_levels"] == 2
+    for m in ("1998-01-01", "2000-06-01", "2000-07-01"):
+        p = out[("priority", m)]
+        assert (p["n_added"], p["n_removed"]) == (0, 0)
