@@ -3594,3 +3594,256 @@ def graph_component_census_strongpairs(
 ORACLES["graph_component_census_strongpairs"] = ORACLES[
     "graph_component_census_strongpairs"
 ].format(ngram=ORACLES["dedup_ngram_jaccard"])
+
+
+# --- round 15 wave-2 pre-build: containment-vs-Jaccard disagreement --------
+
+
+@_q(
+    "dedup_containment_disagreement",
+    rf"""
+    WITH sh0 AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+            FROM documents WHERE TRIM(text) <> '') t
+      WHERE len(toks) >= 3
+    ), df AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), sh AS (
+      SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN df USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), banded AS (
+      SELECT CAST((10 * n_shared) // LEAST(sa.n_sh, sb.n_sh) AS BIGINT)
+               AS cont_decile,
+             CAST((10 * n_shared) // (sa.n_sh + sb.n_sh - n_shared)
+               AS BIGINT) AS jac_decile
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT cont_decile, jac_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           cont_decile >= 6 AND jac_decile < 2 AS missed_by_jaccard
+    FROM banded
+    GROUP BY cont_decile, jac_decile
+    """,
+)
+def dedup_containment_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-vs-containment disagreement census (ROADMAP_r15 #24):
+    for every DF-capped posting-list candidate pair, band BOTH metrics
+    into deciles and count the (containment_decile, jaccard_decile)
+    grid — the off-diagonal mass IS the subset-duplicate population
+    symmetric Jaccard under-scores (a short doc embedded in a long one
+    dilutes the union but not the min), and missed_by_jaccard flags
+    the operationally painful cell: containment >= 0.6 pairs a
+    jaccard < 0.2 pipeline would never surface. Deciles are pure
+    integer cross-multiplies ((10*n_shared) div size — positive, so
+    DuckDB's flooring // and Spark's truncating div agree; never a
+    float band edge). Same single shingle shuffle + capped pair
+    generation as the graded jaccard/containment entries (cost is
+    sum(freq^2) over capped shingles, never |docs|^2); output is the
+    bounded <= 11x11 grid. Screened against dedup_ngram_containment:
+    that entry LISTS the >= 0.6 pairs, this one grades the metric
+    DISAGREEMENT surface the cutoff choice depends on."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    sh = shingle_rows(docs)
+    buckets = materialize_reduced(
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+    )
+    sizes = buckets.select(F.explode("docs").alias("doc_id")).groupBy(
+        "doc_id"
+    ).agg(F.count("*").alias("n_sh"))
+    pairs = (
+        _posting_list_pairs(buckets.filter(F.size("docs") >= 2))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    banded = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            F.expr(
+                "CAST((10 * n_shared) div least(sa.n_sh, sb.n_sh)"
+                " AS BIGINT)"
+            ).alias("cont_decile"),
+            F.expr(
+                "CAST((10 * n_shared) div (sa.n_sh + sb.n_sh - n_shared)"
+                " AS BIGINT)"
+            ).alias("jac_decile"),
+        )
+    )
+    return (
+        banded.groupBy("cont_decile", "jac_decile")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "cont_decile",
+            "jac_decile",
+            "n_pairs",
+            (
+                (F.col("cont_decile") >= 6) & (F.col("jac_decile") < 2)
+            ).alias("missed_by_jaccard"),
+        )
+    )
+
+
+# --- round 15 wave-3 pre-build: anchor pre-filter precision/recall ---------
+
+
+@_q(
+    "dedup_anchor_prefilter_audit",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ), sh0 AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM t WHERE len(toks) >= 3
+    ), df AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), sh AS (
+      SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN df USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+      SELECT doc_a, doc_b
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.2
+    ), anch AS (
+      SELECT doc_id,
+             toks[1] || ' ' || toks[2] || ' ' || toks[3] AS f,
+             toks[-3] || ' ' || toks[-2] || ' ' || toks[-1] AS l
+      FROM t WHERE len(toks) >= 3
+    ), keys AS (
+      SELECT f, l FROM anch GROUP BY f, l
+      HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+    ), ap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM anch a
+      JOIN keys k ON k.f = a.f AND k.l = a.l
+      JOIN anch b ON b.f = a.f AND b.l = a.l AND a.doc_id < b.doc_id
+    ), hit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM ap JOIN truth USING (doc_a, doc_b)
+    ), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_anchor FROM ap)
+    SELECT nt.n_truth, na.n_anchor, h.n_hit,
+           CASE WHEN na.n_anchor > 0 THEN
+             CAST(h.n_hit AS DOUBLE) / CAST(na.n_anchor AS DOUBLE)
+           END AS precision,
+           CASE WHEN nt.n_truth > 0 THEN
+             CAST(h.n_hit AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
+           END AS recall
+    FROM nt, na, hit h
+    """,
+)
+def dedup_anchor_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor pre-filter audit (ROADMAP_r15 #25): the O(1)-per-doc
+    candidate generator — pair only documents sharing BOTH their first
+    AND last trigram — graded as precision/recall against the graded
+    truth scope (dedup_ngram_jaccard's DF-capped posting pairs at
+    jaccard >= 0.2; defined FIRST, per the validate-first note). Each
+    doc carries exactly one (first, last) anchor key, so the candidate
+    join is a single groupBy on that key with the same
+    {MAX_SHINGLE_DF}-cap skew guard as the posting lists (a boilerplate
+    anchor shared by >cap docs is a stopword key, not dedup signal);
+    cost is sum(freq^2) over capped anchor keys — two orders cheaper
+    than the full posting join it pre-filters. High recall says the
+    cheap pass can gate the expensive one; the census quantifies
+    exactly what the shortcut trades. Exact counts, two guarded
+    divisions, single-row output."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    # truth scope: the graded jaccard pipeline verbatim
+    sh = shingle_rows(docs)
+    buckets = materialize_reduced(
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+    )
+    sizes = buckets.select(F.explode("docs").alias("doc_id")).groupBy(
+        "doc_id"
+    ).agg(F.count("*").alias("n_sh"))
+    pairs = (
+        _posting_list_pairs(buckets.filter(F.size("docs") >= 2))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
+    )
+    truth = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b")
+    )
+    # anchor candidates: one (first, last) trigram key per doc
+    toks = F.split(_norm_text(F.col("text")), r"\s+")
+    anch = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("toks"), 1, 3)).alias("f"),
+            F.concat_ws(" ", F.slice(F.col("toks"), -3, 3)).alias("l"),
+        )
+    )
+    akeys = (
+        anch.groupBy("f", "l")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(
+            (F.size("docs") >= 2) & (F.size("docs") <= MAX_SHINGLE_DF)
+        )
+    )
+    ap = _posting_list_pairs(akeys)
+    n_hit = (
+        ap.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    na = ap.agg(F.count("*").cast("bigint").alias("n_anchor"))
+    return (
+        nt.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_anchor",
+            "n_hit",
+            F.when(
+                F.col("n_anchor") > 0,
+                F.col("n_hit").cast("double")
+                / F.col("n_anchor").cast("double"),
+            ).alias("precision"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hit").cast("double")
+                / F.col("n_truth").cast("double"),
+            ).alias("recall"),
+        )
+    )

@@ -3051,3 +3051,186 @@ ORACLES["etl_column_order_drift"] = ORACLES["etl_column_order_drift"].format(
     cks1=_order_drift_checksums_sql(f"{EVOLVE_DIR}/order_v1.parquet", "v1"),
     cks2=_order_drift_checksums_sql(f"{EVOLVE_DIR}/order_v2.parquet", "v2"),
 )
+
+
+# --- round 15 wave-2 pre-builds: three CSV dialect/locale fixtures ---------
+
+MULTILINE_CSV = str(
+    Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+    / "multiline_quoted.csv"
+)
+
+
+@_q(
+    "etl_embedded_newline_csv",
+    f"""
+    SELECT CAST(id AS BIGINT) AS id,
+           name,
+           note,
+           CAST(round(CAST(amount AS DOUBLE) * 100) AS BIGINT)
+             AS amount_cents,
+           CAST(LENGTH(note) AS BIGINT) AS note_chars,
+           CAST(LENGTH(note) - LENGTH(replace(note, chr(10), ''))
+                AS BIGINT) AS lf_count,
+           CAST(LENGTH(note) - LENGTH(replace(note, chr(13), ''))
+                AS BIGINT) AS cr_count
+    FROM read_csv('{MULTILINE_CSV}', header=true, all_varchar=true)
+    """,
+)
+def etl_embedded_newline_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 embedded-newline parity on a committed fixture
+    (ROADMAP_r15 #29): quoted fields carrying a bare LF, a CRLF pair,
+    a doubled quote, and an embedded delimiter must survive as FIELD
+    BYTES, not record breaks. Spark needs two explicit options the
+    default scan lacks — multiLine=true (otherwise each physical line
+    is a record and the quoted note shatters into corrupt rows) and
+    escape='"' (univocity defaults to backslash; RFC-4180 doubles the
+    quote) — while DuckDB's reader handles both natively, so the
+    parity is engine-vs-engine, not parser-vs-itself. Exact-cents
+    roundtrip plus per-field LF/CR/char counts pin every preserved
+    byte (probed this round: both engines keep CRLF inside quotes
+    verbatim). At 100 TB the lesson is the option surface, not
+    throughput: multiLine forces whole-file splits (no intra-file
+    parallelism), which is precisely why the entry documents it as an
+    ingest-edge path distinct from the splittable default scan."""
+    df = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(MULTILINE_CSV)
+    )
+    lf = F.length("note") - F.length(F.replace(F.col("note"), F.lit("\n")))
+    cr = F.length("note") - F.length(F.replace(F.col("note"), F.lit("\r")))
+    return df.select(
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        "note",
+        F.round(F.col("amount").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("amount_cents"),
+        F.length("note").cast("bigint").alias("note_chars"),
+        lf.cast("bigint").alias("lf_count"),
+        cr.cast("bigint").alias("cr_count"),
+    )
+
+
+CONCAT_FEED_CSV = str(
+    Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+    / "concat_feed.csv"
+)
+
+
+@_q(
+    "etl_duplicate_header_detect",
+    f"""
+    WITH raw AS (
+      SELECT id, name, amount
+      FROM read_csv('{CONCAT_FEED_CSV}', header=true, all_varchar=true)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_scanned,
+           CAST(COUNT(CASE WHEN id = 'id' THEN 1 END) AS BIGINT)
+             AS header_rows_dropped,
+           CAST(COUNT(CASE WHEN id <> 'id' THEN 1 END) AS BIGINT)
+             AS data_rows,
+           CAST(COUNT(DISTINCT CASE WHEN id <> 'id' THEN id END) AS BIGINT)
+             AS n_distinct_ids,
+           CAST(SUM(CASE WHEN id <> 'id' THEN
+                CAST(round(CAST(amount AS DOUBLE) * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS total_cents
+    FROM raw
+    """,
+)
+def etl_duplicate_header_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenated-feed header detection (ROADMAP_r15 #30): when
+    upstream cats N daily CSVs into one file, N-1 header lines survive
+    as DATA rows ('id','name','amount') and poison every downstream
+    cast. Both engines consume the FIRST header via header=true and
+    must then detect the mid-file repeats by value (id = literal
+    'id') — the reader cannot do it, because a header row is
+    syntactically a perfectly valid record. The graded summary pins
+    rows scanned, headers dropped, surviving data rows, distinct keys,
+    and the exact-cents total of the cleaned feed. Scale shape: one
+    filtered aggregate over the scan, no shuffle beyond the 1-row
+    rollup; at 100 TB the same predicate runs per-split because a
+    concatenated feed plants its stray headers anywhere in the byte
+    range, which is exactly why detection must be row-local."""
+    df = spark.read.option("header", True).csv(CONCAT_FEED_CSV)
+    is_hdr = F.col("id") == "id"
+    cents = F.round(F.col("amount").cast("double") * 100, 0).cast("bigint")
+    return df.agg(
+        F.count("*").cast("bigint").alias("rows_scanned"),
+        F.count(F.when(is_hdr, 1)).cast("bigint").alias(
+            "header_rows_dropped"
+        ),
+        F.count(F.when(~is_hdr, 1)).cast("bigint").alias("data_rows"),
+        F.countDistinct(F.when(~is_hdr, F.col("id")))
+        .cast("bigint")
+        .alias("n_distinct_ids"),
+        F.sum(F.when(~is_hdr, cents).otherwise(0))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+
+
+LOCALE_CSV = str(
+    Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+    / "locale_amounts.csv"
+)
+
+
+@_q(
+    "etl_locale_decimal_normalize",
+    f"""
+    SELECT CAST(id AS BIGINT) AS id,
+           name,
+           amount AS amount_raw,
+           CAST(round(CAST(replace(replace(amount, '.', ''), ',', '.')
+                AS DOUBLE) * 100) AS BIGINT) AS amount_cents,
+           CAST(LENGTH(amount) - LENGTH(replace(amount, '.', ''))
+                AS BIGINT) AS n_grouping_seps
+    FROM read_csv('{LOCALE_CSV}', header=true, all_varchar=true,
+                  delim=';')
+    """,
+)
+def etl_locale_decimal_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-decimal ingestion (ROADMAP_r15 #31): a de-DE feed writes
+    '12.345.678,01' — '.' is the thousands grouping and ',' the
+    decimal mark — and ships semicolon-delimited because ',' is data.
+    Normalization is the documented two-step string mapping (strip
+    grouping dots, then swap the decimal comma) applied identically in
+    both engines BEFORE the one double cast, so the exact-cents
+    contract survives the locale (negative amounts included — the
+    sign rides the same path). n_grouping_seps pins that the dot
+    stripping saw exactly the separators the fixture planted. Pure
+    row-local projection: at 100 TB this is a zero-shuffle map over
+    the splittable scan, the cheapest possible shape."""
+    df = (
+        spark.read.option("header", True)
+        .option("sep", ";")
+        .csv(LOCALE_CSV)
+    )
+    normalized = F.replace(
+        F.replace(F.col("amount"), F.lit("."), F.lit("")),
+        F.lit(","),
+        F.lit("."),
+    )
+    return df.select(
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.col("amount").alias("amount_raw"),
+        F.round(normalized.cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("amount_cents"),
+        (
+            F.length("amount")
+            - F.length(F.replace(F.col("amount"), F.lit(".")))
+        )
+        .cast("bigint")
+        .alias("n_grouping_seps"),
+    )

@@ -8198,3 +8198,189 @@ def agg_mad_zscore_outlier_census(
             "n_gt_10s",
         )
     )
+
+
+# --- round 15 wave-3 pre-build: Sen slope rank confidence band --------------
+
+
+@_q(
+    "agg_sen_slope_confidence_band",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), lags AS (
+      SELECT d1.day, d1.cents AS c1, d2.cents AS c2,
+             CAST(d2.day - d1.day AS BIGINT) AS lag
+      FROM daily d1 JOIN daily d2
+        ON d2.day - d1.day BETWEEN 1 AND 30
+    ), slopes AS (
+      SELECT (CASE WHEN c2 - c1 < 0 THEN -1 ELSE 1 END)
+             * ((abs(c2 - c1) * 10000) // lag) AS slope_fp
+      FROM lags
+    ), per AS (
+      SELECT slope_fp, CAST(COUNT(*) AS BIGINT) AS c
+      FROM slopes GROUP BY slope_fp
+    ), cum AS (
+      SELECT slope_fp,
+             SUM(c) OVER (ORDER BY slope_fp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM per
+    ), tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_pairs FROM per),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    cc AS (
+      SELECT n_days,
+             CAST(round(1.96 * sqrt(
+               CAST(n_days * (n_days - 1) * (2 * n_days + 5) AS DOUBLE)
+               / 18.0)) AS BIGINT) AS c_half
+      FROM nd
+    ), ranks AS (
+      SELECT t.n_pairs, c.n_days, c.c_half,
+             GREATEST(CASE WHEN t.n_pairs > c.c_half
+               THEN (t.n_pairs - c.c_half) // 2 ELSE 0 END, 1) AS r_lo,
+             LEAST((t.n_pairs + c.c_half) // 2 + 1, t.n_pairs) AS r_hi
+      FROM tot t CROSS JOIN cc c
+    ), med AS (
+      SELECT MIN(slope_fp) AS median_slope_fp
+      FROM cum CROSS JOIN tot WHERE cumc >= (n_pairs + 1) // 2
+    ), lo AS (
+      SELECT MIN(slope_fp) AS lo_fp
+      FROM cum CROSS JOIN ranks WHERE n_pairs > 0 AND cumc >= r_lo
+    ), hi AS (
+      SELECT MIN(slope_fp) AS hi_fp
+      FROM cum CROSS JOIN ranks WHERE n_pairs > 0 AND cumc >= r_hi
+    )
+    SELECT r.n_days, r.n_pairs, r.c_half, m.median_slope_fp,
+           CAST(m.median_slope_fp AS DOUBLE) / 10000.0
+             AS slope_cents_per_day,
+           lo.lo_fp AS ci_lo_fp, hi.hi_fp AS ci_hi_fp,
+           CAST(lo.lo_fp AS DOUBLE) / 10000.0 AS ci_lo_cents_per_day,
+           CAST(hi.hi_fp AS DOUBLE) / 10000.0 AS ci_hi_cents_per_day
+    FROM ranks r CROSS JOIN med m CROSS JOIN lo CROSS JOIN hi
+    """,
+)
+def agg_sen_slope_confidence_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sen slope with its rank-based confidence band (ROADMAP_r15 #7):
+    the graded agg_theil_sen_banded point estimate plus the classic
+    distribution-free interval — C = round(z * sqrt(Var(S))) with
+    Var(S) = n(n-1)(2n+5)/18 over the n daily observations, band
+    endpoints at the (N-C)/2-th and (N+C)/2+1-th smallest pairwise
+    slopes (Sen 1968's ranks, documented here on the SAME lag-1..30
+    banded pair panel as the point entry — the band restriction is
+    the 100 TB shape, and the formula's n stays the day count).
+    Integer-lattice discipline: slopes on the 1e-4 fp lattice with
+    the sign-split division; Var's cubic product < 2^53 so its double
+    is exact before the one sqrt (IEEE-correct in both engines);
+    rank arithmetic is positive integer division only (the N > C
+    case-gate keeps every numerator nonnegative — Spark div truncates
+    toward zero, DuckDB // floors, they agree only there), clamped to
+    [1, N]. Two more cumulative lookups on the existing per-value
+    slope table — no new shuffle shape."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    daily = materialize_reduced(daily)
+    left = daily.select(
+        "day",
+        F.col("cents").alias("c1"),
+        F.explode(F.sequence(F.lit(1), F.lit(30))).alias("lag"),
+    )
+    right = daily.select(
+        F.col("day").alias("day2"), F.col("cents").alias("c2")
+    )
+    lags = left.join(
+        right, F.expr("date_add(day, lag)") == F.col("day2")
+    ).select("c1", "c2", F.col("lag").cast("bigint").alias("lag"))
+    slopes = lags.select(
+        (
+            F.when(F.col("c2") - F.col("c1") < 0, -1).otherwise(1)
+            * F.expr("(abs(c2 - c1) * 10000) div lag")
+        ).alias("slope_fp")
+    )
+    per = slopes.groupBy("slope_fp").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.orderBy("slope_fp").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select("slope_fp", F.sum("c").over(w).alias("cumc"))
+    tot = per.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_pairs")
+    )
+    nd = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    cc = nd.select(
+        "n_days",
+        F.round(
+            F.lit(1.96)
+            * F.sqrt(
+                F.expr(
+                    "CAST(n_days * (n_days - 1) * (2 * n_days + 5)"
+                    " AS DOUBLE)"
+                )
+                / 18.0
+            ),
+            0,
+        )
+        .cast("bigint")
+        .alias("c_half"),
+    )
+    ranks = tot.crossJoin(F.broadcast(cc)).select(
+        "n_pairs",
+        "n_days",
+        "c_half",
+        F.greatest(
+            F.when(
+                F.col("n_pairs") > F.col("c_half"),
+                F.expr("(n_pairs - c_half) div 2"),
+            ).otherwise(F.lit(0).cast("bigint")),
+            F.lit(1).cast("bigint"),
+        ).alias("r_lo"),
+        F.least(
+            F.expr("(n_pairs + c_half) div 2 + 1"), F.col("n_pairs")
+        ).alias("r_hi"),
+    )
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cumc") >= F.expr("(n_pairs + 1) div 2"))
+        .agg(F.min("slope_fp").alias("median_slope_fp"))
+    )
+    lo = (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter((F.col("n_pairs") > 0) & (F.col("cumc") >= F.col("r_lo")))
+        .agg(F.min("slope_fp").alias("lo_fp"))
+    )
+    hi = (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter((F.col("n_pairs") > 0) & (F.col("cumc") >= F.col("r_hi")))
+        .agg(F.min("slope_fp").alias("hi_fp"))
+    )
+    return (
+        ranks.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_days",
+            "n_pairs",
+            "c_half",
+            "median_slope_fp",
+            (F.col("median_slope_fp").cast("double") / 10000.0).alias(
+                "slope_cents_per_day"
+            ),
+            F.col("lo_fp").alias("ci_lo_fp"),
+            F.col("hi_fp").alias("ci_hi_fp"),
+            (F.col("lo_fp").cast("double") / 10000.0).alias(
+                "ci_lo_cents_per_day"
+            ),
+            (F.col("hi_fp").cast("double") / 10000.0).alias(
+                "ci_hi_cents_per_day"
+            ),
+        )
+    )

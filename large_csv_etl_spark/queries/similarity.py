@@ -4597,3 +4597,481 @@ def sim_pq_subspace_distortion(
             ).alias("err_share"),
         )
     )
+
+
+# --- round 15 wave-2 pre-build: cosine threshold pair curve ----------------
+
+
+@_q(
+    "sim_threshold_pair_curve",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings
+    ), panel AS (
+      SELECT CAST(round(
+               ROUND(CAST(list_cosine_similarity(a.xd, b.xd) AS DOUBLE), 6)
+               * 1000000.0) AS BIGINT) AS cos_fp
+      FROM e a JOIN e b
+        ON b.vec_id = a.vec_id + 1
+           + ('0x' || substr(md5('tp:' || CAST(a.vec_id AS VARCHAR)),
+              1, 15))::BIGINT % 50
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS panel_n,
+             CAST(COUNT(CASE WHEN cos_fp >= 700000 THEN 1 END) AS BIGINT)
+               AS c07,
+             CAST(COUNT(CASE WHEN cos_fp >= 800000 THEN 1 END) AS BIGINT)
+               AS c08,
+             CAST(COUNT(CASE WHEN cos_fp >= 900000 THEN 1 END) AS BIGINT)
+               AS c09
+      FROM panel
+    )
+    SELECT t.threshold, t.n_pairs, agg.panel_n,
+           CASE WHEN agg.panel_n > 0 THEN
+             CAST(t.n_pairs AS DOUBLE) / CAST(agg.panel_n AS DOUBLE)
+           END AS pair_share
+    FROM agg, LATERAL (
+      SELECT CAST(0.7 AS DOUBLE) AS threshold, c07 AS n_pairs UNION ALL
+      SELECT CAST(0.8 AS DOUBLE), c08 UNION ALL
+      SELECT CAST(0.9 AS DOUBLE), c09
+    ) t
+    """,
+)
+def sim_threshold_pair_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair-volume curve (ROADMAP_r15 #27): how many
+    candidate pairs a cosine cutoff of 0.7 / 0.8 / 0.9 would admit,
+    priced on the BOUNDED hash-derived partner panel (one md5-salted
+    partner per vector — 'tp:' salt, |vecs| rows, never all-pairs;
+    out-of-range partners drop from the inner join identically in
+    both engines). Cosines ride the established 6dp contract then the
+    1e-6 fixed-point snap, so every threshold gate is an exact BIGINT
+    compare (>= 700000, never a float edge); the single panel
+    aggregate fans out to the three curve rows with one guarded
+    division each. This is the capacity-planning twin of the graded
+    recall audits: recall says what a cutoff KEEPS, this says what it
+    COSTS downstream. One join + one 1-row rollup at any scale."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xd"),
+    )
+    partner = (
+        F.col("a.vec_id")
+        + 1
+        + F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("tp:"), F.col("a.vec_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 50
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.xd"), F.col("b.xd"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("a.xd"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norm_b = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("b.xd"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    panel = a.join(b, F.col("b.vec_id") == partner).select(
+        F.round(F.round(dot / (norm_a * norm_b), 6) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("cos_fp")
+    )
+    agg = panel.agg(
+        F.count("*").cast("bigint").alias("panel_n"),
+        F.count(F.when(F.col("cos_fp") >= 700000, 1))
+        .cast("bigint")
+        .alias("c07"),
+        F.count(F.when(F.col("cos_fp") >= 800000, 1))
+        .cast("bigint")
+        .alias("c08"),
+        F.count(F.when(F.col("cos_fp") >= 900000, 1))
+        .cast("bigint")
+        .alias("c09"),
+    )
+    curve = agg.selectExpr(
+        "panel_n",
+        "stack(3, 0.7D, c07, 0.8D, c08, 0.9D, c09)"
+        " AS (threshold, n_pairs)",
+    )
+    return curve.select(
+        "threshold",
+        "n_pairs",
+        "panel_n",
+        F.when(
+            F.col("panel_n") > 0,
+            F.col("n_pairs").cast("double")
+            / F.col("panel_n").cast("double"),
+        ).alias("pair_share"),
+    )
+
+
+# --- round 15 wave-3 pre-build: kNN label confusion matrix -----------------
+
+
+@_q(
+    "sim_knn_label_confusion",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS q_label
+      FROM embeddings WHERE vec_id % 20 = 0
+    ), scored AS (
+      SELECT q.q_id, q.q_label, e.vec_id, e.label,
+             ROUND(CAST(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE), 6)
+               AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    ), top5 AS (
+      SELECT q_id, q_label, label FROM (
+        SELECT q_id, q_label, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 5
+    ), votes AS (
+      SELECT q_id, q_label, label, COUNT(*) AS n_votes
+      FROM top5 GROUP BY q_id, q_label, label
+    ), pred AS (
+      SELECT q_id, q_label, label AS pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY n_votes DESC, label) AS vr
+        FROM votes) WHERE vr = 1
+    ), per_true AS (
+      SELECT q_label, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM pred GROUP BY q_label
+    )
+    SELECT p.q_label AS true_label, p.pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CASE WHEN t.n_true > 0 THEN
+             CAST(COUNT(*) AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+           END AS row_share,
+           p.q_label = p.pred_label AS is_diagonal
+    FROM pred p JOIN per_true t ON t.q_label = p.q_label
+    GROUP BY p.q_label, p.pred_label, t.n_true
+    """,
+)
+def sim_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label confusion matrix (ROADMAP_r15 #28): the graded
+    sim_knn_label_eval reports per-class ACCURACY; this entry shows
+    WHERE the misses go — per (true_label, predicted_label) cell
+    counts plus the row-normalized share, over the identical held-out
+    panel (every 20th vector, 5-NN cosine vote, majority with
+    smaller-label ties — the family's portability contract verbatim,
+    so the two entries compose into one scored pass at scale). The
+    off-diagonal heavy cells are the class pairs nearest-neighbor
+    curation will cross; output is bounded at |labels|^2 (100 cells on
+    the 10-label fixture) regardless of corpus size. Exact counts, one
+    guarded division per cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_n = emb.select(
+        "vec_id", "embedding", "label", _norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint()
+    q = emb_n.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    scored = (
+        emb_n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    top5 = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "q_label", "label")
+    )
+    votes = top5.groupBy("q_id", "q_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), "label"
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("q_id", "q_label", F.col("label").alias("pred_label"))
+    )
+    per_true = pred.groupBy("q_label").agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    return (
+        pred.join(per_true, "q_label")
+        .groupBy("q_label", "pred_label", "n_true")
+        .agg(F.count("*").cast("bigint").alias("n_queries"))
+        .select(
+            F.col("q_label").alias("true_label"),
+            "pred_label",
+            "n_queries",
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_queries").cast("double")
+                / F.col("n_true").cast("double"),
+            ).alias("row_share"),
+            (F.col("q_label") == F.col("pred_label")).alias("is_diagonal"),
+        )
+    )
+
+
+# --- round 15 wave-3 pre-build: IVF inverted-list balance audit -------------
+
+
+@_q(
+    "sim_ivf_list_balance_audit",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v6
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, label, unnest(v6) AS val6,
+             generate_subscripts(v6, 1) AS pos
+      FROM v WHERE vec_id <> 0
+    ), c AS (
+      SELECT label AS clabel, pos,
+             CAST(round(CAST(SUM(val6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cmu
+      FROM ex GROUP BY label, pos
+    ), d AS (
+      SELECT e.vec_id, c.clabel,
+             CAST(SUM((e.val6 - c.cmu) * (e.val6 - c.cmu)) AS BIGINT) AS d2
+      FROM ex e JOIN c ON c.pos = e.pos
+      GROUP BY e.vec_id, c.clabel
+    ), assigned AS (
+      SELECT vec_id, clabel FROM (
+        SELECT vec_id, clabel,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), lists AS (
+      SELECT clabel, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM assigned GROUP BY clabel
+    ), lstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(MIN(n_members) AS BIGINT) AS min_list,
+             CAST(MAX(n_members) AS BIGINT) AS max_list,
+             CAST(SUM(n_members) AS BIGINT) AS n_assigned
+      FROM lists
+    ), ranked AS (
+      SELECT vec_id AS q_id, clabel,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, clabel) AS rn
+      FROM d WHERE vec_id % 100 = 0
+    ), np AS (
+      SELECT CAST(1 AS BIGINT) AS nprobe
+      UNION ALL SELECT CAST(4 AS BIGINT)
+    ), costs AS (
+      SELECT np.nprobe, r.q_id, CAST(SUM(l.n_members) AS BIGINT) AS cost
+      FROM np JOIN ranked r ON r.rn <= np.nprobe
+      JOIN lists l ON l.clabel = r.clabel
+      GROUP BY np.nprobe, r.q_id
+    ), per AS (
+      SELECT nprobe, cost, CAST(COUNT(*) AS BIGINT) AS cq
+      FROM costs GROUP BY nprobe, cost
+    ), cum AS (
+      SELECT nprobe, cost,
+             SUM(cq) OVER (PARTITION BY nprobe ORDER BY cost
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM per
+    ), nq AS (
+      SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries
+      FROM costs GROUP BY nprobe
+    ), pick AS (
+      SELECT c.nprobe,
+             CAST(MIN(CASE WHEN c.cumc >= (n.n_queries + 1) // 2
+                  THEN c.cost END) AS BIGINT) AS cost_p50,
+             CAST(MIN(CASE WHEN c.cumc >= (19 * n.n_queries + 19) // 20
+                  THEN c.cost END) AS BIGINT) AS cost_p95
+      FROM cum c JOIN nq n USING (nprobe)
+      GROUP BY c.nprobe
+    )
+    SELECT n.nprobe, n.n_queries, s.n_cells, s.min_list, s.max_list,
+           CASE WHEN s.n_cells > 0 THEN
+             CAST(s.n_assigned AS DOUBLE) / CAST(s.n_cells AS DOUBLE)
+           END AS avg_list,
+           CASE WHEN s.min_list > 0 THEN
+             CAST(s.max_list AS DOUBLE) / CAST(s.min_list AS DOUBLE)
+           END AS imbalance_ratio,
+           p.cost_p50, p.cost_p95
+    FROM nq n JOIN pick p USING (nprobe) CROSS JOIN lstats s
+    """,
+)
+def sim_ivf_list_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF partition-skew health check (ROADMAP_r15 #26): the graded
+    IVF entries prove recall; this one prices it — per inverted list
+    the member count (min/max/avg + max/min imbalance ratio), and per
+    query the CANDIDATE COST a probe actually pays (sum of probed
+    list sizes) at nprobe 1 and 4, reported as TYPE-1 p50/p95 over
+    the bounded every-100th-vector query panel. A balanced index has
+    imbalance near 1 and p95 near nprobe*avg_list; a skewed quantizer
+    shows up as p95 >> p50 long before recall moves. Same portable
+    fixed-point quantizer/assignment as sim_ivf_portable_topk (one
+    centroid broadcast, exact BIGINT squared-L2, deterministic ties);
+    percentile picks are cumulative-count rank lookups with ceil
+    ranks as positive integer division — no float percentile, no
+    sort-collect. Probe-cost grain is |panel| x nprobe rows; every
+    aggregate bounded by |cells| or |panel| at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec6 = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+        ).alias("v6"),
+    )
+    corpus = vec6.filter(F.col("vec_id") != 0)
+    ex = corpus.select("label", F.posexplode("v6").alias("pos", "val6"))
+    cent_arr = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            F.round(F.sum("val6").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cmu")
+        )
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cmu"))),
+                lambda s: s["cmu"],
+            ).alias("c6")
+        )
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    dist = materialize_reduced(
+        corpus.crossJoin(F.broadcast(cent_arr)).select(
+            "vec_id", "clabel", d2(F.col("v6"), F.col("c6")).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "clabel")
+    )
+    lists = assigned.groupBy("clabel").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    lstats = lists.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.min("n_members").cast("bigint").alias("min_list"),
+        F.max("n_members").cast("bigint").alias("max_list"),
+        F.sum("n_members").cast("bigint").alias("n_assigned"),
+    )
+    ranked = (
+        dist.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "clabel",
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    np_spine = spark.createDataFrame([(1,), (4,)], "nprobe long")
+    costs = (
+        F.broadcast(np_spine)
+        .join(ranked, F.col("rn") <= F.col("nprobe"))
+        .join(lists, "clabel")
+        .groupBy("nprobe", "q_id")
+        .agg(F.sum("n_members").cast("bigint").alias("cost"))
+    )
+    per = costs.groupBy("nprobe", "cost").agg(
+        F.count("*").cast("bigint").alias("cq")
+    )
+    wc = (
+        Window.partitionBy("nprobe")
+        .orderBy("cost")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select("nprobe", "cost", F.sum("cq").over(wc).alias("cumc"))
+    nq = costs.groupBy("nprobe").agg(
+        F.count("*").cast("bigint").alias("n_queries")
+    )
+    pick = (
+        cum.join(nq, "nprobe")
+        .groupBy("nprobe")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cumc")
+                    >= F.expr("(n_queries + 1) div 2"),
+                    F.col("cost"),
+                )
+            )
+            .cast("bigint")
+            .alias("cost_p50"),
+            F.min(
+                F.when(
+                    F.col("cumc")
+                    >= F.expr("(19 * n_queries + 19) div 20"),
+                    F.col("cost"),
+                )
+            )
+            .cast("bigint")
+            .alias("cost_p95"),
+        )
+    )
+    return (
+        nq.join(pick, "nprobe")
+        .crossJoin(F.broadcast(lstats))
+        .select(
+            "nprobe",
+            "n_queries",
+            "n_cells",
+            "min_list",
+            "max_list",
+            F.when(
+                F.col("n_cells") > 0,
+                F.col("n_assigned").cast("double")
+                / F.col("n_cells").cast("double"),
+            ).alias("avg_list"),
+            F.when(
+                F.col("min_list") > 0,
+                F.col("max_list").cast("double")
+                / F.col("min_list").cast("double"),
+            ).alias("imbalance_ratio"),
+            "cost_p50",
+            "cost_p95",
+        )
+    )

@@ -6949,3 +6949,123 @@ def text_topk_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_share"),
         )
     )
+
+
+# --- round 15 wave-3 pre-build: bounded two-hop reach ------------------------
+
+
+@_q(
+    "graph_two_hop_reach",
+    f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), adj AS MATERIALIZED (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL
+      SELECT v, u FROM edges
+    ), cap AS MATERIALIZED (
+      SELECT node, nbr FROM (
+        SELECT node, nbr,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rn
+        FROM adj
+      ) WHERE rn <= {_CN_NBR_CAP}
+    ), hop2 AS (
+      SELECT h1.node, c2.nbr
+      FROM cap h1 JOIN cap c2 ON c2.node = h1.nbr
+    ), reach AS (
+      SELECT node, CAST(COUNT(DISTINCT nbr) AS BIGINT) AS two_hop_size
+      FROM (
+        SELECT node, nbr FROM cap
+        UNION
+        SELECT node, nbr FROM hop2
+      ) u
+      WHERE nbr <> node
+      GROUP BY node
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM reach
+    )
+    SELECT r.two_hop_size, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CASE WHEN t.n_total > 0 THEN
+             CAST(COUNT(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+           END AS node_share
+    FROM reach r CROSS JOIN tot t
+    GROUP BY r.two_hop_size, t.n_total
+    """,
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded two-hop reach histogram (ROADMAP_r15 #37) on the part
+    co-purchase projection: per node, the count of DISTINCT vertices
+    within two hops over the rank-capped adjacency (each node
+    contributes only its first {_CN_NBR_CAP} neighbors in
+    deterministic part-key order — the graded common-neighbors cap,
+    so the expansion is O(|V| * cap^2) with every per-node reach
+    bounded at cap + cap^2, never a frontier explosion), then the
+    size histogram with node shares. The reach distribution is the
+    graph-health screen link prediction depends on: a long right
+    tail means hub middles dominate wedge generation. Candidate
+    bound validated first per the wave-3 note: hop2 rows are at most
+    |V| * cap^2 before the distinct. Exact counts; one guarded
+    division per histogram row."""
+    from pyspark.sql import Window
+
+    from .helpers import materialize_reduced
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = materialize_reduced(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v"), F.col("u")))
+    cap = materialize_reduced(
+        adj.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("node").orderBy("nbr")),
+        )
+        .filter(F.col("rn") <= _CN_NBR_CAP)
+        .select("node", "nbr")
+    )
+    h1, c2 = cap.alias("h1"), cap.alias("c2")
+    hop2 = h1.join(c2, F.col("c2.node") == F.col("h1.nbr")).select(
+        F.col("h1.node").alias("node"), F.col("c2.nbr").alias("nbr")
+    )
+    reach = (
+        cap.unionAll(hop2)
+        .filter(F.col("nbr") != F.col("node"))
+        .distinct()
+        .groupBy("node")
+        .agg(F.countDistinct("nbr").cast("bigint").alias("two_hop_size"))
+    )
+    tot = reach.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        reach.crossJoin(F.broadcast(tot))
+        .groupBy("two_hop_size", "n_total")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .select(
+            "two_hop_size",
+            "n_nodes",
+            F.when(
+                F.col("n_total") > 0,
+                F.col("n_nodes").cast("double")
+                / F.col("n_total").cast("double"),
+            ).alias("node_share"),
+        )
+    )

@@ -4121,3 +4121,137 @@ def window_robust_frame_zscore(
             / F.col("frame_mad").cast("double"),
         ).alias("robust_z"),
     )
+
+
+# --- round 15 wave-2 pre-build: Coppock curve ------------------------------
+
+_COPPOCK_NUM = " + ".join(
+    f"COALESCE(LAG(sum_fp, {k}) OVER w2 * {10 - k}, 0)" if k else
+    f"COALESCE(sum_fp * {10 - k}, 0)"
+    for k in range(10)
+)
+_COPPOCK_DEN = " + ".join(
+    f"CASE WHEN LAG(sum_fp, {k}) OVER w2 IS NOT NULL THEN {10 - k} ELSE 0 END"
+    if k else
+    f"CASE WHEN sum_fp IS NOT NULL THEN {10 - k} ELSE 0 END"
+    for k in range(10)
+)
+
+
+@_q(
+    "window_coppock_curve",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT day, cents,
+             CASE WHEN LAG(cents, 14) OVER w IS NOT NULL THEN
+               CAST(round((CAST(cents AS DOUBLE)
+                           - CAST(LAG(cents, 14) OVER w AS DOUBLE))
+                          / CAST(LAG(cents, 14) OVER w AS DOUBLE)
+                          * 1000000000.0) AS BIGINT) END AS roc14_fp,
+             CASE WHEN LAG(cents, 11) OVER w IS NOT NULL THEN
+               CAST(round((CAST(cents AS DOUBLE)
+                           - CAST(LAG(cents, 11) OVER w AS DOUBLE))
+                          / CAST(LAG(cents, 11) OVER w AS DOUBLE)
+                          * 1000000000.0) AS BIGINT) END AS roc11_fp
+      FROM daily
+      WINDOW w AS (ORDER BY day)
+    ), s AS (
+      SELECT day, cents, roc14_fp, roc11_fp,
+             CASE WHEN roc14_fp IS NOT NULL AND roc11_fp IS NOT NULL
+               THEN roc14_fp + roc11_fp END AS sum_fp
+      FROM r
+    ), wma AS (
+      SELECT day, cents, roc14_fp, roc11_fp,
+             {_COPPOCK_NUM} AS num,
+             {_COPPOCK_DEN} AS den
+      FROM s
+      WINDOW w2 AS (ORDER BY day)
+    )
+    SELECT day, cents,
+           CAST(roc14_fp AS DOUBLE) / 1000000000.0 AS roc_14,
+           CAST(roc11_fp AS DOUBLE) / 1000000000.0 AS roc_11,
+           CASE WHEN den > 0 THEN
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000000.0
+           END AS coppock
+    FROM wma
+    """,
+)
+def window_coppock_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coppock curve (ROADMAP_r15 #11): front-weighted WMA10 of
+    (ROC14 + ROC11) on the daily-revenue series — the long-horizon
+    momentum bottom-finder. Two-stage snap budget, documented: each
+    per-row ROC ratio is snapped to the 1e-9 fixed-point lattice as a
+    BIGINT (|roc| < 2^10 at any SF -> fp < 2^40, exact in the double
+    before the round), the two fps ADD on the integer lattice (never
+    re-divide), and the WMA is a pure integer-weight kernel (10..1
+    triangular, null-aware denominator like the EMA discipline) whose
+    numerator tops out below 2^40 x 55 < 2^46 — the one terminal
+    division produces the reported double. Warm-up rows surface as
+    NULL roc/coppock, not phantom zeros (the chande lag-NULL lesson).
+    One day rollup + one ordered window; at scale the unpartitioned
+    ORDER BY day spine is |days| rows, driver-safe."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+
+    def roc_fp(k):
+        lagged = F.lag("cents", k).over(w)
+        return F.when(
+            lagged.isNotNull(),
+            F.round(
+                (F.col("cents").cast("double") - lagged.cast("double"))
+                / lagged.cast("double")
+                * 1000000000.0,
+                0,
+            ).cast("bigint"),
+        )
+
+    r = daily.select(
+        "day", "cents", roc_fp(14).alias("roc14_fp"), roc_fp(11).alias("roc11_fp")
+    )
+    s = r.select(
+        "day",
+        "cents",
+        "roc14_fp",
+        "roc11_fp",
+        F.when(
+            F.col("roc14_fp").isNotNull() & F.col("roc11_fp").isNotNull(),
+            F.col("roc14_fp") + F.col("roc11_fp"),
+        ).alias("sum_fp"),
+    )
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k in range(10):
+        lagged = F.col("sum_fp") if k == 0 else F.lag("sum_fp", k).over(w)
+        num = num + F.coalesce(lagged * (10 - k), F.lit(0))
+        den = den + F.when(lagged.isNotNull(), 10 - k).otherwise(0)
+    wma = s.select(
+        "day", "cents", "roc14_fp", "roc11_fp",
+        num.alias("num"), den.alias("den"),
+    )
+    return wma.select(
+        "day",
+        "cents",
+        (F.col("roc14_fp").cast("double") / 1000000000.0).alias("roc_14"),
+        (F.col("roc11_fp").cast("double") / 1000000000.0).alias("roc_11"),
+        F.when(
+            F.col("den") > 0,
+            F.col("num").cast("double")
+            / F.col("den").cast("double")
+            / 1000000000.0,
+        ).alias("coppock"),
+    )

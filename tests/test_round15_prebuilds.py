@@ -588,3 +588,326 @@ def test_categorical_domain_drift_injections(spark):
     for m in ("1998-01-01", "2000-06-01", "2000-07-01"):
         p = out[("priority", m)]
         assert (p["n_added"], p["n_removed"]) == (0, 0)
+
+
+# --- wave-2 batch 4: three CSV fixtures, coppock, containment census, ------
+# --- threshold pair curve ---------------------------------------------------
+
+from large_csv_etl_spark.queries.dedup import QUERIES as DEDUP_QUERIES
+from large_csv_etl_spark.queries.etl import QUERIES as ETL_QUERIES
+from large_csv_etl_spark.queries.similarity import QUERIES as SIM_QUERIES
+
+
+def test_embedded_newline_csv_preserves_field_bytes(spark):
+    """The committed fixture plants a bare LF, a CRLF pair, a doubled
+    quote, and an embedded comma inside quoted fields; every one must
+    survive as field bytes (multiLine=true + escape='"')."""
+    out = {
+        r["id"]: r
+        for r in ETL_QUERIES["etl_embedded_newline_csv"](spark, "").collect()
+    }
+    assert len(out) == 5
+    assert out[1]["note"] == "line one\nline two"
+    assert (out[1]["lf_count"], out[1]["cr_count"]) == (1, 0)
+    assert out[2]["note"] == "crlf line\r\nsecond part"
+    assert (out[2]["lf_count"], out[2]["cr_count"]) == (1, 1)
+    assert out[2]["note_chars"] == 22
+    assert out[3]["note"] == 'quote "inside" here'
+    assert out[5]["lf_count"] == 2
+    assert [out[i]["amount_cents"] for i in (1, 2, 3, 4, 5)] == [
+        1050, 2005, 99, 10000, 725,
+    ]
+
+
+def test_duplicate_header_detect_summary(spark):
+    """Three concatenated feeds -> 2 mid-file header rows among 7
+    scanned rows; the cleaned totals exclude them."""
+    row = ETL_QUERIES["etl_duplicate_header_detect"](spark, "").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["rows_scanned"] == 7
+    assert r["header_rows_dropped"] == 2
+    assert r["data_rows"] == 5
+    assert r["n_distinct_ids"] == 5
+    assert r["total_cents"] == 100 + 250 + 325 + 475 + 505
+
+
+def test_locale_decimal_normalize_exact_cents(spark):
+    """de-DE amounts (dot grouping, comma decimal, semicolon delim)
+    normalize to exact cents, negative sign included; the grouping-
+    separator census pins the dot stripping."""
+    out = {
+        r["id"]: r
+        for r in ETL_QUERIES["etl_locale_decimal_normalize"](
+            spark, ""
+        ).collect()
+    }
+    assert [out[i]["amount_cents"] for i in (1, 2, 3, 4, 5)] == [
+        123456, 99, 1234567801, -4210, 100000,
+    ]
+    assert [out[i]["n_grouping_seps"] for i in (1, 2, 3, 4, 5)] == [
+        1, 0, 2, 0, 0,
+    ]
+
+
+def test_coppock_constant_and_jump(spark):
+    """Constant 20-day head -> coppock 0.0 once the ROC14 warm-up ends
+    (day 15), NULL before (the lag-NULL gate, not phantom zeros); a
+    day-21 price doubling makes both ROCs exactly 1.0 from day 21, so
+    day 30's fully-doubled WMA window reads exactly 2.0."""
+    prices = [1.0] * 20 + [2.0] * 10
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, _daily_orders(prices), d)
+        out = {
+            r["day"].day: r
+            for r in WIN_QUERIES["window_coppock_curve"](spark, d).collect()
+        }
+    assert len(out) == 30
+    assert out[14]["coppock"] is None and out[14]["roc_14"] is None
+    assert out[15]["roc_14"] == 0.0 and out[15]["coppock"] == 0.0
+    assert out[20]["coppock"] == 0.0
+    assert out[21]["roc_14"] == 1.0 and out[21]["roc_11"] == 1.0
+    assert out[30]["coppock"] == 2.0
+
+
+def test_coppock_empty_orders(spark):
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, [], d)
+        assert WIN_QUERIES["window_coppock_curve"](spark, d).count() == 0
+
+
+def test_containment_disagreement_subset_pair(spark):
+    """A 5-token doc fully embedded in a 25-token doc lands in the
+    (cont 10, jac 1) cell flagged missed_by_jaccard; an identical twin
+    pair lands in (10, 10) unflagged; the unrelated doc pairs with
+    nobody."""
+    long_tail = " ".join(f"t{i}" for i in range(20))
+    rows = [
+        _doc(1, "a b c d e"),
+        _doc(2, "a b c d e " + long_tail),
+        _doc(3, "zz yy xx ww vv"),
+        _doc(4, "p q r s t u"),
+        _doc(5, "p q r s t u"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        got = {
+            (r["cont_decile"], r["jac_decile"]): (
+                r["n_pairs"],
+                r["missed_by_jaccard"],
+            )
+            for r in DEDUP_QUERIES["dedup_containment_disagreement"](
+                spark, d
+            ).collect()
+        }
+    assert got == {(10, 1): (1, True), (10, 10): (1, False)}
+
+
+def test_containment_disagreement_empty_docs(spark):
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, [], d)
+        assert (
+            DEDUP_QUERIES["dedup_containment_disagreement"](spark, d).count()
+            == 0
+        )
+
+
+def _emb_rows_identical(n):
+    return [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(1, n + 1)]
+
+
+def _emb_dir15(spark, rows, d):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.parquet(f"{d}/embeddings.parquet")
+
+
+def test_threshold_pair_curve_identical_vectors(spark):
+    """All-identical vectors: every surviving partner pair scores
+    cosine 1.0, so each threshold admits the whole panel and every
+    share is exactly 1.0."""
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir15(spark, _emb_rows_identical(60), d)
+        rows = SIM_QUERIES["sim_threshold_pair_curve"](spark, d).collect()
+    assert sorted(r["threshold"] for r in rows) == [0.7, 0.8, 0.9]
+    assert all(r["panel_n"] > 0 for r in rows)
+    assert all(r["n_pairs"] == r["panel_n"] for r in rows)
+    assert all(r["pair_share"] == 1.0 for r in rows)
+
+
+def test_threshold_pair_curve_empty_embeddings(spark):
+    """Empty table: the single aggregate still fans out to the three
+    curve rows with zero counts and NULL shares (guarded division)."""
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir15(spark, [], d)
+        rows = SIM_QUERIES["sim_threshold_pair_curve"](spark, d).collect()
+    assert len(rows) == 3
+    assert all(r["n_pairs"] == 0 and r["panel_n"] == 0 for r in rows)
+    assert all(r["pair_share"] is None for r in rows)
+
+
+# --- wave-3 batch: kNN confusion, IVF balance, anchor audit, Sen band, ------
+# --- two-hop reach -----------------------------------------------------------
+
+
+def _lineitem_dir15(spark, rows, d):
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(2).write.parquet(f"{d}/lineitem.parquet")
+
+
+def test_knn_label_confusion_separable(spark):
+    """Two orthogonal identical-vector clusters: every held-out query
+    (ids 20/40/60) votes inside its own cluster, so the confusion
+    matrix is purely diagonal with row_share 1.0."""
+    rows = [
+        (i, [1.0, 0.0, 0.0, 0.0] if i <= 30 else [0.0, 1.0, 0.0, 0.0],
+         0 if i <= 30 else 1)
+        for i in range(1, 61)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir15(spark, rows, d)
+        got = {
+            (r["true_label"], r["pred_label"]): r
+            for r in SIM_QUERIES["sim_knn_label_confusion"](
+                spark, d
+            ).collect()
+        }
+    assert set(got) == {(0, 0), (1, 1)}
+    assert got[(0, 0)]["n_queries"] == 1
+    assert got[(1, 1)]["n_queries"] == 2
+    assert all(r["row_share"] == 1.0 and r["is_diagonal"] for r in got.values())
+
+
+def test_knn_label_confusion_empty(spark):
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir15(spark, [], d)
+        assert (
+            SIM_QUERIES["sim_knn_label_confusion"](spark, d).count() == 0
+        )
+
+
+def test_ivf_list_balance_two_even_cells(spark):
+    """Two identical-vector clusters of 100 each: perfectly balanced
+    lists (imbalance 1.0), probe cost 100 at nprobe 1 and 200 (both
+    cells) at nprobe 4, constant across the 2-query panel so p50 =
+    p95."""
+    rows = [
+        (i, [1.0, 0.0, 0.0, 0.0] if i <= 100 else [0.0, 1.0, 0.0, 0.0],
+         0 if i <= 100 else 1)
+        for i in range(1, 201)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir15(spark, rows, d)
+        got = {
+            r["nprobe"]: r
+            for r in SIM_QUERIES["sim_ivf_list_balance_audit"](
+                spark, d
+            ).collect()
+        }
+    assert set(got) == {1, 4}
+    for r in got.values():
+        assert (r["n_queries"], r["n_cells"]) == (2, 2)
+        assert (r["min_list"], r["max_list"]) == (100, 100)
+        assert r["avg_list"] == 100.0 and r["imbalance_ratio"] == 1.0
+    assert (got[1]["cost_p50"], got[1]["cost_p95"]) == (100, 100)
+    assert (got[4]["cost_p50"], got[4]["cost_p95"]) == (200, 200)
+
+
+def test_ivf_list_balance_empty(spark):
+    with tempfile.TemporaryDirectory() as d:
+        _emb_dir15(spark, [], d)
+        assert (
+            SIM_QUERIES["sim_ivf_list_balance_audit"](spark, d).count() == 0
+        )
+
+
+def test_anchor_prefilter_precision_recall(spark):
+    """Three docs sharing first+last trigrams give 3 anchor pairs, all
+    true near-dups (precision 1.0); a fourth true pair whose first
+    trigram shifted by one token escapes the anchor (recall 0.75)."""
+    rows = [
+        _doc(1, "a b c d e"),
+        _doc(2, "a b c d e"),
+        _doc(3, "a b c x y c d e"),
+        _doc(4, "p q r s t"),
+        _doc(5, "z p q r s t"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        row = DEDUP_QUERIES["dedup_anchor_prefilter_audit"](
+            spark, d
+        ).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n_truth"], r["n_anchor"], r["n_hit"]) == (4, 3, 3)
+    assert r["precision"] == 1.0
+    assert r["recall"] == 0.75
+
+
+def test_anchor_prefilter_empty_docs(spark):
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, [], d)
+        row = DEDUP_QUERIES["dedup_anchor_prefilter_audit"](
+            spark, d
+        ).collect()
+    assert len(row) == 1
+    assert (row[0]["n_truth"], row[0]["n_anchor"], row[0]["n_hit"]) == (
+        0, 0, 0,
+    )
+    assert row[0]["precision"] is None and row[0]["recall"] is None
+
+
+def test_sen_slope_band_linear_series(spark):
+    """A perfectly linear 40-day series (+10 cents/day): every banded
+    pairwise slope is exactly 100000 fp, so the median and BOTH band
+    endpoints coincide at 10.0 cents/day; the rank arithmetic is
+    pinned (n_pairs = sum_{lag=1..30}(40-lag) = 735)."""
+    prices = [1.00 + 0.10 * i for i in range(40)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, _daily_orders(prices), d)
+        row = REL_QUERIES["agg_sen_slope_confidence_band"](
+            spark, d
+        ).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n_days"], r["n_pairs"]) == (40, 735)
+    assert r["median_slope_fp"] == 100000
+    assert r["ci_lo_fp"] == 100000 and r["ci_hi_fp"] == 100000
+    assert r["slope_cents_per_day"] == 10.0
+    assert r["ci_lo_cents_per_day"] == 10.0
+    assert r["ci_hi_cents_per_day"] == 10.0
+
+
+def test_sen_slope_band_empty_orders(spark):
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, [], d)
+        row = REL_QUERIES["agg_sen_slope_confidence_band"](
+            spark, d
+        ).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n_days"], r["n_pairs"], r["c_half"]) == (0, 0, 0)
+    assert r["median_slope_fp"] is None
+    assert r["ci_lo_fp"] is None and r["ci_hi_fp"] is None
+
+
+def test_two_hop_reach_path_graph(spark):
+    """Co-purchase path 1-2-3 (two orders): every node reaches the
+    other two within two hops -> one histogram row (size 2, 3 nodes,
+    share 1.0)."""
+    rows = [(1, 1), (1, 2), (2, 2), (2, 3)]
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_dir15(spark, rows, d)
+        got = TEXT_QUERIES["graph_two_hop_reach"](spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["two_hop_size"], r["n_nodes"], r["node_share"]) == (
+        2, 3, 1.0,
+    )
+
+
+def test_two_hop_reach_empty(spark):
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_dir15(spark, [], d)
+        assert TEXT_QUERIES["graph_two_hop_reach"](spark, d).count() == 0
