@@ -895,3 +895,103 @@ def streaming_update_mode_user_totals(
     )
     # materialize before the temp capture dir could be cleaned; |users|
     return out.localCheckpoint()
+
+
+@_q(
+    "streaming_watermark_delay_sweep",
+    """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    mx AS (
+      SELECT CAST(DATE_TRUNC('hour', MAX(ts)) AS TIMESTAMP) AS mh FROM ev
+    ), agg AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY 1, 2
+    ), d AS (
+      SELECT CAST(1 AS BIGINT) AS delay_hours
+      UNION ALL SELECT CAST(2 AS BIGINT)
+      UNION ALL SELECT CAST(4 AS BIGINT)
+    ), s AS (
+      SELECT a.hour_start, a.event_type, a.n_events, mx.mh
+      FROM agg a CROSS JOIN mx
+    )
+    SELECT d.delay_hours,
+           CAST(COUNT(s.hour_start) AS BIGINT) AS n_windows,
+           CAST(SUM(s.n_events) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT s.event_type) AS BIGINT) AS n_event_types
+    FROM d LEFT JOIN s
+      ON s.hour_start < s.mh - INTERVAL 1 HOUR * (d.delay_hours + 1)
+    GROUP BY d.delay_hours
+    """,
+)
+def streaming_watermark_delay_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-delay sweep (ROADMAP_r15 #36): the append-mode drain
+    contract measured as a TREND, not a point — the SAME hourly
+    tumbling aggregate drained three times at watermark delays of
+    1 h / 2 h / 4 h (separate checkpoints, separate sinks), each
+    graded against the batch truth of ITS OWN provably-flushed
+    region: hour_start strictly below trunc_hour(max_ts) -
+    (delay + 1 h window), the measured availableNow flush frontier
+    with the boundary window excluded (scope measurement defined
+    per delay FIRST, per the wave-3 validate-first note; the 2 h leg
+    reproduces the graded streaming_append_mode_hourly scope
+    verbatim). A delay that drains fewer scoped windows than batch
+    truth would hash-mismatch its row — so the entry pins that the
+    emission frontier moves linearly with the configured delay, which
+    is exactly the knob a 100 TB pipeline turns to trade latency for
+    late-data tolerance. State stays bounded by delay + window width
+    at every leg; output is three count rows (no timestamps emitted,
+    so the frozen tz-wrapper census is untouched)."""
+    from ..io import load_table
+    from ..streaming import (
+        hourly_tumbling_stream,
+        read_events_stream,
+        run_bounded,
+    )
+
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.date_trunc("hour", F.max(F.col("ts").cast("timestamp"))).alias(
+                "mh"
+            )
+        )
+    )
+    legs = []
+    for hours in (1, 2, 4):
+        name = f"stream_sweep_{hours}h_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix=f"ckpt_sweep_{hours}h_")
+        emitted = run_bounded(
+            hourly_tumbling_stream(
+                read_events_stream(spark, sf_dir, glob="events.parquet"),
+                watermark=f"{hours} hours",
+            ),
+            name,
+            ckpt,
+            output_mode="append",
+        )
+        scoped = emitted.crossJoin(F.broadcast(mx)).filter(
+            F.col("hour_start")
+            < F.col("mh") - F.expr(f"INTERVAL {hours + 1} HOURS")
+        )
+        legs.append(
+            scoped.agg(
+                F.count("hour_start").cast("bigint").alias("n_windows"),
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.countDistinct("event_type")
+                .cast("bigint")
+                .alias("n_event_types"),
+            ).select(
+                F.lit(hours).cast("bigint").alias("delay_hours"),
+                "n_windows",
+                "n_events",
+                "n_event_types",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out

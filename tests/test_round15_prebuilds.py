@@ -911,3 +911,69 @@ def test_two_hop_reach_empty(spark):
     with tempfile.TemporaryDirectory() as d:
         _lineitem_dir15(spark, [], d)
         assert TEXT_QUERIES["graph_two_hop_reach"](spark, d).count() == 0
+
+
+# --- wave-3 final: watermark delay sweep -------------------------------------
+
+from large_csv_etl_spark.queries.streamq import QUERIES as STREAM_QUERIES
+
+
+def _events_file15(rows, d):
+    """Single-file layout: the streaming reader's footer probe globs
+    for a FILE named events.parquet (the driver fixture layout)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(
+                [r[3] for r in rows], pa.string()
+            ),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/events.parquet")
+
+
+def test_watermark_delay_sweep_linear_frontier(spark):
+    """One event per hour at 00:00..09:00: the scoped region is
+    hour < 09:00 - (delay+1) h, so the three legs must drain exactly
+    7 / 6 / 4 finalized windows (one event each)."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1, i, 30), 1, "click", 1.0, "{}")
+        for i in range(10)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_file15(rows, d)
+        got = {
+            r["delay_hours"]: r
+            for r in STREAM_QUERIES["streaming_watermark_delay_sweep"](
+                spark, d
+            ).collect()
+        }
+    assert set(got) == {1, 2, 4}
+    assert (got[1]["n_windows"], got[1]["n_events"]) == (7, 7)
+    assert (got[2]["n_windows"], got[2]["n_events"]) == (6, 6)
+    assert (got[4]["n_windows"], got[4]["n_events"]) == (4, 4)
+    assert all(r["n_event_types"] == 1 for r in got.values())
+
+
+def test_watermark_delay_sweep_empty_events(spark):
+    """Empty source: every leg still reports its zero-count row (the
+    LEFT-JOIN spine), with NULL event sums."""
+    with tempfile.TemporaryDirectory() as d:
+        _events_file15([], d)
+        got = {
+            r["delay_hours"]: r
+            for r in STREAM_QUERIES["streaming_watermark_delay_sweep"](
+                spark, d
+            ).collect()
+        }
+    assert set(got) == {1, 2, 4}
+    for r in got.values():
+        assert (r["n_windows"], r["n_event_types"]) == (0, 0)
+        assert r["n_events"] is None
