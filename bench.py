@@ -438,6 +438,15 @@ HEADLINE = [
     "sim_hubness_kocc",
     "multimodal_tile_batch_packing",
     "streaming_update_mode_user_totals",
+    # round-15-prebuild representatives (4 of the 51 entries built in
+    # round 14, per the rule above): the triple-drain watermark sweep
+    # (heaviest streaming shape), the IVF probe-cost percentile join,
+    # the dual-candidate-generator anchor audit, and the capped 2-hop
+    # expansion
+    "streaming_watermark_delay_sweep",
+    "sim_ivf_list_balance_audit",
+    "dedup_anchor_prefilter_audit",
+    "graph_two_hop_reach",
 ]
 
 
