@@ -8384,3 +8384,115 @@ def agg_sen_slope_confidence_band(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# --- round 16 wave-1 pre-build: Cox-Stuart trend test -----------------------
+
+
+@_q(
+    "agg_cox_stuart_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    pairs AS (
+      SELECT a.cents AS c1, b.cents AS c2
+      FROM idx a CROSS JOIN nn
+      JOIN idx b ON b.rn = a.rn + (nn.n_days + 1) // 2
+    ), agg AS (
+      SELECT CAST(COUNT(CASE WHEN c2 > c1 THEN 1 END) AS BIGINT) AS s_plus,
+             CAST(COUNT(CASE WHEN c2 < c1 THEN 1 END) AS BIGINT) AS s_minus,
+             CAST(COUNT(CASE WHEN c2 = c1 THEN 1 END) AS BIGINT) AS n_ties
+      FROM pairs
+    )
+    SELECT nn.n_days,
+           agg.s_plus + agg.s_minus AS n_pairs,
+           agg.n_ties, agg.s_plus, agg.s_minus,
+           CASE WHEN agg.s_plus + agg.s_minus > 0 THEN
+             (2.0 * CAST(agg.s_plus AS DOUBLE)
+              - CAST(agg.s_plus + agg.s_minus AS DOUBLE))
+             / sqrt(CAST(agg.s_plus + agg.s_minus AS DOUBLE))
+           END AS z_stat,
+           CASE WHEN agg.s_plus + agg.s_minus = 0 THEN 'insufficient'
+                WHEN agg.s_plus > agg.s_minus THEN 'upward'
+                WHEN agg.s_plus < agg.s_minus THEN 'downward'
+                ELSE 'none' END AS trend_direction
+    FROM nn CROSS JOIN agg
+    """,
+)
+def agg_cox_stuart_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart trend test (ROADMAP_r16 #1): pair each of the first
+    floor(n/2) daily revenues with its partner h = ceil(n/2) positions
+    later (odd n drops the middle observation — the standard pairing,
+    stated explicitly), count rises vs falls with ties dropped, and
+    grade the sign-test z = (2*S+ - N)/sqrt(N). The half-series
+    pairing makes it a TREND test where the graded runs test is a
+    randomness test: a monotone drift pushes every pair one way even
+    when local noise randomizes the runs. Exact integer counts end to
+    end; the pairing join is rank arithmetic on the |days| spine (the
+    h offset comes from a 1-row broadcast, positive integer division
+    only); one guarded division over one IEEE sqrt. Single-row
+    output."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    daily = materialize_reduced(daily)
+    idx = daily.select(
+        "cents", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    nn = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    a = idx.select(F.col("cents").alias("c1"), F.col("rn").alias("rn1"))
+    b = idx.select(F.col("cents").alias("c2"), F.col("rn").alias("rn2"))
+    pairs = (
+        a.crossJoin(F.broadcast(nn))
+        .join(b, F.col("rn2") == F.col("rn1") + F.expr("(n_days + 1) div 2"))
+        .select("c1", "c2")
+    )
+    agg = pairs.agg(
+        F.count(F.when(F.col("c2") > F.col("c1"), 1))
+        .cast("bigint")
+        .alias("s_plus"),
+        F.count(F.when(F.col("c2") < F.col("c1"), 1))
+        .cast("bigint")
+        .alias("s_minus"),
+        F.count(F.when(F.col("c2") == F.col("c1"), 1))
+        .cast("bigint")
+        .alias("n_ties"),
+    )
+    n_pairs = F.col("s_plus") + F.col("s_minus")
+    return (
+        nn.crossJoin(F.broadcast(agg))
+        .select(
+            "n_days",
+            n_pairs.alias("n_pairs"),
+            "n_ties",
+            "s_plus",
+            "s_minus",
+            F.when(
+                n_pairs > 0,
+                (
+                    F.lit(2.0) * F.col("s_plus").cast("double")
+                    - n_pairs.cast("double")
+                )
+                / F.sqrt(n_pairs.cast("double")),
+            ).alias("z_stat"),
+            F.when(n_pairs == 0, F.lit("insufficient"))
+            .when(F.col("s_plus") > F.col("s_minus"), F.lit("upward"))
+            .when(F.col("s_plus") < F.col("s_minus"), F.lit("downward"))
+            .otherwise(F.lit("none"))
+            .alias("trend_direction"),
+        )
+    )

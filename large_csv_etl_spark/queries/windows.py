@@ -4255,3 +4255,108 @@ def window_coppock_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000000.0,
         ).alias("coppock"),
     )
+
+
+# --- round 16 wave-1 pre-build: median-crossing run lengths -----------------
+
+
+@_q(
+    "window_median_crossing_runs",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), per AS (
+      SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM daily GROUP BY cents
+    ), cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM per
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    med AS (
+      SELECT MIN(v) AS m FROM cum CROSS JOIN tot
+      WHERE cumc >= (n_days + 1) // 2
+    ), marked AS (
+      SELECT day,
+             CASE WHEN cents > m THEN 'above' ELSE 'below' END AS side
+      FROM daily CROSS JOIN med
+      WHERE cents <> m
+    ), seq AS (
+      SELECT side,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY side ORDER BY day) AS rs
+      FROM marked
+    ), runs AS (
+      SELECT side, rn - rs AS grp, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM seq GROUP BY side, rn - rs
+    )
+    SELECT side,
+           CAST(LEAST(run_len, 30) AS BIGINT) AS run_length_capped,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs
+    GROUP BY side, LEAST(run_len, 30)
+    """,
+)
+def window_median_crossing_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-crossing run-length distribution (ROADMAP_r16 #12): the
+    graded runs TEST grades the run COUNT against its expectation;
+    this entry grades the run LENGTH histogram — long above-median
+    runs are regimes, an excess of length-1 runs is mean-reversion,
+    and neither moves the count statistic much. The global median is
+    the TYPE-1 per-value cut (min value with cumulative count >=
+    ceil(n/2)); days exactly AT the median are DROPPED (stated rule,
+    the standard sign-test treatment, matching the Cox-Stuart tie
+    handling); runs come from the rn - rs gap-islands idiom and the
+    histogram is capped at 30 (the absence-streaks precedent, cap
+    stated). Exact integers end to end, no division; the only
+    unpartitioned windows ride the |days| spine."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    daily = materialize_reduced(daily)
+    per = daily.groupBy(F.col("cents").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select("v", F.sum("c").over(wv).alias("cumc"))
+    tot = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cumc") >= F.expr("(n_days + 1) div 2"))
+        .agg(F.min("v").alias("m"))
+    )
+    marked = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("m"))
+        .select(
+            "day",
+            F.when(F.col("cents") > F.col("m"), "above")
+            .otherwise("below")
+            .alias("side"),
+        )
+    )
+    seq = marked.select(
+        "side",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.row_number()
+        .over(Window.partitionBy("side").orderBy("day"))
+        .alias("rs"),
+    )
+    runs = seq.groupBy(
+        "side", (F.col("rn") - F.col("rs")).alias("grp")
+    ).agg(F.count("*").cast("bigint").alias("run_len"))
+    return runs.groupBy(
+        "side",
+        F.least(F.col("run_len"), F.lit(30))
+        .cast("bigint")
+        .alias("run_length_capped"),
+    ).agg(F.count("*").cast("bigint").alias("n_runs"))

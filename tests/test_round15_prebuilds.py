@@ -977,3 +977,52 @@ def test_watermark_delay_sweep_empty_events(spark):
     for r in got.values():
         assert (r["n_windows"], r["n_event_types"]) == (0, 0)
         assert r["n_events"] is None
+
+
+# --- ROADMAP_r16 wave-1 early pre-builds -------------------------------------
+
+
+def test_cox_stuart_monotone_series(spark):
+    """Strictly increasing 10-day series: h = 5, all 5 pairs rise ->
+    s_plus = 5, z = 5/sqrt(5), upward."""
+    prices = [1.0 + 0.5 * i for i in range(10)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, _daily_orders(prices), d)
+        r = REL_QUERIES["agg_cox_stuart_trend"](spark, d).collect()[0]
+    assert (r["n_days"], r["n_pairs"], r["n_ties"]) == (10, 5, 0)
+    assert (r["s_plus"], r["s_minus"]) == (5, 0)
+    assert r["z_stat"] == pytest.approx(5.0 / 5.0**0.5)
+    assert r["trend_direction"] == "upward"
+
+
+def test_cox_stuart_empty_orders(spark):
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, [], d)
+        r = REL_QUERIES["agg_cox_stuart_trend"](spark, d).collect()[0]
+    assert (r["n_days"], r["n_pairs"]) == (0, 0)
+    assert r["z_stat"] is None
+    assert r["trend_direction"] == "insufficient"
+
+
+def test_median_crossing_runs_drops_at_median(spark):
+    """Cents 10,10,30,30,20: TYPE-1 median 20 (rank 3 of 5); the
+    at-median day drops, leaving runs below(2) and above(2)."""
+    prices = [0.10, 0.10, 0.30, 0.30, 0.20]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, _daily_orders(prices), d)
+        got = {
+            (r["side"], r["run_length_capped"]): r["n_runs"]
+            for r in WIN_QUERIES["window_median_crossing_runs"](
+                spark, d
+            ).collect()
+        }
+    assert got == {("below", 2): 1, ("above", 2): 1}
+
+
+def test_median_crossing_runs_empty(spark):
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, [], d)
+        assert (
+            WIN_QUERIES["window_median_crossing_runs"](spark, d).count()
+            == 0
+        )
