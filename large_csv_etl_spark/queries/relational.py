@@ -8496,3 +8496,127 @@ def agg_cox_stuart_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trend_direction"),
         )
     )
+
+
+# --- round 16 wave-1 pre-build: decile ratio spread -------------------------
+
+
+@_q(
+    "agg_decile_ratio_spread",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), per AS (
+      SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY g, cents
+    ), cum AS (
+      SELECT g, cents,
+             SUM(c) OVER (PARTITION BY g ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM per
+    ), tot AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+             GREATEST(1, (CAST(SUM(c) AS BIGINT) + 1) // 10) AS p10_rank,
+             GREATEST(1, (CAST(SUM(c) AS BIGINT) + 1) // 4) AS p25_rank,
+             LEAST(CAST(SUM(c) AS BIGINT),
+                   (3 * (CAST(SUM(c) AS BIGINT) + 1)) // 4) AS p75_rank,
+             LEAST(CAST(SUM(c) AS BIGINT),
+                   (9 * (CAST(SUM(c) AS BIGINT) + 1)) // 10) AS p90_rank
+      FROM per GROUP BY g
+    ), cuts AS (
+      SELECT c.g, t.n,
+             MIN(CASE WHEN c.cc >= t.p10_rank THEN c.cents END) AS p10,
+             MIN(CASE WHEN c.cc >= t.p25_rank THEN c.cents END) AS p25,
+             MIN(CASE WHEN c.cc >= t.p75_rank THEN c.cents END) AS p75,
+             MIN(CASE WHEN c.cc >= t.p90_rank THEN c.cents END) AS p90
+      FROM cum c JOIN tot t ON t.g = c.g
+      GROUP BY c.g, t.n
+    )
+    SELECT g AS stratum, n, p10, p25, p75, p90,
+           CASE WHEN p10 > 0 THEN
+             CAST(p90 AS DOUBLE) / CAST(p10 AS DOUBLE)
+           END AS decile_ratio,
+           CASE WHEN p25 > 0 THEN
+             CAST(p75 AS DOUBLE) / CAST(p25 AS DOUBLE)
+           END AS quartile_ratio
+    FROM cuts
+    """,
+)
+def agg_decile_ratio_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile and quartile spread ratios (ROADMAP_r16 #8): p90/p10 and
+    p75/p25 per priority stratum — the scale-free spread panel member
+    the CQV entry's (q3-q1)/(q3+q1) doesn't cover (a ratio reads
+    'the 90th-percentile order is Nx the 10th', the economist's
+    inequality phrasing). Shares the per-value cut machinery VERBATIM
+    with agg_coefficient_quartile_variation / agg_quartile_skewness
+    (same TYPE-1 ranks, clamped to [1, n]), adding the p10/p90 rank
+    pair; two guarded divisions per stratum (positive cents make the
+    guards ANSI formality). Bounded by per-stratum distinct-cents
+    tables, one shuffle."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    per = v.groupBy("g", "cents").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select("g", "cents", F.sum("c").over(wc).alias("cc"))
+    tot = per.groupBy("g").agg(F.sum("c").cast("bigint").alias("n")).select(
+        "g",
+        "n",
+        F.greatest(F.lit(1).cast("bigint"), F.expr("(n + 1) div 10")).alias(
+            "p10_rank"
+        ),
+        F.greatest(F.lit(1).cast("bigint"), F.expr("(n + 1) div 4")).alias(
+            "p25_rank"
+        ),
+        F.least(F.col("n"), F.expr("(3 * (n + 1)) div 4")).alias("p75_rank"),
+        F.least(F.col("n"), F.expr("(9 * (n + 1)) div 10")).alias(
+            "p90_rank"
+        ),
+    )
+    cuts = (
+        cum.join(tot, "g")
+        .groupBy("g", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cc") >= F.col("p10_rank"), F.col("cents"))
+            ).alias("p10"),
+            F.min(
+                F.when(F.col("cc") >= F.col("p25_rank"), F.col("cents"))
+            ).alias("p25"),
+            F.min(
+                F.when(F.col("cc") >= F.col("p75_rank"), F.col("cents"))
+            ).alias("p75"),
+            F.min(
+                F.when(F.col("cc") >= F.col("p90_rank"), F.col("cents"))
+            ).alias("p90"),
+        )
+    )
+    return cuts.select(
+        F.col("g").alias("stratum"),
+        "n",
+        "p10",
+        "p25",
+        "p75",
+        "p90",
+        F.when(
+            F.col("p10") > 0,
+            F.col("p90").cast("double") / F.col("p10").cast("double"),
+        ).alias("decile_ratio"),
+        F.when(
+            F.col("p25") > 0,
+            F.col("p75").cast("double") / F.col("p25").cast("double"),
+        ).alias("quartile_ratio"),
+    )

@@ -1026,3 +1026,26 @@ def test_median_crossing_runs_empty(spark):
             WIN_QUERIES["window_median_crossing_runs"](spark, d).count()
             == 0
         )
+
+
+def test_decile_ratio_ten_points(spark):
+    """Cents 100..1000 on one stratum: TYPE-1 ranks p10 = 1, p25 = 2,
+    p75 = 8, p90 = 9 -> ratios 900/100 = 9.0 and 800/200 = 4.0."""
+    prices = [float(i) for i in range(1, 11)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, _daily_orders(prices), d)
+        r = REL_QUERIES["agg_decile_ratio_spread"](spark, d).collect()[0]
+    assert r["n"] == 10
+    assert (r["p10"], r["p25"], r["p75"], r["p90"]) == (
+        100, 200, 800, 900,
+    )
+    assert r["decile_ratio"] == pytest.approx(9.0)
+    assert r["quartile_ratio"] == pytest.approx(4.0)
+
+
+def test_decile_ratio_empty_orders(spark):
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, [], d)
+        assert (
+            REL_QUERIES["agg_decile_ratio_spread"](spark, d).count() == 0
+        )
