@@ -1358,3 +1358,81 @@ def temporal_order_interarrival_profile(
             "gap_months_capped", "n_gaps", "median_gap_days", "n_gaps_total"
         )
     )
+
+
+# --- round 16 wave-1 pre-build: month-end revenue effect --------------------
+
+
+@_q(
+    "temporal_month_end_effect",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), per AS (
+      SELECT CAST(DATE_TRUNC('month', d) AS DATE) AS month,
+             CAST(EXTRACT(day FROM last_day(d)) AS BIGINT)
+               AS n_days_in_month,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(SUM(CASE WHEN d >= last_day(d) - 2 THEN cents
+                  ELSE 0 END) AS BIGINT) AS last3_cents
+      FROM o GROUP BY 1, 2
+    )
+    SELECT month, n_days_in_month, total_cents, last3_cents,
+           CASE WHEN total_cents > 0 THEN
+             CAST(last3_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+           END AS last3_share,
+           3.0 / CAST(n_days_in_month AS DOUBLE) AS uniform_share,
+           CASE WHEN total_cents > 0 THEN
+             CAST(last3_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             - 3.0 / CAST(n_days_in_month AS DOUBLE)
+           END AS excess_share
+    FROM per
+    """,
+)
+def temporal_month_end_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end revenue concentration (ROADMAP_r16 #29): per month,
+    the share of revenue landing in the last 3 CALENDAR days vs the
+    uniform baseline 3/days_in_month — the fiscal-calendar artifact
+    screen (quota-driven feeds bulge at month end; a flat series
+    reads excess ~ 0). The last-3 gate is pure date arithmetic
+    (d >= last_day(d) - 2, identical in both engines; February and
+    leap years fall out of last_day, no hand-rolled calendars), sums
+    are exact BIGINT cents, and the two shares are guarded divisions
+    (days_in_month >= 28 makes the baseline structurally nonzero).
+    One month rollup, |months| output rows, DATE emitted at
+    source."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    in_last3 = F.col("d") >= F.date_sub(F.last_day(F.col("d")), 2)
+    per = o.groupBy(
+        F.trunc(F.col("d"), "month").alias("month"),
+        F.dayofmonth(F.last_day(F.col("d")))
+        .cast("bigint")
+        .alias("n_days_in_month"),
+    ).agg(
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.when(in_last3, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("last3_cents"),
+    )
+    share = F.col("last3_cents").cast("double") / F.col(
+        "total_cents"
+    ).cast("double")
+    uniform = F.lit(3.0) / F.col("n_days_in_month").cast("double")
+    return per.select(
+        "month",
+        "n_days_in_month",
+        "total_cents",
+        "last3_cents",
+        F.when(F.col("total_cents") > 0, share).alias("last3_share"),
+        uniform.alias("uniform_share"),
+        F.when(F.col("total_cents") > 0, share - uniform).alias(
+            "excess_share"
+        ),
+    )

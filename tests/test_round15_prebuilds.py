@@ -1049,3 +1049,32 @@ def test_decile_ratio_empty_orders(spark):
         assert (
             REL_QUERIES["agg_decile_ratio_spread"](spark, d).count() == 0
         )
+
+
+from large_csv_etl_spark.queries.temporal import QUERIES as TEMPQ15
+
+
+def test_month_end_effect_february_leap(spark):
+    """Feb 1996 (leap, 29 days): orders on the 1st (100 cents) and the
+    28th/29th (200 + 300 cents in the last-3 window) -> last3_share
+    500/600, baseline 3/29."""
+    rows = [
+        (1, 1, "O", 1.00, dt.datetime(1996, 2, 1), "3-MEDIUM"),
+        (2, 2, "O", 2.00, dt.datetime(1996, 2, 28), "3-MEDIUM"),
+        (3, 3, "O", 3.00, dt.datetime(1996, 2, 29), "3-MEDIUM"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        r = TEMPQ15["temporal_month_end_effect"](spark, d).collect()[0]
+    assert str(r["month"]) == "1996-02-01"
+    assert r["n_days_in_month"] == 29
+    assert (r["total_cents"], r["last3_cents"]) == (600, 500)
+    assert r["last3_share"] == pytest.approx(500.0 / 600.0)
+    assert r["uniform_share"] == pytest.approx(3.0 / 29.0)
+    assert r["excess_share"] == pytest.approx(500.0 / 600.0 - 3.0 / 29.0)
+
+
+def test_month_end_effect_empty_orders(spark):
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, [], d)
+        assert TEMPQ15["temporal_month_end_effect"](spark, d).count() == 0
