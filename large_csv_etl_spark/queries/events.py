@@ -6162,3 +6162,101 @@ def events_type_cooccurrence_matrix(
             ).alias("lift"),
         )
     )
+
+
+# --- round 16 wave-1 pre-build: daily velocity / acceleration ---------------
+
+
+@_q(
+    "events_daily_velocity_acceleration",
+    """
+    WITH ev AS (
+      SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      FROM events
+    ), daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY 1
+    ), span AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+    ), cal AS (
+      SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        AS day
+      FROM span
+    ), filled AS (
+      SELECT c.day, CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+      FROM cal c LEFT JOIN daily d USING (day)
+    ), v AS (
+      SELECT day, n_events,
+             CAST(n_events - LAG(n_events) OVER (ORDER BY day) AS BIGINT)
+               AS velocity
+      FROM filled
+    ), a AS (
+      SELECT day, n_events, velocity,
+             CAST(velocity - LAG(velocity) OVER (ORDER BY day) AS BIGINT)
+               AS acceleration
+      FROM v
+    )
+    SELECT day, n_events, velocity, acceleration,
+           CASE WHEN acceleration IS NULL THEN 'warmup'
+                WHEN acceleration > 0 THEN 'accelerating'
+                WHEN acceleration < 0 THEN 'decelerating'
+                ELSE 'steady' END AS pattern
+    FROM a
+    """,
+)
+def events_daily_velocity_acceleration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily event velocity and acceleration (ROADMAP_r16 #16): first
+    and second differences of the daily count on the ZERO-FILLED
+    calendar spine (a dark day is a real 0, not a missing row — the
+    gap-fill idiom; without the fill a two-day outage reads as one
+    gentle step instead of a crash and rebound), with the per-day
+    sign-pattern label. Exact BIGINT integers end to end (counts,
+    both differences), warm-up rows surface as NULL/'warmup' (the
+    lag-NULL gate), DATE emitted at source. The spine rides |days|
+    rows regardless of event volume — one rollup, one bounded
+    ordered window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    )
+    daily = ev.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    filled = cal.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0))
+        .cast("bigint")
+        .alias("n_events"),
+    )
+    w = Window.orderBy("day")
+    v = filled.select(
+        "day",
+        "n_events",
+        (F.col("n_events") - F.lag("n_events").over(w))
+        .cast("bigint")
+        .alias("velocity"),
+    )
+    a = v.select(
+        "day",
+        "n_events",
+        "velocity",
+        (F.col("velocity") - F.lag("velocity").over(w))
+        .cast("bigint")
+        .alias("acceleration"),
+    )
+    return a.select(
+        "day",
+        "n_events",
+        "velocity",
+        "acceleration",
+        F.when(F.col("acceleration").isNull(), "warmup")
+        .when(F.col("acceleration") > 0, "accelerating")
+        .when(F.col("acceleration") < 0, "decelerating")
+        .otherwise("steady")
+        .alias("pattern"),
+    )

@@ -1078,3 +1078,43 @@ def test_month_end_effect_empty_orders(spark):
     with tempfile.TemporaryDirectory() as d:
         _orders_dir(spark, [], d)
         assert TEMPQ15["temporal_month_end_effect"](spark, d).count() == 0
+
+
+def test_velocity_acceleration_with_dark_day(spark):
+    """Counts 2,0,4 across a three-day span (day 2 has no events and
+    must zero-fill): velocities NULL,-2,4; accelerations NULL,NULL,6;
+    patterns warmup, warmup, accelerating."""
+    t0 = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 2, "view", 1.0, "{}"),
+        (3, t0 + dt.timedelta(days=2), 1, "view", 1.0, "{}"),
+        (4, t0 + dt.timedelta(days=2, minutes=1), 2, "view", 1.0, "{}"),
+        (5, t0 + dt.timedelta(days=2, minutes=2), 3, "view", 1.0, "{}"),
+        (6, t0 + dt.timedelta(days=2, minutes=3), 4, "view", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = sorted(
+            EVENT_QUERIES["events_daily_velocity_acceleration"](
+                spark, d
+            ).collect(),
+            key=lambda r: r["day"],
+        )
+    assert [r["n_events"] for r in out] == [2, 0, 4]
+    assert [r["velocity"] for r in out] == [None, -2, 4]
+    assert [r["acceleration"] for r in out] == [None, None, 6]
+    assert [r["pattern"] for r in out] == [
+        "warmup", "warmup", "accelerating",
+    ]
+
+
+def test_velocity_acceleration_empty_events(spark):
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, [], d)
+        assert (
+            EVENT_QUERIES["events_daily_velocity_acceleration"](
+                spark, d
+            ).count()
+            == 0
+        )
