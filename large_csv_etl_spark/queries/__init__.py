@@ -78,71 +78,75 @@ _MODULES = [
 # composition tripwires red before the next rotation (ADVICE r9 #1).
 # Bump it with every rotation; a staleness test pins it to within one
 # round of the newest verdict file.
-WINDOW_GRADED_AS_OF = 13
+WINDOW_GRADED_AS_OF = 14
 
 GRADED_PRIORITY = [
-    # ---- round-14 window, RE-ROTATED mid-round after the ROADMAP_r14
-    # build wave (32 new oracled entries grew the backlog 19 -> 51,
-    # flipping test_window_is_mostly_never_graded red against the
-    # first rotation's 30 re-grade slots — the same mid-round
-    # correction round 13 made): the flagship re-grade, then 49 of the
-    # 51 never-graded entries — the 4 round-13 similarity deferrals
-    # (VERDICT r13 ask #7), the 15 wave-1 pre-builds, and 30 of the 32
-    # round-14 builds, with multimodal_tile_batch_packing swapped in
-    # for sim_hubness_kocc so every family with backlog keeps a window
-    # representative (similarity stays represented by five entries).
-    # Deferred to round 15, both mimic-green at three SFs:
-    # sim_hubness_kocc, sim_pq_subspace_distortion.
+    # ---- round-15 window (VERDICT r14 ask #2): the flagship re-grade,
+    # then ALL 46 never-graded oracled entries (the full as-of-r14
+    # backlog — grading them closes cumulative coverage at 600/600
+    # oracled entries externally verified at least once), then the
+    # round's one standing-red re-grade (etl_idempotent_reingest_audit,
+    # hash-red in r14, checksum canon hardened this round — a mandatory
+    # fix verification, not a regular staleness re-grade), then the 2
+    # stalest regular re-grades (setop_union_all_counts and
+    # scalar_array_functions, both last graded r2, doubling as the
+    # setops/scalars family reps). The family-representation rule
+    # yields for approx this round (gen_window.py policy #4: reps are
+    # forced by evicting REGULAR re-grades, and with 46 never-graded +
+    # 1 red-row slot only 2 regular slots exist for 3 rep-less
+    # families; approx's stalest candidate agg_mode_by_group last
+    # graded r5 defers behind the two r2 entries and rotates in next
+    # round).
     "etl_transform_parity",
-    "dq_minmax_drift_by_month",
-    "temporal_business_day_share",
-    "agg_runs_test",
-    "agg_quartile_skewness",
-    "agg_chi2_independence",
-    "agg_fano_factor_daily",
-    "window_chande_momentum",
-    "window_detrended_oscillator",
-    "events_fano_hourly_by_type",
-    "events_dow_hour_concentration",
-    "events_repeat_purchase_interval",
-    "text_zipf_rank_frequency",
-    "text_token_position_profile",
-    "dedup_crosssource_dup_matrix",
-    "sim_cosine_euclidean_rank_agreement",
-    "sim_kmeans_inertia_curve",
-    "sim_norm_percentile_bands",
-    "sim_silhouette_sampled",
-    "sim_centroid_distance_matrix",
+    "etl_embedded_newline_csv",
+    "etl_duplicate_header_detect",
+    "etl_locale_decimal_normalize",
+    "dq_primary_key_gap_census",
+    "dq_categorical_domain_drift",
+    "temporal_order_interarrival_profile",
+    "temporal_month_end_effect",
+    "agg_coefficient_quartile_variation",
+    "agg_tukey_trimean",
+    "agg_lag_sign_agreement",
+    "agg_cochran_armitage_trend",
+    "agg_turning_point_test",
+    "agg_mad_zscore_outlier_census",
+    "agg_sen_slope_confidence_band",
+    "agg_cox_stuart_trend",
+    "agg_decile_ratio_spread",
+    "window_elder_ray",
+    "window_pivot_points",
+    "window_chaikin_volatility",
+    "window_cci",
+    "window_robust_frame_zscore",
+    "window_coppock_curve",
+    "window_median_crossing_runs",
+    "events_absence_streaks",
+    "events_value_pareto_share",
+    "events_interevent_cv2",
+    "events_peak_hour_stability",
+    "events_type_cooccurrence_matrix",
+    "events_daily_velocity_acceleration",
+    "sample_dedup_aware_ess",
+    "streaming_watermark_delay_sweep",
+    "text_sentence_length_profile",
+    "text_unigram_simpson_diversity",
+    "text_char_class_mix",
+    "text_doclength_lorenz_deciles",
+    "text_topk_coverage_curve",
+    "graph_two_hop_reach",
+    "dedup_containment_disagreement",
+    "dedup_anchor_prefilter_audit",
+    "sim_hubness_kocc",
+    "sim_pq_subspace_distortion",
+    "sim_threshold_pair_curve",
+    "sim_knn_label_confusion",
+    "sim_ivf_list_balance_audit",
+    "multimodal_resolution_ladder_census",
+    "multimodal_payload_byte_simpson",
     "etl_idempotent_reingest_audit",
-    "etl_trailer_checksum_trend",
-    "etl_column_order_drift",
-    "dq_cross_field_rules",
-    "temporal_asof_staleness_profile",
-    "agg_ansari_bradley",
-    "agg_siegel_repeated_medians_banded",
-    "agg_pooled_vs_welch_df",
-    "agg_odds_ratio_stratified",
-    "agg_extreme_spacings",
-    "window_average_true_range",
-    "window_vortex_indicator",
-    "window_hull_ma",
-    "window_mass_index",
-    "window_force_index",
-    "window_donchian_width_percentile",
-    "events_session_depth_decay",
-    "events_value_per_session_distribution",
-    "events_type_entropy_free_mix_by_week",
-    "sample_importance_reweighted_mean",
-    "streaming_update_mode_user_totals",
-    "text_heaps_curve",
-    "text_prefix_suffix_dup_matrix",
-    "text_quote_density",
-    "text_source_length_drift",
-    "graph_ktruss_edges",
-    "dedup_band_sensitivity_curve",
-    "dedup_cluster_size_spectrum",
-    "graph_component_census_strongpairs",
-    "multimodal_tile_batch_packing",
+    "setop_union_all_counts",
+    "scalar_array_functions",
 ]
 
 

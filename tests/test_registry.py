@@ -40,6 +40,29 @@ def _graded_as_of_window() -> set[str]:
     return graded
 
 
+def _standing_red_as_of_window() -> set[str]:
+    """Entries whose LATEST verdict as of the window round carries a
+    false match flag — mandatory fix-verification re-grades, pinned in
+    the window alongside the flagship (round-15 policy after the r14
+    `etl_idempotent_reingest_audit` hash-red)."""
+    latest: dict[str, tuple[int, dict]] = {}
+    for rnd, f in _verdict_rounds().items():
+        if rnd > WINDOW_GRADED_AS_OF:
+            continue
+        for name, rec in json.load(open(f)).items():
+            if rnd >= latest.get(name, (0, {}))[0]:
+                latest[name] = (rnd, rec)
+    return {
+        n
+        for n, (_, rec) in latest.items()
+        if isinstance(rec, dict)
+        and not all(
+            rec.get(k, True)
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+    }
+
+
 def test_graded_window_is_exactly_50_and_first():
     q = all_queries()
     assert len(GRADED_PRIORITY) == 50
@@ -82,18 +105,47 @@ def test_every_family_represented_in_window():
     graded = _graded_as_of_window()
     backlog = {n for n in all_queries() if n in oracles and n not in graded}
     window = set(GRADED_PRIORITY)
-    # evictable slots = window minus the policy-pinned re-grades (today:
-    # the flagship). Deriving it keeps the relaxation correct if the
-    # window size or flagship policy ever changes (ADVICE r10 #5).
-    pinned = {"etl_transform_parity"} & window
-    if len(backlog) >= len(GRADED_PRIORITY) - len(pinned):
+    # evictable slots = window minus the policy-pinned re-grades: the
+    # flagship AND any standing-red entry (an entry whose latest as-of
+    # verdict carries a false match flag MUST re-grade in the very next
+    # window — round 15: etl_idempotent_reingest_audit after the r14
+    # hash-red). Deriving it keeps the relaxation correct if the window
+    # size or pin policy ever changes (ADVICE r10 #5).
+    red = _standing_red_as_of_window()
+    pinned = ({"etl_transform_parity"} | red) & window
+    free = len(GRADED_PRIORITY) - len(pinned) - len(backlog & window)
+    if backlog - window or free <= 0:
+        # backlog overflows the window: only backlog families required
         required = [
             m
             for m in _MODULES
             if set(m.QUERIES) & backlog or "etl_transform_parity" in m.QUERIES
         ]
     else:
-        required = [m for m in _MODULES if set(m.QUERIES) & oracles]
+        # gen_window policy #4 forces family reps by consuming the FREE
+        # regular re-grade slots, stalest candidates first; when there
+        # are fewer free slots than rep-less families the rule yields
+        # for the overflow (round 15: 2 free slots, 3 rep-less
+        # families -> approx defers one round). Require only as many
+        # families as can actually fit.
+        unrep_all = [
+            m
+            for m in _MODULES
+            if set(m.QUERIES) & oracles and not (set(m.QUERIES) & window)
+        ]
+        assert len(unrep_all) <= max(
+            0,
+            len(
+                [
+                    m
+                    for m in _MODULES
+                    if set(m.QUERIES) & oracles
+                    and not (set(m.QUERIES) & (backlog | pinned))
+                ]
+            )
+            - free,
+        ), [m.__name__ for m in unrep_all]
+        return
     unrepresented = [
         m.__name__ for m in required if not (set(m.QUERIES) & window)
     ]

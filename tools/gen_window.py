@@ -47,20 +47,42 @@ def main() -> int:
     oracled = [n for n in queries if n in oracles]
 
     last_graded: dict[str, int] = {}
+    last_verdict: dict[str, dict] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.split("_r")[-1].split(".")[0])
-        for name in json.load(open(f)):
-            last_graded[name] = max(last_graded.get(name, 0), rnd)
+        for name, rec in json.load(open(f)).items():
+            if rnd >= last_graded.get(name, 0):
+                last_graded[name] = rnd
+                last_verdict[name] = rec
 
     never = [n for n in oracled if n not in last_graded]
     flagship = ["etl_transform_parity"]
+    # Standing-red entries (latest verdict has a false match flag) are
+    # mandatory fix-verification re-grades: they slot right after the
+    # never-graded backlog and are NOT evictable by family forcing
+    # (round-15 policy — the r14 reingest red row must re-grade in the
+    # very next window or the fix has no external verdict).
+    red = sorted(
+        n
+        for n, rec in last_verdict.items()
+        if n in oracled
+        and n not in flagship
+        and not all(
+            rec.get(k, True)
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+    )
     stale = sorted(
-        (n for n in oracled if n in last_graded and n not in flagship),
+        (
+            n
+            for n in oracled
+            if n in last_graded and n not in flagship and n not in red
+        ),
         key=lambda n: (last_graded[n], n),
     )
 
     window: list[str] = []
-    for n in flagship + never + stale:
+    for n in flagship + never + red + stale:
         if n not in window:
             window.append(n)
         if len(window) == 50:
@@ -85,9 +107,12 @@ def main() -> int:
         )
         if candidate is None:
             continue
-        # evict the LEAST stale re-grade that leaves its family covered
+        # evict the LEAST stale REGULAR re-grade that leaves its family
+        # covered (never-graded, flagship, and standing-red slots are
+        # pinned; when they fill the window the rule self-relaxes for
+        # the families whose candidates no longer fit, stalest first)
         for victim in reversed(window):
-            if victim in never or victim in flagship:
+            if victim in never or victim in flagship or victim in red:
                 continue
             if sum(1 for w in window if fam_of[w] == fam_of[victim]) > 1:
                 window.remove(victim)
