@@ -8620,3 +8620,241 @@ def agg_decile_ratio_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p75").cast("double") / F.col("p25").cast("double"),
         ).alias("quartile_ratio"),
     )
+
+
+# --- round 16 wave 1: Bartels' rank von Neumann ratio -----------------------
+
+
+@_q(
+    "agg_bartels_rank_vn",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), rk AS (
+      SELECT day,
+             2 * RANK() OVER (ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY cents) - 1 AS r2
+      FROM daily
+    ), seq AS (
+      SELECT r2, r2 - LAG(r2) OVER (ORDER BY day) AS diff FROM rk
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r2) AS BIGINT) AS s1,
+             CAST(SUM(r2 * r2) AS BIGINT) AS s2,
+             CAST(SUM(diff * diff) AS BIGINT) AS sdd,
+             CAST(COUNT(diff) AS BIGINT) AS n_diffs
+      FROM seq
+    )
+    SELECT n AS n_days, n_diffs,
+           CASE WHEN n_diffs > 0
+                 AND CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE) > 0.0
+           THEN CAST(sdd AS DOUBLE)
+                / (CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+           END AS rvn_rank,
+           CASE WHEN n_diffs > 0
+                 AND CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE) > 0.0
+           THEN (CAST(sdd AS DOUBLE)
+                 / (CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                 - 2.0)
+                / SQRT(4.0 / CAST(n AS DOUBLE))
+           END AS rvn_z
+    FROM s
+    """,
+)
+def agg_bartels_rank_vn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels' RANK von Neumann ratio (ROADMAP_r16 #2): the graded
+    agg_von_neumann_ratio recomputed on the ranks of the daily-revenue
+    series — the distribution-free randomness screen (rank-ordering
+    survives any monotone transform of the values, so heavy tails
+    can't dominate the successive-difference sum the way they can in
+    the value-space ratio). Ties take exact mid-ranks via the
+    integer-lattice trick: r2 = 2*RANK() + tie_count - 1 is TWICE the
+    mid-rank and stays integral; RVN = sum(d^2)/sum((R-Rbar)^2) is
+    scale-invariant so the doubling cancels. Moment budget: r2 <= 2n
+    on the |days|-bounded spine, so sum(r2^2) <= 4n^3 — exact BIGINT
+    to millions of days. z is the large-sample (RVN - 2)/sqrt(4/n)
+    (Bartels 1982 asymptotic), NULL-guarded alongside the ratio for
+    constant series (zero rank variance) and the single-day
+    degenerate. One day rollup + two bounded windows + one reduce."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    rk = daily.select(
+        "day",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("cents")).cast("bigint")
+            + F.count("*")
+            .over(Window.partitionBy("cents"))
+            .cast("bigint")
+            - 1
+        ).alias("r2"),
+    )
+    seq = rk.select(
+        "r2",
+        (F.col("r2") - F.lag("r2").over(Window.orderBy("day"))).alias(
+            "diff"
+        ),
+    )
+    s = seq.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r2").cast("bigint").alias("s1"),
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("s2"),
+        F.sum(F.col("diff") * F.col("diff")).cast("bigint").alias("sdd"),
+        F.count("diff").cast("bigint").alias("n_diffs"),
+    )
+    nd = F.col("n").cast("double")
+    den = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
+    )
+    ratio = F.col("sdd").cast("double") / den
+    ok = (F.col("n_diffs") > 0) & (den > 0.0)
+    return s.select(
+        F.col("n").alias("n_days"),
+        "n_diffs",
+        F.when(ok, ratio).alias("rvn_rank"),
+        F.when(ok, (ratio - 2.0) / F.sqrt(F.lit(4.0) / nd)).alias("rvn_z"),
+    )
+
+
+# --- round 16 wave 1: Wallis-Moore phase-frequency test ---------------------
+
+
+@_q(
+    "agg_wallis_moore_phase",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), seq AS (
+      SELECT day, cents - LAG(cents) OVER (ORDER BY day) AS diff FROM daily
+    ), nz AS (
+      SELECT day, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS sgn
+      FROM seq WHERE diff IS NOT NULL AND diff <> 0
+    ), runs AS (
+      SELECT CASE WHEN LAG(sgn) OVER (ORDER BY day) IS NULL
+                   OR sgn <> LAG(sgn) OVER (ORDER BY day)
+                  THEN 1 ELSE 0 END AS st
+      FROM nz
+    ), agg AS (
+      SELECT CAST(COALESCE(SUM(st), 0) AS BIGINT) AS n_phases_total,
+             CAST(COUNT(*) AS BIGINT) AS n_signs
+      FROM runs
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    eff AS (
+      SELECT nn.n_days, agg.n_signs, agg.n_phases_total,
+             agg.n_signs + LEAST(nn.n_days, 1) AS n_eff,
+             GREATEST(agg.n_phases_total - 2, 0) AS h
+      FROM nn CROSS JOIN agg
+    )
+    SELECT n_days, n_signs, n_phases_total,
+           CAST(h AS BIGINT) AS n_phases_interior,
+           CASE WHEN n_eff >= 4 THEN
+             (2.0 * CAST(n_eff AS DOUBLE) - 7.0) / 3.0
+           END AS expected_phases,
+           CASE WHEN n_eff >= 4 THEN
+             (CAST(h AS DOUBLE)
+              - (2.0 * CAST(n_eff AS DOUBLE) - 7.0) / 3.0)
+             / SQRT((16.0 * CAST(n_eff AS DOUBLE) - 29.0) / 90.0)
+           END AS phase_z
+    FROM eff
+    """,
+)
+def agg_wallis_moore_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wallis-Moore phase-frequency test (ROADMAP_r16 #9): segment the
+    signs of consecutive daily-revenue deltas into maximal same-sign
+    phases, count the INTERIOR phases h (both end phases excluded, the
+    standard definition), and grade z against E = (2n-7)/3, Var =
+    (16n-29)/90. The difference-sign sibling of the graded
+    turning-point test: a seasonal oscillation shows up as too MANY
+    short phases, a drifting level as too FEW. Flat-run rule (stated,
+    per the roadmap contract): zero deltas are DROPPED before
+    segmentation — ties carry no direction information — and the
+    effective series length n = n_signs + 1 (each retained delta links
+    two retained observations; the all-constant series collapses to
+    n = 1 and reports NULL statistics). Exact integer counts end to
+    end; one day rollup + two ordered windows over the bounded spine;
+    z is one fixed IEEE chain with a single SQRT, guarded below
+    n = 4."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    daily = materialize_reduced(daily)
+    seq = daily.select(
+        "day",
+        (F.col("cents") - F.lag("cents").over(Window.orderBy("day"))).alias(
+            "diff"
+        ),
+    )
+    nz = seq.filter(
+        F.col("diff").isNotNull() & (F.col("diff") != 0)
+    ).select(
+        "day", F.when(F.col("diff") > 0, 1).otherwise(0).alias("sgn")
+    )
+    lagged = F.lag("sgn").over(Window.orderBy("day"))
+    runs = nz.select(
+        F.when(lagged.isNull() | (F.col("sgn") != lagged), 1)
+        .otherwise(0)
+        .alias("st")
+    )
+    agg = runs.agg(
+        F.coalesce(F.sum("st"), F.lit(0))
+        .cast("bigint")
+        .alias("n_phases_total"),
+        F.count("*").cast("bigint").alias("n_signs"),
+    )
+    nn = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    eff = nn.crossJoin(F.broadcast(agg)).select(
+        "n_days",
+        "n_signs",
+        "n_phases_total",
+        (
+            F.col("n_signs") + F.least(F.col("n_days"), F.lit(1).cast("bigint"))
+        ).alias("n_eff"),
+        F.greatest(
+            F.col("n_phases_total") - 2, F.lit(0).cast("bigint")
+        ).alias("h"),
+    )
+    ne = F.col("n_eff").cast("double")
+    exp_ph = (F.lit(2.0) * ne - 7.0) / 3.0
+    return eff.select(
+        "n_days",
+        "n_signs",
+        "n_phases_total",
+        F.col("h").cast("bigint").alias("n_phases_interior"),
+        F.when(F.col("n_eff") >= 4, exp_ph).alias("expected_phases"),
+        F.when(
+            F.col("n_eff") >= 4,
+            (F.col("h").cast("double") - exp_ph)
+            / F.sqrt((F.lit(16.0) * ne - 29.0) / 90.0),
+        ).alias("phase_z"),
+    )
