@@ -8858,3 +8858,312 @@ def agg_wallis_moore_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((F.lit(16.0) * ne - 29.0) / 90.0),
         ).alias("phase_z"),
     )
+
+
+# --- round 16 wave 2: Blomqvist medial correlation --------------------------
+
+
+@_q(
+    "agg_blomqvist_beta",
+    """
+    WITH v AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    qper AS (
+      SELECT qc, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY qc
+    ), qcum AS (
+      SELECT qc, SUM(c) OVER (ORDER BY qc
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM qper
+    ), qmed AS (
+      SELECT MIN(qc) AS mq FROM qcum CROSS JOIN tot
+      WHERE cc >= (tot.n + 1) // 2
+    ), pper AS (
+      SELECT pc, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY pc
+    ), pcum AS (
+      SELECT pc, SUM(c) OVER (ORDER BY pc
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM pper
+    ), pmed AS (
+      SELECT MIN(pc) AS mp FROM pcum CROSS JOIN tot
+      WHERE cc >= (tot.n + 1) // 2
+    ), cen AS (
+      SELECT
+        CAST(COUNT(CASE WHEN qc > mq AND pc > mp THEN 1 END) AS BIGINT)
+          AS n11,
+        CAST(COUNT(CASE WHEN qc < mq AND pc < mp THEN 1 END) AS BIGINT)
+          AS n00,
+        CAST(COUNT(CASE WHEN qc > mq AND pc < mp THEN 1 END) AS BIGINT)
+          AS n10,
+        CAST(COUNT(CASE WHEN qc < mq AND pc > mp THEN 1 END) AS BIGINT)
+          AS n01,
+        CAST(COUNT(CASE WHEN qc = mq OR pc = mp THEN 1 END) AS BIGINT)
+          AS n_dropped
+      FROM v CROSS JOIN qmed CROSS JOIN pmed
+    )
+    SELECT tot.n AS n_total, cen.n_dropped,
+           cen.n11, cen.n00, cen.n10, cen.n01,
+           qmed.mq AS med_qty_cents, pmed.mp AS med_price_cents,
+           CASE WHEN cen.n11 + cen.n00 + cen.n10 + cen.n01 > 0 THEN
+             CAST(cen.n11 + cen.n00 - cen.n10 - cen.n01 AS DOUBLE)
+             / CAST(cen.n11 + cen.n00 + cen.n10 + cen.n01 AS DOUBLE)
+           END AS blomqvist_beta
+    FROM tot CROSS JOIN cen CROSS JOIN qmed CROSS JOIN pmed
+    """,
+)
+def agg_blomqvist_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blomqvist's beta (medial correlation, ROADMAP_r16 #5): the
+    quadrant census of (quantity, extendedprice) around the TYPE-1
+    lower medians of each measure — beta = (n11 + n00 - n10 - n01) /
+    (quadrant total), the coarsest-but-most-robust dependence screen
+    (one bit of rank information per axis; a single wild row moves it
+    by at most 1/n). On-median rows are DROPPED per the standard
+    definition (counted in n_dropped so the census always sums to
+    n_total). Both medians are TYPE-1 rank lookups on the shared
+    per-value cumulative machinery over exact cent lattices; the
+    census is one wide conditional aggregate against the two 1-row
+    broadcast cuts; exact integer counts with one guarded division.
+    Two per-value rollups + one scan-wide reduce."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * 100, 0).cast("bigint").alias("qc"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("pc"),
+    )
+    v = materialize_reduced(v)
+    tot = v.agg(F.count("*").cast("bigint").alias("n"))
+
+    def _type1_median(col):
+        per = v.groupBy(col).agg(F.count("*").cast("bigint").alias("c"))
+        cum = per.select(
+            col,
+            F.sum("c")
+            .over(
+                Window.orderBy(col).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("cc"),
+        )
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("cc") >= F.expr("(n + 1) div 2"))
+            .agg(F.min(col).alias("m_" + col))
+        )
+
+    qmed = _type1_median("qc")
+    pmed = _type1_median("pc")
+    cen = (
+        v.crossJoin(F.broadcast(qmed))
+        .crossJoin(F.broadcast(pmed))
+        .agg(
+            F.count(
+                F.when((F.col("qc") > F.col("m_qc")) & (F.col("pc") > F.col("m_pc")), 1)
+            )
+            .cast("bigint")
+            .alias("n11"),
+            F.count(
+                F.when((F.col("qc") < F.col("m_qc")) & (F.col("pc") < F.col("m_pc")), 1)
+            )
+            .cast("bigint")
+            .alias("n00"),
+            F.count(
+                F.when((F.col("qc") > F.col("m_qc")) & (F.col("pc") < F.col("m_pc")), 1)
+            )
+            .cast("bigint")
+            .alias("n10"),
+            F.count(
+                F.when((F.col("qc") < F.col("m_qc")) & (F.col("pc") > F.col("m_pc")), 1)
+            )
+            .cast("bigint")
+            .alias("n01"),
+            F.count(
+                F.when((F.col("qc") == F.col("m_qc")) | (F.col("pc") == F.col("m_pc")), 1)
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.min("m_qc").alias("med_qty_cents"),
+            F.min("m_pc").alias("med_price_cents"),
+        )
+    )
+    quad = F.col("n11") + F.col("n00") + F.col("n10") + F.col("n01")
+    return tot.crossJoin(F.broadcast(cen)).select(
+        F.col("n").alias("n_total"),
+        "n_dropped",
+        "n11",
+        "n00",
+        "n10",
+        "n01",
+        "med_qty_cents",
+        "med_price_cents",
+        F.when(
+            quad > 0,
+            (F.col("n11") + F.col("n00") - F.col("n10") - F.col("n01"))
+            .cast("double")
+            / quad.cast("double"),
+        ).alias("blomqvist_beta"),
+    )
+
+
+# --- round 16 wave 1: winsorized variance -----------------------------------
+
+
+@_q(
+    "agg_winsorized_variance",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), per AS (
+      SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY g, cents
+    ), cum AS (
+      SELECT g, cents,
+             SUM(c) OVER (PARTITION BY g ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM per
+    ), tot AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+             GREATEST(1, (CAST(SUM(c) AS BIGINT) + 1) // 20) AS p5_rank,
+             LEAST(CAST(SUM(c) AS BIGINT),
+                   (19 * (CAST(SUM(c) AS BIGINT) + 1)) // 20) AS p95_rank
+      FROM per GROUP BY g
+    ), cuts AS (
+      SELECT c.g, t.n,
+             MIN(CASE WHEN c.cc >= t.p5_rank THEN c.cents END) AS lo,
+             MIN(CASE WHEN c.cc >= t.p95_rank THEN c.cents END) AS hi
+      FROM cum c JOIN tot t ON t.g = c.g
+      GROUP BY c.g, t.n
+    ), clipped AS (
+      SELECT v.g, cuts.n, cuts.lo, cuts.hi,
+             LEAST(GREATEST(v.cents, cuts.lo), cuts.hi) AS wc
+      FROM v JOIN cuts ON cuts.g = v.g
+    ), mu AS (
+      SELECT g, n, lo, hi,
+             CAST(SUM(wc) AS BIGINT) // n AS mu_cents
+      FROM clipped GROUP BY g, n, lo, hi
+    ), moments AS (
+      SELECT c.g, c.n, c.lo, c.hi, m.mu_cents,
+             CAST(SUM(CAST((c.wc - m.mu_cents) * (c.wc - m.mu_cents)
+                           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ssd,
+             CAST(SUM(c.wc // 100) AS BIGINT) AS s1d,
+             CAST(SUM((c.wc // 100) * (c.wc // 100)) AS BIGINT) AS s2d
+      FROM clipped c JOIN mu m ON m.g = c.g
+      GROUP BY c.g, c.n, c.lo, c.hi, m.mu_cents
+    )
+    SELECT g AS stratum, n, lo AS lo_cents, hi AS hi_cents, mu_cents,
+           ssd AS wins_ssd_cents2,
+           CASE WHEN n > 1 THEN
+             (CAST(s2d AS DOUBLE)
+              - CAST(s1d AS DOUBLE) / CAST(n AS DOUBLE) * CAST(s1d AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0)
+           END AS wins_var_dollars2
+    FROM moments
+    """,
+)
+def agg_winsorized_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized variance per priority (ROADMAP_r16 #7): clip the cent
+    lattice at the TYPE-1 p5/p95 cuts (the winsorized-mean semantics
+    on the decile entry's exact rank machinery — no interpolation),
+    then grade BOTH an exact and an IEEE moment: wins_ssd_cents2 is
+    the floor-mean-centered second moment on the clipped cents,
+    summed as DECIMAL(38,0) (per-row squares stay under 2^63 because
+    deviations are bounded by the clip width, but the SUM crosses
+    int64 at sf0.1 — the stated budget), and wins_var_dollars2 is the
+    sample variance on the clipped DOLLAR lattice via exact BIGINT
+    power sums and the Welch-entry IEEE chain (dollars keep the raw
+    second moment in int64 to ~sf10; positive values make // and div
+    agree). One per-value rollup, one broadcast cut join, two
+    reduces."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    per = v.groupBy("g", "cents").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wc_win = (
+        Window.partitionBy("g")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select("g", "cents", F.sum("c").over(wc_win).alias("cc"))
+    tot = per.groupBy("g").agg(F.sum("c").cast("bigint").alias("n")).select(
+        "g",
+        "n",
+        F.greatest(
+            F.lit(1).cast("bigint"), F.expr("(n + 1) div 20")
+        ).alias("p5_rank"),
+        F.least(F.col("n"), F.expr("(19 * (n + 1)) div 20")).alias(
+            "p95_rank"
+        ),
+    )
+    cuts = (
+        cum.join(tot, "g")
+        .groupBy("g", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cc") >= F.col("p5_rank"), F.col("cents"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("cc") >= F.col("p95_rank"), F.col("cents"))
+            ).alias("hi"),
+        )
+    )
+    clipped = v.join(F.broadcast(cuts), "g").select(
+        "g",
+        "n",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias(
+            "wc"
+        ),
+    )
+    clipped = materialize_reduced(clipped)
+    mu = clipped.groupBy("g", "n", "lo", "hi").agg(
+        F.expr("CAST(sum(wc) AS BIGINT) div n").alias("mu_cents")
+    )
+    dollars = F.expr("wc div 100")
+    moments = (
+        clipped.join(
+            F.broadcast(mu.select("g", "mu_cents")), "g"
+        )
+        .groupBy("g", "n", "lo", "hi", "mu_cents")
+        .agg(
+            F.sum(
+                (
+                    (F.col("wc") - F.col("mu_cents"))
+                    * (F.col("wc") - F.col("mu_cents"))
+                ).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("ssd"),
+            F.sum(dollars).cast("bigint").alias("s1d"),
+            F.sum(dollars * dollars).cast("bigint").alias("s2d"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return moments.select(
+        F.col("g").alias("stratum"),
+        "n",
+        F.col("lo").alias("lo_cents"),
+        F.col("hi").alias("hi_cents"),
+        "mu_cents",
+        F.col("ssd").alias("wins_ssd_cents2"),
+        F.when(
+            F.col("n") > 1,
+            (
+                F.col("s2d").cast("double")
+                - F.col("s1d").cast("double") / nd * F.col("s1d").cast("double")
+            )
+            / (nd - 1.0),
+        ).alias("wins_var_dollars2"),
+    )

@@ -76,3 +76,64 @@ def test_wallis_moore_flat_runs_dropped(spark):
     assert row["n_days"] == 5 and row["n_signs"] == 2
     assert row["n_phases_total"] == 1 and row["n_phases_interior"] == 0
     assert row["expected_phases"] is None and row["phase_z"] is None
+
+
+def _lineitem_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    df.coalesce(2).write.parquet(f"{d}/lineitem.parquet")
+
+
+def test_blomqvist_beta_perfect_concordance(spark):
+    """qty = price rank over 5 rows: the (3,3) row sits on both
+    medians and drops; the four quadrant rows split 2/2 into n11/n00
+    -> beta = +1."""
+    rows = [
+        (i, 1, float(i), float(i) * 10.0, 0.0, None) for i in range(1, 6)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_dir(spark, rows, d)
+        row = REL_QUERIES["agg_blomqvist_beta"](spark, d).collect()[0]
+    assert row["n_total"] == 5 and row["n_dropped"] == 1
+    assert (row["n11"], row["n00"], row["n10"], row["n01"]) == (2, 2, 0, 0)
+    assert row["med_qty_cents"] == 300
+    assert row["med_price_cents"] == 3000
+    assert row["blomqvist_beta"] == pytest.approx(1.0)
+
+
+def test_blomqvist_beta_perfect_discordance(spark):
+    """qty ascending, price descending -> beta = -1."""
+    rows = [
+        (i, 1, float(i), float(6 - i) * 10.0, 0.0, None)
+        for i in range(1, 6)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_dir(spark, rows, d)
+        row = REL_QUERIES["agg_blomqvist_beta"](spark, d).collect()[0]
+    assert row["n_dropped"] == 1
+    assert (row["n11"], row["n00"], row["n10"], row["n01"]) == (0, 0, 2, 2)
+    assert row["blomqvist_beta"] == pytest.approx(-1.0)
+
+
+def test_winsorized_variance_clips_and_centers(spark):
+    """20 one-dollar steps: TYPE-1 p5 rank 1 keeps the minimum, p95
+    rank 19 clips the top value down to 1900 cents; ssd and the
+    dollar-lattice sample variance match the Python replica."""
+    prices = [float(i) for i in range(1, 21)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, _daily_orders(prices), d)
+        row = REL_QUERIES["agg_winsorized_variance"](spark, d).collect()[0]
+    wc = [min(max(c, 100), 1900) for c in (i * 100 for i in range(1, 21))]
+    mu = sum(wc) // 20
+    ssd = sum((c - mu) ** 2 for c in wc)
+    dol = [c // 100 for c in wc]
+    s1, s2, n = sum(dol), sum(x * x for x in dol), 20
+    var = (s2 - s1 / n * s1) / (n - 1)
+    assert row["n"] == 20
+    assert row["lo_cents"] == 100 and row["hi_cents"] == 1900
+    assert row["mu_cents"] == mu
+    assert int(row["wins_ssd_cents2"]) == ssd
+    assert row["wins_var_dollars2"] == pytest.approx(var)
