@@ -6260,3 +6260,95 @@ def events_daily_velocity_acceleration(
         .otherwise("steady")
         .alias("pattern"),
     )
+
+
+# --- round 16: type-pair audience overlap -----------------------------------
+
+
+@_q(
+    "events_type_audience_overlap",
+    """
+    WITH ut AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), sz AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM ut GROUP BY event_type
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+           sa.n_users AS n_users_a, sb.n_users AS n_users_b,
+           COALESCE(i.n_both, 0) AS n_both,
+           CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+             / CAST(sa.n_users + sb.n_users - COALESCE(i.n_both, 0)
+                    AS DOUBLE) AS audience_jaccard
+    FROM sz sa JOIN sz sb ON sa.event_type < sb.event_type
+    LEFT JOIN inter i
+      ON i.type_a = sa.event_type AND i.type_b = sb.event_type
+    """,
+)
+def events_type_audience_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience overlap per event-type pair (ROADMAP_r16 #14): the
+    Jaccard of DISTINCT user sets — do the users who click overlap
+    the users who purchase — the AUDIENCE twin of the graded
+    within-session co-occurrence matrix (that entry asks whether
+    types co-fire in one session; this asks whether they share
+    people at all). Exact distinct counts via one (type, user) dedup;
+    intersections via the dedup's self-equi-join on user (each user
+    contributes at most C(|types|, 2) pairs, so the join output is
+    |users| x bounded, never quadratic in events); the |types|^2
+    pair spine comes from the broadcast per-type size table so
+    zero-overlap pairs surface with n_both = 0. The union denominator
+    n_a + n_b - n_both is >= 1 whenever the pair exists (both sets
+    non-empty), making the division structurally safe — kept
+    explicit for the ANSI-totality contract."""
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    ut = materialize_reduced(ut)
+    sz = ut.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    a = ut.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("u")
+    )
+    b = ut.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("u")
+    )
+    inter = (
+        a.join(b, (a.u == b.u) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = sz.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_users").alias("n_users_a"),
+    )
+    sb = sz.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_users").alias("n_users_b"),
+    )
+    spine = sa.crossJoin(F.broadcast(sb)).filter(
+        F.col("type_a") < F.col("type_b")
+    )
+    out = spine.join(F.broadcast(inter), ["type_a", "type_b"], "left")
+    nb = F.coalesce(F.col("n_both"), F.lit(0).cast("bigint"))
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_users_a",
+        "n_users_b",
+        nb.alias("n_both"),
+        (
+            nb.cast("double")
+            / (F.col("n_users_a") + F.col("n_users_b") - nb).cast("double")
+        ).alias("audience_jaccard"),
+    )

@@ -2540,3 +2540,233 @@ def dq_categorical_domain_drift(
         .join(nlv, ["col_name", "midx"])
         .select("col_name", "month", "n_levels", "n_added", "n_removed")
     )
+
+
+# --- round 16: all-null row census ------------------------------------------
+
+
+@_q(
+    "dq_all_null_row_census",
+    """
+    WITH k AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             EXTRACT(month FROM o_orderdate) AS mn,
+             ('0x' || substr(md5('anr:' || CAST(o_orderkey AS VARCHAR)),
+              1, 15))::BIGINT % 1000 AS hr,
+             ('0x' || substr(md5('ana:' || CAST(o_orderkey AS VARCHAR)),
+              1, 15))::BIGINT % 100 AS ha,
+             ('0x' || substr(md5('anb:' || CAST(o_orderkey AS VARCHAR)),
+              1, 15))::BIGINT % 100 AS hb
+      FROM orders
+    ), flags AS (
+      SELECT m,
+             CASE WHEN hr < mn OR ha < 5 THEN 1 ELSE 0 END AS null_a,
+             CASE WHEN hr < mn OR hb < 3 THEN 1 ELSE 0 END AS null_b
+      FROM k
+    ), monthly AS (
+      SELECT m,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(null_a * null_b) AS BIGINT) AS n_all_null,
+             CAST(SUM(CASE WHEN null_a = 1 OR null_b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_any_null,
+             CAST(round(1000000000.0
+                  * CAST(SUM(null_a * null_b) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS rate_fp
+      FROM flags GROUP BY m
+    ), mx AS (SELECT MAX(rate_fp) AS max_rate FROM monthly)
+    SELECT m AS month, n_rows, n_all_null, n_any_null,
+           CAST(rate_fp AS DOUBLE) / 1000000000.0 AS all_null_rate,
+           CASE WHEN rate_fp = mx.max_rate THEN 1 ELSE 0 END
+             AS worst_month_flag
+    FROM monthly CROSS JOIN mx
+    """,
+)
+def dq_all_null_row_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-null ROW census per month (ROADMAP_r16 #26): rows where
+    every nullable field is simultaneously null — the feed-truncation
+    signature (an upstream extractor emitting key-only rows) that the
+    column-grain null-rate trend averages away. The synthetic tables
+    carry no nulls, so nullability is HASH-INJECTED (the domain-drift
+    injection idiom, portable 60-bit md5 lattice): a row-grain
+    incident ramps with the calendar month number (hr < mn per mille
+    nulls BOTH fields), over independent per-field background noise
+    (5% field a, 3% field b) whose coincidences the census computes
+    rather than assumes. Grades per month: row count, all-null count,
+    any-null count, the all-null rate on the 1e-9 fp lattice, and the
+    worst-month flag (exact fp comparison against the broadcast max).
+    One scan, one month rollup, one 1-row broadcast."""
+    from .helpers import phash60
+
+    o = load_table(spark, sf_dir, "orders")
+    k = o.select(
+        F.trunc("o_orderdate", "month").alias("m"),
+        F.month("o_orderdate").cast("bigint").alias("mn"),
+        (phash60(F.concat(F.lit("anr:"), F.col("o_orderkey").cast("string"))) % 1000).alias("hr"),
+        (phash60(F.concat(F.lit("ana:"), F.col("o_orderkey").cast("string"))) % 100).alias("ha"),
+        (phash60(F.concat(F.lit("anb:"), F.col("o_orderkey").cast("string"))) % 100).alias("hb"),
+    )
+    flags = k.select(
+        "m",
+        F.when((F.col("hr") < F.col("mn")) | (F.col("ha") < 5), 1)
+        .otherwise(0)
+        .alias("null_a"),
+        F.when((F.col("hr") < F.col("mn")) | (F.col("hb") < 3), 1)
+        .otherwise(0)
+        .alias("null_b"),
+    )
+    monthly = flags.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("null_a") * F.col("null_b"))
+        .cast("bigint")
+        .alias("n_all_null"),
+        F.sum(
+            F.when((F.col("null_a") == 1) | (F.col("null_b") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_any_null"),
+        F.round(
+            F.lit(1000000000.0)
+            * F.sum(F.col("null_a") * F.col("null_b")).cast("double")
+            / F.count("*").cast("double")
+        )
+        .cast("bigint")
+        .alias("rate_fp"),
+    )
+    mx = monthly.agg(F.max("rate_fp").alias("max_rate"))
+    return monthly.crossJoin(F.broadcast(mx)).select(
+        F.col("m").alias("month"),
+        "n_rows",
+        "n_all_null",
+        "n_any_null",
+        (F.col("rate_fp").cast("double") / 1000000000.0).alias(
+            "all_null_rate"
+        ),
+        F.when(F.col("rate_fp") == F.col("max_rate"), 1)
+        .otherwise(0)
+        .alias("worst_month_flag"),
+    )
+
+
+# --- round 16: numeric precision census -------------------------------------
+
+
+def _sql_precision_census(table, col, label):
+    return f"""
+      SELECT '{label}' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(CASE WHEN f % 10000 = 0 THEN 1 END) AS BIGINT)
+               AS n_dp0,
+             CAST(COUNT(CASE WHEN f % 10000 <> 0 AND f % 1000 = 0 THEN 1 END)
+                  AS BIGINT) AS n_dp1,
+             CAST(COUNT(CASE WHEN f % 1000 <> 0 AND f % 100 = 0 THEN 1 END)
+                  AS BIGINT) AS n_dp2,
+             CAST(COUNT(CASE WHEN f % 100 <> 0 THEN 1 END) AS BIGINT)
+               AS n_gt2dp
+      FROM (SELECT CAST(round({col} * 10000) AS BIGINT) AS f FROM {table})
+    """
+
+
+@_q(
+    "dq_numeric_precision_census",
+    f"""
+    WITH u AS (
+      {_sql_precision_census('orders', 'o_totalprice', 'o_totalprice')}
+      UNION ALL
+      {_sql_precision_census('lineitem', 'l_quantity', 'l_quantity')}
+      UNION ALL
+      {_sql_precision_census('lineitem', 'l_extendedprice',
+                             'l_extendedprice')}
+      UNION ALL
+      {_sql_precision_census('lineitem', 'l_discount', 'l_discount')}
+    )
+    SELECT column_name, n, n_dp0, n_dp1, n_dp2, n_gt2dp,
+           CASE WHEN n_gt2dp > 0 THEN 3
+                WHEN n_dp2 > 0 THEN 2
+                WHEN n_dp1 > 0 THEN 1
+                WHEN n_dp0 > 0 THEN 0 END AS finest_dp,
+           CASE WHEN n > 0 THEN
+             CAST(CASE WHEN n_gt2dp > 0 THEN n_gt2dp
+                       WHEN n_dp2 > 0 THEN n_dp2
+                       WHEN n_dp1 > 0 THEN n_dp1
+                       ELSE n_dp0 END AS DOUBLE) / CAST(n AS DOUBLE)
+           END AS finest_dp_share
+    FROM u
+    """,
+)
+def dq_numeric_precision_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decimal-precision census per numeric column (ROADMAP_r16 #28):
+    the distribution of decimal-digit counts (0/1/2/>2 dp, measured on
+    the 1e-4 lattice so sub-cent precision is detectable) plus the
+    finest observed precision and its row share — the silent-rounding
+    screen that catches a feed shipping 3-dp amounts into a 2-dp
+    pipeline, or a quantity column quietly becoming fractional.
+    Buckets are exact integer residues of round(x * 10000) (each row
+    lands in exactly ONE bucket, finest wins); four 1-column pruned
+    scans reduce to one row each and stack — no shuffle beyond the
+    four map-side aggregates."""
+
+    def census(table, col, label):
+        t = load_table(spark, sf_dir, table).select(
+            F.round(F.col(col) * 10000, 0).cast("bigint").alias("f")
+        )
+        return t.agg(
+            F.lit(label).alias("column_name"),
+            F.count("*").cast("bigint").alias("n"),
+            F.count(F.when(F.col("f") % 10000 == 0, 1))
+            .cast("bigint")
+            .alias("n_dp0"),
+            F.count(
+                F.when(
+                    (F.col("f") % 10000 != 0) & (F.col("f") % 1000 == 0), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_dp1"),
+            F.count(
+                F.when(
+                    (F.col("f") % 1000 != 0) & (F.col("f") % 100 == 0), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_dp2"),
+            F.count(F.when(F.col("f") % 100 != 0, 1))
+            .cast("bigint")
+            .alias("n_gt2dp"),
+        )
+
+    u = (
+        census("orders", "o_totalprice", "o_totalprice")
+        .unionByName(census("lineitem", "l_quantity", "l_quantity"))
+        .unionByName(
+            census("lineitem", "l_extendedprice", "l_extendedprice")
+        )
+        .unionByName(census("lineitem", "l_discount", "l_discount"))
+    )
+    finest = (
+        F.when(F.col("n_gt2dp") > 0, 3)
+        .when(F.col("n_dp2") > 0, 2)
+        .when(F.col("n_dp1") > 0, 1)
+        .when(F.col("n_dp0") > 0, 0)
+    )
+    finest_n = (
+        F.when(F.col("n_gt2dp") > 0, F.col("n_gt2dp"))
+        .when(F.col("n_dp2") > 0, F.col("n_dp2"))
+        .when(F.col("n_dp1") > 0, F.col("n_dp1"))
+        .otherwise(F.col("n_dp0"))
+    )
+    return u.select(
+        "column_name",
+        "n",
+        "n_dp0",
+        "n_dp1",
+        "n_dp2",
+        "n_gt2dp",
+        finest.alias("finest_dp"),
+        F.when(
+            F.col("n") > 0,
+            finest_n.cast("double") / F.col("n").cast("double"),
+        ).alias("finest_dp_share"),
+    )

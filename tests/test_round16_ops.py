@@ -137,3 +137,110 @@ def test_winsorized_variance_clips_and_centers(spark):
     assert row["mu_cents"] == mu
     assert int(row["wins_ssd_cents2"]) == ssd
     assert row["wins_var_dollars2"] == pytest.approx(var)
+
+
+import hashlib
+
+from large_csv_etl_spark.queries.events import QUERIES as EVENT_QUERIES
+from large_csv_etl_spark.queries.quality import QUERIES as DQ_QUERIES
+
+
+def _ph60(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[0:15], 16)
+
+
+def test_all_null_row_census_replica(spark):
+    """Counts match a Python replica of the hash injection over one
+    200-key January month (mn = 1)."""
+    rows = [
+        (k, k, "O", 10.0, dt.datetime(1995, 1, 1 + (k % 28)), "3-MEDIUM")
+        for k in range(1, 201)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = DQ_QUERIES["dq_all_null_row_census"](spark, d).collect()
+    assert len(out) == 1
+    row = out[0]
+    exp_all = exp_any = 0
+    for k in range(1, 201):
+        hr = _ph60(f"anr:{k}") % 1000
+        ha = _ph60(f"ana:{k}") % 100
+        hb = _ph60(f"anb:{k}") % 100
+        na = hr < 1 or ha < 5
+        nb = hr < 1 or hb < 3
+        exp_all += na and nb
+        exp_any += na or nb
+    assert row["n_rows"] == 200
+    assert row["n_all_null"] == exp_all
+    assert row["n_any_null"] == exp_any
+    assert row["worst_month_flag"] == 1
+    assert row["all_null_rate"] == pytest.approx(
+        round(1e9 * exp_all / 200) / 1e9
+    )
+
+
+def test_numeric_precision_census_buckets(spark):
+    """One row per dp bucket on o_totalprice; integer quantity reports
+    all-dp0 with finest share 1.0."""
+    orows = [
+        (1, 1, "O", 1.0, dt.datetime(1995, 1, 1), "3-MEDIUM"),
+        (2, 2, "O", 2.5, dt.datetime(1995, 1, 2), "3-MEDIUM"),
+        (3, 3, "O", 3.25, dt.datetime(1995, 1, 3), "3-MEDIUM"),
+        (4, 4, "O", 4.125, dt.datetime(1995, 1, 4), "3-MEDIUM"),
+    ]
+    lrows = [(i, 1, float(i), 100.0, 0.05, None) for i in range(1, 4)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, orows, d)
+        _lineitem_dir2(spark, lrows, d)
+        out = DQ_QUERIES["dq_numeric_precision_census"](spark, d).collect()
+    by_c = {r["column_name"]: r for r in out}
+    tp = by_c["o_totalprice"]
+    assert (tp["n_dp0"], tp["n_dp1"], tp["n_dp2"], tp["n_gt2dp"]) == (
+        1, 1, 1, 1,
+    )
+    assert tp["finest_dp"] == 3 and tp["finest_dp_share"] == pytest.approx(0.25)
+    q = by_c["l_quantity"]
+    assert q["n_dp0"] == 3 and q["finest_dp"] == 0
+    assert q["finest_dp_share"] == pytest.approx(1.0)
+    disc = by_c["l_discount"]
+    assert disc["n_dp2"] == 3 and disc["finest_dp"] == 2
+
+
+def _lineitem_dir2(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    df.coalesce(2).write.parquet(f"{d}/lineitem.parquet")
+
+
+def _events_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(2).write.parquet(f"{d}/events.parquet")
+
+
+def test_audience_overlap_three_types(spark):
+    """A{1,2,3} B{2,3,4} C{9}: jaccard(A,B) = 2/4, zero-overlap pairs
+    surface with n_both = 0."""
+    rows, eid = [], 0
+    for t, users in (("A", [1, 2, 3]), ("B", [2, 3, 4]), ("C", [9])):
+        for u in users:
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1, eid), u, t, 1.0, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        _events_dir(spark, rows, d)
+        out = EVENT_QUERIES["events_type_audience_overlap"](
+            spark, d
+        ).collect()
+    by_p = {(r["type_a"], r["type_b"]): r for r in out}
+    assert set(by_p) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = by_p[("A", "B")]
+    assert (ab["n_users_a"], ab["n_users_b"], ab["n_both"]) == (3, 3, 2)
+    assert ab["audience_jaccard"] == pytest.approx(0.5)
+    ac = by_p[("A", "C")]
+    assert ac["n_both"] == 0 and ac["audience_jaccard"] == pytest.approx(0.0)
