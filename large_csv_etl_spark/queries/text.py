@@ -7069,3 +7069,323 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("node_share"),
         )
     )
+
+
+# --- round 16: vocabulary containment matrix --------------------------------
+
+
+@_q(
+    "text_vocab_containment_matrix",
+    r"""
+    WITH tk AS (
+      SELECT source,
+             UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''
+    ), st AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tk GROUP BY source, token
+    ), ranked AS (
+      SELECT source, token,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, token) AS rk
+      FROM st
+    ), topv AS (
+      SELECT source, token FROM ranked WHERE rk <= 1000
+    ), sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab
+      FROM topv GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM topv a JOIN topv b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, sa.n_vocab AS n_a, sb.n_vocab AS n_b,
+           i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / CAST(sa.n_vocab AS DOUBLE)
+             AS containment_a_in_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(sb.n_vocab AS DOUBLE)
+             AS containment_b_in_a,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(LEAST(sa.n_vocab, sb.n_vocab) AS DOUBLE)
+             AS containment_max
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def text_vocab_containment_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source-pair vocabulary CONTAINMENT beside the graded Jaccard
+    matrix (ROADMAP_r16 #18, the r15 containment-disagreement
+    precedent): when source B's top-1000 vocabulary is a subset of a
+    much larger A, symmetric Jaccard under-scores the relationship —
+    the union term dilutes it — while |A∩B|/|B| reads 1.0. Emits both
+    directional ratios (share of A's vocab found in B and vice versa)
+    plus the min-normalized containment_max; same ranked-vocab
+    machinery VERBATIM as text_vocab_jaccard_matrix (top-1000 by
+    (count DESC, token), <= 1000-row-per-source self-join, bounded
+    |sources|^2 output), one extra division per pair. Denominators
+    are per-source vocab sizes, structurally positive wherever a
+    pair exists."""
+    tk = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(_SPARK_TOKENS(F.lower(F.col("text")))).alias("token"),
+        )
+    )
+    st = tk.groupBy("source", "token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "token")
+    topv = (
+        st.select("source", "token", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 1000)
+        .select("source", "token")
+    )
+    topv = materialize_reduced(topv)
+    sizes = topv.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_vocab")
+    )
+    a, b = topv.alias("a"), topv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_vocab").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_vocab").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+            ).alias("containment_a_in_b"),
+            (
+                F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+            ).alias("containment_b_in_a"),
+            (
+                F.col("n_inter").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")).cast("double")
+            ).alias("containment_max"),
+        )
+    )
+
+
+# --- round 16: length vs quality-component correlation ----------------------
+
+
+@_q(
+    "text_length_quality_correlation",
+    rf"""
+    WITH per AS (
+      SELECT source,
+             CAST(LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+                  AS BIGINT) AS x,
+             CAST(round(10000.0
+               * CAST(LEN(LIST_FILTER(
+                     regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                     t -> t IN {{STOPWORDS}})) AS DOUBLE)
+               / CAST(LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+                      AS DOUBLE)) AS BIGINT) AS stop_fp,
+             CAST(round(10000.0
+               * CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS DOUBLE)
+               / CAST(LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+                      AS DOUBLE)) AS BIGINT) AS mwl_fp,
+             CAST(round(10000.0
+               * CAST(LEN(LIST_DISTINCT(
+                     regexp_split_to_array(TRIM(LOWER(text)), '\s+')))
+                     AS DOUBLE)
+               / CAST(LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+                      AS DOUBLE)) AS BIGINT) AS dtr_fp,
+             CAST(round(10000.0
+               * CAST(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g'))
+                      AS DOUBLE)
+               / CAST(LENGTH(text) AS DOUBLE)) AS BIGINT) AS punct_fp
+      FROM documents WHERE TRIM(text) <> ''
+    ), s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(stop_fp) AS BIGINT) AS sy1,
+             CAST(SUM(stop_fp * stop_fp) AS BIGINT) AS syy1,
+             CAST(SUM(x * stop_fp) AS BIGINT) AS sxy1,
+             CAST(SUM(mwl_fp) AS BIGINT) AS sy2,
+             CAST(SUM(mwl_fp * mwl_fp) AS BIGINT) AS syy2,
+             CAST(SUM(x * mwl_fp) AS BIGINT) AS sxy2,
+             CAST(SUM(dtr_fp) AS BIGINT) AS sy3,
+             CAST(SUM(dtr_fp * dtr_fp) AS BIGINT) AS syy3,
+             CAST(SUM(x * dtr_fp) AS BIGINT) AS sxy3,
+             CAST(SUM(punct_fp) AS BIGINT) AS sy4,
+             CAST(SUM(punct_fp * punct_fp) AS BIGINT) AS syy4,
+             CAST(SUM(x * punct_fp) AS BIGINT) AS sxy4
+      FROM per GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                 AND CAST(n AS DOUBLE) * CAST(syy1 AS DOUBLE)
+                     - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) > 0.0
+           THEN (CAST(n AS DOUBLE) * CAST(sxy1 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy1 AS DOUBLE))
+                / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy1 AS DOUBLE)
+                          - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)))
+           END AS corr_stopword_share,
+           CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                 AND CAST(n AS DOUBLE) * CAST(syy2 AS DOUBLE)
+                     - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE) > 0.0
+           THEN (CAST(n AS DOUBLE) * CAST(sxy2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy2 AS DOUBLE)
+                          - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE)))
+           END AS corr_mean_word_len,
+           CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                 AND CAST(n AS DOUBLE) * CAST(syy3 AS DOUBLE)
+                     - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE) > 0.0
+           THEN (CAST(n AS DOUBLE) * CAST(sxy3 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy3 AS DOUBLE))
+                / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy3 AS DOUBLE)
+                          - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE)))
+           END AS corr_distinct_ratio,
+           CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                 AND CAST(n AS DOUBLE) * CAST(syy4 AS DOUBLE)
+                     - CAST(sy4 AS DOUBLE) * CAST(sy4 AS DOUBLE) > 0.0
+           THEN (CAST(n AS DOUBLE) * CAST(sxy4 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy4 AS DOUBLE))
+                / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy4 AS DOUBLE)
+                          - CAST(sy4 AS DOUBLE) * CAST(sy4 AS DOUBLE)))
+           END AS corr_punct_share
+    FROM s
+    """.replace("{STOPWORDS}", repr(STOPWORDS)),
+)
+def text_length_quality_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-vs-quality confounder audit per source (ROADMAP_r16 #19):
+    the exact Pearson correlation between doc token count and each
+    quality-gate component — stopword share, mean word length,
+    distinct-token (type/token) ratio, and punctuation share — the
+    screen run before trusting any length-based curation rule (if
+    quality components just track length, a length filter silently
+    re-implements them). Per-doc components are row-local and snapped
+    to the 1e-4 fp lattice (round of one double division, half-away
+    in both engines); per-source sums are exact BIGINTs (x <= tokens
+    per doc, y <= ~5e5 on the lattice, so x*y stays comfortably in
+    int64 per row and the sums to ~1e9 docs/source — stated budget);
+    the n-scaled Pearson combination runs with every factor cast to
+    double (the agg_autocorr chain — identical IEEE text both
+    engines), NULL-guarded for degenerate variance: the fixture
+    corpus has no punctuation, so corr_punct_share is NULL by
+    construction (zero variance), exercised with synthetic punctuation
+    in the planted test. One scan, one per-source reduce, no joins."""
+    raw = _SPARK_TOKENS(F.lower(F.col("text")))
+    n_tok = F.size(raw).cast("bigint")
+
+    def fp(num, den):
+        return F.round(
+            F.lit(10000.0) * num.cast("double") / den.cast("double"), 0
+        ).cast("bigint")
+
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            n_tok.alias("x"),
+            fp(
+                F.size(F.filter(raw, lambda t: t.isin(*STOPWORDS))).cast(
+                    "bigint"
+                ),
+                n_tok,
+            ).alias("stop_fp"),
+            fp(
+                F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast(
+                    "bigint"
+                ),
+                n_tok,
+            ).alias("mwl_fp"),
+            fp(F.size(F.array_distinct(raw)).cast("bigint"), n_tok).alias(
+                "dtr_fp"
+            ),
+            fp(
+                F.length(
+                    F.regexp_replace(F.col("text"), r"[^.,!?;:]", "")
+                ).cast("bigint"),
+                F.length(F.col("text")).cast("bigint"),
+            ).alias("punct_fp"),
+        )
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    ]
+    for i, y in enumerate(("stop_fp", "mwl_fp", "dtr_fp", "punct_fp"), 1):
+        aggs += [
+            F.sum(y).cast("bigint").alias(f"sy{i}"),
+            F.sum(F.col(y) * F.col(y)).cast("bigint").alias(f"syy{i}"),
+            F.sum(F.col("x") * F.col(y)).cast("bigint").alias(f"sxy{i}"),
+        ]
+    s = per.groupBy("source").agg(*aggs)
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+
+    def corr(i):
+        vy = nd * F.col(f"syy{i}").cast("double") - F.col(
+            f"sy{i}"
+        ).cast("double") * F.col(f"sy{i}").cast("double")
+        cov = nd * F.col(f"sxy{i}").cast("double") - F.col("sx").cast(
+            "double"
+        ) * F.col(f"sy{i}").cast("double")
+        return F.when(
+            (F.col("n") >= 2) & (vx > 0.0) & (vy > 0.0),
+            cov / F.sqrt(vx * vy),
+        )
+
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        corr(1).alias("corr_stopword_share"),
+        corr(2).alias("corr_mean_word_len"),
+        corr(3).alias("corr_distinct_ratio"),
+        corr(4).alias("corr_punct_share"),
+    )

@@ -244,3 +244,64 @@ def test_audience_overlap_three_types(spark):
     assert ab["audience_jaccard"] == pytest.approx(0.5)
     ac = by_p[("A", "C")]
     assert ac["n_both"] == 0 and ac["audience_jaccard"] == pytest.approx(0.0)
+
+
+from large_csv_etl_spark.queries.text import QUERIES as TEXT_QUERIES
+
+
+def _docs_dir(spark, rows, d):
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(2).write.parquet(f"{d}/documents.parquet")
+
+
+def _doc(doc_id, text, source="s0"):
+    return (doc_id, text, "en", source, len(text))
+
+
+def test_vocab_containment_subset_source(spark):
+    """Source B's vocabulary is a strict subset of A's: b_in_a = 1.0
+    while a_in_b = |B|/|A| and jaccard would dilute."""
+    rows = [
+        _doc(1, "alpha beta gamma delta epsilon zeta", "A"),
+        _doc(2, "alpha beta gamma", "B"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = TEXT_QUERIES["text_vocab_containment_matrix"](
+            spark, d
+        ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert (r["n_a"], r["n_b"], r["n_inter"]) == (6, 3, 3)
+    assert r["containment_a_in_b"] == pytest.approx(0.5)
+    assert r["containment_b_in_a"] == pytest.approx(1.0)
+    assert r["containment_max"] == pytest.approx(1.0)
+
+
+def test_length_quality_corr_linear_and_degenerate(spark):
+    """Two docs whose stopword share rises linearly with length give
+    corr exactly +1; constant-share docs give NULL (zero variance);
+    synthetic punctuation exercises the punct component."""
+    rows = [
+        _doc(1, "the cat", "L"),          # x=2, stop_fp=5000
+        _doc(2, "the a the a", "L"),      # x=4, stop_fp=10000
+        _doc(3, "cat dog", "C"),          # constant zero stop share
+        _doc(4, "cat dog bird", "C"),
+        _doc(5, "w. x.", "P"),            # x=2, punct share 2/5
+        _doc(6, "w x y", "P"),            # x=3, punct share 0
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs_dir(spark, rows, d)
+        out = TEXT_QUERIES["text_length_quality_correlation"](
+            spark, d
+        ).collect()
+    by_s = {r["source"]: r for r in out}
+    assert by_s["L"]["corr_stopword_share"] == pytest.approx(1.0)
+    assert by_s["C"]["corr_stopword_share"] is None
+    assert by_s["P"]["corr_punct_share"] is not None
+    assert abs(by_s["P"]["corr_punct_share"]) == pytest.approx(1.0)
