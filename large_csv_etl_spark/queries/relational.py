@@ -9167,3 +9167,182 @@ def agg_winsorized_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (nd - 1.0),
         ).alias("wins_var_dollars2"),
     )
+
+
+# --- round 16 wave 2: Goodman-Kruskal gamma + Somers' D ---------------------
+# Shared concordance machinery (the agg_kendall_tau 2-D lattice): rows
+# collapse onto (quantity, price-band) cells, C/D/tie counts are exact
+# BIGINT cross products over the bounded lattice self-join. Built
+# together per ROADMAP_r16 #3/#4 - one machinery, two denominators.
+
+_CONCORDANCE_SQL = """
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               // 120000 AS band
+      FROM lineitem
+    ), cells AS (
+      SELECT q, band, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY q, band
+    ), pairs AS (
+      SELECT CAST(SUM(CASE WHEN a.band < b.band
+                           THEN a.cnt * b.cnt ELSE 0 END) AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN a.band > b.band
+                           THEN a.cnt * b.cnt ELSE 0 END) AS BIGINT) AS disc
+      FROM cells a JOIN cells b ON a.q < b.q
+    ), qt AS (
+      SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS ties_q
+      FROM (SELECT SUM(cnt) AS t FROM cells GROUP BY q)
+    ), bt AS (
+      SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS ties_band
+      FROM (SELECT SUM(cnt) AS t FROM cells GROUP BY band)
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells
+    )
+"""
+
+
+def _concordance_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row frame (n, conc, disc, ties_q, ties_band) — the Kendall
+    machinery verbatim (agg_kendall_tau docstring carries the budget:
+    n0 < 2^63 to ~4e9 rows)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)"
+            " AS BIGINT) div 120000"
+        ).alias("band"),
+    )
+    cells = li.groupBy("q", "band").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    cells = materialize_reduced(cells)
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pairs = a.join(b, F.col("a.q") < F.col("b.q")).agg(
+        F.sum(
+            F.when(
+                F.col("a.band") < F.col("b.band"),
+                F.col("a.cnt") * F.col("b.cnt"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                F.col("a.band") > F.col("b.band"),
+                F.col("a.cnt") * F.col("b.cnt"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("disc"),
+    )
+    qt = (
+        cells.groupBy("q")
+        .agg(F.sum("cnt").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2"))
+            .cast("bigint")
+            .alias("ties_q")
+        )
+    )
+    bt = (
+        cells.groupBy("band")
+        .agg(F.sum("cnt").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2"))
+            .cast("bigint")
+            .alias("ties_band")
+        )
+    )
+    tot = cells.agg(F.sum("cnt").cast("bigint").alias("n"))
+    return (
+        pairs.crossJoin(F.broadcast(qt))
+        .crossJoin(F.broadcast(bt))
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+@_q(
+    "agg_goodman_kruskal_gamma",
+    _CONCORDANCE_SQL
+    + """
+    SELECT n, conc, disc,
+           CASE WHEN conc + disc > 0 THEN
+             (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+             / (CAST(conc AS DOUBLE) + CAST(disc AS DOUBLE))
+           END AS gamma
+    FROM pairs CROSS JOIN tot
+    """,
+)
+def agg_goodman_kruskal_gamma(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goodman-Kruskal gamma between line quantity and discounted
+    price band (ROADMAP_r16 #3): (C - D)/(C + D) on the Kendall
+    lattice machinery's exact concordance counts, with the
+    tie-EXCLUDING denominator (stated tie contract vs tau-b: gamma
+    ignores every tied pair entirely, so on a coarse lattice it reads
+    systematically larger in magnitude than tau-b — the right
+    statistic when ties are an artifact of banding, the wrong one
+    when they are real). One guarded division over the shared 1-row
+    concordance frame; the pair join is lattice-bounded (~5k cells),
+    never data-bounded."""
+    j = _concordance_frame(spark, sf_dir)
+    cd = F.col("conc").cast("double")
+    dd = F.col("disc").cast("double")
+    return j.select(
+        "n",
+        "conc",
+        "disc",
+        F.when(
+            F.col("conc") + F.col("disc") > 0, (cd - dd) / (cd + dd)
+        ).alias("gamma"),
+    )
+
+
+@_q(
+    "agg_somers_d",
+    _CONCORDANCE_SQL
+    + """
+    SELECT n, conc, disc, ties_q, ties_band,
+           CASE WHEN n * (n - 1) // 2 - ties_q > 0 THEN
+             (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+             / CAST(n * (n - 1) // 2 - ties_q AS DOUBLE)
+           END AS somers_d_band_given_q,
+           CASE WHEN n * (n - 1) // 2 - ties_band > 0 THEN
+             (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+             / CAST(n * (n - 1) // 2 - ties_band AS DOUBLE)
+           END AS somers_d_q_given_band
+    FROM pairs CROSS JOIN qt CROSS JOIN bt CROSS JOIN tot
+    """,
+)
+def agg_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D for both dependent-variable choices (ROADMAP_r16 #4):
+    the asymmetric cousin of gamma off the SAME concordance counts —
+    d_y|x = (C - D)/(C + D + T_y-only), penalizing ties on the
+    DEPENDENT side only, via the marginal identity C + D + T_y-only
+    = n(n-1)/2 - ties_x(marginal) (pairs tied on both axes cancel
+    from both sides, so the existing marginal tie counts suffice —
+    no extra aggregate). Emitted in both directions (band given
+    quantity, the regression-flavored one, and its transpose) so the
+    asymmetry is itself graded; guarded for the all-tied degenerate.
+    Budget identical to agg_kendall_tau (n0 < 2^63 to ~4e9 rows)."""
+    j = _concordance_frame(spark, sf_dir)
+    n0 = F.expr("n * (n - 1) div 2")
+    cd = F.col("conc").cast("double") - F.col("disc").cast("double")
+    return j.select(
+        "n",
+        "conc",
+        "disc",
+        "ties_q",
+        "ties_band",
+        F.when(
+            n0 - F.col("ties_q") > 0,
+            cd / (n0 - F.col("ties_q")).cast("double"),
+        ).alias("somers_d_band_given_q"),
+        F.when(
+            n0 - F.col("ties_band") > 0,
+            cd / (n0 - F.col("ties_band")).cast("double"),
+        ).alias("somers_d_q_given_band"),
+    )

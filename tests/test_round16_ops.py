@@ -305,3 +305,23 @@ def test_length_quality_corr_linear_and_degenerate(spark):
     assert by_s["C"]["corr_stopword_share"] is None
     assert by_s["P"]["corr_punct_share"] is not None
     assert abs(by_s["P"]["corr_punct_share"]) == pytest.approx(1.0)
+
+
+def test_gamma_and_somers_shared_counts(spark):
+    """Hand-computed 4-row lattice: C=4, D=0, ties_q=1, ties_band=2,
+    n0=6 -> gamma=1.0, d_band|q=4/5, d_q|band=4/4."""
+    rows = [
+        (1, 1, 1.0, 500.0, 0.0, None),
+        (2, 1, 1.0, 500.0, 0.0, None),
+        (3, 1, 2.0, 1500.0, 0.0, None),
+        (4, 1, 3.0, 1500.0, 0.0, None),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _lineitem_dir(spark, rows, d)
+        g = REL_QUERIES["agg_goodman_kruskal_gamma"](spark, d).collect()[0]
+        s = REL_QUERIES["agg_somers_d"](spark, d).collect()[0]
+    assert (g["n"], g["conc"], g["disc"]) == (4, 4, 0)
+    assert g["gamma"] == pytest.approx(1.0)
+    assert (s["ties_q"], s["ties_band"]) == (1, 2)
+    assert s["somers_d_band_given_q"] == pytest.approx(0.8)
+    assert s["somers_d_q_given_band"] == pytest.approx(1.0)
