@@ -4360,3 +4360,386 @@ def window_median_crossing_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("run_length_capped"),
     ).agg(F.count("*").cast("bigint").alias("n_runs"))
+
+
+# --- round 16 wave 2: awesome oscillator ------------------------------------
+
+
+@_q(
+    "window_awesome_oscillator",
+    f"""
+    WITH daily AS ({_DAILY_HLC_SQL}
+    ), m AS (
+      SELECT day, hi + lo AS m2,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             CAST(SUM(hi + lo) OVER (ORDER BY day
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS s5,
+             CAST(SUM(hi + lo) OVER (ORDER BY day
+                  ROWS BETWEEN 33 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS s34
+      FROM daily
+    )
+    SELECT day, m2 // 2 AS mid_cents,
+           CASE WHEN rn >= 5 THEN
+             CAST(s5 AS DOUBLE) / 5.0 / 200.0 END AS sma5_mid,
+           CASE WHEN rn >= 34 THEN
+             CAST(s34 AS DOUBLE) / 34.0 / 200.0 END AS sma34_mid,
+           CASE WHEN rn >= 34 THEN
+             (CAST(s5 AS DOUBLE) / 5.0 - CAST(s34 AS DOUBLE) / 34.0)
+             / 200.0 END AS awesome_oscillator
+    FROM m
+    """,
+)
+def window_awesome_oscillator(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Awesome oscillator on the daily pseudo-OHLC spine (ROADMAP_r16
+    #10): SMA5(midpoint) - SMA34(midpoint), the two-horizon momentum
+    gauge. The midpoint rides the 2x-scaled integer lattice m2 = hi +
+    lo (cents; never halved until display, so no fractional lattice
+    exists anywhere), both SMAs are exact BIGINT frame sums divided
+    once at the end, and the subtraction happens in ONE fixed IEEE
+    chain with the /200 (half-of-cents) display conversion last.
+    Warm-up contract: sma5 NULL before row 5, sma34 and the
+    oscillator NULL before row 34 (full frames only — a short-frame
+    average would silently re-weight the series head). Budget: m2 <=
+    2^28-scale cents x 34-row frames < 2^63 by orders of magnitude.
+    One day rollup + one ordered window."""
+    daily = _daily_hlc(spark, sf_dir)
+    w = Window.orderBy("day")
+    m = daily.select(
+        "day",
+        (F.col("hi") + F.col("lo")).alias("m2"),
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("hi") + F.col("lo"))
+        .over(w.rowsBetween(-4, 0))
+        .cast("bigint")
+        .alias("s5"),
+        F.sum(F.col("hi") + F.col("lo"))
+        .over(w.rowsBetween(-33, 0))
+        .cast("bigint")
+        .alias("s34"),
+    )
+    return m.select(
+        "day",
+        F.expr("m2 div 2").alias("mid_cents"),
+        F.when(
+            F.col("rn") >= 5,
+            F.col("s5").cast("double") / 5.0 / 200.0,
+        ).alias("sma5_mid"),
+        F.when(
+            F.col("rn") >= 34,
+            F.col("s34").cast("double") / 34.0 / 200.0,
+        ).alias("sma34_mid"),
+        F.when(
+            F.col("rn") >= 34,
+            (
+                F.col("s5").cast("double") / 5.0
+                - F.col("s34").cast("double") / 34.0
+            )
+            / 200.0,
+        ).alias("awesome_oscillator"),
+    )
+
+
+# --- round 16 wave 2: ease of movement --------------------------------------
+
+_EMA14_W = _ema_weights(14, 28)
+
+
+def _emv_ema_sql() -> tuple[str, str]:
+    num, den = [], []
+    for k, wt in enumerate(_EMA14_W):
+        lag = f"LAG(emv, {k}) OVER w" if k else "emv"
+        num.append(f"COALESCE({lag} * {wt}, 0)")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EMV_NUM, _EMV_DEN = _emv_ema_sql()
+
+
+@_q(
+    "window_ease_of_movement",
+    f"""
+    WITH daily AS ({_DAILY_HLC_SQL}
+    ), m AS (
+      SELECT day, hi, lo, n_orders,
+             (hi + lo) - LAG(hi + lo) OVER (ORDER BY day) AS dm2
+      FROM daily
+    ), e AS (
+      SELECT day,
+             CAST(round(CAST(dm2 * (hi - lo) AS DOUBLE)
+                  / (2.0 * CAST(n_orders AS DOUBLE)) / 10000.0)
+                  AS BIGINT) AS emv
+      FROM m
+    ), t AS (
+      SELECT day, emv,
+             {_EMV_NUM} AS num14,
+             {_EMV_DEN} AS den14
+      FROM e WINDOW w AS (ORDER BY day)
+    )
+    SELECT day, emv AS emv_usd2,
+           CASE WHEN emv IS NOT NULL THEN
+             CAST(num14 AS DOUBLE) / CAST(den14 AS DOUBLE)
+           END AS emv_ema14
+    FROM t
+    """,
+)
+def window_ease_of_movement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ease of movement EMV(14) on the daily pseudo-OHLC spine
+    (ROADMAP_r16 #13): midpoint move scaled by the range/volume box
+    ratio — EMV = mid_move * range / volume — then EMA(14)-smoothed
+    with the shared integer-weight kernel. Factor bounds (stated per
+    the two-stage Coppock discipline): mid move dm2 <= 2 x hi-scale
+    cents (~2^28), range hi-lo <= 2^27, volume n_orders >= 1, so the
+    integer product dm2*(hi-lo) < 2^55 per row; the composed EMV is
+    snapped ONCE to the dollars^2-per-order lattice (round of one
+    fixed double chain, /1e4 from cents^2) giving |emv| < 2^39, and
+    the 2^20-scale EMA weights then keep every kernel term under
+    2^60 across 28 lags. Day 1 has no midpoint move: its EMV and
+    smoothed EMV are NULL (the kernel's null-aware renormalization
+    simply drops the missing lag for later days). One day rollup +
+    two ordered windows."""
+    daily = _daily_hlc(spark, sf_dir)
+    w = Window.orderBy("day")
+    m = daily.select(
+        "day",
+        "hi",
+        "lo",
+        "n_orders",
+        (
+            (F.col("hi") + F.col("lo"))
+            - F.lag(F.col("hi") + F.col("lo")).over(w)
+        ).alias("dm2"),
+    )
+    e = m.select(
+        "day",
+        F.round(
+            (F.col("dm2") * (F.col("hi") - F.col("lo"))).cast("double")
+            / (F.lit(2.0) * F.col("n_orders").cast("double"))
+            / 10000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("emv"),
+    )
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k, wt in enumerate(_EMA14_W):
+        lagged = F.col("emv") if k == 0 else F.lag("emv", k).over(w)
+        num = num + F.coalesce(lagged * wt, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), wt).otherwise(0)
+    t = e.select("day", "emv", num.alias("num14"), den.alias("den14"))
+    return t.select(
+        "day",
+        F.col("emv").alias("emv_usd2"),
+        F.when(
+            F.col("emv").isNotNull(),
+            F.col("num14").cast("double") / F.col("den14").cast("double"),
+        ).alias("emv_ema14"),
+    )
+
+
+# --- round 16 wave 2: Connors RSI composite ---------------------------------
+
+
+@_q(
+    "window_connors_rsi",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(o_totalprice AS DECIMAL(30,4)) AS price
+      FROM orders
+    ), daily AS (
+      SELECT day, CAST(SUM(price) * 100 AS BIGINT) AS revenue_cents
+      FROM o GROUP BY day
+    ), seq AS (
+      SELECT day, revenue_cents,
+             revenue_cents - LAG(revenue_cents) OVER (ORDER BY day) AS dx,
+             LAG(revenue_cents) OVER (ORDER BY day) AS prev,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily
+    ), sg AS (
+      SELECT day, rn, dx, prev,
+             CASE WHEN dx > 0 THEN 1 WHEN dx < 0 THEN -1 ELSE 0 END AS sgn
+      FROM seq WHERE dx IS NOT NULL
+    ), bnd AS (
+      SELECT day, rn, dx, prev, sgn,
+             CASE WHEN LAG(sgn) OVER (ORDER BY day) IS NULL
+                   OR sgn <> LAG(sgn) OVER (ORDER BY day)
+                  THEN 1 ELSE 0 END AS st
+      FROM sg
+    ), rid AS (
+      SELECT day, rn, dx, prev, sgn,
+             CAST(SUM(st) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      FROM bnd
+    ), stk AS (
+      SELECT day, rn, dx, prev,
+             sgn * CAST(ROW_NUMBER() OVER (PARTITION BY run_id
+                                           ORDER BY day) AS BIGINT)
+               AS streak
+      FROM rid
+    ), s2 AS (
+      SELECT day, rn, dx, prev, streak,
+             streak - LAG(streak) OVER (ORDER BY day) AS sdx
+      FROM stk
+    ), k AS (
+      SELECT day, rn, streak,
+             CAST(SUM(CASE WHEN dx > 0 THEN dx ELSE 0 END)
+                  OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS g3,
+             CAST(SUM(CASE WHEN dx < 0 THEN -dx ELSE 0 END)
+                  OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS l3,
+             CAST(SUM(CASE WHEN sdx > 0 THEN sdx ELSE 0 END)
+                  OVER (ORDER BY day ROWS BETWEEN 1 PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS g2,
+             CAST(SUM(CASE WHEN sdx < 0 THEN -sdx ELSE 0 END)
+                  OVER (ORDER BY day ROWS BETWEEN 1 PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS l2,
+             100.0 * PERCENT_RANK() OVER (
+               ORDER BY CAST(round(1000000000.0 * CAST(dx AS DOUBLE)
+                             / CAST(prev AS DOUBLE)) AS BIGINT))
+               AS pct100
+      FROM s2
+    )
+    SELECT day, streak,
+           CASE WHEN g3 + l3 = 0 THEN 50e0
+                ELSE 100e0 * g3 / (g3 + l3) END AS rsi3,
+           CASE WHEN g2 + l2 = 0 THEN 50e0
+                ELSE 100e0 * g2 / (g2 + l2) END AS streak_rsi2,
+           pct100 AS roc_pct_rank,
+           (CASE WHEN g3 + l3 = 0 THEN 50e0
+                 ELSE 100e0 * g3 / (g3 + l3) END
+            + CASE WHEN g2 + l2 = 0 THEN 50e0
+                   ELSE 100e0 * g2 / (g2 + l2) END
+            + pct100) / 3.0 AS connors_rsi
+    FROM k WHERE rn >= 4
+    """,
+)
+def window_connors_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connors RSI composite (ROADMAP_r16 #11) — three GRADED kernels
+    averaged on the fp lattice: (1) RSI(3) of daily revenue deltas in
+    the house cumulative form (one exact-BIGINT division, flat frames
+    pin to 50 — window_rsi_14's contract at period 3); (2) RSI(2) of
+    the SIGNED STREAK series, where the streak is the gaps-and-islands
+    run length signed by direction (flat days are their own sgn=0
+    runs, so a flat day resets the streak through the sign flip — the
+    standard Connors reset); (3) 100x the global percent rank of the
+    1-day rate of change, snapped to the 1e-9 fp lattice before
+    ranking so ties are exact in both engines (scope stated: rank
+    against the WHOLE series, the deterministic batch analog of
+    Connors' trailing lookback). Warm-up: emitted from the 4th
+    calendar day (3 deltas for RSI3, 2 streak deltas for RSI2).
+    Streak budget: |streak| <= |days|, every sum int64-trivial. One
+    day rollup + five ordered windows over the bounded spine, no
+    joins."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    daily = o.groupBy("day").agg(
+        (F.sum("price") * 100).cast("bigint").alias("revenue_cents")
+    )
+    w = Window.orderBy("day")
+    seq = daily.select(
+        "day",
+        (F.col("revenue_cents") - F.lag("revenue_cents").over(w)).alias(
+            "dx"
+        ),
+        F.lag("revenue_cents").over(w).alias("prev"),
+        F.row_number().over(w).alias("rn"),
+    )
+    sg = seq.filter(F.col("dx").isNotNull()).select(
+        "day",
+        "rn",
+        "dx",
+        "prev",
+        F.when(F.col("dx") > 0, 1)
+        .when(F.col("dx") < 0, -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    lag_sgn = F.lag("sgn").over(w)
+    rid = sg.select(
+        "day",
+        "rn",
+        "dx",
+        "prev",
+        "sgn",
+        F.sum(
+            F.when(lag_sgn.isNull() | (F.col("sgn") != lag_sgn), 1)
+            .otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("run_id"),
+    )
+    stk = rid.select(
+        "day",
+        "rn",
+        "dx",
+        "prev",
+        (
+            F.col("sgn")
+            * F.row_number()
+            .over(Window.partitionBy("run_id").orderBy("day"))
+            .cast("bigint")
+        ).alias("streak"),
+    )
+    s2 = stk.select(
+        "day",
+        "rn",
+        "dx",
+        "prev",
+        "streak",
+        (F.col("streak") - F.lag("streak").over(w)).alias("sdx"),
+    )
+    roc_fp = F.round(
+        F.lit(1000000000.0)
+        * F.col("dx").cast("double")
+        / F.col("prev").cast("double"),
+        0,
+    ).cast("bigint")
+    k = s2.select(
+        "day",
+        "rn",
+        "streak",
+        F.sum(F.when(F.col("dx") > 0, F.col("dx")).otherwise(0))
+        .over(w.rowsBetween(-2, 0))
+        .cast("bigint")
+        .alias("g3"),
+        F.sum(F.when(F.col("dx") < 0, -F.col("dx")).otherwise(0))
+        .over(w.rowsBetween(-2, 0))
+        .cast("bigint")
+        .alias("l3"),
+        F.sum(F.when(F.col("sdx") > 0, F.col("sdx")).otherwise(0))
+        .over(w.rowsBetween(-1, 0))
+        .cast("bigint")
+        .alias("g2"),
+        F.sum(F.when(F.col("sdx") < 0, -F.col("sdx")).otherwise(0))
+        .over(w.rowsBetween(-1, 0))
+        .cast("bigint")
+        .alias("l2"),
+        (
+            F.lit(100.0) * F.percent_rank().over(Window.orderBy(roc_fp))
+        ).alias("pct100"),
+    )
+    rsi3 = F.when(F.col("g3") + F.col("l3") == 0, F.lit(50.0)).otherwise(
+        F.lit(100.0) * F.col("g3") / (F.col("g3") + F.col("l3"))
+    )
+    rsi2 = F.when(F.col("g2") + F.col("l2") == 0, F.lit(50.0)).otherwise(
+        F.lit(100.0) * F.col("g2") / (F.col("g2") + F.col("l2"))
+    )
+    return k.filter(F.col("rn") >= 4).select(
+        "day",
+        "streak",
+        rsi3.alias("rsi3"),
+        rsi2.alias("streak_rsi2"),
+        F.col("pct100").alias("roc_pct_rank"),
+        ((rsi3 + rsi2 + F.col("pct100")) / 3.0).alias("connors_rsi"),
+    )

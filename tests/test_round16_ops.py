@@ -325,3 +325,66 @@ def test_gamma_and_somers_shared_counts(spark):
     assert (s["ties_q"], s["ties_band"]) == (1, 2)
     assert s["somers_d_band_given_q"] == pytest.approx(0.8)
     assert s["somers_d_q_given_band"] == pytest.approx(1.0)
+
+
+from large_csv_etl_spark.queries.windows import QUERIES as WIN_QUERIES
+
+
+def test_awesome_oscillator_ramp_and_warmup(spark):
+    """Linear 40-day ramp: AO(40) = mean(36..40) - mean(7..40) = 14.5
+    dollars; NULL before row 34; sma5 appears at row 5."""
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(
+            spark, _daily_orders([float(i) for i in range(1, 41)]), d
+        )
+        out = WIN_QUERIES["window_awesome_oscillator"](spark, d).collect()
+    seq = sorted(out, key=lambda r: r["day"])
+    assert seq[3]["sma5_mid"] is None
+    assert seq[4]["sma5_mid"] == pytest.approx(3.0)
+    assert seq[32]["awesome_oscillator"] is None
+    assert seq[39]["awesome_oscillator"] == pytest.approx(38.0 - 23.5)
+    assert seq[9]["mid_cents"] == 1000
+
+
+def test_ease_of_movement_two_days(spark):
+    """Day 2: dm2=200, range=200, 2 orders -> EMV = 200*200/4 = 10000
+    cents^2 = 1 usd^2; day 1 NULL; EMA equals the single present
+    term."""
+    rows = [
+        (1, 1, "O", 1.0, dt.datetime(1995, 1, 1), "3-MEDIUM"),
+        (2, 2, "O", 3.0, dt.datetime(1995, 1, 2), "3-MEDIUM"),
+        (3, 3, "O", 1.0, dt.datetime(1995, 1, 2), "3-MEDIUM"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(spark, rows, d)
+        out = WIN_QUERIES["window_ease_of_movement"](spark, d).collect()
+    by_day = {r["day"].day: r for r in out}
+    assert by_day[1]["emv_usd2"] is None and by_day[1]["emv_ema14"] is None
+    assert by_day[2]["emv_usd2"] == 1
+    assert by_day[2]["emv_ema14"] == pytest.approx(1.0)
+
+
+def test_connors_rsi_hand_series(spark):
+    """Prices 10,11,12,11,11: streaks 1,2,-1,0; day-4 components
+    (rsi3=200/300, rsi2=25, pct=0) and day-5 (50, 25, 100/3) match
+    hand computation."""
+    with tempfile.TemporaryDirectory() as d:
+        _orders_dir(
+            spark, _daily_orders([10.0, 11.0, 12.0, 11.0, 11.0]), d
+        )
+        out = WIN_QUERIES["window_connors_rsi"](spark, d).collect()
+    assert len(out) == 2
+    d4, d5 = sorted(out, key=lambda r: r["day"])
+    assert d4["streak"] == -1 and d5["streak"] == 0
+    assert d4["rsi3"] == pytest.approx(100.0 * 200 / 300)
+    assert d4["streak_rsi2"] == pytest.approx(25.0)
+    assert d4["roc_pct_rank"] == pytest.approx(0.0)
+    assert d4["connors_rsi"] == pytest.approx(
+        (100.0 * 200 / 300 + 25.0 + 0.0) / 3.0
+    )
+    assert d5["rsi3"] == pytest.approx(50.0)
+    assert d5["streak_rsi2"] == pytest.approx(25.0)
+    assert d5["roc_pct_rank"] == pytest.approx(100.0 / 3.0)
+    assert d5["connors_rsi"] == pytest.approx(
+        (50.0 + 25.0 + 100.0 / 3.0) / 3.0
+    )
