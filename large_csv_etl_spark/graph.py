@@ -143,11 +143,15 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # lineage cut every 3rd round (and the last): enough to keep the
-        # plan bounded, 3x fewer eager materialization barriers than a
-        # per-round checkpoint
-        if it % 3 == 2 or it == n_iter - 1:
-            ranks = ranks.localCheckpoint()
+        # Materialize EVERY round: each iteration references the previous
+        # `ranks` three times (contrib join, dangling aggregate, rebuild
+        # select), so an un-materialized round re-executes with branch
+        # factor 3 — a checkpoint every 3rd round paid up to 3^2 = 9
+        # redundant evaluations of the oldest round in the window, which
+        # at cluster scale is 9x real data-sized join work. Per-round
+        # materialization executes each round exactly once (GraphX-style
+        # per-iteration caching); every downstream reference reads blocks.
+        ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")
 
 
@@ -167,7 +171,7 @@ def pagerank_fixed(
     division — which makes the query oracle-gradable where the float
     version is rows-only. Same plan shape as :func:`pagerank` (one
     ranks x edges shuffle + one destination-keyed sum per round, broadcast
-    1-row dangling mass, lineage cuts every 3rd round).
+    1-row dangling mass, per-round lineage cuts).
 
     Floor losses from integer division mean total mass drifts a few
     ulps-of-scale below ``scale`` per round; that drift is identical in
@@ -224,6 +228,7 @@ def pagerank_fixed(
                 ).alias("rank_fp"),
             )
         )
-        if it % 3 == 2 or it == n_iter - 1:
-            ranks = ranks.localCheckpoint()
+        # per-round materialization: same branch-factor-3 lineage argument
+        # as pagerank() above
+        ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank_fp")

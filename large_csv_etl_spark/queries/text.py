@@ -2421,7 +2421,12 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nbr")
     ).unionAll(edges.select(F.col("v"), F.col("u")))
-    mid = (
+    # materialized: the wedge self-join references `mid` twice, and AQE's
+    # exchange reuse only shares the shuffle FEEDING the rank window —
+    # the window sort + filter itself ran once per side (r15 plan audit);
+    # `mid` is the reduced (<= cap * |V| rows) frame the convention says
+    # to materialize
+    mid = materialize_reduced(
         adj.withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("node").orderBy("nbr")),
@@ -2568,35 +2573,38 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = []
     cur = edges
-    deg = deg0
-    k = None
+    # One materialization of the per-round degree table, then every
+    # consumer (k derivation, keep-set u/v semi-joins, the
+    # n_before/n_kept stats) reads its blocks. Previously `deg` was an
+    # un-materialized aggregate over the checkpointed edge set and
+    # re-executed once per consumer (up to 3 degree-count shuffles per
+    # round); n_before and n_kept were also two separate count() jobs
+    # where one aggregate answers both.
+    deg = materialize_reduced(deg0)
+    n_nodes0 = deg.count()
+    k = (2 * n_edges0 + n_nodes0 - 1) // n_nodes0 if n_nodes0 else 1
     for rnd in (1, 2, 3):
-        if k is None:
-            n_nodes0 = deg.count()
-            k = (
-                (2 * n_edges0 + n_nodes0 - 1) // n_nodes0
-                if n_nodes0
-                else 1
-            )
-        keep = materialize_reduced(
-            deg.filter(F.col("deg") >= k).select("node")
-        )
+        stats = deg.agg(
+            F.count("*").alias("nb"),
+            F.count(F.when(F.col("deg") >= k, 1)).alias("nk"),
+        ).collect()[0]
+        n_before, n_kept = stats["nb"], stats["nk"]
+        keep = deg.filter(F.col("deg") >= k).select("node")
         nxt = materialize_reduced(
             cur.join(keep.select(F.col("node").alias("u")), "u")
             .join(keep.select(F.col("node").alias("v")), "v")
             .select("u", "v")
         )
-        n_before = deg.count()
-        n_kept = keep.count()
         n_edges = nxt.count()
         rows.append((rnd, k, n_kept, n_edges, n_before - n_kept))
         cur = nxt
-        deg = (
-            cur.select(F.col("u").alias("node"))
-            .unionAll(cur.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("deg"))
-        )
+        if rnd < 3:  # round 3's trailing degree table has no consumer
+            deg = materialize_reduced(
+                cur.select(F.col("u").alias("node"))
+                .unionAll(cur.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("deg"))
+            )
     return spark.createDataFrame(
         rows,
         "round bigint, k bigint, n_nodes_kept bigint, "
@@ -3449,7 +3457,10 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    deg = (
+    # |V|-row degree table feeds three branches (both orientation join
+    # sides and the final coefficient join): materialize once instead of
+    # re-running the degree-count shuffle per consumer
+    deg = materialize_reduced(
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
@@ -4537,7 +4548,9 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     deg = adj.groupBy("node").agg(
         F.count("*").cast("bigint").alias("degree")
     )
-    mid = (
+    # materialized for the same reason as graph_common_neighbors: the
+    # wedge self-join otherwise runs the rank-window pass once per side
+    mid = materialize_reduced(
         adj.withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("node").orderBy("nbr")),
@@ -7047,27 +7060,33 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop2 = h1.join(c2, F.col("c2.node") == F.col("h1.nbr")).select(
         F.col("h1.node").alias("node"), F.col("c2.nbr").alias("nbr")
     )
+    # countDistinct's two-level aggregate dedups (node, nbr) itself, so
+    # the previous explicit .distinct() was a redundant third exchange;
+    # and n_total is recovered FROM the histogram (sum of n_nodes over a
+    # frame bounded by cap + cap^2 + 1 distinct sizes) instead of a
+    # second aggregate branch over `reach` — the un-materialized reach
+    # subtree (the hop2 expansion join, the heaviest stage) previously
+    # executed twice, once per branch (r15 executed-plan audit: the SMJ
+    # and its dedup aggregates appeared twice; AQE reused only the
+    # wedge-input shuffles). The single-partition window is scale-safe
+    # by construction: it runs on the histogram, never on data rows.
     reach = (
         cap.unionAll(hop2)
         .filter(F.col("nbr") != F.col("node"))
-        .distinct()
         .groupBy("node")
         .agg(F.countDistinct("nbr").cast("bigint").alias("two_hop_size"))
     )
-    tot = reach.agg(F.count("*").cast("bigint").alias("n_total"))
-    return (
-        reach.crossJoin(F.broadcast(tot))
-        .groupBy("two_hop_size", "n_total")
-        .agg(F.count("*").cast("bigint").alias("n_nodes"))
-        .select(
-            "two_hop_size",
-            "n_nodes",
-            F.when(
-                F.col("n_total") > 0,
-                F.col("n_nodes").cast("double")
-                / F.col("n_total").cast("double"),
-            ).alias("node_share"),
-        )
+    hist = reach.groupBy("two_hop_size").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    n_total = F.sum("n_nodes").over(Window.partitionBy())
+    return hist.select(
+        "two_hop_size",
+        "n_nodes",
+        F.when(
+            n_total > 0,
+            F.col("n_nodes").cast("double") / n_total.cast("double"),
+        ).alias("node_share"),
     )
 
 
