@@ -144,6 +144,10 @@ def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     the corpus text for nothing.
     """
     sc = docs.sparkSession.sparkContext
+    # project to the two consumed columns BEFORE the gated repartition:
+    # the exchange otherwise carries (and the scan reads) every document
+    # column — guide-§2.3 "project before the exchange" / scan pruning
+    docs = docs.select("doc_id", "text")
     if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
         docs = docs.repartition(sc.defaultParallelism)
     toks = F.split(_norm_text(F.col("text")), r"\s+")
@@ -367,7 +371,9 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     sc = docs.sparkSession.sparkContext
     # same split-count gate as shingle_rows: up-shuffle only an
     # under-split scan (single-file local fixture); leave a well-split
-    # cluster scan alone
+    # cluster scan alone. Projected to the two consumed columns first so
+    # the exchange/scan never carry unused document columns.
+    docs = docs.select("doc_id", "text")
     if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
         docs = docs.repartition(sc.defaultParallelism)
     # project the 8-byte token hash BEFORE the bitplane aggregates so
@@ -709,6 +715,9 @@ def simhash_portable_fingerprints(docs: DataFrame) -> DataFrame:
     60 bits so the fingerprint is one md5 slice wide; 4 x 15-bit bands
     preserve the Hamming<=3 pigeonhole exactness."""
     sc = docs.sparkSession.sparkContext
+    # projected-then-gated like shingle_rows: no unused columns through
+    # the repartition exchange or the scan
+    docs = docs.select("doc_id", "text")
     if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
         docs = docs.repartition(sc.defaultParallelism)
     hashed = (

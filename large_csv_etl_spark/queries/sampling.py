@@ -1626,7 +1626,10 @@ def sample_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, 4):
         cand = tok
         if covered is not None:
-            cand = tok.join(covered, "token", "left_anti")
+            # broadcast the covered set (bounded by the <= 3 selected
+            # docs' vocabularies): the anti-join otherwise shuffles the
+            # full token table once per round
+            cand = tok.join(F.broadcast(covered), "token", "left_anti")
         gains = cand.groupBy("doc_id").agg(
             F.count("*").cast("bigint").alias("gain")
         )

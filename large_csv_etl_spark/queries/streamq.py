@@ -949,7 +949,7 @@ def streaming_watermark_delay_sweep(
     from ..streaming import (
         hourly_tumbling_stream,
         read_events_stream,
-        run_bounded,
+        start_bounded,
     )
 
     mx = (
@@ -960,11 +960,16 @@ def streaming_watermark_delay_sweep(
             )
         )
     )
-    legs = []
+    # The three legs are fully independent drains (own checkpoint, own
+    # sink): start all three, then await each, so their micro-batch
+    # harness latencies overlap instead of summing (guide-§2.6 overlap
+    # of independent jobs). Per-leg results are byte-identical to the
+    # sequential form — only the wall-clock changes.
+    started = []
     for hours in (1, 2, 4):
         name = f"stream_sweep_{hours}h_{uuid.uuid4().hex[:8]}"
         ckpt = tempfile.mkdtemp(prefix=f"ckpt_sweep_{hours}h_")
-        emitted = run_bounded(
+        q = start_bounded(
             hourly_tumbling_stream(
                 read_events_stream(spark, sf_dir, glob="events.parquet"),
                 watermark=f"{hours} hours",
@@ -973,6 +978,11 @@ def streaming_watermark_delay_sweep(
             ckpt,
             output_mode="append",
         )
+        started.append((hours, name, q))
+    legs = []
+    for hours, name, q in started:
+        q.awaitTermination()
+        emitted = spark.table(name)
         scoped = emitted.crossJoin(F.broadcast(mx)).filter(
             F.col("hour_start")
             < F.col("mh") - F.expr(f"INTERVAL {hours + 1} HOURS")

@@ -166,7 +166,25 @@ def run_bounded(
     ``availableNow`` processes everything currently in the source and
     stops — the standard pattern for testing a streaming plan and for
     incremental backfills that share the production query."""
-    q = (
+    q = start_bounded(stream_df, name, checkpoint_dir, output_mode)
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def start_bounded(
+    stream_df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+):
+    """Start (without awaiting) a bounded availableNow drain into the
+    ``name`` in-memory table; returns the StreamingQuery. Lets a caller
+    with several INDEPENDENT drains (separate checkpoints and sinks)
+    start them all and then await each — Spark schedules concurrent
+    queries' micro-batches side by side, so the per-drain harness
+    latencies (batch planning, state-store commits, the no-data
+    watermark-flush batch) overlap instead of summing."""
+    return (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
@@ -174,8 +192,6 @@ def run_bounded(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
 
 
 def read_transactions_stream(spark: SparkSession, csv_dir: str) -> DataFrame:
