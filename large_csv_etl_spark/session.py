@@ -49,6 +49,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Dim tables (region/nation/supplier/part at small SF) broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold (optimization guide §3.1/§9): SHJ skips both
+        # sorts; AQE's skew handling still applies. Scale-independent —
+        # the planner only switches when the per-partition build side
+        # fits, and the conf is overridable per session via extra_conf.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # zstd for anything this engine writes (guide §6): smaller files
+        # than snappy at similar scan speed. Read paths are unaffected.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Arrow path for any scalar Python UDF an extension registers
+        # (guide §4.3); the engine itself ships none in query paths.
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
