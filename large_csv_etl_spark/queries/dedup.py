@@ -208,7 +208,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine). The oracle applies the identical cap.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    sh = shingle_rows(docs)
+    return _ngram_jaccard_pairs_from_sh(shingle_rows(docs))
+
+
+def _ngram_jaccard_pairs_from_sh(sh: DataFrame) -> DataFrame:
+    """The exact-Jaccard pair pipeline over a prepared (doc_id, shingle)
+    table — split out so composites that ALSO need the shingle table for
+    another estimator (dedup_minhash_calibration) can tokenize/shingle
+    the corpus once and feed both branches."""
     # One shuffle groups each shingle's posting list; the DF cap and the
     # pair generation both happen on that list, and the materialization
     # makes "computed once" literally true — the posting-list table feeds
@@ -575,12 +582,17 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_lsh_estimate(_portable_minhash_sigs(docs), _portable_band_hash)
 
 
-def _portable_minhash_sigs(docs: DataFrame) -> DataFrame:
+def _portable_minhash_sigs(
+    docs: DataFrame, sh: DataFrame | None = None
+) -> DataFrame:
     """Materialized portable-hash signature table (doc_id, m0..m15): 16
     permutation minhashes from 8 md5 digests per shingle (two independent
     60-bit slices each). This is the table an incremental deployment
-    persists as the historical index."""
-    sh = shingle_rows(docs)
+    persists as the historical index. Pass a prepared ``sh`` (doc_id,
+    shingle) table to share one tokenize/shingle pass with another
+    consumer (dedup_minhash_calibration)."""
+    if sh is None:
+        sh = shingle_rows(docs)
     mins = []
     for j in range(8):
         m = F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(j))))
@@ -1531,28 +1543,53 @@ def dedup_cdc_gearhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def chunk_digests(batches):
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
-        gear = [
-            int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
-            for b in range(256)
-        ]
-        mask64 = (1 << 64) - 1
+        # Vectorized boundary detection (guide §4.2: batch work goes to
+        # native code, not a per-byte Python loop). The rolling hash
+        # h = ((h << 1) + gear[byte]) mod 2^64 is tested only as
+        # h % 64 == 0, i.e. on its LOW SIX BITS — and a byte's gear
+        # contribution leaves those bits after 6 shifts, so
+        # h_i mod 64 == (sum_{k=0..5} gear[b_{i-k}] << k) mod 64: six
+        # shifted numpy adds replace the per-byte loop. The min-16 /
+        # max-256 chunk-length walk then touches only the ~1/64 candidate
+        # positions. Bit-identical to the scalar form (equivalence pinned
+        # on 400 randomized payloads incl. every guard boundary).
+        gear6 = np.array(
+            [
+                int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+                & 63
+                for b in range(256)
+            ],
+            dtype=np.uint32,
+        )
 
         def cuts(data: bytes):
             # returns chunk digests for one payload
+            n = len(data)
+            if n == 0:
+                return []
+            g = gear6[np.frombuffer(data, dtype=np.uint8)]
+            h = g.copy()
+            for k in range(1, min(6, n)):
+                h[k:] += g[:-k] << np.uint32(k)
+            cand = np.nonzero((h & np.uint32(63)) == 0)[0]
             out = []
             start = 0
-            h = 0
-            n = len(data)
-            for i, byte in enumerate(data):
-                h = ((h << 1) + gear[byte]) & mask64
-                length = i - start + 1
-                if (length >= 16 and h % 64 == 0) or length >= 256:
-                    out.append(hashlib.md5(data[start : i + 1]).hexdigest())
-                    start = i + 1
-            if start < n:
-                out.append(hashlib.md5(data[start:]).hexdigest())
+            while start < n:
+                # next cut = min(first candidate at length >= 16,
+                #                forced cut at length 256)
+                ci = int(np.searchsorted(cand, start + 15))
+                if ci < len(cand) and cand[ci] <= start + 255:
+                    i = int(cand[ci])
+                elif start + 255 <= n - 1:
+                    i = start + 255
+                else:
+                    out.append(hashlib.md5(data[start:]).hexdigest())
+                    break
+                out.append(hashlib.md5(data[start : i + 1]).hexdigest())
+                start = i + 1
             return out
 
         for pdf in batches:
