@@ -1975,9 +1975,15 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{p}, m{p}" for p in range(16)
     ) + ") AS (p, mh)"
     sig = wide.selectExpr("doc_id", stack_expr)
-    out = None
-    for b, r, thr in _SWEEP_CONFIGS:
-        banded = (
+
+    # Same shape as dedup_band_sensitivity_curve: per config the band
+    # table feeds three branches (bucket counts, both pair-join sides),
+    # so it is materialized once instead of recomputed per branch, and
+    # the three independent configs run from a thread pool so their
+    # materializations overlap (guide §2.6).
+    def _sweep_row(cfg):
+        b, r, thr = cfg
+        banded = materialize_reduced(
             sig.groupBy("doc_id", F.expr(f"p div {r}").alias("band"))
             .agg(
                 F.md5(
@@ -2021,7 +2027,15 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_candidate_pairs",
             )
         )
-        out = row if out is None else out.unionByName(row)
+        return row
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_SWEEP_CONFIGS)) as pool:
+        rows = list(pool.map(_sweep_row, _SWEEP_CONFIGS))
+    out = rows[0]
+    for row in rows[1:]:
+        out = out.unionByName(row)
     return out
 
 
@@ -3404,8 +3418,14 @@ def dedup_band_sensitivity_curve(
         + ") AS (p, mh)"
     )
     sig = materialize_reduced(wide.selectExpr("doc_id", stack_expr))
-    out = None
-    for b, r, thr in _SENS_CONFIGS:
+
+    # The three band configs are independent pipelines over the
+    # already-materialized signature table: run them from a small thread
+    # pool so each config's eager materializations overlap (guide-§2.6
+    # job overlap — a config's straggler tail backfills with the next
+    # config's tasks). Results are unchanged; only wall-clock drops.
+    def _config_row(cfg):
+        b, r, thr = cfg
         banded = (
             sig.groupBy("doc_id", F.expr(f"p div {r}").alias("band"))
             .agg(
@@ -3458,7 +3478,15 @@ def dedup_band_sensitivity_curve(
                 "n_docs_in_pairs",
             )
         )
-        out = row if out is None else out.unionByName(row)
+        return row
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_SENS_CONFIGS)) as pool:
+        rows = list(pool.map(_config_row, _SENS_CONFIGS))
+    out = rows[0]
+    for row in rows[1:]:
+        out = out.unionByName(row)
     return out
 
 

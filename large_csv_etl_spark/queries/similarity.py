@@ -3946,8 +3946,11 @@ def sim_kmeans_inertia_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
         )
 
-    outs = []
-    for k in (2, 4, 8):
+    # the three k values are independent Lloyd runs over the
+    # already-materialized vector table: run them from a thread pool so
+    # each k's per-iteration materializations overlap (guide §2.6);
+    # the per-k iteration chain itself stays sequential (data dependence)
+    def _k_run(k):
         cent_arr = materialize_reduced(
             vec6.orderBy("vec_id")
             .limit(k)
@@ -3970,15 +3973,18 @@ def sim_kmeans_inertia_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("c6")
                 )
             )
-        outs.append(
-            assign(cent_arr).agg(
-                F.lit(k).cast("bigint").alias("k"),
-                F.count("*").cast("bigint").alias("n_vectors"),
-                F.sum(F.col("d2").cast("decimal(38,0)"))
-                .cast("double")
-                .alias("inertia"),
-            )
+        return assign(cent_arr).agg(
+            F.lit(k).cast("bigint").alias("k"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum(F.col("d2").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("inertia"),
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        outs = list(pool.map(_k_run, (2, 4, 8)))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
