@@ -2217,7 +2217,12 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Exact BIGINT counts; confidence/lift single
     double expressions."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # materialized: the basket table feeds four consumers (the n_baskets
+    # count, the item supports, both pair-join sides) — the count() job
+    # and the per-branch pruning otherwise re-run the distinct shuffle
+    baskets = materialize_reduced(
+        li.select("l_orderkey", "l_partkey").distinct()
+    )
     n = baskets.select("l_orderkey").distinct().count()
     item = baskets.groupBy("l_partkey").agg(
         F.count("*").cast("bigint").alias("n_item")
