@@ -213,9 +213,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ngram_jaccard_pairs_from_sh(sh: DataFrame) -> DataFrame:
     """The exact-Jaccard pair pipeline over a prepared (doc_id, shingle)
-    table — split out so composites that ALSO need the shingle table for
-    another estimator (dedup_minhash_calibration) can tokenize/shingle
-    the corpus once and feed both branches."""
+    table. (Sharing one shingle table across estimator branches was
+    tested in round 15 and rejected — materializing the shingle stream
+    lost to recomputing it — so this split's only remaining value is
+    keeping the pair pipeline separately readable/testable; every caller
+    passes a fresh ``shingle_rows``.)"""
     # One shuffle groups each shingle's posting list; the DF cap and the
     # pair generation both happen on that list, and the materialization
     # makes "computed once" literally true — the posting-list table feeds
@@ -582,17 +584,15 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_lsh_estimate(_portable_minhash_sigs(docs), _portable_band_hash)
 
 
-def _portable_minhash_sigs(
-    docs: DataFrame, sh: DataFrame | None = None
-) -> DataFrame:
+def _portable_minhash_sigs(docs: DataFrame) -> DataFrame:
     """Materialized portable-hash signature table (doc_id, m0..m15): 16
     permutation minhashes from 8 md5 digests per shingle (two independent
     60-bit slices each). This is the table an incremental deployment
-    persists as the historical index. Pass a prepared ``sh`` (doc_id,
-    shingle) table to share one tokenize/shingle pass with another
-    consumer (dedup_minhash_calibration)."""
-    if sh is None:
-        sh = shingle_rows(docs)
+    persists as the historical index. (A shared-shingle-table variant was
+    tested in round 15 and REJECTED: materializing the ~3x-corpus-bytes
+    shingle stream cost +15% busy-CPU vs recomputing the tokenize pass,
+    so every consumer builds its own shingle rows.)"""
+    sh = shingle_rows(docs)
     mins = []
     for j in range(8):
         m = F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(j))))

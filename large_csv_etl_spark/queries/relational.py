@@ -2219,7 +2219,15 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # materialized: the basket table feeds four consumers (the n_baskets
     # count, the item supports, both pair-join sides) — the count() job
-    # and the per-branch pruning otherwise re-run the distinct shuffle
+    # and the per-branch pruning otherwise re-run the distinct shuffle.
+    # Contract note (ADVICE r15 #2): this deliberately deviates from the
+    # materialize_reduced "reduced frames only" guidance — the distinct
+    # (orderkey, partkey) table is O(|lineitem|), i.e. data-sized. It is
+    # acceptable here because the table is two BIGINT columns (a small
+    # fraction of lineitem's width) and the four consumers would re-run
+    # the full-width scan + distinct otherwise; a 100 TB deployment
+    # stages this table to parquet instead (docs/DEPLOY_100TB.md), which
+    # also restores lost-block recoverability on a cluster.
     baskets = materialize_reduced(
         li.select("l_orderkey", "l_partkey").distinct()
     )
