@@ -1675,54 +1675,40 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c"))
         .withColumn("outdeg", F.sum("c").over(wt1).cast("bigint"))
     )
-    states = (
-        trans.select(F.col("t1").alias("t"))
-        .union(trans.select(F.col("t2").alias("t")))
-        .distinct()
-    )
-    outs = trans.select("t1").distinct()
-    n = states.count()  # |event types| — bounded metadata, not data rows
-    if n == 0:
+    # Iterate on the DRIVER (optimization guide §8 "decide with small
+    # rows", VERDICT r15 ask #8): the transition matrix is bounded by
+    # |event-type vocabulary|^2 — metadata, not data rows — so the corpus
+    # is touched exactly once (the window + agg above) and the 12 rounds
+    # are pure Python integer arithmetic instead of 12 join/agg/checkpoint
+    # job waves. The arithmetic replicates the distributed form exactly:
+    # every quantity is a non-negative int, Spark's `div` and Python's
+    # `//` agree on non-negative operands, and integer sums are
+    # order-independent — so the result is bit-identical to the previous
+    # distributed loop and to the oracle's unrolled integer CTEs.
+    trows = trans.collect()
+    if not trows:
         # empty input: no states, no distribution
         return spark.createDataFrame(
             [],
             "event_type string, stationary_fp bigint, stationary_prob double",
         )
+    state_list = sorted({r["t1"] for r in trows} | {r["t2"] for r in trows})
+    n = len(state_list)
     init = MARKOV_SCALE // n
-    # the chain state is tiny; localCheckpoint each round cuts the
-    # otherwise-exponentially-growing logical plan (the same lineage
-    # discipline as graph.pagerank)
-    trans = trans.localCheckpoint()
-    states = states.localCheckpoint()
-    outs = outs.localCheckpoint()
-    rank = states.select("t", F.lit(init).cast("bigint").alias("rank"))
+    outs_set = {r["t1"] for r in trows}
+    rank = {t: init for t in state_list}
     for _ in range(MARKOV_ROUNDS):
-        in_mass = (
-            rank.join(trans, rank.t == trans.t1)
-            .select(
-                F.col("t2").alias("t"),
-                F.expr("(rank * c) div outdeg").alias("m"),
-            )
-            .groupBy("t")
-            .agg(F.sum("m").alias("in_mass"))
-        )
-        dangling = (
-            rank.join(outs, rank.t == outs.t1, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
-        )
-        rank = (
-            states.join(in_mass, "t", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "t",
-                (
-                    F.coalesce(F.col("in_mass"), F.lit(0))
-                    + F.expr(f"dm div {n}")
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
-    return rank.select(
+        in_mass: dict[str, int] = {}
+        for r in trows:
+            m = (rank[r["t1"]] * r["c"]) // r["outdeg"]
+            in_mass[r["t2"]] = in_mass.get(r["t2"], 0) + m
+        dm = sum(rank[t] for t in state_list if t not in outs_set)
+        share = dm // n
+        rank = {t: in_mass.get(t, 0) + share for t in state_list}
+    out = spark.createDataFrame(
+        [(t, rank[t]) for t in state_list], "t string, rank bigint"
+    )
+    return out.select(
         F.col("t").alias("event_type"),
         F.col("rank").alias("stationary_fp"),
         (F.col("rank").cast("double") / F.lit(float(MARKOV_SCALE))).alias(
