@@ -20,13 +20,93 @@ from pyspark.sql import functions as F
 QUERIES = {}
 ORACLES = {}
 
+# Upper bound on the adaptive state-partition count — a 100 TB/day
+# deployment with a multi-hour watermark horizon derives thousands of
+# partitions from the formula below; the cap keeps the shuffle-block
+# count (M x R, guide §2.2) from exploding past what a real state store
+# fleet runs with.
+_STATE_PARTITIONS_CAP = 2048
+# Target SOURCE bytes per state partition. State volume is a
+# horizon-bounded fraction of source volume, so sizing partitions off
+# the bytes the drain will actually process keeps per-partition state in
+# the guide's 100 MB-1 GB band while never paying commit overhead for
+# empty partitions.
+_STATE_TARGET_BYTES = 256 << 20
+
+
+def _adaptive_state_partitions(
+    source_dir: str, glob: str = "events.parquet"
+) -> int:
+    """State-store shuffle-partition count derived from source VOLUME
+    instead of core count (guide §2.2/§5; VERDICT r15 #4). Structured
+    Streaming fixes the number of state-store partitions to
+    ``spark.sql.shuffle.partitions`` at query start, and every stateful
+    operator then pays one state-store commit PER PARTITION PER
+    MICRO-BATCH regardless of how much state it holds — with
+    partitions = cores, the r15 scaling run measured the interval joins
+    ANTI-scaling (8 cores beat 32 by 2-4x) because 32 near-empty
+    HDFS-backed stores commit serially-enough to dominate. Deriving the
+    count from the bytes the drain will process (like AQE derives
+    partition counts from runtime sizes) gives 1-few partitions on a
+    KB-state local drain and thousands on a 100 TB backfill — the same
+    code path, no local[32]-only constant. Returns 0 (leave the session
+    default untouched) when the source cannot be listed (e.g. an object
+    store path — a deployment there sizes via the FileSystem API)."""
+    import os
+
+    total = 0
+    try:
+        names = os.listdir(source_dir)
+    except OSError:
+        return 0
+    import fnmatch
+
+    for n in names:
+        if glob and not fnmatch.fnmatch(n, glob):
+            continue
+        p = os.path.join(source_dir, n)
+        try:
+            if os.path.isfile(p):
+                total += os.path.getsize(p)
+        except OSError:
+            return 0
+    if total <= 0:
+        return 0
+    return max(1, min(_STATE_PARTITIONS_CAP, -(-total // _STATE_TARGET_BYTES)))
+
 
 def _q(name, oracle=None):
+    """Register a streaming query; the registered callable runs with
+    ``spark.sql.shuffle.partitions`` scoped to the adaptive state-store
+    count for the duration of the call (stream construction + drain),
+    restoring the caller's value afterwards. The drained sink tables the
+    queries return are partition-count independent (verified by the
+    standing local[7] regime probe and the per-query oracle mimics), so
+    only the state-commit overhead changes."""
+
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            n = _adaptive_state_partitions(sf_dir)
+            if n <= 0:
+                return fn(spark, sf_dir)
+            key = "spark.sql.shuffle.partitions"
+            old = spark.conf.get(key, None)
+            spark.conf.set(key, str(n))
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                if old is not None:
+                    spark.conf.set(key, old)
+                else:
+                    spark.conf.unset(key)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
@@ -966,42 +1046,68 @@ def streaming_watermark_delay_sweep(
     # of independent jobs). Per-leg results are byte-identical to the
     # sequential form — only the wall-clock changes.
     started = []
-    for hours in (1, 2, 4):
-        name = f"stream_sweep_{hours}h_{uuid.uuid4().hex[:8]}"
-        ckpt = tempfile.mkdtemp(prefix=f"ckpt_sweep_{hours}h_")
-        q = start_bounded(
-            hourly_tumbling_stream(
-                read_events_stream(spark, sf_dir, glob="events.parquet"),
-                watermark=f"{hours} hours",
-            ),
-            name,
-            ckpt,
-            output_mode="append",
-        )
-        started.append((hours, name, q))
+    ckpts = []
     legs = []
-    for hours, name, q in started:
-        q.awaitTermination()
-        emitted = spark.table(name)
-        scoped = emitted.crossJoin(F.broadcast(mx)).filter(
-            F.col("hour_start")
-            < F.col("mh") - F.expr(f"INTERVAL {hours + 1} HOURS")
-        )
-        legs.append(
-            scoped.agg(
-                F.count("hour_start").cast("bigint").alias("n_windows"),
-                F.sum("n_events").cast("bigint").alias("n_events"),
-                F.countDistinct("event_type")
-                .cast("bigint")
-                .alias("n_event_types"),
-            ).select(
-                F.lit(hours).cast("bigint").alias("delay_hours"),
-                "n_windows",
-                "n_events",
-                "n_event_types",
+    # If any start/await raises, stop every still-active leg and remove
+    # the temp checkpoints (ADVICE r15 #4): an orphaned StreamingQuery
+    # would keep running in the shared session.
+    try:
+        for hours in (1, 2, 4):
+            name = f"stream_sweep_{hours}h_{uuid.uuid4().hex[:8]}"
+            ckpt = tempfile.mkdtemp(prefix=f"ckpt_sweep_{hours}h_")
+            ckpts.append(ckpt)
+            q = start_bounded(
+                hourly_tumbling_stream(
+                    read_events_stream(spark, sf_dir, glob="events.parquet"),
+                    watermark=f"{hours} hours",
+                ),
+                name,
+                ckpt,
+                output_mode="append",
             )
-        )
+            started.append((hours, name, q))
+        for hours, name, q in started:
+            q.awaitTermination()
+            _sweep_leg(spark, mx, hours, name, legs)
+    except BaseException:
+        import shutil
+
+        for _, _, q in started:
+            try:
+                if q.isActive:
+                    q.stop()
+            except Exception:
+                pass
+        for ckpt in ckpts:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        raise
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+def _sweep_leg(spark, mx, hours, name, legs):
+    """Scope one drained sweep leg to its provably-flushed region and
+    append its one-row aggregate to ``legs`` (split out of
+    streaming_watermark_delay_sweep only for the try/finally shape —
+    frames unchanged)."""
+    emitted = spark.table(name)
+    scoped = emitted.crossJoin(F.broadcast(mx)).filter(
+        F.col("hour_start")
+        < F.col("mh") - F.expr(f"INTERVAL {hours + 1} HOURS")
+    )
+    legs.append(
+        scoped.agg(
+            F.count("hour_start").cast("bigint").alias("n_windows"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.countDistinct("event_type")
+            .cast("bigint")
+            .alias("n_event_types"),
+        ).select(
+            F.lit(hours).cast("bigint").alias("delay_hours"),
+            "n_windows",
+            "n_events",
+            "n_event_types",
+        )
+    )
