@@ -476,6 +476,11 @@ def decode_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
                 }
             )
 
+    # gate deliberately NOT applied: the decode/resize stubs are ~0.2 s
+    # serial at sf0.1 and the paired A/B showed the exchange + worker
+    # fan-out costing MORE than it saves (0.60 -> 1.09 s wall,
+    # 222 -> 1001 busy-jiffies); only the perceptual-hash passes are
+    # heavy enough to amortize it (logs/r16/ab_setB.log)
     return df.mapInPandas(run, DECODED_SCHEMA)
 
 
@@ -541,10 +546,28 @@ def resize_payloads(df: DataFrame, target: int = 224) -> DataFrame:
                 columns=["doc_id", "width", "height", "out_w", "out_h", "scale_fp"],
             )
 
+    # same no-gate rationale as decode_payloads (trivial stub work)
     return df.mapInPandas(run, RESIZED_SCHEMA)
 
 
 AHASH_SCHEMA = "doc_id long, ahash long, width int, height int"
+
+
+def _parallelize_python_pass(df: DataFrame) -> DataFrame:
+    """Gated repartition before a per-row Python (mapInPandas) pass — the
+    dedup family's pattern applied to the media pipeline. The fixture's
+    documents parquet is a single input split, so every payload otherwise
+    lands in ONE task and the whole perceptual-hash/decode pass runs on
+    one Python worker (measured: the pHash pass over the sf0.1 frame
+    stream is ~4 s of single-thread numpy — the entirety of that query's
+    wall above the bench floor). One round-robin exchange of the
+    row-local payload rows restores full parallelism; at production
+    scale the scan already has >= cores partitions and the gate never
+    fires."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        df = df.repartition(sc.defaultParallelism)
+    return df
 
 
 def _gray_pixel_fn(stub: bool):
@@ -742,7 +765,7 @@ def ahash_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, AHASH_SCHEMA)
+    return _parallelize_python_pass(df).mapInPandas(run, AHASH_SCHEMA)
 
 
 PHASH_SCHEMA = "doc_id long, phash long, width int, height int"
@@ -829,4 +852,4 @@ def phash_payloads(df: DataFrame, stub: bool = True) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, PHASH_SCHEMA)
+    return _parallelize_python_pass(df).mapInPandas(run, PHASH_SCHEMA)
