@@ -1626,10 +1626,13 @@ def sample_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, 4):
         cand = tok
         if covered is not None:
-            # broadcast the covered set (bounded by the <= 3 selected
-            # docs' vocabularies): the anti-join otherwise shuffles the
-            # full token table once per round
-            cand = tok.join(F.broadcast(covered), "token", "left_anti")
+            # no broadcast hint (r16 adjudication of the r15 suspect):
+            # the covered set IS bounded by <= 3 docs' vocabularies, but
+            # forcing a per-round broadcast build+collect added latency
+            # in both r15 driver windows; the planner already broadcasts
+            # when its size estimate clears the threshold, and at scale
+            # the estimate — not a hardcoded hint — is the safer gate
+            cand = tok.join(covered, "token", "left_anti")
         gains = cand.groupBy("doc_id").agg(
             F.count("*").cast("bigint").alias("gain")
         )

@@ -2421,12 +2421,13 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nbr")
     ).unionAll(edges.select(F.col("v"), F.col("u")))
-    # materialized: the wedge self-join references `mid` twice, and AQE's
-    # exchange reuse only shares the shuffle FEEDING the rank window —
-    # the window sort + filter itself ran once per side (r15 plan audit);
-    # `mid` is the reduced (<= cap * |V| rows) frame the convention says
-    # to materialize
-    mid = materialize_reduced(
+    # NOT materialized (r16 adjudication of the r15 suspect regression):
+    # the wedge self-join references `mid` twice and AQE shares only the
+    # shuffle feeding the rank window, but the eager localCheckpoint is a
+    # serialization barrier that costs more than the duplicated
+    # window-sort it saves — the driver measured +39-61% wall in both r15
+    # windows, confirmed by this round's paired A/B
+    mid = (
         adj.withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("node").orderBy("nbr")),
@@ -4548,9 +4549,10 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     deg = adj.groupBy("node").agg(
         F.count("*").cast("bigint").alias("degree")
     )
-    # materialized for the same reason as graph_common_neighbors: the
-    # wedge self-join otherwise runs the rank-window pass once per side
-    mid = materialize_reduced(
+    # NOT materialized — same adjudication as graph_common_neighbors
+    # (the eager checkpoint barrier lost to the duplicated window pass
+    # in both r15 driver windows and this round's paired A/B)
+    mid = (
         adj.withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("node").orderBy("nbr")),
