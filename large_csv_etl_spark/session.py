@@ -49,12 +49,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Dim tables (region/nation/supplier/part at small SF) broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        # Let the planner pick shuffled-hash over sort-merge when its size
-        # conditions hold (optimization guide §3.1/§9): SHJ skips both
-        # sorts; AQE's skew handling still applies. Scale-independent —
-        # the planner only switches when the per-partition build side
-        # fits, and the conf is overridable per session via extra_conf.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # spark.sql.join.preferSortMergeJoin stays at its DEFAULT (true).
+        # The r15 global =false flip was toggle-tested in isolation this
+        # round (logs/r16/ab_smj.log, 7 join-heavy queries, paired runs):
+        # wall geomean 1.018 in SHJ's favor — inside noise — while
+        # busy-CPU geomean was 6.5% WORSE with SHJ and dedup_clusters did
+        # 33% more work. Combined with the scale risk the r15 advisor
+        # flagged (SHJ's build-side hash map is not spillable and the
+        # planner's switch condition uses size ESTIMATES, so a
+        # post-filter misestimate can OOM an executor at 100 TB where
+        # sort-merge spills), the flag fails the keep rule ("geomean
+        # improves and nothing regresses >10%") and is dropped. Per-query
+        # SHUFFLE_HASH hints remain the escape hatch where SHJ provably
+        # wins; none of the measured queries cleared that bar.
         # zstd for anything this engine writes (guide §6): smaller files
         # than snappy at similar scan speed. Read paths are unaffected.
         .config("spark.sql.parquet.compression.codec", "zstd")
