@@ -1221,6 +1221,26 @@ ORACLES["dedup_minhash_calibration"] = f"""
 """
 
 
+def _overlapped_est_exact(spark, sf_dir):
+    """Build the two graded calibration inputs (MinHash estimate, exact
+    n-gram Jaccard) from a 2-thread pool so their EAGER materializations
+    (signature table, posting-list buckets) overlap instead of running
+    strictly sequentially at construction time (guide §2.6, the r15
+    sweep pattern). Each branch's frame is byte-identical to the
+    sequential form; only wall changes. Shared by
+    dedup_minhash_calibration and dedup_minhash_calibration_curve."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_est = pool.submit(dedup_minhash_portable, spark, sf_dir)
+        f_exact = pool.submit(dedup_ngram_jaccard, spark, sf_dir)
+        est = f_est.result()
+        exact = f_exact.result().withColumnsRenamed(
+            {"doc_a": "e_doc_a", "doc_b": "e_doc_b"}
+        )
+    return est, exact
+
+
 @_q("dedup_minhash_calibration")
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator calibration audit: MinHash's estimated Jaccard (portable
@@ -1235,10 +1255,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     like odd/32, where a double->DECIMAL cast would not). Both inputs are themselves graded
     queries; this composes their plans and adds one |pairs|-row join +
     a <= 9-row aggregate."""
-    est = dedup_minhash_portable(spark, sf_dir)
-    exact = dedup_ngram_jaccard(spark, sf_dir).withColumnsRenamed(
-        {"doc_a": "e_doc_a", "doc_b": "e_doc_b"}
-    )
+    est, exact = _overlapped_est_exact(spark, sf_dir)
     j = est.join(
         exact,
         (est.doc_a == exact.e_doc_a) & (est.doc_b == exact.e_doc_b),
@@ -3017,10 +3034,7 @@ def dedup_minhash_calibration_curve(
     where the graded sibling buckets by the ESTIMATE. Composes the two
     graded inputs, adds one |pairs|-row left join and a <= 10-row
     rollup; means go through the shared 1e-6 fixed-point snap."""
-    est = dedup_minhash_portable(spark, sf_dir)
-    exact = dedup_ngram_jaccard(spark, sf_dir).withColumnsRenamed(
-        {"doc_a": "e_doc_a", "doc_b": "e_doc_b"}
-    )
+    est, exact = _overlapped_est_exact(spark, sf_dir)
     j = est.join(
         exact,
         (est.doc_a == exact.e_doc_a) & (est.doc_b == exact.e_doc_b),

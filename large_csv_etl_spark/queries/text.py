@@ -5806,6 +5806,13 @@ def graph_weighted_degree_strength(
         .over(Window.partitionBy("cust").orderBy("part"))
         .alias("rn"),
     ).filter(F.col("rn") <= 16)
+    # KEPT materialized (r16 adjudication): this looks like the same
+    # self-join-side checkpoint class that lost in
+    # graph_common_neighbors/jaccard, but here the upstream being
+    # deduplicated — the lineitem x orders join + distinct + rank window
+    # — is expensive enough that recomputing it per side DOUBLES busy
+    # CPU (paired A/B: 1093 -> 2141 jiffies) at equal wall, so the
+    # barrier pays for itself.
     capped = materialize_reduced(capped.select("cust", "part"))
     a, b = capped.alias("a"), capped.alias("b")
     edges = (
