@@ -16,20 +16,26 @@ from pyspark.sql import functions as F
 from large_csv_etl_spark.queries.streamq import _adaptive_state_partitions
 
 
-def test_adaptive_state_partitions_formula(tmp_path):
+def test_adaptive_state_partitions_formula(tmp_path, monkeypatch):
+    from large_csv_etl_spark.queries import streamq
+
+    # shrink the target so the test never writes hundreds of MB
+    monkeypatch.setattr(streamq, "_STATE_TARGET_BYTES", 1024)
     # unlistable source -> 0 (leave session default untouched)
     assert _adaptive_state_partitions(str(tmp_path / "missing")) == 0
     # empty dir -> 0
     assert _adaptive_state_partitions(str(tmp_path)) == 0
     # small file -> 1 partition
-    (tmp_path / "events.parquet").write_bytes(b"x" * 1024)
+    (tmp_path / "events.parquet").write_bytes(b"x" * 100)
     assert _adaptive_state_partitions(str(tmp_path)) == 1
     # non-matching files are ignored
-    (tmp_path / "orders.parquet").write_bytes(b"x" * (1 << 30))
+    (tmp_path / "orders.parquet").write_bytes(b"x" * 100_000)
     assert _adaptive_state_partitions(str(tmp_path)) == 1
-    # formula: ceil(bytes / 256MB), capped
-    (tmp_path / "events.parquet").write_bytes(b"x" * (600 << 20))
+    # formula: ceil(bytes / target), capped at _STATE_PARTITIONS_CAP
+    (tmp_path / "events.parquet").write_bytes(b"x" * 2500)
     assert _adaptive_state_partitions(str(tmp_path)) == 3
+    monkeypatch.setattr(streamq, "_STATE_PARTITIONS_CAP", 2)
+    assert _adaptive_state_partitions(str(tmp_path)) == 2
 
 
 def test_streaming_query_restores_shuffle_partitions(spark, sf_dir):
