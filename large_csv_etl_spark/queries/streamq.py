@@ -75,21 +75,30 @@ def _adaptive_state_partitions(
     return max(1, min(_STATE_PARTITIONS_CAP, -(-total // _STATE_TARGET_BYTES)))
 
 
-def _q(name, oracle=None):
+def _q(name, oracle=None, adaptive_state=True):
     """Register a streaming query; the registered callable runs with
     ``spark.sql.shuffle.partitions`` scoped to the adaptive state-store
     count for the duration of the call (stream construction + drain),
     restoring the caller's value afterwards. The drained sink tables the
     queries return are partition-count independent (verified by the
     standing local[7] regime probe and the per-query oracle mimics), so
-    only the state-commit overhead changes."""
+    only the state-commit overhead changes.
+
+    ``adaptive_state=False`` opts a query out and keeps the session's
+    partitioning: correct for CUSTOM-Python-state operators
+    (applyInPandasWithState / transformWithState), whose per-group
+    PYTHON work is serialized by fewer partitions — the opposite
+    trade from the built-in stateful operators, whose cost is the
+    per-partition store commit (measured: streaming_user_totals
+    regressed 4.0 -> 6.2 s under 1 partition while every built-in
+    stateful entry improved 1.4-2.7x)."""
 
     def deco(fn):
         import functools
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            n = _adaptive_state_partitions(sf_dir)
+            n = _adaptive_state_partitions(sf_dir) if adaptive_state else 0
             if n <= 0:
                 return fn(spark, sf_dir)
             key = "spark.sql.shuffle.partitions"
@@ -268,6 +277,10 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY user_id
     """,
+    # custom-Python-state operator: per-group Python work needs the
+    # session's parallelism, not the commit-minimizing partition count
+    # (see _q's adaptive_state note)
+    adaptive_state=False,
 )
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``applyInPandasWithState`` custom stateful operator surfaced as
